@@ -20,8 +20,14 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    documents → synth pages → RDFa extraction → exact dedup (the north
+    rule's KG-construction path, see argo_ray/pipelines/flagship.py).
+    """
+    from argo_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,96 @@
+"""Materialization stages: exact dedup, subject grouping, salted keys
+(SURVEY.md §2.6 A1/A4, §4 skew design).
+
+Shuffle strategy
+----------------
+- **Exact dedup** keys on ``triple_hash`` = hash64 of the full canonical
+  N-Triples line.  Identical triples always collide; distinct triples
+  spread uniformly, so the dedup shuffle is *skew-proof* even when one
+  subject (the hub entity) appears in every page — hot **subjects** do
+  not produce hot **triples**.
+- **Subject grouping** (needed only by the grouping serializers: Turtle
+  K4, RDF/XML K2, RDF/JSON K3) keys on ``subject_hash`` with optional
+  salting: ``salted = subject_hash * S + url_hash % S``.  Repeated
+  subject blocks are valid Turtle/NT output (set semantics, SURVEY.md
+  §2.6 A1), so per-salt rendering needs no second-pass merge.
+- N-Triples output (K1) needs **no** grouping at all — it stays a
+  streaming ``map_batches``.
+
+A per-batch combiner (within-batch drop-duplicates) runs before the
+dedup shuffle to cut exchange volume (pre-aggregation pattern).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..terms import TRIPLE_COLUMNS, hash64, nt_render_lines
+
+DEDUP_KEY = "triple_hash"
+
+
+def append_triple_hash(batch: pa.Table) -> pa.Table:
+    h = hash64(nt_render_lines(batch))
+    if DEDUP_KEY in batch.column_names:
+        batch = batch.drop_columns([DEDUP_KEY])
+    return batch.append_column(DEDUP_KEY, h)
+
+
+def _dedup_within_batch(batch: pa.Table) -> pa.Table:
+    # Combiner: drop duplicates inside one batch before the shuffle.
+    df = batch.to_pandas()
+    df = df.drop_duplicates(subset=TRIPLE_COLUMNS, keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
+
+
+def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+    # Within a triple_hash group, compare the real columns (collision-safe).
+    return group.drop_duplicates(subset=TRIPLE_COLUMNS, keep="first")
+
+
+def dedup_exact(ds, keep_provenance: bool = False):
+    """Distinct triples (operator A4 — absent in the reference, which
+    appends duplicates unconditionally: liststore.go:37-39).
+
+    ``keep_provenance=False`` drops the ``url`` column first so identical
+    assertions from different pages collapse (matches ``SELECT
+    DISTINCT`` over the 12 term columns); ``True`` keeps the first url
+    seen per triple.
+    """
+    if not keep_provenance:
+        ds = ds.map_batches(
+            lambda b: b.drop_columns([c for c in ("url",) if c in b.column_names]),
+            batch_format="pyarrow",
+        )
+    ds = ds.map_batches(_dedup_within_batch, batch_format="pyarrow")
+    ds = ds.map_batches(append_triple_hash, batch_format="pyarrow")
+    return ds.groupby(DEDUP_KEY).map_groups(_dedup_group, batch_format="pandas")
+
+
+def salted_subject_key(batch: pa.Table, num_salts: int = 16) -> pa.Table:
+    """Add ``subject_salted`` = subject_hash * S + url_hash % S — spreads
+    a hot subject over S reducers (SURVEY.md §4 skew design)."""
+    url_h = hash64(pc.cast(batch["url"], pa.large_string()))
+    salt = pc.bit_wise_and(url_h, num_salts - 1)
+    key = pc.add(
+        pc.multiply(batch["subject_hash"], pa.scalar(num_salts, pa.uint64())), salt
+    )
+    return batch.append_column("subject_salted", key)
+
+
+def group_by_subject(ds, render_fn, num_salts: int = 0, batch_format: str = "pandas"):
+    """The A1 wide operation: groupby(subject[_salted]).map_groups(render).
+
+    ``render_fn`` receives one subject group (or one salt shard of a hot
+    subject when ``num_salts > 0``) and returns rendered rows.
+    """
+    if num_salts:
+        ds = ds.map_batches(
+            lambda b: salted_subject_key(b, num_salts), batch_format="pyarrow"
+        )
+        key = "subject_salted"
+    else:
+        key = "subject_hash"
+    return ds.groupby(key).map_groups(render_fn, batch_format=batch_format)
