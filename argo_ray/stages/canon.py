@@ -1,0 +1,191 @@
+"""Canonicalization stages: regex term rewriting (M4), URI prefix
+splitting (M5), CURIE expansion (M7), typed-literal coercion (M10).
+
+The rewrite stage reimplements the reference CLI's
+``-r/--rewrite[-subject|-predicate|-object] FIND REPLACE``
+(``/root/reference/rdf/rdf.go:239-284``): the regex applies to Resource
+URIs and blank-node ids rendered as ``_:id`` — literals are untouched
+(rdf/rdf.go:253-254) — and the result is re-sniffed as a blank node when
+it starts with ``_:``.  Global rules run before positional ones
+(rdf/rdf.go:272-284).
+
+Replacement templates use RE2 ``\\1`` backreferences (pyarrow's
+``replace_substring_regex``); Go's ``$1`` style is translated by
+:func:`go_template_to_re2`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, POSITIONS
+
+
+def go_template_to_re2(template: str) -> str:
+    """``$1``/``${1}`` (Go regexp.ReplaceAllString) → ``\\1`` (RE2)."""
+    return re.sub(r"\$\{?(\d+)\}?", r"\\\1", template)
+
+
+@dataclass(frozen=True)
+class RewriteRule:
+    """One compiled rewrite: regex FIND → REPLACE template, applied to
+    ``positions`` (subset of subj/pred/obj; all three = the reference's
+    global ``-r`` flavor)."""
+
+    pattern: str
+    replacement: str
+    positions: tuple[str, ...] = POSITIONS
+
+
+def rewrite_batch(batch: pa.Table, rules: list[RewriteRule]) -> pa.Table:
+    """Vectorized term rewriting.  For each rule and position:
+
+    - IRIs rewrite on the bare URI;
+    - blank nodes rewrite on the rendered ``_:id`` form then re-sniff:
+      ``_:``-prefixed results stay/become blank nodes, anything else
+      becomes an IRI (rdf/rdf.go:255-267 sniffTerm);
+    - literals pass through untouched.
+    """
+    cols = {name: batch[name] for name in batch.column_names}
+    for rule in rules:
+        for pos in rule.positions:
+            kind = cols[f"{pos}_kind"]
+            value = pc.cast(cols[f"{pos}_value"], pa.large_string())
+            is_iri = pc.equal(kind, pa.scalar(KIND_IRI, pa.uint8()))
+            is_blank = pc.equal(kind, pa.scalar(KIND_BLANK, pa.uint8()))
+
+            # Render the rewritable form: <uri> stays bare, bnode → _:id.
+            rendered = pc.if_else(
+                is_blank,
+                pc.binary_join_element_wise(
+                    pa.scalar("_:", pa.large_string()), value, pa.scalar("", pa.large_string())
+                ),
+                value,
+            )
+            rewritten = pc.replace_substring_regex(
+                rendered, pattern=rule.pattern, replacement=rule.replacement
+            )
+            sniff_blank = pc.starts_with(rewritten, "_:")
+            new_value_if_applied = pc.if_else(
+                sniff_blank, pc.utf8_slice_codeunits(rewritten, 2), rewritten
+            )
+            new_kind_if_applied = pc.if_else(
+                sniff_blank,
+                pa.scalar(KIND_BLANK, pa.uint8()),
+                pa.scalar(KIND_IRI, pa.uint8()),
+            )
+            applies = pc.or_(is_iri, is_blank)
+            cols[f"{pos}_value"] = pc.if_else(applies, new_value_if_applied, value)
+            cols[f"{pos}_kind"] = pc.cast(
+                pc.if_else(applies, new_kind_if_applied, kind), pa.uint8()
+            )
+    return pa.table(cols)
+
+
+def rewrite_triples(ds, rules: list[RewriteRule], rehash: bool = True):
+    from ..terms import append_subject_hash
+
+    def fn(b: pa.Table) -> pa.Table:
+        out = rewrite_batch(b, rules)
+        return append_subject_hash(out) if rehash and "subject_hash" in b.column_names else out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SplitPrefix (M5) — argo.go:219-233: split at last '#', else last '/'.
+# ---------------------------------------------------------------------------
+
+
+def split_prefix_arrays(uris: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Vectorized (base, localname) split of a URI column."""
+    uris = pc.cast(uris, pa.large_string())
+    hash_split = pc.extract_regex(uris, r"^(?P<base>.*#)(?P<name>[^#]*)$")
+    slash_split = pc.extract_regex(uris, r"^(?P<base>.*/)(?P<name>[^/]*)$")
+    has_hash = pc.is_valid(hash_split)
+    has_slash = pc.is_valid(slash_split)
+    base = pc.if_else(
+        has_hash,
+        pc.struct_field(hash_split, "base"),
+        pc.if_else(
+            has_slash,
+            pc.struct_field(slash_split, "base"),
+            pa.scalar("", pa.large_string()),
+        ),
+    )
+    name = pc.if_else(
+        has_hash,
+        pc.struct_field(hash_split, "name"),
+        pc.if_else(has_slash, pc.struct_field(slash_split, "name"), uris),
+    )
+    return base, name
+
+
+def split_prefix(uri: str) -> tuple[str, str]:
+    """Scalar SplitPrefix (argo.go:219-233)."""
+    idx = uri.rfind("#") + 1
+    if idx > 0:
+        return uri[:idx], uri[idx:]
+    idx = uri.rfind("/") + 1
+    if idx > 0:
+        return uri[:idx], uri[idx:]
+    return "", uri
+
+
+# ---------------------------------------------------------------------------
+# Typed-literal coercion (M10) — the xsd coercion table the reference's
+# loop interpreter understands (loop/loop.go:71-118).
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+INTEGER_TYPES = frozenset(
+    XSD + t
+    for t in (
+        "integer", "long", "int", "short", "byte",
+        "nonPositiveInteger", "negativeInteger",
+        "nonNegativeInteger", "positiveInteger",
+        "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+)
+FLOAT_TYPES = frozenset(XSD + t for t in ("float", "decimal", "double"))
+BOOL_TYPE = XSD + "boolean"
+
+
+def coerce_literals_batch(batch: pa.Table, pos: str = "obj") -> pa.Table:
+    """Append typed projections of the ``pos`` literal column:
+
+    - ``{pos}_as_int``    int64 where datatype ∈ the 13 integer types
+    - ``{pos}_as_float``  float64 where datatype ∈ float/decimal/double
+    - ``{pos}_as_bool``   bool where xsd:boolean ("true"/"1" → true,
+      loop/loop.go:73-74)
+
+    Non-matching rows are null.  Vectorized via pandas ``to_numeric``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    kind = batch[f"{pos}_kind"].to_numpy(zero_copy_only=False)
+    dt = pd.Series(batch[f"{pos}_datatype"].to_pylist())
+    val = pd.Series(batch[f"{pos}_value"].to_pylist())
+    is_lit = kind == KIND_LITERAL
+
+    num = pd.to_numeric(val, errors="coerce")
+    int_mask = is_lit & dt.isin(INTEGER_TYPES).to_numpy()
+    float_mask = is_lit & dt.isin(FLOAT_TYPES).to_numpy()
+    bool_mask = is_lit & (dt == BOOL_TYPE).to_numpy()
+
+    as_int = pd.array(np.where(int_mask, num, np.nan), dtype="Int64")
+    as_float = pd.array(np.where(float_mask, num, np.nan), dtype="Float64")
+    as_bool = pd.array(
+        np.where(bool_mask, val.isin(["true", "1"]).to_numpy(), None), dtype="boolean"
+    )
+    out = batch
+    out = out.append_column(f"{pos}_as_int", pa.array(as_int, pa.int64(), from_pandas=True))
+    out = out.append_column(f"{pos}_as_float", pa.array(as_float, pa.float64(), from_pandas=True))
+    out = out.append_column(f"{pos}_as_bool", pa.array(as_bool, pa.bool_(), from_pandas=True))
+    return out

@@ -70,10 +70,17 @@ def dedup_exact(ds, keep_provenance: bool = False):
 
 
 def salted_subject_key(batch: pa.Table, num_salts: int = 16) -> pa.Table:
-    """Add ``subject_salted`` = subject_hash * S + url_hash % S — spreads
-    a hot subject over S reducers (SURVEY.md §4 skew design)."""
-    url_h = hash64(pc.cast(batch["url"], pa.large_string()))
-    salt = pc.bit_wise_and(url_h, num_salts - 1)
+    """Add ``subject_salted`` = subject_hash * S + salt — spreads a hot
+    subject over S reducers (SURVEY.md §4 skew design).  Salt source:
+    the provenance url when present, else the triple hash (both spread a
+    hot subject's rows; duplicates of one triple still co-locate)."""
+    if "url" in batch.column_names:
+        salt_h = hash64(pc.cast(batch["url"], pa.large_string()))
+    elif DEDUP_KEY in batch.column_names:
+        salt_h = batch[DEDUP_KEY]
+    else:
+        salt_h = hash64(pc.cast(batch["obj_value"], pa.large_string()))
+    salt = pc.bit_wise_and(salt_h, pa.scalar(num_salts - 1, pa.uint64()))
     key = pc.add(
         pc.multiply(batch["subject_hash"], pa.scalar(num_salts, pa.uint64())), salt
     )
@@ -93,4 +100,10 @@ def group_by_subject(ds, render_fn, num_salts: int = 0, batch_format: str = "pan
         key = "subject_salted"
     else:
         key = "subject_hash"
-    return ds.groupby(key).map_groups(render_fn, batch_format=batch_format)
+
+    def render_group(group):
+        # plain-function wrapper: map_groups requires fn.__name__, which
+        # callable renderer instances don't carry
+        return render_fn(group)
+
+    return ds.groupby(key).map_groups(render_group, batch_format=batch_format)

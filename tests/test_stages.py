@@ -1,0 +1,98 @@
+"""Unit tests for filter / rewrite / split-prefix / coercion stages."""
+
+import pyarrow as pa
+
+from argo_ray.stages.canon import (
+    RewriteRule,
+    coerce_literals_batch,
+    go_template_to_re2,
+    rewrite_batch,
+    split_prefix,
+    split_prefix_arrays,
+)
+from argo_ray.stages.filter import filter_batch
+from argo_ray.terms import IRI, Blank, Literal, triples_to_table
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _fixture():
+    return triples_to_table(
+        [
+            (IRI("http://a.org/s1"), IRI("http://a.org/p"), IRI("http://a.org/o1")),
+            (IRI("http://a.org/s1"), IRI("http://a.org/q"), Literal("x")),
+            (Blank("b1"), IRI("http://a.org/p"), Literal("4", datatype=XSD + "integer")),
+            (IRI("http://a.org/s2"), IRI("http://a.org/p"), Literal("true", datatype=XSD + "boolean")),
+            (IRI("http://a.org/s2"), IRI("http://a.org/p"), Literal("1.5", datatype=XSD + "double")),
+            (IRI("http://a.org/s2"), IRI("http://a.org/p"), Literal("chat", lang="fr")),
+        ],
+        with_hash=False,
+    )
+
+
+def test_filter_wildcards():
+    t = _fixture()
+    assert filter_batch(t).num_rows == 6
+    assert filter_batch(t, s=IRI("http://a.org/s1")).num_rows == 2
+    assert filter_batch(t, s=IRI("http://a.org/s1"), p=IRI("http://a.org/q")).num_rows == 1
+    assert filter_batch(t, o=Literal("chat", lang="fr")).num_rows == 1
+    # literal equality includes lang+datatype (term.go:113-136)
+    assert filter_batch(t, o=Literal("chat")).num_rows == 0
+    assert filter_batch(t, s=Blank("b1")).num_rows == 1
+    assert filter_batch(t, s=IRI("b1")).num_rows == 0  # kind mismatch
+
+
+def test_rewrite_iri_only_literals_untouched():
+    t = _fixture()
+    out = rewrite_batch(t, [RewriteRule(r"^http://a\.org/", "http://b.org/")])
+    assert out["subj_value"][0].as_py() == "http://b.org/s1"
+    assert out["obj_value"][0].as_py() == "http://b.org/o1"
+    assert out["obj_value"][1].as_py() == "x"  # literal untouched
+    assert out["subj_value"][2].as_py() == "b1"  # bnode id: _:b1 not matched
+    assert out["subj_kind"][2].as_py() == 1
+
+
+def test_rewrite_bnode_resniff():
+    t = _fixture()
+    # promote bnode to IRI (reference sniffTerm semantics: result without
+    # _: prefix becomes a Resource, rdf/rdf.go:255-267)
+    out = rewrite_batch(t, [RewriteRule(r"^_:(.*)$", r"http://b.org/\1", ("subj",))])
+    assert out["subj_kind"][2].as_py() == 0
+    assert out["subj_value"][2].as_py() == "http://b.org/b1"
+    # and back: IRI → bnode
+    out2 = rewrite_batch(out, [RewriteRule(r"^http://b\.org/(.*)$", r"_:\1", ("subj",))])
+    assert out2["subj_kind"][2].as_py() == 1
+    assert out2["subj_value"][2].as_py() == "b1"
+
+
+def test_go_template_translation():
+    assert go_template_to_re2("x$1y${2}z") == r"x\1y\2z"
+
+
+def test_split_prefix_scalar_matches_reference():
+    assert split_prefix("http://e.org/ns#name") == ("http://e.org/ns#", "name")
+    assert split_prefix("http://e.org/ns/name") == ("http://e.org/ns/", "name")
+    assert split_prefix("name") == ("", "name")
+    # '#' wins over later '/' (LastIndex('#') checked first, argo.go:220-224)
+    assert split_prefix("http://e.org/a#b/c") == ("http://e.org/a#", "b/c")
+
+
+def test_split_prefix_vectorized_agrees():
+    uris = [
+        "http://e.org/ns#name",
+        "http://e.org/ns/name",
+        "name",
+        "http://e.org/a#b/c",
+        "http://e.org/x#",
+    ]
+    base, name = split_prefix_arrays(pa.array(uris, pa.large_string()))
+    for u, b, n in zip(uris, base.to_pylist(), name.to_pylist()):
+        assert (b, n) == split_prefix(u), u
+
+
+def test_coerce_literals():
+    t = _fixture()
+    out = coerce_literals_batch(t)
+    assert out["obj_as_int"].to_pylist() == [None, None, 4, None, None, None]
+    assert out["obj_as_float"].to_pylist() == [None, None, None, None, 1.5, None]
+    assert out["obj_as_bool"].to_pylist() == [None, None, None, True, None, None]
