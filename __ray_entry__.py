@@ -37,7 +37,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from argo_ray.pipelines.queries import KG_QUERIES
+
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(KG_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -47,4 +51,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from argo_ray.pipelines.oracles import ORACLES
+
+    return dict(ORACLES)

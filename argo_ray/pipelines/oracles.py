@@ -1,0 +1,139 @@
+"""DuckDB oracle SQL for the KG-construction queries.
+
+Because the ``pages`` table is a deterministic relational function of
+``documents`` (argo_ray/pages.py), the expected triples are expressible
+as plain SQL — the ``EXP`` CTE below reconstructs exactly what the Ray
+pipeline must extract, including the duplicated assertions (doc_id%3),
+the skolemized blank nodes (doc_id%7, md5-based so DuckDB can reproduce
+them) and the hot hub subject.
+"""
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+EX = "http://example.org/ns#"
+DC = "http://purl.org/dc/elements/1.1/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+HUB = "https://hub.example.org/"
+
+# Shared CTE: documents → expected extracted triples (multiset).
+EXP_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         'https://kg.example.org/doc/' || doc_id AS entity,
+         'https://docs.example.org/' || source || '/' || doc_id AS url,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
+         'https://site' || (doc_id % 5) || '.example.org/' AS site,
+         'anon' || substr(md5('https://docs.example.org/' || source || '/' || doc_id || '#0'), 1, 16) AS skolem
+  FROM documents
+),
+exp AS (
+  SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{RDF_TYPE}' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(0 AS BIGINT) AS obj_kind, '{EX}Document' AS obj_value, '' AS obj_lang, '' AS obj_datatype
+  FROM docs
+  UNION ALL
+  SELECT 0, entity, '', '', 0, '{DC}language', '', '', 2, lang, '', '' FROM docs
+  UNION ALL
+  SELECT 0, entity, '', '', 0, '{DC}language', '', '', 2, lang, '', ''
+  FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 0, entity, '', '', 0, '{EX}chars', '', '',
+         2, CAST(n_chars AS VARCHAR), '', '{XSD_INT}' FROM docs
+  UNION ALL
+  SELECT 0, entity, '', '', 0, '{DC}title', '', '', 2, title, lang, '' FROM docs
+  UNION ALL
+  SELECT 0, entity, '', '', 0, '{EX}site', '', '', 0, site, '', '' FROM docs
+  UNION ALL
+  SELECT 0, '{HUB}', '', '', 0, '{EX}cites', '', '', 0, entity, '', '' FROM docs
+  UNION ALL
+  SELECT 1, skolem, '', '', 0, '{RDF_TYPE}', '', '', 0, '{EX}Mention', '', ''
+  FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 1, skolem, '', '', 0, '{EX}label', '', '', 2, 'm' || doc_id, '', ''
+  FROM docs WHERE doc_id % 7 = 0
+)
+"""
+
+TERM_COLS = """subj_kind, subj_value, subj_lang, subj_datatype,
+       pred_kind, pred_value, pred_lang, pred_datatype,
+       obj_kind, obj_value, obj_lang, obj_datatype"""
+
+# One rendered N-Triples line from the flattened columns (canonical
+# rendering, term.go:49-51,93-110; values are escape-free by fixture
+# construction so no replace chain is needed in SQL).
+_NT_TERM = """CASE {k}
+  WHEN 0 THEN '<' || {v} || '>'
+  WHEN 1 THEN '_:' || {v}
+  ELSE '"' || {v} || '"' ||
+       CASE WHEN {l} <> '' THEN '@' || {l}
+            WHEN {d} <> '' THEN '^^<' || {d} || '>'
+            ELSE '' END
+END"""
+
+
+def _nt_term(pos: str) -> str:
+    return _NT_TERM.format(
+        k=f"{pos}_kind", v=f"{pos}_value", l=f"{pos}_lang", d=f"{pos}_datatype"
+    )
+
+
+# The second source for the union query: one synthetic N-Triples
+# assertion per document (token count, whitespace tokenisation).
+TOKENS_CTE_BODY = f"""
+  SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{EX}tokens' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(2 AS BIGINT) AS obj_kind,
+         CAST(len(string_split(text, ' ')) AS VARCHAR) AS obj_value, '' AS obj_lang,
+         '{XSD_INT}' AS obj_datatype
+  FROM docs
+"""
+
+
+ORACLES: dict[str, str] = {
+    "rdfa_extract": EXP_CTE + f"SELECT {TERM_COLS} FROM exp",
+    "dedup_exact": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "nt_lines": EXP_CTE
+    + f"""SELECT {_nt_term('subj')} || ' ' || {_nt_term('pred')} || ' ' || {_nt_term('obj')} || ' .' AS line
+FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
+    "nt_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "turtle_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "rdfxml_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "squirtle_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "rdfjson_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "filter_pattern": EXP_CTE
+    + f"""SELECT DISTINCT subj_value, obj_value AS lang_value
+FROM exp WHERE pred_value = '{DC}language'""",
+    "rewrite_regex": EXP_CTE
+    + """SELECT DISTINCT regexp_replace(subj_value, '^https://kg\\.example\\.org/doc/', 'https://entity.example.org/') AS subj_value
+FROM exp WHERE subj_kind = 0""",
+    "split_prefix": EXP_CTE
+    + """SELECT DISTINCT pred_value,
+       CASE WHEN pred_value LIKE '%#%' THEN regexp_extract(pred_value, '^(.*#)', 1)
+            WHEN pred_value LIKE '%/%' THEN regexp_extract(pred_value, '^(.*/)', 1)
+            ELSE '' END AS base,
+       CASE WHEN pred_value LIKE '%#%' THEN regexp_extract(pred_value, '#([^#]*)$', 1)
+            WHEN pred_value LIKE '%/%' THEN regexp_extract(pred_value, '/([^/]*)$', 1)
+            ELSE pred_value END AS local_name
+FROM exp""",
+    "group_subject_count": EXP_CTE
+    + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
+FROM (SELECT DISTINCT {TERM_COLS} FROM exp)
+GROUP BY subj_kind, subj_value""",
+    "typed_coercion": EXP_CTE
+    + f"""SELECT subj_value, CAST(obj_value AS BIGINT) AS chars_int
+FROM exp WHERE pred_value = '{EX}chars'""",
+    "skolemize": EXP_CTE
+    + "SELECT DISTINCT subj_value AS bnode_id FROM exp WHERE subj_kind = 1",
+    "union_sources": EXP_CTE
+    + f""", tokens AS ({TOKENS_CTE_BODY})
+SELECT DISTINCT {TERM_COLS} FROM (
+  SELECT {TERM_COLS} FROM exp
+  UNION ALL
+  SELECT {TERM_COLS} FROM tokens
+)""",
+    "container_encode": EXP_CTE
+    + f"""SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#_' || n AS pred_value,
+       CAST(2 AS BIGINT) AS obj_kind, string_split(title, ' ')[n] AS obj_value
+FROM docs, (SELECT UNNEST([1, 2, 3]) AS n) ns
+WHERE len(string_split(title, ' ')) >= n""",
+}

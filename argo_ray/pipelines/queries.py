@@ -1,0 +1,325 @@
+"""Ray Data implementations of the driver-checked queries.
+
+Each function takes ``sf_dir`` and returns a Dataset / Arrow table whose
+columns match the same-named oracle SQL in ``oracles.py`` exactly (the
+driver compares row counts, schema and an order-insensitive value hash).
+
+All pipelines are lazy streaming Dataset transforms; the only wide
+operations are the documented dedup / group-by shuffles.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..pages import EX_NS, entity_iri, pages_dataset
+from ..sinks.ntriples import to_nt_lines_batch
+from ..sinks.rdfjson import parse_rdfjson_batch, serialize_rdfjson
+from ..sinks.rdfxml import serialize_rdfxml
+from ..sinks.squirtle import serialize_squirtle
+from ..sinks.turtle import serialize_turtle
+from ..sources.ntriples import parse_ntriples_batch
+from ..sources.rdfa import extract_rdfa_batch
+from ..sources.rdfxml import parse_rdfxml_batch
+from ..sources.squirtle import parse_squirtle_batch
+from ..sources.turtle import parse_turtle_batch
+from ..stages.canon import (
+    RewriteRule,
+    coerce_literals_batch,
+    rewrite_batch,
+    split_prefix_arrays,
+)
+from ..stages.filter import filter_batch
+from ..stages.materialize import dedup_exact, distinct_rows
+from ..terms import IRI, TRIPLE_COLUMNS, XSD_NS, triples_to_table
+
+DC_NS = "http://purl.org/dc/elements/1.1/"
+_PREFIXES = {EX_NS: "ex", DC_NS: "dc"}
+
+
+def _finalize(ds):
+    """Project to the 12 term columns with BIGINT kinds (matches the
+    oracle column types; the driver hashes values after sorting columns
+    by name)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name in TRIPLE_COLUMNS:
+            col = b[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _extract(sf_dir: str):
+    return pages_dataset(sf_dir).map_batches(extract_rdfa_batch, batch_format="pyarrow")
+
+
+def _deduped(sf_dir: str):
+    return dedup_exact(_extract(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Extraction core
+# ---------------------------------------------------------------------------
+
+
+def q_rdfa_extract(sf_dir: str):
+    """S4: pages → triples, full multiset (duplicates preserved)."""
+    return _finalize(_extract(sf_dir))
+
+
+def q_dedup_exact(sf_dir: str):
+    """A4: distinct triples via the skew-proof triple_hash shuffle."""
+    return _finalize(_deduped(sf_dir))
+
+
+def q_nt_lines(sf_dir: str):
+    """K1: canonical N-Triples line per deduped triple (vectorized)."""
+    return _deduped(sf_dir).map_batches(
+        lambda b: pa.table({"line": pc.cast(to_nt_lines_batch(b)["line"], pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serialize → parse round-trips (exercise each parser/serializer pair
+# inside the distributed pipeline; batches are the document unit)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(sf_dir: str, serialize, parse_batch):
+    def ser(b: pa.Table) -> pa.Table:
+        doc = serialize(b.select(TRIPLE_COLUMNS))
+        return pa.table({"url": pa.array([""], pa.string()), "text": pa.array([doc], pa.string())})
+
+    ds = _deduped(sf_dir).map_batches(ser, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: parse_batch(b).select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    )
+    return _finalize(ds)
+
+
+def q_nt_roundtrip(sf_dir: str):
+    """K1 → S1 round-trip."""
+    from ..sinks.ntriples import serialize_ntriples
+
+    return _roundtrip(sf_dir, serialize_ntriples, parse_ntriples_batch)
+
+
+def q_turtle_roundtrip(sf_dir: str):
+    """K4 → Turtle-subset parser round-trip (qname compaction on)."""
+    return _roundtrip(
+        sf_dir, lambda t: serialize_turtle(t, _PREFIXES), parse_turtle_batch
+    )
+
+
+def q_rdfxml_roundtrip(sf_dir: str):
+    """K2 → S2 round-trip (type elision + re-emission)."""
+    return _roundtrip(
+        sf_dir, lambda t: serialize_rdfxml(t, _PREFIXES), parse_rdfxml_batch
+    )
+
+
+def q_squirtle_roundtrip(sf_dir: str):
+    """K5 → S3 round-trip (delete-on-inline nesting + name decls)."""
+    return _roundtrip(
+        sf_dir, lambda t: serialize_squirtle(t, _PREFIXES), parse_squirtle_batch
+    )
+
+
+def q_rdfjson_roundtrip(sf_dir: str):
+    """K3 → RDF/JSON parser round-trip."""
+    return _roundtrip(sf_dir, serialize_rdfjson, parse_rdfjson_batch)
+
+
+# ---------------------------------------------------------------------------
+# Query-surface operators
+# ---------------------------------------------------------------------------
+
+
+def q_filter_pattern(sf_dir: str):
+    """M1: Filter(s=None, p=dc:language, o=None) → (subj, lang) pairs."""
+    ds = _deduped(sf_dir).map_batches(
+        lambda b: filter_batch(b, p=IRI(DC_NS + "language")), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "subj_value": pc.cast(b["subj_value"], pa.string()),
+                "lang_value": pc.cast(b["obj_value"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(ds, ["subj_value", "lang_value"])
+
+
+def q_rewrite_regex(sf_dir: str):
+    """M4: regex rewrite of subject IRIs (RE2, vectorized)."""
+    rule = RewriteRule(
+        r"^https://kg\.example\.org/doc/", "https://entity.example.org/", ("subj",)
+    )
+    ds = _deduped(sf_dir).map_batches(
+        lambda b: rewrite_batch(b, [rule]), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {"subj_value": pc.cast(b.filter(pc.equal(b["subj_kind"], 0))["subj_value"], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(ds, ["subj_value"])
+
+
+def q_split_prefix(sf_dir: str):
+    """M5: SplitPrefix over the distinct predicate URIs."""
+    ds = _deduped(sf_dir).map_batches(
+        lambda b: pa.table({"pred_value": pc.cast(b["pred_value"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    ds = distinct_rows(ds, ["pred_value"])
+
+    def split(b: pa.Table) -> pa.Table:
+        base, name = split_prefix_arrays(b["pred_value"])
+        return pa.table(
+            {
+                "pred_value": b["pred_value"],
+                "base": pc.cast(base, pa.string()),
+                "local_name": pc.cast(name, pa.string()),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def q_group_subject_count(sf_dir: str):
+    """A1/A2: triples per subject (the subject group-by)."""
+    ds = _finalize(_deduped(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj_kind": b["subj_kind"],
+                "subj_value": pc.cast(b["subj_value"], pa.string()),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["subj_kind", "subj_value"])
+        .aggregate(Sum("one", alias_name="n_triples"))
+    )
+
+
+def q_typed_coercion(sf_dir: str):
+    """M10: xsd:integer coercion of the ex:chars literals."""
+    ds = _extract(sf_dir).map_batches(
+        lambda b: filter_batch(b, p=IRI(EX_NS + "chars")), batch_format="pyarrow"
+    )
+
+    def coerce(b: pa.Table) -> pa.Table:
+        out = coerce_literals_batch(b)
+        return pa.table(
+            {
+                "subj_value": pc.cast(out["subj_value"], pa.string()),
+                "chars_int": out["obj_as_int"],
+            }
+        )
+
+    return ds.map_batches(coerce, batch_format="pyarrow")
+
+
+def q_skolemize(sf_dir: str):
+    """§1.4: deterministic blank-node ids (oracle reproduces them in SQL
+    via md5 — the whole point of hash skolemization)."""
+    ds = _deduped(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"bnode_id": pc.cast(b.filter(pc.equal(b["subj_kind"], 1))["subj_value"], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(ds, ["bnode_id"])
+
+
+def q_union_sources(sf_dir: str):
+    """A6: heterogeneous-source fan-in — RDFa extraction ∪ an N-Triples
+    source (token counts rendered as NT, parsed by S1) → set union."""
+    import ray.data as rd
+
+    def to_nt_doc(b: pa.Table) -> pa.Table:
+        lines = []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            n = len(text.split(" "))
+            lines.append(
+                f"<{entity_iri(did)}> <{EX_NS}tokens> \"{n}\"^^<{XSD_NS}integer> ."
+            )
+        return pa.table(
+            {"url": pa.array([""], pa.string()), "text": pa.array(["\n".join(lines) + "\n"], pa.string())}
+        )
+
+    nt_ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(to_nt_doc, batch_format="pyarrow")
+        .map_batches(lambda b: parse_ntriples_batch(b), batch_format="pyarrow")
+    )
+    unioned = _extract(sf_dir).union(nt_ds)
+    return _finalize(dedup_exact(unioned))
+
+
+def q_container_encode(sf_dir: str):
+    """M11: first three title words as rdf:_N container membership."""
+    import ray.data as rd
+
+    from ..pages import title_of
+    from ..stages.containers import encode_container
+    from ..terms import Literal
+
+    def encode(b: pa.Table) -> pa.Table:
+        triples = []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            words = title_of(text).split(" ")[:3]
+            triples.extend(
+                encode_container(IRI(entity_iri(did)), [Literal(w) for w in words])
+            )
+        t = triples_to_table(triples, with_hash=False)
+        return pa.table(
+            {
+                "subj_kind": pc.cast(t["subj_kind"], pa.int64()),
+                "subj_value": pc.cast(t["subj_value"], pa.string()),
+                "pred_value": pc.cast(t["pred_value"], pa.string()),
+                "obj_kind": pc.cast(t["obj_kind"], pa.int64()),
+                "obj_value": pc.cast(t["obj_value"], pa.string()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(encode, batch_format="pyarrow")
+
+
+KG_QUERIES = {
+    "rdfa_extract": q_rdfa_extract,
+    "dedup_exact": q_dedup_exact,
+    "nt_lines": q_nt_lines,
+    "nt_roundtrip": q_nt_roundtrip,
+    "turtle_roundtrip": q_turtle_roundtrip,
+    "rdfxml_roundtrip": q_rdfxml_roundtrip,
+    "squirtle_roundtrip": q_squirtle_roundtrip,
+    "rdfjson_roundtrip": q_rdfjson_roundtrip,
+    "filter_pattern": q_filter_pattern,
+    "rewrite_regex": q_rewrite_regex,
+    "split_prefix": q_split_prefix,
+    "group_subject_count": q_group_subject_count,
+    "typed_coercion": q_typed_coercion,
+    "skolemize": q_skolemize,
+    "union_sources": q_union_sources,
+    "container_encode": q_container_encode,
+}

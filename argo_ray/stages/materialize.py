@@ -69,6 +69,38 @@ def dedup_exact(ds, keep_provenance: bool = False):
     return ds.groupby(DEDUP_KEY).map_groups(_dedup_group, batch_format="pandas")
 
 
+def distinct_rows(ds, cols: list[str]):
+    """Generic distinct over ``cols``: within-batch combiner, then a
+    uniform hash-key shuffle with collision-safe within-group dedup."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas().drop_duplicates(keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def key(batch: pa.Table) -> pa.Table:
+        joined = None
+        for c in cols:
+            arr = pc.cast(batch[c], pa.large_string())
+            joined = (
+                arr
+                if joined is None
+                else pc.binary_join_element_wise(
+                    joined, arr, pa.scalar("\x1f", pa.large_string())
+                )
+            )
+        return batch.append_column("__row_hash", hash64(joined))
+
+    def group_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=cols, keep="first")
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+    ds = ds.map_batches(key, batch_format="pyarrow")
+    out = ds.groupby("__row_hash").map_groups(group_dedup, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.drop_columns(["__row_hash"]), batch_format="pyarrow"
+    )
+
+
 def salted_subject_key(batch: pa.Table, num_salts: int = 16) -> pa.Table:
     """Add ``subject_salted`` = subject_hash * S + salt — spreads a hot
     subject over S reducers (SURVEY.md §4 skew design).  Salt source:
