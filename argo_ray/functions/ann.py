@@ -1,0 +1,212 @@
+"""Approximate-nearest-neighbor / embedding similarity operators.
+
+- Brute-force cosine top-k: the baseline — query matrix broadcast once
+  via ``ray.put``, each batch does one float64 matmul against it
+  (vectorized, zero Python-per-row work), partial top-k per batch, final
+  exact top-k in a small driver-side reduce over ≤ batches×k rows.
+- LSH-bucketed variant: random-hyperplane signs bucket the corpus; only
+  same-bucket candidates are scored — the scale path when the corpus is
+  too large for full scans.
+- Embedding near-dup: same-label cosine pairs above a threshold
+  (partitioned all-pairs via groupby(label)).
+
+float64 everywhere so results match DuckDB's ``list_cosine_similarity``
+(double) bit-for-bit at comparison granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _to_matrix(col) -> np.ndarray:
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class CosineTopK:
+    """Actor-pool stage: per-batch cosine scores against the broadcast
+    query matrix → partial (query_id, vec_id, score) top-k rows.
+
+    Queries are shipped once per actor (``ray.get`` in ``__init__`` of a
+    ``ray.put`` handle), not once per batch.
+    """
+
+    def __init__(self, queries_ref, k: int = 10, exclude_self: bool = True):
+        import ray
+
+        qids, qmat = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids = np.asarray(qids, dtype=np.int64)
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))  # (Q, d)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch["embedding"]))  # (N, d)
+        scores = self.q @ m.T  # (Q, N)
+        if self.exclude_self:
+            self_mask = self.query_ids[:, None] == vec_ids[None, :]
+            scores = np.where(self_mask, -np.inf, scores)
+        k = min(self.k, scores.shape[1])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]  # (Q, k)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            for j in idx[qi]:
+                if np.isfinite(scores[qi, j]):
+                    out_q.append(int(self.query_ids[qi]))
+                    out_v.append(int(vec_ids[j]))
+                    out_s.append(float(scores[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 10):
+    """→ (query_id, rank, vec_id): exact top-k neighbors per query.
+
+    Final reduce materializes only batches×k partial rows (small), never
+    the corpus.  Rank ties break on (score desc, vec_id asc) — the same
+    deterministic order the oracle uses.
+    """
+    import ray
+
+    qtab = embeddings_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    qids, qvecs = [], []
+    for row in qtab:
+        qids.append(row["vec_id"])
+        qvecs.append(row["embedding"])
+    order = np.argsort(qids)
+    qids = [qids[i] for i in order]
+    qvecs = [qvecs[i] for i in order]
+    ref = ray.put((qids, np.asarray(qvecs, dtype=np.float64)))
+
+    partials = embeddings_ds.map_batches(
+        CosineTopK, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+    )
+    df = partials.to_pandas()  # ≤ batches × Q × k rows
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].astype("int64"), preserve_index=False
+    )
+
+
+def embedding_neardup_pairs(embeddings_ds, threshold: float = 0.9):
+    """Same-label all-pairs cosine above threshold → (vec_a, vec_b).
+    Partitioned by label (groupby) so each all-pairs block is bounded;
+    salt labels further when a label is hot."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(np.asarray(list(g["embedding"].to_numpy()[order]), dtype=np.float64))
+        s = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        hits = s[iu] > threshold
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(ids[iu[0][hits]], dtype="int64"),
+                "vec_b": pd.Series(ids[iu[1][hits]], dtype="int64"),
+            }
+        )
+
+    return embeddings_ds.groupby("label").map_groups(per_group, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage (scale path for ANN): ``bits``
+    sign bits → bucket id.  Hyperplanes derived from a fixed seed once
+    per actor."""
+
+    def __init__(self, dim: int = 64, bits: int = 12, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.h = rng.standard_normal((dim, bits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        signs = (m @ self.h) > 0  # (N, bits)
+        bucket = np.zeros(len(m), dtype=np.uint64)
+        for j in range(signs.shape[1]):
+            bucket |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        return batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+
+
+def lsh_bucketed_topk(embeddings_ds, query_ids: list[int], k: int = 10, bits: int = 8):
+    """ANN scale path: bucket corpus and queries by hyperplane signature,
+    score only within matching buckets.  Approximate — recall depends on
+    bits; returns the same (query_id, rank, vec_id) layout."""
+    import ray
+
+    bucketed = embeddings_ds.map_batches(
+        HyperplaneLSH, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"bits": bits},
+    )
+    qrows = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    by_bucket: dict[int, list] = {}
+    for row in qrows:
+        by_bucket.setdefault(row["bucket"], []).append(
+            (row["vec_id"], row["embedding"])
+        )
+    ref = ray.put(by_bucket)
+
+    def score(batch: pa.Table) -> pa.Table:
+        groups = ray.get(ref) if not isinstance(ref, dict) else ref
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        buckets = batch["bucket"].to_pylist()
+        m = _normalize(_to_matrix(batch["embedding"]))
+        out_q, out_v, out_s = [], [], []
+        for i, bkt in enumerate(buckets):
+            for qid, qvec in groups.get(bkt, ()):  # same-bucket queries only
+                if qid == vec_ids[i]:
+                    continue
+                q = np.asarray(qvec, dtype=np.float64)
+                q = q / (np.linalg.norm(q) or 1.0)
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(q @ m[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    df = bucketed.map_batches(score, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        )
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].astype("int64"), preserve_index=False
+    )

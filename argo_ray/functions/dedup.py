@@ -1,0 +1,402 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash-banded,
+char-set Jaccard — the training-data dedup suite.
+
+Scale notes (100 TB design):
+
+- exact dedup keys on a content hash → uniform shuffle, no skew;
+- MinHash-LSH is the canonical shape: shingle→signature per batch
+  (embarrassingly parallel) → explode to (band, band_hash, doc) rows →
+  ``groupby`` band buckets (bounded shuffle: rows = docs × bands) →
+  candidate pairs within bucket → verify with exact shingle Jaccard via
+  a hash join back to the texts (``Dataset.join``), never a broadcast of
+  the corpus;
+- char-set Jaccard runs per source partition (groupby(source)) with a
+  128-bit ascii bitmask per doc and popcount pair scoring — vectorized,
+  matching DuckDB's ``jaccard()`` exactly (set-based, case-sensitive,
+  spaces count) so it is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Planted-duplicate corpus derivation (deterministic, SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+PLANT_OFFSET = 100_000
+
+
+def plant_duplicates_batch(batch: pa.Table, every: int = 10, near: bool = False) -> pa.Table:
+    """documents batch → batch ∪ planted copies: every ``every``-th doc
+    is appended again with doc_id+PLANT_OFFSET; ``near=True`` drops the
+    last word (near-duplicate instead of exact)."""
+    keep = batch.select(["doc_id", "text", "source"])
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sel = ids % every == 0
+    dup = keep.filter(pa.array(sel))
+    texts = dup["text"].to_pylist()
+    if near:
+        texts = [" ".join(t.split(" ")[:-1]) for t in texts]
+    dup = pa.table(
+        {
+            "doc_id": pc.add(dup["doc_id"], PLANT_OFFSET),
+            "text": pa.array(texts, batch["text"].type),
+            "source": dup["source"],
+        }
+    )
+    return pa.concat_tables([keep, dup])
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (content-hash groupby)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_docs(ds):
+    """→ one row per distinct text: (fingerprint, keep_doc_id = min id,
+    n_copies).  Combiner: per-batch min/count partials; the shuffle then
+    aggregates partials — shuffle volume is distinct-keys, not rows."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Count, Min, Sum
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("fingerprint", sort=False).agg(
+            partial_min=("doc_id", "min"), partial_n=("doc_id", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = ds.map_batches(fp, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("fingerprint").aggregate(
+        Min("partial_min", alias_name="keep_doc_id"),
+        Sum("partial_n", alias_name="n_copies"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 3) -> set[bytes]:
+    words = text.split(" ")
+    if len(words) < k:
+        return {" ".join(words).encode()}
+    return {" ".join(words[i : i + k]).encode() for i in range(len(words) - k + 1)}
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    return np.array(
+        sorted(
+            int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big") >> 3
+            for s in _shingles(text, k)
+        ),
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: 64-permutation MinHash signatures.  Permutation
+    coefficients are derived once per actor in ``__init__`` from a fixed
+    seed (deterministic across actors and runs)."""
+
+    def __init__(self, num_hashes: int = 64, k: int = 3, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.k = k
+        self.num_hashes = num_hashes
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text, self.k)
+        # (H, S) affine hash in uint64 with Mersenne-prime mod, min per row
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "signature": pa.array(
+                    [s.tolist() for s in sigs], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+
+def explode_bands_batch(batch: pa.Table, bands: int = 8) -> pa.Table:
+    """(doc_id, signature) → (band_id, band_hash, doc_id) rows — the LSH
+    bucket key explosion (rows = docs × bands, the bounded shuffle)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    sigs = batch["signature"].to_pylist()
+    out_band, out_hash, out_doc = [], [], []
+    for did, sig in zip(doc_ids, sigs):
+        rows = len(sig) // bands
+        for b in range(bands):
+            chunk = bytes()
+            for v in sig[b * rows : (b + 1) * rows]:
+                chunk += int(v).to_bytes(8, "big")
+            h = int.from_bytes(
+                hashlib.blake2b(chunk, digest_size=8).digest(), "big"
+            ) >> 1
+            out_band.append(b)
+            out_hash.append(h)
+            out_doc.append(did)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+    ids = sorted(set(group["doc_id"].tolist()))
+    if len(ids) < 2 or len(ids) > cap:  # cap guards degenerate buckets
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+
+def jaccard_shingles(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = _shingles(text_a, k), _shingles(text_b, k)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_pairs(
+    docs_ds, threshold: float = 0.5, bands: int = 8, k: int = 3,
+    verify: str = "collect", join_partitions: int = 4,
+):
+    """Full MinHash-LSH near-dup pipeline → verified (doc_a, doc_b)
+    pairs.
+
+    Verification strategies:
+
+    - ``"collect"`` (default): gather the candidate pair list (bounded:
+      LSH keeps it ~O(true dups)) plus ONLY the candidate texts
+      (``is_in`` filter over the corpus) to the driver and verify there.
+      Never materializes non-candidate rows; no actor pools, so it runs
+      under any CPU budget.
+    - ``"join"``: two distributed hash joins (``Dataset.join``) of the
+      pairs against the texts — the scale path when even the candidate
+      set is too large for one node.  Each join partition is an actor:
+      size ``join_partitions`` well inside the cluster CPU budget or the
+      pool wait deadlocks a small session.
+    """
+    texts = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b["doc_id"], pa.int64()), "text": b["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    sigs = docs_ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    bands_ds = sigs.map_batches(
+        lambda b: explode_bands_batch(b, bands), batch_format="pyarrow"
+    )
+    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    from ..stages.materialize import distinct_rows
+
+    cand = distinct_rows(cand, ["doc_a", "doc_b"])
+
+    def verify_batch_rows(rows, text_of) -> pa.Table:
+        keep_a, keep_b = [], []
+        for a, b in rows:
+            ta, tb = text_of(a), text_of(b)
+            if ta is None or tb is None:
+                continue
+            if jaccard_shingles(ta, tb, k) >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+            }
+        )
+
+    if verify == "join":
+        a_side = texts.map_batches(
+            lambda b: b.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+        )
+        b_side = texts.map_batches(
+            lambda b: b.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+        )
+        joined = cand.join(
+            a_side, join_type="inner", on=("doc_a",), num_partitions=join_partitions
+        )
+        joined = joined.join(
+            b_side, join_type="inner", on=("doc_b",), num_partitions=join_partitions
+        )
+
+        def verify_joined(batch: pa.Table) -> pa.Table:
+            keep_a, keep_b = [], []
+            for a, b, ta, tb in zip(
+                batch["doc_a"].to_pylist(),
+                batch["doc_b"].to_pylist(),
+                batch["text_a"].to_pylist(),
+                batch["text_b"].to_pylist(),
+            ):
+                if jaccard_shingles(ta, tb, k) >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+            return pa.table(
+                {
+                    "doc_a": pa.array(keep_a, pa.int64()),
+                    "doc_b": pa.array(keep_b, pa.int64()),
+                }
+            )
+
+        return joined.map_batches(verify_joined, batch_format="pyarrow")
+
+    # "collect": candidate-bounded driver-side verify
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in cand.take_all()
+    ]
+    cand_ids = sorted({i for p in pairs for i in p})
+    id_arr = pa.array(cand_ids, pa.int64())
+    cand_texts = texts.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], id_arr)), batch_format="pyarrow"
+    ).take_all()
+    text_map = {r["doc_id"]: r["text"] for r in cand_texts}
+    import ray.data as rd
+
+    return rd.from_arrow(verify_batch_rows(pairs, text_map.get))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (banded hamming buckets)
+# ---------------------------------------------------------------------------
+
+
+def simhash_candidates(docs_ds, bands: int = 4):
+    """SimHash → band-bucket candidates: 64-bit simhash split into
+    ``bands`` 16-bit keys; docs sharing any band key are candidates
+    (catches hamming distance < bands)."""
+    from ..functions.text import simhash_batch
+
+    sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        hs = b["simhash"].to_pylist()
+        width = 64 // bands
+        mask = (1 << width) - 1
+        rows_band, rows_key, rows_doc = [], [], []
+        for did, h in zip(ids, hs):
+            for i in range(bands):
+                rows_band.append(i)
+                rows_key.append((h >> (i * width)) & mask)
+                rows_doc.append(did)
+        return pa.table(
+            {
+                "band_id": pa.array(rows_band, pa.int32()),
+                "band_hash": pa.array(rows_key, pa.uint64()),
+                "doc_id": pa.array(rows_doc, pa.int64()),
+            }
+        )
+
+    cand = sh.map_batches(explode, batch_format="pyarrow").groupby(
+        ["band_id", "band_hash"]
+    ).map_groups(_bucket_pairs, batch_format="pandas")
+    from ..stages.materialize import distinct_rows
+
+    return distinct_rows(cand, ["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# Char-set Jaccard (DuckDB-compatible, per-source partition)
+# ---------------------------------------------------------------------------
+
+
+def _char_masks(texts: list[str]) -> np.ndarray:
+    """(n, 2) uint64 bitmask of ascii chars 0-127 per text (non-ascii
+    chars are hashed into the 128 slots)."""
+    out = np.zeros((len(texts), 2), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        lo = hi = 0
+        for ch in set(t):
+            o = ord(ch)
+            if o >= 128:
+                o = 64 + (o % 64)
+            if o < 64:
+                lo |= 1 << o
+            else:
+                hi |= 1 << (o - 64)
+        out[i, 0] = lo
+        out[i, 1] = hi
+    return out
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    while v.any():
+        out += (v & 1).astype(np.int64)
+        v >>= np.uint64(1)
+    return out
+
+
+def charset_jaccard_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """All pairs within one source partition with char-set Jaccard ≥
+    threshold (exactly DuckDB's ``jaccard()``: set-based, case-sensitive,
+    spaces count).  Vectorized popcount over 128-bit masks."""
+    ids = group["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = group["text"].to_numpy()[order]
+    masks = _char_masks(list(texts))
+    n = len(ids)
+    a_out, b_out = [], []
+    for i in range(n):
+        inter = masks[i + 1 :] & masks[i]
+        union = masks[i + 1 :] | masks[i]
+        ji = _popcount64(inter).sum(axis=1) / np.maximum(
+            _popcount64(union).sum(axis=1), 1
+        )
+        hits = np.nonzero(ji >= threshold)[0]
+        for h in hits:
+            a_out.append(int(ids[i]))
+            b_out.append(int(ids[i + 1 + h]))
+    return pd.DataFrame({"doc_a": pd.Series(a_out, dtype="int64"),
+                         "doc_b": pd.Series(b_out, dtype="int64")})
+
+
+def charset_jaccard_pairs(docs_ds, threshold: float = 1.0):
+    """groupby(source) → within-partition pair scoring."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return charset_jaccard_pairs_group(g, threshold)
+
+    return (
+        docs_ds.select_columns(["doc_id", "text", "source"])
+        .groupby("source")
+        .map_groups(per_group, batch_format="pandas")
+    )

@@ -1,0 +1,157 @@
+"""Multimodal (binary-column) stages.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extract / resize / frame-sample run as actor-pool
+``map_batches`` stages with small batch sizes (large payloads × batch
+size must fit the worker heap).
+
+The image/audio codec libraries are not in this container, so the
+decode kernels are STUBBED: they raise ``NotImplementedError`` unless
+the optional library imports, with a deterministic fake available for
+tests.  The Ray-side plumbing — schema, actor signature, batch sizing,
+output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MULTIMODAL_SCHEMA = pa.schema(
+    [
+        pa.field("item_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("meta", pa.string()),  # JSON metadata sidecar
+    ]
+)
+
+
+class BinaryFeatureExtractor:
+    """Actor-pool stage: binary payload → cheap features (length, md5,
+    and a deterministic pseudo-embedding derived from the digest).
+
+    ``__init__`` is where a real model would load (once per actor);
+    ``__call__`` only does per-batch work.
+    """
+
+    def __init__(self, embedding_dim: int = 16):
+        self.dim = embedding_dim  # stand-in for model load
+
+    def _pseudo_embedding(self, digest: bytes) -> list[float]:
+        # deterministic stand-in for a real encoder forward pass
+        raw = (digest * ((self.dim * 4) // len(digest) + 1))[: self.dim * 4]
+        arr = np.frombuffer(raw, dtype=np.uint32).astype(np.float64)
+        return (arr / np.iinfo(np.uint32).max).tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        lens, md5s, embs = [], [], []
+        for p in payloads:
+            p = p or b""
+            d = hashlib.md5(p)
+            lens.append(len(p))
+            md5s.append(d.hexdigest())
+            embs.append(self._pseudo_embedding(d.digest()))
+        out = pa.table(
+            {
+                "item_id": pc.cast(batch["item_id"], pa.int64()),
+                "payload_len": pa.array(lens, pa.int64()),
+                "payload_md5": pa.array(md5s, pa.string()),
+                "embedding": pa.array(embs, pa.list_(pa.float64())),
+            }
+        )
+        return out
+
+
+class ImageDecoder:
+    """Decode stub: real implementation requires PIL/cv2 (absent here).
+
+    Output contract: ``(item_id, height, width, channels,
+    pixels: binary)`` — the layout downstream resize/embed stages
+    consume.  ``fake=True`` produces a deterministic 8×8 grey image from
+    the payload digest so pipelines are testable end-to-end.
+    """
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        self._pil = None
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401
+
+                self._pil = True
+            except ImportError:
+                self._pil = None
+
+    def _decode(self, payload: bytes):
+        if self.fake:
+            d = hashlib.md5(payload or b"").digest()
+            px = bytes(d * 4)  # 64 bytes → 8x8x1
+            return 8, 8, 1, px
+        if self._pil is None:
+            raise NotImplementedError(
+                "image decoding requires PIL, which is not available in this "
+                "environment; construct ImageDecoder(fake=True) for the "
+                "deterministic test double"
+            )
+        raise NotImplementedError("real decode path not exercised in this sandbox")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs, ws, cs, px = [], [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            h, w, c, pixels = self._decode(payload)
+            ids.append(item_id)
+            hs.append(h)
+            ws.append(w)
+            cs.append(c)
+            px.append(pixels)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "height": pa.array(hs, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "channels": pa.array(cs, pa.int32()),
+                "pixels": pa.array(px, pa.binary()),
+            }
+        )
+
+
+def documents_as_binary(sf_dir: str):
+    """Adapter: the documents table viewed as a multimodal binary corpus
+    (utf-8 payloads) — exercises the binary plumbing with a payload the
+    oracle can recompute (md5(text), length(text))."""
+    import ray.data as rd
+
+    def adapt(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pc.cast(b["doc_id"], pa.int64()),
+                "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+                "mime": pa.array(["text/plain"] * len(texts), pa.string()),
+                "meta": pa.array(["{}"] * len(texts), pa.string()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+
+
+def multimodal_features(sf_dir: str):
+    """Binary corpus → actor-pool feature extraction (driver-checkable:
+    payload_len/payload_md5 reproducible in SQL)."""
+    ds = documents_as_binary(sf_dir)
+    feats = ds.map_batches(
+        BinaryFeatureExtractor, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    return feats.map_batches(
+        lambda b: b.select(["item_id", "payload_len", "payload_md5"]),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All hot paths are vectorized (pyarrow.compute list kernels / numpy);
+stateful pieces (stopword tables, compiled patterns) live in actor-pool
+classes initialised once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Whitespace token count — single-space tokenisation so the DuckDB
+    oracle (``len(string_split(text, ' '))``) matches exactly.  Fully
+    vectorized: split + list_value_length kernels."""
+    toks = pc.split_pattern(pc.cast(batch[text_column], pa.large_string()), pattern=" ")
+    n = pc.cast(pc.list_value_length(toks), pa.int64())
+    return batch.append_column("n_tokens", n)
+
+
+def quality_batch(
+    batch: pa.Table, text_column: str = "text", short_words: int = 20
+) -> pa.Table:
+    """Quality-signal columns (integer/boolean only → exactly
+    SQL-reproducible): word count, character count, space count,
+    is_short flag."""
+    text = pc.cast(batch[text_column], pa.large_string())
+    toks = pc.split_pattern(text, pattern=" ")
+    n_words = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_spaces = pc.cast(
+        pc.subtract(
+            n_chars,
+            pc.utf8_length(pc.replace_substring(text, pattern=" ", replacement="")),
+        ),
+        pa.int64(),
+    )
+    is_short = pc.less(n_words, short_words)
+    out = batch
+    out = out.append_column("n_words", n_words)
+    out = out.append_column("n_chars_text", n_chars)
+    out = out.append_column("n_spaces", n_spaces)
+    out = out.append_column("is_short", is_short)
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Content fingerprint = md5(lower(text)) hex — md5 so DuckDB can
+    reproduce it (same rationale as skolem ids)."""
+    texts = pc.utf8_lower(pc.cast(batch[text_column], pa.large_string())).to_pylist()
+    fp = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    return batch.append_column("fingerprint", pa.array(fp, pa.string()))
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (blake2b-8 per distinct token,
+    weighted by count)."""
+    if not tokens:
+        return 0
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, cnt in counts.items():
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, cnt, -cnt)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    texts = batch[text_column].to_pylist()
+    hashes = [simhash64(t.split(" ")) for t in texts]
+    return batch.append_column(
+        "simhash", pa.array([h & 0xFFFFFFFFFFFFFFFF for h in hashes], pa.uint64())
+    )
+
+
+class LangId:
+    """Heuristic language ID: stopword-profile scoring (actor-pool
+    stage — profiles built once per actor in ``__init__``)."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+        "es": {"el", "la", "de", "que", "y", "en", "un", "los", "del", "las"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"},
+        "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "des", "du"},
+        "it": {"il", "di", "che", "la", "e", "un", "per", "una", "del", "con"},
+    }
+
+    def __init__(self):
+        import re
+
+        self._word = re.compile(r"[a-zA-Z]+")
+        self._profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def predict(self, text: str) -> str:
+        words = [w.lower() for w in self._word.findall(text)]
+        if not words:
+            return "und"
+        best_lang, best = "und", 0.0
+        for lang, stops in self._profiles.items():
+            score = sum(1 for w in words if w in stops) / len(words)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def rolling_fingerprints(text: str, window: int = 16, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
+    """Rabin-Karp rolling hashes of byte windows — the document
+    fingerprinting primitive for content-defined chunking."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return []
+    out = []
+    h = 0
+    power = pow(base, window - 1, mod)
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window - 1:
+            out.append(h)
+            h = (h - data[i - window + 1] * power) % mod
+    return out

@@ -1,0 +1,261 @@
+"""Training-data operator queries (dedup / similarity / text analysis /
+multimodal / stream windows) + their DuckDB oracles.
+
+Planted-duplicate corpora are derived deterministically in-pipeline
+(``plant_duplicates_batch``) so the dedup results are non-trivial AND
+reproducible relationally by the oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.ann import cosine_topk, embedding_neardup_pairs
+from ..functions.dedup import (
+    PLANT_OFFSET,
+    charset_jaccard_pairs,
+    exact_dedup_docs,
+    minhash_lsh_pairs,
+    plant_duplicates_batch,
+    simhash_candidates,
+)
+from ..functions.multimodal import multimodal_features
+from ..functions.text import (
+    LangId,
+    fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+from ..stages.windows import sessionize, sliding_window_count, tumbling_window_agg
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _planted_docs(sf_dir: str, near: bool = False):
+    return _docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+        lambda b: plant_duplicates_batch(b, every=10, near=near),
+        batch_format="pyarrow",
+    )
+
+
+def _planted_embeddings(sf_dir: str):
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_pylist()
+        sel = pa.array([i % 20 == 0 for i in ids])
+        dup = b.filter(sel)
+        dup = pa.table(
+            {
+                "vec_id": pc.add(dup["vec_id"], PLANT_OFFSET),
+                "embedding": dup["embedding"],
+                "label": dup["label"],
+            }
+        )
+        return pa.concat_tables([b.select(["vec_id", "embedding", "label"]), dup])
+
+    return _embeddings(sf_dir).map_batches(plant, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup over the planted corpus (hash-partitioned, partial
+    min/count combiner)."""
+    out = exact_dedup_docs(_planted_docs(sf_dir))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "fingerprint": b["fingerprint"],
+                "keep_doc_id": pc.cast(b["keep_doc_id"], pa.int64()),
+                "n_copies": pc.cast(b["n_copies"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_token_count(sf_dir: str):
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_quality(sf_dir: str):
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: quality_batch(b).select(
+            ["doc_id", "n_words", "n_chars_text", "n_spaces", "is_short"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_fingerprint(sf_dir: str):
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_langid(sf_dir: str):
+    """Heuristic language ID (actor pool) — rows-only check (no SQL
+    analogue of the stopword profiles)."""
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_minhash_lsh_neardup(sf_dir: str):
+    """MinHash-LSH near-dup over the planted near-duplicate corpus —
+    rows-only for the driver; pytest verifies pairs against brute-force
+    shingle Jaccard."""
+    return minhash_lsh_pairs(_planted_docs(sf_dir, near=True), threshold=0.5)
+
+
+def q_simhash_candidates(sf_dir: str):
+    """SimHash banded candidates over the planted near-dup corpus —
+    rows-only."""
+    return simhash_candidates(_planted_docs(sf_dir, near=True))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Char-set Jaccard pairs (DuckDB ``jaccard()``-compatible) within
+    source partitions, threshold 1.0 (identical char sets)."""
+    return charset_jaccard_pairs(_docs(sf_dir, ("doc_id", "text", "source")), threshold=1.0)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Same-label cosine > 0.9 over the planted-copy corpus."""
+    return embedding_neardup_pairs(_planted_embeddings(sf_dir), threshold=0.9)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors 0-4 (float64, exact)."""
+    return cosine_topk(_embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary-column actor-pool feature extraction."""
+    return multimodal_features(sf_dir)
+
+
+def q_events_window_hourly(sf_dir: str):
+    return tumbling_window_agg(_events(sf_dir), every="hour")
+
+
+def q_events_sessionize(sf_dir: str):
+    return sessionize(_events(sf_dir), gap_minutes=30)
+
+
+def q_events_sliding_window(sf_dir: str):
+    return sliding_window_count(_events(sf_dir), size_minutes=60, slide_minutes=30)
+
+
+DATA_QUERIES = {
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_count": q_docs_token_count,
+    "docs_quality": q_docs_quality,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_langid": q_docs_langid,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "simhash_candidates": q_simhash_candidates,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "multimodal_features": q_multimodal_features,
+    "events_window_hourly": q_events_window_hourly,
+    "events_sessionize": q_events_sessionize,
+    "events_sliding_window": q_events_sliding_window,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles (omitted for the heuristic/sketch ops → rows-only checks)
+# ---------------------------------------------------------------------------
+
+_PLANTED_DOCS_CTE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET}, text, source FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+_PLANTED_EMB_CTE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET}, embedding, label FROM embeddings WHERE vec_id % 20 = 0
+)
+"""
+
+DATA_ORACLES = {
+    "docs_exact_dedup": _PLANTED_DOCS_CTE
+    + """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)""",
+    "docs_token_count": "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "docs_quality": """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       len(string_split(text, ' ')) < 20 AS is_short
+FROM documents""",
+    "docs_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+    "ngram_jaccard": """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= 1.0""",
+    "embedding_neardup": _PLANTED_EMB_CTE
+    + """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9""",
+    "ann_topk": """SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS rank
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
+) WHERE rank <= 10""",
+    "multimodal_features": """SELECT doc_id AS item_id,
+       CAST(strlen(text) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5
+FROM documents""",
+    "events_window_hourly": """SELECT event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "events_sessionize": """SELECT user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+) GROUP BY user_id""",
+    "events_sliding_window": """SELECT event_type, window_start, COUNT(*) AS n_events FROM (
+  SELECT event_type, date_trunc('minute', ts) - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE AS window_start FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('minute', ts) - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE - INTERVAL 30 MINUTE FROM events
+) GROUP BY event_type, window_start""",
+}

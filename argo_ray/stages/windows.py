@@ -1,0 +1,111 @@
+"""Stream-shaped operators over the events table.
+
+Ray Data has no event-time windows; per the streaming-batch pattern the
+input is treated as a partitioned log: tumbling windows are a derived
+window-start column + pre-aggregated groupby; sessionization sorts each
+key partition by time inside ``map_groups``.  Oracle SQL expresses both
+(date_trunc / window functions), so they are value-checked.
+
+Money-ish sums are carried as integer cents so the Ray and DuckDB sums
+are exactly equal (no float summation-order noise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_agg(events_ds, every: str = "hour"):
+    """count + integer-cents sum of ``value`` per (event_type, window).
+
+    Shuffle discipline: partial aggregates per batch first (one row per
+    key per batch), then the groupby runs over partials — shuffle volume
+    is keys×batches, not rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type", "value"]).to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h" if every == "hour" else every)
+        # floor, not round: DuckDB round() is half-away-from-zero while
+        # numpy rounds half-to-even; floor is identical in both engines
+        df["value_cents"] = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        agg = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(partial_n=("value_cents", "size"), partial_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("partial_n", alias_name="n_events"),
+            Sum("partial_cents", alias_name="sum_value_cents"),
+        )
+    )
+    return out
+
+
+def sessionize(events_ds, gap_minutes: int = 30):
+    """Sessions per user: events sorted by ts within the user partition;
+    a gap > ``gap_minutes`` starts a new session.  → (user_id,
+    n_sessions, n_events)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        new_session = ts.diff() > gap
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_session.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def sliding_window_count(events_ds, size_minutes: int = 60, slide_minutes: int = 30):
+    """Sliding windows via flat-map into the (size/slide) overlapping
+    window starts each event belongs to, then the same partial→global
+    aggregation as tumbling windows."""
+    from ray.data.aggregate import Sum
+
+    n_overlap = size_minutes // slide_minutes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type"]).to_pandas()
+        frames = []
+        base = df["ts"].dt.floor(f"{slide_minutes}min")
+        for i in range(n_overlap):
+            f = pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "window_start": base - pd.Timedelta(minutes=slide_minutes * i),
+                }
+            )
+            frames.append(f)
+        all_rows = pd.concat(frames, ignore_index=True)
+        agg = (
+            all_rows.groupby(["event_type", "window_start"], sort=False)
+            .size()
+            .rename("partial_n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        events_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("partial_n", alias_name="n_events"))
+    )

@@ -1,0 +1,134 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``
+and prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh processes (num_cpus=8
+then 32, the sandbox proxy for N vs 4N nodes) and reports both
+throughputs + scaling efficiency ``(t8/t32)/4``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str) -> tuple[float, int]:
+    """Flagship KG construction: documents → pages → extract → dedup →
+    NT lines + parquet sink.  Returns (seconds, triples)."""
+    from argo_ray.pipelines.flagship import flagship
+    from argo_ray.sinks.ntriples import to_nt_lines_batch
+
+    out_dir = "/tmp/bench_out/triples"
+    t0 = time.time()
+    ds = flagship(sf_dir)
+    ds = ds.map_batches(to_nt_lines_batch, batch_format="pyarrow")
+    n = ds.count()
+    return time.time() - t0, n
+
+
+def _bench_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary per-operator timings (consumed via count())."""
+    from argo_ray.pipelines.data_queries import (
+        q_ann_topk,
+        q_docs_quality,
+        q_events_window_hourly,
+        q_minhash_lsh_neardup,
+    )
+    from argo_ray.pipelines.queries import q_group_subject_count, q_rdfa_extract
+
+    out = {}
+    for name, fn in [
+        ("rdfa_extract", q_rdfa_extract),
+        ("group_subject_count", q_group_subject_count),
+        ("minhash_lsh_neardup", q_minhash_lsh_neardup),
+        ("ann_topk", q_ann_topk),
+        ("events_window_hourly", q_events_window_hourly),
+        ("docs_quality", q_docs_quality),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):  # lazy Dataset → consume; pa.Table is done
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "events", "embeddings"):
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            pq.read_table(path)
+
+    sec, triples = _headline(sf_dir)
+    queries = _bench_queries(sf_dir)
+    result = {
+        "metric": "flagship KG pipeline (pages->extract->dedup->NT) wall time",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "triples": triples,
+        "triples_per_sec": round(triples / sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["triples_per_sec"]
+    tput_hi = hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "throughput scaling efficiency, num_cpus 8 vs 32 (N vs 4N proxy)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "triples_per_sec_8": tput_lo,
+        "triples_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

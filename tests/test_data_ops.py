@@ -1,0 +1,199 @@
+"""Training-data operator tests: dedup suite, ANN, text analysis,
+multimodal stubs, event windows."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from argo_ray.functions.ann import CosineTopK, _normalize, lsh_bucketed_topk
+from argo_ray.functions.dedup import (
+    PLANT_OFFSET,
+    charset_jaccard_pairs_group,
+    jaccard_shingles,
+    plant_duplicates_batch,
+)
+from argo_ray.functions.multimodal import BinaryFeatureExtractor, ImageDecoder
+from argo_ray.functions.text import (
+    LangId,
+    quality_batch,
+    rolling_fingerprints,
+    simhash64,
+    simhash_batch,
+    token_count_batch,
+)
+
+from conftest import SF_DIR
+
+
+def test_token_count_vectorized():
+    b = pa.table({"text": ["a b c", "one", "x y"]})
+    assert token_count_batch(b)["n_tokens"].to_pylist() == [3, 1, 2]
+
+
+def test_quality_batch():
+    b = pa.table({"text": ["a bb ccc", "word"]})
+    out = quality_batch(b, short_words=2)
+    assert out["n_words"].to_pylist() == [3, 1]
+    assert out["n_chars_text"].to_pylist() == [8, 4]
+    assert out["n_spaces"].to_pylist() == [2, 0]
+    assert out["is_short"].to_pylist() == [False, True]
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = simhash64("the quick brown fox jumps over the lazy dog".split())
+    c = simhash64("completely different words entirely here now".split())
+    assert a == b  # deterministic
+    ham_ac = bin(a ^ c).count("1")
+    # near-identical docs should be closer than unrelated ones
+    d = simhash64("the quick brown fox jumps over the lazy cat".split())
+    assert bin(a ^ d).count("1") < ham_ac
+
+
+def test_langid_heuristic():
+    model = LangId()
+    assert model.predict("the cat and the dog of a house") == "en"
+    assert model.predict("el perro y la casa de los gatos") == "es"
+    assert model.predict("") == "und"
+
+
+def test_rolling_fingerprints_deterministic():
+    f1 = rolling_fingerprints("hello world, this is content-defined chunking")
+    f2 = rolling_fingerprints("hello world, this is content-defined chunking")
+    assert f1 == f2 and len(f1) > 0
+
+
+def test_plant_duplicates():
+    b = pa.table(
+        {"doc_id": list(range(25)), "text": [f"t {i} x y z" for i in range(25)],
+         "source": ["s"] * 25}
+    )
+    out = plant_duplicates_batch(b, every=10)
+    assert out.num_rows == 25 + 3  # ids 0, 10, 20
+    planted = out.filter(pa.compute.greater_equal(out["doc_id"], PLANT_OFFSET))
+    assert planted["text"].to_pylist() == ["t 0 x y z", "t 10 x y z", "t 20 x y z"]
+    near = plant_duplicates_batch(b, every=10, near=True)
+    assert near.filter(
+        pa.compute.equal(near["doc_id"], PLANT_OFFSET)
+    )["text"].to_pylist() == ["t 0 x y"]
+
+
+def test_jaccard_shingles():
+    assert jaccard_shingles("a b c d", "a b c d") == 1.0
+    assert jaccard_shingles("a b c d e", "a b c d") == pytest.approx(2 / 3)
+    assert jaccard_shingles("a b c", "x y z") == 0.0
+
+
+def test_charset_jaccard_matches_duckdb():
+    import duckdb
+
+    texts = ["abc def", "fed cba", "xyz", "abc defg"]
+    g = pd.DataFrame({"doc_id": range(4), "text": texts, "source": "s"})
+    ours = charset_jaccard_pairs_group(g, threshold=0.0)
+    con = duckdb.connect()
+    con.register("t", g)
+    theirs = con.execute(
+        "select a.doc_id, b.doc_id, jaccard(a.text, b.text) from t a join t b on a.doc_id < b.doc_id"
+    ).fetchall()
+    # full-threshold-0 pair set must match pair-for-pair on j >= 0
+    assert len(ours) == len(theirs)
+    ours1 = charset_jaccard_pairs_group(g, threshold=1.0)
+    expected_identical = {(a, b) for a, b, j in theirs if j >= 1.0}
+    assert set(zip(ours1["doc_a"], ours1["doc_b"])) == expected_identical
+
+
+def test_cosine_topk_stage_matches_numpy():
+    rng = np.random.RandomState(0)
+    corpus = rng.standard_normal((50, 8))
+    qids = [1, 3]
+    stage = CosineTopK((qids, corpus[qids]), k=5)
+    batch = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in corpus], pa.list_(pa.float64())),
+        }
+    )
+    out = stage(batch).to_pandas()
+    nm = _normalize(corpus)
+    for qi, qid in enumerate(qids):
+        scores = nm[qid] @ nm.T
+        scores[qid] = -np.inf
+        top = set(np.argsort(-scores)[:5])
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        assert got == top
+
+
+def test_binary_feature_extractor():
+    stage = BinaryFeatureExtractor()
+    b = pa.table(
+        {"item_id": pa.array([1, 2], pa.int64()), "payload": [b"hello", b""]}
+    )
+    out = stage(b)
+    assert out["payload_len"].to_pylist() == [5, 0]
+    import hashlib
+
+    assert out["payload_md5"][0].as_py() == hashlib.md5(b"hello").hexdigest()
+    assert len(out["embedding"][0].as_py()) == 16
+    # deterministic
+    assert stage(b).equals(out)
+
+
+def test_image_decoder_stub():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ImageDecoder(fake=False)._decode(b"x")
+    fake = ImageDecoder(fake=True)
+    out = fake(pa.table({"item_id": pa.array([1], pa.int64()), "payload": [b"img"]}))
+    assert out["height"][0].as_py() == 8
+    assert len(out["pixels"][0].as_py()) == 64
+
+
+# ---------------------------------------------------------------------------
+# Distributed checks (Ray session)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_vs_bruteforce(ray_session):
+    """LSH pairs at threshold 0.5 == brute-force shingle-Jaccard pairs
+    (recall check on the planted corpus; LSH with 8x8 bands has ~1.0
+    recall at J>=0.5 for this corpus size)."""
+    import ray.data as rd
+
+    from argo_ray.functions.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").limit(120).map_batches(
+        lambda b: plant_duplicates_batch(b, every=10, near=True),
+        batch_format="pyarrow",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).take_all()
+    }
+    rows = docs.take_all()
+    expect = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = sorted((a["doc_id"], b["doc_id"]))
+            if jaccard_shingles(a["text"], b["text"]) >= 0.5:
+                expect.add((x, y))
+    assert expect, "fixture must contain near-dups"
+    missed = expect - got
+    false = got - expect
+    assert not false, f"false positives: {false}"  # verify stage guarantees
+    assert len(missed) / len(expect) <= 0.05, f"recall too low: missed {missed}"
+
+
+def test_lsh_bucketed_topk_runs(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    out = lsh_bucketed_topk(emb, query_ids=[0, 1], k=5, bits=4)
+    df = out.to_pandas()
+    assert set(df.columns) == {"query_id", "rank", "vec_id"}
+    assert (df["rank"] <= 5).all()
+
+
+def test_simhash_batch_uint64(ray_session):
+    b = pa.table({"doc_id": [1], "text": ["a b c"]})
+    out = simhash_batch(b)
+    assert out["simhash"].type == pa.uint64()
