@@ -130,7 +130,9 @@ def embedding_neardup_pairs(embeddings_ds, threshold: float = 0.9):
             }
         )
 
-    return embeddings_ds.groupby("label").map_groups(per_group, batch_format="pandas")
+    from ..stages.grouping import grouped_map
+
+    return grouped_map(embeddings_ds, "label", per_group)
 
 
 class HyperplaneLSH:

@@ -219,9 +219,9 @@ def minhash_lsh_pairs(
     bands_ds = sigs.map_batches(
         lambda b: explode_bands_batch(b, bands), batch_format="pyarrow"
     )
-    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    from ..stages.grouping import grouped_map
+
+    cand = grouped_map(bands_ds, ["band_id", "band_hash"], _bucket_pairs)
     from ..stages.materialize import distinct_rows
 
     cand = distinct_rows(cand, ["doc_a", "doc_b"])
@@ -323,9 +323,13 @@ def simhash_candidates(docs_ds, bands: int = 4):
             }
         )
 
-    cand = sh.map_batches(explode, batch_format="pyarrow").groupby(
-        ["band_id", "band_hash"]
-    ).map_groups(_bucket_pairs, batch_format="pandas")
+    from ..stages.grouping import grouped_map
+
+    cand = grouped_map(
+        sh.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_hash"],
+        _bucket_pairs,
+    )
     from ..stages.materialize import distinct_rows
 
     return distinct_rows(cand, ["doc_a", "doc_b"])
@@ -392,11 +396,11 @@ def charset_jaccard_pairs_group(group: pd.DataFrame, threshold: float) -> pd.Dat
 def charset_jaccard_pairs(docs_ds, threshold: float = 1.0):
     """groupby(source) → within-partition pair scoring."""
 
+    from ..stages.grouping import grouped_map
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         return charset_jaccard_pairs_group(g, threshold)
 
-    return (
-        docs_ds.select_columns(["doc_id", "text", "source"])
-        .groupby("source")
-        .map_groups(per_group, batch_format="pandas")
+    return grouped_map(
+        docs_ds.select_columns(["doc_id", "text", "source"]), "source", per_group
     )

@@ -1,0 +1,51 @@
+"""Shared table readers with scale-aware block splitting.
+
+At production scale (many files / many row groups) ``read_parquet``
+already yields one block per fragment and we leave its native splits
+alone — overriding the global block count there would be harmful.
+The driver's testdata, however, is a single one-row-group file per
+table, which reads as ONE block and serialises every downstream
+``map_batches`` chain.  When (and only when) the input has fewer row
+groups than the per-node parallelism target we ask Ray to split the
+read into ``~2 × cluster CPUs`` blocks so the stateless stages fan out.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+
+def target_blocks(default: int = 16) -> int:
+    """2 blocks per cluster CPU (streaming executor keeps all cores busy
+    without oversizing task overhead)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(default, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        pass
+    return default
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """``read_parquet`` of one testdata table, split into enough blocks
+    to parallelize (see module docstring).  ``columns`` prunes at the
+    read so only needed columns leave storage."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/{name}.parquet"
+    kwargs: dict = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    tgt = target_blocks()
+    try:
+        meta = pq.ParquetFile(path).metadata
+        # floor of ~256 rows/block: splitting finer than that trades
+        # useful parallelism for per-task dispatch overhead
+        tgt = min(tgt, max(1, meta.num_rows // 256))
+        if meta.num_row_groups < tgt:
+            kwargs["override_num_blocks"] = tgt
+    except Exception:
+        pass  # non-local path (s3://...) — trust native fragment splits
+    return rd.read_parquet(path, **kwargs)

@@ -129,11 +129,38 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset(sf_dir: str, parallelism: int | None = None):
-    """documents.parquet → pages Dataset (lazy, streaming)."""
+def pages_dataset(sf_dir: str, parallelism: int | None = None, replicate: int = 1):
+    """documents.parquet → pages Dataset (lazy, streaming; read split
+    into enough blocks for the extract chain to fan out — see io.py).
+
+    ``replicate > 1`` deterministically inflates the corpus: each doc is
+    emitted ``replicate`` times with doc_id shifted by 1M per copy, so
+    every page/entity/site IRI is distinct and extraction+shuffle work
+    scale linearly — the scaling-benchmark input (same input both runs).
+    """
+    from .io import read_table, target_blocks
+
+    if replicate <= 1:
+        ds = read_table(sf_dir, "documents")
+        return ds.map_batches(synth_pages_batch, batch_format="pyarrow")
+
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    # 2 blocks per CPU — enough extract fan-out; more blocks would blow
+    # up the downstream sort's map×merge task grid (O(blocks²))
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        override_num_blocks=target_blocks(),
+    )
+
+    def inflate(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("doc_id")
+        return pa.concat_tables(
+            b.set_column(i, "doc_id", pc.add(b["doc_id"], r * 1_000_000))
+            for r in range(replicate)
+        )
+
+    ds = ds.map_batches(inflate, batch_format="pyarrow")
     return ds.map_batches(synth_pages_batch, batch_format="pyarrow")
 
 

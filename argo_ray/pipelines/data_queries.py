@@ -31,21 +31,21 @@ from ..stages.windows import sessionize, sliding_window_count, tumbling_window_a
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")):
-    import ray.data as rd
+    from ..io import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_table(sf_dir, "documents", columns=list(columns))
 
 
 def _events(sf_dir: str):
-    import ray.data as rd
+    from ..io import read_table
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet")
+    return read_table(sf_dir, "events")
 
 
 def _embeddings(sf_dir: str):
-    import ray.data as rd
+    from ..io import read_table
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(sf_dir, "embeddings")
 
 
 def _planted_docs(sf_dir: str, near: bool = False):

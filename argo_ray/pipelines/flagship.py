@@ -21,9 +21,10 @@ def extract_triples(pages_ds, salt: str = ""):
     )
 
 
-def flagship(sf_dir: str, dedup: bool = True):
-    """documents.parquet → deduplicated triple Dataset."""
-    ds = extract_triples(pages_dataset(sf_dir))
+def flagship(sf_dir: str, dedup: bool = True, replicate: int = 1):
+    """documents.parquet → deduplicated triple Dataset.  ``replicate``
+    inflates the page corpus deterministically (scaling benchmark)."""
+    ds = extract_triples(pages_dataset(sf_dir, replicate=replicate))
     if dedup:
         ds = dedup_exact(ds)
     return ds

@@ -252,7 +252,6 @@ def q_skolemize(sf_dir: str):
 def q_union_sources(sf_dir: str):
     """A6: heterogeneous-source fan-in — RDFa extraction ∪ an N-Triples
     source (token counts rendered as NT, parsed by S1) → set union."""
-    import ray.data as rd
 
     def to_nt_doc(b: pa.Table) -> pa.Table:
         lines = []
@@ -265,8 +264,10 @@ def q_union_sources(sf_dir: str):
             {"url": pa.array([""], pa.string()), "text": pa.array(["\n".join(lines) + "\n"], pa.string())}
         )
 
+    from ..io import read_table
+
     nt_ds = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(to_nt_doc, batch_format="pyarrow")
         .map_batches(lambda b: parse_ntriples_batch(b), batch_format="pyarrow")
     )
@@ -276,7 +277,6 @@ def q_union_sources(sf_dir: str):
 
 def q_container_encode(sf_dir: str):
     """M11: first three title words as rdf:_N container membership."""
-    import ray.data as rd
 
     from ..pages import title_of
     from ..stages.containers import encode_container
@@ -300,9 +300,11 @@ def q_container_encode(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(encode, batch_format="pyarrow")
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
 
 
 KG_QUERIES = {

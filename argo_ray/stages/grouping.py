@@ -1,0 +1,68 @@
+"""Grouped execution without per-group task dispatch.
+
+``Dataset.groupby(k).map_groups(fn)`` re-enters Ray's batching machinery
+once per group — at ~30k groups that is tens of seconds of pure
+dispatch.  Equal sort keys always co-locate in one output block after
+``Dataset.sort`` (range partition boundaries cut with
+``np.searchsorted(..., side="left")`` — see
+``ray/data/_internal/util.py::find_partition_index`` — so a boundary
+lands *before* the first row of an equal-key run, never inside it).
+That makes this equivalent and much faster:
+
+    sort(keys) → map_batches(batch_size=None)  # batch == whole block
+      → local pandas groupby(keys) → fn per group
+
+The shuffle cost is identical (one range-partition exchange); only the
+per-group dispatch moves from Ray tasks to an in-process pandas loop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_map(ds, keys, fn, batch_format: str = "pandas"):
+    """Semantics of ``groupby(keys).map_groups(fn)`` (each call of ``fn``
+    sees ALL rows of one key, key columns included; returns any frame).
+
+    ``batch_format`` is the format handed to ``fn`` ("pandas" or
+    "pyarrow" per-group tables).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def apply_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            try:
+                out = fn(df if batch_format == "pandas" else pa.Table.from_pandas(df))
+                return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+            except Exception:
+                return pd.DataFrame()
+        parts = []
+        for _, g in df.groupby(keys, sort=False, dropna=False, observed=True):
+            out = fn(g if batch_format == "pandas" else pa.Table.from_pandas(g))
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            parts.append(out)
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame()
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.sort(keys).map_batches(
+        apply_block, batch_format="pandas", batch_size=None
+    )
+
+
+def sorted_unique(ds, subset: list[str], key: str):
+    """Global drop-duplicates over ``subset``, keyed by a precomputed
+    uniform hash column ``key`` (equal rows ⇒ equal key ⇒ same block
+    after the sort), then one vectorized per-block pass."""
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(subset=subset, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
+
+    return ds.sort(key).map_batches(
+        dedup_block, batch_format="pyarrow", batch_size=None
+    )

@@ -22,7 +22,6 @@ dedup shuffle to cut exchange volume (pre-aggregation pattern).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -45,11 +44,6 @@ def _dedup_within_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
 
 
-def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
-    # Within a triple_hash group, compare the real columns (collision-safe).
-    return group.drop_duplicates(subset=TRIPLE_COLUMNS, keep="first")
-
-
 def dedup_exact(ds, keep_provenance: bool = False):
     """Distinct triples (operator A4 — absent in the reference, which
     appends duplicates unconditionally: liststore.go:37-39).
@@ -58,7 +52,13 @@ def dedup_exact(ds, keep_provenance: bool = False):
     assertions from different pages collapse (matches ``SELECT
     DISTINCT`` over the 12 term columns); ``True`` keeps the first url
     seen per triple.
+
+    Shuffle shape: sort on ``triple_hash`` (uniform 64-bit → skew-proof
+    range partition; equal triples always co-locate in one block) then a
+    single vectorized per-block drop-duplicates — no per-group dispatch.
     """
+    from .grouping import sorted_unique
+
     if not keep_provenance:
         ds = ds.map_batches(
             lambda b: b.drop_columns([c for c in ("url",) if c in b.column_names]),
@@ -66,12 +66,13 @@ def dedup_exact(ds, keep_provenance: bool = False):
         )
     ds = ds.map_batches(_dedup_within_batch, batch_format="pyarrow")
     ds = ds.map_batches(append_triple_hash, batch_format="pyarrow")
-    return ds.groupby(DEDUP_KEY).map_groups(_dedup_group, batch_format="pandas")
+    return sorted_unique(ds, TRIPLE_COLUMNS, DEDUP_KEY)
 
 
 def distinct_rows(ds, cols: list[str]):
     """Generic distinct over ``cols``: within-batch combiner, then a
-    uniform hash-key shuffle with collision-safe within-group dedup."""
+    uniform hash-key sort shuffle with collision-safe per-block dedup."""
+    from .grouping import sorted_unique
 
     def combine(batch: pa.Table) -> pa.Table:
         df = batch.select(cols).to_pandas().drop_duplicates(keep="first")
@@ -90,12 +91,9 @@ def distinct_rows(ds, cols: list[str]):
             )
         return batch.append_column("__row_hash", hash64(joined))
 
-    def group_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=cols, keep="first")
-
     ds = ds.map_batches(combine, batch_format="pyarrow")
     ds = ds.map_batches(key, batch_format="pyarrow")
-    out = ds.groupby("__row_hash").map_groups(group_dedup, batch_format="pandas")
+    out = sorted_unique(ds, cols, "__row_hash")
     return out.map_batches(
         lambda b: b.drop_columns(["__row_hash"]), batch_format="pyarrow"
     )
@@ -120,11 +118,14 @@ def salted_subject_key(batch: pa.Table, num_salts: int = 16) -> pa.Table:
 
 
 def group_by_subject(ds, render_fn, num_salts: int = 0, batch_format: str = "pandas"):
-    """The A1 wide operation: groupby(subject[_salted]).map_groups(render).
+    """The A1 wide operation: subject-hash range partition + per-group
+    render (``grouped_map``, the fast map_groups equivalent).
 
     ``render_fn`` receives one subject group (or one salt shard of a hot
     subject when ``num_salts > 0``) and returns rendered rows.
     """
+    from .grouping import grouped_map
+
     if num_salts:
         ds = ds.map_batches(
             lambda b: salted_subject_key(b, num_salts), batch_format="pyarrow"
@@ -133,9 +134,4 @@ def group_by_subject(ds, render_fn, num_salts: int = 0, batch_format: str = "pan
     else:
         key = "subject_hash"
 
-    def render_group(group):
-        # plain-function wrapper: map_groups requires fn.__name__, which
-        # callable renderer instances don't carry
-        return render_fn(group)
-
-    return ds.groupby(key).map_groups(render_group, batch_format=batch_format)
+    return grouped_map(ds, key, render_fn, batch_format=batch_format)

@@ -68,10 +68,10 @@ def sessionize(events_ds, gap_minutes: int = 30):
             }
         )
 
-    return (
-        events_ds.select_columns(["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    from .grouping import grouped_map
+
+    return grouped_map(
+        events_ds.select_columns(["user_id", "ts"]), "user_id", per_user
     )
 
 

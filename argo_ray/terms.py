@@ -274,21 +274,20 @@ def hash64(strings: pa.Array | list[str]) -> pa.Array:
     used for equality semantics); pure-python FNV-1a 64 fallback mirrors
     the reference's term-hash precedent (redisstore.go:29-33).
     """
-    if isinstance(strings, pa.ChunkedArray):
-        strings = strings.combine_chunks()
+    if not isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = pa.array(strings, pa.large_string())
     try:
         import polars as pl
 
-        s = pl.from_arrow(
-            pc.cast(strings, pa.large_string())
-            if isinstance(strings, pa.Array)
-            else pa.array(strings, pa.large_string())
-        )
+        # pl.from_arrow handles Array and ChunkedArray alike — never go
+        # through pa.array(iterable), which walks Python scalars
+        s = pl.from_arrow(pc.cast(strings, pa.large_string()))
         hashed = s.hash(seed=0)
         return hashed.to_arrow().cast(pa.uint64())
     except Exception:
-        vals = strings.to_pylist() if isinstance(strings, pa.Array) else strings
-        return pa.array([_fnv1a_64(v) for v in vals], pa.uint64())
+        return pa.array(
+            [_fnv1a_64(v) for v in strings.to_pylist()], pa.uint64()
+        )
 
 
 def subject_canonical(table: pa.Table) -> pa.Array:
