@@ -99,6 +99,7 @@ FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
     "rdfxml_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "squirtle_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "rdfjson_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "store_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "filter_pattern": EXP_CTE
     + f"""SELECT DISTINCT subj_value, obj_value AS lang_value
 FROM exp WHERE pred_value = '{DC}language'""",
@@ -130,6 +131,24 @@ SELECT DISTINCT {TERM_COLS} FROM (
   UNION ALL
   SELECT {TERM_COLS} FROM tokens
 )""",
+    "entity_link": EXP_CTE
+    + f""", cand AS (
+  SELECT title AS surface_form,
+         'https://kg.example.org/doc/' || MIN(doc_id) AS entity_iri
+  FROM docs GROUP BY title
+)
+SELECT DISTINCT e.subj_value, c.entity_iri AS entity_value
+FROM exp e JOIN cand c ON e.obj_value = c.surface_form
+WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
+    "entity_link_join": EXP_CTE
+    + f""", cand AS (
+  SELECT title AS surface_form,
+         'https://kg.example.org/doc/' || MIN(doc_id) AS entity_iri
+  FROM docs GROUP BY title
+)
+SELECT DISTINCT e.subj_value, c.entity_iri AS entity_value
+FROM exp e JOIN cand c ON e.obj_value = c.surface_form
+WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
     "container_encode": EXP_CTE
     + f"""SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#_' || n AS pred_value,

@@ -307,6 +307,63 @@ def q_container_encode(sf_dir: str):
     )
 
 
+def q_entity_link(sf_dir: str):
+    """T2 / north rule: mention literals (dc:title) linked against the
+    candidate dictionary (title → entity of smallest doc_id), broadcast
+    actor-pool path → distinct (subject, linked entity) pairs."""
+    from ..io import read_table
+    from ..stages.link import build_candidates, link_entities
+
+    cands = build_candidates(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    linked = link_entities(_deduped(sf_dir), cands, mention_pred=DC_NS + "title")
+    ds = linked.map_batches(
+        lambda b: pa.table(
+            {
+                "subj_value": pc.cast(b["subj_value"], pa.string()),
+                "entity_value": pc.cast(b["obj_value"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(ds, ["subj_value", "entity_value"])
+
+
+def q_entity_link_join(sf_dir: str):
+    """Same linking semantics via the scale path — distributed hash join
+    against per-partition candidate dictionaries."""
+    from ..io import read_table
+    from ..stages.link import build_candidates, link_entities_join
+
+    cands = build_candidates(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    linked = link_entities_join(
+        _deduped(sf_dir), cands, mention_pred=DC_NS + "title", num_partitions=2
+    )
+    ds = linked.map_batches(
+        lambda b: pa.table(
+            {
+                "subj_value": pc.cast(b["subj_value"], pa.string()),
+                "entity_value": pc.cast(b["obj_value"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(ds, ["subj_value", "entity_value"])
+
+
+def q_store_roundtrip(sf_dir: str):
+    """K7: dictionary-encoded Parquet store — encode → write → read →
+    decode reproduces the distinct triple set."""
+    import hashlib
+    import shutil
+
+    from ..sinks.parquet_store import decode_store, write_store
+
+    out = "/tmp/argo_store_rt/" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    write_store(_deduped(sf_dir), out)
+    return _finalize(decode_store(out))
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -324,4 +381,7 @@ KG_QUERIES = {
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,
     "container_encode": q_container_encode,
+    "entity_link": q_entity_link,
+    "entity_link_join": q_entity_link_join,
+    "store_roundtrip": q_store_roundtrip,
 }
