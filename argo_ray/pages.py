@@ -146,6 +146,9 @@ def pages_dataset(sf_dir: str, parallelism: int | None = None, replicate: int = 
 
     import ray.data as rd
 
+    from .io import configure_context
+
+    configure_context()
     # 2 blocks per CPU — enough extract fan-out; more blocks would blow
     # up the downstream sort's map×merge task grid (O(blocks²))
     ds = rd.read_parquet(

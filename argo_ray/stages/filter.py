@@ -64,16 +64,36 @@ def has_subject(ds, s: Term) -> bool:
     return filter_triples(ds, s=s).limit(1).count() > 0
 
 
+def _obj_terms(table: pa.Table) -> list[Term]:
+    return [
+        Term(k, v, l, d)
+        for k, v, l, d in zip(
+            table["obj_kind"].to_pylist(),
+            table["obj_value"].to_pylist(),
+            table["obj_lang"].to_pylist(),
+            table["obj_datatype"].to_pylist(),
+        )
+    ]
+
+
 def get_first_object(ds, s: Term, p: Term):
     """Graph.Get point lookup (graph.go:185-208): first object for
     (s, p), or None.  Small-result driver-side helper."""
-    t = filter_triples(ds, s=s, p=p).limit(1).take_batch(1, batch_format="pyarrow") \
-        if filter_triples(ds, s=s, p=p).limit(1).count() else None
-    if t is None:
-        return None
-    return Term(
-        t["obj_kind"][0].as_py(),
-        t["obj_value"][0].as_py(),
-        t["obj_lang"][0].as_py(),
-        t["obj_datatype"][0].as_py(),
-    )
+    matches = get_all_objects(ds, s, p, limit=1)
+    return matches[0] if matches else None
+
+
+def get_all_objects(ds, s: Term, p: Term, limit: int | None = None) -> list[Term]:
+    """Graph.GetAll (graph.go:210-218) — all objects for (s, p).
+
+    Note: the reference's GetAll compares by *pointer* equality — a
+    latent bug (SURVEY.md M3); we use value equality like Graph.Get.
+    """
+    out = filter_triples(ds, s=s, p=p)
+    if limit is not None:
+        out = out.limit(limit)
+    rows = out.take_all()
+    if not rows:
+        return []
+    t = pa.Table.from_pylist(rows)
+    return _obj_terms(t)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def grouped_map(ds, keys, fn, batch_format: str = "pandas"):
@@ -57,11 +58,39 @@ def grouped_map(ds, keys, fn, batch_format: str = "pandas"):
 def sorted_unique(ds, subset: list[str], key: str):
     """Global drop-duplicates over ``subset``, keyed by a precomputed
     uniform hash column ``key`` (equal rows ⇒ equal key ⇒ same block
-    after the sort), then one vectorized per-block pass."""
+    after the sort), then one vectorized per-block pass.
+
+    Within a sorted block, identical rows sit adjacent (they share the
+    sort key), so dedup is an adjacent-row equality mask — pure Arrow
+    kernels, no pandas.  A 64-bit hash collision could interleave two
+    distinct rows inside one key run and break adjacency; the mask
+    detects that case (adjacent same-key-different-content) and falls
+    back to an exact pandas dedup for that block.
+    """
+    import numpy as np
 
     def dedup_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates(subset=subset, keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
+        n = batch.num_rows
+        if n <= 1:
+            return batch
+        batch = batch.combine_chunks()
+        kv = batch[key].to_numpy(zero_copy_only=False)
+        same_key = kv[1:] == kv[:-1]
+        if not same_key.any():
+            return batch
+        same_row = None
+        for c in subset:
+            col = batch.column(c).chunk(0)
+            eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+            same_row = eq if same_row is None else pc.and_(same_row, eq)
+        same_row = same_row.to_numpy(zero_copy_only=False)
+        if bool((same_key & ~same_row).any()):
+            # hash collision inside a key run — exact fallback
+            df = batch.to_pandas().drop_duplicates(subset=subset, keep="first")
+            return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~same_row
+        return batch.filter(pa.array(keep))
 
     return ds.sort(key).map_batches(
         dedup_block, batch_format="pyarrow", batch_size=None

@@ -39,6 +39,12 @@ def append_triple_hash(batch: pa.Table) -> pa.Table:
 
 def _dedup_within_batch(batch: pa.Table) -> pa.Table:
     # Combiner: drop duplicates inside one batch before the shuffle.
+    # subject_hash is a function of the subject columns, so grouping by
+    # every physical column equals distinct-on-TRIPLE_COLUMNS — lets us
+    # use Arrow's native hash-group kernel (no pandas round-trip).
+    if set(batch.column_names) <= set(TRIPLE_COLUMNS) | {"subject_hash"}:
+        out = batch.group_by(batch.column_names, use_threads=False).aggregate([])
+        return out.select(batch.column_names).cast(batch.schema)
     df = batch.to_pandas()
     df = df.drop_duplicates(subset=TRIPLE_COLUMNS, keep="first")
     return pa.Table.from_pandas(df, preserve_index=False).cast(batch.schema)

@@ -126,10 +126,18 @@ def run_scaling() -> dict:
             GRAFT_SCALE_REPLICATE=os.environ.get("GRAFT_SCALE_REPLICATE", "160"),
         )
 
+        import shutil as _shutil
+
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if _shutil.which("taskset"):
+            # pin the whole process tree to ncpu cores: "an N-CPU run"
+            # means N cores for EVERYTHING (Ray aux threads included),
+            # like an N-core node would
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+
         def once() -> dict:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
+                cmd, env=env, capture_output=True, text=True, check=True,
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 

@@ -1,0 +1,61 @@
+"""S6 SPARQL result parser: W3C XML results → Term rows / bool
+(semantics of /root/reference/sparql/result.go:97-518)."""
+
+import pyarrow as pa
+import pytest
+
+from argo_ray.sources.sparql_results import (
+    parse_ask_result,
+    parse_select_batch,
+    parse_select_results,
+)
+from argo_ray.terms import Blank, IRI, Literal
+
+SELECT_DOC = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head><variable name="s"/><variable name="o"/></head>
+  <results>
+    <result>
+      <binding name="s"><uri>http://example.org/a</uri></binding>
+      <binding name="o"><literal xml:lang="en">hello</literal></binding>
+    </result>
+    <result>
+      <binding name="s"><bnode>b0</bnode></binding>
+      <binding name="o"><literal datatype="http://www.w3.org/2001/XMLSchema#integer">42</literal></binding>
+    </result>
+    <result>
+      <binding name="s"><uri>http://example.org/c</uri></binding>
+    </result>
+  </results>
+</sparql>"""
+
+ASK_TRUE = """<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head/><boolean>true</boolean></sparql>"""
+ASK_FALSE = """<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head/><boolean>false</boolean></sparql>"""
+
+
+def test_select_parse():
+    variables, rows = parse_select_results(SELECT_DOC)
+    assert variables == ["s", "o"]
+    assert rows[0] == {"s": IRI("http://example.org/a"), "o": Literal("hello", lang="en")}
+    assert rows[1] == {
+        "s": Blank("b0"),
+        "o": Literal("42", datatype="http://www.w3.org/2001/XMLSchema#integer"),
+    }
+    assert rows[2] == {"s": IRI("http://example.org/c")}  # unbound o omitted
+
+
+def test_ask_parse():
+    assert parse_ask_result(ASK_TRUE) is True
+    assert parse_ask_result(ASK_FALSE) is False
+    with pytest.raises(ValueError):
+        parse_ask_result(SELECT_DOC)
+
+
+def test_select_batch_udf():
+    batch = pa.table({"doc_id": [7], "text": [SELECT_DOC]})
+    out = parse_select_batch(batch)
+    assert out.num_rows == 5  # 2 + 2 + 1 bindings
+    assert set(out["var"].to_pylist()) == {"s", "o"}
+    assert out["doc_id"].to_pylist() == [7] * 5

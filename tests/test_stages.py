@@ -96,3 +96,32 @@ def test_coerce_literals():
     assert out["obj_as_int"].to_pylist() == [None, None, 4, None, None, None]
     assert out["obj_as_float"].to_pylist() == [None, None, None, None, 1.5, None]
     assert out["obj_as_bool"].to_pylist() == [None, None, None, True, None, None]
+
+
+def test_point_lookups(ray_session):
+    """M3: Graph.Get / GetAll / HasSubject over a small triple Dataset."""
+    import ray.data as rd
+
+    from argo_ray.stages.filter import (
+        get_all_objects,
+        get_first_object,
+        has_subject,
+    )
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    s, p = IRI("http://e/s"), IRI("http://e/p")
+    tab = triples_to_table(
+        [
+            (s, p, Literal("a")),
+            (s, p, Literal("b", lang="en")),
+            (s, IRI("http://e/q"), Literal("c")),
+        ],
+        with_hash=False,
+    )
+    ds = rd.from_arrow(tab)
+    assert has_subject(ds, s) is True
+    assert has_subject(ds, IRI("http://e/missing")) is False
+    assert get_first_object(ds, s, p) in (Literal("a"), Literal("b", lang="en"))
+    objs = set(get_all_objects(ds, s, p))
+    assert objs == {Literal("a"), Literal("b", lang="en")}
+    assert get_all_objects(ds, s, IRI("http://e/none")) == []
