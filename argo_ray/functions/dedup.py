@@ -404,3 +404,127 @@ def charset_jaccard_pairs(docs_ds, threshold: float = 1.0):
     return grouped_map(
         docs_ds.select_columns(["doc_id", "text", "source"]), "source", per_group
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(pairs_ds, max_iters: int = 20, distributed: bool = False):
+    """(doc_a, doc_b) pairs → (doc_id, component) with component = the
+    smallest doc_id reachable — the canonical near-dup clustering step
+    (keep one representative per component).
+
+    Default: union-find on the driver — candidate pairs are
+    O(true duplicates) by LSH construction, provably small relative to
+    the corpus.  ``distributed=True``: iterative min-label propagation
+    (per round: scatter labels across edges, ``groupby(node).min``) for
+    pair sets beyond one node; rounds ≈ component diameter.
+    """
+    import ray.data as rd
+
+    if not distributed:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in pairs_ds.take_all():
+            a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        nodes = sorted(parent.keys() | {find(k) for k in parent})
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes, pa.int64()),
+                    "component": pa.array([find(n) for n in nodes], pa.int64()),
+                }
+            )
+        )
+
+    def edges_batch(b: pa.Table) -> pa.Table:
+        a = pc.cast(b["doc_a"], pa.int64())
+        c = pc.cast(b["doc_b"], pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [a.combine_chunks(), c.combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [c.combine_chunks(), a.combine_chunks()]
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(edges_batch, batch_format="pyarrow").materialize()
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["src"],
+                    "label": pc.min_element_wise(b["src"], b["nbr_min"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_iters):
+        # scatter each node's label to its neighbors, take the min
+        scattered = edges.join(
+            labels.map_batches(
+                lambda b: b.rename_columns(["src", "label"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            on=("src",),
+            num_partitions=2,
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "cand": b["label"]}),
+            batch_format="pyarrow",
+        )
+        self_rows = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            scattered.union(self_rows)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["label"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # converged when the label multiset is unchanged
+        old_sum = labels.map_batches(
+            lambda b: pa.table({"s": [pc.sum(b["label"]).as_py() or 0]}),
+            batch_format="pyarrow",
+        ).sum("s")
+        new_sum = new_labels.map_batches(
+            lambda b: pa.table({"s": [pc.sum(b["label"]).as_py() or 0]}),
+            batch_format="pyarrow",
+        ).sum("s")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["node"], pa.int64()),
+                "component": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

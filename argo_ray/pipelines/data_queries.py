@@ -143,6 +143,17 @@ def q_ngram_jaccard(sf_dir: str):
     return charset_jaccard_pairs(_docs(sf_dir, ("doc_id", "text", "source")), threshold=1.0)
 
 
+def q_neardup_components(sf_dir: str):
+    """Connected components over the (oracle-checkable) char-set Jaccard
+    pair graph — near-dup clustering, component = min reachable doc_id."""
+    from ..functions.dedup import neardup_components
+
+    pairs = charset_jaccard_pairs(
+        _docs(sf_dir, ("doc_id", "text", "source")), threshold=1.0
+    )
+    return neardup_components(pairs)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Same-label cosine > 0.9 over the planted-copy corpus."""
     return embedding_neardup_pairs(_planted_embeddings(sf_dir), threshold=0.9)
@@ -179,6 +190,7 @@ DATA_QUERIES = {
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash_candidates": q_simhash_candidates,
     "ngram_jaccard": q_ngram_jaccard,
+    "neardup_components": q_neardup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "multimodal_features": q_multimodal_features,
@@ -225,6 +237,20 @@ FROM documents""",
 FROM documents a JOIN documents b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE jaccard(a.text, b.text) >= 1.0""",
+    "neardup_components": """WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE jaccard(a.text, b.text) >= 1.0
+), nodes AS (
+  SELECT a AS n FROM edges UNION SELECT b FROM edges
+), reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, CASE WHEN e.a = r.m THEN e.b ELSE e.a END
+  FROM reach r JOIN edges e ON e.a = r.m OR e.b = r.m
+)
+SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n""",
     "embedding_neardup": _PLANTED_EMB_CTE
     + """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id

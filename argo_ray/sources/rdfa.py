@@ -473,6 +473,42 @@ def extract_rdfa_batch(
     return append_subject_hash(table)
 
 
+def extract_errors_batch(
+    batch: pa.Table, html_column: str = "html", url_column: str = "url", salt: str = ""
+) -> pa.Table:
+    """Quarantine side-channel: one row per page the extractor rejects
+    (url, error kind, message) — the errors table of SURVEY §4's
+    poison-page design.  Reference precedent: parse errors stream to
+    errChan with position info and never abort sibling sources
+    (rdf/rdf.go:414-420, ntriples.go:31-51).
+
+    Run as its own ``map_batches`` pass over the same pages Dataset the
+    extraction pass consumes (both streams read the input once each;
+    Ray Data has no two-output operators).
+    """
+    urls, kinds, msgs = [], [], []
+    for html, url in zip(
+        batch[html_column].to_pylist(), batch[url_column].to_pylist()
+    ):
+        if isinstance(html, bytes):
+            html = html.decode("utf-8", errors="replace")
+        try:
+            if html is None:
+                raise TypeError("null html payload")
+            extract_rdfa(html, url, salt)
+        except Exception as e:  # noqa: BLE001 — quarantine everything
+            urls.append(url)
+            kinds.append(type(e).__name__)
+            msgs.append(str(e)[:500])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "error_kind": pa.array(kinds, pa.string()),
+            "error": pa.array(msgs, pa.string()),
+        }
+    )
+
+
 def extract_text_batch(
     batch: pa.Table, html_column: str = "html", out_column: str = "extracted_text"
 ) -> pa.Table:

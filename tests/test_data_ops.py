@@ -197,3 +197,30 @@ def test_simhash_batch_uint64(ray_session):
     b = pa.table({"doc_id": [1], "text": ["a b c"]})
     out = simhash_batch(b)
     assert out["simhash"].type == pa.uint64()
+
+
+def test_neardup_components_union_find_vs_oracle(ray_session):
+    """Components over the char-set Jaccard pair graph match the
+    recursive-SQL transitive closure; distributed label propagation
+    agrees with driver union-find."""
+    import duckdb
+
+    from argo_ray.functions.dedup import charset_jaccard_pairs, neardup_components
+    from argo_ray.pipelines.data_queries import DATA_ORACLES, _docs
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    expected = {tuple(r) for r in con.execute(DATA_ORACLES["neardup_components"]).fetchall()}
+
+    pairs = charset_jaccard_pairs(_docs(sf, ("doc_id", "text", "source")), threshold=1.0)
+    got = {(r["doc_id"], r["component"]) for r in neardup_components(pairs).take_all()}
+    assert got == expected
+    assert len(got) > 0
+
+    pairs2 = charset_jaccard_pairs(_docs(sf, ("doc_id", "text", "source")), threshold=1.0)
+    dist = {
+        (r["doc_id"], r["component"])
+        for r in neardup_components(pairs2, distributed=True).take_all()
+    }
+    assert dist == expected

@@ -192,3 +192,29 @@ def test_extract_batch():
     assert out.num_rows > 6 * 20
     assert "subject_hash" in out.column_names
     assert out["subj_kind"].type == pa.uint8()
+
+
+def test_poison_page_quarantine():
+    """Poison pages: extraction skips, the errors side-channel records."""
+    import pyarrow as pa
+
+    from argo_ray.sources.rdfa import extract_errors_batch, extract_rdfa_batch
+
+    bad = pa.table(
+        {
+            "url": pa.array(
+                ["http://x/ok", "http://x/null", "http://x/garbage", "http://x/trunc"],
+                pa.string(),
+            ),
+            "html": pa.array(
+                [b"<div property='p' vocab='v'>fine</div>", None,
+                 b"\xff\xfe\x00garbage", b"<div property="],
+                pa.binary(),
+            ),
+        }
+    )
+    out = extract_rdfa_batch(bad)
+    assert out.num_rows == 1  # only the good page emits
+    errs = extract_errors_batch(bad)
+    assert "http://x/null" in errs["url"].to_pylist()
+    assert set(errs.column_names) == {"url", "error_kind", "error"}
