@@ -169,6 +169,79 @@ def q_multimodal_features(sf_dir: str):
     return multimodal_features(sf_dir)
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent
+    strictly-earlier click."""
+    from ..stages.windows import asof_join_events
+
+    return asof_join_events(_events(sf_dir), "purchase", "click")
+
+
+def q_top_users(sf_dir: str):
+    """Top-10 users by event count (sort + limit with deterministic
+    tie-break)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _events(sf_dir)
+        .select_columns(["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    top = out.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped aggregate over lineitem (generic relational
+    capability): partial per-batch combine → small groupby.  Money as
+    floored integer cents so Ray and DuckDB sums are exactly equal."""
+    import numpy as np
+
+    from ..io import read_table
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["qty"] = df["l_quantity"].astype(np.int64)
+        df["price_cents"] = np.floor(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                partial_n=("qty", "size"),
+                partial_qty=("qty", "sum"),
+                partial_cents=("price_cents", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("partial_n", alias_name="n_rows"),
+            Sum("partial_qty", alias_name="sum_qty"),
+            Sum("partial_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
 def q_events_window_hourly(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir), every="hour")
 
@@ -197,6 +270,9 @@ DATA_QUERIES = {
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
+    "events_asof": q_events_asof,
+    "top_users": q_top_users,
+    "lineitem_pricing": q_lineitem_pricing,
 }
 
 
@@ -268,6 +344,23 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9""",
        CAST(strlen(text) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5
 FROM documents""",
+    "events_asof": """SELECT left_id, right_id FROM (
+  SELECT p.event_id AS left_id, c.event_id AS right_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id AND c.ts < p.ts AND c.event_type = 'click'
+  WHERE p.event_type = 'purchase'
+) WHERE rn = 1""",
+    "top_users": """SELECT user_id, n_events FROM (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+) ORDER BY n_events DESC, user_id LIMIT 10""",
+    "lineitem_pricing": """SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "events_window_hourly": """SELECT event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -75,6 +75,54 @@ def sessionize(events_ds, gap_minutes: int = 30):
     )
 
 
+def asof_join_events(events_ds, left_type: str, right_type: str):
+    """As-of join (custom operator — absent in both the reference and
+    Ray Data): each ``left_type`` event matched to the most recent
+    strictly-earlier ``right_type`` event of the same user.
+
+    Physical plan: partition by ``user_id`` (the equi-key) via the
+    range-partition ``grouped_map``, then ``pd.merge_asof`` over the
+    time-sorted group — the documented partitioning assumption is that
+    one user's history fits one group.  Ties on ts resolve to the
+    largest event_id (right side sorted by (ts, event_id); merge_asof
+    takes the last qualifying row), matching the oracle's
+    ``ORDER BY ts DESC, event_id DESC`` pick.
+    """
+    from .grouping import grouped_map
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values("ts")
+        right = g[g["event_type"] == right_type].sort_values(
+            ["ts", "event_id"]
+        )
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype="int64"),
+                    "right_id": pd.Series([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            left[["event_id", "ts"]],
+            right[["event_id", "ts"]].rename(columns={"event_id": "right_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        ).dropna(subset=["right_id"])
+        return pd.DataFrame(
+            {
+                "left_id": m["event_id"].astype("int64"),
+                "right_id": m["right_id"].astype("int64"),
+            }
+        )
+
+    return grouped_map(
+        events_ds.select_columns(["event_id", "ts", "user_id", "event_type"]),
+        "user_id",
+        per_user,
+    )
+
+
 def sliding_window_count(events_ds, size_minutes: int = 60, slide_minutes: int = 30):
     """Sliding windows via flat-map into the (size/slide) overlapping
     window starts each event belongs to, then the same partial→global
