@@ -177,6 +177,13 @@ def q_events_asof(sf_dir: str):
     return asof_join_events(_events(sf_dir), "purchase", "click")
 
 
+def q_events_range_join(sf_dir: str):
+    """Range join: all clicks in the 30 minutes before each purchase."""
+    from ..stages.windows import range_join_events
+
+    return range_join_events(_events(sf_dir), "purchase", "click", window_minutes=30)
+
+
 def q_top_users(sf_dir: str):
     """Top-10 users by event count (sort + limit with deterministic
     tie-break)."""
@@ -271,6 +278,7 @@ DATA_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "top_users": q_top_users,
     "lineitem_pricing": q_lineitem_pricing,
 }
@@ -353,6 +361,12 @@ FROM documents""",
     ON p.user_id = c.user_id AND c.ts < p.ts AND c.event_type = 'click'
   WHERE p.event_type = 'purchase'
 ) WHERE rn = 1""",
+    "events_range_join": """SELECT p.event_id AS left_id, c.event_id AS right_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts < p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+ AND c.event_type = 'click'
+WHERE p.event_type = 'purchase'""",
     "top_users": """SELECT user_id, n_events FROM (
   SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 ) ORDER BY n_events DESC, user_id LIMIT 10""",

@@ -123,6 +123,57 @@ def asof_join_events(events_ds, left_type: str, right_type: str):
     )
 
 
+def range_join_events(
+    events_ds, left_type: str, right_type: str, window_minutes: int = 30
+):
+    """Range join (custom operator): all (left, right) same-user pairs
+    with ``left.ts - window < right.ts < left.ts``.
+
+    Same partitioning assumption as the as-of join (one user per
+    group); within a group the pairing is a vectorized double
+    ``searchsorted`` over the time-sorted right side — no per-pair
+    Python loop.
+    """
+    import numpy as np
+
+    from .grouping import grouped_map
+
+    window = pd.Timedelta(minutes=window_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values("ts")
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        empty = pd.DataFrame(
+            {
+                "left_id": pd.Series([], dtype="int64"),
+                "right_id": pd.Series([], dtype="int64"),
+            }
+        )
+        if left.empty or right.empty:
+            return empty
+        rts = right["ts"].to_numpy()
+        rid = right["event_id"].to_numpy()
+        lo = np.searchsorted(rts, (left["ts"] - window).to_numpy(), side="right")
+        hi = np.searchsorted(rts, left["ts"].to_numpy(), side="left")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return empty
+        lids = np.repeat(left["event_id"].to_numpy(), counts)
+        rix = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+        return pd.DataFrame(
+            {
+                "left_id": lids.astype("int64"),
+                "right_id": rid[rix].astype("int64"),
+            }
+        )
+
+    return grouped_map(
+        events_ds.select_columns(["event_id", "ts", "user_id", "event_type"]),
+        "user_id",
+        per_user,
+    )
+
+
 def sliding_window_count(events_ds, size_minutes: int = 60, slide_minutes: int = 30):
     """Sliding windows via flat-map into the (size/slide) overlapping
     window starts each event belongs to, then the same partial→global
