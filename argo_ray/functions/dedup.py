@@ -134,40 +134,85 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        # batch-level shingle hashing: ONE Rust hash kernel over every
+        # shingle in the batch (polars), then a per-doc vectorized
+        # affine+min — replaces ~200 blake2b calls per document
+        texts = batch["text"].to_pylist()
+        all_shingles: list[str] = []
+        bounds = [0]
+        for t in texts:
+            words = t.split(" ")
+            if len(words) < self.k:
+                all_shingles.append(" ".join(words))
+            else:
+                all_shingles.extend(
+                    {
+                        " ".join(words[i : i + self.k])
+                        for i in range(len(words) - self.k + 1)
+                    }
+                )
+            bounds.append(len(all_shingles))
+        try:
+            import polars as pl
+
+            hashed = (
+                pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)
+                >> np.uint64(3)
+            )
+        except Exception:
+            hashed = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    >> 3
+                    for s in all_shingles
+                ],
+                dtype=np.uint64,
+            )
+        sigs = np.empty((len(texts), self.num_hashes), dtype=np.uint64)
+        a, b = self.a[:, None], self.b[:, None]
+        for i in range(len(texts)):
+            x = hashed[bounds[i] : bounds[i + 1]]
+            vals = (a * x[None, :] + b) % _MERSENNE
+            sigs[i] = vals.min(axis=1)
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "signature": pa.array(
-                    [s.tolist() for s in sigs], pa.list_(pa.uint64())
-                ),
+                "signature": pa.array(sigs.tolist(), pa.list_(pa.uint64())),
             }
         )
 
 
 def explode_bands_batch(batch: pa.Table, bands: int = 8) -> pa.Table:
     """(doc_id, signature) → (band_id, band_hash, doc_id) rows — the LSH
-    bucket key explosion (rows = docs × bands, the bounded shuffle)."""
-    doc_ids = batch["doc_id"].to_pylist()
-    sigs = batch["signature"].to_pylist()
-    out_band, out_hash, out_doc = [], [], []
-    for did, sig in zip(doc_ids, sigs):
-        rows = len(sig) // bands
-        for b in range(bands):
-            chunk = bytes()
-            for v in sig[b * rows : (b + 1) * rows]:
-                chunk += int(v).to_bytes(8, "big")
-            h = int.from_bytes(
-                hashlib.blake2b(chunk, digest_size=8).digest(), "big"
-            ) >> 1
-            out_band.append(b)
-            out_hash.append(h)
-            out_doc.append(did)
+    bucket key explosion (rows = docs × bands, the bounded shuffle).
+    Band hash = vectorized FNV-1a fold over the band's signature chunk
+    (uint64 wrap-around is the FNV modulus)."""
+    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    sigs = np.asarray(batch["signature"].to_pylist(), dtype=np.uint64)  # (n, H)
+    if sigs.size == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    n, H = sigs.shape
+    rows = H // bands
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(rows):
+            h = (h ^ chunks[:, :, j]) * np.uint64(0x100000001B3)
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(h.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
         }
     )
 
