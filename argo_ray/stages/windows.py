@@ -54,24 +54,43 @@ def tumbling_window_agg(events_ds, every: str = "hour"):
 def sessionize(events_ds, gap_minutes: int = 30):
     """Sessions per user: events sorted by ts within the user partition;
     a gap > ``gap_minutes`` starts a new session.  → (user_id,
-    n_sessions, n_events)."""
+    n_sessions, n_events).
+
+    Fully vectorized: sort co-locates each user's rows in one block
+    (range partition on user_id), then one pandas pass per block — a
+    session starts at every user change or over-gap diff; per-user
+    counts come from a C-level groupby, never per-group Python (the
+    pattern that survives millions of users).
+    """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        new_session = ts.diff() > gap
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(new_session.sum()) + 1],
-                "n_events": [len(g)],
-            }
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        over_gap = df["ts"].diff() > gap
+        starts = (new_user | over_gap).astype("int64")
+        out = (
+            df.assign(_s=starts)
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("_s", "sum"), n_events=("_s", "size"))
+            .reset_index()
+        )
+        return out.astype(
+            {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"}
         )
 
-    from .grouping import grouped_map
-
-    return grouped_map(
-        events_ds.select_columns(["user_id", "ts"]), "user_id", per_user
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .sort("user_id")
+        .map_batches(per_block, batch_format="pandas", batch_size=None)
     )
 
 

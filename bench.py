@@ -108,6 +108,17 @@ def run_once() -> dict:
         "triples": triples,
         "triples_per_sec": round(triples / sec, 1),
     }
+    if replicate == 1:
+        # at raw sf0.1 the job is fixed-cost-dominated; also report
+        # throughput on the deterministic scale input (160× corpus) so
+        # the headline reflects compute-bound capability
+        sec_s, triples_s = _headline(sf_dir, replicate=160)
+        result["scale_input"] = {
+            "replicate": 160,
+            "sec": round(sec_s, 3),
+            "triples": triples_s,
+            "triples_per_sec": round(triples_s / sec_s, 1),
+        }
     ray.shutdown()
     return result
 
