@@ -135,6 +135,104 @@ def embedding_neardup_pairs(embeddings_ds, threshold: float = 0.9):
     return grouped_map(embeddings_ds, "label", per_group)
 
 
+def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic mini k-means on normalized vectors (the IVF coarse
+    quantizer).  Init: evenly-spaced rows of the (vec_id-ordered)
+    sample — reproducible across runs and nodes."""
+    sample = _normalize(sample)
+    idx = np.linspace(0, len(sample) - 1, nlist).astype(int)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    iters: int = 5,
+):
+    """IVF ANN (the coarse-quantizer scale path, alternative to
+    :func:`lsh_bucketed_topk`): k-means cells over a bounded training
+    sample, each batch scored only against queries probing its cell.
+
+    Distributed shape: centroids train on a driver-side sample (bounded:
+    ``train_size`` rows), ship once via ``ray.put``; cell assignment and
+    scoring are vectorized ``map_batches``; final reduce is the same
+    bounded partial-top-k merge as exact search.  Approximate — recall
+    governed by ``nprobe``/``nlist``.
+    """
+    import ray
+
+    train = embeddings_ds.limit(train_size).take_all()
+    train_m = np.asarray([r["embedding"] for r in train], dtype=np.float64)
+    cent = _kmeans(train_m, nlist, iters, seed=0)
+
+    qrows = embeddings_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
+    order = np.argsort(qids)
+    qids, qm = qids[order], qm[order]
+    # per query: its nprobe nearest cells
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((qids, qm, cent, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, qm_, cent_, probe_ = ray.get(ref) if not isinstance(ref, tuple) else ref
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        cells = np.argmax(m @ cent_.T, axis=1)  # (N,)
+        out_q, out_v, out_s = [], [], []
+        scores = qm_ @ m.T  # (Q, N)
+        in_probe = (probe_[:, :, None] == cells[None, None, :]).any(axis=1)  # (Q, N)
+        self_mask = qids_[:, None] == vec_ids[None, :]
+        valid = in_probe & ~self_mask
+        for qi in range(len(qids_)):
+            cand = np.nonzero(valid[qi])[0]
+            if not len(cand):
+                continue
+            top = cand[np.argsort(-scores[qi, cand])[: k]]
+            for j in top:
+                out_q.append(int(qids_[qi]))
+                out_v.append(int(vec_ids[j]))
+                out_s.append(float(scores[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    df = embeddings_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        )
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].astype("int64"), preserve_index=False
+    )
+
+
 class HyperplaneLSH:
     """Random-hyperplane signature stage (scale path for ANN): ``bits``
     sign bits → bucket id.  Hyperplanes derived from a fixed seed once

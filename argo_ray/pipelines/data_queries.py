@@ -164,6 +164,14 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN scale path (approximate — rows-only check; pytest bounds
+    recall vs brute force)."""
+    from ..functions.ann import ivf_topk
+
+    return ivf_topk(_embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10, nprobe=8)
+
+
 def q_multimodal_features(sf_dir: str):
     """Binary-column actor-pool feature extraction."""
     return multimodal_features(sf_dir)
@@ -273,6 +281,7 @@ DATA_QUERIES = {
     "neardup_components": q_neardup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,

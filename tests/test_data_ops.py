@@ -224,3 +224,23 @@ def test_neardup_components_union_find_vs_oracle(ray_session):
         for r in neardup_components(pairs2, distributed=True).take_all()
     }
     assert dist == expected
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF ANN: recall@10 vs exact brute force with nprobe=8/16
+    cells (synthetic embeddings are near-uniform — IVF worst case); exact self-consistency of the layout."""
+    from argo_ray.functions.ann import cosine_topk, ivf_topk
+    from argo_ray.pipelines.data_queries import _embeddings
+
+    sf = "/root/testdata/sf0.001"
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(_embeddings(sf), qids, k=10).to_pandas()
+    approx = ivf_topk(_embeddings(sf), qids, k=10, nlist=16, nprobe=8).to_pandas()
+    assert set(approx.columns) == {"query_id", "rank", "vec_id"}
+    hits = 0
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        hits += len(e & a)
+    recall = hits / (len(qids) * 10)
+    assert recall >= 0.75, recall
