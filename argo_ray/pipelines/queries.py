@@ -198,24 +198,40 @@ def q_split_prefix(sf_dir: str):
 
 
 def q_group_subject_count(sf_dir: str):
-    """A1/A2: triples per subject (the subject group-by)."""
-    ds = _finalize(_deduped(sf_dir))
+    """A1/A2: distinct triples per subject in ONE shuffle — the
+    subject_hash sort co-locates a subject's every row (duplicates of a
+    triple share its subject), so per-block dedup + count is globally
+    correct without a separate dedup exchange."""
+    from ..stages.materialize import _dedup_within_batch
 
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "subj_kind": b["subj_kind"],
-                "subj_value": pc.cast(b["subj_value"], pa.string()),
-                "one": pa.array([1] * b.num_rows, pa.int64()),
-            }
+    ds = _extract(sf_dir).map_batches(
+        lambda b: b.drop_columns(["url"]), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(_dedup_within_batch, batch_format="pyarrow")
+
+    def count_block(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "subj_kind": pd.Series([], dtype="int64"),
+                    "subj_value": pd.Series([], dtype="object"),
+                    "n_triples": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.drop_duplicates(subset=TRIPLE_COLUMNS, keep="first")
+        out = (
+            df.groupby(["subj_kind", "subj_value"], sort=False)
+            .size()
+            .rename("n_triples")
+            .reset_index()
         )
+        out["subj_kind"] = out["subj_kind"].astype("int64")
+        return out
 
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["subj_kind", "subj_value"])
-        .aggregate(Sum("one", alias_name="n_triples"))
+    return ds.sort("subject_hash").map_batches(
+        count_block, batch_format="pandas", batch_size=None
     )
 
 
