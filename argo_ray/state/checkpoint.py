@@ -65,10 +65,31 @@ class CheckpointManifest:
 
 
 def plan_partitions(sf_dir: str, num_partitions: int) -> list[dict]:
-    """Partition the input deterministically.  With a real multi-file
-    corpus the unit is the input fragment (file); the driver testdata is
-    one file per table, so partitions are doc_id hash classes with the
-    file recorded as the input fragment."""
+    """Partition the input deterministically.
+
+    Multi-file corpus (the 100 TB layout — a directory of shards): the
+    unit is the input fragment; each partition reads ONLY its file
+    subset, no filtering, no re-reads.  Single-file testdata: fall back
+    to doc_id hash classes over the one file (each partition re-reads
+    the small file — acceptable only at test scale, and the manifest
+    records which mode ran).
+    """
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(sf_dir, "documents*.parquet"))
+        + glob.glob(os.path.join(sf_dir, "documents", "*.parquet"))
+    )
+    if len(files) > 1:
+        n = min(num_partitions, len(files))
+        return [
+            {
+                "partition_id": pid,
+                "input_fragments": files[pid::n],
+                "predicate": None,
+            }
+            for pid in range(n)
+        ]
     path = f"{sf_dir}/documents.parquet"
     return [
         {
@@ -90,17 +111,18 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     from ..stages.materialize import dedup_exact
 
     pid = spec["partition_id"]
-    pred = spec["predicate"]
+    pred = spec.get("predicate")
     t0 = time.time()
 
-    import numpy as np
-
-    def part_filter(b: pa.Table) -> pa.Table:
-        vals = b[pred["column"]].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.filter(pa.array(vals % pred["mod"] == pred["rem"]))
-
     ds = rd.read_parquet(spec["input_fragments"])
-    ds = ds.map_batches(part_filter, batch_format="pyarrow")
+    if pred is not None:
+        import numpy as np
+
+        def part_filter(b: pa.Table) -> pa.Table:
+            vals = b[pred["column"]].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(vals % pred["mod"] == pred["rem"]))
+
+        ds = ds.map_batches(part_filter, batch_format="pyarrow")
     n_docs = ds.count()
     pages = ds.map_batches(synth_pages_batch, batch_format="pyarrow")
     triples = pages.map_batches(

@@ -71,3 +71,29 @@ def test_partition_outputs_are_valid_parquet(ray_session, out_dir):
     assert files
     t = pq.read_table(os.path.join(part0, files[0]))
     assert "subj_value" in t.column_names
+
+
+def test_multi_file_fragment_partitioning(ray_session, tmp_path):
+    """Multi-file corpus: partitions are disjoint file subsets (no
+    re-read + filter), result identical to single-file mode."""
+    import pyarrow.parquet as pq
+
+    from argo_ray.state.checkpoint import plan_partitions, run_checkpointed
+
+    # split the sf0.001 documents into 4 shard files
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    n = src.num_rows
+    for i in range(4):
+        pq.write_table(src.slice(i * n // 4, n // 4 + (n % 4 if i == 3 else 0)),
+                       corpus / f"documents-{i:03d}.parquet")
+
+    specs = plan_partitions(str(corpus), 4)
+    assert all(s["predicate"] is None for s in specs)
+    all_frags = [f for s in specs for f in s["input_fragments"]]
+    assert len(all_frags) == len(set(all_frags)) == 4  # disjoint cover
+
+    out = tmp_path / "out"
+    summary = run_checkpointed(str(corpus), str(out), num_partitions=4)
+    assert summary["total_triples_deduped"] == 3144  # same as single-file flagship
