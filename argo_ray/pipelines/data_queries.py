@@ -257,6 +257,40 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
 
+def q_events_props_extract(sf_dir: str):
+    """JSON-props field extraction (vectorized ``extract_regex``, no
+    per-row json.loads) → per-event-type sum/count of ``props.k``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = pc.extract_regex(
+            pc.cast(b["props"], pa.large_string()), r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_pylist(), "k": k.to_pylist()}
+        )
+        agg = (
+            df.groupby("event_type", sort=False)
+            .agg(partial_n=("k", "size"), partial_sum=("k", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        _events(sf_dir)
+        .select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("partial_n", alias_name="n_events"),
+            Sum("partial_sum", alias_name="sum_k"),
+        )
+    )
+
+
 def q_events_window_hourly(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir), every="hour")
 
@@ -288,6 +322,7 @@ DATA_QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "events_props_extract": q_events_props_extract,
     "top_users": q_top_users,
     "lineitem_pricing": q_lineitem_pricing,
 }
@@ -376,6 +411,10 @@ FROM events p JOIN events c
  AND c.ts < p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
  AND c.event_type = 'click'
 WHERE p.event_type = 'purchase'""",
+    "events_props_extract": """SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type""",
     "top_users": """SELECT user_id, n_events FROM (
   SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 ) ORDER BY n_events DESC, user_id LIMIT 10""",

@@ -53,6 +53,11 @@ exp AS (
 )
 """
 
+# Same expected-triples CTE with per-row provenance: every branch gains
+# the asserting page's url as its first column.
+_DOCS_PART, _EXP_PART = EXP_CTE.split("exp AS (")
+EXP_URL_CTE = _DOCS_PART + "exp AS (" + _EXP_PART.replace("SELECT ", "SELECT url, ")
+
 TERM_COLS = """subj_kind, subj_value, subj_lang, subj_datatype,
        pred_kind, pred_value, pred_lang, pred_datatype,
        obj_kind, obj_value, obj_lang, obj_datatype"""
@@ -100,6 +105,8 @@ FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
     "squirtle_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "rdfjson_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "store_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "dedup_provenance": EXP_URL_CTE
+    + f"SELECT MIN(url) AS url, {TERM_COLS} FROM exp GROUP BY {TERM_COLS}",
     "filter_pattern": EXP_CTE
     + f"""SELECT DISTINCT subj_value, obj_value AS lang_value
 FROM exp WHERE pred_value = '{DC}language'""",

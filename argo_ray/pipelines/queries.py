@@ -366,6 +366,23 @@ def q_entity_link_join(sf_dir: str):
     return distinct_rows(ds, ["subj_value", "entity_value"])
 
 
+def q_dedup_provenance(sf_dir: str):
+    """A4 with provenance: distinct triples each carrying the smallest
+    source url (deterministic MIN — oracle-reproducible lineage)."""
+    ds = dedup_exact(_extract(sf_dir), keep_provenance=True)
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {"url": pc.cast(b["url"], pa.string())}
+        for name in TRIPLE_COLUMNS:
+            col = b[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
 def q_store_roundtrip(sf_dir: str):
     """K7: dictionary-encoded Parquet store — encode → write → read →
     decode reproduces the distinct triple set."""
@@ -400,4 +417,5 @@ KG_QUERIES = {
     "entity_link": q_entity_link,
     "entity_link_join": q_entity_link_join,
     "store_roundtrip": q_store_roundtrip,
+    "dedup_provenance": q_dedup_provenance,
 }

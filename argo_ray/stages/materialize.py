@@ -56,12 +56,13 @@ def dedup_exact(ds, keep_provenance: bool = False):
 
     ``keep_provenance=False`` drops the ``url`` column first so identical
     assertions from different pages collapse (matches ``SELECT
-    DISTINCT`` over the 12 term columns); ``True`` keeps the first url
-    seen per triple.
+    DISTINCT`` over the 12 term columns); ``True`` keeps the smallest
+    url per triple (MIN — deterministic, unlike "first seen", so the
+    relational oracle can reproduce it).
 
     Shuffle shape: sort on ``triple_hash`` (uniform 64-bit → skew-proof
     range partition; equal triples always co-locate in one block) then a
-    single vectorized per-block drop-duplicates — no per-group dispatch.
+    single vectorized per-block pass — no per-group dispatch.
     """
     from .grouping import sorted_unique
 
@@ -70,9 +71,32 @@ def dedup_exact(ds, keep_provenance: bool = False):
             lambda b: b.drop_columns([c for c in ("url",) if c in b.column_names]),
             batch_format="pyarrow",
         )
-    ds = ds.map_batches(_dedup_within_batch, batch_format="pyarrow")
+        ds = ds.map_batches(_dedup_within_batch, batch_format="pyarrow")
+        ds = ds.map_batches(append_triple_hash, batch_format="pyarrow")
+        return sorted_unique(ds, TRIPLE_COLUMNS, DEDUP_KEY)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = [c for c in batch.column_names if c != "url"]
+        out = df.groupby(keys, sort=False, dropna=False)["url"].min().reset_index()
+        out = out[batch.column_names]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(batch.schema)
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
     ds = ds.map_batches(append_triple_hash, batch_format="pyarrow")
-    return sorted_unique(ds, TRIPLE_COLUMNS, DEDUP_KEY)
+
+    def min_url_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return batch
+        keys = [c for c in batch.column_names if c != "url"]
+        out = df.groupby(keys, sort=False, dropna=False)["url"].min().reset_index()
+        out = out[batch.column_names]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(batch.schema)
+
+    return ds.sort(DEDUP_KEY).map_batches(
+        min_url_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 def distinct_rows(ds, cols: list[str]):
