@@ -156,6 +156,11 @@ WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
 SELECT DISTINCT e.subj_value, c.entity_iri AS entity_value
 FROM exp e JOIN cand c ON e.obj_value = c.surface_form
 WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
+    "list_roundtrip": EXP_CTE
+    + """SELECT entity AS subj_value, CAST(n AS BIGINT) AS pos,
+       string_split(title, ' ')[n] AS word
+FROM docs, (SELECT UNNEST([1, 2, 3]) AS n) ns
+WHERE len(string_split(title, ' ')) >= n""",
     "container_encode": EXP_CTE
     + f"""SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#_' || n AS pred_value,

@@ -397,6 +397,41 @@ def q_store_roundtrip(sf_dir: str):
     return _finalize(decode_store(out))
 
 
+def q_list_roundtrip(sf_dir: str):
+    """M11 lists: title words → rdf:first/rest/nil cons chain → decode
+    back in-pipeline → (subj_value, pos, word).  Encode and decode run
+    inside one batch (a document's cons cells are document-local blank
+    nodes — the same per-document locality the skolemizer guarantees)."""
+    from ..io import read_table
+    from ..pages import title_of
+    from ..stages.containers import decode_list, encode_list
+    from ..terms import Literal
+
+    def rt(b: pa.Table) -> pa.Table:
+        subjects, positions, words = [], [], []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            root = IRI(entity_iri(did))
+            items = [Literal(w) for w in title_of(text).split(" ")[:3]]
+            triples = encode_list(root, items, list_key=str(did))
+            back = decode_list(triples, root)
+            assert back == items
+            for i, term in enumerate(back, start=1):
+                subjects.append(entity_iri(did))
+                positions.append(i)
+                words.append(term.value)
+        return pa.table(
+            {
+                "subj_value": pa.array(subjects, pa.string()),
+                "pos": pa.array(positions, pa.int64()),
+                "word": pa.array(words, pa.string()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        rt, batch_format="pyarrow"
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -418,4 +453,5 @@ KG_QUERIES = {
     "entity_link_join": q_entity_link_join,
     "store_roundtrip": q_store_roundtrip,
     "dedup_provenance": q_dedup_provenance,
+    "list_roundtrip": q_list_roundtrip,
 }
