@@ -122,6 +122,90 @@ class ImageDecoder:
         )
 
 
+class ImageResizer:
+    """Resize stage over decoded pixel rows (``ImageDecoder`` output
+    layout).  Real path needs PIL/cv2 (absent) → ``NotImplementedError``;
+    ``fake=True`` does deterministic nearest-neighbor subsampling on the
+    raw pixel buffer so the plumbing (schema in/out, batch sizing) runs
+    end-to-end in tests.
+    """
+
+    def __init__(self, target_h: int = 4, target_w: int = 4, fake: bool = False):
+        self.h, self.w = target_h, target_w
+        self.fake = fake
+
+    def _resize(self, h: int, w: int, c: int, pixels: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resize requires PIL/cv2, absent here; use "
+                "ImageResizer(fake=True) for the deterministic test double"
+            )
+        arr = np.frombuffer(pixels, dtype=np.uint8)[: h * w * c].reshape(h, w, c)
+        ys = np.linspace(0, h - 1, self.h).astype(int)
+        xs = np.linspace(0, w - 1, self.w).astype(int)
+        return arr[np.ix_(ys, xs)].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_px = [
+            self._resize(h, w, c, p)
+            for h, w, c, p in zip(
+                batch["height"].to_pylist(),
+                batch["width"].to_pylist(),
+                batch["channels"].to_pylist(),
+                batch["pixels"].to_pylist(),
+            )
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "item_id": pc.cast(batch["item_id"], pa.int64()),
+                "height": pa.array([self.h] * n, pa.int32()),
+                "width": pa.array([self.w] * n, pa.int32()),
+                "channels": batch["channels"],
+                "pixels": pa.array(out_px, pa.binary()),
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame-sample stage: opaque video ``payload`` → ``n_frames``
+    evenly-spaced frame rows (one output row per frame — flat_map
+    shape).  Real path needs a video codec (absent) →
+    ``NotImplementedError``; ``fake=True`` derives deterministic
+    fixed-size pseudo-frames from the payload digest + frame index.
+    """
+
+    def __init__(self, n_frames: int = 4, fake: bool = False):
+        self.n = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video decoding requires an absent codec library; use "
+                "FrameSampler(fake=True) for the deterministic test double"
+            )
+        ids, fidx, frames = [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            d = hashlib.md5(payload or b"").digest()
+            for i in range(self.n):
+                ids.append(item_id)
+                fidx.append(i)
+                frames.append(hashlib.md5(d + bytes([i])).digest() * 4)  # 8x8x1
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "height": pa.array([8] * len(ids), pa.int32()),
+                "width": pa.array([8] * len(ids), pa.int32()),
+                "channels": pa.array([1] * len(ids), pa.int32()),
+                "pixels": pa.array(frames, pa.binary()),
+            }
+        )
+
+
 def documents_as_binary(sf_dir: str):
     """Adapter: the documents table viewed as a multimodal binary corpus
     (utf-8 payloads) — exercises the binary plumbing with a payload the

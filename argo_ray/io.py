@@ -28,6 +28,12 @@ def configure_context() -> None:
     pipelines pre-combine before every shuffle, blocks are bounded
     (~50 MB), and the object store spills, so the starvation scenario
     the reservation guards against does not apply.
+
+    Flip side: with reservation off, CHAINED actor pools must be sized
+    so pools + upstream tasks fit the session CPU count (two
+    concurrency=2 pools on a 4-CPU session deadlock the read stage) —
+    keep one pool per pipeline, or size pools at concurrency ≤
+    cpus/2 - 1.
     """
     global _CONFIGURED
     if _CONFIGURED:

@@ -244,3 +244,50 @@ def test_ivf_topk_recall(ray_session):
         hits += len(e & a)
     recall = hits / (len(qids) * 10)
     assert recall >= 0.75, recall
+
+
+def test_multimodal_resize_and_framesample(ray_session):
+    """Decode → resize and video → frame-sample actor stages: schemas,
+    batch plumbing and determinism (fake codec doubles)."""
+    from argo_ray.functions.multimodal import (
+        FrameSampler,
+        ImageDecoder,
+        ImageResizer,
+        documents_as_binary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = documents_as_binary(sf).limit(40)
+    # chained actor pools: size them so pools + read tasks fit the
+    # 4-CPU test session (reservation is disabled engine-wide)
+    decoded = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=1, batch_size=16,
+        fn_constructor_kwargs={"fake": True},
+    )
+    resized = decoded.map_batches(
+        ImageResizer, batch_format="pyarrow", concurrency=1, batch_size=16,
+        fn_constructor_kwargs={"target_h": 4, "target_w": 4, "fake": True},
+    )
+    rows = resized.take_all()
+    assert len(rows) == 40
+    assert all(r["height"] == 4 and r["width"] == 4 for r in rows)
+    assert all(len(r["pixels"]) == 16 for r in rows)
+
+    frames = documents_as_binary(sf).limit(10).map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=1, batch_size=8,
+        fn_constructor_kwargs={"n_frames": 3, "fake": True},
+    )
+    frows = frames.take_all()
+    assert len(frows) == 30
+    assert {r["frame_idx"] for r in frows} == {0, 1, 2}
+    # deterministic across runs
+    frows2 = documents_as_binary(sf).limit(10).map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=1, batch_size=8,
+        fn_constructor_kwargs={"n_frames": 3, "fake": True},
+    ).take_all()
+    assert sorted(map(str, frows)) == sorted(map(str, frows2))
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ImageResizer()._resize(8, 8, 1, b"\0" * 64)
