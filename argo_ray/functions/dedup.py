@@ -260,7 +260,11 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
     )
 
-    sigs = docs_ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    # a prebuilt INSTANCE (not the class) → stateless tasks: the
+    # coefficient state is two 64-element arrays, cheaper to ship in the
+    # closure than to spin an actor pool for (contrast LangId, whose
+    # stopword profiles justify per-actor setup)
+    sigs = docs_ds.map_batches(MinHasher(), batch_format="pyarrow")
     bands_ds = sigs.map_batches(
         lambda b: explode_bands_batch(b, bands), batch_format="pyarrow"
     )
