@@ -167,17 +167,40 @@ class _RdfaEvents(HTMLParser):
     def _element(self, attrs_list: list, has_children: bool) -> None:
         if self.pending is not None:
             self._flush_pending("")  # first child is an element → ""
-        attrs = {k: (v if v is not None else "") for k, v in attrs_list}
-        for name, value in attrs.items():
+        # single pass over the attrs, no dict build; a repeated attribute
+        # keeps its last value (same as the dict semantics it replaces)
+        vocab = self.vocab
+        typeof = resource = prop = content = datatype = lang = None
+        rel = rev = href = None
+        for name, value in attrs_list:
+            if value is None:
+                value = ""
             if name.startswith("xmlns:"):
                 self.prefix_map[name[6:]] = value
+            elif name == "vocab":
+                vocab = value
+            elif name == "typeof":
+                typeof = value
+            elif name == "resource":
+                resource = value
+            elif name == "property":
+                prop = value
+            elif name == "content":
+                content = value
+            elif name == "datatype":
+                datatype = value
+            elif name == "xml:lang":
+                lang = value
+            elif name == "rel":
+                rel = value
+            elif name == "rev":
+                rev = value
+            elif name == "href":
+                href = value
 
-        vocab = attrs.get("vocab", self.vocab)
         subject = self.subject
 
-        typeof = attrs.get("typeof")
         if typeof is not None:
-            resource = attrs.get("resource")
             if resource is not None:
                 subject = IRI(resource)
             else:
@@ -187,12 +210,8 @@ class _RdfaEvents(HTMLParser):
                 (subject, A, IRI(_expand_uri(typeof, vocab, self.prefix_map)))
             )
 
-        prop = attrs.get("property")
         if prop is not None:
             predicate = IRI(_expand_uri(prop, vocab, self.prefix_map))
-            content = attrs.get("content")
-            datatype = attrs.get("datatype")
-            lang = attrs.get("xml:lang")
             if content is not None or not has_children:
                 value = content if content is not None else ""
                 if datatype is not None:
@@ -208,21 +227,15 @@ class _RdfaEvents(HTMLParser):
                 )
                 self.triples.append(None)
 
-        rel = attrs.get("rel")
-        if rel is not None:
-            href = attrs.get("href")
-            if href is not None:
-                self.triples.append(
-                    (subject, IRI(_expand_uri(rel, vocab, self.prefix_map)), IRI(href))
-                )
+        if rel is not None and href is not None:
+            self.triples.append(
+                (subject, IRI(_expand_uri(rel, vocab, self.prefix_map)), IRI(href))
+            )
 
-        rev = attrs.get("rev")
-        if rev is not None:
-            href = attrs.get("href")
-            if href is not None:
-                self.triples.append(
-                    (IRI(href), IRI(_expand_uri(rev, vocab, self.prefix_map)), subject)
-                )
+        if rev is not None and href is not None:
+            self.triples.append(
+                (IRI(href), IRI(_expand_uri(rev, vocab, self.prefix_map)), subject)
+            )
 
         if has_children:
             self.stack.append((self._cur_tag, self.subject, self.vocab))
