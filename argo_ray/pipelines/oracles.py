@@ -107,6 +107,10 @@ FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
     "store_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "dedup_provenance": EXP_URL_CTE
     + f"SELECT MIN(url) AS url, {TERM_COLS} FROM exp GROUP BY {TERM_COLS}",
+    "triple_pr": EXP_CTE
+    + f"""SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
+       COUNT(*) AS ours, COUNT(*) AS expected, COUNT(*) AS matched
+FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
     "filter_pattern": EXP_CTE
     + f"""SELECT DISTINCT subj_value, obj_value AS lang_value
 FROM exp WHERE pred_value = '{DC}language'""",

@@ -432,6 +432,24 @@ def q_list_roundtrip(sf_dir: str):
     )
 
 
+def q_triple_pr(sf_dir: str):
+    """North-rule P/R as a driver-checked row: the oracle asserts
+    precision = recall = 1.0 with matched = the distinct expected-triple
+    count, so ANY extraction divergence value-hash-mismatches the gate."""
+    from .score import pr_vs_oracle
+
+    res = pr_vs_oracle(sf_dir)
+    return pa.table(
+        {
+            "precision": pa.array([float(res["precision"])], pa.float64()),
+            "recall": pa.array([float(res["recall"])], pa.float64()),
+            "ours": pa.array([res["ours"]], pa.int64()),
+            "expected": pa.array([res["expected"]], pa.int64()),
+            "matched": pa.array([res["matched"]], pa.int64()),
+        }
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -454,4 +472,5 @@ KG_QUERIES = {
     "store_roundtrip": q_store_roundtrip,
     "dedup_provenance": q_dedup_provenance,
     "list_roundtrip": q_list_roundtrip,
+    "triple_pr": q_triple_pr,
 }
