@@ -210,7 +210,6 @@ def documents_as_binary(sf_dir: str):
     """Adapter: the documents table viewed as a multimodal binary corpus
     (utf-8 payloads) — exercises the binary plumbing with a payload the
     oracle can recompute (md5(text), length(text))."""
-    import ray.data as rd
 
     def adapt(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -223,7 +222,9 @@ def documents_as_binary(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         adapt, batch_format="pyarrow"
     )
 
