@@ -218,3 +218,17 @@ def test_poison_page_quarantine():
     errs = extract_errors_batch(bad)
     assert "http://x/null" in errs["url"].to_pylist()
     assert set(errs.column_names) == {"url", "error_kind", "error"}
+
+
+def test_non_rdfa_page_fast_exit():
+    """Pages without any RDFa marker emit nothing (and take the O(1)
+    pre-scan exit); markers hidden in text still parse correctly."""
+    from argo_ray.sources.rdfa import extract_rdfa
+
+    plain = "<html><body><p>just text</p><a href='x'>link</a></body></html>"
+    assert extract_rdfa(plain, "http://e/1") == []
+    # 'rel' appears only inside visible text → slow path, still no triples
+    tricky = "<html><body><p>barrel of text</p></body></html>"
+    assert extract_rdfa(tricky, "http://e/2") == []
+    marked = "<div property='p' vocab='v'>v</div>"
+    assert len(extract_rdfa(marked, "http://e/3")) == 1
