@@ -93,6 +93,8 @@ def _term_from_token(tok: str, prefixes: dict[str, str]) -> Term:
             return Literal(value, datatype=prefixes[p] + local)
         return Literal(value)
     # qname
+    if ":" not in tok:
+        raise TurtleParseError(f"expected a term, got {tok!r}")
     p, local = tok.split(":", 1)
     if p not in prefixes:
         raise TurtleParseError(f"unknown prefix {p!r}")
