@@ -39,18 +39,25 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     from argo_ray.pipelines.data_queries import (
         q_ann_topk,
         q_docs_quality,
+        q_events_asof,
         q_events_window_hourly,
         q_minhash_lsh_neardup,
     )
-    from argo_ray.pipelines.queries import q_group_subject_count, q_rdfa_extract
+    from argo_ray.pipelines.queries import (
+        q_entity_link,
+        q_group_subject_count,
+        q_rdfa_extract,
+    )
 
     out = {}
     for name, fn in [
         ("rdfa_extract", q_rdfa_extract),
         ("group_subject_count", q_group_subject_count),
+        ("entity_link", q_entity_link),
         ("minhash_lsh_neardup", q_minhash_lsh_neardup),
         ("ann_topk", q_ann_topk),
         ("events_window_hourly", q_events_window_hourly),
+        ("events_asof", q_events_asof),
         ("docs_quality", q_docs_quality),
     ]:
         t0 = time.time()
