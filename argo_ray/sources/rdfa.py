@@ -282,8 +282,15 @@ _ATTR_RE = re.compile(
 # html.parser's CDATA_CONTENT_ELEMENTS — keep in lockstep for equivalence
 _RAW_TEXT = ("script", "style")
 # any RDFa-bearing element's attr string must contain one of these; a
-# false positive (e.g. rel inside a class name) just takes the slow path
-_RDFA_HINT = re.compile(r"property|typeof|rel|rev|vocab|xmlns:")
+# false positive (e.g. rel inside a class name) just takes the slow path.
+# IGNORECASE: html.parser lowercases attribute names per spec, so pages
+# writing PROPERTY=… still emit triples via the fallback — the hint must
+# not drop them (a miss here is a semantic hole, not just a slow path).
+_RDFA_HINT = re.compile(r"property|typeof|rel|rev|vocab|xmlns:", re.IGNORECASE)
+# raw-text close tags, case-insensitive, without copying the page per
+# <script>/<style> element (html.lower() per element is quadratic on
+# script-heavy pages)
+_RAW_CLOSE = {t: re.compile(r"</" + t, re.IGNORECASE) for t in ("script", "style")}
 
 
 def _extract_scan(html: str, document_uri: str, salt: str) -> list[tuple]:
@@ -380,7 +387,8 @@ def _extract_scan(html: str, document_uri: str, salt: str) -> list[tuple]:
             elif tag in _RAW_TEXT:
                 # raw-text content: no charref conversion, no tags
                 p.handle_starttag(tag, attrs)
-                close = html.lower().find("</" + tag, m.end())
+                cm = _RAW_CLOSE[tag].search(html, m.end())
+                close = cm.start() if cm else -1
                 if close < 0:
                     p.handle_data(html[m.end() :])
                     pos = n

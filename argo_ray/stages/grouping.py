@@ -18,9 +18,67 @@ per-group dispatch moves from Ray tasks to an in-process pandas loop.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# The sort-equals-colocation contract is an *internal* behavior of Ray's
+# sort (range partition boundaries cut with searchsorted(side="left"),
+# one merged block per reduce partition), verified against these minor
+# versions.  On any other version the contract may silently break
+# (split groups / reintroduced duplicates), so fail loudly up front.
+_VERIFIED_RAY = ("2.49",)
+
+
+def _check_ray_version() -> None:
+    import ray
+
+    if not any(ray.__version__.startswith(v) for v in _VERIFIED_RAY):
+        warnings.warn(
+            f"argo_ray.stages.grouping relies on Ray sort emitting whole "
+            f"key runs per block — verified on Ray {_VERIFIED_RAY}, "
+            f"running {ray.__version__}. Run "
+            f"tests/test_stages.py::test_sort_colocation_pinned (or "
+            f"verify_sorted_colocation) before trusting grouped results.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+_check_ray_version()
+
+
+def verify_sorted_colocation(ds, key: str) -> None:
+    """Execute ``ds.sort(key)`` and assert no equal-key run spans a block
+    boundary (first key of block N+1 != last key of block N).  Cheap —
+    one row per block leaves the cluster.  Raises ``RuntimeError`` on
+    violation.  Used by the pinned-behavior test; call it in CI after a
+    Ray upgrade before trusting ``grouped_map`` / ``sorted_unique``."""
+
+    def boundary_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.string()),
+                             "last": pa.array([], pa.string())})
+        col = batch[key]
+        return pa.table({
+            "first": pa.array([str(col[0].as_py())]),
+            "last": pa.array([str(col[batch.num_rows - 1].as_py())]),
+        })
+
+    rows = (
+        ds.sort(key)
+        .map_batches(boundary_keys, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        if prev["last"] == cur["first"]:
+            raise RuntimeError(
+                f"sort co-location contract violated: key {cur['first']!r} "
+                f"spans a block boundary (Ray sort behavior changed) — "
+                f"grouped_map/sorted_unique results are NOT trustworthy"
+            )
 
 
 def grouped_map(ds, keys, fn, batch_format: str = "pandas"):

@@ -232,3 +232,41 @@ def test_non_rdfa_page_fast_exit():
     assert extract_rdfa(tricky, "http://e/2") == []
     marked = "<div property='p' vocab='v'>v</div>"
     assert len(extract_rdfa(marked, "http://e/3")) == 1
+
+
+def test_uppercase_attributes_match_fallback():
+    """RDFa attribute names are case-insensitive (html.parser lowercases
+    them per spec); the fast-path pre-scan/hint must not drop
+    PROPERTY=/TYPEOF= pages (ADVICE r1: case-sensitive hint silently
+    returned [])."""
+    from argo_ray.sources.rdfa import _RdfaEvents, extract_rdfa
+
+    pages = [
+        '<div PROPERTY="dc:title" xmlns:dc="http://p/">T</div>',
+        '<div TYPEOF="dc:Thing" xmlns:dc="http://p/">x</div>',
+        '<div Rel="dc:link" Href="http://o/" xmlns:dc="http://p/"></div>',
+        '<span Vocab="http://v/" property="name">n</span>',
+    ]
+    for html in pages:
+        got = extract_rdfa(html, "http://u/")
+        p = _RdfaEvents("http://u/")
+        p.feed(html)
+        p.close()
+        if p.pending is not None:
+            p._flush_pending("")
+        assert got == p.triples and len(got) == 1, html
+
+
+def test_script_heavy_page_no_quadratic_copy():
+    """Raw-text close-tag search must not copy/lowercase the whole page
+    per <script>; also uppercase </SCRIPT> closes correctly."""
+    from argo_ray.sources.rdfa import extract_rdfa
+
+    html = (
+        "<html><body>"
+        + "<script>var a='<div property=no>';</script>" * 50
+        + "<SCRIPT>x</SCRIPT>"
+        + '<div property="p" vocab="http://v/">val</div></body></html>'
+    )
+    out = extract_rdfa(html, "http://u/")
+    assert len(out) == 1 and out[0][2].value == "val"

@@ -170,3 +170,23 @@ def test_salted_subject_grouping_roundtrip(ray_session, tmp_path):
         for i in range(parsed.num_rows)
     }
     assert got == expected
+
+
+def test_sort_colocation_pinned(ray_session):
+    """Pins the Ray-internal behavior grouped_map/sorted_unique rely on:
+    after Dataset.sort, an equal-key run never spans a block boundary
+    (range partition cuts with searchsorted(side="left") and each reduce
+    partition emits one merged block).  If a Ray upgrade breaks this,
+    THIS test failing is the loud signal (ADVICE r1) — grouped results
+    would otherwise silently corrupt."""
+    import numpy as np
+    import ray.data as rd
+
+    from argo_ray.stages.grouping import verify_sorted_colocation
+
+    rng = np.random.default_rng(7)
+    # 5 hot keys over 20k rows, 16 input blocks → every planned reduce
+    # boundary necessarily falls inside or between equal-key runs
+    keys = rng.integers(0, 5, 20_000)
+    ds = rd.from_items([{"k": int(k), "v": i} for i, k in enumerate(keys)]).repartition(16)
+    verify_sorted_colocation(ds, "k")
