@@ -351,30 +351,32 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_candidates(docs_ds, bands: int = 4):
+def simhash_candidates(docs_ds, bands: int = 4, hasher: str = "fast"):
     """SimHash → band-bucket candidates: 64-bit simhash split into
     ``bands`` 16-bit keys; docs sharing any band key are candidates
-    (catches hamming distance < bands)."""
+    (catches hamming distance < bands).  ``hasher="md5"`` makes the
+    whole candidate set reproducible in DuckDB SQL (the oracle mode);
+    the default stays the fast transient hash."""
     from ..functions.text import simhash_batch
 
-    sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    sh = docs_ds.map_batches(
+        lambda b: simhash_batch(b, hasher=hasher), batch_format="pyarrow"
+    )
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        hs = b["simhash"].to_pylist()
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+        hs = np.asarray(b["simhash"].to_pylist(), dtype=np.uint64)
         width = 64 // bands
-        mask = (1 << width) - 1
-        rows_band, rows_key, rows_doc = [], [], []
-        for did, h in zip(ids, hs):
-            for i in range(bands):
-                rows_band.append(i)
-                rows_key.append((h >> (i * width)) & mask)
-                rows_doc.append(did)
+        mask = np.uint64((1 << width) - 1)
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+        keys = (hs[:, None] >> shifts[None, :]) & mask  # (n, bands)
         return pa.table(
             {
-                "band_id": pa.array(rows_band, pa.int32()),
-                "band_hash": pa.array(rows_key, pa.uint64()),
-                "doc_id": pa.array(rows_doc, pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), len(ids)), pa.int32()
+                ),
+                "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
             }
         )
 

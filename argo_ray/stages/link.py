@@ -100,23 +100,21 @@ class EntityLinker:
             pc.equal(batch["obj_kind"], KIND_LITERAL),
         )
         mentions = batch.filter(mask)
-        subj_kind, subj_value, entity = [], [], []
-        cand = self.cand
-        for sk, sv, form in zip(
-            mentions["subj_kind"].to_pylist(),
-            mentions["subj_value"].to_pylist(),
-            mentions["obj_value"].to_pylist(),
-        ):
-            e = cand.get(form)
-            if e is not None:
-                subj_kind.append(sk)
-                subj_value.append(sv)
-                entity.append(e)
-        n = len(entity)
+        # vectorized dict lookup (pandas map) over the pre-filtered
+        # mentions — no per-row Python
+        import pandas as pd
+
+        ent = pd.Series(mentions["obj_value"].to_pylist(), dtype=object).map(
+            self.cand
+        )
+        keep = ent.notna().to_numpy()
+        kept = mentions.filter(pa.array(keep))
+        entity = ent[keep].tolist()
+        n = kept.num_rows
         return pa.table(
             {
-                "subj_kind": pa.array(subj_kind, pa.uint8()),
-                "subj_value": pa.array(subj_value, pa.large_string()),
+                "subj_kind": pc.cast(kept["subj_kind"], pa.uint8()),
+                "subj_value": pc.cast(kept["subj_value"], pa.large_string()),
                 "subj_lang": pa.array([""] * n, pa.string()),
                 "subj_datatype": pa.array([""] * n, pa.string()),
                 "pred_kind": pa.array([KIND_IRI] * n, pa.uint8()),
@@ -164,11 +162,16 @@ def link_entities_join(
     candidates_ds,
     mention_pred: str,
     link_pred: str = DEFAULT_LINK_PRED,
-    num_partitions: int = 4,
+    num_partitions: int | None = None,
 ):
     """Scale path: distributed hash join of mentions against candidate
     partitions — the per-partition candidate dictionary (each join
-    partition holds only its hash range of the catalog)."""
+    partition holds only its hash range of the catalog).
+    ``num_partitions`` defaults to ``io.shuffle_partitions()``."""
+    if num_partitions is None:
+        from ..io import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
 
     def mentions(b: pa.Table) -> pa.Table:
         m = b.filter(

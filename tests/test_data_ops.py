@@ -339,3 +339,26 @@ def test_sharded_allpairs_hot_key_equivalence(ray_session):
         for r in embedding_neardup_pairs(emb, threshold=0.9, shards=4).take_all()
     }
     assert salt_e == base_e and len(base_e) > 50
+
+
+def test_simhash_md5_hasher_matches_duckdb():
+    """md5 token hash must equal DuckDB CAST('0x'||substr(md5,1,16) AS
+    UBIGINT) and batch SimHash must equal the scalar path."""
+    import duckdb
+
+    from argo_ray.functions.text import _token_hashes, simhash64, simhash_batch
+
+    toks = ["hello", "", "wörld", "a b"]
+    ours = _token_hashes(toks, "md5")
+    for t, h in zip(toks, ours):
+        want = duckdb.connect().execute(
+            "SELECT CAST(concat('0x', substr(md5(?),1,16)) AS UBIGINT)", [t]
+        ).fetchone()[0]
+        assert int(h) == want
+    texts = ["the quick brown fox", "lorem ipsum dolor sit amet", "x"]
+    b = pa.table({"doc_id": [1, 2, 3], "text": texts})
+    for hasher in ("fast", "md5"):
+        out = simhash_batch(b, hasher=hasher)
+        assert out["simhash"].to_pylist() == [
+            simhash64(t.split(" "), hasher=hasher) for t in texts
+        ]
