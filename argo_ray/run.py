@@ -24,6 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--salt", default="", help="skolemization salt")
     ap.add_argument(
+        "--on-mismatch", choices=("error", "invalidate"), default="error",
+        help="resume policy when a committed partition's plan (fragments/"
+        "predicate/stage versions) differs from the current plan",
+    )
+    ap.add_argument(
         "--num-cpus", type=int, default=None,
         help="ray.init num_cpus when starting a fresh local session",
     )
@@ -40,7 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     from .state.checkpoint import run_checkpointed
 
     summary = run_checkpointed(
-        args.input, args.out, num_partitions=args.partitions, salt=args.salt
+        args.input, args.out, num_partitions=args.partitions, salt=args.salt,
+        on_mismatch=args.on_mismatch,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -4,9 +4,11 @@ The reference's MySQLStore normalizes triples into id-keyed dictionary
 tables plus a compact fact row (``mysqlstore/mysqlstore.go:348-364``
 DDL; lazily-populated caches ``:64-108``).  Its auto-increment ids need
 a central counter — useless at cluster scale — so here a term's id is
-the 64-bit hash of its canonical N-Triples rendering: deterministic,
-coordination-free, identical across partitions and runs (same design as
-the skolemizer and the redis FNV term hash, ``redisstore.go:29-33``).
+the 64-bit FNV-1a hash of its canonical N-Triples rendering:
+deterministic, coordination-free, identical across partitions, runs AND
+environments (``terms.hash64_stable`` — never the polars hash, whose
+value changes across polars versions; ADVICE r1), same design as the
+skolemizer and the redis FNV term hash (``redisstore.go:29-33``).
 
 Layout::
 
@@ -26,7 +28,7 @@ import pyarrow.compute as pc
 from ..stages.materialize import distinct_rows
 from ..terms import (
     POSITIONS,
-    hash64,
+    hash64_stable,
     nt_render_term_arrays,
 )
 
@@ -34,7 +36,7 @@ TERM_COLS_SINGLE = ["kind", "value", "lang", "datatype"]
 
 
 def _term_ids(batch: pa.Table, pos: str) -> pa.Array:
-    return hash64(
+    return hash64_stable(
         nt_render_term_arrays(
             batch[f"{pos}_kind"],
             batch[f"{pos}_value"],

@@ -154,6 +154,7 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     return {
         "partition_id": pid,
         "input_fragments": spec["input_fragments"],
+        "predicate": spec.get("predicate"),
         "stage_versions": STAGE_VERSIONS,
         "row_counts": {
             "documents": n_docs,
@@ -166,19 +167,63 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     }
 
 
+class CheckpointMismatch(RuntimeError):
+    """A committed partition's plan no longer matches the current plan
+    (different --partitions value, changed input layout, or bumped stage
+    versions) — resuming would silently mix incompatible partitionings
+    (duplicated/missing documents).  ADVICE r1."""
+
+
+def _spec_mismatch(rec: dict, spec: dict) -> list[str]:
+    out = []
+    if rec.get("input_fragments") != spec["input_fragments"]:
+        out.append("input_fragments")
+    if rec.get("predicate") != spec.get("predicate"):
+        out.append("predicate")
+    if rec.get("stage_versions") != STAGE_VERSIONS:
+        out.append("stage_versions")
+    return out
+
+
 def run_checkpointed(
-    sf_dir: str, out_dir: str, num_partitions: int = 4, salt: str = ""
+    sf_dir: str,
+    out_dir: str,
+    num_partitions: int = 4,
+    salt: str = "",
+    on_mismatch: str = "error",
 ) -> dict:
     """Resumable flagship run: skips partitions already committed in the
-    manifest; returns a summary {completed, skipped, total_triples}."""
+    manifest; returns a summary {completed, skipped, total_triples}.
+
+    A committed record is only skipped when its plan (input fragments,
+    partition predicate, stage versions) matches the current plan.  On
+    mismatch: ``on_mismatch="error"`` (default) raises
+    :class:`CheckpointMismatch`; ``"invalidate"`` discards the stale
+    partition (manifest record + output shard) and re-runs it.
+    """
+    import shutil
+
     manifest = CheckpointManifest(out_dir)
     done = manifest.completed()
     skipped, completed = [], []
     for spec in plan_partitions(sf_dir, num_partitions):
         pid = spec["partition_id"]
         if pid in done:
-            skipped.append(pid)
-            continue
+            bad = _spec_mismatch(done[pid], spec)
+            if not bad:
+                skipped.append(pid)
+                continue
+            if on_mismatch != "invalidate":
+                raise CheckpointMismatch(
+                    f"partition {pid}: committed record differs from the "
+                    f"current plan on {bad} — resubmit with the original "
+                    f"plan, or pass on_mismatch='invalidate' to discard "
+                    f"and re-run the stale partition"
+                )
+            os.remove(os.path.join(manifest.manifest_dir, f"part-{pid}.json"))
+            stale = os.path.join(manifest.partitions_dir, f"part={pid}")
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         record = run_partition(spec, out_dir, salt)
         manifest.commit(record)
         completed.append(pid)

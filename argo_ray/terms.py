@@ -266,6 +266,59 @@ def _fnv1a_64(s: str) -> int:
     return h
 
 
+def hash64_stable(strings: pa.Array | list[str]) -> pa.Array:
+    """Environment-independent 64-bit hash (FNV-1a over utf-8 bytes) of
+    a string column — for PERSISTED ids (parquet_store term ids), where
+    stores written under different polars versions must stay mergeable.
+    :func:`hash64` (polars) is for transient shuffle keys only.
+
+    Vectorized column-wise over byte positions: one uint64 xor/multiply
+    across all still-active rows per position — ~mean-length passes per
+    batch instead of a per-row Python loop.  Rows longer than 256 bytes
+    (rare for term renderings) fall back to the scalar loop.
+    """
+    import numpy as np
+
+    if not isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = pa.array(strings, pa.large_string())
+    arr = pc.cast(strings, pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # combine_chunks may still chunk
+            arr = arr.chunk(0) if arr.num_chunks == 1 else pa.concat_arrays(
+                arr.chunks
+            )
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.uint64())
+    buffers = arr.buffers()
+    # offsets are absolute positions into the data buffer; the offsets
+    # buffer itself starts at arr.offset elements for sliced arrays
+    offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] else np.empty(
+        0, np.uint8
+    )
+    starts = offsets[:-1]
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    short = lengths <= 256
+    maxlen = int(lengths[short].max()) if short.any() else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = short & (lengths > j)
+            if not active.any():
+                break
+            b = data[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * _FNV_PRIME
+    if not short.all():
+        vals = arr.to_pylist()
+        for i in np.nonzero(~short)[0]:
+            h[i] = _fnv1a_64(vals[i].decode("utf-8", errors="surrogateescape"))
+    return pa.array(h, pa.uint64())
+
+
 def hash64(strings: pa.Array | list[str]) -> pa.Array:
     """Deterministic 64-bit hash of a string column.
 

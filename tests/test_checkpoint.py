@@ -97,3 +97,40 @@ def test_multi_file_fragment_partitioning(ray_session, tmp_path):
     out = tmp_path / "out"
     summary = run_checkpointed(str(corpus), str(out), num_partitions=4)
     assert summary["total_triples_deduped"] == 3144  # same as single-file flagship
+
+
+def test_resume_rejects_changed_plan(ray_session, out_dir):
+    """Re-submitting with a different --partitions value must NOT
+    silently mix partitionings (ADVICE r1): error by default,
+    re-partition cleanly under on_mismatch='invalidate'."""
+    from argo_ray.state.checkpoint import CheckpointMismatch
+
+    first = run_checkpointed(SF_DIR, out_dir, num_partitions=2)
+    assert len(first["completed"]) == 2
+
+    with pytest.raises(CheckpointMismatch, match="predicate"):
+        run_checkpointed(SF_DIR, out_dir, num_partitions=4)
+
+    redo = run_checkpointed(
+        SF_DIR, out_dir, num_partitions=4, on_mismatch="invalidate"
+    )
+    # pids 0-1 stale (mod 2) → re-run under mod 4; pids 2-3 fresh
+    assert sorted(redo["completed"]) == [0, 1, 2, 3] and redo["skipped"] == []
+    assert redo["total_triples_deduped"] == first["total_triples_deduped"]
+
+    again = run_checkpointed(SF_DIR, out_dir, num_partitions=4)
+    assert again["completed"] == [] and sorted(again["skipped"]) == [0, 1, 2, 3]
+
+
+def test_resume_rejects_bumped_stage_version(ray_session, out_dir):
+    import argo_ray.state.checkpoint as cp
+
+    run_checkpointed(SF_DIR, out_dir, num_partitions=2)
+    old = dict(cp.STAGE_VERSIONS)
+    try:
+        cp.STAGE_VERSIONS["rdfa_extract"] = 99
+        with pytest.raises(cp.CheckpointMismatch, match="stage_versions"):
+            run_checkpointed(SF_DIR, out_dir, num_partitions=2)
+    finally:
+        cp.STAGE_VERSIONS.clear()
+        cp.STAGE_VERSIONS.update(old)
