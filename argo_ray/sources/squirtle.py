@@ -25,9 +25,12 @@ reference's process-wide parser mutex, squirtleparser.y:63,612-644):
   bare numerics typed xsd:integer/decimal/double, ``true``/``false`` →
   xsd:boolean, ``inf``/``nan`` → xsd:double (:283-287, :404-439).
 
-``include "file"`` / ``include <url>`` recursion (:101-136) is accepted
-syntactically but rejected at runtime — a distributed task must not do
-file/network I/O mid-parse; pre-resolve includes upstream.
+``include "file"`` / ``include <url>`` recursion (:101-136) is resolved
+by a driver-side pre-pass (:func:`resolve_includes`: recursive textual
+splice against a provided name→source map — semantically identical to
+the reference's shared-state inline parse) — a distributed task must
+not do file/network I/O mid-parse, so an ``include`` surviving into
+``_Parser`` is still an error.
 """
 
 from __future__ import annotations
@@ -466,10 +469,99 @@ class _Parser:
         return self._get_name(v)
 
 
+def resolve_includes(
+    source: str,
+    sources: "dict[str, str]",
+    _seen: frozenset = frozenset(),
+) -> str:
+    """Driver-side pre-resolution of ``include "name"`` / ``include
+    <iri>`` statements (operator S3 completion; squirtleparser.y:101-136).
+
+    The reference parses the included stream inline with SHARED parser
+    state (names/templates declared inside an include stay visible
+    after it — goyacc global maps), so a recursive textual splice of
+    ``sources[name]`` at the statement position is semantically
+    identical.  This runs on the driver against a provided name→source
+    map — the distributed per-document parse never does I/O (the reason
+    ``_Parser`` rejects a surviving ``include``).  Unknown names and
+    include cycles raise :class:`SquirtleParseError`.
+
+    The scanner mirrors the lexer's token rules (raw strings without
+    escapes :495-504, ``<...>`` IRIs, ``#`` comments, case-insensitive
+    keywords), so ``include`` inside strings/comments/IRIs is left
+    alone.
+    """
+    out: list[str] = []
+    i, n = 0, len(source)
+    while i < n:
+        ch = source[i]
+        if ch == "#":  # comment to EOL
+            j = source.find("\n", i)
+            j = n if j < 0 else j
+            out.append(source[i:j])
+            i = j
+        elif ch == '"':  # raw string, no escapes
+            j = source.find('"', i + 1)
+            j = n if j < 0 else j + 1
+            out.append(source[i:j])
+            i = j
+        elif ch == "<":
+            j = source.find(">", i + 1)
+            j = n if j < 0 else j + 1
+            out.append(source[i:j])
+            i = j
+        elif ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (source[j].isalnum() or source[j] in "_-"):
+                j += 1
+            word = source[i:j]
+            if word.lower() == "include":
+                k = j
+                while k < n and source[k].isspace():
+                    k += 1
+                if k >= n or source[k] not in "\"<":
+                    raise SquirtleParseError(
+                        "expected string or <iri> after include"
+                    )
+                close = '"' if source[k] == '"' else ">"
+                e = source.find(close, k + 1)
+                if e < 0:
+                    raise SquirtleParseError("unterminated include target")
+                name = source[k + 1 : e]
+                if name in _seen:
+                    raise SquirtleParseError(
+                        f"include cycle through {name!r}"
+                    )
+                if name not in sources:
+                    raise SquirtleParseError(
+                        f"unknown include {name!r}: not in the provided "
+                        f"name→source map"
+                    )
+                out.append(
+                    resolve_includes(sources[name], sources, _seen | {name})
+                )
+                out.append("\n")
+                i = e + 1
+            else:
+                out.append(word)
+                i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def parse_squirtle(
-    text: str, document_uri: str = "", salt: str = ""
+    text: str,
+    document_uri: str = "",
+    salt: str = "",
+    includes: "dict[str, str] | None" = None,
 ) -> list[tuple[Term, Term, Term]]:
-    """Parse one Squirtle document into scalar triples."""
+    """Parse one Squirtle document into scalar triples.  ``includes``:
+    optional name→source map; when given, ``include`` statements are
+    pre-resolved (driver-side splice) before the parse."""
+    if includes is not None:
+        text = resolve_includes(text, includes)
     parser = _Parser(text, document_uri, salt)
     triples = parser.parse()
     for s, p, o in triples:
@@ -494,10 +586,13 @@ def parse_squirtle_batch(
     url_column: str | None = "url",
     salt: str = "",
     on_error: str = "raise",
+    includes: "dict[str, str] | None" = None,
 ) -> pa.Table:
     """Stateless ``map_batches`` UDF — per-call parser state makes
     documents the parallel unit, removing the reference's global parser
-    mutex bottleneck (squirtleparser.y:63)."""
+    mutex bottleneck (squirtleparser.y:63).  ``includes``: broadcast
+    name→source map for include pre-resolution (ship via ``ray.put`` +
+    ``fn_kwargs`` so it moves once, not per batch)."""
     texts = batch[text_column].to_pylist()
     urls = batch[url_column].to_pylist() if url_column else [""] * len(texts)
     rows, row_urls = [], []
@@ -505,7 +600,9 @@ def parse_squirtle_batch(
         if isinstance(text, bytes):
             text = text.decode("utf-8", errors="replace")
         try:
-            triples = parse_squirtle(text, document_uri=url or "", salt=salt)
+            triples = parse_squirtle(
+                text, document_uri=url or "", salt=salt, includes=includes
+            )
         except SquirtleParseError:
             if on_error == "raise":
                 raise

@@ -139,13 +139,41 @@ def test_binary_feature_extractor():
     assert stage(b).equals(out)
 
 
-def test_image_decoder_stub():
-    with pytest.raises(NotImplementedError, match="PIL"):
-        ImageDecoder(fake=False)._decode(b"x")
+def test_image_decoder_real_and_fake():
+    import hashlib
+
+    from argo_ray.functions.multimodal import decode_bmp, decode_ppm, encode_bmp_gray
+
+    # unsupported format (needs absent codec libs) → NotImplementedError
+    with pytest.raises(NotImplementedError, match="BMP/PPM"):
+        ImageDecoder(fake=False)._decode(b"\x89PNG1234" * 8)
     fake = ImageDecoder(fake=True)
     out = fake(pa.table({"item_id": pa.array([1], pa.int64()), "payload": [b"img"]}))
     assert out["height"][0].as_py() == 8
     assert len(out["pixels"][0].as_py()) == 64
+
+    # REAL BMP round-trip incl. non-square row padding and bottom-up rows
+    gray = bytes(range(15))
+    h, w, c, px = decode_bmp(encode_bmp_gray(3, 5, gray))
+    assert (h, w, c) == (3, 5, 3)
+    assert bytes(px[3 * i] for i in range(15)) == gray  # top-down row-major
+    # REAL PPM/PGM with comments
+    assert decode_ppm(b"P6 # c\n2 2 255\n" + bytes(range(12))) == (
+        2, 2, 3, bytes(range(12)),
+    )
+    assert decode_ppm(b"P5\n4 2\n255\n" + bytes(range(8)))[:3] == (2, 4, 1)
+    # poison image quarantine: truncated BMP skipped, good row survives
+    good = encode_bmp_gray(8, 8, hashlib.md5(b"x").digest() * 4)
+    dec = ImageDecoder(on_error="skip")
+    out = dec(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": [good, good[:30], b"junk"],
+            }
+        )
+    )
+    assert out["item_id"].to_pylist() == [1]
 
 
 # ---------------------------------------------------------------------------
@@ -289,8 +317,9 @@ def test_multimodal_resize_and_framesample(ray_session):
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        ImageResizer()._resize(8, 8, 1, b"\0" * 64)
+    # resize is a real kernel now — default (non-fake) path works
+    assert _pytest is not None
+    assert len(ImageResizer()._resize(8, 8, 1, b"\0" * 64)) == 16
 
 
 def test_sharded_allpairs_hot_key_equivalence(ray_session):

@@ -166,3 +166,69 @@ def test_serialize_roundtrip_no_prefixes():
     table = triples_to_table(triples, with_hash=False)
     text = serialize_squirtle(table, {})
     assert Counter(parse_squirtle(text)) == Counter(triples)
+
+
+class TestIncludeResolution:
+    """Driver-side include pre-resolution (squirtleparser.y:101-136):
+    recursive splice against a name→source map, shared declaration
+    state across the boundary, cycle/unknown rejection."""
+
+    def test_include_string_and_iri_forms(self):
+        from argo_ray.sources.squirtle import parse_squirtle
+
+        srcs = {
+            "decls.sqtl": 'name <http://ex.org/> as ex\n',
+            "http://ex.org/more.sqtl": '<http://s/2> { ex:p "two" }\n',
+        }
+        text = (
+            'include "decls.sqtl"\n'
+            '<http://s/1> { ex:p "one" }\n'
+            "include <http://ex.org/more.sqtl>\n"
+        )
+        triples = parse_squirtle(text, includes=srcs)
+        assert [(s.value, o.value) for s, _, o in triples] == [
+            ("http://s/1", "one"), ("http://s/2", "two"),
+        ]
+        # prefix declared in the include resolves in BOTH documents
+        assert all(p.value == "http://ex.org/p" for _, p, _ in triples)
+
+    def test_nested_includes_and_templates_cross_boundary(self):
+        from argo_ray.sources.squirtle import parse_squirtle
+
+        srcs = {
+            "a": 'include "b"\ntemplate T(?v) { <http://p/t> ?v }\n',
+            "b": "name <http://base/> as b\n",
+        }
+        text = 'include "a"\n<http://s/x> is T("bound")\n'
+        triples = parse_squirtle(text, includes=srcs)
+        assert len(triples) == 1
+        s, p, o = triples[0]
+        assert (s.value, p.value, o.value) == ("http://s/x", "http://p/t", "bound")
+
+    def test_include_inside_string_comment_iri_untouched(self):
+        from argo_ray.sources.squirtle import parse_squirtle
+
+        text = (
+            "# include \"nope\"\n"
+            '<http://s/1> { <http://p/1> "include \'x\'" }\n'
+        )
+        triples = parse_squirtle(text, includes={})
+        assert len(triples) == 1 and triples[0][2].value == "include 'x'"
+
+    def test_include_cycle_and_unknown_raise(self):
+        import pytest
+
+        from argo_ray.sources.squirtle import SquirtleParseError, resolve_includes
+
+        with pytest.raises(SquirtleParseError, match="cycle"):
+            resolve_includes('include "a"', {"a": 'include "b"', "b": 'include "a"'})
+        with pytest.raises(SquirtleParseError, match="unknown include"):
+            resolve_includes('include "missing"', {})
+
+    def test_unresolved_include_still_rejected_in_parse(self):
+        import pytest
+
+        from argo_ray.sources.squirtle import SquirtleParseError, parse_squirtle
+
+        with pytest.raises(SquirtleParseError, match="include"):
+            parse_squirtle('include "x"')  # no map → distributed-parse error
