@@ -105,6 +105,7 @@ FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
     "squirtle_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "rdfjson_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "store_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "graphstore_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "dedup_provenance": EXP_URL_CTE
     + f"SELECT MIN(url) AS url, {TERM_COLS} FROM exp GROUP BY {TERM_COLS}",
     "triple_pr": EXP_CTE

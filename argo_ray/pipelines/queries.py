@@ -397,6 +397,24 @@ def q_store_roundtrip(sf_dir: str):
     return _finalize(decode_store(out))
 
 
+def q_graphstore_roundtrip(sf_dir: str):
+    """S7/K6 equivalent: per-page named graphs PUT to the file-backed
+    graph store (distributed fan-out) → read back (distributed fan-in)
+    → the distinct triple set survives."""
+    import hashlib
+    import shutil
+
+    from ..sinks.graphstore import read_graphstore, write_graphstore
+    from ..stages.materialize import dedup_exact
+
+    out = "/tmp/argo_graphstore_rt/" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    # one named graph per page url (raw extraction keeps provenance);
+    # global dedup on the way back out
+    write_graphstore(_extract(sf_dir), out, graph_column="url")
+    return _finalize(dedup_exact(read_graphstore(out)))
+
+
 def q_list_roundtrip(sf_dir: str):
     """M11 lists: title words → rdf:first/rest/nil cons chain → decode
     back in-pipeline → (subj_value, pos, word).  Encode and decode run
@@ -470,6 +488,7 @@ KG_QUERIES = {
     "entity_link": q_entity_link,
     "entity_link_join": q_entity_link_join,
     "store_roundtrip": q_store_roundtrip,
+    "graphstore_roundtrip": q_graphstore_roundtrip,
     "dedup_provenance": q_dedup_provenance,
     "list_roundtrip": q_list_roundtrip,
     "triple_pr": q_triple_pr,

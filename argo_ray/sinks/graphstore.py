@@ -1,0 +1,144 @@
+"""File-backed graph-store protocol (operators S7/K6 equivalent).
+
+The reference's ``GraphStoreService`` speaks the SPARQL 1.1 Graph Store
+HTTP Protocol against a remote endpoint — GET parses the RDF/XML body,
+PUT/POST serialize RDF/XML bodies, DELETE/HEAD manage named graphs
+(``sparql/graphstoreservice.go:40-181``).  A distributed pipeline must
+not do per-task HTTP, so this is the same verb surface over a shared
+filesystem: one RDF/XML document per named graph, URI-quoted filename,
+atomic replace on write.  The semantics per verb match the reference:
+
+- ``get``    → parse the stored RDF/XML into a flattened triple table
+  (GET + ``graph.Parse(ParseRDFXML)``, :40-66);
+- ``put``    → serialize + replace the graph (:68-95);
+- ``post``   → merge: stored ∪ new, distinct triples (HTTP POST's
+  "add to graph" semantics, :117-144);
+- ``delete`` / ``head`` → remove / existence probe (:97-115, :146-160);
+- ``patch``  → raises: the reference only forwards a SPARQL-update
+  string to the server (:162-181); there is no server here and a local
+  SPARQL-update engine is out of scope.
+
+Dataset-level fan-out/fan-in (the cluster-scale surface):
+``write_graphstore`` partitions a triples Dataset by a graph column and
+writes every named graph in parallel; ``read_graphstore`` reads all
+stored graphs back as one Dataset with a ``graph_uri`` column.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import quote, unquote
+
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.rdfxml import parse_rdfxml
+from ..terms import TRIPLE_COLUMNS, append_subject_hash, triples_to_table
+from .rdfxml import serialize_rdfxml
+
+_EMPTY = triples_to_table([], with_hash=False)
+
+
+class FileGraphStore:
+    """Driver-side store client (the ``GraphStoreService`` analogue)."""
+
+    def __init__(self, root_dir: str):
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+
+    def _path(self, graph_uri: str) -> str:
+        return os.path.join(self.root, quote(graph_uri, safe="") + ".rdf")
+
+    def get(self, graph_uri: str) -> pa.Table:
+        with open(self._path(graph_uri), encoding="utf-8") as f:
+            triples = parse_rdfxml(f.read(), document_uri=graph_uri)
+        return triples_to_table(triples, with_hash=False)
+
+    def put(self, graph_uri: str, triples: pa.Table) -> None:
+        body = serialize_rdfxml(triples.select(TRIPLE_COLUMNS))
+        path = self._path(graph_uri)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(body)
+        os.replace(tmp, path)  # atomic, same guarantee HTTP PUT gives
+
+    def post(self, graph_uri: str, triples: pa.Table) -> None:
+        new = triples.select(TRIPLE_COLUMNS)
+        if self.head(graph_uri):
+            old = self.get(graph_uri).select(TRIPLE_COLUMNS)
+            df = pd.concat(
+                [old.to_pandas(), new.to_pandas()], ignore_index=True
+            ).drop_duplicates(subset=TRIPLE_COLUMNS, keep="first")
+            new = pa.Table.from_pandas(df, preserve_index=False).cast(old.schema)
+        self.put(graph_uri, new)
+
+    def delete(self, graph_uri: str) -> None:
+        os.remove(self._path(graph_uri))
+
+    def head(self, graph_uri: str) -> bool:
+        return os.path.exists(self._path(graph_uri))
+
+    def graphs(self) -> list[str]:
+        return sorted(
+            unquote(name[: -len(".rdf")])
+            for name in os.listdir(self.root)
+            if name.endswith(".rdf")
+        )
+
+    def patch(self, graph_uri: str, update_query: str) -> None:
+        raise NotImplementedError(
+            "PATCH forwards a SPARQL-update string to a server "
+            "(graphstoreservice.go:162-181); no server / local SPARQL-"
+            "update engine in this store"
+        )
+
+
+def write_graphstore(triples_ds, root_dir: str, graph_column: str = "url"):
+    """Distributed fan-out: partition a flattened triples Dataset by
+    ``graph_column`` and PUT one RDF/XML document per named graph.
+    Grouping uses the sort-based ``grouped_map`` (no per-group task
+    dispatch); each group's write is the same atomic replace the
+    driver-side ``put`` does.  Returns the list of graph URIs written.
+    """
+    from ..stages.grouping import grouped_map
+
+    os.makedirs(root_dir, exist_ok=True)
+    store = FileGraphStore(root_dir)
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        uri = g[graph_column].iloc[0]
+        tbl = pa.Table.from_pandas(
+            g[TRIPLE_COLUMNS], preserve_index=False
+        )
+        store.put(uri, tbl)
+        return pd.DataFrame({"graph_uri": [uri], "n_triples": [len(g)]})
+
+    manifest = grouped_map(triples_ds, graph_column, write_group)
+    return sorted(r["graph_uri"] for r in manifest.take_all())
+
+
+def read_graphstore(root_dir: str):
+    """Distributed fan-in: all named graphs → one triples Dataset with a
+    ``graph_uri`` provenance column (each file parsed where it's read —
+    ``read_binary_files`` keeps the bytes off the driver)."""
+    import ray.data as rd
+
+    from ..io import configure_context
+
+    configure_context()
+
+    def parse(batch: pa.Table) -> pa.Table:
+        parts = []
+        for path, body in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            uri = unquote(os.path.basename(path)[: -len(".rdf")])
+            triples = parse_rdfxml(body.decode("utf-8"), document_uri=uri)
+            t = triples_to_table(triples, urls=[uri] * len(triples), with_hash=False)
+            parts.append(t)
+        if not parts:
+            return append_subject_hash(
+                _EMPTY.append_column("url", pa.array([], pa.string()))
+            )
+        return append_subject_hash(pa.concat_tables(parts))
+
+    files = rd.read_binary_files(root_dir, include_paths=True)
+    return files.map_batches(parse, batch_format="pyarrow")

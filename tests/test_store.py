@@ -33,3 +33,44 @@ def test_term_ids_deterministic(ray_session):
     ids2 = sorted(r["term_id"] for r in terms2.take_all())
     assert ids1 == ids2
     assert len(ids1) == len(set(ids1))  # distinct terms, distinct ids
+
+
+def test_file_graphstore_verbs(tmp_path):
+    """S7/K6 equivalent: put/get/post/delete/head semantics of the
+    graph-store protocol over files (graphstoreservice.go:40-181)."""
+    import pytest
+
+    from argo_ray.sinks.graphstore import FileGraphStore
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    store = FileGraphStore(str(tmp_path / "gs"))
+    uri = "http://graphs.example.org/g one"  # space → quoting exercised
+    t1 = triples_to_table(
+        [(IRI("http://s/1"), IRI("http://p/one"), Literal("v1"))], with_hash=False
+    )
+    t2 = triples_to_table(
+        [
+            (IRI("http://s/1"), IRI("http://p/one"), Literal("v1")),  # dup
+            (IRI("http://s/2"), IRI("http://p/two"), Literal("v2", lang="en")),
+        ],
+        with_hash=False,
+    )
+    assert not store.head(uri)
+    store.put(uri, t1)
+    assert store.head(uri) and store.graphs() == [uri]
+    assert store.get(uri).num_rows == 1
+    store.post(uri, t2)  # merge: distinct union → 2 triples
+    got = store.get(uri)
+    assert got.num_rows == 2
+    assert set(got["obj_value"].to_pylist()) == {"v1", "v2"}
+    assert got.filter(
+        __import__("pyarrow.compute", fromlist=["equal"]).equal(
+            got["obj_value"], "v2"
+        )
+    )["obj_lang"].to_pylist() == ["en"]
+    store.put(uri, t1)  # PUT replaces
+    assert store.get(uri).num_rows == 1
+    with pytest.raises(NotImplementedError):
+        store.patch(uri, "DELETE WHERE { ?s ?p ?o }")
+    store.delete(uri)
+    assert not store.head(uri) and store.graphs() == []
