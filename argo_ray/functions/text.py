@@ -24,6 +24,67 @@ def token_count_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", n)
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style minus the RE2-unsupported
+# lookahead): letter runs, digit runs, punctuation runs, each with an
+# optional leading space.  Kept lookahead-free so Arrow's RE2, DuckDB's
+# RE2 and Python's re all count identically (verified 3-way).
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def regex_token_count_batch(
+    batch: pa.Table, text_column: str = "text", pattern: str = BPE_TOKEN_PATTERN
+) -> pa.Table:
+    """BPE-ish token count — one vectorized RE2 kernel
+    (``pc.count_substring_regex``), zero per-row Python.  The LLM-token
+    budget estimator of the training-data suite (whitespace counting
+    lives in :func:`token_count_batch`)."""
+    n = pc.cast(
+        pc.count_substring_regex(
+            pc.cast(batch[text_column], pa.large_string()), pattern=pattern
+        ),
+        pa.int64(),
+    )
+    return batch.append_column("n_bpe_tokens", n)
+
+
+def vocab_topk(docs_ds, k: int = 20, text_column: str = "text"):
+    """Distributed vocabulary build → top-k words by corpus frequency
+    (ties → lexicographically smallest word).  The canonical combiner
+    shape: per-batch token explode + LOCAL count (shuffle volume =
+    distinct words per batch, not token occurrences), then one global
+    ``groupby(word).sum``, then a k-row sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(batch[text_column], pa.large_string()), pattern=" "
+        )
+        flat = pc.list_flatten(toks)
+        counted = pa.table({"word": flat}).group_by("word").aggregate(
+            [("word", "count")]
+        )
+        return pa.table(
+            {
+                "word": pc.cast(counted["word"], pa.string()),
+                "partial_n": pc.cast(counted["word_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    top = out.sort(["n", "word"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda b: pa.table(
+            {"word": pc.cast(b["word"], pa.string()),
+             "n": pc.cast(b["n"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def quality_batch(
     batch: pa.Table, text_column: str = "text", short_words: int = 20
 ) -> pa.Table:

@@ -50,3 +50,67 @@ BUILTIN_NAMESPACES: dict[str, str] = {
     "gr": "http://purl.org/goodrelations/v1#",
     "xsd": "http://www.w3.org/2001/XMLSchema#",
 }
+
+
+class PrefixCache:
+    """Persisted prefix→namespace cache — completes operator T1
+    (``namespace.go:111-177``: prefix.cc lookup + gob Load/SaveLookupCache)
+    without mid-pipeline network I/O.
+
+    Resolution order: in-memory cache → :data:`BUILTIN_NAMESPACES` →
+    optional ``resolver`` callable (the prefix.cc HTTP hook, injectable
+    by DRIVER-side tooling only — pipeline tasks must construct the
+    cache without one).  Successful resolver hits are cached; ``save``/
+    ``load`` persist the cache as JSON (the gob-file equivalent), so a
+    driver can warm the cache once and broadcast it (``ray.put``) to
+    every task.  A miss returns ``""`` — the same zero value a failed
+    lookup produces in the reference (``squirtleparser.y:318-331``).
+    """
+
+    def __init__(self, cache_file: str | None = None, resolver=None):
+        self._cache: dict[str, str] = {}
+        self._resolver = resolver
+        self._path = cache_file
+        if cache_file is not None:
+            import os
+
+            if os.path.exists(cache_file):
+                self.load(cache_file)
+
+    def lookup(self, prefix: str) -> str:
+        uri = self._cache.get(prefix)
+        if uri is not None:
+            return uri
+        uri = BUILTIN_NAMESPACES.get(prefix)
+        if uri is not None:
+            return uri
+        if self._resolver is not None:
+            try:
+                uri = self._resolver(prefix) or ""
+            except Exception:
+                uri = ""
+            if uri:
+                self._cache[prefix] = uri
+            return uri
+        return ""
+
+    def load(self, path: str | None = None) -> None:
+        import json
+
+        with open(path or self._path, encoding="utf-8") as f:
+            self._cache.update(json.load(f))
+
+    def save(self, path: str | None = None) -> None:
+        import json
+        import os
+
+        target = path or self._path
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self._cache, f, sort_keys=True)
+        os.replace(tmp, target)
+
+    def as_dict(self) -> dict[str, str]:
+        """Merged broadcast view (builtins + cached lookups) for
+        ``ray.put`` into parser stages."""
+        return {**BUILTIN_NAMESPACES, **self._cache}

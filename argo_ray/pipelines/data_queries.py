@@ -100,6 +100,58 @@ def q_docs_token_count(sf_dir: str):
     )
 
 
+def q_docs_regex_tokens(sf_dir: str):
+    """BPE-ish regex token count (vectorized RE2 kernel); oracle =
+    DuckDB ``regexp_extract_all`` with the identical pattern."""
+    from ..functions.text import regex_token_count_batch
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: regex_token_count_batch(b).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_vocab(sf_dir: str):
+    """Distributed wordcount → corpus top-20 vocabulary (combiner before
+    the shuffle; deterministic (n desc, word) tie-break)."""
+    from ..functions.text import vocab_topk
+
+    return vocab_topk(_docs(sf_dir, ("doc_id", "text")), k=20)
+
+
+def q_docs_rolling_fp(sf_dir: str):
+    """Rolling-fingerprint (Rabin-Karp) gate: each planted near-dup
+    (source doc minus its last word) must share ≥ 50% of its 16-byte
+    window hashes with the source — the content-defined-chunking overlap
+    property the fingerprints exist for.  One row per planted doc; a
+    fingerprinting regression flips the boolean."""
+    from ..functions.text import rolling_fingerprints
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids, ok = [], []
+        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if doc_id % 10 != 0:
+                continue
+            near = " ".join(text.split(" ")[:-1])
+            fp_base = set(rolling_fingerprints(text))
+            fp_near = set(rolling_fingerprints(near))
+            ids.append(doc_id)
+            ok.append(
+                bool(fp_near)
+                and len(fp_base & fp_near) / len(fp_near) >= 0.5
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "overlap_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
 def q_docs_quality(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         lambda b: quality_batch(b).select(
@@ -391,6 +443,9 @@ def q_events_sliding_window(sf_dir: str):
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_count": q_docs_token_count,
+    "docs_regex_tokens": q_docs_regex_tokens,
+    "docs_vocab": q_docs_vocab,
+    "docs_rolling_fp": q_docs_rolling_fp,
     "docs_quality": q_docs_quality,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_langid": q_docs_langid,
@@ -531,6 +586,13 @@ DATA_ORACLES = {
        COUNT(*) AS n_copies
 FROM corpus GROUP BY md5(text)""",
     "docs_token_count": "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "docs_regex_tokens": """SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+    "docs_vocab": """SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "docs_rolling_fp": "SELECT doc_id, true AS overlap_ok FROM documents WHERE doc_id % 10 = 0",
     "docs_quality": """SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        CAST(length(text) AS BIGINT) AS n_chars_text,

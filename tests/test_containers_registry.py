@@ -60,3 +60,31 @@ def test_registry_parsers_callable():
     from argo_ray.terms import triples_to_table
 
     assert nt.serializer(triples_to_table(triples, with_hash=False)).startswith("<http://e.org/s>")
+
+
+def test_prefix_cache_t1(tmp_path):
+    """T1: lookup order (cache → builtins → resolver), resolver results
+    cached + persisted, miss → '' (the reference's failed-lookup zero
+    value)."""
+    from argo_ray.namespaces import BUILTIN_NAMESPACES, PrefixCache
+
+    calls = []
+
+    def resolver(prefix):
+        calls.append(prefix)
+        return "http://resolved.example/ns#" if prefix == "zz" else ""
+
+    path = str(tmp_path / "prefixes.json")
+    cache = PrefixCache(cache_file=path, resolver=resolver)
+    assert cache.lookup("rdf") == BUILTIN_NAMESPACES["rdf"] and calls == []
+    assert cache.lookup("zz") == "http://resolved.example/ns#"
+    assert cache.lookup("zz") == "http://resolved.example/ns#"
+    assert calls == ["zz"]  # second hit served from cache
+    assert cache.lookup("nope") == "" and calls == ["zz", "nope"]
+    cache.save()
+
+    # fresh cache, no resolver (pipeline-task mode): persisted hit works
+    warm = PrefixCache(cache_file=path)
+    assert warm.lookup("zz") == "http://resolved.example/ns#"
+    assert warm.lookup("unknown") == ""
+    assert warm.as_dict()["rdf"] == BUILTIN_NAMESPACES["rdf"]
