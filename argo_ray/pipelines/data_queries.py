@@ -329,6 +329,118 @@ def q_events_range_join(sf_dir: str):
     return range_join_events(_events(sf_dir), "purchase", "click", window_minutes=30)
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast dimension chain: orders (large, streamed) ⋈ customer ⋈
+    nation — both dimension tables collected once, shipped via
+    ``ray.put``, merged map-side (zero shuffle of the fact table);
+    combiner partials before the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.broadcast import broadcast_join
+
+    import ray
+
+    # dim ⋈ dim happens once on the driver (both sides tiny); only the
+    # fact table streams through an actor stage
+    cust = pa.concat_tables(
+        ray.get(
+            read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    nation = pa.concat_tables(
+        ray.get(
+            read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    dims = cust.rename_columns(["o_custkey", "n_nationkey"]).join(
+        nation, keys="n_nationkey"
+    ).select(["o_custkey", "n_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dims, on="o_custkey", concurrency=1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(pc.cast(b["o_totalprice"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table({"n_name": b["n_name"], "cents": cents})
+        agg = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table(
+            {
+                "n_name": pc.cast(agg["n_name"], pa.string()),
+                "p_cents": pc.cast(agg["cents_sum"], pa.int64()),
+                "p_n": pc.cast(agg["cents_count"], pa.int64()),
+            }
+        )
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
+        Sum("p_cents", alias_name="total_cents"), Sum("p_n", alias_name="n_orders")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": pc.cast(b["n_name"], pa.string()),
+                "total_cents": pc.cast(b["total_cents"], pa.int64()),
+                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_parts_revenue_topk(sf_dir: str):
+    """lineitem (fact, streamed) ⋈ part (broadcast) → top-5 brands by
+    discounted revenue (cents-exact, deterministic (revenue desc,
+    brand) tie-break)."""
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.broadcast import broadcast_join
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda b: b.rename_columns(["p_partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(li, part, on="p_partkey", concurrency=1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(b["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(b["l_discount"], pa.float64())),
+        )
+        cents = pc.cast(pc.floor(pc.multiply(rev, 100.0)), pa.int64())
+        t = pa.table({"p_brand": b["p_brand"], "cents": cents})
+        agg = t.group_by("p_brand").aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "p_brand": pc.cast(agg["p_brand"], pa.string()),
+                "p_cents": pc.cast(agg["cents_sum"], pa.int64()),
+            }
+        )
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "p_brand"
+    ).aggregate(Sum("p_cents", alias_name="revenue_cents"))
+    top = out.sort(["revenue_cents", "p_brand"], descending=[True, False]).limit(5)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": pc.cast(b["p_brand"], pa.string()),
+                "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_top_users(sf_dir: str):
     """Top-10 users by event count (sort + limit with deterministic
     tie-break)."""
@@ -467,6 +579,8 @@ DATA_QUERIES = {
     "events_props_extract": q_events_props_extract,
     "top_users": q_top_users,
     "lineitem_pricing": q_lineitem_pricing,
+    "orders_by_nation": q_orders_by_nation,
+    "parts_revenue_topk": q_parts_revenue_topk,
 }
 
 
@@ -674,6 +788,18 @@ FROM events GROUP BY event_type""",
     "top_users": """SELECT user_id, n_events FROM (
   SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 ) ORDER BY n_events DESC, user_id LIMIT 10""",
+    "orders_by_nation": """SELECT n.n_name,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+    "parts_revenue_topk": """SELECT p_brand, revenue_cents FROM (
+  SELECT p.p_brand,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+) ORDER BY revenue_cents DESC, p_brand LIMIT 5""",
     "lineitem_pricing": """SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -39,9 +39,13 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     from argo_ray.pipelines.data_queries import (
         q_ann_topk,
         q_docs_quality,
+        q_docs_vocab,
         q_events_asof,
         q_events_window_hourly,
         q_minhash_lsh_neardup,
+        q_multimodal_decode,
+        q_orders_by_nation,
+        q_simhash_candidates,
     )
     from argo_ray.pipelines.queries import (
         q_entity_link,
@@ -59,6 +63,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("events_window_hourly", q_events_window_hourly),
         ("events_asof", q_events_asof),
         ("docs_quality", q_docs_quality),
+        ("simhash_candidates", q_simhash_candidates),
+        ("docs_vocab", q_docs_vocab),
+        ("orders_by_nation", q_orders_by_nation),
+        ("multimodal_decode", q_multimodal_decode),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -391,3 +391,22 @@ def test_simhash_md5_hasher_matches_duckdb():
         assert out["simhash"].to_pylist() == [
             simhash64(t.split(" "), hasher=hasher) for t in texts
         ]
+
+
+def test_broadcast_join(ray_session):
+    """Map-side broadcast join: inner-join semantics match pandas merge;
+    big side never shuffles (plan has no all-to-all stage)."""
+    import ray.data as rd
+
+    from argo_ray.stages.broadcast import broadcast_join
+
+    big = rd.from_items([{"k": i % 5, "v": i} for i in range(1000)]).repartition(8)
+    small = pa.table({"k": [0, 1, 2, 9], "name": ["a", "b", "c", "z"]})
+    out = broadcast_join(big, small, on="k", concurrency=1)
+    rows = out.take_all()
+    assert len(rows) == 600  # k in {0,1,2} → 200 each
+    assert {r["name"] for r in rows} == {"a", "b", "c"}
+    assert all(r["v"] % 5 == r["k"] for r in rows)
+    # small side as a Dataset also works
+    out2 = broadcast_join(big, rd.from_arrow(small), on="k", concurrency=1)
+    assert out2.count() == 600
