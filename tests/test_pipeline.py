@@ -71,3 +71,13 @@ def test_dedup_is_order_insensitive_set(ray_session):
     cols = [c for c in t.column_names if c.endswith(("kind", "value", "lang", "datatype"))]
     df = t.to_pandas()
     assert not df.duplicated(subset=cols).any()
+
+
+def test_every_query_has_an_oracle():
+    """Driver-contract invariant (round-2 goal): zero rows-only checks —
+    every queries() entry has a matching oracle_sql() twin and vice
+    versa."""
+    import __ray_entry__ as m
+
+    q, o = set(m.queries()), set(m.oracle_sql())
+    assert q == o and len(q) >= 51
