@@ -1,0 +1,124 @@
+"""Property-based tests (SURVEY §5 plan: "serialize→parse round-trip
+preserves the triple multiset under Equal") — hypothesis-generated term
+corpora instead of hand-picked cases, plus the RDFa fast-path/fallback
+equivalence that the scanner's correctness rests on."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from argo_ray.sinks.ntriples import serialize_ntriples
+from argo_ray.sinks.turtle import serialize_turtle
+from argo_ray.sources.ntriples import parse_ntriples
+from argo_ray.terms import IRI, Blank, Literal, triples_to_table
+
+# N-Triples IRI charset: printable ASCII minus space, <, >, " (the
+# reference's whitelist, ntriples.go:207); keep \ out too (not escaped
+# inside IRIs by the NT grammar).
+_IRI_CHARS = "".join(
+    c for c in map(chr, range(0x21, 0x7F)) if c not in '<>"\\'
+)
+iri_strategy = st.text(_IRI_CHARS, min_size=1, max_size=30).map(
+    lambda s: IRI("http://x/" + s)
+)
+bnode_strategy = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,10}", fullmatch=True).map(
+    Blank
+)
+# literal text: any printable + the escape-relevant chars
+literal_text = st.text(
+    st.sampled_from(string.printable + "é€中"), max_size=40
+)
+lang_strategy = st.from_regex(r"[a-z]{2}(-[a-z0-9]{1,4})?", fullmatch=True)
+literal_strategy = st.one_of(
+    literal_text.map(Literal),
+    st.tuples(literal_text, lang_strategy).map(lambda t: Literal(t[0], lang=t[1])),
+    st.tuples(literal_text, iri_strategy).map(
+        lambda t: Literal(t[0], datatype=t[1].value)
+    ),
+)
+subject_strategy = st.one_of(iri_strategy, bnode_strategy)
+object_strategy = st.one_of(iri_strategy, bnode_strategy, literal_strategy)
+triple_strategy = st.tuples(subject_strategy, iri_strategy, object_strategy)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(triple_strategy, min_size=1, max_size=12))
+def test_nt_roundtrip_property(triples):
+    """serialize(NT) → parse preserves the triple sequence exactly
+    (escapes, lang tags, datatypes, bnodes on any position)."""
+    table = triples_to_table(triples, with_hash=False)
+    parsed = parse_ntriples(serialize_ntriples(table))
+    assert parsed == triples
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(triple_strategy, min_size=1, max_size=10))
+def test_turtle_roundtrip_property(triples):
+    """serialize(Turtle) → parse preserves the distinct triple SET
+    (turtle groups by subject, so order is not preserved)."""
+    from argo_ray.sources.turtle import parse_turtle
+
+    table = triples_to_table(triples, with_hash=False)
+    parsed = parse_turtle(serialize_turtle(table, {}))
+    assert set(parsed) == set(triples)
+
+
+# --- RDFa scanner ≡ html.parser fallback -------------------------------
+
+_TEXT = st.text(
+    st.sampled_from("ab &amp; &lt; x <> ' \" \n\t"), max_size=12
+)
+_ATTR_POOL = [
+    ("property", "dc:t"), ("typeof", "ex:T"), ("resource", "http://r/1"),
+    ("vocab", "http://v/"), ("rel", "ex:r"), ("rev", "ex:v"),
+    ("href", "http://h/"), ("content", "c v"), ("datatype", "ex:dt"),
+    ("xml:lang", "en"), ("xmlns:dc", "http://d/"), ("xmlns:ex", "http://e/"),
+    ("class", "plain"), ("id", "x1"),
+]
+
+
+@st.composite
+def html_docs(draw):
+    """Random nested HTML built from well-formed pieces (the scanner's
+    strict subset) with RDFa attributes sprinkled in."""
+    depth = draw(st.integers(0, 3))
+
+    def element(d):
+        tag = draw(st.sampled_from(["div", "span", "p", "a", "li"]))
+        attrs = draw(st.lists(st.sampled_from(_ATTR_POOL), max_size=4))
+        attr_s = "".join(
+            f' {k}="{v}"' for k, v in attrs
+        )
+        if d <= 0:
+            body = draw(_TEXT).replace("<", "&lt;").replace(">", "&gt;")
+        else:
+            parts = [
+                element(d - 1)
+                for _ in range(draw(st.integers(0, 2)))
+            ]
+            body = draw(_TEXT).replace("<", "&lt;").replace(">", "&gt;") + "".join(
+                parts
+            )
+        return f"<{tag}{attr_s}>{body}</{tag}>"
+
+    pieces = [element(depth) for _ in range(draw(st.integers(1, 3)))]
+    comment = "<!-- a comment with property=inside -->" if draw(st.booleans()) else ""
+    return "<html><body>" + comment + "".join(pieces) + "</body></html>"
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_docs())
+def test_rdfa_scan_equals_fallback_property(html):
+    """The regex fast path and the html.parser fallback must emit the
+    IDENTICAL triple list for any page in the scanner's subset — the
+    invariant the flagship's 3× tokenizer speedup rests on."""
+    from argo_ray.sources.rdfa import _RdfaEvents, extract_rdfa
+
+    fast = extract_rdfa(html, "http://doc/")
+    p = _RdfaEvents("http://doc/")
+    p.feed(html)
+    p.close()
+    if p.pending is not None:
+        p._flush_pending("")
+    assert fast == p.triples
