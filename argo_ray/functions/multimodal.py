@@ -266,13 +266,207 @@ class ImageResizer:
         )
 
 
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAVE PCM-16 codec (no library needed)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(sample_rate: int, samples: np.ndarray) -> bytes:
+    """int16 mono samples → standard RIFF/WAVE file (PCM fmt chunk +
+    data chunk) — real-format fixture generator for the audio path."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real RIFF/WAVE parser: walks chunks (tolerating extras like
+    LIST/fact), requires PCM 16-bit → (sample_rate, channels,
+    int16 sample array).  Raises ``ValueError`` on non-PCM/invalid."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV payload → exact integer features
+    (n_samples, sample_rate, sum of squared samples, peak) — integers so
+    the oracle reconstructs them bit-exactly; a real spectral model
+    would load in ``__init__`` the same way."""
+
+    def __init__(self, on_error: str = "raise"):
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, rates, sums, peaks = [], [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                rate, _, samples = decode_wav(payload or b"")
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                continue
+            s = samples.astype(np.int64)
+            ids.append(item_id)
+            ns.append(len(s))
+            rates.append(rate)
+            sums.append(int((s * s).sum()))
+            peaks.append(int(np.abs(s).max()) if len(s) else 0)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "sum_sq": pa.array(sums, pa.int64()),
+                "peak": pa.array(peaks, pa.int64()),
+            }
+        )
+
+
+def documents_as_wav(sf_dir: str, repeats: int = 8):
+    """Adapter: real WAV corpus — 8 kHz mono PCM-16, samples =
+    ``16 × md5(text) digest bytes`` tiled ``repeats`` times (so every
+    feature is reconstructable from ``md5(text)`` in SQL)."""
+
+    def adapt(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        payloads = []
+        for t in texts:
+            d = np.frombuffer(hashlib.md5(t.encode()).digest(), dtype=np.uint8)
+            samples = np.tile(d.astype(np.int16) * 16, repeats)
+            payloads.append(encode_wav_pcm16(8000, samples))
+        return pa.table(
+            {
+                "item_id": pc.cast(b["doc_id"], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["audio/wav"] * len(texts), pa.string()),
+                "meta": pa.array(['{"rate":8000}'] * len(texts), pa.string()),
+            }
+        )
+
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+
+
+def audio_wav_features(sf_dir: str, repeats: int = 8):
+    """Real decode path for audio: WAV corpus → actor-pool RIFF parse →
+    exact integer features."""
+    return documents_as_wav(sf_dir, repeats).map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=2, batch_size=128
+    )
+
+
+def audio_wav_oracle_sql(repeats: int = 8) -> str:
+    """DuckDB reconstruction of :func:`audio_wav_features`: digest byte
+    i = ``CAST('0x'||substr(md5(text),2i+1,2) AS INT)``; sample value =
+    16 × byte, tiled ``repeats`` times → n_samples = 16×repeats,
+    sum_sq = repeats × Σ(16 b_i)², peak = 16 × max(b_i)."""
+    bytes_ = [
+        f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS INTEGER)"
+        for i in range(16)
+    ]
+    sum_sq = " + ".join(f"({b} * {b})" for b in bytes_)
+    peak = "greatest({})".format(", ".join(bytes_))
+    return f"""SELECT doc_id AS item_id,
+       CAST({16 * repeats} AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST({repeats} * 256 * ({sum_sq}) AS BIGINT) AS sum_sq,
+       CAST(16 * {peak} AS BIGINT) AS peak
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Video: real YUV4MPEG2 (Y4M) frame parser
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Mono (Cmono) YUV4MPEG2 stream — real-format fixture generator;
+    one ``FRAME`` marker + W×H luma bytes per frame."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    out = [head]
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame size != W*H")
+        out.append(b"FRAME\n")
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Real Y4M parser: stream header (W/H/C tags), then FRAME-delimited
+    raw planes.  Mono only (color would need chroma-plane math); raises
+    ``ValueError`` otherwise."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated Y4M header")
+    width = height = None
+    colorspace = "C420"
+    for tag in payload[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "C":
+            colorspace = t
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "Cmono":
+        raise ValueError(f"only Cmono Y4M supported (got {colorspace})")
+    frame_len = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("expected FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_len > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(payload[fnl + 1 : fnl + 1 + frame_len])
+        pos = fnl + 1 + frame_len
+    return width, height, frames
+
+
 class FrameSampler:
-    """Video frame-sample stage: opaque video ``payload`` → ``n_frames``
+    """Video frame-sample stage: video ``payload`` → ``n_frames``
     evenly-spaced frame rows (one output row per frame — flat_map
-    shape).  Real path needs a video codec (absent) →
-    ``NotImplementedError``; ``fake=True`` derives deterministic
-    fixed-size pseudo-frames from the payload digest + frame index.
-    """
+    shape).  YUV4MPEG2 payloads parse for REAL (:func:`decode_y4m`);
+    other containers (mp4/mkv…) need absent codec libraries.
+    ``fake=True`` derives deterministic fixed-size pseudo-frames from
+    the payload digest + frame index (plumbing tests with arbitrary
+    payloads)."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False):
         self.n = n_frames
@@ -280,9 +474,35 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "video decoding requires an absent codec library; use "
-                "FrameSampler(fake=True) for the deterministic test double"
+            ids, fidx, hs, ws, px = [], [], [], [], []
+            for item_id, payload in zip(
+                batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                payload = payload or b""
+                if not payload.startswith(b"YUV4MPEG2"):
+                    raise NotImplementedError(
+                        "only YUV4MPEG2 video parses in this environment "
+                        "(mp4/mkv need codec libraries absent from the "
+                        "container); FrameSampler(fake=True) is the test "
+                        "double for opaque payloads"
+                    )
+                w, h, frames = decode_y4m(payload)
+                take = np.linspace(0, len(frames) - 1, min(self.n, len(frames)))
+                for i in take.astype(int):
+                    ids.append(item_id)
+                    fidx.append(int(i))
+                    hs.append(h)
+                    ws.append(w)
+                    px.append(frames[i])
+            return pa.table(
+                {
+                    "item_id": pa.array(ids, pa.int64()),
+                    "frame_idx": pa.array(fidx, pa.int32()),
+                    "height": pa.array(hs, pa.int32()),
+                    "width": pa.array(ws, pa.int32()),
+                    "channels": pa.array([1] * len(ids), pa.int32()),
+                    "pixels": pa.array(px, pa.binary()),
+                }
             )
         ids, fidx, frames = [], [], []
         for item_id, payload in zip(
@@ -303,6 +523,75 @@ class FrameSampler:
                 "pixels": pa.array(frames, pa.binary()),
             }
         )
+
+
+def documents_as_y4m(sf_dir: str, total_frames: int = 10):
+    """Adapter: real Y4M video corpus — 8×8 mono, frame i's 64 luma
+    bytes = ``md5(text + '#' + i).digest() × 4`` (every sampled frame
+    reconstructable from SQL md5)."""
+
+    def adapt(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        payloads = []
+        for t in texts:
+            frames = [
+                hashlib.md5(f"{t}#{i}".encode()).digest() * 4
+                for i in range(total_frames)
+            ]
+            payloads.append(encode_y4m(8, 8, frames))
+        return pa.table(
+            {
+                "item_id": pc.cast(b["doc_id"], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["video/x-yuv4mpeg"] * len(texts), pa.string()),
+                "meta": pa.array(['{"w":8,"h":8}'] * len(texts), pa.string()),
+            }
+        )
+
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+
+
+def video_frame_sample(sf_dir: str, n_frames: int = 4, total_frames: int = 10):
+    """Real video path: Y4M corpus → actor-pool frame sampling →
+    (item_id, frame_idx, frame_hex) with every sampled frame's pixels
+    oracle-checked."""
+    ds = documents_as_y4m(sf_dir, total_frames)
+    sampled = ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+        fn_constructor_kwargs={"n_frames": n_frames},
+    )
+    return sampled.map_batches(
+        lambda b: pa.table(
+            {
+                "item_id": b["item_id"],
+                "frame_idx": pc.cast(b["frame_idx"], pa.int32()),
+                "frame_hex": pa.array(
+                    [p.hex() for p in b["pixels"].to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def video_frame_oracle_sql(n_frames: int = 4, total_frames: int = 10) -> str:
+    """DuckDB reconstruction of :func:`video_frame_sample`: sampled
+    indices = ``linspace(0, total-1, n).astype(int)`` (computed here
+    with the same numpy call), frame hex = ``repeat(md5(text||'#'||i),
+    4)``."""
+    idx = np.linspace(0, total_frames - 1, n_frames).astype(int)
+    rows = ", ".join(f"({int(i)})" for i in idx)
+    return f"""SELECT d.doc_id AS item_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       repeat(md5(d.text || '#' || CAST(f.i AS VARCHAR)), 4) AS frame_hex
+FROM documents d CROSS JOIN (VALUES {rows}) AS f(i)"""
 
 
 def documents_as_binary(sf_dir: str):

@@ -20,7 +20,12 @@ from ..functions.dedup import (
     plant_duplicates_batch,
     simhash_candidates,
 )
-from ..functions.multimodal import multimodal_decode_oracle_sql, multimodal_features
+from ..functions.multimodal import (
+    audio_wav_oracle_sql,
+    multimodal_decode_oracle_sql,
+    multimodal_features,
+    video_frame_oracle_sql,
+)
 from ..functions.text import (
     LangId,
     fingerprint_batch,
@@ -314,6 +319,21 @@ def q_multimodal_decode(sf_dir: str):
     return multimodal_decode(sf_dir)
 
 
+def q_audio_wav_features(sf_dir: str):
+    """Real RIFF/WAVE PCM decode → exact integer audio features."""
+    from ..functions.multimodal import audio_wav_features
+
+    return audio_wav_features(sf_dir)
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Real YUV4MPEG2 parse → evenly-spaced frame sampling, sampled
+    pixels oracle-checked."""
+    from ..functions.multimodal import video_frame_sample
+
+    return video_frame_sample(sf_dir)
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each purchase matched to the user's most recent
     strictly-earlier click."""
@@ -571,6 +591,8 @@ DATA_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "audio_wav_features": q_audio_wav_features,
+    "video_frame_sample": q_video_frame_sample,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
@@ -762,6 +784,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9""",
   WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
 ) WHERE rank <= 10""",
     "multimodal_decode": multimodal_decode_oracle_sql(),
+    "audio_wav_features": audio_wav_oracle_sql(),
+    "video_frame_sample": video_frame_oracle_sql(),
     "multimodal_features": """SELECT doc_id AS item_id,
        CAST(strlen(text) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5

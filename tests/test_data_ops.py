@@ -410,3 +410,50 @@ def test_broadcast_join(ray_session):
     # small side as a Dataset also works
     out2 = broadcast_join(big, rd.from_arrow(small), on="k", concurrency=1)
     assert out2.count() == 600
+
+
+def test_wav_and_y4m_real_codecs():
+    """Real RIFF/WAVE and YUV4MPEG2 parsers: round-trips, chunk walking,
+    unsupported-variant rejection."""
+    import numpy as np
+
+    from argo_ray.functions.multimodal import (
+        AudioFeatures,
+        FrameSampler,
+        decode_wav,
+        decode_y4m,
+        encode_wav_pcm16,
+        encode_y4m,
+    )
+
+    samples = np.arange(-5, 11, dtype=np.int16)
+    rate, ch, got = decode_wav(encode_wav_pcm16(8000, samples))
+    assert (rate, ch) == (8000, 1) and (got == samples).all()
+    # extra chunk before data still parses (chunk walking)
+    wav = encode_wav_pcm16(8000, samples)
+    patched = wav[:12] + b"LIST\x04\x00\x00\x00INFO" + wav[12:]
+    patched = patched[:4] + np.uint32(len(patched) - 8).tobytes() + patched[8:]
+    assert (decode_wav(patched)[2] == samples).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+
+    frames = [bytes([i]) * 64 for i in range(10)]
+    w, h, back = decode_y4m(encode_y4m(8, 8, frames))
+    assert (w, h) == (8, 8) and back == frames
+    with pytest.raises(ValueError, match="Cmono"):
+        decode_y4m(b"YUV4MPEG2 W8 H8 C420\nFRAME\n" + b"\0" * 96)
+
+    feats = AudioFeatures()(
+        pa.table({"item_id": pa.array([1], pa.int64()),
+                  "payload": [encode_wav_pcm16(8000, samples)]})
+    )
+    assert feats["n_samples"].to_pylist() == [16]
+    assert feats["sum_sq"].to_pylist() == [int((samples.astype(np.int64) ** 2).sum())]
+    assert feats["peak"].to_pylist() == [10]
+
+    sampled = FrameSampler(n_frames=4)(
+        pa.table({"item_id": pa.array([7], pa.int64()),
+                  "payload": [encode_y4m(8, 8, frames)]})
+    )
+    assert sampled["frame_idx"].to_pylist() == [0, 3, 6, 9]
+    assert sampled["pixels"].to_pylist() == [frames[i] for i in (0, 3, 6, 9)]
