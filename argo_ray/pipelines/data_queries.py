@@ -319,6 +319,55 @@ def q_multimodal_decode(sf_dir: str):
     return multimodal_decode(sf_dir)
 
 
+_LOOP_SRC = """
+name <http://ex.org/loop/> as ex
+func ex/F (a integer "left operand", b integer "right operand") {
+    rdfs:label "per-document adder"
+    loop:Add(loop:a a, loop:b b)
+}
+"""
+
+
+def q_loop_eval(sf_dir: str):
+    """loop DSL (T6) end-to-end, distributed: the program compiles once
+    per batch (per-call parser state, the T5 pattern), then every doc
+    becomes a call node ``F(a=n_chars, b=doc_id)`` evaluated by the
+    interpreter — results oracle-checked against plain SQL addition."""
+    from ..loop import LoopGraph, compile_loop, evaluate
+    from ..terms import RDF_NS, XSD_NS, Blank, IRI, Literal
+
+    def run(b: pa.Table) -> pa.Table:
+        triples, funcs, prefixes = compile_loop(_LOOP_SRC)
+        f_uri = funcs[0]
+        a_p, b_p = IRI(f_uri + "/arg/a"), IRI(f_uri + "/arg/b")
+        rdf_type, f_term = IRI(RDF_NS + "type"), IRI(f_uri)
+        xint = XSD_NS + "integer"
+        g = LoopGraph(triples, prefixes)
+        ids = b["doc_id"].to_pylist()
+        ncs = b["n_chars"].to_pylist()
+        out = []
+        for d, nc in zip(ids, ncs):
+            call = Blank(f"call{d}")
+            g.add_all(
+                [
+                    (call, rdf_type, f_term),
+                    (call, a_p, Literal(str(nc), datatype=xint)),
+                    (call, b_p, Literal(str(d), datatype=xint)),
+                ]
+            )
+            out.append(int(evaluate(g, call)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "loop_result": pa.array(out, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def q_audio_wav_features(sf_dir: str):
     """Real RIFF/WAVE PCM decode → exact integer audio features."""
     from ..functions.multimodal import audio_wav_features
@@ -593,6 +642,7 @@ DATA_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "audio_wav_features": q_audio_wav_features,
     "video_frame_sample": q_video_frame_sample,
+    "loop_eval": q_loop_eval,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
@@ -786,6 +836,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9""",
     "multimodal_decode": multimodal_decode_oracle_sql(),
     "audio_wav_features": audio_wav_oracle_sql(),
     "video_frame_sample": video_frame_oracle_sql(),
+    "loop_eval": "SELECT doc_id, CAST(n_chars + doc_id AS BIGINT) AS loop_result FROM documents",
     "multimodal_features": """SELECT doc_id AS item_id,
        CAST(strlen(text) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5
