@@ -319,6 +319,81 @@ def q_multimodal_decode(sf_dir: str):
     return multimodal_decode(sf_dir)
 
 
+def q_sparql_results_parse(sf_dir: str):
+    """S6 driver-checked: a deterministic SELECT-results XML document is
+    synthesized per doc (three binding kinds: typed literal, lang
+    literal, uri), parsed by the streaming result parser, and every
+    flattened binding is oracle-checked."""
+    from ..sources.sparql_results import parse_select_batch
+
+    def synth_and_parse(b: pa.Table) -> pa.Table:
+        docs = []
+        for doc_id, lang in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist()):
+            docs.append(
+                '<?xml version="1.0"?>'
+                '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+                "<head><variable name=\"id\"/><variable name=\"label\"/>"
+                "<variable name=\"doc\"/></head><results><result>"
+                f'<binding name="id"><literal datatype='
+                f'"http://www.w3.org/2001/XMLSchema#integer">{doc_id}'
+                "</literal></binding>"
+                f'<binding name="label"><literal xml:lang="{lang}">doc '
+                f"{doc_id}</literal></binding>"
+                f'<binding name="doc"><uri>http://res.example.org/{doc_id}'
+                "</uri></binding>"
+                "</result></results></sparql>"
+            )
+        tbl = pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        out = parse_select_batch(tbl)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "var": out["var"],
+                "kind": pc.cast(out["kind"], pa.int64()),
+                "value": pc.cast(out["value"], pa.string()),
+                "lang": out["lang"],
+                "datatype": out["datatype"],
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        synth_and_parse, batch_format="pyarrow"
+    )
+
+
+_FMT_EXTS = [".nt", ".rdf", ".ttl", ".sqtl", ".json", ".html"]
+_FMT_NAMES = ["ntriples", "rdfxml", "turtle", "squirtle", "json", "rdfa"]
+
+
+def q_format_infer(sf_dir: str):
+    """S8 driver-checked: per doc, a filename ``doc<N><ext>`` with ext
+    cycling through every registered format; the registry's extension
+    inference must return the expected format id and preferred MIME."""
+    from ..sources.registry import format_from_filename
+
+    def infer(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        names, mimes = [], []
+        for d in ids:
+            fmt = format_from_filename(f"doc{d}{_FMT_EXTS[d % 6]}")
+            names.append(fmt.id if fmt else "")
+            mimes.append(fmt.preferred_mime_type if fmt else "")
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "format_id": pa.array(names, pa.string()),
+                "mime": pa.array(mimes, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id",)).map_batches(infer, batch_format="pyarrow")
+
+
 _LOOP_SRC = """
 name <http://ex.org/loop/> as ex
 func ex/F (a integer "left operand", b integer "right operand") {
@@ -643,6 +718,8 @@ DATA_QUERIES = {
     "audio_wav_features": q_audio_wav_features,
     "video_frame_sample": q_video_frame_sample,
     "loop_eval": q_loop_eval,
+    "sparql_results_parse": q_sparql_results_parse,
+    "format_infer": q_format_infer,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
@@ -837,6 +914,26 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9""",
     "audio_wav_features": audio_wav_oracle_sql(),
     "video_frame_sample": video_frame_oracle_sql(),
     "loop_eval": "SELECT doc_id, CAST(n_chars + doc_id AS BIGINT) AS loop_result FROM documents",
+    "sparql_results_parse": """SELECT doc_id, var, kind, value, lang, datatype FROM (
+  SELECT doc_id, 'id' AS var, CAST(2 AS BIGINT) AS kind,
+         CAST(doc_id AS VARCHAR) AS value, '' AS lang,
+         'http://www.w3.org/2001/XMLSchema#integer' AS datatype
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'label', 2, 'doc ' || CAST(doc_id AS VARCHAR), lang, ''
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'doc', 0, 'http://res.example.org/' || CAST(doc_id AS VARCHAR), '', ''
+  FROM documents
+)""",
+    "format_infer": """SELECT doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'ntriples' WHEN 1 THEN 'rdfxml'
+            WHEN 2 THEN 'turtle' WHEN 3 THEN 'squirtle'
+            WHEN 4 THEN 'json' ELSE 'rdfa' END AS format_id,
+       CASE doc_id % 6 WHEN 0 THEN 'text/plain' WHEN 1 THEN 'application/rdf+xml'
+            WHEN 2 THEN 'text/turtle' WHEN 3 THEN 'text/x-squirtle'
+            WHEN 4 THEN 'application/json' ELSE 'text/html' END AS mime
+FROM documents""",
     "multimodal_features": """SELECT doc_id AS item_id,
        CAST(strlen(text) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5
