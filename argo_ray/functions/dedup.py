@@ -226,6 +226,57 @@ def _bucket_pairs(group: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
     return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 
 
+def bucket_pairs_sorted(bands_ds, cap: int = 200):
+    """(band_id, band_hash, doc_id) → candidate (doc_a, doc_b) pairs via
+    ONE sort exchange + a vectorized per-block pass — semantics of
+    ``grouped_map(…, _bucket_pairs)`` without its per-bucket Python
+    dispatch (~20k buckets per block made that the slowest minhash
+    stage).  Buckets of size <2 (the vast majority) are skipped by a
+    run-length mask; 2..cap buckets emit their sorted-id pair triangle.
+    """
+
+    def block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        band = np.asarray(batch["band_id"].to_pylist(), dtype=np.int64)
+        bhash = np.asarray(batch["band_hash"].to_pylist(), dtype=np.uint64)
+        doc = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        # block arrives sorted by (band_id, band_hash): run starts where
+        # either key changes
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[(sizes >= 2) & (sizes <= cap)],
+                        ends[(sizes >= 2) & (sizes <= cap)]):
+            ids = np.unique(doc[s:e])
+            m = len(ids)
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, k=1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return bands_ds.sort(["band_id", "band_hash"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def jaccard_shingles(text_a: str, text_b: str, k: int = 3) -> float:
     sa, sb = _shingles(text_a, k), _shingles(text_b, k)
     if not sa and not sb:
@@ -274,9 +325,7 @@ def minhash_lsh_pairs(
     bands_ds = sigs.map_batches(
         lambda b: explode_bands_batch(b, bands), batch_format="pyarrow"
     )
-    from ..stages.grouping import grouped_map
-
-    cand = grouped_map(bands_ds, ["band_id", "band_hash"], _bucket_pairs)
+    cand = bucket_pairs_sorted(bands_ds)
     from ..stages.materialize import distinct_rows
 
     cand = distinct_rows(cand, ["doc_a", "doc_b"])
@@ -296,6 +345,88 @@ def minhash_lsh_pairs(
                 "doc_b": pa.array(keep_b, pa.int64()),
             }
         )
+
+    if verify == "sortjoin":
+        # distributed verify via TWO sort exchanges instead of hash-join
+        # actor pools (Ray's hash shuffle spawns an aggregator pool per
+        # join and measured ~10× slower than sort exchange in local
+        # mode; sort scales the same way — range partition both sides).
+        # Pass 1: key pair rows by each endpoint, co-sort with the
+        # texts, attach the endpoint's text per sorted block; pass 2:
+        # co-locate the two half-rows of each pair and score.
+        from ..stages.grouping import grouped_map
+
+        def pair_requests(b: pa.Table) -> pa.Table:
+            a = pc.cast(b["doc_a"], pa.int64())
+            c = pc.cast(b["doc_b"], pa.int64())
+            return pa.table(
+                {
+                    "doc": pa.concat_arrays([a.combine_chunks(), c.combine_chunks()]),
+                    "doc_a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+                    "doc_b": pa.concat_arrays([c.combine_chunks(), c.combine_chunks()]),
+                    "text": pa.array([None] * (2 * b.num_rows), pa.large_string()),
+                }
+            )
+
+        def text_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "doc": pc.cast(b["doc_id"], pa.int64()),
+                    "doc_a": pa.array([None] * n, pa.int64()),
+                    "doc_b": pa.array([None] * n, pa.int64()),
+                    "text": pc.cast(b["text"], pa.large_string()),
+                }
+            )
+
+        both = cand.map_batches(pair_requests, batch_format="pyarrow").union(
+            texts.map_batches(text_rows, batch_format="pyarrow")
+        )
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            have = g[g["doc_a"].isna()]
+            if have.empty:
+                return pd.DataFrame(
+                    {"doc_a": pd.Series([], dtype="int64"),
+                     "doc_b": pd.Series([], dtype="int64"),
+                     "side": pd.Series([], dtype="int64"),
+                     "text": pd.Series([], dtype="object")}
+                )
+            text = have["text"].iloc[0]
+            need = g[g["doc_a"].notna()]
+            if need.empty:
+                return pd.DataFrame(
+                    {"doc_a": pd.Series([], dtype="int64"),
+                     "doc_b": pd.Series([], dtype="int64"),
+                     "side": pd.Series([], dtype="int64"),
+                     "text": pd.Series([], dtype="object")}
+                )
+            return pd.DataFrame(
+                {
+                    "doc_a": need["doc_a"].astype("int64"),
+                    "doc_b": need["doc_b"].astype("int64"),
+                    "side": (need["doc"] == need["doc_b"]).astype("int64"),
+                    "text": text,
+                }
+            )
+
+        halves = grouped_map(both, "doc", attach)
+
+        def score(g: pd.DataFrame) -> pd.DataFrame:
+            ta = g[g["side"] == 0]["text"]
+            tb = g[g["side"] == 1]["text"]
+            if ta.empty or tb.empty:
+                return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                     "doc_b": pd.Series([], dtype="int64")})
+            if jaccard_shingles(ta.iloc[0], tb.iloc[0], k) >= threshold:
+                return pd.DataFrame(
+                    {"doc_a": [int(g["doc_a"].iloc[0])],
+                     "doc_b": [int(g["doc_b"].iloc[0])]}
+                )
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+
+        return grouped_map(halves, ["doc_a", "doc_b"], score)
 
     if verify == "join":
         a_side = texts.map_batches(
@@ -380,13 +511,7 @@ def simhash_candidates(docs_ds, bands: int = 4, hasher: str = "fast"):
             }
         )
 
-    from ..stages.grouping import grouped_map
-
-    cand = grouped_map(
-        sh.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_hash"],
-        _bucket_pairs,
-    )
+    cand = bucket_pairs_sorted(sh.map_batches(explode, batch_format="pyarrow"))
     from ..stages.materialize import distinct_rows
 
     return distinct_rows(cand, ["doc_a", "doc_b"])
