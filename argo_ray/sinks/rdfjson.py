@@ -99,13 +99,24 @@ def parse_rdfjson(text: str) -> list[tuple[Term, Term, Term]]:
 
 
 def parse_rdfjson_batch(
-    batch: pa.Table, text_column: str = "text", url_column: str | None = "url"
+    batch: pa.Table,
+    text_column: str = "text",
+    url_column: str | None = "url",
+    on_error: str = "raise",
 ) -> pa.Table:
+    """``on_error="skip"`` quarantines malformed documents instead of
+    failing the task (poison-doc pattern, same contract as the other
+    batch parsers)."""
     texts = batch[text_column].to_pylist()
     urls = batch[url_column].to_pylist() if url_column else [""] * len(texts)
     rows, row_urls = [], []
     for text, url in zip(texts, urls):
-        triples = parse_rdfjson(text)
+        try:
+            triples = parse_rdfjson(text)
+        except Exception:
+            if on_error == "raise":
+                raise
+            continue
         rows.extend(triples)
         row_urls.extend([url] * len(triples))
     return append_subject_hash(triples_to_table(rows, urls=row_urls, with_hash=False))

@@ -117,3 +117,41 @@ def test_rdfxml_anon_description_is_skolemized():
     assert t1 == t2  # deterministic
     assert t1[0][0].kind == 1
     assert t1[0][0] != t3[0][0]  # but distinct per document
+
+
+def test_poison_docs_quarantine_all_parsers():
+    """on_error='skip' contract across every batch parser: malformed
+    documents are quarantined, good siblings survive (reference
+    precedent: parse errors stream to errChan without aborting sibling
+    sources, rdf/rdf.go:414-420)."""
+    import pyarrow as pa
+    import pytest
+
+    from argo_ray.sinks.rdfjson import parse_rdfjson_batch
+    from argo_ray.sources.ntriples import parse_ntriples_batch
+    from argo_ray.sources.rdfxml import parse_rdfxml_batch
+    from argo_ray.sources.squirtle import parse_squirtle_batch
+    from argo_ray.sources.turtle import parse_turtle_batch
+
+    cases = [
+        (parse_ntriples_batch,
+         '<http://s/1> <http://p/1> "v" .', "<http://s malformed"),
+        (parse_rdfxml_batch,
+         '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+         'xmlns:d="http://d/"><rdf:Description rdf:about="http://s/1">'
+         "<d:p>v</d:p></rdf:Description></rdf:RDF>",
+         "<rdf:RDF truncated"),
+        (parse_turtle_batch,
+         '<http://s/1> <http://p/1> "v" ;\n.', "@prefix broken"),
+        (parse_squirtle_batch,
+         '<http://s/1> { <http://p/1> "v" }', "func { nope"),
+        (parse_rdfjson_batch,
+         '{"http://s/1": {"http://p/1": [{"type": "literal", "value": "v"}]}}',
+         "{not json"),
+    ]
+    for parse, good, bad in cases:
+        b = pa.table({"url": ["u1", "u2"], "text": [good, bad]})
+        out = parse(b, on_error="skip")
+        assert out.num_rows == 1, parse.__name__
+        with pytest.raises(Exception):
+            parse(b, on_error="raise")
