@@ -100,3 +100,26 @@ def parse_select_batch(
             "datatype": pa.array(dts, pa.string()),
         }
     )
+
+
+_PREFIX_DECL_RE = None
+
+
+def trim_prefixes(line: str, prefixes: dict[str, str]) -> str:
+    """Strip leading ``PREFIX x: <u> .`` declarations off a query line
+    into the session prefix map, returning the remainder — operator M12
+    (``sparql/sparql/sparqlclient.go:17,99-107``; regex kept
+    structurally identical: case-insensitive PREFIX, ``\\w+`` name,
+    greedy ``<...>`` IRI, optional trailing dot)."""
+    global _PREFIX_DECL_RE
+    if _PREFIX_DECL_RE is None:
+        import re
+
+        _PREFIX_DECL_RE = re.compile(
+            r"^\s*[pP][rR][eE][fF][iI][xX]\s+(\w+)\s*:\s*<(.+?)>\s*\.\s*"
+        )
+    m = _PREFIX_DECL_RE.match(line)
+    if m:
+        prefixes[m.group(1)] = m.group(2)
+        return trim_prefixes(line[m.end():], prefixes)
+    return line

@@ -59,3 +59,24 @@ def test_select_batch_udf():
     assert out.num_rows == 5  # 2 + 2 + 1 bindings
     assert set(out["var"].to_pylist()) == {"s", "o"}
     assert out["doc_id"].to_pylist() == [7] * 5
+
+
+def test_trim_prefixes_m12():
+    """M12: leading PREFIX declarations strip into the session map;
+    the query body is returned unchanged (sparqlclient.go:99-107)."""
+    from argo_ray.sources.sparql_results import trim_prefixes
+
+    prefixes = {}
+    rest = trim_prefixes(
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> . "
+        "prefix dc: <http://purl.org/dc/elements/1.1/> . "
+        "SELECT ?s WHERE { ?s foaf:name ?n }",
+        prefixes,
+    )
+    assert rest == "SELECT ?s WHERE { ?s foaf:name ?n }"
+    assert prefixes == {
+        "foaf": "http://xmlns.com/foaf/0.1/",
+        "dc": "http://purl.org/dc/elements/1.1/",
+    }
+    # non-prefix lines pass through untouched
+    assert trim_prefixes("ASK { ?s ?p ?o }", prefixes) == "ASK { ?s ?p ?o }"
