@@ -285,11 +285,16 @@ def jaccard_shingles(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def minhash_lsh_pairs(
-    docs_ds, threshold: float = 0.5, bands: int = 8, k: int = 3,
+    docs_ds, threshold: float = 0.5, bands: int = 16, k: int = 3,
     verify: str = "join", join_partitions: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline → verified (doc_a, doc_b)
     pairs.
+
+    Banding default 16×4 (64 hashes): the LSH S-curve midpoint
+    ``(1/b)^(1/r)`` is then 0.5 — matched to the default Jaccard
+    threshold, so borderline-threshold pairs are caught (8×8 put the
+    midpoint at 0.77 and dropped a j≈0.5 pair at sf0.1).
 
     Verification strategies:
 

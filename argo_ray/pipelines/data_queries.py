@@ -185,9 +185,10 @@ def q_docs_langid(sf_dir: str):
 def q_minhash_lsh_neardup(sf_dir: str):
     """MinHash-LSH near-dup over the planted near-duplicate corpus.
     Oracle: brute-force 3-shingle Jaccard over all pairs at the same
-    threshold — exact match verified at the gate scales (LSH recall
-    <1.0 can drop a borderline pair at much larger corpora: 820/821 at
-    sf0.1; that is the approximation bound, not a bug)."""
+    threshold — exact match verified at sf0.001/0.01/0.1 with the
+    16×4 banding (S-curve midpoint = threshold); LSH recall <1.0 can
+    still drop a borderline pair at much larger corpora (the
+    approximation bound, not a bug)."""
     return minhash_lsh_pairs(_planted_docs(sf_dir, near=True), threshold=0.5)
 
 
