@@ -457,3 +457,28 @@ def test_wav_and_y4m_real_codecs():
     )
     assert sampled["frame_idx"].to_pylist() == [0, 3, 6, 9]
     assert sampled["pixels"].to_pylist() == [frames[i] for i in (0, 3, 6, 9)]
+
+
+def test_windows_order_independent(ray_session):
+    """Out-of-order event logs (the web-scale reality) must produce the
+    same windows/sessions/as-of matches as time-ordered input — the
+    in-block (user, ts) sort is load-bearing."""
+    import ray.data as rd
+
+    from argo_ray.stages.windows import (
+        asof_join_events,
+        sessionize,
+        tumbling_window_agg,
+    )
+
+    events = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    shuffled = events.random_shuffle(seed=11)
+
+    def rows(ds):
+        return sorted(map(str, ds.take_all()))
+
+    assert rows(tumbling_window_agg(shuffled)) == rows(tumbling_window_agg(events))
+    assert rows(sessionize(shuffled)) == rows(sessionize(events))
+    assert rows(asof_join_events(shuffled, "purchase", "click")) == rows(
+        asof_join_events(events, "purchase", "click")
+    )
