@@ -78,24 +78,35 @@ def shuffle_partitions(rows_per_partition_hint: int | None = None) -> int:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
-    """``read_parquet`` of one testdata table, split into enough blocks
-    to parallelize (see module docstring).  ``columns`` prunes at the
-    read so only needed columns leave storage."""
+    """``read_parquet`` of one table, split into enough blocks to
+    parallelize (see module docstring).  ``columns`` prunes at the read
+    so only needed columns leave storage.
+
+    Layouts: ``{sf_dir}/{name}.parquet`` (single file — the driver's
+    testdata) or ``{sf_dir}/{name}/`` (directory of shards — the
+    production 100 TB layout; shards already give one block per
+    fragment, so no override is applied there).
+    """
+    import os
+
     import ray.data as rd
 
     configure_context()
     path = f"{sf_dir}/{name}.parquet"
+    if not os.path.exists(path) and os.path.isdir(f"{sf_dir}/{name}"):
+        path = f"{sf_dir}/{name}"
     kwargs: dict = {}
     if columns is not None:
         kwargs["columns"] = list(columns)
-    tgt = target_blocks()
-    try:
-        meta = pq.ParquetFile(path).metadata
-        # floor of ~256 rows/block: splitting finer than that trades
-        # useful parallelism for per-task dispatch overhead
-        tgt = min(tgt, max(1, meta.num_rows // 256))
-        if meta.num_row_groups < tgt:
-            kwargs["override_num_blocks"] = tgt
-    except Exception:
-        pass  # non-local path (s3://...) — trust native fragment splits
+    if not os.path.isdir(path):
+        tgt = target_blocks()
+        try:
+            meta = pq.ParquetFile(path).metadata
+            # floor of ~256 rows/block: splitting finer than that trades
+            # useful parallelism for per-task dispatch overhead
+            tgt = min(tgt, max(1, meta.num_rows // 256))
+            if meta.num_row_groups < tgt:
+                kwargs["override_num_blocks"] = tgt
+        except Exception:
+            pass  # non-local path (s3://...) — trust native fragment splits
     return rd.read_parquet(path, **kwargs)

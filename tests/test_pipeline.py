@@ -81,3 +81,24 @@ def test_every_query_has_an_oracle():
 
     q, o = set(m.queries()), set(m.oracle_sql())
     assert q == o and len(q) >= 51
+
+
+def test_read_table_sharded_directory_layout(ray_session, tmp_path):
+    """The production layout (directory of parquet shards per table)
+    reads identically to the single-file testdata layout."""
+    import pyarrow.parquet as pq
+
+    from argo_ray.io import read_table
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "sharded" / "documents"
+    d.mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(src.slice(i * 125, 125), d / f"part-{i}.parquet")
+    sharded = read_table(str(tmp_path / "sharded"), "documents",
+                         columns=["doc_id", "text"])
+    single = read_table("/root/testdata/sf0.001", "documents",
+                        columns=["doc_id", "text"])
+    assert sorted(r["doc_id"] for r in sharded.take_all()) == sorted(
+        r["doc_id"] for r in single.take_all()
+    )
