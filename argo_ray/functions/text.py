@@ -90,7 +90,9 @@ def quality_batch(
 ) -> pa.Table:
     """Quality-signal columns (integer/boolean only → exactly
     SQL-reproducible): word count, character count, space count,
-    is_short flag."""
+    punctuation count, stopword count (the en profile), is_short flag
+    — the length/punct/stopword trio of training-data quality scoring
+    (ratios derive from the integer columns without float noise)."""
     text = pc.cast(batch[text_column], pa.large_string())
     toks = pc.split_pattern(text, pattern=" ")
     n_words = pc.cast(pc.list_value_length(toks), pa.int64())
@@ -102,11 +104,32 @@ def quality_batch(
         ),
         pa.int64(),
     )
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64()
+    )
+    # stopword tokens (en profile), exact single-space tokenisation:
+    # flatten the token lists, one is_in kernel, segment-sum per row
+    flat = pc.list_flatten(toks)
+    member = pc.is_in(
+        flat, value_set=pa.array(sorted(LangId.PROFILES["en"]))
+    )
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    member_np = member.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    if len(member_np):
+        sums = np.add.reduceat(member_np, offsets)
+        sums[lengths == 0] = 0
+    else:
+        sums = np.zeros(len(lengths), dtype=np.int64)
+    n_stopwords = pa.array(sums, pa.int64())
     is_short = pc.less(n_words, short_words)
     out = batch
     out = out.append_column("n_words", n_words)
     out = out.append_column("n_chars_text", n_chars)
     out = out.append_column("n_spaces", n_spaces)
+    out = out.append_column("n_punct", n_punct)
+    out = out.append_column("n_stopwords", n_stopwords)
     out = out.append_column("is_short", is_short)
     return out
 

@@ -160,7 +160,8 @@ def q_docs_rolling_fp(sf_dir: str):
 def q_docs_quality(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         lambda b: quality_batch(b).select(
-            ["doc_id", "n_words", "n_chars_text", "n_spaces", "is_short"]
+            ["doc_id", "n_words", "n_chars_text", "n_spaces",
+             "n_punct", "n_stopwords", "is_short"]
         ),
         batch_format="pyarrow",
     )
@@ -861,6 +862,8 @@ FROM documents""",
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        CAST(length(text) AS BIGINT) AS n_chars_text,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a', 'and', 'for', 'in', 'is', 'it', 'of', 'that', 'the', 'to'))) AS BIGINT) AS n_stopwords,
        len(string_split(text, ' ')) < 20 AS is_short
 FROM documents""",
     "docs_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",

@@ -482,3 +482,11 @@ def test_windows_order_independent(ray_session):
     assert rows(asof_join_events(shuffled, "purchase", "click")) == rows(
         asof_join_events(events, "purchase", "click")
     )
+
+
+def test_quality_punct_stopwords():
+    b = pa.table({"text": ["the cat, and a dog!", "no stops here."]})
+    out = quality_batch(b)
+    assert out["n_punct"].to_pylist() == [2, 1]
+    # 'the', 'and', 'a' are en stopwords; 'cat,'/'dog!' tokens are not
+    assert out["n_stopwords"].to_pylist() == [3, 0]
