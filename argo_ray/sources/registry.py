@@ -83,7 +83,13 @@ def _default_formats() -> dict[str, Format]:
             other_extensions=(".htm",),
             parser=lambda text, uri="", salt="": extract_rdfa(text, uri, salt),
             serializer=None,
-            batch_parser=extract_rdfa_batch,
+            # accept either the pages schema (html:binary) or the
+            # registry's common (url, text) document batches
+            batch_parser=lambda b, **kw: extract_rdfa_batch(
+                b,
+                html_column="html" if "html" in b.column_names else "text",
+                **kw,
+            ),
         ),
     ]
     return {f.id: f for f in formats}

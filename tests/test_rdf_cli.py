@@ -56,3 +56,20 @@ def test_cli_formats_listing(capsys):
     out = capsys.readouterr().out
     for fid in ("ntriples", "rdfxml", "turtle", "squirtle", "json", "rdfa"):
         assert fid in out
+
+
+def test_cli_html_rdfa_extraction(ray_session, tmp_path, capsys):
+    """§3.2 parity (rdfaparse): HTML file in → RDFa triples → NT out."""
+    from argo_ray.rdf import main
+    from argo_ray.sources.ntriples import parse_ntriples
+
+    page = tmp_path / "page.html"
+    page.write_text(
+        '<html><body xmlns:dc="http://purl.org/dc/elements/1.1/" '
+        'vocab="http://v/"><div property="dc:title">Hello</div></body></html>'
+    )
+    assert main([str(page), "-O", "ntriples"]) == 0
+    triples = parse_ntriples(capsys.readouterr().out)
+    assert len(triples) == 1
+    assert triples[0][1].value == "http://purl.org/dc/elements/1.1/title"
+    assert triples[0][2].value == "Hello"
