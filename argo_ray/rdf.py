@@ -107,9 +107,22 @@ def build_pipeline(args) -> tuple:
         for find, replace in pairs:
             rules.append(RewriteRule(find, go_template_to_re2(replace), (pos,)))
     if rules:
-        triples = triples.map_batches(
-            lambda b: rewrite_batch(b, rules), batch_format="pyarrow"
-        )
+        import pyarrow.compute as pc
+
+        def rewrite_and_count(b: pa.Table) -> pa.Table:
+            out = rewrite_batch(b, rules)
+            changed = 0
+            for pos in ("subj", "pred", "obj"):
+                col = f"{pos}_value"
+                changed += pc.sum(
+                    pc.cast(pc.not_equal(b[col], out[col]), pa.int64())
+                ).as_py() or 0
+            import ray as _ray
+
+            _ray.get(counters.add.remote("rewritten", changed))
+            return out
+
+        triples = triples.map_batches(rewrite_and_count, batch_format="pyarrow")
     return triples, counters
 
 
@@ -210,7 +223,11 @@ def main(argv: list[str] | None = None) -> int:
     # stats line mirroring rdf/rdf.go:422-424
     print(
         json.dumps(
-            {"triples_processed": counts.get("triples", 0), "ms": ms}
+            {
+                "triples_processed": counts.get("triples", 0),
+                "rewritten": counts.get("rewritten", 0),
+                "ms": ms,
+            }
         ),
         file=sys.stderr,
     )
