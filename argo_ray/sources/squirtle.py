@@ -102,6 +102,17 @@ class _Lexer:
             if ch == "_" and i + 1 < n and text[i + 1] == ":":
                 i += 2
                 yield ("BNODE", "_:")
+                # the label lexes RAW (no keyword folding): the
+                # reference lowercase-keywordizes here too, which makes
+                # `_:a` / `_:New` unparseable (BNODE must be followed by
+                # IDENTIFIER, squirtleparser.y:278,404-438) — plainly a
+                # lexer gap, and our serializer emits arbitrary labels
+                j = i
+                while j < n and (text[j].isalnum() or text[j] in "_-"):
+                    j += 1
+                if j > i:
+                    yield ("IDENT", text[i:j])
+                    i = j
                 continue
             if ch.isalpha() or ch == "_":
                 j = i

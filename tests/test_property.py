@@ -122,3 +122,40 @@ def test_rdfa_scan_equals_fallback_property(html):
     if p.pending is not None:
         p._flush_pending("")
     assert fast == p.triples
+
+
+# squirtle raw strings have NO escape sequences (reference lexer reads
+# raw runes to the closing quote, squirtleparser.y:495-504) — literals
+# containing " cannot round-trip by design, so the strategy excludes it
+_sq_literal_text = st.text(
+    st.sampled_from(string.ascii_letters + string.digits + " .,;:!?-_é中"),
+    max_size=30,
+)
+_sq_literal = st.one_of(
+    _sq_literal_text.map(Literal),
+    st.tuples(_sq_literal_text, lang_strategy).map(
+        lambda t: Literal(t[0], lang=t[1])
+    ),
+    st.tuples(_sq_literal_text, iri_strategy).map(
+        lambda t: Literal(t[0], datatype=t[1].value)
+    ),
+)
+_sq_triple = st.tuples(
+    st.one_of(iri_strategy, bnode_strategy),
+    iri_strategy,
+    st.one_of(iri_strategy, bnode_strategy, _sq_literal),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_sq_triple, min_size=1, max_size=10))
+def test_squirtle_roundtrip_property(triples):
+    """serialize(Squirtle, recursive inlining) → parse preserves the
+    distinct triple SET (K5→S3, the hardest serializer pair: nested
+    descriptions delete-and-inline object subjects)."""
+    from argo_ray.sinks.squirtle import serialize_squirtle
+    from argo_ray.sources.squirtle import parse_squirtle
+
+    table = triples_to_table(triples, with_hash=False)
+    parsed = parse_squirtle(serialize_squirtle(table, {}))
+    assert set(parsed) == set(triples)
