@@ -159,3 +159,59 @@ def test_squirtle_roundtrip_property(triples):
     table = triples_to_table(triples, with_hash=False)
     parsed = parse_squirtle(serialize_squirtle(table, {}))
     assert set(parsed) == set(triples)
+
+
+# RDF/XML constrains predicates to valid XML element names after the
+# prefix split → alpha local names.  Literal text excludes (a) control
+# chars other than \t\n\r — illegal in XML 1.0 even escaped, and (b)
+# the empty string — an empty property element produces no CharData
+# event, so the triple is dropped by the reference's parser exactly as
+# by ours (rdfxml.go:167-174: the literal only materializes on
+# CharData); both are format limitations, not parser bugs.
+_xml_local = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True)
+_xml_pred = _xml_local.map(lambda s: IRI("http://p/" + s))
+_xml_text = st.text(
+    st.sampled_from(
+        "".join(c for c in string.printable if c >= " " or c in "\t\n\r")
+        + "é€中&<>\"'"
+    ),
+    min_size=1,
+    max_size=40,
+)
+_xml_literal = st.one_of(
+    _xml_text.map(Literal),
+    st.tuples(_xml_text, lang_strategy).map(lambda t: Literal(t[0], lang=t[1])),
+    st.tuples(_xml_text, iri_strategy).map(
+        lambda t: Literal(t[0], datatype=t[1].value)
+    ),
+)
+_xml_triple = st.tuples(
+    st.one_of(iri_strategy, bnode_strategy),
+    _xml_pred,
+    st.one_of(iri_strategy, bnode_strategy, _xml_literal),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_xml_triple, min_size=1, max_size=10))
+def test_rdfxml_roundtrip_property(triples):
+    """serialize(RDF/XML, type elision) → parse preserves the distinct
+    triple SET (& < > " escaping, lang/datatype attrs, nodeID refs)."""
+    from argo_ray.sinks.rdfxml import serialize_rdfxml
+    from argo_ray.sources.rdfxml import parse_rdfxml
+
+    table = triples_to_table(triples, with_hash=False)
+    parsed = parse_rdfxml(serialize_rdfxml(table, {}))
+    assert set(parsed) == set(triples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(triple_strategy, min_size=1, max_size=10))
+def test_rdfjson_roundtrip_property(triples):
+    """serialize(RDF/JSON) → parse preserves the distinct triple SET
+    (JSON string escaping over arbitrary printable text)."""
+    from argo_ray.sinks.rdfjson import parse_rdfjson, serialize_rdfjson
+
+    table = triples_to_table(triples, with_hash=False)
+    parsed = parse_rdfjson(serialize_rdfjson(table))
+    assert set(parsed) == set(triples)
