@@ -85,11 +85,20 @@ def html_docs(draw):
     depth = draw(st.integers(0, 3))
 
     def element(d):
-        tag = draw(st.sampled_from(["div", "span", "p", "a", "li"]))
+        tag = draw(st.sampled_from(["div", "span", "p", "a", "li", "DIV", "Span"]))
         attrs = draw(st.lists(st.sampled_from(_ATTR_POOL), max_size=4))
         attr_s = "".join(
             f' {k}="{v}"' for k, v in attrs
         )
+        kind = draw(st.integers(0, 9))
+        if kind == 0:  # self-closing
+            return f"<{tag}{attr_s}/>"
+        if kind == 1:  # void element
+            return f"<br{attr_s}>"
+        if kind == 2:  # raw-text block (markers inside must not parse)
+            rt = draw(st.sampled_from(["script", "style", "SCRIPT"]))
+            return (f"<{rt}>var x = '<div property=no>' && 1 < 2;"
+                    f"</{rt.lower() if draw(st.booleans()) else rt}>")
         if d <= 0:
             body = draw(_TEXT).replace("<", "&lt;").replace(">", "&gt;")
         else:
