@@ -336,11 +336,12 @@ class _Parser:
         return IRI(self._resource_or_name())
 
     def _literal(self) -> Term:
+        # note: the grammar lists QUOTEDSTRING '@' IDENTIFIER
+        # (parser.y:174-177) but neither lexer tokenizes '@'
+        # (lexer.go:303 punct set), so lang-tagged literals are
+        # unreachable in the reference as well — only plain/datatyped
         value = self.expect("STRING_LIT")
-        t, _ = self.peek()
-        if t == "@":  # (lexer has no '@' token — lang tags come via ':')
-            pass
-        if t == "DT":
+        if self.peek()[0] == "DT":
             self.next()
             return Literal(value, datatype=self._resource_or_name())
         return Literal(value)
