@@ -254,11 +254,14 @@ def bucket_pairs_sorted(bands_ds, cap: int = 200):
         ends = np.append(starts[1:], n)
         sizes = ends - starts
         out_a, out_b = [], []
-        for s, e in zip(starts[(sizes >= 2) & (sizes <= cap)],
-                        ends[(sizes >= 2) & (sizes <= cap)]):
+        # cap applies to DISTINCT doc count (matching _bucket_pairs and
+        # the simhash oracle's COUNT(DISTINCT doc_id)), so dedup the run
+        # BEFORE the cap check — raw length may exceed cap while the
+        # distinct count doesn't when doc_ids repeat
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
             ids = np.unique(doc[s:e])
             m = len(ids)
-            if m < 2:
+            if m < 2 or m > cap:
                 continue
             iu = np.triu_indices(m, k=1)
             out_a.append(ids[iu[0]])

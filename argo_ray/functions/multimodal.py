@@ -468,9 +468,11 @@ class FrameSampler:
     the payload digest + frame index (plumbing tests with arbitrary
     payloads)."""
 
-    def __init__(self, n_frames: int = 4, fake: bool = False):
+    def __init__(self, n_frames: int = 4, fake: bool = False,
+                 on_error: str = "raise"):
         self.n = n_frames
         self.fake = fake
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
@@ -479,14 +481,19 @@ class FrameSampler:
                 batch["item_id"].to_pylist(), batch["payload"].to_pylist()
             ):
                 payload = payload or b""
-                if not payload.startswith(b"YUV4MPEG2"):
-                    raise NotImplementedError(
-                        "only YUV4MPEG2 video parses in this environment "
-                        "(mp4/mkv need codec libraries absent from the "
-                        "container); FrameSampler(fake=True) is the test "
-                        "double for opaque payloads"
-                    )
-                w, h, frames = decode_y4m(payload)
+                try:
+                    if not payload.startswith(b"YUV4MPEG2"):
+                        raise NotImplementedError(
+                            "only YUV4MPEG2 video parses in this environment "
+                            "(mp4/mkv need codec libraries absent from the "
+                            "container); FrameSampler(fake=True) is the test "
+                            "double for opaque payloads"
+                        )
+                    w, h, frames = decode_y4m(payload)
+                except (ValueError, NotImplementedError):
+                    if self.on_error == "raise":
+                        raise
+                    continue  # poison video → quarantined (skipped)
                 take = np.linspace(0, len(frames) - 1, min(self.n, len(frames)))
                 for i in take.astype(int):
                     ids.append(item_id)

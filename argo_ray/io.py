@@ -60,7 +60,7 @@ def target_blocks(default: int = 16) -> int:
     return default
 
 
-def shuffle_partitions(rows_per_partition_hint: int | None = None) -> int:
+def shuffle_partitions() -> int:
     """Partition count for hash-join / label-propagation exchanges,
     derived from the live cluster instead of a hardcoded constant:
     ~CPUs/4 (each hash-shuffle partition is an actor; keeping pools well

@@ -106,9 +106,15 @@ def _lex(src: str):
                     break
                 j += 1
             text = src[i:j]
-            yield ("FLOATCONST", float(text)) if (
-                "." in text or "e" in text or "E" in text
-            ) else ("INTCONST", int(text))
+            try:
+                tok = (
+                    ("FLOATCONST", float(text))
+                    if ("." in text or "e" in text or "E" in text)
+                    else ("INTCONST", int(text))
+                )
+            except ValueError as e:
+                raise LoopError(f"bad number syntax: {text!r}") from e
+            yield tok
             i = j
         elif c == "<":
             j = src.find(">", i + 1)
@@ -403,19 +409,28 @@ class _Parser:
                 return Literal("false", datatype=dt)
             raise LoopError(f"invalid boolean constant: {v}")
         if dt == XSD_NS + "base64Binary":
-            data = _b64.b64decode(v)
+            try:
+                data = _b64.b64decode(v)
+            except Exception as e:
+                raise LoopError(f"invalid base64 constant: {v!r}") from e
             return Literal(
                 _b64.b64encode(data).decode(), datatype=XSD_NS + "base64Binary"
             )
         if dt == XSD_NS + "hexBinary":
-            data = bytes.fromhex(v)
+            try:
+                data = bytes.fromhex(v)
+            except ValueError as e:
+                raise LoopError(f"invalid hex constant: {v!r}") from e
             return Literal(
                 _b64.b64encode(data).decode(), datatype=XSD_NS + "base64Binary"
             )
-        if dt in _XSD_FLOATS:
-            return Literal(f"{float(v):f}", datatype=XSD_NS + "double")
-        if dt in _XSD_INTS:
-            return Literal(str(int(v)), datatype=XSD_NS + "integer")
+        try:
+            if dt in _XSD_FLOATS:
+                return Literal(f"{float(v):f}", datatype=XSD_NS + "double")
+            if dt in _XSD_INTS:
+                return Literal(str(int(v)), datatype=XSD_NS + "integer")
+        except ValueError as e:
+            raise LoopError(f"invalid numeric constant: {v!r}") from e
         if dt == XSD_NS + "anyURI":
             return IRI(v)
         if dt == XSD_NS + "QName":

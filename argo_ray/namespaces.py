@@ -97,7 +97,12 @@ class PrefixCache:
     def load(self, path: str | None = None) -> None:
         import json
 
-        with open(path or self._path, encoding="utf-8") as f:
+        target = path or self._path
+        if target is None:
+            raise ValueError(
+                "no cache file: construct with cache_file= or pass path"
+            )
+        with open(target, encoding="utf-8") as f:
             self._cache.update(json.load(f))
 
     def save(self, path: str | None = None) -> None:
@@ -105,6 +110,10 @@ class PrefixCache:
         import os
 
         target = path or self._path
+        if target is None:
+            raise ValueError(
+                "no cache file: construct with cache_file= or pass path"
+            )
         tmp = target + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(self._cache, f, sort_keys=True)

@@ -407,7 +407,15 @@ def q_graphstore_roundtrip(sf_dir: str):
     from ..sinks.graphstore import read_graphstore, write_graphstore
     from ..stages.materialize import dedup_exact
 
-    out = "/tmp/argo_graphstore_rt/" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    import os
+
+    # per-process path: concurrent runs over the same corpus must not
+    # rmtree each other's store mid-read
+    out = (
+        "/tmp/argo_graphstore_rt/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
     shutil.rmtree(out, ignore_errors=True)
     # one named graph per page url (raw extraction keeps provenance);
     # global dedup on the way back out

@@ -158,7 +158,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-o", "--output", help="output DIRECTORY (default: stdout)")
     ap.add_argument("-I", "--input-format", choices=sorted(FORMATS))
     ap.add_argument("-i", "--stdin-format", default="rdfxml", choices=sorted(FORMATS))
-    ap.add_argument("-O", "--output-format", choices=sorted(FORMATS))
+    serializable = sorted(f.id for f in FORMATS.values() if f.serializer)
+    ap.add_argument("-O", "--output-format", choices=serializable)
     ap.add_argument("-F", "--formats", action="store_true", help="list formats")
     ap.add_argument("-r", "--rewrite", nargs=2, action="append", default=[],
                     metavar=("FIND", "REPLACE"))
@@ -194,6 +195,9 @@ def main(argv: list[str] | None = None) -> int:
         inferred = format_from_filename(args.output)
         out_fmt = inferred.id if inferred else "rdfxml"
     out_fmt = out_fmt or "rdfxml"
+    if FORMATS[out_fmt].serializer is None:  # e.g. rdfa inferred from dir name
+        print(f"error: format {out_fmt!r} has no serializer", file=sys.stderr)
+        return 2
 
     if args.output:
         _w(out_fmt, triples, args.output)

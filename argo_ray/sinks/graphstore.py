@@ -21,7 +21,7 @@ atomic replace on write.  The semantics per verb match the reference:
 Dataset-level fan-out/fan-in (the cluster-scale surface):
 ``write_graphstore`` partitions a triples Dataset by a graph column and
 writes every named graph in parallel; ``read_graphstore`` reads all
-stored graphs back as one Dataset with a ``graph_uri`` column.
+stored graphs back as one Dataset with a ``url`` provenance column.
 """
 
 from __future__ import annotations
@@ -35,8 +35,6 @@ import pyarrow as pa
 from ..sources.rdfxml import parse_rdfxml
 from ..terms import TRIPLE_COLUMNS, append_subject_hash, triples_to_table
 from .rdfxml import serialize_rdfxml
-
-_EMPTY = triples_to_table([], with_hash=False)
 
 
 class FileGraphStore:
@@ -119,8 +117,9 @@ def write_graphstore(triples_ds, root_dir: str, graph_column: str = "url"):
 
 def read_graphstore(root_dir: str):
     """Distributed fan-in: all named graphs → one triples Dataset with a
-    ``graph_uri`` provenance column (each file parsed where it's read —
-    ``read_binary_files`` keeps the bytes off the driver)."""
+    ``url`` provenance column holding the graph URI (the same column
+    name every batch parser uses); each file parses where it's read —
+    ``read_binary_files`` keeps the bytes off the driver."""
     import ray.data as rd
 
     from ..io import configure_context
@@ -137,9 +136,10 @@ def read_graphstore(root_dir: str):
             t = triples_to_table(triples, urls=[uri] * len(triples), with_hash=False)
             parts.append(t)
         if not parts:
-            return append_subject_hash(
-                _EMPTY.append_column("url", pa.array([], pa.string()))
-            )
+            # same schema AND column order as the non-empty path
+            # (triples_to_table puts url first)
+            empty = triples_to_table([], urls=[], with_hash=False)
+            return append_subject_hash(empty)
         return append_subject_hash(pa.concat_tables(parts))
 
     files = rd.read_binary_files(root_dir, include_paths=True)

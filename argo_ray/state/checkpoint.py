@@ -111,16 +111,36 @@ class StageCounters:
     ``rdf/rdf.go:42-43,408``): a zero-CPU actor the stages increment
     per batch, so the lineage record gets per-stage row counts from the
     SAME single pass that writes the output (previously each count was
-    its own full pipeline execution)."""
+    its own full pipeline execution).
+
+    Increments carry an optional idempotency ``token``: a retried task
+    (OOM/preemption) re-runs its batches and would otherwise
+    double-count; the token (task id + batch ordinal) makes the retry a
+    no-op, keeping lineage counts exact under fault recovery."""
 
     def __init__(self):
         self.counts: dict[str, int] = {}
+        self._seen: set = set()
 
-    def add(self, key: str, n: int) -> None:
+    def add(self, key: str, n: int, token=None) -> None:
+        if token is not None:
+            if (key, token) in self._seen:
+                return
+            self._seen.add((key, token))
         self.counts[key] = self.counts.get(key, 0) + n
 
     def get(self) -> dict[str, int]:
         return dict(self.counts)
+
+
+# per-worker batch ordinal per (task, stage): a retried task replays the
+# same ordinals, so its tokens dedupe in the actor.  Residual window: a
+# retry scheduled onto the SAME worker process continues the old
+# ordinal sequence (new tokens → counted again); retries normally land
+# on a fresh worker, and the alternative (content-hash tokens) would
+# UNDER-count legitimately identical batches, which is worse.
+_batch_ordinals: dict = {}
+_current_task: list = [None]
 
 
 def _counting(counters, key: str):
@@ -131,7 +151,18 @@ def _counting(counters, key: str):
     seconds of per-batch extraction work."""
 
     def fn(b: pa.Table) -> pa.Table:
-        ray.get(counters.add.remote(key, b.num_rows))
+        try:
+            task_id = ray.get_runtime_context().get_task_id()
+        except Exception:
+            task_id = None
+        if task_id != _current_task[0]:  # new task on this worker —
+            _batch_ordinals.clear()      # drop finished tasks' entries
+            _current_task[0] = task_id
+        ord_key = (task_id, key)
+        ordinal = _batch_ordinals.get(ord_key, 0)
+        _batch_ordinals[ord_key] = ordinal + 1
+        token = (task_id, ordinal) if task_id is not None else None
+        ray.get(counters.add.remote(key, b.num_rows, token))
         return b
 
     return fn
@@ -245,7 +276,29 @@ def run_checkpointed(
     manifest = CheckpointManifest(out_dir)
     done = manifest.completed()
     skipped, completed = [], []
-    for spec in plan_partitions(sf_dir, num_partitions):
+    plan = plan_partitions(sf_dir, num_partitions)
+    # committed partitions that are NOT in the current plan (a shrunk
+    # --partitions value): their output would double-count documents the
+    # new plan re-covers — the same corruption as an in-plan mismatch
+    planned_ids = {spec["partition_id"] for spec in plan}
+    stale_ids = sorted(set(done) - planned_ids)
+    if stale_ids:
+        if on_mismatch != "invalidate":
+            raise CheckpointMismatch(
+                f"committed partitions {stale_ids} are outside the current "
+                f"{num_partitions}-partition plan — resubmit with the "
+                f"original plan, or pass on_mismatch='invalidate' to "
+                f"discard them"
+            )
+        import shutil
+
+        for pid in stale_ids:
+            os.remove(os.path.join(manifest.manifest_dir, f"part-{pid}.json"))
+            stale = os.path.join(manifest.partitions_dir, f"part={pid}")
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+            del done[pid]
+    for spec in plan:
         pid = spec["partition_id"]
         if pid in done:
             bad = _spec_mismatch(done[pid], spec)

@@ -134,3 +134,25 @@ def test_resume_rejects_bumped_stage_version(ray_session, out_dir):
     finally:
         cp.STAGE_VERSIONS.clear()
         cp.STAGE_VERSIONS.update(old)
+
+
+def test_resume_rejects_shrunk_plan(ray_session, out_dir):
+    """Shrinking --partitions leaves committed out-of-plan shards that
+    would double-count documents: must error by default and fully
+    invalidate under on_mismatch='invalidate' (code-review r2 finding)."""
+    from argo_ray.state.checkpoint import CheckpointMismatch
+
+    first = run_checkpointed(SF_DIR, out_dir, num_partitions=4)
+    assert len(first["completed"]) == 4
+
+    with pytest.raises(CheckpointMismatch, match="outside the current"):
+        run_checkpointed(SF_DIR, out_dir, num_partitions=2)
+
+    redo = run_checkpointed(
+        SF_DIR, out_dir, num_partitions=2, on_mismatch="invalidate"
+    )
+    assert sorted(redo["completed"]) == [0, 1]
+    assert redo["total_triples_deduped"] == first["total_triples_deduped"]
+    # stale shards for pids 2-3 are gone from disk too
+    assert not os.path.exists(os.path.join(out_dir, "partitions", "part=2"))
+    assert not os.path.exists(os.path.join(out_dir, "manifest", "part-3.json"))

@@ -490,3 +490,22 @@ def test_quality_punct_stopwords():
     assert out["n_punct"].to_pylist() == [2, 1]
     # 'the', 'and', 'a' are en stopwords; 'cat,'/'dog!' tokens are not
     assert out["n_stopwords"].to_pylist() == [3, 0]
+
+
+def test_frame_sampler_poison_quarantine():
+    """FrameSampler honors the on_error='skip' contract like every
+    other decoder: poison videos drop, good siblings survive."""
+    from argo_ray.functions.multimodal import FrameSampler, encode_y4m
+
+    frames = [bytes([i]) * 64 for i in range(4)]
+    good = encode_y4m(8, 8, frames)
+    b = pa.table(
+        {
+            "item_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": [good, b"not video", good[:20]],
+        }
+    )
+    out = FrameSampler(n_frames=2, on_error="skip")(b)
+    assert set(out["item_id"].to_pylist()) == {1}
+    with pytest.raises(NotImplementedError):
+        FrameSampler(n_frames=2)(b)
