@@ -505,7 +505,7 @@ def q_orders_by_nation(sf_dir: str):
         nation, keys="n_nationkey"
     ).select(["o_custkey", "n_name"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, dims, on="o_custkey", concurrency=1)
+    joined = broadcast_join(orders, dims, on="o_custkey")
 
     def partial(b: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -555,7 +555,7 @@ def q_parts_revenue_topk(sf_dir: str):
         lambda b: b.rename_columns(["p_partkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow",
     )
-    joined = broadcast_join(li, part, on="p_partkey", concurrency=1)
+    joined = broadcast_join(li, part, on="p_partkey")
 
     def partial(b: pa.Table) -> pa.Table:
         rev = pc.multiply(

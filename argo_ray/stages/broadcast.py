@@ -31,7 +31,7 @@ class _BroadcastJoiner:
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def broadcast_join(ds, small, on, concurrency: int = 2):
+def broadcast_join(ds, small, on, concurrency: int | None = None):
     """Inner-join ``ds`` (large, streamed) against ``small`` (a
     ``pa.Table`` or a small Dataset, collected once on the driver and
     broadcast via ``ray.put``) on column list ``on``.
@@ -39,9 +39,18 @@ def broadcast_join(ds, small, on, concurrency: int = 2):
     Use when the small side fits in worker memory; otherwise use
     ``Dataset.join`` (both sides shuffled).  The big side's blocks
     never move — this is the join that stays cheap at 100 TB.
+    ``concurrency`` defaults to ~CPUs/4 (capped 8, floor 1): the pool
+    scales with the cluster yet leaves slots for upstream read tasks
+    (reservation is disabled engine-wide — see io.configure_context).
     """
     import ray
 
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = max(1, min(8, cpus // 4))
     on = [on] if isinstance(on, str) else list(on)
     if not isinstance(small, pa.Table):
         # Dataset → one Arrow table (bounded: the small side by contract)
