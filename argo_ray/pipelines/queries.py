@@ -276,6 +276,10 @@ def q_union_sources(sf_dir: str):
             lines.append(
                 f"<{entity_iri(did)}> <{EX_NS}tokens> \"{n}\"^^<{XSD_NS}integer> ."
             )
+        if not lines:  # empty block would render "\n", which the strict
+            return pa.table(  # NT parser rejects (blank line = error)
+                {"url": pa.array([], pa.string()), "text": pa.array([], pa.string())}
+            )
         return pa.table(
             {"url": pa.array([""], pa.string()), "text": pa.array(["\n".join(lines) + "\n"], pa.string())}
         )
@@ -391,7 +395,13 @@ def q_store_roundtrip(sf_dir: str):
 
     from ..sinks.parquet_store import decode_store, write_store
 
-    out = "/tmp/argo_store_rt/" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    import os
+
+    out = (
+        "/tmp/argo_store_rt/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
     shutil.rmtree(out, ignore_errors=True)
     write_store(_deduped(sf_dir), out)
     return _finalize(decode_store(out))

@@ -81,6 +81,12 @@ def encode_store(triples_ds):
 
 
 def write_store(triples_ds, out_dir: str) -> None:
+    # materialize the (already-final) triples once: terms and facts
+    # derive from the same lineage, and without a checkpoint here each
+    # write_parquet would re-execute the ENTIRE upstream pipeline
+    # (extract+dedup — the most expensive path in the repo) a second
+    # time.  The blocks land in the object store and spill if large.
+    triples_ds = triples_ds.materialize()
     terms_ds, facts_ds = encode_store(triples_ds)
     terms_ds.write_parquet(f"{out_dir}/terms")
     facts_ds.write_parquet(f"{out_dir}/facts")

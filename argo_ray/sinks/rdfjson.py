@@ -137,6 +137,11 @@ def write_rdfjson(ds, out_dir: str):
             import hashlib
             import os
 
+            if "block" not in batch.column_names or batch.num_rows == 0:
+                # zero-column/empty block from an empty sort partition
+                # (grouped renderers can't synthesize their output schema)
+                return pa.table({"path": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
             blocks = batch["block"].to_pylist()
             payload = "{" + ",".join(blocks) + "}"
             name = hashlib.md5(payload.encode()).hexdigest()[:16]

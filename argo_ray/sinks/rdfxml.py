@@ -39,9 +39,36 @@ def escape_xml(s: str) -> str:
     )
 
 
+import re
+
+# XML element names: letter/_ start, then letters/digits/._-
+_XML_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9._-]*\Z")
+
+
 def _qname(uri: str, prefixes: dict[str, str]) -> tuple[str, str, str, bool]:
-    """→ (base, name, prefix, has_prefix)."""
+    """→ (base, name, prefix, has_prefix).
+
+    The local ``name`` becomes an XML element name, so it must be a
+    valid one — ``split_prefix`` can yield digit-leading or
+    symbol-containing locals (``<http://e/123>`` → ``<123 …>``,
+    malformed XML; the reference has the same hole, rdfxml.go:236-246).
+    When that happens the split moves left to the longest valid-name
+    suffix and the remainder becomes the (inline-xmlns) base; an IRI
+    with no valid suffix at all cannot be an RDF/XML predicate/type —
+    raise rather than emit an unparseable document."""
     base, name = split_prefix(uri)
+    if not _XML_NAME_RE.match(name):
+        k = len(uri)
+        while k > 0 and re.match(r"[A-Za-z0-9._-]", uri[k - 1]):
+            k -= 1
+        while k < len(uri) and not re.match(r"[A-Za-z_]", uri[k]):
+            k += 1
+        if k >= len(uri):
+            raise ValueError(
+                f"IRI {uri!r} has no valid XML-name suffix — cannot be "
+                f"serialized as an RDF/XML element name"
+            )
+        base, name = uri[:k], uri[k:]
     prefix = prefixes.get(base)
     return base, name, prefix or "", prefix is not None
 
@@ -75,7 +102,18 @@ def render_subject_block(group: pd.DataFrame, prefixes: dict[str, str]) -> str:
 
     out: list[str] = []
     if type_uri is not None:
-        tbase, tname, tprefix, thas = _qname(type_uri, prefixes)
+        try:
+            tbase, tname, tprefix, thas = _qname(type_uri, prefixes)
+        except ValueError:
+            # type IRI can't be an element name → skip elision and emit
+            # it as an ordinary rdf:type property instead
+            body_rows.insert(0, next(
+                r for r in rows
+                if r["pred_kind"] == KIND_IRI and r["pred_value"] == RDF_TYPE
+                and r["obj_kind"] == KIND_IRI and r["obj_value"] == type_uri
+            ))
+            type_uri = None
+    if type_uri is not None:
         if thas:
             out.append(f"  <{escape_xml(tprefix)}:{escape_xml(tname)} {subj_str}>\n")
             closer = f"  </{escape_xml(tprefix)}:{escape_xml(tname)}>\n"
@@ -161,6 +199,11 @@ class RDFXMLFileWriter:
         import hashlib
         import os
 
+        if "block" not in batch.column_names or batch.num_rows == 0:
+            # zero-column/empty block from an empty sort partition
+            # (grouped renderers can't synthesize their output schema)
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
         blocks = batch["block"].to_pylist()
         payload = document_header(self.prefixes) + "".join(blocks) + DOCUMENT_FOOTER
         name = hashlib.md5(payload.encode()).hexdigest()[:16]

@@ -20,12 +20,25 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from ..terms import KIND_LITERAL
 from .turtle import encode_term
 
 
 def _encode_row(row: dict, pos: str, prefixes: dict[str, str]) -> str:
+    kind = row[f"{pos}_kind"]
+    if kind == KIND_LITERAL:
+        # squirtle strings are raw runes + our minimal \"/\\ escapes —
+        # NOT the NT escape set render_term emits (\n etc. would read
+        # back as literal backslash-n under the raw lexer)
+        v = row[f"{pos}_value"].replace("\\", "\\\\").replace('"', '\\"')
+        out = f'"{v}"'
+        if row[f"{pos}_lang"]:
+            out += f'@{row[f"{pos}_lang"]}'
+        elif row[f"{pos}_datatype"]:
+            out += f'^^<{row[f"{pos}_datatype"]}>'
+        return out
     return encode_term(
-        row[f"{pos}_kind"], row[f"{pos}_value"], row[f"{pos}_lang"],
+        kind, row[f"{pos}_value"], row[f"{pos}_lang"],
         row[f"{pos}_datatype"], prefixes,
     )
 
@@ -105,9 +118,18 @@ class SquirtleFileWriter:
 
 
 def write_squirtle(ds, out_dir: str, prefixes: dict[str, str] | None = None):
-    """Triples Dataset → Squirtle part files.  Subject-hash repartition
-    first so a bnode tree rooted at a subject stays in one partition
-    when the producer assigned it one subject_hash block."""
+    """Triples Dataset → Squirtle part files.
+
+    Inlining scope is PER PART FILE: each partition renders its own
+    triples with delete-on-inline nesting, so a bnode tree inlines only
+    when parent and child land in the same partition.  `repartition`
+    here is a row-count rebalance, NOT a key co-location (parent and
+    child have different subjects, so no single-key shuffle can
+    guarantee co-location anyway); within-document bnode trees stay
+    together whenever upstream blocks preserve document batches — the
+    per-document parse/extract path does exactly that.  Triples that
+    split across files still parse back to the identical set (set
+    semantics; nesting is presentation only)."""
     return (
         ds.repartition(max(1, ds.num_blocks()))
         .map_batches(SquirtleFileWriter(out_dir, prefixes), batch_format="pyarrow")

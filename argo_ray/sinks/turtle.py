@@ -18,19 +18,26 @@ canonical form — identical partitioning semantics.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pyarrow as pa
 
 from ..stages.canon import split_prefix
 from ..terms import KIND_IRI, Term, render_term
 
+# the local part must stay inside the parser's qname token grammar
+# (sources/turtle.py _TOKEN_RE) or the emitted document is invalid
+# Turtle — e.g. '%' or spaces in the local name (code-review r2)
+_QNAME_LOCAL_RE = re.compile(r"[\w./#-]*\Z")
+
 
 def encode_term(kind: int, value: str, lang: str, datatype: str, prefixes: dict[str, str]) -> str:
-    """turtleserializer.go:18-37."""
+    """turtleserializer.go:18-37 (+ qname-validity fallback to <uri>)."""
     if kind == KIND_IRI:
         base, local = split_prefix(value)
         prefix = prefixes.get(base)
-        if prefix is not None:
+        if prefix is not None and _QNAME_LOCAL_RE.match(local):
             return f"{prefix}:{local}"
         return f"<{value}>"
     return render_term(Term(kind, value, lang, datatype))
@@ -92,6 +99,11 @@ class TurtleFileWriter:
         import hashlib
         import os
 
+        if "block" not in batch.column_names or batch.num_rows == 0:
+            # zero-column/empty block from an empty sort partition
+            # (grouped renderers can't synthesize their output schema)
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
         blocks = batch["block"].to_pylist()
         payload = turtle_header(self.prefixes) + "".join(blocks)
         name = hashlib.md5(payload.encode()).hexdigest()[:16]

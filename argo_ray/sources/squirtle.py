@@ -172,11 +172,26 @@ class _Lexer:
                 yield ("IRIREF", text[i + 1 : j])
                 i = j + 1
                 continue
-            if ch == '"':  # STRING: raw runes to '"', no escapes (:495-504)
-                j = text.find('"', i + 1)
-                if j < 0:
+            if ch == '"':
+                # STRING: raw runes to '"' (:495-504) EXTENDED with two
+                # escapes, \\" and \\\\ — the reference serializer emits
+                # NT-escaped literals its own raw-rune lexer cannot read
+                # back (a quote inside a literal is unserializable
+                # there); the extension closes our serializer↔parser
+                # loop while reading any reference-conformant raw string
+                # identically unless it contains backslash-quote
+                j = i + 1
+                buf = []
+                while j < n and text[j] != '"':
+                    if text[j] == "\\" and j + 1 < n and text[j + 1] in '"\\':
+                        buf.append(text[j + 1])
+                        j += 2
+                    else:
+                        buf.append(text[j])
+                        j += 1
+                if j >= n:
                     raise SquirtleParseError(f"line {self.line}: unterminated string")
-                yield ("STRING", text[i + 1 : j])
+                yield ("STRING", "".join(buf))
                 i = j + 1
                 continue
             if ch == "^" and i + 1 < n and text[i + 1] == "^":

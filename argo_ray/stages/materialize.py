@@ -140,7 +140,16 @@ def salted_subject_key(batch: pa.Table, num_salts: int = 16) -> pa.Table:
         salt_h = batch[DEDUP_KEY]
     else:
         salt_h = hash64(pc.cast(batch["obj_value"], pa.large_string()))
-    salt = pc.bit_wise_and(salt_h, pa.scalar(num_salts - 1, pa.uint64()))
+    # modulo, not bit-mask: a mask only spreads uniformly for
+    # power-of-two salt counts (num_salts=10 with mask 0b1001 would use
+    # only salts {0,1,8,9} — code-review r2).  No modulo kernel in this
+    # pyarrow → one numpy op (zero-copy in, uint64 out)
+    import numpy as np
+
+    if isinstance(salt_h, pa.ChunkedArray):
+        salt_h = salt_h.combine_chunks()
+    salt_np = np.asarray(salt_h) % np.uint64(num_salts)
+    salt = pa.array(salt_np, pa.uint64())
     key = pc.add(
         pc.multiply(batch["subject_hash"], pa.scalar(num_salts, pa.uint64())), salt
     )

@@ -225,6 +225,7 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
         "partition_id": pid,
         "input_fragments": spec["input_fragments"],
         "predicate": spec.get("predicate"),
+        "salt": salt,
         "stage_versions": STAGE_VERSIONS,
         "row_counts": {
             "documents": counts.get("documents", 0),
@@ -244,12 +245,16 @@ class CheckpointMismatch(RuntimeError):
     (duplicated/missing documents).  ADVICE r1."""
 
 
-def _spec_mismatch(rec: dict, spec: dict) -> list[str]:
+def _spec_mismatch(rec: dict, spec: dict, salt: str = "") -> list[str]:
     out = []
     if rec.get("input_fragments") != spec["input_fragments"]:
         out.append("input_fragments")
     if rec.get("predicate") != spec.get("predicate"):
         out.append("predicate")
+    if rec.get("salt", "") != salt:
+        # a different skolemization salt would mix two anon-id
+        # namespaces over the same pages — incompatible outputs
+        out.append("salt")
     if rec.get("stage_versions") != STAGE_VERSIONS:
         out.append("stage_versions")
     return out
@@ -301,7 +306,7 @@ def run_checkpointed(
     for spec in plan:
         pid = spec["partition_id"]
         if pid in done:
-            bad = _spec_mismatch(done[pid], spec)
+            bad = _spec_mismatch(done[pid], spec, salt)
             if not bad:
                 skipped.append(pid)
                 continue

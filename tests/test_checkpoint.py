@@ -156,3 +156,15 @@ def test_resume_rejects_shrunk_plan(ray_session, out_dir):
     # stale shards for pids 2-3 are gone from disk too
     assert not os.path.exists(os.path.join(out_dir, "partitions", "part=2"))
     assert not os.path.exists(os.path.join(out_dir, "manifest", "part-3.json"))
+
+
+def test_resume_rejects_changed_salt(ray_session, out_dir):
+    """A different --salt would mix two skolem-id namespaces over the
+    same pages (code-review r2 finding): error, don't silently skip."""
+    from argo_ray.state.checkpoint import CheckpointMismatch
+
+    run_checkpointed(SF_DIR, out_dir, num_partitions=2, salt="a")
+    with pytest.raises(CheckpointMismatch, match="salt"):
+        run_checkpointed(SF_DIR, out_dir, num_partitions=2, salt="b")
+    again = run_checkpointed(SF_DIR, out_dir, num_partitions=2, salt="a")
+    assert sorted(again["skipped"]) == [0, 1]
