@@ -303,28 +303,48 @@ def lsh_bucketed_topk(embeddings_ds, query_ids: list[int], k: int = 10, bits: in
         by_bucket.setdefault(row["bucket"], []).append(
             (row["vec_id"], row["embedding"])
         )
-    ref = ray.put(by_bucket)
+    # Pre-normalized per-bucket query matrices: one matmul per
+    # (bucket-run × batch) below instead of a Python loop per corpus row.
+    groups_built = {
+        bkt: (
+            np.asarray([qid for qid, _ in items], dtype=np.int64),
+            _normalize(np.asarray([vec for _, vec in items], dtype=np.float64)),
+        )
+        for bkt, items in by_bucket.items()
+    }
+    ref = ray.put(groups_built)
 
     def score(batch: pa.Table) -> pa.Table:
         groups = ray.get(ref) if not isinstance(ref, dict) else ref
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        buckets = batch["bucket"].to_pylist()
+        buckets = np.asarray(batch["bucket"].to_pylist(), dtype=np.uint64)
         m = _normalize(_to_matrix(batch["embedding"]))
+        # Sort rows by bucket → contiguous runs → one (Q_b, n_b) matmul per run.
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]]) if len(sb) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(sb)] if len(starts) else np.array([], dtype=np.int64)
         out_q, out_v, out_s = [], [], []
-        for i, bkt in enumerate(buckets):
-            for qid, qvec in groups.get(bkt, ()):  # same-bucket queries only
-                if qid == vec_ids[i]:
-                    continue
-                q = np.asarray(qvec, dtype=np.float64)
-                q = q / (np.linalg.norm(q) or 1.0)
-                out_q.append(int(qid))
-                out_v.append(int(vec_ids[i]))
-                out_s.append(float(q @ m[i]))
+        for s, e in zip(starts, ends):
+            g = groups.get(int(sb[s]))  # same-bucket queries only
+            if g is None:
+                continue
+            qids, qmat = g
+            idx = order[s:e]
+            scores = qmat @ m[idx].T  # (Q_b, n_b)
+            vb = vec_ids[idx]
+            qq = np.repeat(qids, len(idx))
+            vv = np.tile(vb, len(qids))
+            keep = qq != vv  # drop self-matches
+            out_q.append(qq[keep])
+            out_v.append(vv[keep])
+            out_s.append(scores.ravel()[keep])
+        cat = (lambda parts, dt: np.concatenate(parts) if parts else np.array([], dtype=dt))
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(cat(out_q, np.int64), pa.int64()),
+                "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+                "score": pa.array(cat(out_s, np.float64), pa.float64()),
             }
         )
 

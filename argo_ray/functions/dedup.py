@@ -58,33 +58,56 @@ def plant_duplicates_batch(batch: pa.Table, every: int = 10, near: bool = False)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup_docs(ds):
+def exact_dedup_docs(ds, hasher: str = "fast"):
     """→ one row per distinct text: (fingerprint, keep_doc_id = min id,
     n_copies).  Combiner: per-batch min/count partials; the shuffle then
-    aggregates partials — shuffle volume is distinct-keys, not rows."""
+    aggregates partials — shuffle volume is distinct-keys, not rows.
+
+    ``hasher="fast"`` (default, the 100-TB path) keys on a 128-bit
+    composite of two vectorized Rust hash passes (uint64 ``fingerprint``
+    + ``fingerprint2``); ``"md5"`` keys on the DuckDB-reproducible hex
+    md5 (the oracle-check mode, per-row hashlib)."""
     import ray.data  # noqa: F401
     from ray.data.aggregate import Count, Min, Sum
 
-    def fp(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        fps = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        return pa.table(
-            {
-                "fingerprint": pa.array(fps, pa.string()),
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-            }
-        )
+    if hasher == "fast":
+        from ..terms import hash64
+
+        def fp(batch: pa.Table) -> pa.Table:
+            texts = pc.cast(batch["text"], pa.large_string())
+            return pa.table(
+                {
+                    "fingerprint": hash64(texts, seed=0),
+                    "fingerprint2": hash64(texts, seed=1),
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                }
+            )
+
+        keys = ["fingerprint", "fingerprint2"]
+    else:
+
+        def fp(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            fps = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+            return pa.table(
+                {
+                    "fingerprint": pa.array(fps, pa.string()),
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                }
+            )
+
+        keys = ["fingerprint"]
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        agg = df.groupby("fingerprint", sort=False).agg(
+        agg = df.groupby(keys, sort=False).agg(
             partial_min=("doc_id", "min"), partial_n=("doc_id", "size")
         ).reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     ds = ds.map_batches(fp, batch_format="pyarrow")
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    out = ds.groupby("fingerprint").aggregate(
+    out = ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
         Min("partial_min", alias_name="keep_doc_id"),
         Sum("partial_n", alias_name="n_copies"),
     )
@@ -564,30 +587,39 @@ def explode_shard_pairs(batch: pa.Table, id_col: str, shards: int) -> pa.Table:
 
 def _char_masks(texts: list[str]) -> np.ndarray:
     """(n, 2) uint64 bitmask of ascii chars 0-127 per text (non-ascii
-    chars are hashed into the 128 slots)."""
-    out = np.zeros((len(texts), 2), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        lo = hi = 0
-        for ch in set(t):
-            o = ord(ch)
-            if o >= 128:
-                o = 64 + (o % 64)
-            if o < 64:
-                lo |= 1 << o
-            else:
-                hi |= 1 << (o - 64)
-        out[i, 0] = lo
-        out[i, 1] = hi
+    chars are hashed into the 128 slots).  Vectorized: one utf-32 decode
+    of the joined corpus, unique (row, slot) pairs, then a single
+    ``bitwise_or.at`` scatter — no per-character Python loop."""
+    n = len(texts)
+    out = np.zeros((n, 2), dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return out
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    over = codes >= 128
+    codes[over] = 64 + (codes[over] % 64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # dedupe (row, slot) — matches the set(t) semantics and bounds the
+    # scatter to ≤128 entries per row
+    keys = np.unique(rows * 128 + codes)
+    rows_u = keys >> 7
+    codes_u = keys & 127
+    words = (codes_u >= 64).astype(np.int64)
+    bits = (codes_u - 64 * words).astype(np.uint64)
+    np.bitwise_or.at(out, (rows_u, words), np.uint64(1) << bits)
     return out
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    out = np.zeros(x.shape, dtype=np.int64)
-    v = x.copy()
-    while v.any():
-        out += (v & 1).astype(np.int64)
-        v >>= np.uint64(1)
-    return out
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(x.shape + (8,))
+    return _POP8[b].sum(axis=-1)
 
 
 def charset_jaccard_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:

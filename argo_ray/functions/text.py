@@ -134,11 +134,28 @@ def quality_batch(
     return out
 
 
-def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    """Content fingerprint = md5(lower(text)) hex — md5 so DuckDB can
-    reproduce it (same rationale as skolem ids)."""
-    texts = pc.utf8_lower(pc.cast(batch[text_column], pa.large_string())).to_pylist()
-    fp = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+def fingerprint_batch(
+    batch: pa.Table, text_column: str = "text", hasher: str = "fast"
+) -> pa.Table:
+    """Content fingerprint of lower(text).
+
+    - ``"fast"`` (default, the 100-TB path): two independent vectorized
+      64-bit Rust hash passes (:func:`argo_ray.terms.hash64` seeds 0/1)
+      → uint64 columns ``fingerprint`` + ``fingerprint2``; the 128-bit
+      composite keeps birthday collisions negligible at 10^12 docs.
+      Within-run keys only (polars hashes aren't stable across
+      versions) — exactly what a dedup key needs.
+    - ``"md5"``: hex md5 string — DuckDB-reproducible (same rationale
+      as skolem ids); the oracle-check mode.
+    """
+    lowered = pc.utf8_lower(pc.cast(batch[text_column], pa.large_string()))
+    if hasher == "fast":
+        from ..terms import hash64
+
+        return batch.append_column(
+            "fingerprint", hash64(lowered, seed=0)
+        ).append_column("fingerprint2", hash64(lowered, seed=1))
+    fp = [hashlib.md5(t.encode()).hexdigest() for t in lowered.to_pylist()]
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 

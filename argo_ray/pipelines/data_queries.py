@@ -85,7 +85,9 @@ def _planted_embeddings(sf_dir: str):
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup over the planted corpus (hash-partitioned, partial
     min/count combiner)."""
-    out = exact_dedup_docs(_planted_docs(sf_dir))
+    # hasher="md5": the DuckDB-reproducible oracle mode; production
+    # default is the vectorized 128-bit "fast" composite (dedup.py)
+    out = exact_dedup_docs(_planted_docs(sf_dir), hasher="md5")
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -169,7 +171,7 @@ def q_docs_quality(sf_dir: str):
 
 def q_docs_fingerprint(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        lambda b: fingerprint_batch(b, hasher="md5").select(["doc_id", "fingerprint"]),
         batch_format="pyarrow",
     )
 

@@ -319,13 +319,17 @@ def hash64_stable(strings: pa.Array | list[str]) -> pa.Array:
     return pa.array(h, pa.uint64())
 
 
-def hash64(strings: pa.Array | list[str]) -> pa.Array:
+def hash64(strings: pa.Array | list[str], seed: int = 0) -> pa.Array:
     """Deterministic 64-bit hash of a string column.
 
     Vectorized via polars' Rust hash kernel when available (stable within
-    one environment — sufficient for partitioning / groupby keys, never
-    used for equality semantics); pure-python FNV-1a 64 fallback mirrors
-    the reference's term-hash precedent (redisstore.go:29-33).
+    one environment — sufficient for partitioning / groupby keys and
+    within-run dedup keys, never used for equality semantics or persisted
+    ids); pure-python FNV-1a 64 fallback mirrors the reference's
+    term-hash precedent (redisstore.go:29-33).  ``seed`` selects an
+    independent hash family — pair seed 0 + seed 1 for a 128-bit
+    composite key when the keyspace is large enough for 64-bit birthday
+    collisions (≳10^9 rows).
     """
     if not isinstance(strings, (pa.Array, pa.ChunkedArray)):
         strings = pa.array(strings, pa.large_string())
@@ -335,9 +339,14 @@ def hash64(strings: pa.Array | list[str]) -> pa.Array:
         # pl.from_arrow handles Array and ChunkedArray alike — never go
         # through pa.array(iterable), which walks Python scalars
         s = pl.from_arrow(pc.cast(strings, pa.large_string()))
-        hashed = s.hash(seed=0)
+        hashed = s.hash(seed=seed)
         return hashed.to_arrow().cast(pa.uint64())
     except Exception:
+        if seed:
+            return pa.array(
+                [_fnv1a_64(f"{seed}\x1f{v}") for v in strings.to_pylist()],
+                pa.uint64(),
+            )
         return pa.array(
             [_fnv1a_64(v) for v in strings.to_pylist()], pa.uint64()
         )

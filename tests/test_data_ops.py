@@ -509,3 +509,37 @@ def test_frame_sampler_poison_quarantine():
     assert set(out["item_id"].to_pylist()) == {1}
     with pytest.raises(NotImplementedError):
         FrameSampler(n_frames=2)(b)
+
+
+def test_exact_dedup_fast_matches_md5_mode():
+    """The vectorized 128-bit fast hasher (default) must produce the
+    same dedup decision (keep_doc_id, n_copies sets) as the
+    DuckDB-reproducible md5 oracle mode."""
+    import ray.data as rd
+
+    from argo_ray.functions.dedup import exact_dedup_docs
+
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "Δδ"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    ds = rd.from_arrow(tbl)
+    fast = exact_dedup_docs(ds).to_pandas()
+    md5 = exact_dedup_docs(rd.from_arrow(tbl), hasher="md5").to_pandas()
+    assert set(fast.columns) >= {"fingerprint", "fingerprint2", "keep_doc_id", "n_copies"}
+    got = sorted(zip(fast["keep_doc_id"], fast["n_copies"]))
+    want = sorted(zip(md5["keep_doc_id"], md5["n_copies"]))
+    assert got == want == [(0, 3), (1, 2), (3, 1), (6, 1)]
+
+
+def test_fingerprint_fast_mode_columns():
+    from argo_ray.functions.text import fingerprint_batch
+
+    b = pa.table({"text": ["Hello", "hello", "world"]})
+    out = fingerprint_batch(b)
+    assert out["fingerprint"].type == pa.uint64()
+    assert out["fingerprint2"].type == pa.uint64()
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]  # case-folded content key
+    # the two seeds are independent families
+    assert out["fingerprint"].to_pylist() != out["fingerprint2"].to_pylist()
