@@ -172,4 +172,37 @@ WHERE len(string_split(title, ' ')) >= n""",
        CAST(2 AS BIGINT) AS obj_kind, string_split(title, ' ')[n] AS obj_value
 FROM docs, (SELECT UNNEST([1, 2, 3]) AS n) ns
 WHERE len(string_split(title, ' ')) >= n""",
+    # SPARQL SELECT over the deduped KG: the BGP (type/language/site/chars
+    # per ?doc) is exactly one row per document; FILTER = the WHERE below;
+    # variables render as canonical N-Triples strings.
+    "sparql_select_eval": EXP_CTE
+    + """SELECT DISTINCT '<' || entity || '>' AS doc,
+       '"' || lang || '"' AS lang,
+       '<' || site || '>' AS site
+FROM docs WHERE n_chars >= 200 AND lang <> 'de'
+ORDER BY 1""",
+    "sparql_ask_eval": """SELECT 'cites_hub' AS q,
+       CAST(EXISTS (SELECT 1 FROM documents) AS BIGINT) AS result
+UNION ALL
+SELECT 'site_missing' AS q, CAST(0 AS BIGINT) AS result""",
+    "sparql_construct_eval": EXP_CTE
+    + f"""SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS subj_kind, site AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{EX}hosts' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(0 AS BIGINT) AS obj_kind, entity AS obj_value, '' AS obj_lang, '' AS obj_datatype
+  FROM (SELECT DISTINCT site, entity FROM docs)
+  UNION ALL
+  SELECT CAST(0 AS BIGINT), entity, '', '', CAST(0 AS BIGINT), '{EX}hostedBy', '', '',
+         CAST(0 AS BIGINT), site, '', ''
+  FROM (SELECT DISTINCT site, entity FROM docs))""",
+    "graphstore_patch": EXP_CTE
+    + f"""SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{RDF_TYPE}' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(0 AS BIGINT) AS obj_kind, '{EX}Document' AS obj_value, '' AS obj_lang, '' AS obj_datatype
+  FROM docs WHERE doc_id <> 0
+  UNION ALL
+  SELECT CAST(0 AS BIGINT), 'https://graphs.example.org/patched', '', '',
+         CAST(0 AS BIGINT), '{EX}patchedBy', '', '',
+         CAST(2 AS BIGINT), 'sparql-update', '', '')""",
 }

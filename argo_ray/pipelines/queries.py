@@ -486,6 +486,93 @@ def q_triple_pr(sf_dir: str):
     )
 
 
+def q_sparql_select_eval(sf_dir: str):
+    """S6's execution twin: SPARQL SELECT evaluated over the extracted
+    KG (the file-backed ``SparqlService.Select``, sparqlservice.go:42-53)
+    — 4-pattern BGP join + numeric/string FILTERs + DISTINCT + ORDER."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT DISTINCT ?doc ?lang ?site WHERE {{
+      ?doc a ex:Document ;
+           dc:language ?lang ;
+           ex:site ?site ;
+           ex:chars ?c .
+      FILTER (?c >= 200 && ?lang != "de")
+    }} ORDER BY ?doc
+    """
+    return evaluate_select(_deduped(sf_dir), q)
+
+
+def q_sparql_ask_eval(sf_dir: str):
+    """File-backed ``SparqlService.Ask`` (sparqlservice.go:55-68): one
+    satisfiable and one unsatisfiable pattern → (q, result) rows."""
+    from ..pages import HUB_IRI
+    from ..sparql import evaluate_ask
+
+    ds = _deduped(sf_dir)
+    hit = evaluate_ask(ds, f"PREFIX ex: <{EX_NS}> ASK {{ <{HUB_IRI}> ex:cites ?d }}")
+    miss = evaluate_ask(
+        ds, f"PREFIX ex: <{EX_NS}> ASK {{ ?d ex:site <https://nosuch.example.org/> }}"
+    )
+    return pa.table(
+        {
+            "q": pa.array(["cites_hub", "site_missing"], pa.string()),
+            "result": pa.array([int(hit), int(miss)], pa.int64()),
+        }
+    )
+
+
+def q_sparql_construct_eval(sf_dir: str):
+    """File-backed ``SparqlService.Graph`` (sparqlservice.go:70-83):
+    CONSTRUCT derives an inverted hosting graph from ex:site edges."""
+    from ..sparql import evaluate_construct
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    CONSTRUCT {{ ?site ex:hosts ?doc . ?doc ex:hostedBy ?site }}
+    WHERE {{ ?doc ex:site ?site }}"""
+    return _finalize(evaluate_construct(_deduped(sf_dir), q))
+
+
+def q_graphstore_patch(sf_dir: str):
+    """K6 ``patch``: SPARQL-Update (DELETE DATA; INSERT DATA) applied to
+    a stored named graph (graphstoreservice.go:162-181 — the file store
+    IS the server here), read back through the RDF/XML round-trip."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..sinks.graphstore import FileGraphStore
+    from ..stages.filter import filter_triples
+    from ..terms import RDF_TYPE
+
+    out = (
+        "/tmp/argo_gs_patch/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    store = FileGraphStore(out)
+    graph_uri = "https://graphs.example.org/patched"
+    typed = filter_triples(
+        _deduped(sf_dir), p=IRI(RDF_TYPE), o=IRI(EX_NS + "Document")
+    )
+    rows = typed.map_batches(
+        lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    ).take_all()  # one row per doc — small by construction
+    tbl = pa.Table.from_pylist(rows)
+    store.put(graph_uri, tbl)
+    upd = f"""PREFIX ex: <{EX_NS}>
+    DELETE DATA {{ <https://kg.example.org/doc/0> a ex:Document }};
+    INSERT DATA {{ <{graph_uri}> ex:patchedBy "sparql-update" }}"""
+    store.patch(graph_uri, upd)
+    return _finalize(ray.data.from_arrow(store.get(graph_uri)))
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -510,4 +597,8 @@ KG_QUERIES = {
     "dedup_provenance": q_dedup_provenance,
     "list_roundtrip": q_list_roundtrip,
     "triple_pr": q_triple_pr,
+    "sparql_select_eval": q_sparql_select_eval,
+    "sparql_ask_eval": q_sparql_ask_eval,
+    "sparql_construct_eval": q_sparql_construct_eval,
+    "graphstore_patch": q_graphstore_patch,
 }

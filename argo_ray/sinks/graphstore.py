@@ -84,11 +84,21 @@ class FileGraphStore:
         )
 
     def patch(self, graph_uri: str, update_query: str) -> None:
-        raise NotImplementedError(
-            "PATCH forwards a SPARQL-update string to a server "
-            "(graphstoreservice.go:162-181); no server / local SPARQL-"
-            "update engine in this store"
+        """HTTP PATCH = apply a SPARQL-Update request to the graph
+        (graphstoreservice.go:162-181 forwards the string to the server;
+        this store IS the server — INSERT DATA / DELETE DATA applied via
+        :func:`argo_ray.sparql.engine.apply_update`, then the same
+        atomic replace as ``put``).  Patching an absent graph starts
+        from the empty graph, matching SPARQL-Update's implicit-create
+        semantics."""
+        from ..sparql.engine import apply_update
+
+        base = (
+            self.get(graph_uri).select(TRIPLE_COLUMNS)
+            if self.head(graph_uri)
+            else triples_to_table([], with_hash=False)
         )
+        self.put(graph_uri, apply_update(base, update_query))
 
 
 def write_graphstore(triples_ds, root_dir: str, graph_column: str = "url"):

@@ -1,0 +1,372 @@
+"""Recursive-descent parser for the supported SPARQL subset.
+
+Grammar re-derived from the SPARQL 1.1 spec (public W3C REC) — NOT a
+translation of any reference code: the reference never parses SPARQL,
+it only ships query strings over HTTP (``sparqlservice.go:42-95``).
+The subset is exactly what the file-backed service evaluates; anything
+outside it raises ``SparqlSyntaxError`` loudly rather than mis-parsing.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple, Union
+
+from ..terms import IRI, KIND_LITERAL, Literal, RDF_TYPE, Term, Blank
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+class Var(NamedTuple):
+    name: str
+
+
+PatTerm = Union[Term, Var]
+Pattern = tuple  # (PatTerm, PatTerm, PatTerm)
+
+
+class Comparison(NamedTuple):
+    op: str  # = != < <= > >=
+    left: PatTerm
+    right: PatTerm
+
+
+class Regex(NamedTuple):
+    var: Var
+    pattern: str
+    negated: bool = False
+
+
+Filter = Union[Comparison, Regex]
+
+
+class SelectQuery(NamedTuple):
+    variables: list[str]  # [] = SELECT *
+    distinct: bool
+    patterns: list[Pattern]
+    filters: list[Filter]
+    order_by: list[tuple[str, bool]]  # (var, descending)
+    limit: int | None
+
+
+class AskQuery(NamedTuple):
+    patterns: list[Pattern]
+    filters: list[Filter]
+
+
+class ConstructQuery(NamedTuple):
+    template: list[Pattern]
+    patterns: list[Pattern]
+    filters: list[Filter]
+    limit: int | None
+
+
+class UpdateOp(NamedTuple):
+    action: str  # "insert" | "delete"
+    triples: list[tuple[Term, Term, Term]]
+
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>\s]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<dtmark>\^\^)
+    | (?P<var>[?$][A-Za-z_][A-Za-z_0-9]*)
+    | (?P<blank>_:[A-Za-z_0-9][A-Za-z_0-9.-]*)
+    | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+    | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,.])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if m is None:
+            raise SparqlSyntaxError(f"unexpected character at {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), s)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token primitives ------------------------------------------------
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, value: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (value is not None and v.lower() != value.lower()):
+            raise SparqlSyntaxError(f"expected {value or kind}, got {v!r}")
+        return v
+
+    def at_word(self, *words: str) -> bool:
+        k, v = self.peek()
+        return k == "word" and v.lower() in words
+
+    def eat_word(self, *words: str) -> bool:
+        if self.at_word(*words):
+            self.next()
+            return True
+        return False
+
+    # -- prologue --------------------------------------------------------
+    def parse_prologue(self):
+        while self.eat_word("prefix"):
+            k, v = self.next()
+            if k != "pname" or not v.endswith(":"):
+                raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
+            iri = self.expect("iri")
+            self.prefixes[v[:-1]] = iri[1:-1]
+
+    # -- terms -----------------------------------------------------------
+    def _expand_pname(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        if prefix not in self.prefixes:
+            raise SparqlSyntaxError(f"unknown prefix {prefix!r}:")
+        return self.prefixes[prefix] + local
+
+    def parse_term(self, allow_var: bool = True, verb: bool = False) -> PatTerm:
+        k, v = self.next()
+        if k == "var":
+            if not allow_var:
+                raise SparqlSyntaxError("variable not allowed in data block")
+            return Var(v[1:])
+        if k == "iri":
+            return IRI(v[1:-1])
+        if k == "pname":
+            return IRI(self._expand_pname(v))
+        if k == "blank":
+            return Blank(v[2:])
+        if k == "word" and v == "a" and verb:
+            return IRI(RDF_TYPE)
+        if k == "word" and v.lower() in ("true", "false"):
+            return Literal(v.lower(), datatype=XSD + "boolean")
+        if k == "number":
+            dt = XSD + ("decimal" if "." in v else "integer")
+            return Literal(v, datatype=dt)
+        if k == "string":
+            value = _unescape(v[1:-1])
+            nk, nv = self.peek()
+            if nk == "langtag":
+                self.next()
+                return Literal(value, lang=nv[1:])
+            if nk == "dtmark":
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    return Literal(value, datatype=dv[1:-1])
+                if dk == "pname":
+                    return Literal(value, datatype=self._expand_pname(dv))
+                raise SparqlSyntaxError(f"bad datatype {dv!r}")
+            return Literal(value)
+        raise SparqlSyntaxError(f"unexpected term {v!r}")
+
+    # -- triples block ---------------------------------------------------
+    def parse_triples_block(self, allow_var: bool = True) -> list[Pattern]:
+        """TriplesSameSubject (with ';' / ',' abbreviations), '.'-chained."""
+        out: list[Pattern] = []
+        while True:
+            k, v = self.peek()
+            if k == "op" and v == "}":
+                break
+            if allow_var and k == "word" and v.lower() == "filter":
+                break
+            subj = self.parse_term(allow_var)
+            while True:
+                pred = self.parse_term(allow_var, verb=True)
+                while True:
+                    obj = self.parse_term(allow_var)
+                    out.append((subj, pred, obj))
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+                if self.peek() == ("op", ";"):
+                    self.next()
+                    # allow trailing ';' before '.' or '}'
+                    if self.peek() in (("op", "."), ("op", "}")):
+                        break
+                    continue
+                break
+            if self.peek() == ("op", "."):
+                self.next()
+                continue
+            break
+        return out
+
+    # -- filters ---------------------------------------------------------
+    def parse_filter(self) -> list[Filter]:
+        """FILTER ( expr && expr … ) | FILTER [!]REGEX(?v, "pat")."""
+        out: list[Filter] = []
+        paren = self.peek() == ("op", "(")
+        if paren:
+            self.next()
+        while True:
+            negated = False
+            if self.peek() == ("op", "!"):
+                self.next()
+                negated = True
+            if self.at_word("regex"):
+                self.next()
+                self.expect("op", "(")
+                var = self.parse_term()
+                if not isinstance(var, Var):
+                    raise SparqlSyntaxError("REGEX needs a variable first arg")
+                self.expect("op", ",")
+                pk, pv = self.next()
+                if pk != "string":
+                    raise SparqlSyntaxError("REGEX needs a string pattern")
+                self.expect("op", ")")
+                out.append(Regex(var, _unescape(pv[1:-1]), negated))
+            else:
+                if negated:
+                    raise SparqlSyntaxError("'!' only supported before REGEX")
+                left = self.parse_term()
+                k, op = self.next()
+                if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
+                right = self.parse_term()
+                out.append(Comparison(op, left, right))
+            if self.peek() == ("op", "&&"):
+                self.next()
+                continue
+            break
+        if paren:
+            self.expect("op", ")")
+        return out
+
+    def parse_group(self) -> tuple[list[Pattern], list[Filter]]:
+        self.expect("op", "{")
+        patterns: list[Pattern] = []
+        filters: list[Filter] = []
+        while self.peek() != ("op", "}"):
+            if self.eat_word("filter"):
+                filters.extend(self.parse_filter())
+            else:
+                patterns.extend(self.parse_triples_block())
+        self.expect("op", "}")
+        return patterns, filters
+
+    # -- solution modifiers ----------------------------------------------
+    def parse_modifiers(self) -> tuple[list[tuple[str, bool]], int | None]:
+        order: list[tuple[str, bool]] = []
+        limit: int | None = None
+        if self.eat_word("order"):
+            self.expect("word", "by")
+            while True:
+                k, v = self.peek()
+                if k == "word" and v.lower() in ("asc", "desc"):
+                    desc = v.lower() == "desc"
+                    self.next()
+                    self.expect("op", "(")
+                    var = self.parse_term()
+                    self.expect("op", ")")
+                elif k == "var":
+                    desc = False
+                    var = self.parse_term()
+                else:
+                    break
+                if not isinstance(var, Var):
+                    raise SparqlSyntaxError("ORDER BY needs variables")
+                order.append((var.name, desc))
+        if self.eat_word("limit"):
+            limit = int(self.expect("number"))
+        if self.eat_word("offset"):
+            raise SparqlSyntaxError("OFFSET not supported")
+        return order, limit
+
+
+def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
+    p = _Parser(text)
+    p.parse_prologue()
+    if p.eat_word("select"):
+        distinct = p.eat_word("distinct")
+        p.eat_word("reduced")
+        variables: list[str] = []
+        if p.peek() == ("op", "*"):
+            p.next()
+        else:
+            while p.peek()[0] == "var":
+                variables.append(p.next()[1][1:])
+            if not variables:
+                raise SparqlSyntaxError("SELECT needs variables or *")
+        p.eat_word("where")
+        patterns, filters = p.parse_group()
+        order, limit = p.parse_modifiers()
+        p.expect("eof")
+        return SelectQuery(variables, distinct, patterns, filters, order, limit)
+    if p.eat_word("ask"):
+        p.eat_word("where")
+        patterns, filters = p.parse_group()
+        p.expect("eof")
+        return AskQuery(patterns, filters)
+    if p.eat_word("construct"):
+        p.expect("op", "{")
+        template = p.parse_triples_block()
+        p.expect("op", "}")
+        p.expect("word", "where")
+        patterns, filters = p.parse_group()
+        _, limit = p.parse_modifiers()
+        p.expect("eof")
+        return ConstructQuery(template, patterns, filters, limit)
+    raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT, got {p.peek()[1]!r}")
+
+
+def parse_update(text: str) -> list[UpdateOp]:
+    """``INSERT DATA { … }`` / ``DELETE DATA { … }``, ';'-chained —
+    the subset ``GraphStore.patch`` needs (the reference forwards the
+    raw string: graphstoreservice.go:162-181)."""
+    p = _Parser(text)
+    ops: list[UpdateOp] = []
+    while True:
+        p.parse_prologue()
+        if p.peek()[0] == "eof":
+            break
+        if p.eat_word("insert"):
+            action = "insert"
+        elif p.eat_word("delete"):
+            action = "delete"
+        else:
+            raise SparqlSyntaxError(f"expected INSERT/DELETE DATA, got {p.peek()[1]!r}")
+        p.expect("word", "data")
+        p.expect("op", "{")
+        triples = p.parse_triples_block(allow_var=False)
+        p.expect("op", "}")
+        ops.append(UpdateOp(action, triples))
+        if p.peek() == ("op", ";"):
+            p.next()
+            continue
+    if not ops:
+        raise SparqlSyntaxError("empty update request")
+    return ops

@@ -1,0 +1,85 @@
+"""File-backed SPARQL query service (the reference's ``SparqlService``
+client surface, ``sparql/sparqlservice.go:1-95``, minus the network).
+
+The reference's methods and their equivalents here:
+
+- ``Select(query) → *ResultParser``  → :meth:`FileSparqlService.select`
+  returns the bindings Dataset directly (one rendered string column per
+  variable — what the S6 result parser would have produced from the
+  endpoint's XML).
+- ``Ask(query) → bool``              → :meth:`FileSparqlService.ask`.
+- ``Graph(query) → *argo.Graph``     → :meth:`FileSparqlService.graph`
+  returns the CONSTRUCTed flattened triples Dataset (serialize with any
+  sink to mirror the RDF/XML body parse).
+- ``Update(query)``                  → :meth:`FileSparqlService.update`,
+  available when the service wraps a :class:`FileGraphStore` named
+  graph (the reference posts the string to the endpoint; the file-backed
+  endpoint applies it via :func:`argo_ray.sparql.engine.apply_update`).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .engine import evaluate_ask, evaluate_construct, evaluate_select
+
+
+class FileSparqlService:
+    """Query service over a triples Dataset (or Dataset factory).
+
+    ``triples`` may be a ``ray.data.Dataset`` of flattened triples or a
+    zero-arg callable returning one (a factory keeps each query's read
+    fresh when the underlying store mutates between calls).
+    """
+
+    def __init__(self, triples, graphstore=None, graph_uri: str | None = None):
+        self._triples = triples
+        self._graphstore = graphstore
+        self._graph_uri = graph_uri
+
+    @classmethod
+    def from_graphstore(cls, store, graph_uri: str) -> "FileSparqlService":
+        """Service over one named graph of a :class:`FileGraphStore` —
+        the closest analogue of pointing ``SparqlService`` at a dataset
+        endpoint; :meth:`update` becomes available."""
+
+        def factory():
+            import ray.data
+
+            from ..io import configure_context
+
+            configure_context()
+            tbl = (
+                store.get(graph_uri)
+                if store.head(graph_uri)
+                else _empty_triples()
+            )
+            return ray.data.from_arrow(tbl)
+
+        return cls(factory, graphstore=store, graph_uri=graph_uri)
+
+    def _ds(self):
+        return self._triples() if callable(self._triples) else self._triples
+
+    def select(self, query: str):
+        return evaluate_select(self._ds(), query)
+
+    def ask(self, query: str) -> bool:
+        return evaluate_ask(self._ds(), query)
+
+    def graph(self, query: str):
+        return evaluate_construct(self._ds(), query)
+
+    def update(self, query: str) -> None:
+        if self._graphstore is None or self._graph_uri is None:
+            raise ValueError(
+                "update() needs a graph-store-backed service "
+                "(FileSparqlService.from_graphstore)"
+            )
+        self._graphstore.patch(self._graph_uri, query)
+
+
+def _empty_triples() -> pa.Table:
+    from ..terms import triples_to_table
+
+    return triples_to_table([], with_hash=False)

@@ -42,6 +42,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         q_docs_vocab,
         q_events_asof,
         q_events_window_hourly,
+        q_lineitem_pricing,
         q_minhash_lsh_neardup,
         q_multimodal_decode,
         q_orders_by_nation,
@@ -49,8 +50,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     )
     from argo_ray.pipelines.queries import (
         q_entity_link,
+        q_graphstore_roundtrip,
         q_group_subject_count,
         q_rdfa_extract,
+        q_sparql_select_eval,
     )
 
     out = {}
@@ -67,6 +70,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_vocab", q_docs_vocab),
         ("orders_by_nation", q_orders_by_nation),
         ("multimodal_decode", q_multimodal_decode),
+        ("lineitem_pricing", q_lineitem_pricing),
+        ("graphstore_roundtrip", q_graphstore_roundtrip),
+        ("sparql_select_eval", q_sparql_select_eval),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -1,0 +1,222 @@
+"""SPARQL engine: parser, evaluation, update, service (file-backed
+SparqlService twin — sparqlservice.go:1-95 surface)."""
+
+import pyarrow as pa
+import pytest
+
+from argo_ray.terms import IRI, Literal, RDF_TYPE, triples_to_table
+from argo_ray.sparql import (
+    FileSparqlService,
+    apply_update,
+    evaluate_ask,
+    evaluate_construct,
+    evaluate_select,
+    parse_query,
+    parse_update,
+)
+from argo_ray.sparql.parser import (
+    AskQuery,
+    Comparison,
+    ConstructQuery,
+    Regex,
+    SelectQuery,
+    SparqlSyntaxError,
+    Var,
+)
+
+EX = "http://example.org/ns#"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+TRIPLES = [
+    (IRI(EX + "d1"), IRI(RDF_TYPE), IRI(EX + "Doc")),
+    (IRI(EX + "d1"), IRI(EX + "lang"), Literal("en")),
+    (IRI(EX + "d1"), IRI(EX + "chars"), Literal("120", datatype=XSD_INT)),
+    (IRI(EX + "d2"), IRI(RDF_TYPE), IRI(EX + "Doc")),
+    (IRI(EX + "d2"), IRI(EX + "lang"), Literal("de")),
+    (IRI(EX + "d2"), IRI(EX + "chars"), Literal("80", datatype=XSD_INT)),
+    (IRI(EX + "d3"), IRI(EX + "lang"), Literal("Guten Tag", lang="de")),
+]
+
+
+def _ds():
+    import ray.data
+
+    from argo_ray.io import configure_context
+
+    configure_context()
+    return ray.data.from_arrow(triples_to_table(TRIPLES, with_hash=False))
+
+
+# -- parser ----------------------------------------------------------------
+
+
+def test_parse_select_shapes():
+    q = parse_query(
+        f"""PREFIX ex: <{EX}>
+        SELECT DISTINCT ?s ?l WHERE {{
+          ?s a ex:Doc ; ex:lang ?l .
+          FILTER (?l != "de" && ?l != "fr")
+        }} ORDER BY DESC(?s) LIMIT 5"""
+    )
+    assert isinstance(q, SelectQuery)
+    assert q.variables == ["s", "l"] and q.distinct and q.limit == 5
+    assert len(q.patterns) == 2 and len(q.filters) == 2
+    assert q.order_by == [("s", True)]
+    # ';' abbreviation shares the subject
+    assert q.patterns[0][0] == q.patterns[1][0] == Var("s")
+    assert q.patterns[0][1] == IRI(RDF_TYPE)
+
+
+def test_parse_literals_and_numbers():
+    q = parse_query(
+        f'PREFIX ex: <{EX}> ASK {{ ?s ex:p "a\\"b"@en . ?s ex:q 42 . ?s ex:r "x"^^ex:T }}'
+    )
+    assert isinstance(q, AskQuery)
+    objs = [p[2] for p in q.patterns]
+    assert objs[0] == Literal('a"b', lang="en")
+    assert objs[1] == Literal("42", datatype=XSD_INT)
+    assert objs[2] == Literal("x", datatype=EX + "T")
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT ?s WHERE { ?s ?p ?o } OFFSET 5")
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("DESCRIBE <http://x/>")
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("PREFIX ex: <http://x/> SELECT ?s WHERE { ?s ex:p ?o . FILTER (?o IN (1)) }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("CLEAR GRAPH <http://x/>")
+
+
+def test_parse_update_ops():
+    ops = parse_update(
+        f"""PREFIX ex: <{EX}>
+        DELETE DATA {{ ex:a ex:p "v" }};
+        INSERT DATA {{ ex:b a ex:T . ex:b ex:q 1 }}"""
+    )
+    assert [o.action for o in ops] == ["delete", "insert"]
+    assert ops[0].triples == [(IRI(EX + "a"), IRI(EX + "p"), Literal("v"))]
+    assert len(ops[1].triples) == 2
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(f"PREFIX ex: <{EX}> INSERT DATA {{ ?v ex:p 1 }}")
+
+
+# -- evaluation ------------------------------------------------------------
+
+
+def test_select_join_filter_order(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:Doc ; ex:lang ?l ; ex:chars ?c .
+          FILTER (?c > 100)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>", "l": '"en"'}]
+
+
+def test_select_star_and_regex(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT * WHERE {{ ?s ex:lang ?l . FILTER REGEX(?l, "^Guten") }}""",
+    ).take_all()
+    assert out == [{"l": '"Guten Tag"@de', "s": f"<{EX}d3>"}]
+
+
+def test_select_distinct_collapses(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"PREFIX ex: <{EX}> SELECT DISTINCT ?t WHERE {{ ?s a ?t }}",
+    ).take_all()
+    assert out == [{"t": f"<{EX}Doc>"}]
+
+
+def test_ask(ray_session):
+    assert evaluate_ask(_ds(), f'PREFIX ex: <{EX}> ASK {{ ?s ex:lang "de" }}')
+    assert not evaluate_ask(_ds(), f'PREFIX ex: <{EX}> ASK {{ ?s ex:lang "xx" }}')
+
+
+def test_construct(ray_session):
+    rows = evaluate_construct(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?l ex:spokenIn ?s }} WHERE {{ ?s ex:lang ?l . ?s a ex:Doc }}""",
+    ).take_all()
+    got = sorted((r["subj_value"], r["obj_value"]) for r in rows)
+    assert got == [("de", EX + "d2"), ("en", EX + "d1")]
+    # literal subject came from a var binding; kind survives
+    assert all(r["pred_value"] == EX + "spokenIn" for r in rows)
+
+
+def test_unbound_select_var_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(_ds(), f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?s a ex:Doc }}")
+
+
+# -- update ----------------------------------------------------------------
+
+
+def test_apply_update_set_semantics():
+    tbl = triples_to_table(TRIPLES[:2], with_hash=False)
+    out = apply_update(
+        tbl,
+        f"""PREFIX ex: <{EX}>
+        DELETE DATA {{ ex:d1 ex:lang "en" }};
+        INSERT DATA {{ ex:d1 ex:lang "fr" . ex:d1 a ex:Doc }}""",
+    )
+    got = sorted(zip(out["pred_value"].to_pylist(), out["obj_value"].to_pylist()))
+    # the type triple already existed → set semantics, no duplicate
+    assert got == [(EX + "lang", "fr"), (RDF_TYPE, EX + "Doc")]
+
+
+def test_graphstore_patch_roundtrip(tmp_path, ray_session):
+    from argo_ray.sinks.graphstore import FileGraphStore
+
+    store = FileGraphStore(str(tmp_path))
+    uri = "https://graphs.example.org/g1"
+    store.put(uri, triples_to_table(TRIPLES[:3], with_hash=False))
+    store.patch(
+        uri,
+        f"""PREFIX ex: <{EX}>
+        DELETE DATA {{ ex:d1 ex:chars "120"^^<{XSD_INT}> }};
+        INSERT DATA {{ ex:d1 ex:patched true }}""",
+    )
+    got = store.get(uri)
+    preds = sorted(got["pred_value"].to_pylist())
+    assert EX + "chars" not in preds and EX + "patched" in preds
+    # patch on an absent graph starts from empty (implicit create)
+    store.patch("https://graphs.example.org/new", f"PREFIX ex: <{EX}> INSERT DATA {{ ex:x ex:y ex:z }}")
+    assert store.get("https://graphs.example.org/new").num_rows == 1
+
+
+# -- service ---------------------------------------------------------------
+
+
+def test_file_sparql_service(tmp_path, ray_session):
+    from argo_ray.sinks.graphstore import FileGraphStore
+
+    store = FileGraphStore(str(tmp_path))
+    uri = "https://graphs.example.org/svc"
+    store.put(uri, triples_to_table(TRIPLES, with_hash=False))
+    svc = FileSparqlService.from_graphstore(store, uri)
+    assert svc.ask(f'PREFIX ex: <{EX}> ASK {{ ?s ex:lang "de" }}')
+    rows = svc.select(
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s a ex:Doc }} ORDER BY ?s"
+    ).take_all()
+    assert [r["s"] for r in rows] == [f"<{EX}d1>", f"<{EX}d2>"]
+    svc.update(f'PREFIX ex: <{EX}> DELETE DATA {{ ex:d2 a ex:Doc }}')
+    # the factory re-reads the mutated store
+    rows = svc.select(
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s a ex:Doc }}"
+    ).take_all()
+    assert [r["s"] for r in rows] == [f"<{EX}d1>"]
+    g = svc.graph(
+        f"PREFIX ex: <{EX}> CONSTRUCT {{ ?s ex:seen true }} WHERE {{ ?s a ex:Doc }}"
+    ).take_all()
+    assert len(g) == 1 and g[0]["obj_value"] == "true"
+    plain = FileSparqlService(_ds())
+    with pytest.raises(ValueError):
+        plain.update(f"PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:b ex:c }}")

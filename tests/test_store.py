@@ -70,7 +70,12 @@ def test_file_graphstore_verbs(tmp_path):
     )["obj_lang"].to_pylist() == ["en"]
     store.put(uri, t1)  # PUT replaces
     assert store.get(uri).num_rows == 1
-    with pytest.raises(NotImplementedError):
+    # patch = SPARQL-Update (r3); pattern-based DELETE WHERE stays out of
+    # the supported subset and must fail loudly, not corrupt the graph
+    from argo_ray.sparql.parser import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError):
         store.patch(uri, "DELETE WHERE { ?s ?p ?o }")
+    assert store.get(uri).num_rows == 1
     store.delete(uri)
     assert not store.head(uri) and store.graphs() == []
