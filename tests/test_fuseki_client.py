@@ -1,0 +1,90 @@
+"""File-backed Fuseki dataset server (fuseki/service.go, dataset.go)
+and the sparqlclient REPL (sparql/sparql/sparqlclient.go §3.3)."""
+
+import io
+
+import pytest
+
+from argo_ray.fuseki import FileFusekiService
+from argo_ray.sparql.client import run_session
+from argo_ray.terms import IRI, Literal, RDF_TYPE, triples_to_table
+
+EX = "http://example.org/ns#"
+
+TRIPLES = [
+    (IRI(EX + "d1"), IRI(RDF_TYPE), IRI(EX + "Doc")),
+    (IRI(EX + "d1"), IRI(EX + "lang"), Literal("en")),
+    (IRI(EX + "d2"), IRI(RDF_TYPE), IRI(EX + "Doc")),
+]
+
+
+def test_fuseki_admin_and_services(tmp_path, ray_session):
+    svc = FileFusekiService(str(tmp_path))
+    assert svc.datasets() == []
+    ds = svc.create("kb")
+    assert svc.datasets() == ["kb"]
+    with pytest.raises(ValueError):
+        svc.dataset("../escape")
+
+    g1 = "https://graphs.example.org/a"
+    ds.graph_store().put(g1, triples_to_table(TRIPLES[:2], with_hash=False))
+    ds.graph_store().put(
+        "https://graphs.example.org/b", triples_to_table(TRIPLES[2:], with_hash=False)
+    )
+    # query service sees the union of named graphs
+    q = ds.query_service()
+    rows = q.select(
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s a ex:Doc }} ORDER BY ?s"
+    ).take_all()
+    assert [r["s"] for r in rows] == [f"<{EX}d1>", f"<{EX}d2>"]
+    # update service targets one graph
+    ds.update_service(g1).update(
+        f"PREFIX ex: <{EX}> INSERT DATA {{ ex:d1 ex:lang \"fr\" }}"
+    )
+    assert ds.graph_store().get(g1).num_rows == 3
+    svc.remove("kb")
+    assert svc.datasets() == []
+
+
+def test_repl_session_verbs(tmp_path, ray_session):
+    svc = FileFusekiService(str(tmp_path))
+    ds = svc.create("kb")
+    uri = "https://graphs.example.org/main"
+    ds.graph_store().put(uri, triples_to_table(TRIPLES, with_hash=False))
+    query = ds.query_service()
+    update = ds.update_service(uri)
+
+    out, err = io.StringIO(), io.StringIO()
+    run_session(
+        query,
+        update,
+        [
+            f"PREFIX ex: <{EX}> .\n",  # Turtle-style decl → session map
+            "\n",
+            "SELECT ?s WHERE { ?s a ex:Doc } ORDER BY ?s\n",  # uses session prefix
+            'ASK { ?s ex:lang "en" }\n',
+            'ASK { ?s ex:lang "xx" }\n',
+            'INSERT DATA { ex:d3 a ex:Doc }\n',
+            "FORMAT ntriples\n",
+            "CONSTRUCT { ?s ex:seen ?s } WHERE { ?s ex:lang ?l }\n",
+            "DESCRIBE <http://x/>\n",
+            "BOGUS words\n",
+            "DELETE WHERE { ?s ?p ?o }\n",  # unsupported update → error, graph intact
+        ],
+        out=out,
+        err=err,
+    )
+    text, errors = out.getvalue(), err.getvalue()
+    # SELECT table with boundaries, centered header, both rows
+    assert text.count("+---") >= 3
+    assert " s " in text.splitlines()[1]  # centered header cell
+    assert f"<{EX}d1>" in text and f"<{EX}d2>" in text
+    assert "Result: true\n" in text and "Result: false\n" in text
+    assert "OK\n" in text
+    # CONSTRUCT serialized as N-Triples after FORMAT switch
+    assert f"<{EX}d1> <{EX}seen> <{EX}d1> .\n" in text
+    assert "DESCRIBE is not supported" in errors
+    assert "Invalid command: BOGUS" in errors
+    assert "Error:" in errors  # the unsupported DELETE WHERE
+    # the INSERT landed; the failed DELETE did not clear the graph
+    assert ds.graph_store().get(uri).num_rows == 4
