@@ -195,6 +195,23 @@ SELECT 'site_missing' AS q, CAST(0 AS BIGINT) AS result""",
   SELECT CAST(0 AS BIGINT), entity, '', '', CAST(0 AS BIGINT), '{EX}hostedBy', '', '',
          CAST(0 AS BIGINT), site, '', ''
   FROM (SELECT DISTINCT site, entity FROM docs))""",
+    # OPTIONAL: typed subjects LEFT JOIN language assertions; mentions
+    # (blank-node subjects) have no language → '' (unbound rendering)
+    "sparql_optional_eval": EXP_CTE
+    + f"""SELECT CASE tt.subj_kind WHEN 0 THEN '<' || tt.subj_value || '>'
+            ELSE '_:' || tt.subj_value END AS s,
+       '<' || tt.obj_value || '>' AS t,
+       COALESCE('"' || l.lang || '"', '') AS l
+FROM (SELECT DISTINCT subj_kind, subj_value, obj_value FROM exp
+      WHERE pred_value = '{RDF_TYPE}') tt
+LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
+           WHERE pred_value = '{DC}language') l
+  ON tt.subj_value = l.subj_value""",
+    "sparql_union_eval": EXP_CTE
+    + f"""SELECT '<' || entity || '>' AS a, '<' || site || '>' AS b FROM docs
+UNION ALL
+SELECT '<' || entity || '>' AS a,
+       '"' || n_chars || '"^^<{XSD_INT}>' AS b FROM docs""",
     "graphstore_patch": EXP_CTE
     + f"""SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,

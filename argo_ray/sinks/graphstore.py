@@ -108,20 +108,38 @@ def write_graphstore(triples_ds, root_dir: str, graph_column: str = "url"):
     dispatch); each group's write is the same atomic replace the
     driver-side ``put`` does.  Returns the list of graph URIs written.
     """
-    from ..stages.grouping import grouped_map
+    import numpy as np
 
     os.makedirs(root_dir, exist_ok=True)
     store = FileGraphStore(root_dir)
 
-    def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        uri = g[graph_column].iloc[0]
-        tbl = pa.Table.from_pandas(
-            g[TRIPLE_COLUMNS], preserve_index=False
+    def write_block(batch: pa.Table) -> pa.Table:
+        # one sorted block = whole graphs (sort co-location contract,
+        # grouping.py); zero-copy Table.slice per graph run instead of a
+        # per-group pandas→Arrow conversion (was ~1 ms × graphs)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"graph_uri": pa.array([], pa.string()),
+                 "n_triples": pa.array([], pa.int64())}
+            )
+        batch = batch.combine_chunks()
+        urls = np.asarray(batch[graph_column].to_pylist())
+        starts = np.flatnonzero(np.r_[True, urls[1:] != urls[:-1]])
+        ends = np.r_[starts[1:], n]
+        body = batch.select(TRIPLE_COLUMNS)
+        for s, e in zip(starts, ends):
+            store.put(urls[s], body.slice(s, e - s))
+        return pa.table(
+            {
+                "graph_uri": pa.array(urls[starts], pa.string()),
+                "n_triples": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
         )
-        store.put(uri, tbl)
-        return pd.DataFrame({"graph_uri": [uri], "n_triples": [len(g)]})
 
-    manifest = grouped_map(triples_ds, graph_column, write_group)
+    manifest = triples_ds.sort(graph_column).map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    )
     return sorted(r["graph_uri"] for r in manifest.take_all())
 
 

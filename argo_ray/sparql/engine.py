@@ -21,10 +21,16 @@ At 100 TB the per-pattern scans dominate; bound-subject patterns can
 push down to Parquet row groups via ``subject_hash`` the same way
 operator M1 does.  The join chain shuffles only binding columns (narrow
 tables), never the full triple set.
+
+Caller contract: each triple pattern scans ``ds`` once.  Hand the
+evaluator a *stored* dataset (``decode_store`` /
+``read_parquet`` / a ``materialize()``d Dataset) — an expensive lazy
+upstream pipeline would re-execute per pattern.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -32,6 +38,7 @@ from ..terms import (
     KIND_LITERAL,
     TRIPLE_COLUMNS,
     Term,
+    hash64,
     nt_render_term_arrays,
     table_to_triples,
     triples_to_table,
@@ -40,9 +47,11 @@ from .parser import (
     AskQuery,
     Comparison,
     ConstructQuery,
+    OptionalBlock,
     Regex,
     SelectQuery,
     SparqlSyntaxError,
+    UnionBlock,
     Var,
     parse_query,
     parse_update,
@@ -116,16 +125,200 @@ def _pattern_bindings(ds, pattern):
     return ds.map_batches(project, batch_format="pyarrow"), set(var_pos)
 
 
-def _bgp(ds, patterns):
-    """Basic graph pattern → joined bindings Dataset + bound vars."""
+def _norm_table(batch: pa.Table) -> pa.Table:
+    """Canonical binding-column types (kind → int64, the rest →
+    large_string) so datasets from different execution paths (Arrow
+    projection, pandas co-group, union branches) join cleanly."""
+    cols = {}
+    for c in batch.column_names:
+        col = batch[c]
+        if c.endswith("__kind"):
+            col = pc.cast(col, pa.int64())
+        elif "__" in c:  # a variable's value/lang/datatype column
+            col = pc.cast(col, pa.large_string())
+        cols[c] = col
+    return pa.table(cols)
+
+
+def _filter_vars(flt) -> set[str]:
+    if isinstance(flt, Regex):
+        return {flt.var.name}
+    return {x.name for x in (flt.left, flt.right) if isinstance(x, Var)}
+
+
+def _pattern_key_column(batch: pa.Table, var: str) -> pa.Array:
+    """Single uint64 join key = hash of the variable's full term
+    identity (kind, value, lang, datatype) — used only for the sort
+    exchange; the in-block merges re-check the 4 real columns, so a
+    hash collision merely co-locates two groups, never mis-joins.
+
+    NB: ``hash64`` comes from the module top — a lazy relative import
+    here would execute INSIDE the worker, where ``argo_ray`` is not on
+    sys.path (workers get this module by value, not by import)."""
+    sep = pa.scalar("\x1f", pa.large_string())
+    joined = pc.binary_join_element_wise(
+        pc.cast(batch[f"{var}__kind"], pa.large_string()),
+        sep,
+        pc.cast(batch[f"{var}__value"], pa.large_string()),
+        sep,
+        pc.cast(batch[f"{var}__lang"], pa.large_string()),
+        sep,
+        pc.cast(batch[f"{var}__datatype"], pa.large_string()),
+        pa.scalar("", pa.large_string()),
+    )
+    return hash64(joined)
+
+
+def _cogroup_join(parts: list, anchor: str):
+    """Multi-way join of pattern binding tables that all bind ``anchor``:
+    tag + null-pad + union → ONE sort exchange on the anchor's term hash
+    → in-block pandas hash merges on each pair's full shared-variable
+    columns.  Replaces a chain of per-pattern hash-shuffle joins (each a
+    fixed-cost actor-pool exchange) with a single exchange — the same
+    trick the dedup stages use (sort co-location, grouping.py).
+
+    Skew note: one hot anchor value lands in one block; the merges
+    within it are vectorized pandas joins, but a pathologically hot join
+    key (≳ a block of rows by itself) would serialize — the same
+    documented constraint as ``grouped_map``."""
+    import numpy as np
+
+    pat_vars = [sorted(v) for _, v in parts]
+    all_cols: list[str] = []
+    for vs in pat_vars:
+        for v in vs:
+            for c in _var_cols(v):
+                if c not in all_cols:
+                    all_cols.append(c)
+
+    def pad(i):
+        vs = set(pat_vars[i])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {"_k": _pattern_key_column(batch, anchor),
+                    "_pat": pa.array(np.full(n, i, dtype=np.int64))}
+            for c in all_cols:
+                if c in batch.column_names:
+                    col = batch[c]
+                    if not c.endswith("__kind"):
+                        col = pc.cast(col, pa.large_string())
+                    cols[c] = col
+                else:
+                    t = pa.int64() if c.endswith("__kind") else pa.large_string()
+                    cols[c] = pa.nulls(n, t)
+            return pa.table(cols)
+
+        return fn
+
+    unioned = parts[0][0].map_batches(pad(0), batch_format="pyarrow")
+    for i in range(1, len(parts)):
+        unioned = unioned.union(
+            parts[i][0].map_batches(pad(i), batch_format="pyarrow")
+        )
+
+    proto_cols = {c: pd.Series([], dtype="int64" if c.endswith("__kind") else "object")
+                  for c in all_cols}
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(proto_cols)
+        frames = []
+        for i, vs in enumerate(pat_vars):
+            cols = [c for v in vs for c in _var_cols(v)]
+            frames.append(df.loc[df["_pat"] == i, cols])
+        out = frames[0]
+        seen = set(pat_vars[0])
+        for i in range(1, len(frames)):
+            shared = sorted(seen & set(pat_vars[i]))
+            on = [c for v in shared for c in _var_cols(v)]
+            out = out.merge(frames[i], on=on, how="inner")
+            seen |= set(pat_vars[i])
+        for c in all_cols:
+            if c not in out.columns:
+                out[c] = pd.Series([], dtype=proto_cols[c].dtype)
+            elif c.endswith("__kind"):
+                # null-padding in the union coerced kinds to float64
+                out[c] = out[c].astype("int64")
+        return out[all_cols]
+
+    joined = unioned.sort("_k").map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )
+    return joined.map_batches(_norm_table, batch_format="pyarrow")
+
+
+def _union_bindings(ds, block: UnionBlock):
+    """``{A} UNION {B}`` → one bindings Dataset; every branch must bind
+    the same variable set (unbound-variable compatibility semantics are
+    out of the supported subset — fail loudly instead of mis-joining)."""
+    sides, var_sets = [], []
+    for patterns, filters in block.branches:
+        b, vs, leftover = _bgp(ds, patterns, filters)
+        b = _apply_filters(b, leftover)
+        sides.append(b)
+        var_sets.append(vs)
+    if any(vs != var_sets[0] for vs in var_sets[1:]):
+        raise SparqlSyntaxError(
+            "UNION branches must bind the same variables "
+            f"({[sorted(v) for v in var_sets]})"
+        )
+    cols = [c for v in sorted(var_sets[0]) for c in _var_cols(v)]
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return _norm_table(batch.select(cols))
+
+    out = sides[0].map_batches(norm, batch_format="pyarrow")
+    for s in sides[1:]:
+        out = out.union(s.map_batches(norm, batch_format="pyarrow"))
+    return out, set(var_sets[0])
+
+
+def _bgp(ds, patterns, filters=()):
+    """Basic graph pattern → joined bindings Dataset + bound vars.
+
+    Single-pattern filters push down to that pattern's scan (before any
+    exchange); the largest subset of patterns sharing one variable joins
+    in a single co-grouped sort exchange; leftover patterns fall back to
+    pairwise distributed hash joins.  UNION blocks evaluate recursively
+    and then participate like any other part.  Returns the leftover
+    (cross-pattern) filters for the caller to apply post-join."""
     from ..io import shuffle_partitions
 
     if not patterns:
         raise SparqlSyntaxError("empty graph pattern")
-    result, bound = _pattern_bindings(ds, patterns[0])
+
+    parts = []  # (bindings ds, var set), filters pushed into the scan
+    remaining_filters = list(filters)
+    for pattern in patterns:
+        if isinstance(pattern, UnionBlock):
+            b, vs = _union_bindings(ds, pattern)
+        else:
+            b, vs = _pattern_bindings(ds, pattern)
+        push = [f for f in remaining_filters if _filter_vars(f) and _filter_vars(f) <= vs]
+        if push:
+            b = _apply_filters(b, push)
+            remaining_filters = [f for f in remaining_filters if f not in push]
+        parts.append((b, vs))
+
+    # pick the variable bound by the most patterns as the co-group anchor
+    counts: dict[str, int] = {}
+    for _, vs in parts:
+        for v in vs:
+            counts[v] = counts.get(v, 0) + 1
+    anchor = max(counts, key=lambda v: (counts[v], v)) if counts else None
+
+    grouped = [p for p in parts if anchor in p[1]]
+    rest = [p for p in parts if anchor not in p[1]]
+
+    if len(grouped) >= 2:
+        result = _cogroup_join(grouped, anchor)
+        bound = set().union(*(v for _, v in grouped))
+    else:
+        result, bound = grouped[0] if grouped else rest.pop(0)
+
     nparts = shuffle_partitions()
-    for pattern in patterns[1:]:
-        nxt, vars2 = _pattern_bindings(ds, pattern)
+    for nxt, vars2 in rest:
         shared = sorted(bound & vars2)
         if shared:
             keys = tuple(c for v in shared for c in _var_cols(v))
@@ -151,6 +344,32 @@ def _bgp(ds, patterns):
                 lambda b: b.drop_columns(["_cross"]), batch_format="pyarrow"
             )
         bound |= vars2
+    return result, bound, remaining_filters
+
+
+def _attach_optionals(result, bound: set, ds, optionals):
+    """LEFT-join each OPTIONAL group's bindings onto the required ones
+    (unmatched rows keep nulls in the optional variables — rendered as
+    the empty string, the result parser's representation of an unbound
+    binding)."""
+    from ..io import shuffle_partitions
+
+    for opt in optionals:
+        ob, ovs, leftover = _bgp(ds, opt.patterns, opt.filters)
+        ob = _apply_filters(ob, leftover)
+        shared = sorted(bound & ovs)
+        if not shared:
+            raise SparqlSyntaxError(
+                "OPTIONAL group shares no variable with the required pattern"
+            )
+        keys = tuple(c for v in shared for c in _var_cols(v))
+        result = result.map_batches(_norm_table, batch_format="pyarrow").join(
+            ob.map_batches(_norm_table, batch_format="pyarrow"),
+            join_type="left_outer",
+            on=keys,
+            num_partitions=shuffle_partitions(),
+        )
+        bound |= ovs
     return result, bound
 
 
@@ -214,12 +433,14 @@ def _render_vars(ds, variables):
     def render(batch: pa.Table) -> pa.Table:
         cols = {}
         for v in variables:
-            cols[v] = nt_render_term_arrays(
+            rendered = nt_render_term_arrays(
                 batch[f"{v}__kind"],
                 batch[f"{v}__value"],
                 batch[f"{v}__lang"],
                 batch[f"{v}__datatype"],
             )
+            # unbound (OPTIONAL-missed) bindings render as ""
+            cols[v] = pc.fill_null(rendered, "")
         return pa.table(cols)
 
     return ds.map_batches(render, batch_format="pyarrow")
@@ -246,6 +467,25 @@ def _distinct(ds, columns):
     )
 
 
+def _adjacent_dedup(batch: pa.Table) -> pa.Table:
+    """Drop rows equal to their predecessor across ALL columns (valid
+    only on blocks of a Dataset sorted by all columns)."""
+    n = batch.num_rows
+    if n <= 1:
+        return batch
+    batch = batch.combine_chunks()
+    same = None
+    for c in batch.column_names:
+        col = batch.column(c)
+        col = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        same = eq if same is None else pc.and_(same, eq)
+    mask = pa.concat_arrays(
+        [pa.array([True]), pc.invert(same)]
+    )
+    return batch.filter(mask)
+
+
 def evaluate_select(ds, query: str | SelectQuery):
     """SELECT over a triples Dataset → Dataset with one canonical
     N-Triples-rendered string column per selected variable (the same
@@ -253,19 +493,32 @@ def evaluate_select(ds, query: str | SelectQuery):
     q = parse_query(query) if isinstance(query, str) else query
     if not isinstance(q, SelectQuery):
         raise SparqlSyntaxError("not a SELECT query")
-    bindings, bound = _bgp(ds, q.patterns)
+    bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    bindings = _apply_filters(bindings, leftover)
+    bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
     variables = q.variables or sorted(bound)
     missing = [v for v in variables if v not in bound]
     if missing:
         raise SparqlSyntaxError(f"unbound SELECT variables: {missing}")
-    bindings = _apply_filters(bindings, q.filters)
     out = _render_vars(bindings, variables)
-    if q.distinct:
+    for v, _ in q.order_by:
+        if v not in variables:
+            raise SparqlSyntaxError(f"ORDER BY {v!r} not in SELECT")
+    if q.distinct and q.order_by:
+        # fused: ONE sort keyed order-vars-first over all columns, then
+        # vectorized adjacent-row dedup per block (equal rows share every
+        # sort key, so they co-locate — grouping.py contract); ties
+        # beyond ORDER BY are broken by the remaining columns, which
+        # SPARQL leaves unspecified
+        order_vars = [v for v, _ in q.order_by]
+        cols = order_vars + [v for v in variables if v not in order_vars]
+        desc = [d for _, d in q.order_by] + [False] * (len(cols) - len(order_vars))
+        out = out.sort(cols, descending=desc).map_batches(
+            _adjacent_dedup, batch_format="pyarrow", batch_size=None
+        )
+    elif q.distinct:
         out = _distinct(out, variables)
-    if q.order_by:
-        for v, _ in q.order_by:
-            if v not in variables:
-                raise SparqlSyntaxError(f"ORDER BY {v!r} not in SELECT")
+    elif q.order_by:
         out = out.sort(
             [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
         )
@@ -279,8 +532,9 @@ def evaluate_ask(ds, query: str | AskQuery) -> bool:
     q = parse_query(query) if isinstance(query, str) else query
     if not isinstance(q, AskQuery):
         raise SparqlSyntaxError("not an ASK query")
-    bindings, _ = _bgp(ds, q.patterns)
-    bindings = _apply_filters(bindings, q.filters)
+    bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    bindings = _apply_filters(bindings, leftover)
+    bindings, _ = _attach_optionals(bindings, bound, ds, q.optionals)
     return bindings.limit(1).count() > 0
 
 
@@ -299,8 +553,9 @@ def evaluate_construct(ds, query: str | ConstructQuery):
                 raise SparqlSyntaxError(
                     "blank nodes in CONSTRUCT templates not supported"
                 )
-    bindings, bound = _bgp(ds, q.patterns)
-    bindings = _apply_filters(bindings, q.filters)
+    bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    bindings = _apply_filters(bindings, leftover)
+    bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
     for t in q.template:
         for x in t:
             if isinstance(x, Var) and x.name not in bound:
@@ -313,8 +568,11 @@ def evaluate_construct(ds, query: str | ConstructQuery):
         tables = []
         for s, p, o in template:
             cols = {}
+            valid = None  # rows where every template var is bound
             for pos, x in zip(_POS, (s, p, o)):
                 if isinstance(x, Var):
+                    bound_mask = pc.is_valid(batch[f"{x.name}__kind"])
+                    valid = bound_mask if valid is None else pc.and_(valid, bound_mask)
                     for f in _FIELDS:
                         col = batch[f"{x.name}__{f}"]
                         if f == "kind":
@@ -327,7 +585,11 @@ def evaluate_construct(ds, query: str | ConstructQuery):
                     cols[f"{pos}_value"] = pa.array([x.value] * n, pa.string())
                     cols[f"{pos}_lang"] = pa.array([x.lang] * n, pa.string())
                     cols[f"{pos}_datatype"] = pa.array([x.datatype] * n, pa.string())
-            tables.append(pa.table({c: cols[c] for c in TRIPLE_COLUMNS}))
+            t = pa.table({c: cols[c] for c in TRIPLE_COLUMNS})
+            if valid is not None:
+                # SPARQL skips template triples with unbound variables
+                t = t.filter(valid)
+            tables.append(t)
         return pa.concat_tables(tables)
 
     from ..stages.materialize import dedup_exact

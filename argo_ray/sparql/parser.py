@@ -44,25 +44,44 @@ class Regex(NamedTuple):
 Filter = Union[Comparison, Regex]
 
 
+class UnionBlock(NamedTuple):
+    """``{ BGP } UNION { BGP } …`` — each branch is (patterns, filters);
+    branches must bind the same variable set (checked at eval time)."""
+
+    branches: list[tuple[list, list]]
+
+
+class OptionalBlock(NamedTuple):
+    """``OPTIONAL { BGP [FILTER …] }`` — left-joined onto the required
+    bindings."""
+
+    patterns: list
+    filters: list
+
+
+# an element of a group: a triple Pattern or a UnionBlock
 class SelectQuery(NamedTuple):
     variables: list[str]  # [] = SELECT *
     distinct: bool
-    patterns: list[Pattern]
+    patterns: list  # Pattern | UnionBlock
     filters: list[Filter]
     order_by: list[tuple[str, bool]]  # (var, descending)
     limit: int | None
+    optionals: list[OptionalBlock] = []
 
 
 class AskQuery(NamedTuple):
-    patterns: list[Pattern]
+    patterns: list
     filters: list[Filter]
+    optionals: list[OptionalBlock] = []
 
 
 class ConstructQuery(NamedTuple):
     template: list[Pattern]
-    patterns: list[Pattern]
+    patterns: list
     filters: list[Filter]
     limit: int | None
+    optionals: list[OptionalBlock] = []
 
 
 class UpdateOp(NamedTuple):
@@ -198,9 +217,9 @@ class _Parser:
         out: list[Pattern] = []
         while True:
             k, v = self.peek()
-            if k == "op" and v == "}":
+            if k == "op" and v in ("}", "{"):
                 break
-            if allow_var and k == "word" and v.lower() == "filter":
+            if allow_var and k == "word" and v.lower() in ("filter", "optional"):
                 break
             subj = self.parse_term(allow_var)
             while True:
@@ -266,17 +285,48 @@ class _Parser:
             self.expect("op", ")")
         return out
 
-    def parse_group(self) -> tuple[list[Pattern], list[Filter]]:
+    def parse_simple_group(self) -> tuple[list[Pattern], list[Filter]]:
+        """``{ TriplesBlock | FILTER … }`` — no nesting (used for UNION
+        branches and OPTIONAL bodies)."""
         self.expect("op", "{")
         patterns: list[Pattern] = []
         filters: list[Filter] = []
         while self.peek() != ("op", "}"):
             if self.eat_word("filter"):
                 filters.extend(self.parse_filter())
+            elif self.at_word("optional") or self.peek() == ("op", "{"):
+                raise SparqlSyntaxError(
+                    "nested OPTIONAL/UNION groups are not supported"
+                )
             else:
                 patterns.extend(self.parse_triples_block())
         self.expect("op", "}")
         return patterns, filters
+
+    def parse_group(self) -> tuple[list, list[Filter], list[OptionalBlock]]:
+        self.expect("op", "{")
+        patterns: list = []
+        filters: list[Filter] = []
+        optionals: list[OptionalBlock] = []
+        while self.peek() != ("op", "}"):
+            if self.eat_word("filter"):
+                filters.extend(self.parse_filter())
+            elif self.eat_word("optional"):
+                p, f = self.parse_simple_group()
+                optionals.append(OptionalBlock(p, f))
+            elif self.peek() == ("op", "{"):
+                branches = [self.parse_simple_group()]
+                while self.eat_word("union"):
+                    branches.append(self.parse_simple_group())
+                if len(branches) < 2:
+                    raise SparqlSyntaxError("braced group without UNION")
+                patterns.append(UnionBlock(branches))
+            else:
+                patterns.extend(self.parse_triples_block())
+            if self.peek() == ("op", "."):  # separators between group elements
+                self.next()
+        self.expect("op", "}")
+        return patterns, filters, optionals
 
     # -- solution modifiers ----------------------------------------------
     def parse_modifiers(self) -> tuple[list[tuple[str, bool]], int | None]:
@@ -322,24 +372,24 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
             if not variables:
                 raise SparqlSyntaxError("SELECT needs variables or *")
         p.eat_word("where")
-        patterns, filters = p.parse_group()
+        patterns, filters, optionals = p.parse_group()
         order, limit = p.parse_modifiers()
         p.expect("eof")
-        return SelectQuery(variables, distinct, patterns, filters, order, limit)
+        return SelectQuery(variables, distinct, patterns, filters, order, limit, optionals)
     if p.eat_word("ask"):
         p.eat_word("where")
-        patterns, filters = p.parse_group()
+        patterns, filters, optionals = p.parse_group()
         p.expect("eof")
-        return AskQuery(patterns, filters)
+        return AskQuery(patterns, filters, optionals)
     if p.eat_word("construct"):
         p.expect("op", "{")
         template = p.parse_triples_block()
         p.expect("op", "}")
         p.expect("word", "where")
-        patterns, filters = p.parse_group()
+        patterns, filters, optionals = p.parse_group()
         _, limit = p.parse_modifiers()
         p.expect("eof")
-        return ConstructQuery(template, patterns, filters, limit)
+        return ConstructQuery(template, patterns, filters, limit, optionals)
     raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT, got {p.peek()[1]!r}")
 
 

@@ -220,3 +220,65 @@ def test_file_sparql_service(tmp_path, ray_session):
     plain = FileSparqlService(_ds())
     with pytest.raises(ValueError):
         plain.update(f"PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:b ex:c }}")
+
+
+# -- OPTIONAL / UNION ------------------------------------------------------
+
+
+def test_optional_left_join(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:Doc .
+          OPTIONAL {{ ?s ex:chars ?l . FILTER (?l > 100) }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    # d1 (120 chars) matches the optional; d2 (80) misses → unbound ''
+    assert out == [
+        {"s": f"<{EX}d1>", "l": f'"120"^^<{XSD_INT}>'},
+        {"s": f"<{EX}d2>", "l": ""},
+    ]
+
+
+def test_union_branches(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?a ?b WHERE {{
+          {{ ?a ex:lang ?b }} UNION {{ ?a ex:chars ?b }}
+        }}""",
+    ).take_all()
+    got = sorted((r["a"], r["b"]) for r in out)
+    assert (f"<{EX}d1>", '"en"') in got and (f"<{EX}d2>", f'"80"^^<{XSD_INT}>') in got
+    assert len(got) == 5  # 3 lang + 2 chars
+
+
+def test_union_mismatched_vars_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"PREFIX ex: <{EX}> SELECT ?a WHERE {{ {{ ?a ex:lang ?b }} UNION {{ ?a a ex:Doc }} }}",
+        )
+
+
+def test_nested_optional_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { OPTIONAL { ?s ?q ?r } } }"
+        )
+
+
+def test_construct_skips_unbound_template_rows(ray_session):
+    rows = evaluate_construct(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:hasLang ?l . ?s ex:typed ex:Marker }}
+        WHERE {{ ?s a ex:Doc . OPTIONAL {{ ?s ex:lang ?l }} }}""",
+    ).take_all()
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["pred_value"], []).append(r["subj_value"])
+    # hasLang only where lang bound (d1, d2); typed for every Doc
+    assert sorted(by_pred[EX + "hasLang"]) == [EX + "d1", EX + "d2"]
+    assert sorted(by_pred[EX + "typed"]) == [EX + "d1", EX + "d2"]
