@@ -212,6 +212,12 @@ LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
 UNION ALL
 SELECT '<' || entity || '>' AS a,
        '"' || n_chars || '"^^<{XSD_INT}>' AS b FROM docs""",
+    "sparql_groupby_eval": EXP_CTE
+    + """SELECT '<' || site || '>' AS site,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) AS sum_chars,
+       CAST(MAX(n_chars) AS DOUBLE) AS max_chars
+FROM docs GROUP BY site""",
     "graphstore_patch": EXP_CTE
     + f"""SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,

@@ -574,6 +574,21 @@ def q_sparql_union_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_groupby_eval(sf_dir: str):
+    """SPARQL aggregates: docs per site with char-count stats — the
+    partial-aggregation combiner shape (shuffle volume = sites)."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?site (COUNT(?doc) AS ?n_docs) (SUM(?c) AS ?sum_chars)
+           (MAX(?c) AS ?max_chars)
+    WHERE {{ ?doc ex:site ?site . ?doc ex:chars ?c }}
+    GROUP BY ?site
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_graphstore_patch(sf_dir: str):
     """K6 ``patch``: SPARQL-Update (DELETE DATA; INSERT DATA) applied to
     a stored named graph (graphstoreservice.go:162-181 — the file store
@@ -640,5 +655,6 @@ KG_QUERIES = {
     "sparql_construct_eval": q_sparql_construct_eval,
     "sparql_optional_eval": q_sparql_optional_eval,
     "sparql_union_eval": q_sparql_union_eval,
+    "sparql_groupby_eval": q_sparql_groupby_eval,
     "graphstore_patch": q_graphstore_patch,
 }

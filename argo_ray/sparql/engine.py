@@ -486,6 +486,108 @@ def _adjacent_dedup(batch: pa.Table) -> pa.Table:
     return batch.filter(mask)
 
 
+def _aggregate_bindings(bindings, group_vars: list[str], aggs):
+    """GROUP BY + aggregates over a bindings Dataset, the partial-
+    aggregation shape every other wide aggregate in this engine uses:
+    per-batch pandas partials → one small ``groupby().aggregate()``
+    shuffle whose volume is distinct groups, not rows.
+
+    Group keys are the variables' canonical N-Triples renderings (the
+    same string columns SELECT outputs); COUNT counts bound values
+    (COUNT(*) counts rows), SUM/MIN/MAX/AVG cast the lexical form to
+    float64 — numeric aggregation over non-numeric literals is NaN,
+    which fails loudly in comparisons rather than silently stringifying
+    (documented subset).  Output: one float64 column per aggregate
+    (COUNT: int64), named by its alias."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for gv in group_vars:
+            cols[gv] = pc.fill_null(
+                nt_render_term_arrays(
+                    batch[f"{gv}__kind"], batch[f"{gv}__value"],
+                    batch[f"{gv}__lang"], batch[f"{gv}__datatype"],
+                ),
+                "",
+            )
+        for i, a in enumerate(aggs):
+            if a.func == "count":
+                if a.var is None:
+                    cols[f"_a{i}"] = pa.array([1] * batch.num_rows, pa.int64())
+                else:
+                    cols[f"_a{i}"] = pc.cast(
+                        pc.is_valid(batch[f"{a.var}__kind"]), pa.int64()
+                    )
+            else:
+                cols[f"_a{i}"] = pc.cast(batch[f"{a.var}__value"], pa.float64())
+        return pa.table(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        spec = {}
+        for i, a in enumerate(aggs):
+            if a.func in ("count", "sum"):
+                spec[f"_p{i}"] = (f"_a{i}", "sum")
+            elif a.func == "avg":
+                spec[f"_p{i}"] = (f"_a{i}", "sum")
+                spec[f"_n{i}"] = (f"_a{i}", "count")
+            else:
+                spec[f"_p{i}"] = (f"_a{i}", a.func)
+        if not group_vars:
+            out = df.agg(
+                {f"_a{i}": "sum" if aggs[i].func in ("count", "sum", "avg") else aggs[i].func
+                 for i in range(len(aggs))}
+            )
+            row = {f"_p{i}": [out[f"_a{i}"]] for i in range(len(aggs))}
+            for i, a in enumerate(aggs):
+                if a.func == "avg":
+                    row[f"_n{i}"] = [df[f"_a{i}"].count()]
+            return pd.DataFrame(row)
+        return df.groupby(group_vars, sort=False).agg(**spec).reset_index()
+
+    ds2 = bindings.map_batches(prep, batch_format="pyarrow")
+    ds2 = ds2.map_batches(partial, batch_format="pandas")
+    combiners = []
+    for i, a in enumerate(aggs):
+        if a.func in ("count", "sum", "avg"):
+            combiners.append(Sum(f"_p{i}", alias_name=f"_g{i}"))
+            if a.func == "avg":
+                combiners.append(Sum(f"_n{i}", alias_name=f"_gn{i}"))
+        elif a.func == "min":
+            combiners.append(Min(f"_p{i}", alias_name=f"_g{i}"))
+        else:
+            combiners.append(Max(f"_p{i}", alias_name=f"_g{i}"))
+    if group_vars:
+        out = ds2.groupby(group_vars if len(group_vars) > 1 else group_vars[0]).aggregate(
+            *combiners
+        )
+    else:
+        import ray.data
+
+        res = ds2.aggregate(*combiners)
+        out = ray.data.from_arrow(
+            pa.table({k: [v] for k, v in res.items()})
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {gv: batch[gv] for gv in group_vars}
+        for i, a in enumerate(aggs):
+            col = batch[f"_g{i}"]
+            if a.func == "count":
+                col = pc.cast(col, pa.int64())
+            elif a.func == "avg":
+                col = pc.divide(
+                    pc.cast(col, pa.float64()),
+                    pc.cast(batch[f"_gn{i}"], pa.float64()),
+                )
+            else:
+                col = pc.cast(col, pa.float64())
+            cols[a.alias] = col
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def evaluate_select(ds, query: str | SelectQuery):
     """SELECT over a triples Dataset → Dataset with one canonical
     N-Triples-rendered string column per selected variable (the same
@@ -496,6 +598,22 @@ def evaluate_select(ds, query: str | SelectQuery):
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
     bindings = _apply_filters(bindings, leftover)
     bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
+    if q.aggregates:
+        for v in list(q.group_by) + [a.var for a in q.aggregates if a.var]:
+            if v not in bound:
+                raise SparqlSyntaxError(f"unbound variable ?{v} in aggregate query")
+        out = _aggregate_bindings(bindings, list(q.group_by), q.aggregates)
+        cols = list(q.group_by) + [a.alias for a in q.aggregates]
+        if q.order_by:
+            for v, _ in q.order_by:
+                if v not in cols:
+                    raise SparqlSyntaxError(f"ORDER BY {v!r} not in projection")
+            out = out.sort(
+                [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
+            )
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
     variables = q.variables or sorted(bound)
     missing = [v for v in variables if v not in bound]
     if missing:

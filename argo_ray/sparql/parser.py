@@ -59,6 +59,14 @@ class OptionalBlock(NamedTuple):
     filters: list
 
 
+class Aggregate(NamedTuple):
+    """``(FUNC(?v) AS ?alias)`` in a SELECT clause."""
+
+    func: str  # count | sum | min | max | avg
+    var: str | None  # None = COUNT(*)
+    alias: str
+
+
 # an element of a group: a triple Pattern or a UnionBlock
 class SelectQuery(NamedTuple):
     variables: list[str]  # [] = SELECT *
@@ -68,6 +76,8 @@ class SelectQuery(NamedTuple):
     order_by: list[tuple[str, bool]]  # (var, descending)
     limit: int | None
     optionals: list[OptionalBlock] = []
+    aggregates: list[Aggregate] = []
+    group_by: list[str] = []
 
 
 class AskQuery(NamedTuple):
@@ -364,18 +374,58 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         distinct = p.eat_word("distinct")
         p.eat_word("reduced")
         variables: list[str] = []
+        aggregates: list[Aggregate] = []
         if p.peek() == ("op", "*"):
             p.next()
         else:
-            while p.peek()[0] == "var":
-                variables.append(p.next()[1][1:])
-            if not variables:
+            _AGG_FUNCS = ("count", "sum", "min", "max", "avg")
+            while True:
+                if p.peek()[0] == "var":
+                    variables.append(p.next()[1][1:])
+                elif p.peek() == ("op", "(") and p.toks[p.i + 1][1].lower() in _AGG_FUNCS:
+                    p.next()  # (
+                    func = p.next()[1].lower()
+                    p.expect("op", "(")
+                    if p.peek() == ("op", "*"):
+                        p.next()
+                        if func != "count":
+                            raise SparqlSyntaxError(f"{func.upper()}(*) not allowed")
+                        var = None
+                    else:
+                        t = p.parse_term()
+                        if not isinstance(t, Var):
+                            raise SparqlSyntaxError("aggregate needs a variable")
+                        var = t.name
+                    p.expect("op", ")")
+                    p.expect("word", "as")
+                    k, v = p.next()
+                    if k != "var":
+                        raise SparqlSyntaxError("AS needs a variable alias")
+                    p.expect("op", ")")
+                    aggregates.append(Aggregate(func, var, v[1:]))
+                else:
+                    break
+            if not variables and not aggregates:
                 raise SparqlSyntaxError("SELECT needs variables or *")
         p.eat_word("where")
         patterns, filters, optionals = p.parse_group()
+        group_by: list[str] = []
+        if p.eat_word("group"):
+            p.expect("word", "by")
+            while p.peek()[0] == "var":
+                group_by.append(p.next()[1][1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs variables")
+        if aggregates and variables and not set(variables) <= set(group_by):
+            raise SparqlSyntaxError(
+                "projected plain variables must appear in GROUP BY"
+            )
         order, limit = p.parse_modifiers()
         p.expect("eof")
-        return SelectQuery(variables, distinct, patterns, filters, order, limit, optionals)
+        return SelectQuery(
+            variables, distinct, patterns, filters, order, limit, optionals,
+            aggregates, group_by,
+        )
     if p.eat_word("ask"):
         p.eat_word("where")
         patterns, filters, optionals = p.parse_group()

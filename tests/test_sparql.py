@@ -282,3 +282,46 @@ def test_construct_skips_unbound_template_rows(ray_session):
     # hasLang only where lang bound (d1, d2); typed for every Doc
     assert sorted(by_pred[EX + "hasLang"]) == [EX + "d1", EX + "d2"]
     assert sorted(by_pred[EX + "typed"]) == [EX + "d1", EX + "d2"]
+
+
+# -- aggregates ------------------------------------------------------------
+
+
+def test_groupby_aggregates(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?t (COUNT(?s) AS ?n) (SUM(?c) AS ?total) (AVG(?c) AS ?mean)
+        WHERE {{ ?s a ?t . ?s ex:chars ?c }} GROUP BY ?t""",
+    ).take_all()
+    assert out == [
+        {"t": f"<{EX}Doc>", "n": 2, "total": 200.0, "mean": 100.0}
+    ]
+
+
+def test_global_aggregate_no_groupby(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"PREFIX ex: <{EX}> SELECT (COUNT(*) AS ?n) (MIN(?c) AS ?mn) WHERE {{ ?s ex:chars ?c }}",
+    ).take_all()
+    assert out == [{"n": 2, "mn": 80.0}]
+
+
+def test_count_bound_only_with_optional(ray_session):
+    # COUNT(?l) counts bound bindings; d3 has a lang but no type
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT (COUNT(*) AS ?rows) (COUNT(?c) AS ?bound)
+        WHERE {{ ?s ex:lang ?l . OPTIONAL {{ ?s ex:chars ?c }} }}""",
+    ).take_all()
+    assert out == [{"rows": 3, "bound": 2}]
+
+
+def test_aggregate_parse_errors():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT (SUM(*) AS ?x) WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
+        )
