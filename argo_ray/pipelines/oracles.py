@@ -212,6 +212,11 @@ LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
 UNION ALL
 SELECT '<' || entity || '>' AS a,
        '"' || n_chars || '"^^<{XSD_INT}>' AS b FROM docs""",
+    # titles carry the doc's language tag (dc:title branch of EXP)
+    "sparql_over_store": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc,
+       '"' || title || '"@' || lang AS title
+FROM docs""",
     "sparql_groupby_eval": EXP_CTE
     + """SELECT '<' || site || '>' AS site,
        COUNT(*) AS n_docs,

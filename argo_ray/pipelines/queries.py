@@ -589,6 +589,35 @@ def q_sparql_groupby_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_over_store(sf_dir: str):
+    """The endpoint-over-storage integration: SPARQL SELECT evaluated
+    against the K7 dictionary-encoded parquet store (write → decode →
+    query), exercising lang-tagged literal rendering through the full
+    encode/decode path."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sinks.parquet_store import decode_store, write_store
+    from ..sparql import evaluate_select
+
+    out = (
+        "/tmp/argo_sparql_store/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_store(_deduped(sf_dir), out)
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?title WHERE {{
+      ?doc a ex:Document ; dc:title ?title .
+    }}
+    """
+    return evaluate_select(decode_store(out).materialize(), q)
+
+
 def q_graphstore_patch(sf_dir: str):
     """K6 ``patch``: SPARQL-Update (DELETE DATA; INSERT DATA) applied to
     a stored named graph (graphstoreservice.go:162-181 — the file store
@@ -656,5 +685,6 @@ KG_QUERIES = {
     "sparql_optional_eval": q_sparql_optional_eval,
     "sparql_union_eval": q_sparql_union_eval,
     "sparql_groupby_eval": q_sparql_groupby_eval,
+    "sparql_over_store": q_sparql_over_store,
     "graphstore_patch": q_graphstore_patch,
 }

@@ -25,6 +25,7 @@ from .engine import (
     apply_update,
     evaluate_ask,
     evaluate_construct,
+    evaluate_describe,
     evaluate_select,
 )
 from .parser import parse_query, parse_update
@@ -35,6 +36,7 @@ __all__ = [
     "apply_update",
     "evaluate_ask",
     "evaluate_construct",
+    "evaluate_describe",
     "evaluate_select",
     "parse_query",
     "parse_update",

@@ -12,8 +12,8 @@ graph, anything else → error line.  Documented divergences from the
 reference: session prefixes are injected into each query before
 evaluation (the reference leaves resolution to the remote endpoint —
 there is none here, so injection is what makes them useful), DESCRIBE
-is unsupported (no endpoint to delegate to), and color output is
-dropped.
+serves the subject-triples concise description (implementation-defined
+per spec), and color output is dropped.
 
 Usage::
 
@@ -101,7 +101,7 @@ def run_session(
             elif verb == "ASK":
                 result = query_service.ask(_with_prefixes(line, prefixes))
                 out.write(f"Result: {'true' if result else 'false'}\n")
-            elif verb == "CONSTRUCT":
+            elif verb in ("CONSTRUCT", "DESCRIBE"):
                 graph = query_service.graph(_with_prefixes(line, prefixes))
                 tbl = _collect_triples(graph)
                 ser = fmt.serializer
@@ -111,8 +111,6 @@ def run_session(
                 # updateRev (sparqlclient.go:134-138): session prefixes
                 # feed the serializer's prefix table, reversed
                 out.write(ser(tbl, {v: k for k, v in prefixes.items()}))
-            elif verb == "DESCRIBE":
-                err.write("Error: DESCRIBE is not supported by the file-backed service\n")
             elif verb in _UPDATE_VERBS:
                 update_service.update(_with_prefixes(line, prefixes))
                 out.write("OK\n")

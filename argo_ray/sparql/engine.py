@@ -47,6 +47,7 @@ from .parser import (
     AskQuery,
     Comparison,
     ConstructQuery,
+    DescribeQuery,
     OptionalBlock,
     Regex,
     SelectQuery,
@@ -720,6 +721,29 @@ def evaluate_construct(ds, query: str | ConstructQuery):
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def evaluate_describe(ds, query: str | DescribeQuery):
+    """DESCRIBE → Dataset of the described subjects' distinct triples
+    (streaming filter — the same M1 predicate the pattern scans use)."""
+    from ..stages.filter import term_predicate
+    from ..stages.materialize import dedup_exact
+
+    q = parse_query(query) if isinstance(query, str) else query
+    if not isinstance(q, DescribeQuery):
+        raise SparqlSyntaxError("not a DESCRIBE query")
+    terms = q.terms
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = None
+        for t in terms:
+            m = term_predicate(batch, "subj", t)
+            mask = m if mask is None else pc.or_(mask, m)
+        return batch.filter(mask).select(TRIPLE_COLUMNS)
+
+    return dedup_exact(ds.map_batches(f, batch_format="pyarrow")).map_batches(
+        lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    )
 
 
 def apply_update(table: pa.Table, query: str) -> pa.Table:

@@ -94,6 +94,14 @@ class ConstructQuery(NamedTuple):
     optionals: list[OptionalBlock] = []
 
 
+class DescribeQuery(NamedTuple):
+    """``DESCRIBE <iri>+`` — implementation-defined per the SPARQL spec;
+    here: all triples whose subject is one of the IRIs (the common
+    concise-bounded-description core, minus bnode closure)."""
+
+    terms: list[Term]
+
+
 class UpdateOp(NamedTuple):
     action: str  # "insert" | "delete"
     triples: list[tuple[Term, Term, Term]]
@@ -440,7 +448,19 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         _, limit = p.parse_modifiers()
         p.expect("eof")
         return ConstructQuery(template, patterns, filters, limit, optionals)
-    raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT, got {p.peek()[1]!r}")
+    if p.eat_word("describe"):
+        terms: list[Term] = []
+        while p.peek()[0] in ("iri", "pname"):
+            terms.append(p.parse_term(allow_var=False))
+        if not terms:
+            raise SparqlSyntaxError(
+                "DESCRIBE needs one or more IRIs (variable form unsupported)"
+            )
+        p.expect("eof")
+        return DescribeQuery(terms)
+    raise SparqlSyntaxError(
+        f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {p.peek()[1]!r}"
+    )
 
 
 def parse_update(text: str) -> list[UpdateOp]:

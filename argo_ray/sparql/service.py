@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .engine import evaluate_ask, evaluate_construct, evaluate_select
+from .engine import (
+    evaluate_ask,
+    evaluate_construct,
+    evaluate_describe,
+    evaluate_select,
+)
+from .parser import DescribeQuery, parse_query
 
 
 class FileSparqlService:
@@ -68,7 +74,12 @@ class FileSparqlService:
         return evaluate_ask(self._ds(), query)
 
     def graph(self, query: str):
-        return evaluate_construct(self._ds(), query)
+        """CONSTRUCT or DESCRIBE → triples Dataset (the reference's
+        ``Graph()`` serves both verbs, sparqlservice.go:70-83)."""
+        q = parse_query(query)
+        if isinstance(q, DescribeQuery):
+            return evaluate_describe(self._ds(), q)
+        return evaluate_construct(self._ds(), q)
 
     def update(self, query: str) -> None:
         if self._graphstore is None or self._graph_uri is None:

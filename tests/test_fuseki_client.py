@@ -67,7 +67,7 @@ def test_repl_session_verbs(tmp_path, ray_session):
             'INSERT DATA { ex:d3 a ex:Doc }\n',
             "FORMAT ntriples\n",
             "CONSTRUCT { ?s ex:seen ?s } WHERE { ?s ex:lang ?l }\n",
-            "DESCRIBE <http://x/>\n",
+            f"DESCRIBE <{EX}d2>\n",
             "BOGUS words\n",
             "DELETE WHERE { ?s ?p ?o }\n",  # unsupported update → error, graph intact
         ],
@@ -83,7 +83,11 @@ def test_repl_session_verbs(tmp_path, ray_session):
     assert "OK\n" in text
     # CONSTRUCT serialized as N-Triples after FORMAT switch
     assert f"<{EX}d1> <{EX}seen> <{EX}d1> .\n" in text
-    assert "DESCRIBE is not supported" in errors
+    # DESCRIBE serves the subject's concise description (same format)
+    assert (
+        f"<{EX}d2> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{EX}Doc> .\n"
+        in text
+    )
     assert "Invalid command: BOGUS" in errors
     assert "Error:" in errors  # the unsupported DELETE WHERE
     # the INSERT landed; the failed DELETE did not clear the graph

@@ -82,7 +82,7 @@ def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
         parse_query("SELECT ?s WHERE { ?s ?p ?o } OFFSET 5")
     with pytest.raises(SparqlSyntaxError):
-        parse_query("DESCRIBE <http://x/>")
+        parse_query("DESCRIBE ?v WHERE { ?v ?p ?o }")  # variable form unsupported
     with pytest.raises(SparqlSyntaxError):
         parse_query("PREFIX ex: <http://x/> SELECT ?s WHERE { ?s ex:p ?o . FILTER (?o IN (1)) }")
     with pytest.raises(SparqlSyntaxError):
@@ -325,3 +325,16 @@ def test_aggregate_parse_errors():
         parse_query(
             "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
         )
+
+
+def test_describe(ray_session):
+    from argo_ray.sparql import evaluate_describe
+
+    rows = evaluate_describe(
+        _ds(), f"DESCRIBE <{EX}d1> <{EX}d3>"
+    ).take_all()
+    subjects = {r["subj_value"] for r in rows}
+    assert subjects == {EX + "d1", EX + "d3"}
+    assert len(rows) == 4  # 3 triples of d1 + 1 of d3
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_describe(_ds(), f"PREFIX ex: <{EX}> ASK {{ ?s ?p ?o }}")
