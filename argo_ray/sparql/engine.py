@@ -256,6 +256,7 @@ def _union_bindings(ds, block: UnionBlock):
     sides, var_sets = [], []
     for patterns, filters in block.branches:
         b, vs, leftover = _bgp(ds, patterns, filters)
+        _check_filter_vars(leftover, vs)
         b = _apply_filters(b, leftover)
         sides.append(b)
         var_sets.append(vs)
@@ -348,6 +349,15 @@ def _bgp(ds, patterns, filters=()):
     return result, bound, remaining_filters
 
 
+def _check_filter_vars(filters, bound: set) -> None:
+    for f in filters:
+        missing = _filter_vars(f) - bound
+        if missing:
+            raise SparqlSyntaxError(
+                f"FILTER references unbound variable(s): {sorted(missing)}"
+            )
+
+
 def _attach_optionals(result, bound: set, ds, optionals):
     """LEFT-join each OPTIONAL group's bindings onto the required ones
     (unmatched rows keep nulls in the optional variables — rendered as
@@ -357,6 +367,7 @@ def _attach_optionals(result, bound: set, ds, optionals):
 
     for opt in optionals:
         ob, ovs, leftover = _bgp(ds, opt.patterns, opt.filters)
+        _check_filter_vars(leftover, ovs)
         ob = _apply_filters(ob, leftover)
         shared = sorted(bound & ovs)
         if not shared:
@@ -597,6 +608,7 @@ def evaluate_select(ds, query: str | SelectQuery):
     if not isinstance(q, SelectQuery):
         raise SparqlSyntaxError("not a SELECT query")
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    _check_filter_vars(leftover, bound)
     bindings = _apply_filters(bindings, leftover)
     bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
     if q.aggregates:
@@ -652,6 +664,7 @@ def evaluate_ask(ds, query: str | AskQuery) -> bool:
     if not isinstance(q, AskQuery):
         raise SparqlSyntaxError("not an ASK query")
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    _check_filter_vars(leftover, bound)
     bindings = _apply_filters(bindings, leftover)
     bindings, _ = _attach_optionals(bindings, bound, ds, q.optionals)
     return bindings.limit(1).count() > 0
@@ -673,6 +686,7 @@ def evaluate_construct(ds, query: str | ConstructQuery):
                     "blank nodes in CONSTRUCT templates not supported"
                 )
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    _check_filter_vars(leftover, bound)
     bindings = _apply_filters(bindings, leftover)
     bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
     for t in q.template:

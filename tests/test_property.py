@@ -224,3 +224,68 @@ def test_rdfjson_roundtrip_property(triples):
     table = triples_to_table(triples, with_hash=False)
     parsed = parse_rdfjson(serialize_rdfjson(table))
     assert set(parsed) == set(triples)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL parser: render → parse roundtrip over random data triples
+# ---------------------------------------------------------------------------
+
+_iri_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + "/#.-_", min_size=1, max_size=12
+)
+_lit_text = st.text(
+    alphabet=string.printable.replace("\x0b", "").replace("\x0c", ""),
+    min_size=0, max_size=20,
+)
+
+
+def _sparql_term_strategy():
+    iri = _iri_chars.map(lambda s: IRI("http://x.example/" + s))
+    plain = _lit_text.map(Literal)
+    lang = st.tuples(
+        _lit_text,
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5),
+    ).map(lambda t: Literal(t[0], lang=t[1]))
+    typed = st.tuples(_lit_text, _iri_chars).map(
+        lambda t: Literal(t[0], datatype="http://x.example/dt/" + t[1])
+    )
+    return st.one_of(iri, plain, lang, typed)
+
+
+def _render_data_term(t):
+    from argo_ray.terms import KIND_IRI, escape_literal
+
+    if t.kind == KIND_IRI:
+        return f"<{t.value}>"
+    out = '"' + escape_literal(t.value) + '"'
+    if t.lang:
+        out += "@" + t.lang
+    elif t.datatype:
+        out += f"^^<{t.datatype}>"
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_sparql_term_strategy(), _sparql_term_strategy()),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_sparql_update_parse_roundtrip(pairs):
+    """INSERT DATA rendered from arbitrary terms parses back to the
+    exact same term list (N-Triples-style escaping closure)."""
+    from argo_ray.sparql import parse_update
+
+    subj = IRI("http://x.example/s")
+    body = " .\n".join(
+        f"<{subj.value}> {_render_data_term(p)} {_render_data_term(o)}"
+        for p, o in pairs
+        if p.kind == 0  # predicates must be IRIs
+    )
+    if not body:
+        return
+    ops = parse_update("INSERT DATA {\n" + body + "\n}")
+    expected = [(subj, p, o) for p, o in pairs if p.kind == 0]
+    assert ops[0].triples == expected

@@ -338,3 +338,11 @@ def test_describe(ray_session):
     assert len(rows) == 4  # 3 triples of d1 + 1 of d3
     with pytest.raises(SparqlSyntaxError):
         evaluate_describe(_ds(), f"PREFIX ex: <{EX}> ASK {{ ?s ?p ?o }}")
+
+
+def test_filter_unbound_var_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s a ex:Doc . FILTER (?nope > 1) }}",
+        )
