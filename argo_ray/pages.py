@@ -129,7 +129,12 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset(sf_dir: str, parallelism: int | None = None, replicate: int = 1):
+def pages_dataset(
+    sf_dir: str,
+    parallelism: int | None = None,
+    replicate: int = 1,
+    skew: float = 0.0,
+):
     """documents.parquet → pages Dataset (lazy, streaming; read split
     into enough blocks for the extract chain to fan out — see io.py).
 
@@ -137,6 +142,12 @@ def pages_dataset(sf_dir: str, parallelism: int | None = None, replicate: int = 
     emitted ``replicate`` times with doc_id shifted by 1M per copy, so
     every page/entity/site IRI is distinct and extraction+shuffle work
     scale linearly — the scaling-benchmark input (same input both runs).
+
+    ``skew > 0`` (adversarial corpus, VERDICT r2 #6): that fraction of
+    the inflated volume is exact copies of doc 0's page — ONE subject
+    / one page owns that share of all extracted triples, so the dedup
+    sort's hottest key runs hold ~skew×volume/7 identical rows.  Volume
+    matches the uniform corpus; distinct output shrinks.
     """
     from .io import read_table, target_blocks
 
@@ -156,12 +167,32 @@ def pages_dataset(sf_dir: str, parallelism: int | None = None, replicate: int = 
         override_num_blocks=target_blocks(),
     )
 
+    n_hot = int(replicate * skew)
+    n_uniform = replicate - n_hot
+    hot_row: pa.Table | None = None
+    if n_hot:
+        import duckdb
+
+        hot_row = duckdb.connect().execute(
+            f"SELECT * FROM '{sf_dir}/documents.parquet' WHERE doc_id = 0"
+        ).arrow()
+        if hot_row.num_rows != 1:
+            raise ValueError("skew mode needs doc_id=0 in the corpus")
+
     def inflate(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         i = b.column_names.index("doc_id")
-        return pa.concat_tables(
+        parts = [
             b.set_column(i, "doc_id", pc.add(b["doc_id"], r * 1_000_000))
-            for r in range(replicate)
-        )
+            for r in range(n_uniform)
+        ]
+        if n_hot:
+            reps = b.num_rows * n_hot
+            parts.append(
+                hot_row.cast(b.schema).take(np.zeros(reps, dtype=np.int64))
+            )
+        return pa.concat_tables(parts)
 
     ds = ds.map_batches(inflate, batch_format="pyarrow")
     return ds.map_batches(synth_pages_batch, batch_format="pyarrow")

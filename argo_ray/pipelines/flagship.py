@@ -21,10 +21,12 @@ def extract_triples(pages_ds, salt: str = ""):
     )
 
 
-def flagship(sf_dir: str, dedup: bool = True, replicate: int = 1):
+def flagship(sf_dir: str, dedup: bool = True, replicate: int = 1, skew: float = 0.0):
     """documents.parquet → deduplicated triple Dataset.  ``replicate``
-    inflates the page corpus deterministically (scaling benchmark)."""
-    ds = extract_triples(pages_dataset(sf_dir, replicate=replicate))
+    inflates the page corpus deterministically (scaling benchmark);
+    ``skew`` makes that fraction of the volume copies of one page
+    (adversarial hot-subject corpus — see pages_dataset)."""
+    ds = extract_triples(pages_dataset(sf_dir, replicate=replicate, skew=skew))
     if dedup:
         ds = dedup_exact(ds)
     return ds

@@ -616,6 +616,35 @@ def evaluate_select(ds, query: str | SelectQuery):
             if v not in bound:
                 raise SparqlSyntaxError(f"unbound variable ?{v} in aggregate query")
         out = _aggregate_bindings(bindings, list(q.group_by), q.aggregates)
+        if q.having:
+            _CMP = {
+                "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+            }
+            resolved = []
+            for h in q.having:
+                if h.alias is not None:
+                    if h.alias not in [a.alias for a in q.aggregates]:
+                        raise SparqlSyntaxError(
+                            f"HAVING alias ?{h.alias} is not a SELECT aggregate"
+                        )
+                    resolved.append((h.alias, h.op, h.value))
+                else:
+                    match = [a for a in q.aggregates if a.func == h.func and a.var == h.var]
+                    if not match:
+                        raise SparqlSyntaxError(
+                            f"HAVING {h.func.upper()}(?{h.var}) has no matching SELECT aggregate"
+                        )
+                    resolved.append((match[0].alias, h.op, h.value))
+
+            def having_filter(batch: pa.Table) -> pa.Table:
+                mask = None
+                for col, op, value in resolved:
+                    m = _CMP[op](pc.cast(batch[col], pa.float64()), value)
+                    mask = m if mask is None else pc.and_(mask, m)
+                return batch.filter(mask)
+
+            out = out.map_batches(having_filter, batch_format="pyarrow")
         cols = list(q.group_by) + [a.alias for a in q.aggregates]
         if q.order_by:
             for v, _ in q.order_by:

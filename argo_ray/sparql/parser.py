@@ -67,6 +67,17 @@ class Aggregate(NamedTuple):
     alias: str
 
 
+class HavingCond(NamedTuple):
+    """One ``HAVING`` conjunct: ``FUNC(?v) op number`` (must match a
+    SELECT aggregate) or ``?alias op number``."""
+
+    func: str | None  # None when referencing an alias
+    var: str | None
+    alias: str | None
+    op: str
+    value: float
+
+
 # an element of a group: a triple Pattern or a UnionBlock
 class SelectQuery(NamedTuple):
     variables: list[str]  # [] = SELECT *
@@ -78,6 +89,7 @@ class SelectQuery(NamedTuple):
     optionals: list[OptionalBlock] = []
     aggregates: list[Aggregate] = []
     group_by: list[str] = []
+    having: list[HavingCond] = []
 
 
 class AskQuery(NamedTuple):
@@ -119,7 +131,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,.])
+    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./])
     """,
     re.VERBOSE,
 )
@@ -151,6 +163,11 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._gensym = 0
+
+    def _fresh_var(self) -> Var:
+        self._gensym += 1
+        return Var(f"_path{self._gensym}")
 
     # -- token primitives ------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -241,10 +258,22 @@ class _Parser:
                 break
             subj = self.parse_term(allow_var)
             while True:
-                pred = self.parse_term(allow_var, verb=True)
+                # verb or sequence path p1/p2/… (desugared to a chain of
+                # fresh intermediate variables per SPARQL 1.1 semantics)
+                path = [self.parse_term(allow_var, verb=True)]
+                while self.peek() == ("op", "/"):
+                    self.next()
+                    path.append(self.parse_term(allow_var, verb=True))
+                if len(path) > 1 and not allow_var:
+                    raise SparqlSyntaxError("property paths not allowed in data blocks")
                 while True:
                     obj = self.parse_term(allow_var)
-                    out.append((subj, pred, obj))
+                    cur = subj
+                    for step in path[:-1]:
+                        nxt = self._fresh_var()
+                        out.append((cur, step, nxt))
+                        cur = nxt
+                    out.append((cur, path[-1], obj))
                     if self.peek() == ("op", ","):
                         self.next()
                         continue
@@ -428,11 +457,49 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
             raise SparqlSyntaxError(
                 "projected plain variables must appear in GROUP BY"
             )
+        having: list[HavingCond] = []
+        if p.eat_word("having"):
+            if not aggregates:
+                raise SparqlSyntaxError("HAVING requires aggregates")
+            p.expect("op", "(")
+            while True:
+                if p.peek()[0] == "var":
+                    alias = p.next()[1][1:]
+                    func = var = None
+                elif p.at_word("count", "sum", "min", "max", "avg"):
+                    func = p.next()[1].lower()
+                    p.expect("op", "(")
+                    if p.peek() == ("op", "*"):
+                        p.next()
+                        var = None
+                    else:
+                        t = p.parse_term()
+                        if not isinstance(t, Var):
+                            raise SparqlSyntaxError("HAVING aggregate needs a variable")
+                        var = t.name
+                    p.expect("op", ")")
+                    alias = None
+                else:
+                    raise SparqlSyntaxError(
+                        f"HAVING expects ?alias or FUNC(?v), got {p.peek()[1]!r}"
+                    )
+                k, op = p.next()
+                if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise SparqlSyntaxError(f"bad HAVING operator {op!r}")
+                nk, nv = p.next()
+                if nk != "number":
+                    raise SparqlSyntaxError("HAVING compares against a number")
+                having.append(HavingCond(func, var, alias, op, float(nv)))
+                if p.peek() == ("op", "&&"):
+                    p.next()
+                    continue
+                break
+            p.expect("op", ")")
         order, limit = p.parse_modifiers()
         p.expect("eof")
         return SelectQuery(
             variables, distinct, patterns, filters, order, limit, optionals,
-            aggregates, group_by,
+            aggregates, group_by, having,
         )
     if p.eat_word("ask"):
         p.eat_word("where")

@@ -21,17 +21,59 @@ import sys
 import time
 
 
-def _headline(sf_dir: str, replicate: int = 1) -> tuple[float, int]:
+def _headline(sf_dir: str, replicate: int = 1, skew: float = 0.0) -> tuple[float, int]:
     """Flagship KG construction: documents → pages → extract → dedup →
     NT lines + parquet sink.  Returns (seconds, triples)."""
     from argo_ray.pipelines.flagship import flagship
     from argo_ray.sinks.ntriples import to_nt_lines_batch
 
     t0 = time.time()
-    ds = flagship(sf_dir, replicate=replicate)
+    ds = flagship(sf_dir, replicate=replicate, skew=skew)
     ds = ds.map_batches(to_nt_lines_batch, batch_format="pyarrow")
     n = ds.count()
     return time.time() - t0, n
+
+
+def run_skew() -> dict:
+    """Adversarial-skew flagship (VERDICT r2 #6 at replicate scale):
+    same inflated volume, but half of it is exact copies of ONE page —
+    one subject owns ~50% of extracted triples, so the dedup sort's
+    hottest key runs hold ~volume/14 identical rows each.  Reports
+    uniform vs skew wall (interleaved best-of-2) and the ratio; the
+    criterion is ratio ≲ 1.5 (skew must not serialize the exchange)."""
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "160"))
+    walls = {"uniform": [], "skew": []}
+    triples = {}
+    for _ in range(2):  # interleaved best-of-2 (VM noise protocol)
+        for name, sk in (("uniform", 0.0), ("skew", 0.5)):
+            sec, n = _headline(sf_dir, replicate=replicate, skew=sk)
+            walls[name].append(sec)
+            triples[name] = n
+    ray.shutdown()
+    u, s = min(walls["uniform"]), min(walls["skew"])
+    return {
+        "metric": "flagship wall under 50% single-page skew vs uniform",
+        "sec_uniform": round(u, 3),
+        "sec_skew": round(s, 3),
+        "ratio": round(s / u, 3),
+        "distinct_triples_uniform": triples["uniform"],
+        "distinct_triples_skew": triples["skew"],
+        "sec_runs": {k: [round(x, 3) for x in v] for k, v in walls.items()},
+        "replicate": replicate,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
 
 
 def _bench_queries(sf_dir: str) -> dict[str, float]:
@@ -211,5 +253,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_once()))

@@ -346,3 +346,41 @@ def test_filter_unbound_var_raises(ray_session):
             _ds(),
             f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s a ex:Doc . FILTER (?nope > 1) }}",
         )
+
+
+# -- property paths & HAVING ----------------------------------------------
+
+
+def test_sequence_path_desugars(ray_session):
+    # d1 -> Doc via a 2-step chain through lang? No — use type/… is 1-step;
+    # exercise via chars: no chain exists, so build one: ?s ex:lang ?l has
+    # no second hop; instead assert the desugaring itself on the parsed AST
+    q = parse_query(
+        f"PREFIX ex: <{EX}> SELECT ?a ?b WHERE {{ ?a ex:p/ex:q/ex:r ?b }}"
+    )
+    assert len(q.patterns) == 3
+    # chain shares fresh intermediate vars
+    assert q.patterns[0][2] == q.patterns[1][0]
+    assert q.patterns[1][2] == q.patterns[2][0]
+    assert q.patterns[0][2].name.startswith("_path")
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(f"PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:p/ex:q ex:b }}")
+
+
+def test_having_filters_groups(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?t (COUNT(?s) AS ?n) (MIN(?c) AS ?mn)
+        WHERE {{ ?s a ?t . ?s ex:chars ?c }}
+        GROUP BY ?t HAVING (COUNT(?s) >= 2 && ?mn < 100)""",
+    ).take_all()
+    assert out == [{"t": f"<{EX}Doc>", "n": 2, "mn": 80.0}]
+    # unmatched HAVING aggregate fails loudly
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?t (COUNT(?s) AS ?n) WHERE {{ ?s a ?t }}
+            GROUP BY ?t HAVING (SUM(?s) > 1)""",
+        )
