@@ -53,6 +53,7 @@ from .parser import (
     SelectQuery,
     SparqlSyntaxError,
     UnionBlock,
+    ValuesBlock,
     Var,
     parse_query,
     parse_update,
@@ -276,6 +277,24 @@ def _union_bindings(ds, block: UnionBlock):
     return out, set(var_sets[0])
 
 
+def _values_bindings(block: ValuesBlock):
+    """``VALUES`` → an inline bindings Dataset (constant, driver-built;
+    joins like any other part — VALUES at corpus scale is always the
+    small broadcast-able side)."""
+    import ray.data
+
+    cols = {}
+    for j, v in enumerate(block.variables):
+        terms = [r[j] for r in block.rows]
+        cols[f"{v}__kind"] = pa.array([t.kind for t in terms], pa.int64())
+        cols[f"{v}__value"] = pa.array([t.value for t in terms], pa.large_string())
+        cols[f"{v}__lang"] = pa.array([t.lang for t in terms], pa.large_string())
+        cols[f"{v}__datatype"] = pa.array(
+            [t.datatype for t in terms], pa.large_string()
+        )
+    return ray.data.from_arrow(pa.table(cols)), set(block.variables)
+
+
 def _bgp(ds, patterns, filters=()):
     """Basic graph pattern → joined bindings Dataset + bound vars.
 
@@ -295,6 +314,8 @@ def _bgp(ds, patterns, filters=()):
     for pattern in patterns:
         if isinstance(pattern, UnionBlock):
             b, vs = _union_bindings(ds, pattern)
+        elif isinstance(pattern, ValuesBlock):
+            b, vs = _values_bindings(pattern)
         else:
             b, vs = _pattern_bindings(ds, pattern)
         push = [f for f in remaining_filters if _filter_vars(f) and _filter_vars(f) <= vs]

@@ -51,6 +51,14 @@ class UnionBlock(NamedTuple):
     branches: list[tuple[list, list]]
 
 
+class ValuesBlock(NamedTuple):
+    """``VALUES ?v { t… }`` / ``VALUES (?a ?b) { (t t) … }`` — inline
+    bindings, joined like any other group element.  UNDEF unsupported."""
+
+    variables: list[str]
+    rows: list[tuple[Term, ...]]
+
+
 class OptionalBlock(NamedTuple):
     """``OPTIONAL { BGP [FILTER …] }`` — left-joined onto the required
     bindings."""
@@ -350,6 +358,40 @@ class _Parser:
         self.expect("op", "}")
         return patterns, filters
 
+    def parse_values(self) -> ValuesBlock:
+        """``VALUES ?v { t… }`` or ``VALUES (?a ?b) { (t t) … }``."""
+        variables: list[str] = []
+        if self.peek() == ("op", "("):
+            self.next()
+            while self.peek()[0] == "var":
+                variables.append(self.next()[1][1:])
+            self.expect("op", ")")
+            parenthesized = True
+        else:
+            k, v = self.next()
+            if k != "var":
+                raise SparqlSyntaxError("VALUES needs variables")
+            variables.append(v[1:])
+            parenthesized = False
+        if not variables:
+            raise SparqlSyntaxError("VALUES needs variables")
+        self.expect("op", "{")
+        rows: list[tuple[Term, ...]] = []
+        while self.peek() != ("op", "}"):
+            if parenthesized:
+                self.expect("op", "(")
+                row = tuple(
+                    self.parse_term(allow_var=False) for _ in variables
+                )
+                self.expect("op", ")")
+            else:
+                row = (self.parse_term(allow_var=False),)
+            rows.append(row)
+        self.expect("op", "}")
+        if not rows:
+            raise SparqlSyntaxError("empty VALUES block")
+        return ValuesBlock(variables, rows)
+
     def parse_group(self) -> tuple[list, list[Filter], list[OptionalBlock]]:
         self.expect("op", "{")
         patterns: list = []
@@ -361,6 +403,8 @@ class _Parser:
             elif self.eat_word("optional"):
                 p, f = self.parse_simple_group()
                 optionals.append(OptionalBlock(p, f))
+            elif self.eat_word("values"):
+                patterns.append(self.parse_values())
             elif self.peek() == ("op", "{"):
                 branches = [self.parse_simple_group()]
                 while self.eat_word("union"):

@@ -384,3 +384,32 @@ def test_having_filters_groups(ray_session):
             SELECT ?t (COUNT(?s) AS ?n) WHERE {{ ?s a ?t }}
             GROUP BY ?t HAVING (SUM(?s) > 1)""",
         )
+
+
+def test_values_inline_bindings(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          VALUES ?s {{ ex:d1 ex:d3 }}
+          ?s ex:lang ?l .
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "l": '"en"'},
+        {"s": f"<{EX}d3>", "l": '"Guten Tag"@de'},
+    ]
+
+
+def test_values_multi_var(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?want WHERE {{
+          VALUES (?s ?want) {{ (ex:d1 "en") (ex:d2 "fr") }}
+          ?s ex:lang ?want .
+        }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>", "want": '"en"'}]
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT ?s WHERE { VALUES ?s { } ?s ?p ?o }")
