@@ -41,27 +41,7 @@ class FileFusekiDataset:
     def query_service(self) -> FileSparqlService:
         """dataset.go:36-38 ``QueryService``: SELECT/ASK/CONSTRUCT over
         the union of the dataset's named graphs (distributed fan-in)."""
-        store_path = self.graph_store_path()
-
-        def factory():
-            import ray.data
-
-            from .io import configure_context
-            from .sinks.graphstore import read_graphstore
-            from .terms import triples_to_table
-
-            configure_context()
-            store = FileGraphStore(store_path)
-            if not store.graphs():
-                return ray.data.from_arrow(triples_to_table([], with_hash=False))
-            return read_graphstore(store_path).map_batches(
-                lambda b: b.drop_columns(
-                    [c for c in ("url",) if c in b.column_names]
-                ),
-                batch_format="pyarrow",
-            )
-
-        return FileSparqlService(factory)
+        return FileSparqlService.over_graphstore_dir(self.graph_store_path())
 
     def update_service(self, graph_uri: str) -> FileSparqlService:
         """dataset.go:40-42 ``UpdateService``: query + SPARQL-Update

@@ -168,6 +168,11 @@ def pages_dataset(
     )
 
     n_hot = int(replicate * skew)
+    if skew > 0 and n_hot == 0:
+        raise ValueError(
+            f"replicate={replicate} too small for skew={skew}: "
+            f"int(replicate*skew) floors to 0 copies — raise replicate"
+        )
     n_uniform = replicate - n_hot
     hot_row: pa.Table | None = None
     if n_hot:

@@ -110,6 +110,11 @@ def write_graphstore(triples_ds, root_dir: str, graph_column: str = "url"):
     """
     import numpy as np
 
+    # the correctness of one-put-per-graph rests on Ray's sort never
+    # splitting an equal-key run across blocks; importing grouping fires
+    # its pinned-version guard (warns loudly on unverified Ray versions)
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
     os.makedirs(root_dir, exist_ok=True)
     store = FileGraphStore(root_dir)
 

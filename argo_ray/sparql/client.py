@@ -96,7 +96,8 @@ def run_session(
             if verb == "SELECT":
                 ds = query_service.select(_with_prefixes(line, prefixes))
                 header = list(ds.schema().names)
-                rows = [[r[h] for h in header] for r in ds.take_all()]
+                # aggregate results carry numeric cells — stringify all
+                rows = [[str(r[h]) for h in header] for r in ds.take_all()]
                 _print_table(header, rows, out)
             elif verb == "ASK":
                 result = query_service.ask(_with_prefixes(line, prefixes))
@@ -174,29 +175,10 @@ def main(argv: list[str] | None = None) -> int:
         from ..sinks.graphstore import FileGraphStore
         from .service import FileSparqlService
 
-        store_dir = args.store
-        store = FileGraphStore(store_dir)
+        store = FileGraphStore(args.store)
         update_service = FileSparqlService.from_graphstore(store, args.graph)
-
-        def factory():
-            import ray.data
-
-            from ..io import configure_context
-            from ..sinks.graphstore import read_graphstore
-            from ..terms import triples_to_table
-
-            configure_context()
-            if not store.graphs():
-                return ray.data.from_arrow(triples_to_table([], with_hash=False))
-            return read_graphstore(store_dir).map_batches(
-                lambda b: b.drop_columns(
-                    [c for c in ("url",) if c in b.column_names]
-                ),
-                batch_format="pyarrow",
-            )
-
         # queries see the union of graphs; updates target --graph
-        query_service = FileSparqlService(factory)
+        query_service = FileSparqlService.over_graphstore_dir(args.store)
 
     run_session(
         query_service,

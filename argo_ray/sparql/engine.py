@@ -76,7 +76,7 @@ def _var_cols(name: str) -> list[str]:
     return [f"{name}__{f}" for f in _FIELDS]
 
 
-def _pattern_bindings(ds, pattern):
+def _pattern_bindings(ds, pattern, witness: str = "_match"):
     """One triple pattern → (bindings Dataset, bound variable names).
 
     Constant positions filter (vectorized term predicate, M1 semantics);
@@ -121,7 +121,9 @@ def _pattern_bindings(ds, pattern):
                     col = pc.cast(col, pa.int64())
                 cols[f"{name}__{f}"] = col
         if not cols:  # all-constant pattern: keep a row-count witness
-            cols["_match"] = pa.array([1] * batch.num_rows, pa.int64())
+            # (name is per-pattern unique — two ground patterns must not
+            # collide when their cartesian witnesses join)
+            cols[witness] = pa.array([1] * batch.num_rows, pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow"), set(var_pos)
@@ -260,7 +262,8 @@ def _union_bindings(ds, block: UnionBlock):
         _check_filter_vars(leftover, vs)
         b = _apply_filters(b, leftover)
         sides.append(b)
-        var_sets.append(vs)
+        # path-internal ($-gensym) vars are branch-local — project away
+        var_sets.append({v for v in vs if "$" not in v})
     if any(vs != var_sets[0] for vs in var_sets[1:]):
         raise SparqlSyntaxError(
             "UNION branches must bind the same variables "
@@ -275,6 +278,20 @@ def _union_bindings(ds, block: UnionBlock):
     for s in sides[1:]:
         out = out.union(s.map_batches(norm, batch_format="pyarrow"))
     return out, set(var_sets[0])
+
+
+def _replicate_rows(ds, n: int):
+    """Each row repeated ``n`` times (n==0 → empty, schema kept)."""
+    import numpy as np
+
+    def rep(batch: pa.Table) -> pa.Table:
+        if n == 0:
+            return batch.slice(0, 0)
+        return batch.take(
+            pa.array(np.repeat(np.arange(batch.num_rows), n))
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
 
 
 def _values_bindings(block: ValuesBlock):
@@ -311,13 +328,13 @@ def _bgp(ds, patterns, filters=()):
 
     parts = []  # (bindings ds, var set), filters pushed into the scan
     remaining_filters = list(filters)
-    for pattern in patterns:
+    for pat_i, pattern in enumerate(patterns):
         if isinstance(pattern, UnionBlock):
             b, vs = _union_bindings(ds, pattern)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
         else:
-            b, vs = _pattern_bindings(ds, pattern)
+            b, vs = _pattern_bindings(ds, pattern, witness=f"_match{pat_i}")
         push = [f for f in remaining_filters if _filter_vars(f) and _filter_vars(f) <= vs]
         if push:
             b = _apply_filters(b, push)
@@ -348,7 +365,24 @@ def _bgp(ds, patterns, filters=()):
             result = result.join(
                 nxt, join_type="inner", on=keys, num_partitions=nparts
             )
-        else:  # cartesian product (rare; both sides carry a const key)
+        elif not vars2 or not bound:
+            # one side is a pure witness (ground patterns — the common
+            # no-shared-vars case): multiply the other side's multiset by
+            # the witness row count.  No join involved — witness counts
+            # are tiny by construction (a ground pattern's matches).
+            witness, keeper = (nxt, result) if not vars2 else (result, nxt)
+            n = witness.count()
+            if not vars2 and not bound:
+                # both ground: the product is a 1-column witness again
+                m = result.count()
+                import ray.data
+
+                result = ray.data.from_arrow(
+                    pa.table({"_match": pa.array([1] * (n * m), pa.int64())})
+                )
+            else:
+                result = _replicate_rows(keeper, n)
+        else:  # true cross product of two var-bearing sides (rare)
             result = result.map_batches(
                 lambda b: b.append_column("_cross", pa.array([0] * b.num_rows, pa.int64())),
                 batch_format="pyarrow",
@@ -414,6 +448,48 @@ def _operand(batch: pa.Table, x):
     return pa.scalar(x.value, pa.large_string()), numeric
 
 
+def _to_float_coerce(col_or_scalar):
+    """Lexical form → float64 with SPARQL type-error semantics: an
+    unparseable value becomes NaN (the comparison then yields false and
+    the row drops) instead of crashing the whole query on one stray
+    literal."""
+    if isinstance(col_or_scalar, pa.Scalar):
+        return pa.scalar(float(col_or_scalar.as_py()), pa.float64())
+    coerced = pd.to_numeric(
+        pd.Series(col_or_scalar.to_pylist(), dtype="object"), errors="coerce"
+    )
+    return pa.array(coerced.astype("float64"), pa.float64())
+
+
+def _term_identity_mask(batch: pa.Table, flt):
+    """kind/lang/datatype agreement mask for =/!= (value handled by the
+    caller).  Covers var-vs-var AND var-vs-constant — comparing only the
+    value string would equate a literal spelling an IRI with the IRI."""
+    pieces = []
+    for f in ("kind", "lang", "datatype"):
+        sides = []
+        for x in (flt.left, flt.right):
+            if isinstance(x, Var):
+                sides.append(batch[f"{x.name}__{f}"])
+            else:
+                val = getattr(x, f) if f != "kind" else x.kind
+                sides.append(
+                    pa.scalar(val, pa.int64() if f == "kind" else pa.large_string())
+                )
+        a, b = sides
+        if f != "kind":
+            a = a if isinstance(a, pa.Scalar) else pc.cast(a, pa.large_string())
+            b = b if isinstance(b, pa.Scalar) else pc.cast(b, pa.large_string())
+        else:
+            a = a if isinstance(a, pa.Scalar) else pc.cast(a, pa.int64())
+            b = b if isinstance(b, pa.Scalar) else pc.cast(b, pa.int64())
+        pieces.append(pc.equal(a, b))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = pc.and_(out, p)
+    return out
+
+
 def _apply_filters(ds, filters):
     if not filters:
         return ds
@@ -441,21 +517,24 @@ def _apply_filters(ds, filters):
                 left, lnum = _operand(batch, flt.left)
                 right, rnum = _operand(batch, flt.right)
                 if lnum or rnum:  # numeric comparison when a numeric literal is involved
-                    left = pc.cast(left, pa.float64())
-                    right = pc.cast(right, pa.float64())
-                m = _CMP[flt.op](left, right)
-                if flt.op in ("=", "!="):
-                    # full term identity for equality when both sides are vars
-                    if isinstance(flt.left, Var) and isinstance(flt.right, Var):
-                        for f in ("kind", "lang", "datatype"):
-                            a = batch[f"{flt.left.name}__{f}"]
-                            b = batch[f"{flt.right.name}__{f}"]
-                            e = pc.equal(a, b)
-                            m = (
-                                pc.and_(m, e)
-                                if flt.op == "="
-                                else pc.or_(m, pc.invert(e))
-                            )
+                    left = _to_float_coerce(left)
+                    right = _to_float_coerce(right)
+                    m = _CMP[flt.op](left, right)
+                    # SPARQL type error (NaN here) → condition is false,
+                    # even for != (IEEE would say true)
+                    for side in (left, right):
+                        if not isinstance(side, pa.Scalar):
+                            m = pc.and_(m, pc.invert(pc.is_nan(side)))
+                else:
+                    m = _CMP[flt.op](left, right)
+                    if flt.op in ("=", "!="):
+                        # full term identity, var-var and var-constant alike
+                        ident = _term_identity_mask(batch, flt)
+                        m = (
+                            pc.and_(m, ident)
+                            if flt.op == "="
+                            else pc.or_(m, pc.invert(ident))
+                        )
             mask = m if mask is None else pc.and_(mask, m)
         return batch.filter(mask) if mask is not None else batch
 
@@ -519,7 +598,7 @@ def _adjacent_dedup(batch: pa.Table) -> pa.Table:
     return batch.filter(mask)
 
 
-def _aggregate_bindings(bindings, group_vars: list[str], aggs):
+def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
     """GROUP BY + aggregates over a bindings Dataset, the partial-
     aggregation shape every other wide aggregate in this engine uses:
     per-batch pandas partials → one small ``groupby().aggregate()``
@@ -527,11 +606,13 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs):
 
     Group keys are the variables' canonical N-Triples renderings (the
     same string columns SELECT outputs); COUNT counts bound values
-    (COUNT(*) counts rows), SUM/MIN/MAX/AVG cast the lexical form to
-    float64 — numeric aggregation over non-numeric literals is NaN,
-    which fails loudly in comparisons rather than silently stringifying
-    (documented subset).  Output: one float64 column per aggregate
-    (COUNT: int64), named by its alias."""
+    (COUNT(*) counts rows), SUM/MIN/MAX/AVG coerce the lexical form to
+    float64 with non-numeric values becoming NaN and EXCLUDED from the
+    aggregate (pandas skipna — the SPARQL error-ignoring behaviour most
+    endpoints exhibit; COUNT still counts such rows).  ``project``
+    limits the output columns to the SELECT clause (group keys not
+    projected are used for grouping, then dropped).  Output: one float64
+    column per aggregate (COUNT: int64), named by its alias."""
     from ray.data.aggregate import Max, Min, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -553,7 +634,9 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs):
                         pc.is_valid(batch[f"{a.var}__kind"]), pa.int64()
                     )
             else:
-                cols[f"_a{i}"] = pc.cast(batch[f"{a.var}__value"], pa.float64())
+                cols[f"_a{i}"] = _to_float_coerce(
+                    pc.cast(batch[f"{a.var}__value"], pa.large_string())
+                )
         return pa.table(cols)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -602,6 +685,10 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs):
             pa.table({k: [v] for k, v in res.items()})
         )
 
+    keep = project if project is not None else (
+        list(group_vars) + [a.alias for a in aggs]
+    )
+
     def finalize(batch: pa.Table) -> pa.Table:
         cols = {gv: batch[gv] for gv in group_vars}
         for i, a in enumerate(aggs):
@@ -616,7 +703,9 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs):
             else:
                 col = pc.cast(col, pa.float64())
             cols[a.alias] = col
-        return pa.table(cols)
+        # only the SELECT clause's columns leave (group keys used for
+        # grouping but not projected are dropped here)
+        return pa.table({c: cols[c] for c in keep})
 
     return out.map_batches(finalize, batch_format="pyarrow")
 
@@ -636,7 +725,10 @@ def evaluate_select(ds, query: str | SelectQuery):
         for v in list(q.group_by) + [a.var for a in q.aggregates if a.var]:
             if v not in bound:
                 raise SparqlSyntaxError(f"unbound variable ?{v} in aggregate query")
-        out = _aggregate_bindings(bindings, list(q.group_by), q.aggregates)
+        cols = list(q.variables) + [a.alias for a in q.aggregates]
+        out = _aggregate_bindings(
+            bindings, list(q.group_by), q.aggregates, project=cols
+        )
         if q.having:
             _CMP = {
                 "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
@@ -666,7 +758,6 @@ def evaluate_select(ds, query: str | SelectQuery):
                 return batch.filter(mask)
 
             out = out.map_batches(having_filter, batch_format="pyarrow")
-        cols = list(q.group_by) + [a.alias for a in q.aggregates]
         if q.order_by:
             for v, _ in q.order_by:
                 if v not in cols:
@@ -677,7 +768,8 @@ def evaluate_select(ds, query: str | SelectQuery):
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
-    variables = q.variables or sorted(bound)
+    # SELECT *: path-internal ($-gensym) variables stay invisible
+    variables = q.variables or sorted(v for v in bound if "$" not in v)
     missing = [v for v in variables if v not in bound]
     if missing:
         raise SparqlSyntaxError(f"unbound SELECT variables: {missing}")
@@ -744,7 +836,9 @@ def evaluate_construct(ds, query: str | ConstructQuery):
             if isinstance(x, Var) and x.name not in bound:
                 raise SparqlSyntaxError(f"unbound template variable ?{x.name}")
     template = q.template
-    limit = q.limit
+    if q.limit is not None:
+        # SPARQL: LIMIT bounds the solution sequence BEFORE templating
+        bindings = bindings.limit(q.limit)
 
     def instantiate(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -779,12 +873,9 @@ def evaluate_construct(ds, query: str | ConstructQuery):
 
     out = bindings.map_batches(instantiate, batch_format="pyarrow")
     out = dedup_exact(out)
-    out = out.map_batches(
+    return out.map_batches(
         lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
     )
-    if limit is not None:
-        out = out.limit(limit)
-    return out
 
 
 def evaluate_describe(ds, query: str | DescribeQuery):

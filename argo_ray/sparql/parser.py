@@ -174,8 +174,10 @@ class _Parser:
         self._gensym = 0
 
     def _fresh_var(self) -> Var:
+        # '$' cannot appear in a user-typed variable name (see _TOKEN),
+        # so path-internal variables can never collide or be selected
         self._gensym += 1
-        return Var(f"_path{self._gensym}")
+        return Var(f"_path${self._gensym}")
 
     # -- token primitives ------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -262,7 +264,9 @@ class _Parser:
             k, v = self.peek()
             if k == "op" and v in ("}", "{"):
                 break
-            if allow_var and k == "word" and v.lower() in ("filter", "optional"):
+            if allow_var and k == "word" and v.lower() in (
+                "filter", "optional", "values",
+            ):
                 break
             subj = self.parse_term(allow_var)
             while True:
@@ -442,7 +446,11 @@ class _Parser:
                     raise SparqlSyntaxError("ORDER BY needs variables")
                 order.append((var.name, desc))
         if self.eat_word("limit"):
-            limit = int(self.expect("number"))
+            raw = self.expect("number")
+            try:
+                limit = int(raw)
+            except ValueError:
+                raise SparqlSyntaxError(f"LIMIT needs an integer, got {raw!r}")
         if self.eat_word("offset"):
             raise SparqlSyntaxError("OFFSET not supported")
         return order, limit

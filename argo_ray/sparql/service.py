@@ -64,6 +64,32 @@ class FileSparqlService:
 
         return cls(factory, graphstore=store, graph_uri=graph_uri)
 
+    @classmethod
+    def over_graphstore_dir(cls, store_dir: str) -> "FileSparqlService":
+        """Read-only service over the UNION of every named graph in a
+        graph-store directory (distributed fan-in per query — the
+        dataset-endpoint view; used by the Fuseki dataset wiring and the
+        REPL client)."""
+        from ..sinks.graphstore import FileGraphStore
+
+        def factory():
+            import ray.data
+
+            from ..io import configure_context
+            from ..sinks.graphstore import read_graphstore
+
+            configure_context()
+            if not FileGraphStore(store_dir).graphs():
+                return ray.data.from_arrow(_empty_triples())
+            return read_graphstore(store_dir).map_batches(
+                lambda b: b.drop_columns(
+                    [c for c in ("url",) if c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+
+        return cls(factory)
+
     def _ds(self):
         return self._triples() if callable(self._triples) else self._triples
 

@@ -413,3 +413,106 @@ def test_values_multi_var(ray_session):
     assert out == [{"s": f"<{EX}d1>", "want": '"en"'}]
     with pytest.raises(SparqlSyntaxError):
         parse_query("SELECT ?s WHERE { VALUES ?s { } ?s ?p ?o }")
+
+
+# -- code-review regression fixes ------------------------------------------
+
+
+def test_numeric_filter_skips_unparseable(ray_session):
+    import ray.data
+
+    trips = TRIPLES + [(IRI(EX + "d9"), IRI(EX + "chars"), Literal("abc"))]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:chars ?c . FILTER (?c > 100) }}",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>"}]  # "abc" row drops, no crash
+    # != with a type-error row also drops it (SPARQL error semantics)
+    out = evaluate_select(
+        ds,
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:chars ?c . FILTER (?c != 120) }}",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d2>"}]
+
+
+def test_equality_filter_full_term_identity(ray_session):
+    import ray.data
+
+    trips = [
+        (IRI(EX + "a"), IRI(EX + "v"), Literal("http://e/x")),  # literal spelling
+        (IRI(EX + "b"), IRI(EX + "v"), IRI("http://e/x")),      # the IRI itself
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:v ?o . FILTER (?o = <http://e/x>) }}",
+    ).take_all()
+    assert out == [{"s": f"<{EX}b>"}]
+    out = evaluate_select(
+        ds,
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:v ?o . FILTER (?o != <http://e/x>) }}",
+    ).take_all()
+    assert out == [{"s": f"<{EX}a>"}]
+
+
+def test_aggregate_excludes_unparseable(ray_session):
+    import ray.data
+
+    trips = TRIPLES + [(IRI(EX + "d1"), IRI(EX + "chars"), Literal("oops"))]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"PREFIX ex: <{EX}> SELECT (SUM(?c) AS ?tot) (COUNT(?c) AS ?n) WHERE {{ ?s ex:chars ?c }}",
+    ).take_all()
+    # SUM skips the non-numeric literal; COUNT still counts the binding
+    assert out == [{"tot": 200.0, "n": 3}]
+
+
+def test_select_star_hides_path_vars(ray_session):
+    import ray.data
+
+    trips = [
+        (IRI(EX + "d"), IRI(EX + "p"), IRI(EX + "m")),
+        (IRI(EX + "m"), IRI(EX + "q"), Literal("end")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds, f"PREFIX ex: <{EX}> SELECT * WHERE {{ ?s ex:p/ex:q ?o }}"
+    ).take_all()
+    assert out == [{"o": '"end"', "s": f"<{EX}d>"}]  # no _path$ column
+
+
+def test_ask_two_ground_patterns(ray_session):
+    assert evaluate_ask(
+        _ds(),
+        f'PREFIX ex: <{EX}> ASK {{ ex:d1 ex:lang "en" . ex:d2 ex:lang "de" }}',
+    )
+    assert not evaluate_ask(
+        _ds(),
+        f'PREFIX ex: <{EX}> ASK {{ ex:d1 ex:lang "en" . ex:d2 ex:lang "xx" }}',
+    )
+
+
+def test_values_after_dot_terminated_triple(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{ ?s ex:lang ?l . VALUES ?s {{ ex:d2 }} }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d2>", "l": '"de"'}]
+
+
+def test_aggregate_projection_matches_select_clause(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"PREFIX ex: <{EX}> SELECT (COUNT(?s) AS ?n) WHERE {{ ?s a ?t }} GROUP BY ?t",
+    ).take_all()
+    assert out == [{"n": 2}]  # ?t grouped but NOT projected
+
+
+def test_skew_requires_enough_replicate():
+    from argo_ray.pages import pages_dataset
+
+    with pytest.raises(ValueError):
+        pages_dataset("/root/testdata/sf0.001", replicate=2, skew=0.3)
