@@ -92,3 +92,26 @@ def test_repl_session_verbs(tmp_path, ray_session):
     assert "Error:" in errors  # the unsupported DELETE WHERE
     # the INSERT landed; the failed DELETE did not clear the graph
     assert ds.graph_store().get(uri).num_rows == 4
+
+
+def test_client_main_fuseki_mode(ray_session, tmp_path, monkeypatch, capsys):
+    """CLI entry end-to-end: --fuseki dataset wiring, update + ask."""
+    import sys
+
+    from argo_ray.sparql.client import main
+
+    svc = FileFusekiService(str(tmp_path))
+    ds = svc.create("kb")
+    uri = "https://graphs.example.org/main"
+    ds.graph_store().put(uri, triples_to_table(TRIPLES, with_hash=False))
+    monkeypatch.setattr(
+        sys, "stdin",
+        io.StringIO(
+            f'INSERT DATA {{ <{EX}d9> <{EX}lang> "fr" }}\n'
+            f'ASK {{ <{EX}d9> <{EX}lang> "fr" }}\n'
+        ),
+    )
+    rc = main([str(tmp_path), "--fuseki", "kb", "--graph", uri])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "OK\n" in out and "Result: true" in out
