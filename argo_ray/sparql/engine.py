@@ -8,10 +8,14 @@ module IS the endpoint, re-expressed Ray-Data-first:
   triples Dataset (the same vectorized term predicates as operator M1,
   ``stages/filter.py``) that projects matched positions into per-variable
   binding columns — no materialization, blocks stream with backpressure.
-- The basic graph pattern is a left-deep chain of distributed hash
-  joins (``Dataset.join``) on the shared variables' full term identity
-  (kind, value, lang, datatype).  ``num_partitions`` follows
-  ``io.shuffle_partitions()`` so join width tracks the cluster size.
+- The basic graph pattern joins through ONE primitive: the co-grouped
+  sort exchange (``_cogroup_join``) — pattern binding tables union into
+  a single ``Dataset.sort`` on the anchor variable's term hash, then
+  in-block pandas merges on each pair's full shared-variable identity
+  (kind, value, lang, datatype).  Exchange count is O(1) per BGP, not
+  O(patterns), and the machinery is the same sort-co-location contract
+  the dedup stages pin (``Dataset.join`` itself proved flaky in Ray
+  2.49 on small multi-key inputs, so the engine avoids it entirely).
 - FILTERs are vectorized Arrow kernels applied post-join; SELECT
   renders each variable to its canonical N-Triples string (one string
   column per variable — the same rendering the serializers use, so a
@@ -173,13 +177,21 @@ def _pattern_key_column(batch: pa.Table, var: str) -> pa.Array:
     return hash64(joined)
 
 
-def _cogroup_join(parts: list, anchor: str):
+def _cogroup_join(parts: list, anchor: str | None, how: str = "inner"):
     """Multi-way join of pattern binding tables that all bind ``anchor``:
     tag + null-pad + union → ONE sort exchange on the anchor's term hash
     → in-block pandas hash merges on each pair's full shared-variable
     columns.  Replaces a chain of per-pattern hash-shuffle joins (each a
     fixed-cost actor-pool exchange) with a single exchange — the same
-    trick the dedup stages use (sort co-location, grouping.py).
+    trick the dedup stages use (sort co-location, grouping.py).  This is
+    the engine's ONLY join primitive: ``Dataset.join`` proved flaky in
+    Ray 2.49 on small multi-key inputs (intermittent ArrowInvalid
+    'no match or multiple matches for key FieldRef').
+
+    ``anchor=None`` uses a constant key (disconnected parts — the
+    in-block merge degrades to a cartesian ``how='cross'``).
+    ``how='left'`` (2 parts) left-joins the second part onto the first
+    (OPTIONAL semantics; unmatched rows null-fill the optional vars).
 
     Skew note: one hot anchor value lands in one block; the merges
     within it are vectorized pandas joins, but a pathologically hot join
@@ -200,7 +212,12 @@ def _cogroup_join(parts: list, anchor: str):
 
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            cols = {"_k": _pattern_key_column(batch, anchor),
+            key = (
+                _pattern_key_column(batch, anchor)
+                if anchor is not None
+                else pa.array(np.zeros(n, dtype=np.uint64), pa.uint64())
+            )
+            cols = {"_k": key,
                     "_pat": pa.array(np.full(n, i, dtype=np.int64))}
             for c in all_cols:
                 if c in batch.column_names:
@@ -236,14 +253,18 @@ def _cogroup_join(parts: list, anchor: str):
         for i in range(1, len(frames)):
             shared = sorted(seen & set(pat_vars[i]))
             on = [c for v in shared for c in _var_cols(v)]
-            out = out.merge(frames[i], on=on, how="inner")
+            if on:
+                out = out.merge(frames[i], on=on, how=how)
+            else:  # disconnected parts: cartesian product in-block
+                out = out.merge(frames[i], how="cross")
             seen |= set(pat_vars[i])
         for c in all_cols:
             if c not in out.columns:
                 out[c] = pd.Series([], dtype=proto_cols[c].dtype)
             elif c.endswith("__kind"):
-                # null-padding in the union coerced kinds to float64
-                out[c] = out[c].astype("int64")
+                # null-padding in the union coerced kinds to float64;
+                # nullable Int64 keeps left-join misses as nulls
+                out[c] = out[c].astype("Int64")
         return out[all_cols]
 
     joined = unioned.sort("_k").map_batches(
@@ -317,12 +338,11 @@ def _bgp(ds, patterns, filters=()):
 
     Single-pattern filters push down to that pattern's scan (before any
     exchange); the largest subset of patterns sharing one variable joins
-    in a single co-grouped sort exchange; leftover patterns fall back to
-    pairwise distributed hash joins.  UNION blocks evaluate recursively
-    and then participate like any other part.  Returns the leftover
-    (cross-pattern) filters for the caller to apply post-join."""
-    from ..io import shuffle_partitions
-
+    in a single co-grouped sort exchange; leftover parts join pairwise
+    through the same co-group primitive (anchored on a shared variable,
+    or constant-keyed for disconnected parts).  UNION blocks evaluate
+    recursively and then participate like any other part.  Returns the
+    leftover (cross-pattern) filters for the caller to apply post-join."""
     if not patterns:
         raise SparqlSyntaxError("empty graph pattern")
 
@@ -357,13 +377,11 @@ def _bgp(ds, patterns, filters=()):
     else:
         result, bound = grouped[0] if grouped else rest.pop(0)
 
-    nparts = shuffle_partitions()
     for nxt, vars2 in rest:
         shared = sorted(bound & vars2)
         if shared:
-            keys = tuple(c for v in shared for c in _var_cols(v))
-            result = result.join(
-                nxt, join_type="inner", on=keys, num_partitions=nparts
+            result = _cogroup_join(
+                [(result, bound), (nxt, vars2)], anchor=shared[0]
             )
         elif not vars2 or not bound:
             # one side is a pure witness (ground patterns — the common
@@ -382,24 +400,13 @@ def _bgp(ds, patterns, filters=()):
                 )
             else:
                 result = _replicate_rows(keeper, n)
-        else:  # true cross product of two var-bearing sides (rare)
-            result = result.map_batches(
-                lambda b: b.append_column("_cross", pa.array([0] * b.num_rows, pa.int64())),
-                batch_format="pyarrow",
-            ).join(
-                nxt.map_batches(
-                    lambda b: b.append_column(
-                        "_cross", pa.array([0] * b.num_rows, pa.int64())
-                    ),
-                    batch_format="pyarrow",
-                ),
-                join_type="inner",
-                on=("_cross",),
-                num_partitions=nparts,
-            )
-            result = result.map_batches(
-                lambda b: b.drop_columns(["_cross"]), batch_format="pyarrow"
-            )
+        else:
+            # true cross product of two var-bearing sides (disconnected
+            # BGP — degenerate by nature): co-group with a constant key
+            # and an in-block pandas cross merge.  NOT Dataset.join on a
+            # constant key column, which proved flaky in Ray 2.49
+            # (intermittent ArrowInvalid on the key FieldRef).
+            result = _cogroup_join([(result, bound), (nxt, vars2)], None)
         bound |= vars2
     return result, bound, remaining_filters
 
@@ -418,8 +425,6 @@ def _attach_optionals(result, bound: set, ds, optionals):
     (unmatched rows keep nulls in the optional variables — rendered as
     the empty string, the result parser's representation of an unbound
     binding)."""
-    from ..io import shuffle_partitions
-
     for opt in optionals:
         ob, ovs, leftover = _bgp(ds, opt.patterns, opt.filters)
         _check_filter_vars(leftover, ovs)
@@ -429,12 +434,8 @@ def _attach_optionals(result, bound: set, ds, optionals):
             raise SparqlSyntaxError(
                 "OPTIONAL group shares no variable with the required pattern"
             )
-        keys = tuple(c for v in shared for c in _var_cols(v))
-        result = result.map_batches(_norm_table, batch_format="pyarrow").join(
-            ob.map_batches(_norm_table, batch_format="pyarrow"),
-            join_type="left_outer",
-            on=keys,
-            num_partitions=shuffle_partitions(),
+        result = _cogroup_join(
+            [(result, bound), (ob, ovs)], anchor=shared[0], how="left"
         )
         bound |= ovs
     return result, bound

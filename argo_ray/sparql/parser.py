@@ -139,7 +139,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./])
+    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^])
     """,
     re.VERBOSE,
 )
@@ -270,22 +270,30 @@ class _Parser:
                 break
             subj = self.parse_term(allow_var)
             while True:
-                # verb or sequence path p1/p2/… (desugared to a chain of
-                # fresh intermediate variables per SPARQL 1.1 semantics)
-                path = [self.parse_term(allow_var, verb=True)]
+                # verb or sequence path [^]p1/[^]p2/… (desugared to a
+                # chain of fresh intermediate variables per SPARQL 1.1;
+                # '^' inverts one step: ^p matches object→subject)
+                def step():
+                    inv = self.peek() == ("op", "^")
+                    if inv:
+                        self.next()
+                    return (self.parse_term(allow_var, verb=True), inv)
+
+                path = [step()]
                 while self.peek() == ("op", "/"):
                     self.next()
-                    path.append(self.parse_term(allow_var, verb=True))
-                if len(path) > 1 and not allow_var:
+                    path.append(step())
+                if (len(path) > 1 or path[0][1]) and not allow_var:
                     raise SparqlSyntaxError("property paths not allowed in data blocks")
                 while True:
                     obj = self.parse_term(allow_var)
                     cur = subj
-                    for step in path[:-1]:
+                    for pred, inv in path[:-1]:
                         nxt = self._fresh_var()
-                        out.append((cur, step, nxt))
+                        out.append((nxt, pred, cur) if inv else (cur, pred, nxt))
                         cur = nxt
-                    out.append((cur, path[-1], obj))
+                    pred, inv = path[-1]
+                    out.append((obj, pred, cur) if inv else (cur, pred, obj))
                     if self.peek() == ("op", ","):
                         self.next()
                         continue

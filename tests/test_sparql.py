@@ -516,3 +516,25 @@ def test_skew_requires_enough_replicate():
 
     with pytest.raises(ValueError):
         pages_dataset("/root/testdata/sf0.001", replicate=2, skew=0.3)
+
+
+def test_inverse_path(ray_session):
+    import ray.data
+
+    trips = [
+        (IRI(EX + "doc"), IRI(EX + "site"), IRI(EX + "s1")),
+        (IRI(EX + "s1"), IRI(EX + "owner"), IRI(EX + "org")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    # ^site: site→doc; then owner forward via the site
+    out = evaluate_select(
+        ds, f"PREFIX ex: <{EX}> SELECT ?d WHERE {{ ?s1 ^ex:site ?d . ?s1 ex:owner ex:org }}"
+    ).take_all()
+    assert out == [{"d": f"<{EX}doc>"}]
+    # inverse inside a sequence: doc -> site -> (inverse site) -> doc
+    out = evaluate_select(
+        ds, f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:doc ex:site/^ex:site ?x }}"
+    ).take_all()
+    assert out == [{"x": f"<{EX}doc>"}]
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(f"PREFIX ex: <{EX}> INSERT DATA {{ ex:a ^ex:p ex:b }}")
