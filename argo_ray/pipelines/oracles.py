@@ -223,6 +223,18 @@ FROM docs""",
        CAST(SUM(n_chars) AS DOUBLE) AS sum_chars,
        CAST(MAX(n_chars) AS DOUBLE) AS max_chars
 FROM docs GROUP BY site""",
+    # builtin-function filters reduce to lang IN (en, de) on the docs
+    # table (every other conjunct is true by construction: langs are
+    # 2 chars, entities are IRIs containing /doc/, chars is xsd:integer)
+    "sparql_functions_eval": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc, '"' || lang || '"' AS lang
+FROM docs WHERE lang IN ('en', 'de')
+ORDER BY 1 LIMIT 50 OFFSET 10""",
+    "sparql_count_distinct_eval": EXP_CTE
+    + """SELECT '<' || site || '>' AS site,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(*) AS n_docs
+FROM docs GROUP BY site""",
     "graphstore_patch": EXP_CTE
     + f"""SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,

@@ -618,6 +618,44 @@ def q_sparql_over_store(sf_dir: str):
     return evaluate_select(decode_store(out).materialize(), q)
 
 
+def q_sparql_functions_eval(sf_dir: str):
+    """SPARQL 1.1 builtin filter surface in one BGP: IN (full term
+    identity), STRLEN, isIRI, CONTAINS, DATATYPE — plus ORDER BY with
+    OFFSET/LIMIT pagination (the slice streams: LIMIT bounds the
+    upstream before the offset split)."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT DISTINCT ?doc ?lang WHERE {{
+      ?doc a ex:Document ;
+           dc:language ?lang ;
+           ex:chars ?c .
+      FILTER (?lang IN ("en", "de") && STRLEN(?lang) = 2 && isIRI(?doc)
+              && CONTAINS(?doc, "/doc/") && DATATYPE(?c) = xsd:integer)
+    }} ORDER BY ?doc OFFSET 10 LIMIT 50
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_count_distinct_eval(sf_dir: str):
+    """COUNT(DISTINCT ?v) alongside a plain aggregate: distinct-pair
+    shuffle (group, value) for the distinct count, partial-agg combiner
+    for the row count, merged per group."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?site (COUNT(DISTINCT ?lang) AS ?n_langs) (COUNT(*) AS ?n_docs)
+    WHERE {{ ?doc ex:site ?site . ?doc dc:language ?lang }}
+    GROUP BY ?site
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_graphstore_patch(sf_dir: str):
     """K6 ``patch``: SPARQL-Update (DELETE DATA; INSERT DATA) applied to
     a stored named graph (graphstoreservice.go:162-181 — the file store
@@ -686,5 +724,7 @@ KG_QUERIES = {
     "sparql_union_eval": q_sparql_union_eval,
     "sparql_groupby_eval": q_sparql_groupby_eval,
     "sparql_over_store": q_sparql_over_store,
+    "sparql_functions_eval": q_sparql_functions_eval,
+    "sparql_count_distinct_eval": q_sparql_count_distinct_eval,
     "graphstore_patch": q_graphstore_patch,
 }

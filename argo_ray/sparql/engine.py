@@ -39,6 +39,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..terms import (
+    KIND_BLANK,
+    KIND_IRI,
     KIND_LITERAL,
     TRIPLE_COLUMNS,
     Term,
@@ -52,10 +54,14 @@ from .parser import (
     Comparison,
     ConstructQuery,
     DescribeQuery,
+    FuncComparison,
+    InFilter,
     OptionalBlock,
     Regex,
     SelectQuery,
     SparqlSyntaxError,
+    StrFunc,
+    TypeCheck,
     UnionBlock,
     ValuesBlock,
     Var,
@@ -149,7 +155,7 @@ def _norm_table(batch: pa.Table) -> pa.Table:
 
 
 def _filter_vars(flt) -> set[str]:
-    if isinstance(flt, Regex):
+    if isinstance(flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter)):
         return {flt.var.name}
     return {x.name for x in (flt.left, flt.right) if isinstance(x, Var)}
 
@@ -504,6 +510,15 @@ def _apply_filters(ds, filters):
         ">=": pc.greater_equal,
     }
 
+    _KINDS = {"isiri": KIND_IRI, "isblank": KIND_BLANK, "isliteral": KIND_LITERAL}
+    _STRFN = {
+        "contains": pc.match_substring,
+        "strstarts": pc.starts_with,
+        "strends": pc.ends_with,
+    }
+    _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+    _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
     def fapply(batch: pa.Table) -> pa.Table:
         mask = None
         for flt in filters:
@@ -512,6 +527,86 @@ def _apply_filters(ds, filters):
                     pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),
                     flt.pattern,
                 )
+                if flt.negated:
+                    m = pc.invert(m)
+            elif isinstance(flt, StrFunc):
+                m = _STRFN[flt.func](
+                    pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),
+                    flt.arg,
+                )
+                if flt.negated:
+                    m = pc.invert(m)
+            elif isinstance(flt, TypeCheck):
+                m = pc.equal(batch[f"{flt.var.name}__kind"], _KINDS[flt.func])
+                if flt.negated:
+                    m = pc.invert(m)
+            elif isinstance(flt, FuncComparison):
+                v = flt.var.name
+                if flt.func == "strlen":
+                    m = _CMP[flt.op](
+                        pc.cast(
+                            pc.utf8_length(
+                                pc.cast(batch[f"{v}__value"], pa.large_string())
+                            ),
+                            pa.float64(),
+                        ),
+                        flt.value,
+                    )
+                elif flt.func == "str":
+                    # STR(term) = its lexical form / IRI string
+                    m = _CMP[flt.op](
+                        pc.cast(batch[f"{v}__value"], pa.large_string()), flt.value
+                    )
+                elif flt.func == "lang":
+                    # language tags compare case-insensitively (RFC 4647)
+                    m = _CMP[flt.op](
+                        pc.utf8_lower(
+                            pc.cast(batch[f"{v}__lang"], pa.large_string())
+                        ),
+                        flt.value.lower(),
+                    )
+                else:  # datatype: '' column means xsd:string (plain) or
+                    # rdf:langString (lang-tagged); non-literals are a
+                    # SPARQL type error → row drops under = and !=
+                    dt = pc.cast(batch[f"{v}__datatype"], pa.large_string())
+                    lang = pc.cast(batch[f"{v}__lang"], pa.large_string())
+                    eff = pc.if_else(
+                        pc.not_equal(dt, ""),
+                        dt,
+                        pc.if_else(
+                            pc.not_equal(lang, ""),
+                            pa.scalar(_RDF_LANGSTRING, pa.large_string()),
+                            pa.scalar(_XSD_STRING, pa.large_string()),
+                        ),
+                    )
+                    m = pc.and_(
+                        _CMP[flt.op](eff, flt.value),
+                        pc.equal(batch[f"{v}__kind"], KIND_LITERAL),
+                    )
+            elif isinstance(flt, InFilter):
+                v = flt.var.name
+                m = None
+                for t in flt.terms:
+                    one = pc.and_(
+                        pc.and_(
+                            pc.equal(batch[f"{v}__kind"], t.kind),
+                            pc.equal(
+                                pc.cast(batch[f"{v}__value"], pa.large_string()),
+                                t.value,
+                            ),
+                        ),
+                        pc.and_(
+                            pc.equal(
+                                pc.cast(batch[f"{v}__lang"], pa.large_string()),
+                                t.lang,
+                            ),
+                            pc.equal(
+                                pc.cast(batch[f"{v}__datatype"], pa.large_string()),
+                                t.datatype,
+                            ),
+                        ),
+                    )
+                    m = one if m is None else pc.or_(m, one)
                 if flt.negated:
                     m = pc.invert(m)
             else:
@@ -599,6 +694,20 @@ def _adjacent_dedup(batch: pa.Table) -> pa.Table:
     return batch.filter(mask)
 
 
+def _apply_slice(out, limit: int | None, offset: int):
+    """OFFSET/LIMIT over a (sorted) Dataset: ``rows[offset:offset+limit]``.
+    With a LIMIT the upstream is bounded first (streaming early-stop);
+    the split itself executes the bounded prefix only.  OFFSET without
+    LIMIT executes the full solution sequence (inherent to the ask)."""
+    if offset:
+        if limit is not None:
+            out = out.limit(offset + limit)
+        out = out.split_at_indices([offset])[1]
+    elif limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
     """GROUP BY + aggregates over a bindings Dataset, the partial-
     aggregation shape every other wide aggregate in this engine uses:
@@ -634,6 +743,13 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
                     cols[f"_a{i}"] = pc.cast(
                         pc.is_valid(batch[f"{a.var}__kind"]), pa.int64()
                     )
+            elif a.func == "sample":
+                # deterministic SAMPLE: the minimum rendered term (the
+                # spec allows any value; min makes the oracle exact)
+                cols[f"_a{i}"] = nt_render_term_arrays(
+                    batch[f"{a.var}__kind"], batch[f"{a.var}__value"],
+                    batch[f"{a.var}__lang"], batch[f"{a.var}__datatype"],
+                )
             else:
                 cols[f"_a{i}"] = _to_float_coerce(
                     pc.cast(batch[f"{a.var}__value"], pa.large_string())
@@ -648,11 +764,12 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
             elif a.func == "avg":
                 spec[f"_p{i}"] = (f"_a{i}", "sum")
                 spec[f"_n{i}"] = (f"_a{i}", "count")
-            else:
-                spec[f"_p{i}"] = (f"_a{i}", a.func)
+            else:  # min / max / sample (sample = min of rendered term)
+                spec[f"_p{i}"] = (f"_a{i}", "min" if a.func == "sample" else a.func)
         if not group_vars:
+            _PD_FUNC = {"count": "sum", "sum": "sum", "avg": "sum", "sample": "min"}
             out = df.agg(
-                {f"_a{i}": "sum" if aggs[i].func in ("count", "sum", "avg") else aggs[i].func
+                {f"_a{i}": _PD_FUNC.get(aggs[i].func, aggs[i].func)
                  for i in range(len(aggs))}
             )
             row = {f"_p{i}": [out[f"_a{i}"]] for i in range(len(aggs))}
@@ -670,7 +787,7 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
             combiners.append(Sum(f"_p{i}", alias_name=f"_g{i}"))
             if a.func == "avg":
                 combiners.append(Sum(f"_n{i}", alias_name=f"_gn{i}"))
-        elif a.func == "min":
+        elif a.func in ("min", "sample"):
             combiners.append(Min(f"_p{i}", alias_name=f"_g{i}"))
         else:
             combiners.append(Max(f"_p{i}", alias_name=f"_g{i}"))
@@ -701,6 +818,8 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
                     pc.cast(col, pa.float64()),
                     pc.cast(batch[f"_gn{i}"], pa.float64()),
                 )
+            elif a.func == "sample":
+                col = pc.cast(col, pa.large_string())
             else:
                 col = pc.cast(col, pa.float64())
             cols[a.alias] = col
@@ -709,6 +828,100 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
         return pa.table({c: cols[c] for c in keep})
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _distinct_count_agg(bindings, group_vars: list[str], agg):
+    """``COUNT(DISTINCT ?v)`` per group, fully distributed: render the
+    group keys + the counted variable, drop unbound values, global
+    distinct (the same hash-keyed sort dedup as SELECT DISTINCT), then
+    a per-group row count — shuffle volume = distinct (group, value)
+    pairs, never raw rows."""
+    from ray.data.aggregate import Sum
+
+    var = agg.var
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for gv in group_vars:
+            cols[gv] = pc.fill_null(
+                nt_render_term_arrays(
+                    batch[f"{gv}__kind"], batch[f"{gv}__value"],
+                    batch[f"{gv}__lang"], batch[f"{gv}__datatype"],
+                ),
+                "",
+            )
+        rendered = nt_render_term_arrays(
+            batch[f"{var}__kind"], batch[f"{var}__value"],
+            batch[f"{var}__lang"], batch[f"{var}__datatype"],
+        )
+        cols["_v"] = rendered
+        return pa.table(cols).filter(pc.is_valid(rendered))
+
+    ds2 = bindings.map_batches(prep, batch_format="pyarrow")
+    ds2 = _distinct(ds2, list(group_vars) + ["_v"])
+    if not group_vars:
+        import ray.data
+
+        n = ds2.count()
+        return ray.data.from_arrow(pa.table({agg.alias: pa.array([n], pa.int64())}))
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{gv: batch[gv] for gv in group_vars},
+                "_one": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    out = ds2.map_batches(ones, batch_format="pyarrow").groupby(
+        group_vars if len(group_vars) > 1 else group_vars[0]
+    ).aggregate(Sum("_one", alias_name=agg.alias))
+    return out.map_batches(
+        lambda b, a=agg.alias: b.set_column(
+            b.column_names.index(a), a, pc.cast(b[a], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
+    """Dispatch the aggregate clause: the plain partial-agg path, the
+    distributed COUNT(DISTINCT) path, or (for a mix) both — merged on
+    the group keys driver-side, which is safe because aggregate OUTPUT
+    is one row per group (the small end of the pipeline by design)."""
+    group_vars = list(q.group_by)
+    plain = [a for a in q.aggregates if not a.distinct]
+    distinct_aggs = [a for a in q.aggregates if a.distinct]
+    if not distinct_aggs:
+        return _aggregate_bindings(bindings, group_vars, plain, project=cols)
+    if not plain and len(distinct_aggs) == 1:
+        out = _distinct_count_agg(bindings, group_vars, distinct_aggs[0])
+        return out.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        )
+    # mixed plain + distinct aggregates: merge the (small) per-group
+    # outputs driver-side
+    import ray.data
+
+    pieces = []
+    if plain:
+        pieces.append(
+            _aggregate_bindings(
+                bindings, group_vars, plain,
+                project=group_vars + [a.alias for a in plain],
+            ).to_pandas()
+        )
+    for a in distinct_aggs:
+        pieces.append(_distinct_count_agg(bindings, group_vars, a).to_pandas())
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        if group_vars:
+            merged = merged.merge(piece, on=group_vars, how="outer")
+        else:
+            merged = pd.concat([merged, piece], axis=1)
+    for a in distinct_aggs:  # groups whose values were all unbound
+        merged[a.alias] = merged[a.alias].fillna(0).astype("int64")
+    return ray.data.from_pandas(merged[cols])
 
 
 def evaluate_select(ds, query: str | SelectQuery):
@@ -727,9 +940,7 @@ def evaluate_select(ds, query: str | SelectQuery):
             if v not in bound:
                 raise SparqlSyntaxError(f"unbound variable ?{v} in aggregate query")
         cols = list(q.variables) + [a.alias for a in q.aggregates]
-        out = _aggregate_bindings(
-            bindings, list(q.group_by), q.aggregates, project=cols
-        )
+        out = _aggregate_query(bindings, q, cols)
         if q.having:
             _CMP = {
                 "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
@@ -766,9 +977,7 @@ def evaluate_select(ds, query: str | SelectQuery):
             out = out.sort(
                 [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
             )
-        if q.limit is not None:
-            out = out.limit(q.limit)
-        return out
+        return _apply_slice(out, q.limit, q.offset)
     # SELECT *: path-internal ($-gensym) variables stay invisible
     variables = q.variables or sorted(v for v in bound if "$" not in v)
     missing = [v for v in variables if v not in bound]
@@ -796,9 +1005,7 @@ def evaluate_select(ds, query: str | SelectQuery):
         out = out.sort(
             [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
         )
-    if q.limit is not None:
-        out = out.limit(q.limit)
-    return out
+    return _apply_slice(out, q.limit, q.offset)
 
 
 def evaluate_ask(ds, query: str | AskQuery) -> bool:

@@ -41,7 +41,44 @@ class Regex(NamedTuple):
     negated: bool = False
 
 
-Filter = Union[Comparison, Regex]
+class StrFunc(NamedTuple):
+    """``[!]CONTAINS/STRSTARTS/STRENDS(?v, "arg")`` — vectorized
+    substring predicates over the variable's lexical form."""
+
+    func: str  # contains | strstarts | strends
+    var: Var
+    arg: str
+    negated: bool = False
+
+
+class FuncComparison(NamedTuple):
+    """``FUNC(?v) op operand`` where FUNC ∈ STR/LANG/DATATYPE/STRLEN —
+    LANG/STR compare against a string, DATATYPE against an IRI, STRLEN
+    against a number."""
+
+    func: str  # str | lang | datatype | strlen
+    var: Var
+    op: str  # = != < <= > >=
+    value: object  # str | float | Term
+
+
+class TypeCheck(NamedTuple):
+    """``[!]isIRI/isLiteral/isBlank(?v)`` — term-kind predicates."""
+
+    func: str  # isiri | isliteral | isblank
+    var: Var
+    negated: bool = False
+
+
+class InFilter(NamedTuple):
+    """``?v [NOT] IN (term, …)`` — full term-identity membership."""
+
+    var: Var
+    terms: list
+    negated: bool = False
+
+
+Filter = Union[Comparison, Regex, StrFunc, FuncComparison, TypeCheck, InFilter]
 
 
 class UnionBlock(NamedTuple):
@@ -68,11 +105,12 @@ class OptionalBlock(NamedTuple):
 
 
 class Aggregate(NamedTuple):
-    """``(FUNC(?v) AS ?alias)`` in a SELECT clause."""
+    """``(FUNC([DISTINCT] ?v) AS ?alias)`` in a SELECT clause."""
 
-    func: str  # count | sum | min | max | avg
+    func: str  # count | sum | min | max | avg | sample
     var: str | None  # None = COUNT(*)
     alias: str
+    distinct: bool = False  # COUNT(DISTINCT ?v) only
 
 
 class HavingCond(NamedTuple):
@@ -98,6 +136,7 @@ class SelectQuery(NamedTuple):
     aggregates: list[Aggregate] = []
     group_by: list[str] = []
     having: list[HavingCond] = []
+    offset: int = 0
 
 
 class AskQuery(NamedTuple):
@@ -312,8 +351,21 @@ class _Parser:
         return out
 
     # -- filters ---------------------------------------------------------
+    def _paren_var(self) -> Var:
+        self.expect("op", "(")
+        var = self.parse_term()
+        if not isinstance(var, Var):
+            raise SparqlSyntaxError("filter function needs a variable argument")
+        return var
+
+    _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
     def parse_filter(self) -> list[Filter]:
-        """FILTER ( expr && expr … ) | FILTER [!]REGEX(?v, "pat")."""
+        """``FILTER ( expr && expr … )`` — each conjunct one of:
+        ``term op term`` | ``[!]REGEX(?v, "pat")`` |
+        ``[!]CONTAINS/STRSTARTS/STRENDS(?v, "s")`` |
+        ``STR/LANG/DATATYPE/STRLEN(?v) op operand`` |
+        ``[!]isIRI/isLiteral/isBlank(?v)`` | ``?v [NOT] IN (term, …)``."""
         out: list[Filter] = []
         paren = self.peek() == ("op", "(")
         if paren:
@@ -325,25 +377,86 @@ class _Parser:
                 negated = True
             if self.at_word("regex"):
                 self.next()
-                self.expect("op", "(")
-                var = self.parse_term()
-                if not isinstance(var, Var):
-                    raise SparqlSyntaxError("REGEX needs a variable first arg")
+                var = self._paren_var()
                 self.expect("op", ",")
                 pk, pv = self.next()
                 if pk != "string":
                     raise SparqlSyntaxError("REGEX needs a string pattern")
                 self.expect("op", ")")
                 out.append(Regex(var, _unescape(pv[1:-1]), negated))
+            elif self.at_word("contains", "strstarts", "strends"):
+                func = self.next()[1].lower()
+                var = self._paren_var()
+                self.expect("op", ",")
+                ak, av = self.next()
+                if ak != "string":
+                    raise SparqlSyntaxError(f"{func.upper()} needs a string argument")
+                self.expect("op", ")")
+                out.append(StrFunc(func, var, _unescape(av[1:-1]), negated))
+            elif self.at_word("isiri", "isuri", "isliteral", "isblank"):
+                func = self.next()[1].lower()
+                if func == "isuri":
+                    func = "isiri"
+                var = self._paren_var()
+                self.expect("op", ")")
+                out.append(TypeCheck(func, var, negated))
+            elif self.at_word("str", "lang", "datatype", "strlen"):
+                if negated:
+                    raise SparqlSyntaxError("'!' not supported before comparisons")
+                func = self.next()[1].lower()
+                var = self._paren_var()
+                self.expect("op", ")")
+                k, op = self.next()
+                if k != "op" or op not in self._CMP_OPS:
+                    raise SparqlSyntaxError(f"bad operator after {func.upper()}(): {op!r}")
+                if func == "strlen":
+                    value: object = float(self.expect("number"))
+                elif func == "datatype":
+                    t = self.parse_term(allow_var=False)
+                    if t.kind != 0:
+                        raise SparqlSyntaxError("DATATYPE() compares against an IRI")
+                    value = t.value
+                else:
+                    vk, vv = self.next()
+                    if vk != "string":
+                        raise SparqlSyntaxError(
+                            f"{func.upper()}() compares against a string"
+                        )
+                    value = _unescape(vv[1:-1])
+                if func != "strlen" and op not in ("=", "!="):
+                    raise SparqlSyntaxError(
+                        f"{func.upper()}() supports only =/!=, got {op!r}"
+                    )
+                out.append(FuncComparison(func, var, op, value))
             else:
                 if negated:
-                    raise SparqlSyntaxError("'!' only supported before REGEX")
+                    raise SparqlSyntaxError(
+                        "'!' only supported before REGEX/CONTAINS/STRSTARTS/"
+                        "STRENDS/isIRI/isLiteral/isBlank"
+                    )
                 left = self.parse_term()
-                k, op = self.next()
-                if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
-                    raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
-                right = self.parse_term()
-                out.append(Comparison(op, left, right))
+                if isinstance(left, Var) and (
+                    self.at_word("in")
+                    or (self.at_word("not") and self.toks[self.i + 1][1].lower() == "in")
+                ):
+                    neg = self.eat_word("not")
+                    self.expect("word", "in")
+                    self.expect("op", "(")
+                    terms = []
+                    while self.peek() != ("op", ")"):
+                        terms.append(self.parse_term(allow_var=False))
+                        if self.peek() == ("op", ","):
+                            self.next()
+                    self.expect("op", ")")
+                    if not terms:
+                        raise SparqlSyntaxError("IN () needs at least one term")
+                    out.append(InFilter(left, terms, neg))
+                else:
+                    k, op = self.next()
+                    if k != "op" or op not in self._CMP_OPS:
+                        raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
+                    right = self.parse_term()
+                    out.append(Comparison(op, left, right))
             if self.peek() == ("op", "&&"):
                 self.next()
                 continue
@@ -432,7 +545,7 @@ class _Parser:
         return patterns, filters, optionals
 
     # -- solution modifiers ----------------------------------------------
-    def parse_modifiers(self) -> tuple[list[tuple[str, bool]], int | None]:
+    def parse_modifiers(self) -> tuple[list[tuple[str, bool]], int | None, int]:
         order: list[tuple[str, bool]] = []
         limit: int | None = None
         if self.eat_word("order"):
@@ -453,15 +566,22 @@ class _Parser:
                 if not isinstance(var, Var):
                     raise SparqlSyntaxError("ORDER BY needs variables")
                 order.append((var.name, desc))
-        if self.eat_word("limit"):
-            raw = self.expect("number")
-            try:
-                limit = int(raw)
-            except ValueError:
-                raise SparqlSyntaxError(f"LIMIT needs an integer, got {raw!r}")
-        if self.eat_word("offset"):
-            raise SparqlSyntaxError("OFFSET not supported")
-        return order, limit
+        # LIMIT/OFFSET accepted in either order (SPARQL 1.1 grammar)
+        offset = 0
+        for _ in range(2):
+            if self.eat_word("limit"):
+                raw = self.expect("number")
+                try:
+                    limit = int(raw)
+                except ValueError:
+                    raise SparqlSyntaxError(f"LIMIT needs an integer, got {raw!r}")
+            elif self.eat_word("offset"):
+                raw = self.expect("number")
+                try:
+                    offset = int(raw)
+                except ValueError:
+                    raise SparqlSyntaxError(f"OFFSET needs an integer, got {raw!r}")
+        return order, limit, offset
 
 
 def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
@@ -475,7 +595,7 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         if p.peek() == ("op", "*"):
             p.next()
         else:
-            _AGG_FUNCS = ("count", "sum", "min", "max", "avg")
+            _AGG_FUNCS = ("count", "sum", "min", "max", "avg", "sample")
             while True:
                 if p.peek()[0] == "var":
                     variables.append(p.next()[1][1:])
@@ -483,10 +603,17 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
                     p.next()  # (
                     func = p.next()[1].lower()
                     p.expect("op", "(")
+                    agg_distinct = p.eat_word("distinct")
+                    if agg_distinct and func != "count":
+                        raise SparqlSyntaxError(
+                            f"DISTINCT inside {func.upper()}() not supported"
+                        )
                     if p.peek() == ("op", "*"):
                         p.next()
                         if func != "count":
                             raise SparqlSyntaxError(f"{func.upper()}(*) not allowed")
+                        if agg_distinct:
+                            raise SparqlSyntaxError("COUNT(DISTINCT *) not supported")
                         var = None
                     else:
                         t = p.parse_term()
@@ -499,7 +626,7 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
                     if k != "var":
                         raise SparqlSyntaxError("AS needs a variable alias")
                     p.expect("op", ")")
-                    aggregates.append(Aggregate(func, var, v[1:]))
+                    aggregates.append(Aggregate(func, var, v[1:], agg_distinct))
                 else:
                     break
             if not variables and not aggregates:
@@ -555,11 +682,11 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
                     continue
                 break
             p.expect("op", ")")
-        order, limit = p.parse_modifiers()
+        order, limit, offset = p.parse_modifiers()
         p.expect("eof")
         return SelectQuery(
             variables, distinct, patterns, filters, order, limit, optionals,
-            aggregates, group_by, having,
+            aggregates, group_by, having, offset,
         )
     if p.eat_word("ask"):
         p.eat_word("where")
@@ -572,7 +699,9 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         p.expect("op", "}")
         p.expect("word", "where")
         patterns, filters, optionals = p.parse_group()
-        _, limit = p.parse_modifiers()
+        _, limit, offset = p.parse_modifiers()
+        if offset:
+            raise SparqlSyntaxError("OFFSET on CONSTRUCT not supported")
         p.expect("eof")
         return ConstructQuery(template, patterns, filters, limit, optionals)
     if p.eat_word("describe"):

@@ -80,11 +80,13 @@ def test_parse_literals_and_numbers():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
-        parse_query("SELECT ?s WHERE { ?s ?p ?o } OFFSET 5")
-    with pytest.raises(SparqlSyntaxError):
         parse_query("DESCRIBE ?v WHERE { ?v ?p ?o }")  # variable form unsupported
-    with pytest.raises(SparqlSyntaxError):
-        parse_query("PREFIX ex: <http://x/> SELECT ?s WHERE { ?s ex:p ?o . FILTER (?o IN (1)) }")
+    with pytest.raises(SparqlSyntaxError):  # BOUND not implemented
+        parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (BOUND(?s)) }")
+    with pytest.raises(SparqlSyntaxError):  # DISTINCT only inside COUNT
+        parse_query("SELECT (SUM(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError):  # empty IN list
+        parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (?o IN ()) }")
     with pytest.raises(SparqlSyntaxError):
         parse_update("CLEAR GRAPH <http://x/>")
 
@@ -132,6 +134,128 @@ def test_select_distinct_collapses(ray_session):
         f"PREFIX ex: <{EX}> SELECT DISTINCT ?t WHERE {{ ?s a ?t }}",
     ).take_all()
     assert out == [{"t": f"<{EX}Doc>"}]
+
+
+def test_filter_string_functions(ray_session):
+    # CONTAINS / STRSTARTS / STRENDS over lexical forms
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:lang ?l . FILTER (CONTAINS(?l, "uten")) }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d3>"}]
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l . FILTER (!STRSTARTS(?l, "Guten") && STRENDS(?l, "e"))
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d2>"}]
+
+
+def test_filter_term_functions(ray_session):
+    # STRLEN / LANG / DATATYPE / isLiteral
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l WHERE {{ ?s ex:lang ?l . FILTER (STRLEN(?l) > 2) }}""",
+    ).take_all()
+    assert out == [{"l": '"Guten Tag"@de'}]
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:lang ?l . FILTER (LANG(?l) = "DE") }}""",
+    ).take_all()  # case-insensitive lang match
+    assert out == [{"s": f"<{EX}d3>"}]
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE {{ ?s ex:chars ?c . FILTER (DATATYPE(?c) = xsd:integer) }}
+        ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d2>"]
+    # plain literal datatype is xsd:string; IRIs are not literals
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?l WHERE {{ ?s ex:lang ?l . FILTER (DATATYPE(?l) = xsd:string) }}
+        ORDER BY ?l""",
+    ).take_all()
+    assert [r["l"] for r in out] == ['"de"', '"en"']
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?o WHERE {{ ?s a ?o . FILTER (!isLiteral(?o) && isIRI(?o)) }}""",
+    ).take_all()
+    assert {r["o"] for r in out} == {f"<{EX}Doc>"}
+
+
+def test_filter_in(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:lang ?l . FILTER (?l IN ("en", "fr")) }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>"}]
+    # NOT IN with full term identity: "de" matches the plain literal only,
+    # not "Guten Tag"@de
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:lang ?l . FILTER (?l NOT IN ("de")) }}
+        ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d3>"]
+
+
+def test_offset(ray_session):
+    base = f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:lang ?l }} ORDER BY ?s"
+    assert [r["s"] for r in evaluate_select(_ds(), base + " OFFSET 1").take_all()] == [
+        f"<{EX}d2>", f"<{EX}d3>",
+    ]
+    # LIMIT/OFFSET in either order
+    assert [
+        r["s"] for r in evaluate_select(_ds(), base + " OFFSET 1 LIMIT 1").take_all()
+    ] == [f"<{EX}d2>"]
+    assert [
+        r["s"] for r in evaluate_select(_ds(), base + " LIMIT 1 OFFSET 2").take_all()
+    ] == [f"<{EX}d3>"]
+    assert evaluate_select(_ds(), base + " OFFSET 9").take_all() == []
+
+
+def test_count_distinct_and_sample(ray_session):
+    # 3 lang triples but only 2 distinct subjects typed Doc
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT (COUNT(DISTINCT ?t) AS ?n) WHERE {{ ?s a ?t }}""",
+    ).take_all()
+    assert out == [{"n": 1}]
+    # grouped COUNT(DISTINCT) + plain aggregate side by side
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(DISTINCT ?p) AS ?np) (COUNT(*) AS ?n)
+        WHERE {{ ?s ?p ?o }} GROUP BY ?s ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "np": 3, "n": 3},
+        {"s": f"<{EX}d2>", "np": 3, "n": 3},
+        {"s": f"<{EX}d3>", "np": 1, "n": 1},
+    ]
+    # SAMPLE is deterministic (minimum rendered term)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (SAMPLE(?l) AS ?any) WHERE {{ ?s ex:lang ?l }}
+        GROUP BY ?s ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "any": '"en"'},
+        {"s": f"<{EX}d2>", "any": '"de"'},
+        {"s": f"<{EX}d3>", "any": '"Guten Tag"@de'},
+    ]
 
 
 def test_ask(ray_session):
