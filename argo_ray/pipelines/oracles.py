@@ -235,6 +235,19 @@ ORDER BY 1 LIMIT 50 OFFSET 10""",
        COUNT(DISTINCT lang) AS n_langs,
        COUNT(*) AS n_docs
 FROM docs GROUP BY site""",
+    # typed subjects with no dc:language = the skolem mention bnodes
+    "sparql_not_exists_eval": EXP_CTE
+    + f"""SELECT '_:' || skolem AS s, '<{EX}Mention>' AS t
+FROM docs WHERE doc_id % 7 = 0""",
+    "sparql_alt_path_eval": EXP_CTE
+    + f"""SELECT '<' || entity || '>' AS doc, '<' || site || '>' AS v FROM docs
+UNION ALL
+SELECT '<' || entity || '>' AS doc,
+       '"' || n_chars || '"^^<{XSD_INT}>' AS v FROM docs""",
+    # cites edges are hub → doc only, so the transitive closure IS the
+    # edge set (set semantics; multi-hop exercised by unit chain graphs)
+    "sparql_path_closure_eval": EXP_CTE
+    + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
     "graphstore_patch": EXP_CTE
     + f"""SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,

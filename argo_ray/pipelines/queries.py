@@ -656,6 +656,49 @@ def q_sparql_count_distinct_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_not_exists_eval(sf_dir: str):
+    """FILTER NOT EXISTS as a distributed anti-join: typed subjects
+    with no language assertion — exactly the skolemized mention blank
+    nodes (every document entity asserts dc:language)."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?s ?t WHERE {{
+      ?s a ?t .
+      FILTER NOT EXISTS {{ ?s dc:language ?l }}
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_alt_path_eval(sf_dir: str):
+    """Alternative property path ``ex:site|ex:chars`` — ONE scan with
+    an OR-of-term-predicates mask, bag-union multiplicity (each doc
+    contributes its site row and its chars row)."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?doc ?v WHERE {{ ?doc ex:site|ex:chars ?v . ?doc a ex:Document }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_path_closure_eval(sf_dir: str):
+    """Transitive path ``ex:cites+`` with both ends variable — the
+    semi-naive closure over the citation edge set (hub → every doc;
+    depth-1 here, multi-hop covered by unit tests on chain graphs)."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?a ?d WHERE {{ ?a ex:cites+ ?d }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_graphstore_patch(sf_dir: str):
     """K6 ``patch``: SPARQL-Update (DELETE DATA; INSERT DATA) applied to
     a stored named graph (graphstoreservice.go:162-181 — the file store
@@ -726,5 +769,8 @@ KG_QUERIES = {
     "sparql_over_store": q_sparql_over_store,
     "sparql_functions_eval": q_sparql_functions_eval,
     "sparql_count_distinct_eval": q_sparql_count_distinct_eval,
+    "sparql_not_exists_eval": q_sparql_not_exists_eval,
+    "sparql_alt_path_eval": q_sparql_alt_path_eval,
+    "sparql_path_closure_eval": q_sparql_path_closure_eval,
     "graphstore_patch": q_graphstore_patch,
 }

@@ -50,17 +50,21 @@ from ..terms import (
     triples_to_table,
 )
 from .parser import (
+    AltPath,
     AskQuery,
     Comparison,
     ConstructQuery,
     DescribeQuery,
+    ExistsFilter,
     FuncComparison,
     InFilter,
+    MinusBlock,
     OptionalBlock,
     Regex,
     SelectQuery,
     SparqlSyntaxError,
     StrFunc,
+    TransPath,
     TypeCheck,
     UnionBlock,
     ValuesBlock,
@@ -92,12 +96,15 @@ def _pattern_bindings(ds, pattern, witness: str = "_match"):
     Constant positions filter (vectorized term predicate, M1 semantics);
     variable positions project into ``var__kind/value/lang/datatype``
     columns.  A variable repeated within the pattern adds an equality
-    mask across its positions."""
+    mask across its positions.  An ``AltPath`` predicate (``p1|p2``)
+    filters with an OR of term predicates — still ONE scan, and each
+    matching triple is its own output row (bag-union multiplicity)."""
     from ..stages.filter import term_predicate
 
     consts = [
         (pos, t) for pos, t in zip(_POS, pattern) if isinstance(t, Term)
     ]
+    alt_preds = pattern[1].preds if isinstance(pattern[1], AltPath) else None
     var_pos: dict[str, list[str]] = {}
     for pos, t in zip(_POS, pattern):
         if isinstance(t, Var):
@@ -108,6 +115,12 @@ def _pattern_bindings(ds, pattern, witness: str = "_match"):
         for pos, term in consts:
             m = term_predicate(batch, pos, term)
             mask = m if mask is None else pc.and_(mask, m)
+        if alt_preds is not None:
+            am = None
+            for term in alt_preds:
+                m = term_predicate(batch, "pred", term)
+                am = m if am is None else pc.or_(am, m)
+            mask = am if mask is None else pc.and_(mask, am)
         for positions in var_pos.values():
             for extra in positions[1:]:
                 for f in _FIELDS:
@@ -155,6 +168,8 @@ def _norm_table(batch: pa.Table) -> pa.Table:
 
 
 def _filter_vars(flt) -> set[str]:
+    if isinstance(flt, (ExistsFilter, MinusBlock)):
+        return set()  # group filters: never pushed down, applied in _bgp
     if isinstance(flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter)):
         return {flt.var.name}
     return {x.name for x in (flt.left, flt.right) if isinstance(x, Var)}
@@ -198,6 +213,10 @@ def _cogroup_join(parts: list, anchor: str | None, how: str = "inner"):
     in-block merge degrades to a cartesian ``how='cross'``).
     ``how='left'`` (2 parts) left-joins the second part onto the first
     (OPTIONAL semantics; unmatched rows null-fill the optional vars).
+    ``how='semi'``/``how='anti'`` (2 parts) keep/remove first-part rows
+    that have ≥1 match in the second on the full shared-variable
+    columns, output = first part's columns only (EXISTS / NOT EXISTS /
+    MINUS semantics; left multiplicity preserved).
 
     Skew note: one hot anchor value lands in one block; the merges
     within it are vectorized pandas joins, but a pathologically hot join
@@ -244,16 +263,47 @@ def _cogroup_join(parts: list, anchor: str | None, how: str = "inner"):
             parts[i][0].map_batches(pad(i), batch_format="pyarrow")
         )
 
+    semi_like = how in ("semi", "anti")
+    if semi_like and len(parts) != 2:
+        raise ValueError("semi/anti co-group join needs exactly 2 parts")
+    out_cols = (
+        [c for v in pat_vars[0] for c in _var_cols(v)] if semi_like else all_cols
+    )
     proto_cols = {c: pd.Series([], dtype="int64" if c.endswith("__kind") else "object")
                   for c in all_cols}
 
+    def _quiet_empty(out: pd.DataFrame) -> pd.DataFrame:
+        # object-dtype columns of length 0 trip Ray's block-size
+        # estimator (np.vectorize on empty input) — harmless but noisy;
+        # typed empties keep the logs clean
+        if len(out) == 0:
+            out = out.astype(
+                {c: "string" for c in out.columns if not c.endswith("__kind")}
+            )
+        return out
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame(proto_cols)
+            return _quiet_empty(pd.DataFrame({c: proto_cols[c] for c in out_cols}))
         frames = []
         for i, vs in enumerate(pat_vars):
             cols = [c for v in vs for c in _var_cols(v)]
             frames.append(df.loc[df["_pat"] == i, cols])
+        if semi_like:
+            shared = sorted(set(pat_vars[0]) & set(pat_vars[1]))
+            on = [c for v in shared for c in _var_cols(v)]
+            right = frames[1][on].drop_duplicates()
+            if how == "semi":
+                out = frames[0].merge(right, on=on, how="inner")
+            else:
+                m = frames[0].merge(
+                    right, on=on, how="left", indicator="_exists"
+                )
+                out = m.loc[m["_exists"] == "left_only"].drop(columns="_exists")
+            for c in out_cols:
+                if c.endswith("__kind"):
+                    out[c] = out[c].astype("Int64")
+            return _quiet_empty(out[out_cols])
         out = frames[0]
         seen = set(pat_vars[0])
         for i in range(1, len(frames)):
@@ -271,7 +321,7 @@ def _cogroup_join(parts: list, anchor: str | None, how: str = "inner"):
                 # null-padding in the union coerced kinds to float64;
                 # nullable Int64 keeps left-join misses as nulls
                 out[c] = out[c].astype("Int64")
-        return out[all_cols]
+        return _quiet_empty(out[all_cols])
 
     joined = unioned.sort("_k").map_batches(
         combine, batch_format="pandas", batch_size=None
@@ -321,6 +371,185 @@ def _replicate_rows(ds, n: int):
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+def _rename_binding(ds, mapping: dict):
+    """Rename binding variables: ``v__field`` → ``mapping[v]__field``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in batch.column_names:
+            v, f = c.rsplit("__", 1)
+            cols[f"{mapping.get(v, v)}__{f}"] = batch[c]
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+#: Fixpoint bound for ``p+`` — a loud error beats a silently truncated
+#: closure.  64 hops covers any real KG hierarchy depth.
+TRANSITIVE_MAX_HOPS = 64
+
+
+def _transitive_bindings(ds, pattern, witness: str = "_match"):
+    """``subj p+ obj`` → (bindings, bound vars): one-or-more-hop
+    reachability along ``p``, set semantics (SPARQL ArbitraryLengthPath).
+
+    Shape at scale: with a constant end this is a seeded BFS — the
+    frontier is only the newly-reached node set, each hop is ONE
+    co-grouped join of frontier × p-edges plus an anti-join against the
+    reached set (never the full closure).  With both ends variables it
+    is semi-naive transitive closure over the p-edge set — inherently
+    the size of the closure; fine for hierarchy-shaped predicates,
+    documented cliff for dense graphs.  Iterations materialize (a
+    fixpoint needs a barrier per hop); hop count is bounded by graph
+    diameter and capped at TRANSITIVE_MAX_HOPS (loud error)."""
+    subj, tp, obj = pattern
+    pred = tp.pred
+    S, O, M = "_tcs$s", "_tcs$o", "_tcs$m"
+
+    def norm(d):
+        return d.map_batches(_norm_table, batch_format="pyarrow")
+
+    edges, _ = _pattern_bindings(ds, (Var(S), pred, Var(O)))
+    edges = _distinct(norm(edges), _var_cols(S) + _var_cols(O)).materialize()
+
+    if isinstance(subj, Term):
+        seed, _ = _pattern_bindings(ds, (subj, pred, Var(O)))
+        reached = _distinct(norm(seed), _var_cols(O)).materialize()
+        frontier = reached
+        e_mo = _rename_binding(edges, {S: M})  # (M, O) edge view
+        for _ in range(TRANSITIVE_MAX_HOPS):
+            if frontier.count() == 0:
+                break
+            f_m = _rename_binding(frontier, {O: M})
+            step = _cogroup_join([(f_m, {M}), (e_mo, {M, O})], anchor=M)
+            step = _distinct(
+                step.map_batches(
+                    lambda b: b.select(_var_cols(O)), batch_format="pyarrow"
+                ),
+                _var_cols(O),
+            )
+            new = _cogroup_join(
+                [(step, {O}), (reached, {O})], anchor=O, how="anti"
+            ).materialize()
+            if new.count() == 0:
+                break
+            reached = reached.union(new).materialize()
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"p+ fixpoint exceeded {TRANSITIVE_MAX_HOPS} hops"
+            )
+        if isinstance(obj, Var):
+            return _rename_binding(reached, {O: obj.name}), {obj.name}
+        # both ends constant: ASK-style witness (rows where O == obj)
+        from ..stages.filter import term_predicate
+
+        def wit(batch: pa.Table) -> pa.Table:
+            b2 = pa.table({f"obj_{f}": batch[f"{O}__{f}"] for f in _FIELDS})
+            m = term_predicate(b2, "obj", obj)
+            n = int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+            return pa.table({witness: pa.array([1] * n, pa.int64())})
+
+        return reached.map_batches(wit, batch_format="pyarrow"), set()
+
+    if isinstance(obj, Term):  # reverse BFS from the object end
+        seed, _ = _pattern_bindings(ds, (Var(S), pred, obj))
+        reached = _distinct(norm(seed), _var_cols(S)).materialize()
+        frontier = reached
+        e_sm = _rename_binding(edges, {O: M})  # (S, M) edge view
+        for _ in range(TRANSITIVE_MAX_HOPS):
+            if frontier.count() == 0:
+                break
+            f_m = _rename_binding(frontier, {S: M})
+            step = _cogroup_join([(f_m, {M}), (e_sm, {S, M})], anchor=M)
+            step = _distinct(
+                step.map_batches(
+                    lambda b: b.select(_var_cols(S)), batch_format="pyarrow"
+                ),
+                _var_cols(S),
+            )
+            new = _cogroup_join(
+                [(step, {S}), (reached, {S})], anchor=S, how="anti"
+            ).materialize()
+            if new.count() == 0:
+                break
+            reached = reached.union(new).materialize()
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"p+ fixpoint exceeded {TRANSITIVE_MAX_HOPS} hops"
+            )
+        return _rename_binding(reached, {S: subj.name}), {subj.name}
+
+    # both ends variables: full semi-naive closure over the edge set
+    all_pairs = edges
+    frontier = edges
+    pair_cols = _var_cols(S) + _var_cols(O)
+    for _ in range(TRANSITIVE_MAX_HOPS):
+        if frontier.count() == 0:
+            break
+        f_sm = _rename_binding(frontier, {O: M})  # (S, M)
+        e_mo = _rename_binding(edges, {S: M})  # (M, O)
+        step = _cogroup_join([(f_sm, {S, M}), (e_mo, {M, O})], anchor=M)
+        step = _distinct(
+            step.map_batches(
+                lambda b: b.select(pair_cols), batch_format="pyarrow"
+            ),
+            pair_cols,
+        )
+        new = _cogroup_join(
+            [(step, {S, O}), (all_pairs, {S, O})], anchor=S, how="anti"
+        ).materialize()
+        if new.count() == 0:
+            break
+        all_pairs = all_pairs.union(new).materialize()
+        frontier = new
+    else:
+        raise RuntimeError(f"p+ fixpoint exceeded {TRANSITIVE_MAX_HOPS} hops")
+    if subj.name == obj.name:  # ?x p+ ?x — cycles through x
+        def self_only(batch: pa.Table) -> pa.Table:
+            m = None
+            for f in _FIELDS:
+                a, b = batch[f"{S}__{f}"], batch[f"{O}__{f}"]
+                if f != "kind":
+                    a, b = (
+                        pc.cast(a, pa.large_string()),
+                        pc.cast(b, pa.large_string()),
+                    )
+                e = pc.equal(a, b)
+                m = e if m is None else pc.and_(m, e)
+            return batch.filter(m).select(_var_cols(S))
+
+        out = all_pairs.map_batches(self_only, batch_format="pyarrow")
+        return _rename_binding(out, {S: subj.name}), {subj.name}
+    return (
+        _rename_binding(all_pairs, {S: subj.name, O: obj.name}),
+        {subj.name, obj.name},
+    )
+
+
+def _apply_group_filter(result, bound: set, ds, f):
+    """``FILTER [NOT] EXISTS { … }`` / ``MINUS { … }``: evaluate the
+    inner group, then semi/anti co-group join on the shared variables.
+    No shared variables: EXISTS degenerates to a constant condition
+    (inner non-empty?), MINUS removes nothing (SPARQL semantics)."""
+    inner, ivs, leftover = _bgp(ds, f.patterns, f.filters)
+    _check_filter_vars(leftover, ivs)
+    inner = _apply_filters(inner, leftover)
+    negated = True if isinstance(f, MinusBlock) else f.negated
+    shared = sorted(bound & ivs)
+    if not shared:
+        if isinstance(f, MinusBlock):
+            return result
+        nonempty = inner.limit(1).count() > 0
+        return result if nonempty != negated else result.limit(0)
+    return _cogroup_join(
+        [(result, bound), (inner, ivs)],
+        anchor=shared[0],
+        how="anti" if negated else "semi",
+    )
+
+
 def _values_bindings(block: ValuesBlock):
     """``VALUES`` → an inline bindings Dataset (constant, driver-built;
     joins like any other part — VALUES at corpus scale is always the
@@ -359,6 +588,8 @@ def _bgp(ds, patterns, filters=()):
             b, vs = _union_bindings(ds, pattern)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
+        elif isinstance(pattern[1], TransPath):
+            b, vs = _transitive_bindings(ds, pattern, witness=f"_match{pat_i}")
         else:
             b, vs = _pattern_bindings(ds, pattern, witness=f"_match{pat_i}")
         push = [f for f in remaining_filters if _filter_vars(f) and _filter_vars(f) <= vs]
@@ -414,6 +645,16 @@ def _bgp(ds, patterns, filters=()):
             # (intermittent ArrowInvalid on the key FieldRef).
             result = _cogroup_join([(result, bound), (nxt, vars2)], None)
         bound |= vars2
+    group_filters = [
+        f for f in remaining_filters if isinstance(f, (ExistsFilter, MinusBlock))
+    ]
+    if group_filters:
+        remaining_filters = [
+            f for f in remaining_filters
+            if not isinstance(f, (ExistsFilter, MinusBlock))
+        ]
+        for f in group_filters:
+            result = _apply_group_filter(result, bound, ds, f)
     return result, bound, remaining_filters
 
 

@@ -78,7 +78,45 @@ class InFilter(NamedTuple):
     negated: bool = False
 
 
-Filter = Union[Comparison, Regex, StrFunc, FuncComparison, TypeCheck, InFilter]
+class ExistsFilter(NamedTuple):
+    """``FILTER [NOT] EXISTS { patterns }`` — semi/anti-join of the
+    outer bindings against the inner group's solutions on their shared
+    variables (constant condition when none are shared)."""
+
+    patterns: list
+    filters: list
+    negated: bool = False
+
+
+class MinusBlock(NamedTuple):
+    """``MINUS { patterns }`` — SPARQL MINUS: remove outer solutions
+    that are compatible with an inner solution sharing ≥1 variable;
+    with no shared variables nothing is removed (unlike NOT EXISTS).
+    Carried in the filter list (it applies post-join like a filter)."""
+
+    patterns: list
+    filters: list
+
+
+Filter = Union[
+    Comparison, Regex, StrFunc, FuncComparison, TypeCheck, InFilter,
+    ExistsFilter, MinusBlock,
+]
+
+
+class AltPath(NamedTuple):
+    """``p1|p2|…`` in the predicate slot — one scan matching any of
+    the alternative IRIs (bag-union multiplicity comes free: each
+    matching triple is its own row)."""
+
+    preds: list  # list[Term]
+
+
+class TransPath(NamedTuple):
+    """``p+`` in the predicate slot — one-or-more hops along ``pred``
+    (set semantics per SPARQL 1.1 ArbitraryLengthPath)."""
+
+    pred: Term
 
 
 class UnionBlock(NamedTuple):
@@ -178,7 +216,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^])
+    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^|+])
     """,
     re.VERBOSE,
 )
@@ -304,7 +342,7 @@ class _Parser:
             if k == "op" and v in ("}", "{"):
                 break
             if allow_var and k == "word" and v.lower() in (
-                "filter", "optional", "values",
+                "filter", "optional", "values", "minus",
             ):
                 break
             subj = self.parse_term(allow_var)
@@ -316,13 +354,44 @@ class _Parser:
                     inv = self.peek() == ("op", "^")
                     if inv:
                         self.next()
-                    return (self.parse_term(allow_var, verb=True), inv)
+                    pred = self.parse_term(allow_var, verb=True)
+                    if self.peek() == ("op", "|"):
+                        # alternatives: p1|p2|… (constant IRIs only)
+                        if inv:
+                            raise SparqlSyntaxError(
+                                "'^' with '|' alternatives not supported"
+                            )
+                        preds = [pred]
+                        while self.peek() == ("op", "|"):
+                            self.next()
+                            preds.append(self.parse_term(allow_var, verb=True))
+                        if not all(isinstance(p, Term) for p in preds):
+                            raise SparqlSyntaxError(
+                                "path alternatives must be IRIs"
+                            )
+                        pred = AltPath(preds)
+                    if self.peek() == ("op", "+"):
+                        self.next()
+                        if inv or not isinstance(pred, Term):
+                            raise SparqlSyntaxError(
+                                "'+' applies to a single forward IRI step"
+                            )
+                        pred = TransPath(pred)
+                    if self.peek() == ("op", "*"):
+                        raise SparqlSyntaxError(
+                            "zero-or-more path 'p*' not supported (use 'p+')"
+                        )
+                    return (pred, inv)
 
                 path = [step()]
                 while self.peek() == ("op", "/"):
                     self.next()
                     path.append(step())
-                if (len(path) > 1 or path[0][1]) and not allow_var:
+                if not allow_var and (
+                    len(path) > 1
+                    or path[0][1]
+                    or isinstance(path[0][0], (AltPath, TransPath))
+                ):
                     raise SparqlSyntaxError("property paths not allowed in data blocks")
                 while True:
                     obj = self.parse_term(allow_var)
@@ -365,7 +434,15 @@ class _Parser:
         ``term op term`` | ``[!]REGEX(?v, "pat")`` |
         ``[!]CONTAINS/STRSTARTS/STRENDS(?v, "s")`` |
         ``STR/LANG/DATATYPE/STRLEN(?v) op operand`` |
-        ``[!]isIRI/isLiteral/isBlank(?v)`` | ``?v [NOT] IN (term, …)``."""
+        ``[!]isIRI/isLiteral/isBlank(?v)`` | ``?v [NOT] IN (term, …)``,
+        or ``FILTER [NOT] EXISTS { group }`` (not &&-combinable)."""
+        if self.at_word("exists") or (
+            self.at_word("not") and self.toks[self.i + 1][1].lower() == "exists"
+        ):
+            negated = self.eat_word("not")
+            self.expect("word", "exists")
+            pats, flts = self.parse_simple_group()
+            return [ExistsFilter(pats, flts, negated)]
         out: list[Filter] = []
         paren = self.peek() == ("op", "(")
         if paren:
@@ -478,6 +555,11 @@ class _Parser:
                 raise SparqlSyntaxError(
                     "nested OPTIONAL/UNION groups are not supported"
                 )
+            elif self.at_word("minus", "values"):
+                raise SparqlSyntaxError(
+                    "MINUS/VALUES inside OPTIONAL/UNION/EXISTS groups "
+                    "are not supported"
+                )
             else:
                 patterns.extend(self.parse_triples_block())
         self.expect("op", "}")
@@ -528,6 +610,9 @@ class _Parser:
             elif self.eat_word("optional"):
                 p, f = self.parse_simple_group()
                 optionals.append(OptionalBlock(p, f))
+            elif self.eat_word("minus"):
+                p, f = self.parse_simple_group()
+                filters.append(MinusBlock(p, f))
             elif self.eat_word("values"):
                 patterns.append(self.parse_values())
             elif self.peek() == ("op", "{"):

@@ -258,6 +258,134 @@ def test_count_distinct_and_sample(ray_session):
     ]
 
 
+def test_exists_not_exists(ray_session):
+    # docs with a chars assertion (d1, d2) / without one (d3)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          FILTER EXISTS {{ ?s ex:chars ?c }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d2>"]
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          FILTER NOT EXISTS {{ ?s ex:chars ?c }}
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d3>"]
+    # no shared variables: constant condition keeps/drops everything
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          FILTER NOT EXISTS {{ ?x ex:nosuch ?y }}
+        }}""",
+    ).take_all()
+    assert len(out) == 3
+
+
+def test_minus(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          MINUS {{ ?s a ex:Doc }}
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d3>"]
+    # MINUS sharing no variable removes nothing (unlike NOT EXISTS)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          MINUS {{ ?x ex:chars ?c }}
+        }}""",
+    ).take_all()
+    assert len(out) == 3
+
+
+def test_alternative_path(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?v WHERE {{ ?s ex:lang|ex:chars ?v . ?s a ex:Doc }}
+        ORDER BY ?s ?v""",
+    ).take_all()
+    assert [(r["s"], r["v"]) for r in out] == [
+        (f"<{EX}d1>", f'"120"^^<{XSD_INT}>'),
+        (f"<{EX}d1>", '"en"'),
+        (f"<{EX}d2>", f'"80"^^<{XSD_INT}>'),
+        (f"<{EX}d2>", '"de"'),
+    ]
+
+
+def _chain_ds():
+    """a→b→c→d cites chain + d→e, plus an unrelated edge x→y."""
+    import ray.data
+
+    from argo_ray.io import configure_context
+
+    configure_context()
+    cites = IRI(EX + "cites")
+    tr = [
+        (IRI(EX + n1), cites, IRI(EX + n2))
+        for n1, n2 in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    ]
+    return ray.data.from_arrow(triples_to_table(tr, with_hash=False))
+
+
+def test_transitive_path_seeded(ray_session):
+    # constant subject: BFS frontier expansion
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?o WHERE {{ ex:a ex:cites+ ?o }} ORDER BY ?o",
+    ).take_all()
+    assert [r["o"] for r in out] == [f"<{EX}{n}>" for n in "bcde"]
+    # constant object: reverse BFS
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:cites+ ex:d }} ORDER BY ?s",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}{n}>" for n in "abc"]
+    # both ends constant (witness only)
+    assert evaluate_ask(
+        _chain_ds(), f"PREFIX ex: <{EX}> ASK {{ ex:a ex:cites+ ex:e }}"
+    )
+    assert not evaluate_ask(
+        _chain_ds(), f"PREFIX ex: <{EX}> ASK {{ ex:a ex:cites+ ex:y }}"
+    )
+
+
+def test_transitive_path_closure(ray_session):
+    # both ends variables: full closure (set semantics)
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s ex:cites+ ?o }} ORDER BY ?s ?o",
+    ).take_all()
+    pairs = [(r["s"][len(EX) + 1 : -1], r["o"][len(EX) + 1 : -1]) for r in out]
+    expect = [
+        (a, b)
+        for i, a in enumerate("abcd")
+        for b in "bcde"[i:]
+    ] + [("x", "y")]
+    assert pairs == sorted(expect)
+    # joins with other patterns: reachable-from-a nodes that cite something
+    out = evaluate_select(
+        _chain_ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?o WHERE {{ ex:a ex:cites+ ?o . ?o ex:cites ?z }} ORDER BY ?o""",
+    ).take_all()
+    assert [r["o"] for r in out] == [f"<{EX}{n}>" for n in "bcd"]
+
+
 def test_ask(ray_session):
     assert evaluate_ask(_ds(), f'PREFIX ex: <{EX}> ASK {{ ?s ex:lang "de" }}')
     assert not evaluate_ask(_ds(), f'PREFIX ex: <{EX}> ASK {{ ?s ex:lang "xx" }}')
