@@ -248,6 +248,19 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    # BIND: c2 = chars*2 rendered as an xsd:integer literal, label =
+    # CONCAT(UCASE(lang), "-", STR(doc)) as a plain literal
+    "sparql_bind_eval": EXP_CTE
+    + f"""SELECT '<' || entity || '>' AS doc,
+       '"' || CAST(n_chars * 2 AS VARCHAR) || '"^^<{XSD_INT}>' AS c2,
+       '"' || upper(lang) || '-' || entity || '"' AS label
+FROM docs WHERE n_chars * 2 >= 400
+ORDER BY 1""",
+    # !BOUND(?l) after OPTIONAL = typed subjects without a language
+    # (the mention bnodes); COALESCE falls back to "none"
+    "sparql_bound_filter_eval": EXP_CTE
+    + f"""SELECT '_:' || skolem AS s, '<{EX}Mention>' AS t, '"none"' AS l2
+FROM docs WHERE doc_id % 7 = 0""",
     "graphstore_patch": EXP_CTE
     + f"""SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS subj_kind, entity AS subj_value, '' AS subj_lang, '' AS subj_datatype,

@@ -699,6 +699,45 @@ def q_sparql_path_closure_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_bind_eval(sf_dir: str):
+    """BIND expressions: integer arithmetic (?c*2 → xsd:integer
+    literal), string functions (CONCAT/UCASE/STR → plain literal), and
+    a FILTER over a bound alias — all appended as vectorized binding
+    columns, no exchange."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?c2 ?label WHERE {{
+      ?doc ex:chars ?c ; dc:language ?lang .
+      BIND(?c * 2 AS ?c2)
+      BIND(CONCAT(UCASE(?lang), "-", STR(?doc)) AS ?label)
+      FILTER(?c2 >= 400)
+    }} ORDER BY ?doc
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_bound_filter_eval(sf_dir: str):
+    """The OPTIONAL-negation idiom ``FILTER(!BOUND(?l))`` (typed
+    subjects with no language = the mention bnodes) plus COALESCE over
+    the unbound variable."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?s ?t ?l2 WHERE {{
+      ?s a ?t .
+      OPTIONAL {{ ?s dc:language ?l }}
+      BIND(COALESCE(?l, "none") AS ?l2)
+      FILTER(!BOUND(?l))
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_graphstore_patch(sf_dir: str):
     """K6 ``patch``: SPARQL-Update (DELETE DATA; INSERT DATA) applied to
     a stored named graph (graphstoreservice.go:162-181 — the file store
@@ -772,5 +811,7 @@ KG_QUERIES = {
     "sparql_not_exists_eval": q_sparql_not_exists_eval,
     "sparql_alt_path_eval": q_sparql_alt_path_eval,
     "sparql_path_closure_eval": q_sparql_path_closure_eval,
+    "sparql_bind_eval": q_sparql_bind_eval,
+    "sparql_bound_filter_eval": q_sparql_bound_filter_eval,
     "graphstore_patch": q_graphstore_patch,
 }

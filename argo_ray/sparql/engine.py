@@ -52,7 +52,13 @@ from ..terms import (
 from .parser import (
     AltPath,
     AskQuery,
+    BindBlock,
+    Bound,
     Comparison,
+    EArith,
+    EConst,
+    EFunc,
+    EVar,
     ConstructQuery,
     DescribeQuery,
     ExistsFilter,
@@ -170,7 +176,7 @@ def _norm_table(batch: pa.Table) -> pa.Table:
 def _filter_vars(flt) -> set[str]:
     if isinstance(flt, (ExistsFilter, MinusBlock)):
         return set()  # group filters: never pushed down, applied in _bgp
-    if isinstance(flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter)):
+    if isinstance(flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter, Bound)):
         return {flt.var.name}
     return {x.name for x in (flt.left, flt.right) if isinstance(x, Var)}
 
@@ -688,6 +694,212 @@ def _attach_optionals(result, bound: set, ds, optionals):
     return result, bound
 
 
+_XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _expr_vars(e) -> set[str]:
+    if isinstance(e, EVar):
+        return {e.name}
+    if isinstance(e, EConst):
+        return set()
+    if isinstance(e, EArith):
+        return _expr_vars(e.left) | _expr_vars(e.right)
+    return set().union(set(), *(_expr_vars(a) for a in e.args))
+
+
+def _expr_type(e) -> str:
+    """Result kind of a BIND expression: ``term`` (copy a variable /
+    constant term verbatim), ``num`` (integer literal), ``str`` (plain
+    literal)."""
+    if isinstance(e, (EVar, EConst)):
+        return "term"
+    if isinstance(e, EArith):
+        return "num"
+    return "num" if e.func == "strlen" else "str"
+
+
+def _eval_num(batch: pa.Table, e) -> pd.Series:
+    """Integer evaluation → nullable Int64 Series; expression errors
+    (unparseable / non-integral lexical forms, unbound inputs) become
+    NA, which the caller turns into an unbound binding — the SPARQL
+    error-to-unbound rule, vectorized."""
+    n = batch.num_rows
+    if isinstance(e, EConst):
+        t = e.term
+        if t.kind != KIND_LITERAL:
+            raise SparqlSyntaxError("non-literal constant in arithmetic")
+        try:
+            v = int(t.value)
+        except ValueError:
+            raise SparqlSyntaxError(
+                f"non-integer constant {t.value!r} in arithmetic"
+            )
+        return pd.Series([v] * n, dtype="Int64")
+    if isinstance(e, EVar):
+        vals = pc.cast(batch[f"{e.name}__value"], pa.large_string())
+        s = pd.to_numeric(
+            pd.Series(vals.to_pylist(), dtype="object"), errors="coerce"
+        )
+        s = s.mask(s.notna() & (s % 1 != 0))  # non-integral → NA
+        return s.astype("Int64")
+    if isinstance(e, EArith):
+        left, right = _eval_num(batch, e.left), _eval_num(batch, e.right)
+        if e.op == "+":
+            return left + right
+        if e.op == "-":
+            return left - right
+        return left * right
+    if isinstance(e, EFunc) and e.func == "strlen":
+        lens = pc.utf8_length(_eval_str(batch, e.args[0]))
+        return pd.Series(lens.to_pylist(), dtype="Int64")
+    raise SparqlSyntaxError("string expression in arithmetic context")
+
+
+def _const_str(e, what: str) -> str:
+    if not (isinstance(e, EConst) and e.term.kind == KIND_LITERAL):
+        raise SparqlSyntaxError(f"{what} must be a constant")
+    return e.term.value
+
+
+def _eval_str(batch: pa.Table, e) -> pa.Array:
+    """String evaluation → nullable large_string array (null = SPARQL
+    expression error / unbound input; nulls propagate through every
+    kernel, so one bad row never fails the batch)."""
+    n = batch.num_rows
+    if isinstance(e, EConst):
+        return pa.array([e.term.value] * n, pa.large_string())
+    if isinstance(e, EVar):
+        # the term's lexical form / IRI string / bnode label = STR()
+        arr = pc.cast(batch[f"{e.name}__value"], pa.large_string())
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if isinstance(e, EArith) or (isinstance(e, EFunc) and e.func == "strlen"):
+        return pc.cast(pa.array(_eval_num(batch, e)), pa.large_string())
+    f = e.func
+    if f == "str":
+        return _eval_str(batch, e.args[0])
+    if f in ("ucase", "lcase"):
+        kern = pc.utf8_upper if f == "ucase" else pc.utf8_lower
+        return kern(_eval_str(batch, e.args[0]))
+    if f == "concat":
+        args = [_eval_str(batch, a) for a in e.args]
+        return pc.binary_join_element_wise(
+            *args, pa.scalar("", pa.large_string())
+        )
+    if f == "coalesce":
+        out = _eval_str(batch, e.args[0])
+        for a in e.args[1:]:
+            out = pc.if_else(pc.is_valid(out), out, _eval_str(batch, a))
+        return out
+    if f == "substr":
+        # 1-based character indexing (SPARQL == SQL SUBSTR semantics)
+        start = int(_const_str(e.args[1], "SUBSTR start"))
+        arr = _eval_str(batch, e.args[0])
+        if len(e.args) == 2:
+            return pc.utf8_slice_codeunits(arr, max(start - 1, 0))
+        length = int(_const_str(e.args[2], "SUBSTR length"))
+        return pc.utf8_slice_codeunits(
+            arr, max(start - 1, 0), max(start - 1, 0) + max(length, 0)
+        )
+    if f == "replace":
+        return pc.replace_substring_regex(
+            _eval_str(batch, e.args[0]),
+            pattern=_const_str(e.args[1], "REPLACE pattern"),
+            replacement=_const_str(e.args[2], "REPLACE replacement"),
+        )
+    raise SparqlSyntaxError(f"unsupported expression function {f!r}")
+
+
+def _apply_binds(ds, binds, bound: set):
+    """``BIND(expr AS ?alias)`` in order: each appends the alias's 4
+    binding columns via one vectorized map_batches — no exchange, no
+    materialization.  Arithmetic yields xsd:integer literals, string
+    functions plain literals, a bare ``?var``/constant copies the term.
+    Null results (expression errors) leave the alias unbound in that
+    row (renders as '', BOUND(?alias) = false)."""
+    for b in binds:
+        if b.alias in bound:
+            raise SparqlSyntaxError(
+                f"BIND alias ?{b.alias} is already bound in the group"
+            )
+        missing = _expr_vars(b.expr) - bound
+        if missing:
+            raise SparqlSyntaxError(
+                f"BIND expression references unbound variable(s): {sorted(missing)}"
+            )
+        etype = _expr_type(b.expr)
+
+        def fn(batch: pa.Table, expr=b.expr, alias=b.alias, etype=etype):
+            n = batch.num_rows
+            if etype == "term":
+                if isinstance(expr, EVar):
+                    cols = {
+                        f"{alias}__{f}": batch[f"{expr.name}__{f}"]
+                        for f in _FIELDS
+                    }
+                else:
+                    t = expr.term
+                    cols = {
+                        f"{alias}__kind": pa.array([t.kind] * n, pa.int64()),
+                        f"{alias}__value": pa.array([t.value] * n, pa.large_string()),
+                        f"{alias}__lang": pa.array([t.lang] * n, pa.large_string()),
+                        f"{alias}__datatype": pa.array(
+                            [t.datatype] * n, pa.large_string()
+                        ),
+                    }
+            else:
+                if etype == "num":
+                    vals = pc.cast(
+                        pa.array(_eval_num(batch, expr)), pa.large_string()
+                    )
+                    dt = _XSD_INTEGER
+                else:
+                    vals = _eval_str(batch, expr)
+                    dt = ""
+                valid = pc.is_valid(vals)
+                cols = {
+                    f"{alias}__kind": pc.if_else(
+                        valid,
+                        pa.scalar(KIND_LITERAL, pa.int64()),
+                        pa.scalar(None, pa.int64()),
+                    ),
+                    f"{alias}__value": vals,
+                    f"{alias}__lang": pc.if_else(
+                        valid,
+                        pa.scalar("", pa.large_string()),
+                        pa.scalar(None, pa.large_string()),
+                    ),
+                    f"{alias}__datatype": pc.if_else(
+                        valid,
+                        pa.scalar(dt, pa.large_string()),
+                        pa.scalar(None, pa.large_string()),
+                    ),
+                }
+            out = batch
+            for cname, col in cols.items():
+                out = out.append_column(cname, col)
+            return out
+
+        ds = ds.map_batches(fn, batch_format="pyarrow")
+        bound = bound | {b.alias}
+    return ds, bound
+
+
+def _finish_group(ds, bindings, bound: set, leftover, optionals, binds):
+    """Shared tail of every query form: apply the leftover filters that
+    only need required variables, left-join OPTIONALs, evaluate BINDs,
+    then the remaining filters (which may reference optional variables
+    — BOUND/!BOUND — or BIND aliases)."""
+    pre, post = [], []
+    for f in leftover:
+        (pre if _filter_vars(f) <= bound else post).append(f)
+    bindings = _apply_filters(bindings, pre)
+    bindings, bound = _attach_optionals(bindings, bound, ds, optionals)
+    bindings, bound = _apply_binds(bindings, binds, bound)
+    _check_filter_vars(post, bound)
+    bindings = _apply_filters(bindings, post)
+    return bindings, bound
+
+
 def _operand(batch: pa.Table, x):
     """FILTER operand → (value column/scalar, is-numeric-literal hint)."""
     if isinstance(x, Var):
@@ -779,6 +991,10 @@ def _apply_filters(ds, filters):
                     m = pc.invert(m)
             elif isinstance(flt, TypeCheck):
                 m = pc.equal(batch[f"{flt.var.name}__kind"], _KINDS[flt.func])
+                if flt.negated:
+                    m = pc.invert(m)
+            elif isinstance(flt, Bound):
+                m = pc.is_valid(batch[f"{flt.var.name}__kind"])
                 if flt.negated:
                     m = pc.invert(m)
             elif isinstance(flt, FuncComparison):
@@ -1173,9 +1389,9 @@ def evaluate_select(ds, query: str | SelectQuery):
     if not isinstance(q, SelectQuery):
         raise SparqlSyntaxError("not a SELECT query")
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
-    _check_filter_vars(leftover, bound)
-    bindings = _apply_filters(bindings, leftover)
-    bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
+    bindings, bound = _finish_group(
+        ds, bindings, bound, leftover, q.optionals, q.binds
+    )
     if q.aggregates:
         for v in list(q.group_by) + [a.var for a in q.aggregates if a.var]:
             if v not in bound:
@@ -1255,9 +1471,9 @@ def evaluate_ask(ds, query: str | AskQuery) -> bool:
     if not isinstance(q, AskQuery):
         raise SparqlSyntaxError("not an ASK query")
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
-    _check_filter_vars(leftover, bound)
-    bindings = _apply_filters(bindings, leftover)
-    bindings, _ = _attach_optionals(bindings, bound, ds, q.optionals)
+    bindings, _ = _finish_group(
+        ds, bindings, bound, leftover, q.optionals, q.binds
+    )
     return bindings.limit(1).count() > 0
 
 
@@ -1277,9 +1493,9 @@ def evaluate_construct(ds, query: str | ConstructQuery):
                     "blank nodes in CONSTRUCT templates not supported"
                 )
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
-    _check_filter_vars(leftover, bound)
-    bindings = _apply_filters(bindings, leftover)
-    bindings, bound = _attach_optionals(bindings, bound, ds, q.optionals)
+    bindings, bound = _finish_group(
+        ds, bindings, bound, leftover, q.optionals, q.binds
+    )
     for t in q.template:
         for x in t:
             if isinstance(x, Var) and x.name not in bound:

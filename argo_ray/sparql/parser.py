@@ -78,6 +78,14 @@ class InFilter(NamedTuple):
     negated: bool = False
 
 
+class Bound(NamedTuple):
+    """``[!]BOUND(?v)`` — true when the variable has a binding (the
+    OPTIONAL-negation idiom ``FILTER(!BOUND(?x))``)."""
+
+    var: Var
+    negated: bool = False
+
+
 class ExistsFilter(NamedTuple):
     """``FILTER [NOT] EXISTS { patterns }`` — semi/anti-join of the
     outer bindings against the inner group's solutions on their shared
@@ -100,8 +108,49 @@ class MinusBlock(NamedTuple):
 
 Filter = Union[
     Comparison, Regex, StrFunc, FuncComparison, TypeCheck, InFilter,
-    ExistsFilter, MinusBlock,
+    ExistsFilter, MinusBlock, Bound,
 ]
+
+
+# -- BIND expressions ----------------------------------------------------
+class EVar(NamedTuple):
+    name: str
+
+
+class EConst(NamedTuple):
+    term: Term
+
+
+class EArith(NamedTuple):
+    """Integer arithmetic ``left op right`` (op ∈ + - *): operands
+    coerce lexical→int64 (non-integral / unparseable → unbound, the
+    SPARQL expression-error-to-unbound behaviour); division is outside
+    the subset (float rendering is endpoint-defined — fail loudly)."""
+
+    op: str
+    left: "Expr"
+    right: "Expr"
+
+
+class EFunc(NamedTuple):
+    """``FUNC(args…)`` — CONCAT / STR / UCASE / LCASE / STRLEN /
+    SUBSTR / REPLACE / COALESCE over expression arguments.  SUBSTR's
+    start/length and REPLACE's pattern/replacement must be constants."""
+
+    func: str
+    args: list
+
+
+Expr = Union[EVar, EConst, EArith, EFunc]
+
+
+class BindBlock(NamedTuple):
+    """``BIND(expr AS ?alias)`` — evaluated over the group's joined
+    bindings (after OPTIONALs attach), so the alias cannot be used in
+    a triple pattern of the same group (checked at eval time)."""
+
+    expr: Expr
+    alias: str
 
 
 class AltPath(NamedTuple):
@@ -175,12 +224,14 @@ class SelectQuery(NamedTuple):
     group_by: list[str] = []
     having: list[HavingCond] = []
     offset: int = 0
+    binds: list[BindBlock] = []
 
 
 class AskQuery(NamedTuple):
     patterns: list
     filters: list[Filter]
     optionals: list[OptionalBlock] = []
+    binds: list[BindBlock] = []
 
 
 class ConstructQuery(NamedTuple):
@@ -189,6 +240,7 @@ class ConstructQuery(NamedTuple):
     filters: list[Filter]
     limit: int | None
     optionals: list[OptionalBlock] = []
+    binds: list[BindBlock] = []
 
 
 class DescribeQuery(NamedTuple):
@@ -216,7 +268,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^|+])
+    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^|+-])
     """,
     re.VERBOSE,
 )
@@ -342,7 +394,7 @@ class _Parser:
             if k == "op" and v in ("}", "{"):
                 break
             if allow_var and k == "word" and v.lower() in (
-                "filter", "optional", "values", "minus",
+                "filter", "optional", "values", "minus", "bind",
             ):
                 break
             subj = self.parse_term(allow_var)
@@ -429,6 +481,71 @@ class _Parser:
 
     _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
+    # -- BIND expressions ------------------------------------------------
+    _EXPR_FUNCS = (
+        "concat", "str", "ucase", "lcase", "strlen", "substr", "replace",
+        "coalesce",
+    )
+
+    def parse_expression(self) -> Expr:
+        """Additive → multiplicative → primary (var | constant |
+        FUNC(args…) | parenthesized)."""
+        left = self._mul_expr()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            op = self.next()[1]
+            left = EArith(op, left, self._mul_expr())
+        return left
+
+    def _mul_expr(self) -> Expr:
+        left = self._primary_expr()
+        while self.peek() == ("op", "*"):
+            self.next()
+            left = EArith("*", left, self._primary_expr())
+        if self.peek() == ("op", "/"):
+            raise SparqlSyntaxError(
+                "division in BIND not supported (float rendering is "
+                "endpoint-defined)"
+            )
+        return left
+
+    def _primary_expr(self) -> Expr:
+        if self.peek() == ("op", "("):
+            self.next()
+            e = self.parse_expression()
+            self.expect("op", ")")
+            return e
+        if self.at_word(*self._EXPR_FUNCS):
+            func = self.next()[1].lower()
+            self.expect("op", "(")
+            args = []
+            while self.peek() != ("op", ")"):
+                args.append(self.parse_expression())
+                if self.peek() == ("op", ","):
+                    self.next()
+            self.expect("op", ")")
+            _ARITY = {"str": 1, "ucase": 1, "lcase": 1, "strlen": 1}
+            if func in _ARITY and len(args) != _ARITY[func]:
+                raise SparqlSyntaxError(f"{func.upper()}() takes 1 argument")
+            if func in ("concat", "coalesce") and len(args) < 2:
+                raise SparqlSyntaxError(f"{func.upper()}() needs ≥2 arguments")
+            if func == "substr" and len(args) not in (2, 3):
+                raise SparqlSyntaxError("SUBSTR(e, start[, length])")
+            if func == "replace" and len(args) != 3:
+                raise SparqlSyntaxError('REPLACE(e, "pattern", "replacement")')
+            return EFunc(func, args)
+        t = self.parse_term()
+        return EVar(t.name) if isinstance(t, Var) else EConst(t)
+
+    def parse_bind(self) -> BindBlock:
+        self.expect("op", "(")
+        expr = self.parse_expression()
+        self.expect("word", "as")
+        k, v = self.next()
+        if k != "var":
+            raise SparqlSyntaxError("BIND needs 'AS ?variable'")
+        self.expect("op", ")")
+        return BindBlock(expr, v[1:])
+
     def parse_filter(self) -> list[Filter]:
         """``FILTER ( expr && expr … )`` — each conjunct one of:
         ``term op term`` | ``[!]REGEX(?v, "pat")`` |
@@ -470,6 +587,11 @@ class _Parser:
                     raise SparqlSyntaxError(f"{func.upper()} needs a string argument")
                 self.expect("op", ")")
                 out.append(StrFunc(func, var, _unescape(av[1:-1]), negated))
+            elif self.at_word("bound"):
+                self.next()
+                var = self._paren_var()
+                self.expect("op", ")")
+                out.append(Bound(var, negated))
             elif self.at_word("isiri", "isuri", "isliteral", "isblank"):
                 func = self.next()[1].lower()
                 if func == "isuri":
@@ -509,7 +631,7 @@ class _Parser:
                 if negated:
                     raise SparqlSyntaxError(
                         "'!' only supported before REGEX/CONTAINS/STRSTARTS/"
-                        "STRENDS/isIRI/isLiteral/isBlank"
+                        "STRENDS/BOUND/isIRI/isLiteral/isBlank"
                     )
                 left = self.parse_term()
                 if isinstance(left, Var) and (
@@ -555,9 +677,9 @@ class _Parser:
                 raise SparqlSyntaxError(
                     "nested OPTIONAL/UNION groups are not supported"
                 )
-            elif self.at_word("minus", "values"):
+            elif self.at_word("minus", "values", "bind"):
                 raise SparqlSyntaxError(
-                    "MINUS/VALUES inside OPTIONAL/UNION/EXISTS groups "
+                    "MINUS/VALUES/BIND inside OPTIONAL/UNION/EXISTS groups "
                     "are not supported"
                 )
             else:
@@ -599,14 +721,19 @@ class _Parser:
             raise SparqlSyntaxError("empty VALUES block")
         return ValuesBlock(variables, rows)
 
-    def parse_group(self) -> tuple[list, list[Filter], list[OptionalBlock]]:
+    def parse_group(
+        self,
+    ) -> tuple[list, list[Filter], list[OptionalBlock], list[BindBlock]]:
         self.expect("op", "{")
         patterns: list = []
         filters: list[Filter] = []
         optionals: list[OptionalBlock] = []
+        binds: list[BindBlock] = []
         while self.peek() != ("op", "}"):
             if self.eat_word("filter"):
                 filters.extend(self.parse_filter())
+            elif self.eat_word("bind"):
+                binds.append(self.parse_bind())
             elif self.eat_word("optional"):
                 p, f = self.parse_simple_group()
                 optionals.append(OptionalBlock(p, f))
@@ -627,7 +754,7 @@ class _Parser:
             if self.peek() == ("op", "."):  # separators between group elements
                 self.next()
         self.expect("op", "}")
-        return patterns, filters, optionals
+        return patterns, filters, optionals, binds
 
     # -- solution modifiers ----------------------------------------------
     def parse_modifiers(self) -> tuple[list[tuple[str, bool]], int | None, int]:
@@ -717,7 +844,7 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
             if not variables and not aggregates:
                 raise SparqlSyntaxError("SELECT needs variables or *")
         p.eat_word("where")
-        patterns, filters, optionals = p.parse_group()
+        patterns, filters, optionals, binds = p.parse_group()
         group_by: list[str] = []
         if p.eat_word("group"):
             p.expect("word", "by")
@@ -771,24 +898,24 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         p.expect("eof")
         return SelectQuery(
             variables, distinct, patterns, filters, order, limit, optionals,
-            aggregates, group_by, having, offset,
+            aggregates, group_by, having, offset, binds,
         )
     if p.eat_word("ask"):
         p.eat_word("where")
-        patterns, filters, optionals = p.parse_group()
+        patterns, filters, optionals, binds = p.parse_group()
         p.expect("eof")
-        return AskQuery(patterns, filters, optionals)
+        return AskQuery(patterns, filters, optionals, binds)
     if p.eat_word("construct"):
         p.expect("op", "{")
         template = p.parse_triples_block()
         p.expect("op", "}")
         p.expect("word", "where")
-        patterns, filters, optionals = p.parse_group()
+        patterns, filters, optionals, binds = p.parse_group()
         _, limit, offset = p.parse_modifiers()
         if offset:
             raise SparqlSyntaxError("OFFSET on CONSTRUCT not supported")
         p.expect("eof")
-        return ConstructQuery(template, patterns, filters, limit, optionals)
+        return ConstructQuery(template, patterns, filters, limit, optionals, binds)
     if p.eat_word("describe"):
         terms: list[Term] = []
         while p.peek()[0] in ("iri", "pname"):

@@ -81,8 +81,10 @@ def test_parse_literals_and_numbers():
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
         parse_query("DESCRIBE ?v WHERE { ?v ?p ?o }")  # variable form unsupported
-    with pytest.raises(SparqlSyntaxError):  # BOUND not implemented
-        parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (BOUND(?s)) }")
+    with pytest.raises(SparqlSyntaxError):  # IF() not implemented
+        parse_query(
+            'SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o = 1, "a", "b") AS ?x) }'
+        )
     with pytest.raises(SparqlSyntaxError):  # DISTINCT only inside COUNT
         parse_query("SELECT (SUM(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlSyntaxError):  # empty IN list
@@ -790,3 +792,171 @@ def test_inverse_path(ray_session):
     assert out == [{"x": f"<{EX}doc>"}]
     with pytest.raises(SparqlSyntaxError):
         parse_update(f"PREFIX ex: <{EX}> INSERT DATA {{ ex:a ^ex:p ex:b }}")
+
+
+# -- BIND / BOUND ----------------------------------------------------------
+
+
+def test_bind_integer_arithmetic(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?c2 WHERE {{
+          ?s ex:chars ?c . BIND(?c * 2 + 1 AS ?c2)
+        }} ORDER BY ?s""",
+    ).to_pandas()
+    assert out["c2"].tolist() == [
+        f'"241"^^<{XSD_INT}>',
+        f'"161"^^<{XSD_INT}>',
+    ]
+
+
+def test_bind_subtraction_and_filter_on_alias(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:chars ?c . BIND(?c - 100 AS ?d)
+          FILTER(?d > 0)
+        }}""",
+    ).to_pandas()
+    assert out["s"].tolist() == [f"<{EX}d1>"]
+
+
+def test_bind_string_functions(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l ?u WHERE {{
+          ?s ex:lang ?l . FILTER (STRLEN(?l) = 2)
+          BIND(CONCAT("x-", UCASE(?l), "-", LCASE("QQ")) AS ?u)
+        }} ORDER BY ?l""",
+    ).to_pandas()
+    assert out["u"].tolist() == ['"x-DE-qq"', '"x-EN-qq"']
+
+
+def test_bind_substr_replace_strlen(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?sub ?rep ?n WHERE {{
+          ?s a ex:Doc ; ex:lang ?l .
+          BIND(SUBSTR(STR(?s), 1, 4) AS ?sub)
+          BIND(REPLACE(?l, "e", "E") AS ?rep)
+          BIND(STRLEN(?l) AS ?n)
+        }} ORDER BY ?s""",
+    ).to_pandas()
+    assert out["sub"].tolist() == ['"http"', '"http"']
+    assert out["rep"].tolist() == ['"En"', '"dE"']
+    assert out["n"].tolist() == [f'"2"^^<{XSD_INT}>'] * 2
+
+
+def test_bind_arith_error_leaves_unbound(ray_session):
+    # d3's lang literal is non-numeric: ?x stays unbound (renders '')
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x WHERE {{
+          ?s ex:lang ?l . BIND(?l + 1 AS ?x)
+        }} ORDER BY ?s""",
+    ).to_pandas()
+    assert out["x"].tolist() == ["", "", ""]
+
+
+def test_bind_bare_var_copies_term(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l2 WHERE {{
+          <{EX}d3> ex:lang ?l . BIND(?l AS ?l2)
+        }}""",
+    ).to_pandas()
+    assert out["l2"].tolist() == ['"Guten Tag"@de']
+
+
+def test_bind_alias_rebind_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s WHERE {{ ?s ex:lang ?l . BIND("x" AS ?l) }}""",
+        )
+
+
+def test_bind_unbound_input_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s WHERE {{ ?s ex:lang ?l . BIND(?nope AS ?x) }}""",
+        )
+
+
+def test_bind_division_unsupported():
+    with pytest.raises(SparqlSyntaxError, match="division"):
+        parse_query(
+            "SELECT ?x WHERE { ?s <http://e/p> ?c . BIND(?c / 2 AS ?x) }"
+        )
+
+
+def test_bind_inside_optional_raises():
+    with pytest.raises(SparqlSyntaxError, match="BIND"):
+        parse_query(
+            """SELECT ?s WHERE {
+              ?s <http://e/p> ?c .
+              OPTIONAL { ?s <http://e/q> ?d . BIND(?d AS ?x) }
+            }"""
+        )
+
+
+def test_bound_filter_with_optional(ray_session):
+    # d3 has a lang but no chars assertion
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          OPTIONAL {{ ?s ex:chars ?c }}
+          FILTER(!BOUND(?c))
+        }}""",
+    ).to_pandas()
+    assert out["s"].tolist() == [f"<{EX}d3>"]
+
+
+def test_bound_true_keeps_matched(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          OPTIONAL {{ ?s ex:chars ?c }}
+          FILTER(BOUND(?c))
+        }} ORDER BY ?s""",
+    ).to_pandas()
+    assert out["s"].tolist() == [f"<{EX}d1>", f"<{EX}d2>"]
+
+
+def test_bind_coalesce_optional(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?cc WHERE {{
+          ?s ex:lang ?l .
+          OPTIONAL {{ ?s ex:chars ?c }}
+          BIND(COALESCE(?c, "missing") AS ?cc)
+        }} ORDER BY ?s""",
+    ).to_pandas()
+    assert out["cc"].tolist() == ['"120"', '"80"', '"missing"']
+
+
+def test_bind_groupby_alias(ray_session):
+    # group docs by a computed key (first 4 chars of the lang literal)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?k (COUNT(*) AS ?n) WHERE {{
+          ?s ex:lang ?l . BIND(SUBSTR(?l, 1, 1) AS ?k)
+        }} GROUP BY ?k""",
+    ).to_pandas()
+    got = dict(zip(out["k"], out["n"]))
+    assert got == {'"e"': 1, '"d"': 1, '"G"': 1}
