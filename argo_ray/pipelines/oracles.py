@@ -248,6 +248,12 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    # cites* from the hub: the zero-length solution (the hub itself)
+    # plus the closure (hub → every doc; depth-1 edge set)
+    "sparql_path_star_eval": EXP_CTE
+    + f"""SELECT '<{HUB}>' AS d
+UNION
+SELECT DISTINCT '<' || entity || '>' AS d FROM docs""",
     # BIND: c2 = chars*2 rendered as an xsd:integer literal, label =
     # CONCAT(UCASE(lang), "-", STR(doc)) as a plain literal
     "sparql_bind_eval": EXP_CTE

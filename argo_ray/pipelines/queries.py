@@ -699,6 +699,20 @@ def q_sparql_path_closure_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_path_star_eval(sf_dir: str):
+    """Zero-or-more path ``ex:cites*`` from a constant end: the hub
+    itself (the zero-length solution) plus everything the BFS closure
+    reaches."""
+    from ..pages import HUB_IRI
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?d WHERE {{ <{HUB_IRI}> ex:cites* ?d }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_bind_eval(sf_dir: str):
     """BIND expressions: integer arithmetic (?c*2 → xsd:integer
     literal), string functions (CONCAT/UCASE/STR → plain literal), and
@@ -811,6 +825,7 @@ KG_QUERIES = {
     "sparql_not_exists_eval": q_sparql_not_exists_eval,
     "sparql_alt_path_eval": q_sparql_alt_path_eval,
     "sparql_path_closure_eval": q_sparql_path_closure_eval,
+    "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,
     "sparql_bound_filter_eval": q_sparql_bound_filter_eval,
     "graphstore_patch": q_graphstore_patch,

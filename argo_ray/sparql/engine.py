@@ -408,6 +408,8 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
     documented cliff for dense graphs.  Iterations materialize (a
     fixpoint needs a barrier per hop); hop count is bounded by graph
     diameter and capped at TRANSITIVE_MAX_HOPS (loud error)."""
+    import ray.data
+
     subj, tp, obj = pattern
     pred = tp.pred
     S, O, M = "_tcs$s", "_tcs$o", "_tcs$m"
@@ -415,10 +417,62 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
     def norm(d):
         return d.map_batches(_norm_table, batch_format="pyarrow")
 
+    def _term_row(var: str, t: Term):
+        """One-row bindings table: ``var`` bound to the constant term
+        (the zero-length-path solution for a constant end)."""
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    f"{var}__kind": pa.array([t.kind], pa.int64()),
+                    f"{var}__value": pa.array([t.value], pa.large_string()),
+                    f"{var}__lang": pa.array([t.lang], pa.large_string()),
+                    f"{var}__datatype": pa.array([t.datatype], pa.large_string()),
+                }
+            )
+        )
+
+    def _graph_nodes():
+        """Every term in subject or object position of any triple —
+        the SPARQL 1.1 'nodes of G' the zero-length path ranges over
+        when both ends are variables.  One streaming scan + distinct."""
+
+        def project(batch: pa.Table) -> pa.Table:
+            tables = []
+            for pos in ("subj", "obj"):
+                tables.append(
+                    pa.table(
+                        {
+                            f"{S}__kind": pc.cast(batch[f"{pos}_kind"], pa.int64()),
+                            f"{S}__value": pc.cast(
+                                batch[f"{pos}_value"], pa.large_string()
+                            ),
+                            f"{S}__lang": pc.cast(
+                                batch[f"{pos}_lang"], pa.large_string()
+                            ),
+                            f"{S}__datatype": pc.cast(
+                                batch[f"{pos}_datatype"], pa.large_string()
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(tables)
+
+        return _distinct(
+            ds.map_batches(project, batch_format="pyarrow"), _var_cols(S)
+        )
+
     edges, _ = _pattern_bindings(ds, (Var(S), pred, Var(O)))
     edges = _distinct(norm(edges), _var_cols(S) + _var_cols(O)).materialize()
 
     if isinstance(subj, Term):
+        if tp.zero and isinstance(obj, Term) and subj == obj:
+            # zero-length path: a constant end matches itself
+            return (
+                ray.data.from_arrow(
+                    pa.table({witness: pa.array([1], pa.int64())})
+                ),
+                set(),
+            )
         seed, _ = _pattern_bindings(ds, (subj, pred, Var(O)))
         reached = _distinct(norm(seed), _var_cols(O)).materialize()
         frontier = reached
@@ -446,6 +500,10 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
                 f"p+ fixpoint exceeded {TRANSITIVE_MAX_HOPS} hops"
             )
         if isinstance(obj, Var):
+            if tp.zero:
+                reached = _distinct(
+                    reached.union(_term_row(O, subj)), _var_cols(O)
+                )
             return _rename_binding(reached, {O: obj.name}), {obj.name}
         # both ends constant: ASK-style witness (rows where O == obj)
         from ..stages.filter import term_predicate
@@ -485,6 +543,10 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
             raise RuntimeError(
                 f"p+ fixpoint exceeded {TRANSITIVE_MAX_HOPS} hops"
             )
+        if tp.zero:
+            reached = _distinct(
+                reached.union(_term_row(S, obj)), _var_cols(S)
+            )
         return _rename_binding(reached, {S: subj.name}), {subj.name}
 
     # both ends variables: full semi-naive closure over the edge set
@@ -512,7 +574,14 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
         frontier = new
     else:
         raise RuntimeError(f"p+ fixpoint exceeded {TRANSITIVE_MAX_HOPS} hops")
-    if subj.name == obj.name:  # ?x p+ ?x — cycles through x
+    if subj.name == obj.name:
+        if tp.zero:  # ?x p* ?x — every node reaches itself
+            return (
+                _rename_binding(_graph_nodes(), {S: subj.name}),
+                {subj.name},
+            )
+
+        # ?x p+ ?x — cycles through x
         def self_only(batch: pa.Table) -> pa.Table:
             m = None
             for f in _FIELDS:
@@ -528,6 +597,18 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
 
         out = all_pairs.map_batches(self_only, batch_format="pyarrow")
         return _rename_binding(out, {S: subj.name}), {subj.name}
+    if tp.zero:
+        # zero-length solutions: every graph node paired with itself
+        def self_pair(batch: pa.Table) -> pa.Table:
+            cols = dict(zip(batch.column_names, batch.columns))
+            for f in _FIELDS:
+                cols[f"{O}__{f}"] = batch[f"{S}__{f}"]
+            return pa.table(cols)
+
+        self_pairs = _graph_nodes().map_batches(
+            self_pair, batch_format="pyarrow"
+        )
+        all_pairs = _distinct(all_pairs.union(self_pairs), pair_cols)
     return (
         _rename_binding(all_pairs, {S: subj.name, O: obj.name}),
         {subj.name, obj.name},

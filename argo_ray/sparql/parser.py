@@ -162,10 +162,15 @@ class AltPath(NamedTuple):
 
 
 class TransPath(NamedTuple):
-    """``p+`` in the predicate slot — one-or-more hops along ``pred``
-    (set semantics per SPARQL 1.1 ArbitraryLengthPath)."""
+    """``p+`` / ``p*`` in the predicate slot — one-or-more (or, with
+    ``zero``, zero-or-more) hops along ``pred`` (set semantics per
+    SPARQL 1.1 ArbitraryLengthPath / ZeroOrMorePath).  The zero-length
+    path matches a constant end to itself, and with both ends variable
+    matches every node of the graph (any term in subject or object
+    position) to itself."""
 
     pred: Term
+    zero: bool = False
 
 
 class UnionBlock(NamedTuple):
@@ -422,17 +427,13 @@ class _Parser:
                                 "path alternatives must be IRIs"
                             )
                         pred = AltPath(preds)
-                    if self.peek() == ("op", "+"):
-                        self.next()
+                    if self.peek() in (("op", "+"), ("op", "*")):
+                        _, mark = self.next()
                         if inv or not isinstance(pred, Term):
                             raise SparqlSyntaxError(
-                                "'+' applies to a single forward IRI step"
+                                f"{mark!r} applies to a single forward IRI step"
                             )
-                        pred = TransPath(pred)
-                    if self.peek() == ("op", "*"):
-                        raise SparqlSyntaxError(
-                            "zero-or-more path 'p*' not supported (use 'p+')"
-                        )
+                        pred = TransPath(pred, zero=(mark == "*"))
                     return (pred, inv)
 
                 path = [step()]

@@ -960,3 +960,66 @@ def test_bind_groupby_alias(ray_session):
     ).to_pandas()
     got = dict(zip(out["k"], out["n"]))
     assert got == {'"e"': 1, '"d"': 1, '"G"': 1}
+
+
+# -- zero-or-more paths ----------------------------------------------------
+
+
+def _chain_ds():
+    import ray.data
+
+    from argo_ray.io import configure_context
+
+    configure_context()
+    P = EX + "p"
+    tr = [
+        (IRI(EX + "a"), IRI(P), IRI(EX + "b")),
+        (IRI(EX + "b"), IRI(P), IRI(EX + "c")),
+        (IRI(EX + "a"), IRI(EX + "q"), Literal("x")),
+    ]
+    return ray.data.from_arrow(triples_to_table(tr, with_hash=False)).materialize()
+
+
+def test_star_path_constant_subject(ray_session):
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:a ex:p* ?x }} ORDER BY ?x",
+    ).to_pandas()
+    assert out["x"].tolist() == [f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
+
+
+def test_star_path_constant_object(ray_session):
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?x ex:p* ex:c }} ORDER BY ?x",
+    ).to_pandas()
+    assert out["x"].tolist() == [f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
+
+
+def test_star_path_both_vars_includes_graph_nodes(ray_session):
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?x ?y WHERE {{ ?x ex:p* ?y }}",
+    ).to_pandas()
+    pairs = set(zip(out["x"], out["y"]))
+    a, b, c = f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"
+    # closure pairs + one self-pair per graph node (incl. the literal)
+    assert pairs == {
+        (a, b), (a, c), (b, c),
+        (a, a), (b, b), (c, c), ('"x"', '"x"'),
+    }
+
+
+def test_star_path_self_variable(ray_session):
+    out = evaluate_select(
+        _chain_ds(),
+        f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?x ex:p* ?x }} ORDER BY ?x",
+    ).to_pandas()
+    assert out["x"].tolist() == ['"x"', f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
+
+
+def test_star_path_ask_ground(ray_session):
+    ds = _chain_ds()
+    assert evaluate_ask(ds, f"PREFIX ex: <{EX}> ASK {{ ex:a ex:p* ex:a }}")
+    assert evaluate_ask(ds, f"PREFIX ex: <{EX}> ASK {{ ex:a ex:p* ex:c }}")
+    assert not evaluate_ask(ds, f"PREFIX ex: <{EX}> ASK {{ ex:c ex:p* ex:a }}")
