@@ -248,6 +248,12 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    "sparql_sum_distinct_eval": EXP_CTE
+    + """SELECT '<' || site || '>' AS site,
+       CAST(SUM(DISTINCT n_chars) AS DOUBLE) AS sum_c,
+       CAST(AVG(DISTINCT n_chars) AS DOUBLE) AS avg_c,
+       COUNT(n_chars) AS n
+FROM docs GROUP BY site""",
     # cites* from the hub: the zero-length solution (the hub itself)
     # plus the closure (hub → every doc; depth-1 edge set)
     "sparql_path_star_eval": EXP_CTE

@@ -699,6 +699,23 @@ def q_sparql_path_closure_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_sum_distinct_eval(sf_dir: str):
+    """SUM/AVG(DISTINCT ?v) alongside a plain COUNT: distinctness over
+    RDF terms per group via the distinct-pair shuffle, numeric
+    aggregation of the surviving terms, merged with the plain
+    partial-agg path per group."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?site (SUM(DISTINCT ?c) AS ?sum_c) (AVG(DISTINCT ?c) AS ?avg_c)
+           (COUNT(?c) AS ?n)
+    WHERE {{ ?doc ex:site ?site ; ex:chars ?c }}
+    GROUP BY ?site
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_path_star_eval(sf_dir: str):
     """Zero-or-more path ``ex:cites*`` from a constant end: the hub
     itself (the zero-length solution) plus everything the BFS closure
@@ -825,6 +842,7 @@ KG_QUERIES = {
     "sparql_not_exists_eval": q_sparql_not_exists_eval,
     "sparql_alt_path_eval": q_sparql_alt_path_eval,
     "sparql_path_closure_eval": q_sparql_path_closure_eval,
+    "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,
     "sparql_bound_filter_eval": q_sparql_bound_filter_eval,

@@ -1369,14 +1369,17 @@ def _aggregate_bindings(bindings, group_vars: list[str], aggs, project=None):
 
 
 def _distinct_count_agg(bindings, group_vars: list[str], agg):
-    """``COUNT(DISTINCT ?v)`` per group, fully distributed: render the
-    group keys + the counted variable, drop unbound values, global
-    distinct (the same hash-keyed sort dedup as SELECT DISTINCT), then
-    a per-group row count — shuffle volume = distinct (group, value)
-    pairs, never raw rows."""
+    """``COUNT/SUM/AVG(DISTINCT ?v)`` per group, fully distributed:
+    render the group keys + the variable's full term, drop unbound
+    values, global distinct (the same hash-keyed sort dedup as SELECT
+    DISTINCT — distinctness is over RDF terms), then a per-group count
+    / float sum / mean — shuffle volume = distinct (group, term)
+    pairs, never raw rows.  SUM/AVG additionally drop non-numeric
+    terms (the same error-ignoring rule as the plain aggregate path)."""
     from ray.data.aggregate import Sum
 
     var = agg.var
+    numeric = agg.func in ("sum", "avg")
 
     def prep(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -1393,33 +1396,63 @@ def _distinct_count_agg(bindings, group_vars: list[str], agg):
             batch[f"{var}__lang"], batch[f"{var}__datatype"],
         )
         cols["_v"] = rendered
-        return pa.table(cols).filter(pc.is_valid(rendered))
+        if numeric:
+            cols["_num"] = _to_float_coerce(
+                pc.cast(batch[f"{var}__value"], pa.large_string())
+            )
+        out = pa.table(cols).filter(pc.is_valid(rendered))
+        if numeric:  # non-numeric distinct terms don't contribute
+            out = out.filter(pc.invert(pc.is_nan(out["_num"])))
+        return out
 
     ds2 = bindings.map_batches(prep, batch_format="pyarrow")
     ds2 = _distinct(ds2, list(group_vars) + ["_v"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        cols = {gv: batch[gv] for gv in group_vars}
+        cols["_one"] = pa.array([1] * batch.num_rows, pa.int64())
+        if numeric:
+            cols["_num"] = batch["_num"]
+        return pa.table(cols)
+
+    ds2 = ds2.map_batches(ones, batch_format="pyarrow")
+    combiners = [Sum("_one", alias_name="_n")]
+    if numeric:
+        combiners.append(Sum("_num", alias_name="_s"))
+
     if not group_vars:
         import ray.data
 
-        n = ds2.count()
-        return ray.data.from_arrow(pa.table({agg.alias: pa.array([n], pa.int64())}))
+        res = ds2.aggregate(*combiners)
+        n = int(res.get("_n") or 0)
+        if agg.func == "count":
+            val = pa.array([n], pa.int64())
+        elif agg.func == "sum":
+            val = pa.array([float(res.get("_s") or 0.0)], pa.float64())
+        else:  # avg of zero values is a SPARQL error → render null
+            val = pa.array(
+                [float(res["_s"]) / n if n else None], pa.float64()
+            )
+        return ray.data.from_arrow(pa.table({agg.alias: val}))
 
-    def ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                **{gv: batch[gv] for gv in group_vars},
-                "_one": pa.array([1] * batch.num_rows, pa.int64()),
-            }
-        )
-
-    out = ds2.map_batches(ones, batch_format="pyarrow").groupby(
+    out = ds2.groupby(
         group_vars if len(group_vars) > 1 else group_vars[0]
-    ).aggregate(Sum("_one", alias_name=agg.alias))
-    return out.map_batches(
-        lambda b, a=agg.alias: b.set_column(
-            b.column_names.index(a), a, pc.cast(b[a], pa.int64())
-        ),
-        batch_format="pyarrow",
-    )
+    ).aggregate(*combiners)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {gv: batch[gv] for gv in group_vars}
+        if agg.func == "count":
+            cols[agg.alias] = pc.cast(batch["_n"], pa.int64())
+        elif agg.func == "sum":
+            cols[agg.alias] = pc.cast(batch["_s"], pa.float64())
+        else:
+            cols[agg.alias] = pc.divide(
+                pc.cast(batch["_s"], pa.float64()),
+                pc.cast(batch["_n"], pa.float64()),
+            )
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
@@ -1458,7 +1491,8 @@ def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
         else:
             merged = pd.concat([merged, piece], axis=1)
     for a in distinct_aggs:  # groups whose values were all unbound
-        merged[a.alias] = merged[a.alias].fillna(0).astype("int64")
+        if a.func == "count":
+            merged[a.alias] = merged[a.alias].fillna(0).astype("int64")
     return ray.data.from_pandas(merged[cols])
 
 

@@ -197,12 +197,15 @@ class OptionalBlock(NamedTuple):
 
 
 class Aggregate(NamedTuple):
-    """``(FUNC([DISTINCT] ?v) AS ?alias)`` in a SELECT clause."""
+    """``(FUNC([DISTINCT] ?v) AS ?alias)`` in a SELECT clause.
+    DISTINCT is meaningful for COUNT/SUM/AVG (distinct RDF terms of
+    ?v per group); for MIN/MAX/SAMPLE it is a semantic no-op and the
+    parser drops it."""
 
     func: str  # count | sum | min | max | avg | sample
     var: str | None  # None = COUNT(*)
     alias: str
-    distinct: bool = False  # COUNT(DISTINCT ?v) only
+    distinct: bool = False
 
 
 class HavingCond(NamedTuple):
@@ -817,10 +820,8 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
                     func = p.next()[1].lower()
                     p.expect("op", "(")
                     agg_distinct = p.eat_word("distinct")
-                    if agg_distinct and func != "count":
-                        raise SparqlSyntaxError(
-                            f"DISTINCT inside {func.upper()}() not supported"
-                        )
+                    if func in ("min", "max", "sample"):
+                        agg_distinct = False  # DISTINCT is a no-op there
                     if p.peek() == ("op", "*"):
                         p.next()
                         if func != "count":

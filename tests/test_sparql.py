@@ -85,8 +85,8 @@ def test_parse_rejects_unsupported():
         parse_query(
             'SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o = 1, "a", "b") AS ?x) }'
         )
-    with pytest.raises(SparqlSyntaxError):  # DISTINCT only inside COUNT
-        parse_query("SELECT (SUM(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError):  # GROUP_CONCAT not implemented
+        parse_query("SELECT (GROUP_CONCAT(?o) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlSyntaxError):  # empty IN list
         parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (?o IN ()) }")
     with pytest.raises(SparqlSyntaxError):
@@ -965,7 +965,7 @@ def test_bind_groupby_alias(ray_session):
 # -- zero-or-more paths ----------------------------------------------------
 
 
-def _chain_ds():
+def _star_chain_ds():
     import ray.data
 
     from argo_ray.io import configure_context
@@ -982,7 +982,7 @@ def _chain_ds():
 
 def test_star_path_constant_subject(ray_session):
     out = evaluate_select(
-        _chain_ds(),
+        _star_chain_ds(),
         f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:a ex:p* ?x }} ORDER BY ?x",
     ).to_pandas()
     assert out["x"].tolist() == [f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
@@ -990,7 +990,7 @@ def test_star_path_constant_subject(ray_session):
 
 def test_star_path_constant_object(ray_session):
     out = evaluate_select(
-        _chain_ds(),
+        _star_chain_ds(),
         f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?x ex:p* ex:c }} ORDER BY ?x",
     ).to_pandas()
     assert out["x"].tolist() == [f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
@@ -998,7 +998,7 @@ def test_star_path_constant_object(ray_session):
 
 def test_star_path_both_vars_includes_graph_nodes(ray_session):
     out = evaluate_select(
-        _chain_ds(),
+        _star_chain_ds(),
         f"PREFIX ex: <{EX}> SELECT ?x ?y WHERE {{ ?x ex:p* ?y }}",
     ).to_pandas()
     pairs = set(zip(out["x"], out["y"]))
@@ -1012,14 +1012,81 @@ def test_star_path_both_vars_includes_graph_nodes(ray_session):
 
 def test_star_path_self_variable(ray_session):
     out = evaluate_select(
-        _chain_ds(),
+        _star_chain_ds(),
         f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?x ex:p* ?x }} ORDER BY ?x",
     ).to_pandas()
     assert out["x"].tolist() == ['"x"', f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
 
 
 def test_star_path_ask_ground(ray_session):
-    ds = _chain_ds()
+    ds = _star_chain_ds()
     assert evaluate_ask(ds, f"PREFIX ex: <{EX}> ASK {{ ex:a ex:p* ex:a }}")
     assert evaluate_ask(ds, f"PREFIX ex: <{EX}> ASK {{ ex:a ex:p* ex:c }}")
     assert not evaluate_ask(ds, f"PREFIX ex: <{EX}> ASK {{ ex:c ex:p* ex:a }}")
+
+
+# -- DISTINCT inside SUM/AVG -----------------------------------------------
+
+
+def _dup_vals_ds():
+    import ray.data
+
+    from argo_ray.io import configure_context
+
+    configure_context()
+    P = EX + "v"
+    tr = [
+        (IRI(EX + "g1"), IRI(P), Literal("10", datatype=XSD_INT)),
+        (IRI(EX + "g1"), IRI(P), Literal("10", datatype=XSD_INT)),
+        (IRI(EX + "g1"), IRI(P), Literal("30", datatype=XSD_INT)),
+        (IRI(EX + "g2"), IRI(P), Literal("5", datatype=XSD_INT)),
+        (IRI(EX + "g2"), IRI(P), Literal("oops")),
+    ]
+    return ray.data.from_arrow(triples_to_table(tr, with_hash=False)).materialize()
+
+
+def test_sum_avg_distinct(ray_session):
+    # "10" appears twice (duplicate triples stay separate rows), so the
+    # distinct-term sum per subject must count it once
+    out = evaluate_select(
+        _dup_vals_ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (SUM(DISTINCT ?v) AS ?sv) (AVG(DISTINCT ?v) AS ?av)
+        WHERE {{ ?s ex:v ?v }} GROUP BY ?s ORDER BY ?s""",
+    ).to_pandas()
+    got = {r["s"]: (r["sv"], r["av"]) for _, r in out.iterrows()}
+    assert got[f"<{EX}g1>"] == (40.0, 20.0)
+    # the non-numeric "oops" term is excluded from sum and avg
+    assert got[f"<{EX}g2>"] == (5.0, 5.0)
+
+
+def test_sum_distinct_mixed_with_plain(ray_session):
+    out = evaluate_select(
+        _dup_vals_ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (SUM(DISTINCT ?v) AS ?sv) (COUNT(*) AS ?n)
+        WHERE {{ ?s ex:v ?v }} GROUP BY ?s ORDER BY ?s""",
+    ).to_pandas()
+    got = {r["s"]: (r["sv"], r["n"]) for _, r in out.iterrows()}
+    assert got[f"<{EX}g1>"] == (40.0, 3)
+    assert got[f"<{EX}g2>"] == (5.0, 2)
+
+
+def test_min_distinct_is_noop(ray_session):
+    out = evaluate_select(
+        _dup_vals_ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT (MIN(DISTINCT ?v) AS ?m) WHERE {{ ?s ex:v ?v }}""",
+    ).to_pandas()
+    assert out["m"].tolist() == [5.0]
+
+
+def test_sum_distinct_global(ray_session):
+    out = evaluate_select(
+        _dup_vals_ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT (SUM(DISTINCT ?v) AS ?sv) WHERE {{ ?s ex:v ?v }}""",
+    ).to_pandas()
+    # distinct terms across all groups: 10, 30, 5 (the duplicate "10"
+    # collapses globally)
+    assert out["sv"].tolist() == [45.0]
