@@ -248,6 +248,14 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    # subquery slice: first 100 docs with chars >= 300 by *rendered*
+    # IRI ordering (the closing '>' matters: '<…doc/274>' sorts before
+    # '<…doc/27>' because '4' < '>'), joined to their site
+    "sparql_subquery_eval": EXP_CTE
+    + """SELECT '<' || d.entity || '>' AS doc, '<' || d.site || '>' AS site
+FROM docs d
+JOIN (SELECT entity FROM docs WHERE n_chars >= 300
+      ORDER BY '<' || entity || '>' LIMIT 100) s USING (entity)""",
     "sparql_sum_distinct_eval": EXP_CTE
     + """SELECT '<' || site || '>' AS site,
        CAST(SUM(DISTINCT n_chars) AS DOUBLE) AS sum_c,

@@ -699,6 +699,23 @@ def q_sparql_path_closure_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_subquery_eval(sf_dir: str):
+    """Subquery join: the inner ``{ SELECT … ORDER BY … LIMIT … }``
+    picks the first 100 large documents (deterministic slice), the
+    outer BGP attaches each one's site."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?doc ?site WHERE {{
+      ?doc ex:site ?site .
+      {{ SELECT ?doc WHERE {{ ?doc ex:chars ?c . FILTER(?c >= 300) }}
+         ORDER BY ?doc LIMIT 100 }}
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_sum_distinct_eval(sf_dir: str):
     """SUM/AVG(DISTINCT ?v) alongside a plain COUNT: distinctness over
     RDF terms per group via the distinct-pair shuffle, numeric
@@ -842,6 +859,7 @@ KG_QUERIES = {
     "sparql_not_exists_eval": q_sparql_not_exists_eval,
     "sparql_alt_path_eval": q_sparql_alt_path_eval,
     "sparql_path_closure_eval": q_sparql_path_closure_eval,
+    "sparql_subquery_eval": q_sparql_subquery_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

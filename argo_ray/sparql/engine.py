@@ -70,6 +70,7 @@ from .parser import (
     SelectQuery,
     SparqlSyntaxError,
     StrFunc,
+    SubSelect,
     TransPath,
     TypeCheck,
     UnionBlock,
@@ -655,6 +656,55 @@ def _values_bindings(block: ValuesBlock):
     return ray.data.from_arrow(pa.table(cols)), set(block.variables)
 
 
+def _subselect_bindings(ds, q):
+    """``{ SELECT … }`` → (bindings, projected vars): evaluate the
+    inner group, project the selected variables' term columns, then
+    DISTINCT (over full term identity) and the ORDER BY-backed
+    LIMIT/OFFSET slice.  The result joins like any other part."""
+    bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
+    bindings, bound = _finish_group(
+        ds, bindings, bound, leftover, q.optionals, q.binds
+    )
+    variables = q.variables or sorted(v for v in bound if "$" not in v)
+    missing = [v for v in variables if v not in bound]
+    if missing:
+        raise SparqlSyntaxError(f"unbound subquery SELECT variables: {missing}")
+    cols = [c for v in variables for c in _var_cols(v)]
+
+    def project(batch: pa.Table) -> pa.Table:
+        return _norm_table(batch.select(cols))
+
+    out = bindings.map_batches(project, batch_format="pyarrow")
+    if q.distinct:
+        out = _distinct(out, cols)
+    if q.order_by:
+        for v, _ in q.order_by:
+            if v not in variables:
+                raise SparqlSyntaxError(f"subquery ORDER BY {v!r} not projected")
+
+        def add_keys(batch: pa.Table) -> pa.Table:
+            for i, (v, _) in enumerate(q.order_by):
+                rendered = pc.fill_null(
+                    nt_render_term_arrays(
+                        batch[f"{v}__kind"], batch[f"{v}__value"],
+                        batch[f"{v}__lang"], batch[f"{v}__datatype"],
+                    ),
+                    "",
+                )
+                batch = batch.append_column(f"_ord{i}", rendered)
+            return batch
+
+        out = out.map_batches(add_keys, batch_format="pyarrow").sort(
+            [f"_ord{i}" for i in range(len(q.order_by))],
+            descending=[d for _, d in q.order_by],
+        )
+        out = _apply_slice(out, q.limit, q.offset)
+        out = out.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        )
+    return out, set(variables)
+
+
 def _bgp(ds, patterns, filters=()):
     """Basic graph pattern → joined bindings Dataset + bound vars.
 
@@ -673,6 +723,8 @@ def _bgp(ds, patterns, filters=()):
     for pat_i, pattern in enumerate(patterns):
         if isinstance(pattern, UnionBlock):
             b, vs = _union_bindings(ds, pattern)
+        elif isinstance(pattern, SubSelect):
+            b, vs = _subselect_bindings(ds, pattern.query)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
         elif isinstance(pattern[1], TransPath):

@@ -153,6 +153,16 @@ class BindBlock(NamedTuple):
     alias: str
 
 
+class SubSelect(NamedTuple):
+    """``{ SELECT … }`` as a group element — the inner query's
+    projected variables join with the rest of the group.  Aggregate
+    subqueries are outside the subset (their outputs are rendered
+    numbers, not terms); DISTINCT / ORDER BY / LIMIT / OFFSET /
+    FILTER / OPTIONAL / BIND are supported inside."""
+
+    query: "SelectQuery"
+
+
 class AltPath(NamedTuple):
     """``p1|p2|…`` in the predicate slot — one scan matching any of
     the alternative IRIs (bag-union multiplicity comes free: each
@@ -746,6 +756,24 @@ class _Parser:
                 filters.append(MinusBlock(p, f))
             elif self.eat_word("values"):
                 patterns.append(self.parse_values())
+            elif self.peek() == ("op", "{") and (
+                self.toks[self.i + 1][0] == "word"
+                and self.toks[self.i + 1][1].lower() == "select"
+            ):
+                self.next()  # {
+                self.next()  # select
+                sub = _parse_select(self)
+                self.expect("op", "}")
+                if sub.aggregates:
+                    raise SparqlSyntaxError(
+                        "aggregate subqueries are not supported"
+                    )
+                if (sub.limit is not None or sub.offset) and not sub.order_by:
+                    raise SparqlSyntaxError(
+                        "LIMIT/OFFSET in a subquery needs ORDER BY "
+                        "(deterministic slice)"
+                    )
+                patterns.append(SubSelect(sub))
             elif self.peek() == ("op", "{"):
                 branches = [self.parse_simple_group()]
                 while self.eat_word("union"):
@@ -800,108 +828,117 @@ class _Parser:
         return order, limit, offset
 
 
+def _parse_select(p: _Parser) -> SelectQuery:
+    """Everything after the ``SELECT`` keyword up to (not including)
+    the closing delimiter — shared by top-level queries (which then
+    expect eof) and subqueries (which expect ``}``)."""
+    distinct = p.eat_word("distinct")
+    p.eat_word("reduced")
+    variables: list[str] = []
+    aggregates: list[Aggregate] = []
+    if p.peek() == ("op", "*"):
+        p.next()
+    else:
+        _AGG_FUNCS = ("count", "sum", "min", "max", "avg", "sample")
+        while True:
+            if p.peek()[0] == "var":
+                variables.append(p.next()[1][1:])
+            elif p.peek() == ("op", "(") and p.toks[p.i + 1][1].lower() in _AGG_FUNCS:
+                p.next()  # (
+                func = p.next()[1].lower()
+                p.expect("op", "(")
+                agg_distinct = p.eat_word("distinct")
+                if func in ("min", "max", "sample"):
+                    agg_distinct = False  # DISTINCT is a no-op there
+                if p.peek() == ("op", "*"):
+                    p.next()
+                    if func != "count":
+                        raise SparqlSyntaxError(f"{func.upper()}(*) not allowed")
+                    if agg_distinct:
+                        raise SparqlSyntaxError("COUNT(DISTINCT *) not supported")
+                    var = None
+                else:
+                    t = p.parse_term()
+                    if not isinstance(t, Var):
+                        raise SparqlSyntaxError("aggregate needs a variable")
+                    var = t.name
+                p.expect("op", ")")
+                p.expect("word", "as")
+                k, v = p.next()
+                if k != "var":
+                    raise SparqlSyntaxError("AS needs a variable alias")
+                p.expect("op", ")")
+                aggregates.append(Aggregate(func, var, v[1:], agg_distinct))
+            else:
+                break
+        if not variables and not aggregates:
+            raise SparqlSyntaxError("SELECT needs variables or *")
+    p.eat_word("where")
+    patterns, filters, optionals, binds = p.parse_group()
+    group_by: list[str] = []
+    if p.eat_word("group"):
+        p.expect("word", "by")
+        while p.peek()[0] == "var":
+            group_by.append(p.next()[1][1:])
+        if not group_by:
+            raise SparqlSyntaxError("GROUP BY needs variables")
+    if aggregates and variables and not set(variables) <= set(group_by):
+        raise SparqlSyntaxError(
+            "projected plain variables must appear in GROUP BY"
+        )
+    having: list[HavingCond] = []
+    if p.eat_word("having"):
+        if not aggregates:
+            raise SparqlSyntaxError("HAVING requires aggregates")
+        p.expect("op", "(")
+        while True:
+            if p.peek()[0] == "var":
+                alias = p.next()[1][1:]
+                func = var = None
+            elif p.at_word("count", "sum", "min", "max", "avg"):
+                func = p.next()[1].lower()
+                p.expect("op", "(")
+                if p.peek() == ("op", "*"):
+                    p.next()
+                    var = None
+                else:
+                    t = p.parse_term()
+                    if not isinstance(t, Var):
+                        raise SparqlSyntaxError("HAVING aggregate needs a variable")
+                    var = t.name
+                p.expect("op", ")")
+                alias = None
+            else:
+                raise SparqlSyntaxError(
+                    f"HAVING expects ?alias or FUNC(?v), got {p.peek()[1]!r}"
+                )
+            k, op = p.next()
+            if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
+                raise SparqlSyntaxError(f"bad HAVING operator {op!r}")
+            nk, nv = p.next()
+            if nk != "number":
+                raise SparqlSyntaxError("HAVING compares against a number")
+            having.append(HavingCond(func, var, alias, op, float(nv)))
+            if p.peek() == ("op", "&&"):
+                p.next()
+                continue
+            break
+        p.expect("op", ")")
+    order, limit, offset = p.parse_modifiers()
+    return SelectQuery(
+        variables, distinct, patterns, filters, order, limit, optionals,
+        aggregates, group_by, having, offset, binds,
+    )
+
+
+
 def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
     p = _Parser(text)
     p.parse_prologue()
     if p.eat_word("select"):
-        distinct = p.eat_word("distinct")
-        p.eat_word("reduced")
-        variables: list[str] = []
-        aggregates: list[Aggregate] = []
-        if p.peek() == ("op", "*"):
-            p.next()
-        else:
-            _AGG_FUNCS = ("count", "sum", "min", "max", "avg", "sample")
-            while True:
-                if p.peek()[0] == "var":
-                    variables.append(p.next()[1][1:])
-                elif p.peek() == ("op", "(") and p.toks[p.i + 1][1].lower() in _AGG_FUNCS:
-                    p.next()  # (
-                    func = p.next()[1].lower()
-                    p.expect("op", "(")
-                    agg_distinct = p.eat_word("distinct")
-                    if func in ("min", "max", "sample"):
-                        agg_distinct = False  # DISTINCT is a no-op there
-                    if p.peek() == ("op", "*"):
-                        p.next()
-                        if func != "count":
-                            raise SparqlSyntaxError(f"{func.upper()}(*) not allowed")
-                        if agg_distinct:
-                            raise SparqlSyntaxError("COUNT(DISTINCT *) not supported")
-                        var = None
-                    else:
-                        t = p.parse_term()
-                        if not isinstance(t, Var):
-                            raise SparqlSyntaxError("aggregate needs a variable")
-                        var = t.name
-                    p.expect("op", ")")
-                    p.expect("word", "as")
-                    k, v = p.next()
-                    if k != "var":
-                        raise SparqlSyntaxError("AS needs a variable alias")
-                    p.expect("op", ")")
-                    aggregates.append(Aggregate(func, var, v[1:], agg_distinct))
-                else:
-                    break
-            if not variables and not aggregates:
-                raise SparqlSyntaxError("SELECT needs variables or *")
-        p.eat_word("where")
-        patterns, filters, optionals, binds = p.parse_group()
-        group_by: list[str] = []
-        if p.eat_word("group"):
-            p.expect("word", "by")
-            while p.peek()[0] == "var":
-                group_by.append(p.next()[1][1:])
-            if not group_by:
-                raise SparqlSyntaxError("GROUP BY needs variables")
-        if aggregates and variables and not set(variables) <= set(group_by):
-            raise SparqlSyntaxError(
-                "projected plain variables must appear in GROUP BY"
-            )
-        having: list[HavingCond] = []
-        if p.eat_word("having"):
-            if not aggregates:
-                raise SparqlSyntaxError("HAVING requires aggregates")
-            p.expect("op", "(")
-            while True:
-                if p.peek()[0] == "var":
-                    alias = p.next()[1][1:]
-                    func = var = None
-                elif p.at_word("count", "sum", "min", "max", "avg"):
-                    func = p.next()[1].lower()
-                    p.expect("op", "(")
-                    if p.peek() == ("op", "*"):
-                        p.next()
-                        var = None
-                    else:
-                        t = p.parse_term()
-                        if not isinstance(t, Var):
-                            raise SparqlSyntaxError("HAVING aggregate needs a variable")
-                        var = t.name
-                    p.expect("op", ")")
-                    alias = None
-                else:
-                    raise SparqlSyntaxError(
-                        f"HAVING expects ?alias or FUNC(?v), got {p.peek()[1]!r}"
-                    )
-                k, op = p.next()
-                if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
-                    raise SparqlSyntaxError(f"bad HAVING operator {op!r}")
-                nk, nv = p.next()
-                if nk != "number":
-                    raise SparqlSyntaxError("HAVING compares against a number")
-                having.append(HavingCond(func, var, alias, op, float(nv)))
-                if p.peek() == ("op", "&&"):
-                    p.next()
-                    continue
-                break
-            p.expect("op", ")")
-        order, limit, offset = p.parse_modifiers()
+        q = _parse_select(p)
         p.expect("eof")
-        return SelectQuery(
-            variables, distinct, patterns, filters, order, limit, optionals,
-            aggregates, group_by, having, offset, binds,
-        )
+        return q
     if p.eat_word("ask"):
         p.eat_word("where")
         patterns, filters, optionals, binds = p.parse_group()

@@ -1090,3 +1090,103 @@ def test_sum_distinct_global(ray_session):
     # distinct terms across all groups: 10, 30, 5 (the duplicate "10"
     # collapses globally)
     assert out["sv"].tolist() == [45.0]
+
+
+# -- subqueries ------------------------------------------------------------
+
+
+def test_parse_subselect():
+    from argo_ray.sparql.parser import SubSelect
+
+    q = parse_query(
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s ex:lang ?l .
+          {{ SELECT ?s WHERE {{ ?s a ex:Doc }} ORDER BY ?s LIMIT 1 }}
+        }}"""
+    )
+    subs = [p for p in q.patterns if isinstance(p, SubSelect)]
+    assert len(subs) == 1
+    inner = subs[0].query
+    assert inner.variables == ["s"] and inner.limit == 1
+    # aggregate subqueries are out of scope (explicit error, not wrong data)
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?n WHERE { { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } } }"
+        )
+    # a sliced subquery without ORDER BY would be nondeterministic
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?s WHERE { ?s ?p ?o . { SELECT ?s WHERE { ?s ?p2 ?o2 } LIMIT 3 } }"
+        )
+
+
+def test_subquery_slice_join(ray_session):
+    # inner: first Doc by IRI order; outer: attach its lang
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s ex:lang ?l .
+          {{ SELECT ?s WHERE {{ ?s a ex:Doc }} ORDER BY ?s LIMIT 1 }}
+        }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>", "l": '"en"'}]
+
+
+def test_subquery_projection_hides_inner_vars(ray_session):
+    # ?c is bound only inside the subquery; outer join is on ?s alone,
+    # and projecting ?c at the top level must fail loudly
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s ex:lang ?l .
+          {{ SELECT ?s WHERE {{ ?s ex:chars ?c . FILTER(?c > 100) }} }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>", "l": '"en"'}]
+
+
+def test_subquery_distinct(ray_session):
+    import ray.data
+
+    # duplicate triples: DISTINCT inside the subquery collapses them so
+    # the outer join does not multiply rows
+    trips = TRIPLES + [(IRI(EX + "d1"), IRI(RDF_TYPE), IRI(EX + "Doc"))]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s ex:lang ?l .
+          {{ SELECT DISTINCT ?s WHERE {{ ?s a ex:Doc }} }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "l": '"en"'},
+        {"s": f"<{EX}d2>", "l": '"de"'},
+    ]
+
+
+def test_subquery_offset_desc(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          {{ SELECT ?s WHERE {{ ?s ex:lang ?l }} ORDER BY DESC(?s) LIMIT 2 OFFSET 1 }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    # DESC order: d3 d2 d1 → offset 1 limit 2 → d2 d1
+    assert out == [{"s": f"<{EX}d1>"}, {"s": f"<{EX}d2>"}]
+
+
+def test_subquery_unbound_projection_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s WHERE {{
+              {{ SELECT ?s ?nope WHERE {{ ?s ex:lang ?l }} }}
+            }}""",
+        ).take_all()
