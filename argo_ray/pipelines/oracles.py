@@ -256,6 +256,14 @@ SELECT '<' || entity || '>' AS doc,
 FROM docs d
 JOIN (SELECT entity FROM docs WHERE n_chars >= 300
       ORDER BY '<' || entity || '>' LIMIT 100) s USING (entity)""",
+    # aggregate subquery: per-site doc counts join back onto every doc
+    # (the count surfaces as an xsd:integer literal term)
+    "sparql_agg_subquery_eval": EXP_CTE
+    + f"""SELECT '<' || d.entity || '>' AS doc, '<' || d.site || '>' AS site,
+       '"' || s.n || '"^^<{XSD_INT}>' AS n
+FROM docs d
+JOIN (SELECT site, COUNT(*) AS n FROM docs GROUP BY site) s USING (site)
+WHERE s.n >= 10""",
     "sparql_sum_distinct_eval": EXP_CTE
     + """SELECT '<' || site || '>' AS site,
        CAST(SUM(DISTINCT n_chars) AS DOUBLE) AS sum_c,

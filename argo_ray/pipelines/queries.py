@@ -716,6 +716,27 @@ def q_sparql_subquery_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_agg_subquery_eval(sf_dir: str):
+    """Aggregate subquery: the inner ``{ SELECT ?site (COUNT(*) AS ?n)
+    … GROUP BY ?site }`` computes per-site doc counts (partial-agg
+    combiner, one row per site), which join back onto every doc as
+    xsd:integer literal terms — the analytic "annotate each row with
+    its group's statistic" shape without a self-join of the full
+    bindings."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?doc ?site ?n WHERE {{
+      ?doc ex:site ?site .
+      {{ SELECT ?site (COUNT(*) AS ?n) WHERE {{ ?d ex:site ?site }}
+         GROUP BY ?site }}
+      FILTER(?n >= 10)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_sum_distinct_eval(sf_dir: str):
     """SUM/AVG(DISTINCT ?v) alongside a plain COUNT: distinctness over
     RDF terms per group via the distinct-pair shuffle, numeric
@@ -860,6 +881,7 @@ KG_QUERIES = {
     "sparql_alt_path_eval": q_sparql_alt_path_eval,
     "sparql_path_closure_eval": q_sparql_path_closure_eval,
     "sparql_subquery_eval": q_sparql_subquery_eval,
+    "sparql_agg_subquery_eval": q_sparql_agg_subquery_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

@@ -45,6 +45,7 @@ from ..terms import (
     TRIPLE_COLUMNS,
     Term,
     hash64,
+    nt_parse_term_arrays,
     nt_render_term_arrays,
     table_to_triples,
     triples_to_table,
@@ -660,11 +661,14 @@ def _subselect_bindings(ds, q):
     """``{ SELECT … }`` → (bindings, projected vars): evaluate the
     inner group, project the selected variables' term columns, then
     DISTINCT (over full term identity) and the ORDER BY-backed
-    LIMIT/OFFSET slice.  The result joins like any other part."""
+    LIMIT/OFFSET slice.  The result joins like any other part.
+    Aggregate subqueries route through ``_subselect_aggregate``."""
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
     bindings, bound = _finish_group(
         ds, bindings, bound, leftover, q.optionals, q.binds
     )
+    if q.aggregates:
+        return _subselect_aggregate(bindings, q, bound)
     variables = q.variables or sorted(v for v in bound if "$" not in v)
     missing = [v for v in variables if v not in bound]
     if missing:
@@ -703,6 +707,90 @@ def _subselect_bindings(ds, q):
             lambda b: b.select(cols), batch_format="pyarrow"
         )
     return out, set(variables)
+
+
+_XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _subselect_aggregate(bindings, q, bound: set):
+    """Aggregate subquery ``{ SELECT ?g (COUNT(*) AS ?n) … GROUP BY ?g }``
+    → (bindings, vars).  The group runs through the normal partial-agg
+    machinery, then the (one-row-per-group, small-by-design) output is
+    lifted back into term-binding columns so it joins like any group
+    element: group keys re-parse their canonical renderings
+    (``nt_parse_term_arrays``), COUNT becomes an xsd:integer literal,
+    SUM/MIN/MAX/AVG xsd:double literals with DuckDB-compatible
+    lexicals (integral values get a trailing ``.0``), SAMPLE re-parses
+    its rendered term."""
+    for v in list(q.group_by) + [a.var for a in q.aggregates if a.var]:
+        if v not in bound:
+            raise SparqlSyntaxError(f"unbound variable ?{v} in aggregate subquery")
+    cols = list(q.variables) + [a.alias for a in q.aggregates]
+    out = _aggregate_query(bindings, q, cols)
+    out = _apply_having(out, q)
+    if q.order_by:
+        for v, _ in q.order_by:
+            if v not in cols:
+                raise SparqlSyntaxError(f"subquery ORDER BY {v!r} not projected")
+        out = out.sort(
+            [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
+        )
+        out = _apply_slice(out, q.limit, q.offset)
+    func_by_alias = {a.alias: a.func for a in q.aggregates}
+
+    def ls(s):
+        return pa.scalar(s, pa.large_string())
+
+    def to_terms(batch: pa.Table) -> pa.Table:
+        res = {}
+        for name in cols:
+            col = batch[name]
+            func = func_by_alias.get(name)
+            if func is None or func == "sample":
+                # a rendered term (group key / SAMPLE); "" = unbound key
+                rendered = pc.cast(col, pa.large_string())
+                rendered = pc.if_else(
+                    pc.equal(pc.fill_null(rendered, ""), ls("")),
+                    pa.scalar(None, pa.large_string()),
+                    rendered,
+                )
+                parsed = nt_parse_term_arrays(rendered.combine_chunks())
+                for fld in ("kind", "value", "lang", "datatype"):
+                    res[f"{name}__{fld}"] = parsed[fld]
+                continue
+            if func == "count":
+                lex = pc.cast(col, pa.large_string())
+                dt = _XSD_INTEGER
+            else:
+                fcol = pc.cast(col, pa.float64())
+                ok = pc.and_(pc.is_valid(fcol), pc.invert(pc.is_nan(fcol)))
+                lex = pc.cast(fcol, pa.large_string())
+                # Arrow renders integral doubles bare ('3'); append '.0'
+                # for the DuckDB/Python canonical form ('3.0')
+                integral = pc.invert(
+                    pc.match_substring_regex(pc.fill_null(lex, ""), r"[.een]")
+                )
+                lex = pc.if_else(
+                    integral,
+                    pc.binary_join_element_wise(pc.fill_null(lex, ""), ls(".0"), ls("")),
+                    lex,
+                )
+                lex = pc.if_else(ok, lex, pa.scalar(None, pa.large_string()))
+                dt = _XSD_DOUBLE
+            okv = pc.is_valid(lex)
+            res[f"{name}__kind"] = pc.if_else(
+                okv, pa.scalar(KIND_LITERAL, pa.int64()), pa.scalar(None, pa.int64())
+            )
+            res[f"{name}__value"] = lex
+            res[f"{name}__lang"] = pc.if_else(
+                okv, ls(""), pa.scalar(None, pa.large_string())
+            )
+            res[f"{name}__datatype"] = pc.if_else(
+                okv, ls(dt), pa.scalar(None, pa.large_string())
+            )
+        return _norm_table(pa.table(res))
+
+    return out.map_batches(to_terms, batch_format="pyarrow"), set(cols)
 
 
 def _bgp(ds, patterns, filters=()):
@@ -1507,6 +1595,42 @@ def _distinct_count_agg(bindings, group_vars: list[str], agg):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _apply_having(out, q: SelectQuery):
+    """HAVING conjuncts over an aggregate output Dataset (columns =
+    group keys + aliases).  Each conjunct resolves to a SELECT
+    aggregate's alias, then filters vectorized per batch."""
+    if not q.having:
+        return out
+    _CMP = {
+        "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+        "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+    }
+    resolved = []
+    for h in q.having:
+        if h.alias is not None:
+            if h.alias not in [a.alias for a in q.aggregates]:
+                raise SparqlSyntaxError(
+                    f"HAVING alias ?{h.alias} is not a SELECT aggregate"
+                )
+            resolved.append((h.alias, h.op, h.value))
+        else:
+            match = [a for a in q.aggregates if a.func == h.func and a.var == h.var]
+            if not match:
+                raise SparqlSyntaxError(
+                    f"HAVING {h.func.upper()}(?{h.var}) has no matching SELECT aggregate"
+                )
+            resolved.append((match[0].alias, h.op, h.value))
+
+    def having_filter(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, op, value in resolved:
+            m = _CMP[op](pc.cast(batch[col], pa.float64()), value)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return out.map_batches(having_filter, batch_format="pyarrow")
+
+
 def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
     """Dispatch the aggregate clause: the plain partial-agg path, the
     distributed COUNT(DISTINCT) path, or (for a mix) both — merged on
@@ -1565,35 +1689,7 @@ def evaluate_select(ds, query: str | SelectQuery):
                 raise SparqlSyntaxError(f"unbound variable ?{v} in aggregate query")
         cols = list(q.variables) + [a.alias for a in q.aggregates]
         out = _aggregate_query(bindings, q, cols)
-        if q.having:
-            _CMP = {
-                "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-                "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
-            }
-            resolved = []
-            for h in q.having:
-                if h.alias is not None:
-                    if h.alias not in [a.alias for a in q.aggregates]:
-                        raise SparqlSyntaxError(
-                            f"HAVING alias ?{h.alias} is not a SELECT aggregate"
-                        )
-                    resolved.append((h.alias, h.op, h.value))
-                else:
-                    match = [a for a in q.aggregates if a.func == h.func and a.var == h.var]
-                    if not match:
-                        raise SparqlSyntaxError(
-                            f"HAVING {h.func.upper()}(?{h.var}) has no matching SELECT aggregate"
-                        )
-                    resolved.append((match[0].alias, h.op, h.value))
-
-            def having_filter(batch: pa.Table) -> pa.Table:
-                mask = None
-                for col, op, value in resolved:
-                    m = _CMP[op](pc.cast(batch[col], pa.float64()), value)
-                    mask = m if mask is None else pc.and_(mask, m)
-                return batch.filter(mask)
-
-            out = out.map_batches(having_filter, batch_format="pyarrow")
+        out = _apply_having(out, q)
         if q.order_by:
             for v, _ in q.order_by:
                 if v not in cols:

@@ -155,10 +155,10 @@ class BindBlock(NamedTuple):
 
 class SubSelect(NamedTuple):
     """``{ SELECT … }`` as a group element — the inner query's
-    projected variables join with the rest of the group.  Aggregate
-    subqueries are outside the subset (their outputs are rendered
-    numbers, not terms); DISTINCT / ORDER BY / LIMIT / OFFSET /
-    FILTER / OPTIONAL / BIND are supported inside."""
+    projected variables (including aggregate aliases, which surface as
+    typed literals) join with the rest of the group.  DISTINCT /
+    ORDER BY / LIMIT / OFFSET / FILTER / OPTIONAL / BIND / GROUP BY /
+    aggregates / HAVING are supported inside."""
 
     query: "SelectQuery"
 
@@ -764,10 +764,6 @@ class _Parser:
                 self.next()  # select
                 sub = _parse_select(self)
                 self.expect("op", "}")
-                if sub.aggregates:
-                    raise SparqlSyntaxError(
-                        "aggregate subqueries are not supported"
-                    )
                 if (sub.limit is not None or sub.offset) and not sub.order_by:
                     raise SparqlSyntaxError(
                         "LIMIT/OFFSET in a subquery needs ORDER BY "

@@ -251,6 +251,89 @@ def nt_render_lines(table: pa.Table) -> pa.Array:
     )
 
 
+_UNESCAPES = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+
+
+def unescape_literal(s: str) -> str:
+    """Single left-to-right pass inverting ``escape_literal`` — a
+    sequence of ``str.replace`` calls would mis-handle ``\\\\t``."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_UNESCAPES.get(s[i + 1], "\\" + s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_NT_LITERAL_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$'
+
+
+def nt_parse_term_arrays(arr: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Inverse of ``nt_render_term_arrays``: canonical N-Triples term
+    strings → ``{"kind", "value", "lang", "datatype"}`` arrays (kind
+    int64; strings large_string, lang/datatype ``""`` when absent —
+    the same convention the flattened triple store and binding columns
+    use; null input rows stay null throughout).
+
+    IRIs and blank labels render unescaped, so those are pure slices;
+    literal bodies escape only ``\\ \" \\n \\r \\t`` (term.go:95-99),
+    extracted with one vectorized regex — the per-row ``unescape``
+    fallback fires only for the rare backslash-bearing rows.  Sized for
+    aggregate outputs and result-set boundaries (one row per group /
+    binding), not the raw-triple hot path."""
+    import pandas as pd
+
+    s = pd.Series(
+        (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        .to_pandas()
+        .astype(object)
+    )
+    valid = s.notna()
+    sv = s.where(valid, "")
+    first = sv.str.slice(0, 1)
+    is_iri = valid & (first == "<")
+    is_blank = valid & (first == "_")
+    is_lit = valid & ~is_iri & ~is_blank
+    kind = np.where(is_iri, KIND_IRI, np.where(is_blank, KIND_BLANK, KIND_LITERAL))
+    value = pd.Series([None] * len(s), dtype=object)
+    lang = pd.Series([None] * len(s), dtype=object)
+    datatype = pd.Series([None] * len(s), dtype=object)
+    lang[valid] = ""
+    datatype[valid] = ""
+    value[is_iri] = sv[is_iri].str.slice(1, -1)
+    value[is_blank] = sv[is_blank].str.slice(2)
+    if is_lit.any():
+        parts = sv[is_lit].str.extract(_NT_LITERAL_RE)
+        bad = parts[0].isna()
+        if bad.any():
+            raise ValueError(
+                f"not a canonical N-Triples term: {sv[is_lit][bad].iloc[0]!r}"
+            )
+        lex = parts[0]
+        esc = lex.str.contains("\\", regex=False)
+        if esc.any():
+            lex = lex.mask(esc, lex[esc].map(unescape_literal))
+        value[is_lit] = lex
+        lang[is_lit] = parts[1].fillna("")
+        datatype[is_lit] = parts[2].fillna("")
+    mask = (~valid).to_numpy()
+    return {
+        "kind": pa.array(
+            np.ma.masked_array(kind.astype("int64"), mask=mask), pa.int64()
+        ),
+        "value": pa.array(value, pa.large_string()),
+        "lang": pa.array(lang, pa.large_string()),
+        "datatype": pa.array(datatype, pa.large_string()),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Hashing / partition keys
 # ---------------------------------------------------------------------------

@@ -119,9 +119,12 @@ def test_salting_wall_time_not_pathological(ray_session):
 
     tbl = _skewed_docs(n=3000, hot_frac=0.5)
     walls = {"salted": [], "serial": []}
-    for _ in range(2):  # interleaved best-of-2: VM noise protocol
+    for _ in range(3):  # interleaved best-of-3: VM noise protocol
         for name, shards in (("serial", 1), ("salted", 6)):
             t0 = time.time()
             charset_jaccard_pairs(rd.from_arrow(tbl), 1.0, shards=shards).count()
             walls[name].append(time.time() - t0)
-    assert min(walls["salted"]) <= 1.5 * min(walls["serial"]) + 0.5
+    # pathological-only bound: serialization into one block would be
+    # ~shards²× slower; 2× + 1 s rides out this VM's full-suite noise
+    # (the 1.5×+0.5 best-of-2 bound flapped under concurrent load)
+    assert min(walls["salted"]) <= 2.0 * min(walls["serial"]) + 1.0

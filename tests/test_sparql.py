@@ -1109,11 +1109,6 @@ def test_parse_subselect():
     assert len(subs) == 1
     inner = subs[0].query
     assert inner.variables == ["s"] and inner.limit == 1
-    # aggregate subqueries are out of scope (explicit error, not wrong data)
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "SELECT ?n WHERE { { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } } }"
-        )
     # a sliced subquery without ORDER BY would be nondeterministic
     with pytest.raises(SparqlSyntaxError):
         parse_query(
@@ -1188,5 +1183,65 @@ def test_subquery_unbound_projection_raises(ray_session):
             f"""PREFIX ex: <{EX}>
             SELECT ?s WHERE {{
               {{ SELECT ?s ?nope WHERE {{ ?s ex:lang ?l }} }}
+            }}""",
+        ).take_all()
+
+
+def test_subquery_aggregate_count_join(ray_session):
+    # inner: triples-per-subject; outer: attach lang, filter on the
+    # count literal (typed xsd:integer term)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l ?n WHERE {{
+          ?s ex:lang ?l .
+          {{ SELECT ?s (COUNT(*) AS ?n) WHERE {{ ?s ?p ?o }} GROUP BY ?s }}
+          FILTER(?n >= 3)
+        }} ORDER BY ?s""",
+    ).take_all()
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert out == [
+        {"s": f"<{EX}d1>", "l": '"en"', "n": f'"3"^^<{xsd_int}>'},
+        {"s": f"<{EX}d2>", "l": '"de"', "n": f'"3"^^<{xsd_int}>'},
+    ]
+
+
+def test_subquery_aggregate_avg_double(ray_session):
+    # AVG comes back as an xsd:double literal with a DuckDB-style
+    # lexical ('100.0', not '100')
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?a WHERE {{
+          {{ SELECT (AVG(?c) AS ?a) WHERE {{ ?s ex:chars ?c }} }}
+        }}""",
+    ).take_all()
+    xsd_dbl = "http://www.w3.org/2001/XMLSchema#double"
+    assert out == [{"a": f'"100.0"^^<{xsd_dbl}>'}]
+
+
+def test_subquery_aggregate_having_orderby(ray_session):
+    # HAVING inside the subquery + ORDER BY the alias + LIMIT
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?n WHERE {{
+          {{ SELECT ?s (COUNT(*) AS ?n) WHERE {{ ?s ?p ?o }} GROUP BY ?s
+             HAVING (COUNT(*) >= 1) ORDER BY DESC(?n) ?s LIMIT 2 }}
+        }}""",
+    ).take_all()
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert sorted(r["s"] for r in out) == [f"<{EX}d1>", f"<{EX}d2>"]
+    assert all(r["n"] == f'"3"^^<{xsd_int}>' for r in out)
+
+
+def test_subquery_aggregate_unbound_group_var_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s ?n WHERE {{
+              {{ SELECT ?s (COUNT(?zzz) AS ?n) WHERE {{ ?s ex:lang ?l }}
+                 GROUP BY ?s }}
             }}""",
         ).take_all()
