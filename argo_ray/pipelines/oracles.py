@@ -264,6 +264,12 @@ JOIN (SELECT entity FROM docs WHERE n_chars >= 300
 FROM docs d
 JOIN (SELECT site, COUNT(*) AS n FROM docs GROUP BY site) s USING (site)
 WHERE s.n >= 10""",
+    # GROUP_CONCAT order is the engine's documented ascending-lexical
+    # rule = string_agg(… ORDER BY lang)
+    "sparql_group_concat_eval": EXP_CTE
+    + """SELECT '<' || site || '>' AS site,
+       string_agg(lang, ',' ORDER BY lang) AS langs
+FROM (SELECT DISTINCT site, lang FROM docs) GROUP BY site""",
     "sparql_sum_distinct_eval": EXP_CTE
     + """SELECT '<' || site || '>' AS site,
        CAST(SUM(DISTINCT n_chars) AS DOUBLE) AS sum_c,

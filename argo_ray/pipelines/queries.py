@@ -737,6 +737,23 @@ def q_sparql_agg_subquery_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_group_concat_eval(sf_dir: str):
+    """GROUP_CONCAT(DISTINCT …) per site: the distinct (site, lang)
+    shuffle then one sort-by-group pass with per-group ordered joins —
+    concatenation order is this engine's documented ascending-lexical
+    rule, making the result (and its oracle) exact."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?site (GROUP_CONCAT(DISTINCT ?l; SEPARATOR=",") AS ?langs)
+    WHERE {{ ?d ex:site ?site . ?d dc:language ?l }}
+    GROUP BY ?site
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_sum_distinct_eval(sf_dir: str):
     """SUM/AVG(DISTINCT ?v) alongside a plain COUNT: distinctness over
     RDF terms per group via the distinct-pair shuffle, numeric
@@ -882,6 +899,7 @@ KG_QUERIES = {
     "sparql_path_closure_eval": q_sparql_path_closure_eval,
     "sparql_subquery_eval": q_sparql_subquery_eval,
     "sparql_agg_subquery_eval": q_sparql_agg_subquery_eval,
+    "sparql_group_concat_eval": q_sparql_group_concat_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

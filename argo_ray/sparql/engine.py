@@ -758,6 +758,23 @@ def _subselect_aggregate(bindings, q, bound: set):
                 for fld in ("kind", "value", "lang", "datatype"):
                     res[f"{name}__{fld}"] = parsed[fld]
                 continue
+            if func == "group_concat":
+                # plain (simple) literal per the spec
+                lex = pc.fill_null(pc.cast(col, pa.large_string()), "")
+                okv = pc.is_valid(lex)
+                res[f"{name}__kind"] = pc.if_else(
+                    okv,
+                    pa.scalar(KIND_LITERAL, pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                )
+                res[f"{name}__value"] = lex
+                res[f"{name}__lang"] = pc.if_else(
+                    okv, ls(""), pa.scalar(None, pa.large_string())
+                )
+                res[f"{name}__datatype"] = pc.if_else(
+                    okv, ls(""), pa.scalar(None, pa.large_string())
+                )
+                continue
             if func == "count":
                 lex = pc.cast(col, pa.large_string())
                 dt = _XSD_INTEGER
@@ -1595,6 +1612,65 @@ def _distinct_count_agg(bindings, group_vars: list[str], agg):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _group_concat_agg(bindings, group_vars: list[str], agg):
+    """``GROUP_CONCAT([DISTINCT] ?v; SEPARATOR=s)`` per group.  SPARQL
+    leaves concatenation order unspecified; this engine defines it as
+    ascending lexical-form order (deterministic, and exactly DuckDB's
+    ``string_agg(v, s ORDER BY v)``), concatenating the lexical form
+    (``value`` column — STR semantics) of bound values.
+
+    Scale shape: render keys + lexical, optional distinct shuffle, then
+    ONE sort by the group keys (the sorted-colocation contract,
+    grouping.py, puts every group wholly in one block — sorting by
+    (group, value) instead could split a group at a block boundary)
+    and a per-block pandas groupby whose agg sorts-then-joins each
+    group's values.  Groups whose values are all unbound concatenate
+    to ``""``.  With no GROUP BY the output is a single row whose
+    length is the whole column — inherently driver-sized; the
+    per-group form is the scale path."""
+    import ray.data
+
+    var = agg.var
+    sep = agg.separator
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for gv in group_vars:
+            cols[gv] = pc.fill_null(
+                nt_render_term_arrays(
+                    batch[f"{gv}__kind"], batch[f"{gv}__value"],
+                    batch[f"{gv}__lang"], batch[f"{gv}__datatype"],
+                ),
+                "",
+            )
+        cols["_v"] = pc.cast(batch[f"{var}__value"], pa.large_string())
+        return pa.table(cols)
+
+    ds2 = bindings.map_batches(prep, batch_format="pyarrow")
+    if agg.distinct:
+        ds2 = _distinct(ds2, list(group_vars) + ["_v"])
+    if not group_vars:
+        vals = ds2.sort("_v").to_pandas()["_v"].dropna()
+        return ray.data.from_arrow(
+            pa.table({agg.alias: pa.array([sep.join(vals)], pa.large_string())})
+        )
+
+    def concat_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({gv: [] for gv in group_vars} | {agg.alias: []})
+        out = (
+            df.groupby(group_vars, sort=False, dropna=False, observed=True)["_v"]
+            .agg(lambda s: sep.join(s.dropna().sort_values()))
+            .reset_index()
+            .rename(columns={"_v": agg.alias})
+        )
+        return out
+
+    return ds2.sort(group_vars if len(group_vars) > 1 else group_vars[0]).map_batches(
+        concat_block, batch_format="pandas", batch_size=None
+    )
+
+
 def _apply_having(out, q: SelectQuery):
     """HAVING conjuncts over an aggregate output Dataset (columns =
     group keys + aliases).  Each conjunct resolves to a SELECT
@@ -1605,12 +1681,19 @@ def _apply_having(out, q: SelectQuery):
         "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
         "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
     }
+    concat_aliases = {
+        a.alias for a in q.aggregates if a.func == "group_concat"
+    }
     resolved = []
     for h in q.having:
         if h.alias is not None:
             if h.alias not in [a.alias for a in q.aggregates]:
                 raise SparqlSyntaxError(
                     f"HAVING alias ?{h.alias} is not a SELECT aggregate"
+                )
+            if h.alias in concat_aliases:
+                raise SparqlSyntaxError(
+                    "HAVING cannot compare a GROUP_CONCAT numerically"
                 )
             resolved.append((h.alias, h.op, h.value))
         else:
@@ -1637,17 +1720,28 @@ def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
     the group keys driver-side, which is safe because aggregate OUTPUT
     is one row per group (the small end of the pipeline by design)."""
     group_vars = list(q.group_by)
-    plain = [a for a in q.aggregates if not a.distinct]
-    distinct_aggs = [a for a in q.aggregates if a.distinct]
-    if not distinct_aggs:
+    concat = [a for a in q.aggregates if a.func == "group_concat"]
+    plain = [
+        a for a in q.aggregates
+        if not a.distinct and a.func != "group_concat"
+    ]
+    distinct_aggs = [
+        a for a in q.aggregates if a.distinct and a.func != "group_concat"
+    ]
+    if not distinct_aggs and not concat:
         return _aggregate_bindings(bindings, group_vars, plain, project=cols)
-    if not plain and len(distinct_aggs) == 1:
+    if not plain and not concat and len(distinct_aggs) == 1:
         out = _distinct_count_agg(bindings, group_vars, distinct_aggs[0])
         return out.map_batches(
             lambda b: b.select(cols), batch_format="pyarrow"
         )
-    # mixed plain + distinct aggregates: merge the (small) per-group
-    # outputs driver-side
+    if not plain and not distinct_aggs and len(concat) == 1:
+        out = _group_concat_agg(bindings, group_vars, concat[0])
+        return out.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        )
+    # mixed aggregate classes: merge the (small) per-group outputs
+    # driver-side
     import ray.data
 
     pieces = []
@@ -1660,6 +1754,8 @@ def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
         )
     for a in distinct_aggs:
         pieces.append(_distinct_count_agg(bindings, group_vars, a).to_pandas())
+    for a in concat:
+        pieces.append(_group_concat_agg(bindings, group_vars, a).to_pandas())
     merged = pieces[0]
     for piece in pieces[1:]:
         if group_vars:
@@ -1669,6 +1765,8 @@ def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
     for a in distinct_aggs:  # groups whose values were all unbound
         if a.func == "count":
             merged[a.alias] = merged[a.alias].fillna(0).astype("int64")
+    for a in concat:
+        merged[a.alias] = merged[a.alias].fillna("")
     return ray.data.from_pandas(merged[cols])
 
 

@@ -209,13 +209,15 @@ class OptionalBlock(NamedTuple):
 class Aggregate(NamedTuple):
     """``(FUNC([DISTINCT] ?v) AS ?alias)`` in a SELECT clause.
     DISTINCT is meaningful for COUNT/SUM/AVG (distinct RDF terms of
-    ?v per group); for MIN/MAX/SAMPLE it is a semantic no-op and the
-    parser drops it."""
+    ?v per group) and GROUP_CONCAT (distinct lexical forms); for
+    MIN/MAX/SAMPLE it is a semantic no-op and the parser drops it.
+    ``separator`` applies to GROUP_CONCAT only (spec default: space)."""
 
-    func: str  # count | sum | min | max | avg | sample
+    func: str  # count | sum | min | max | avg | sample | group_concat
     var: str | None  # None = COUNT(*)
     alias: str
     distinct: bool = False
+    separator: str = " "
 
 
 class HavingCond(NamedTuple):
@@ -835,7 +837,9 @@ def _parse_select(p: _Parser) -> SelectQuery:
     if p.peek() == ("op", "*"):
         p.next()
     else:
-        _AGG_FUNCS = ("count", "sum", "min", "max", "avg", "sample")
+        _AGG_FUNCS = (
+            "count", "sum", "min", "max", "avg", "sample", "group_concat",
+        )
         while True:
             if p.peek()[0] == "var":
                 variables.append(p.next()[1][1:])
@@ -858,13 +862,24 @@ def _parse_select(p: _Parser) -> SelectQuery:
                     if not isinstance(t, Var):
                         raise SparqlSyntaxError("aggregate needs a variable")
                     var = t.name
+                separator = " "  # GROUP_CONCAT spec default
+                if func == "group_concat" and p.peek() == ("op", ";"):
+                    p.next()
+                    p.expect("word", "separator")
+                    p.expect("op", "=")
+                    sk, svv = p.next()
+                    if sk != "string":
+                        raise SparqlSyntaxError("SEPARATOR needs a string")
+                    separator = _unescape(svv[1:-1])
                 p.expect("op", ")")
                 p.expect("word", "as")
                 k, v = p.next()
                 if k != "var":
                     raise SparqlSyntaxError("AS needs a variable alias")
                 p.expect("op", ")")
-                aggregates.append(Aggregate(func, var, v[1:], agg_distinct))
+                aggregates.append(
+                    Aggregate(func, var, v[1:], agg_distinct, separator)
+                )
             else:
                 break
         if not variables and not aggregates:

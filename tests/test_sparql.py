@@ -85,8 +85,6 @@ def test_parse_rejects_unsupported():
         parse_query(
             'SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o = 1, "a", "b") AS ?x) }'
         )
-    with pytest.raises(SparqlSyntaxError):  # GROUP_CONCAT not implemented
-        parse_query("SELECT (GROUP_CONCAT(?o) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlSyntaxError):  # empty IN list
         parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (?o IN ()) }")
     with pytest.raises(SparqlSyntaxError):
@@ -1244,4 +1242,95 @@ def test_subquery_aggregate_unbound_group_var_raises(ray_session):
               {{ SELECT ?s (COUNT(?zzz) AS ?n) WHERE {{ ?s ex:lang ?l }}
                  GROUP BY ?s }}
             }}""",
+        ).take_all()
+
+
+# -- GROUP_CONCAT ----------------------------------------------------------
+
+
+def test_group_concat_parse():
+    q = parse_query(
+        'SELECT ?s (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=", ") AS ?os) '
+        "WHERE { ?s ?p ?o } GROUP BY ?s"
+    )
+    (a,) = q.aggregates
+    assert a.func == "group_concat" and a.distinct and a.separator == ", "
+    q2 = parse_query("SELECT (GROUP_CONCAT(?o) AS ?os) WHERE { ?s ?p ?o }")
+    assert q2.aggregates[0].separator == " "  # spec default
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT (GROUP_CONCAT(*) AS ?x) WHERE { ?s ?p ?o }")
+
+
+def test_group_concat_per_group(ray_session):
+    # per-subject lexical forms, ascending order, custom separator
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?vals)
+        WHERE {{ ?s ex:lang ?o }} GROUP BY ?s ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "vals": "en"},
+        {"s": f"<{EX}d2>", "vals": "de"},
+        {"s": f"<{EX}d3>", "vals": "Guten Tag"},
+    ]
+
+
+def test_group_concat_global_and_distinct(ray_session):
+    import ray.data
+
+    trips = TRIPLES + [(IRI(EX + "d9"), IRI(EX + "lang"), Literal("de"))]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=",") AS ?langs)
+        WHERE {{ ?s ex:lang ?o . FILTER(STRLEN(?o) = 2) }}""",
+    ).take_all()
+    assert out == [{"langs": "de,en"}]  # duplicate "de" collapsed, sorted
+    # without DISTINCT the duplicate survives
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT (GROUP_CONCAT(?o; SEPARATOR=",") AS ?langs)
+        WHERE {{ ?s ex:lang ?o . FILTER(STRLEN(?o) = 2) }}""",
+    ).take_all()
+    assert out == [{"langs": "de,de,en"}]
+
+
+def test_group_concat_mixed_with_count(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (COUNT(?o) AS ?n) (GROUP_CONCAT(?o; SEPARATOR=";") AS ?vals)
+        WHERE {{ ?s ex:lang ?o }} GROUP BY ?s ORDER BY ?s""",
+    ).to_pandas()
+    assert out["n"].tolist() == [1, 1, 1]
+    assert out["vals"].tolist() == ["en", "de", "Guten Tag"]
+
+
+def test_group_concat_in_subquery(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?vals WHERE {{
+          ?s a ex:Doc .
+          {{ SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?vals)
+             WHERE {{ ?s ex:lang ?o }} GROUP BY ?s }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    # plain-literal terms
+    assert out == [
+        {"s": f"<{EX}d1>", "vals": '"en"'},
+        {"s": f"<{EX}d2>", "vals": '"de"'},
+    ]
+
+
+def test_group_concat_having_rejected(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s (GROUP_CONCAT(?o) AS ?vals)
+            WHERE {{ ?s ex:lang ?o }} GROUP BY ?s HAVING (?vals > 1)""",
         ).take_all()
