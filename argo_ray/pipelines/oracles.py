@@ -248,6 +248,16 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    # cites? from the hub: zero-length (hub itself) + cited docs
+    "sparql_path_zero_or_one_eval": EXP_CTE
+    + f"""SELECT '<{HUB}>' AS v
+UNION ALL
+SELECT DISTINCT '<' || entity || '>' AS v FROM docs""",
+    # !(type|site|chars) about each doc = its language + lang-tagged title
+    "sparql_neg_path_eval": EXP_CTE
+    + """SELECT '<' || entity || '>' AS d, '"' || lang || '"' AS o FROM docs
+UNION ALL
+SELECT '<' || entity || '>' AS d, '"' || title || '"@' || lang AS o FROM docs""",
     # subquery slice: first 100 docs with chars >= 300 by *rendered*
     # IRI ordering (the closing '>' matters: '<…doc/274>' sorts before
     # '<…doc/27>' because '4' < '>'), joined to their site

@@ -699,6 +699,36 @@ def q_sparql_path_closure_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_path_zero_or_one_eval(sf_dir: str):
+    """``ex:cites?`` from the hub: the zero-length solution (the hub
+    itself) plus every cited doc — one edge scan, no fixpoint."""
+    from ..pages import HUB_IRI
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?v WHERE {{ <{HUB_IRI}> ex:cites? ?v }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_neg_path_eval(sf_dir: str):
+    """Negated property set: everything asserted about each doc except
+    its type / site / chars — langs and titles survive the inverted
+    predicate mask (still ONE scan)."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?d ?o WHERE {{
+      ?d ex:site ?site .
+      ?d !(rdf:type|ex:site|ex:chars) ?o
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_subquery_eval(sf_dir: str):
     """Subquery join: the inner ``{ SELECT … ORDER BY … LIMIT … }``
     picks the first 100 large documents (deterministic slice), the
@@ -900,6 +930,8 @@ KG_QUERIES = {
     "sparql_subquery_eval": q_sparql_subquery_eval,
     "sparql_agg_subquery_eval": q_sparql_agg_subquery_eval,
     "sparql_group_concat_eval": q_sparql_group_concat_eval,
+    "sparql_path_zero_or_one_eval": q_sparql_path_zero_or_one_eval,
+    "sparql_neg_path_eval": q_sparql_neg_path_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

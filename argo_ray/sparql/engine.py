@@ -52,6 +52,7 @@ from ..terms import (
 )
 from .parser import (
     AltPath,
+    NegPath,
     AskQuery,
     BindBlock,
     Bound,
@@ -113,6 +114,7 @@ def _pattern_bindings(ds, pattern, witness: str = "_match"):
         (pos, t) for pos, t in zip(_POS, pattern) if isinstance(t, Term)
     ]
     alt_preds = pattern[1].preds if isinstance(pattern[1], AltPath) else None
+    neg_preds = pattern[1].preds if isinstance(pattern[1], NegPath) else None
     var_pos: dict[str, list[str]] = {}
     for pos, t in zip(_POS, pattern):
         if isinstance(t, Var):
@@ -129,6 +131,13 @@ def _pattern_bindings(ds, pattern, witness: str = "_match"):
                 m = term_predicate(batch, "pred", term)
                 am = m if am is None else pc.or_(am, m)
             mask = am if mask is None else pc.and_(mask, am)
+        if neg_preds is not None:
+            nm = None
+            for term in neg_preds:
+                m = term_predicate(batch, "pred", term)
+                nm = m if nm is None else pc.or_(nm, m)
+            nm = pc.invert(nm)
+            mask = nm if mask is None else pc.and_(mask, nm)
         for positions in var_pos.values():
             for extra in positions[1:]:
                 for f in _FIELDS:
@@ -397,6 +406,96 @@ def _rename_binding(ds, mapping: dict):
 TRANSITIVE_MAX_HOPS = 64
 
 
+def _term_row(var: str, t: Term):
+    """One-row bindings table: ``var`` bound to the constant term
+    (the zero-length-path solution for a constant end)."""
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                f"{var}__kind": pa.array([t.kind], pa.int64()),
+                f"{var}__value": pa.array([t.value], pa.large_string()),
+                f"{var}__lang": pa.array([t.lang], pa.large_string()),
+                f"{var}__datatype": pa.array([t.datatype], pa.large_string()),
+            }
+        )
+    )
+
+
+def _graph_nodes(ds, var: str):
+    """Every term in subject or object position of any triple — the
+    SPARQL 1.1 'nodes of G' the zero-length path ranges over when both
+    ends are variables.  One streaming scan + distinct."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        tables = []
+        for pos in ("subj", "obj"):
+            tables.append(
+                pa.table(
+                    {
+                        f"{var}__kind": pc.cast(batch[f"{pos}_kind"], pa.int64()),
+                        f"{var}__value": pc.cast(
+                            batch[f"{pos}_value"], pa.large_string()
+                        ),
+                        f"{var}__lang": pc.cast(
+                            batch[f"{pos}_lang"], pa.large_string()
+                        ),
+                        f"{var}__datatype": pc.cast(
+                            batch[f"{pos}_datatype"], pa.large_string()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return _distinct(
+        ds.map_batches(project, batch_format="pyarrow"), _var_cols(var)
+    )
+
+
+def _zero_or_one_bindings(ds, pattern, witness: str = "_match"):
+    """``subj p? obj`` (ZeroOrOnePath, set semantics): the one-hop
+    matches unioned with the zero-length solutions — a constant end
+    matches itself; with both ends variable every graph node matches
+    itself.  One edge scan + (at most) one node scan, distinct over
+    the bound columns; no fixpoint."""
+    import ray.data
+
+    subj, tp, obj = pattern
+    one, vs = _pattern_bindings(ds, (subj, tp.pred, obj), witness=witness)
+    one = one.map_batches(_norm_table, batch_format="pyarrow")
+    if isinstance(subj, Term) and isinstance(obj, Term):
+        if subj != obj:
+            return one.limit(1), set()
+        return (
+            ray.data.from_arrow(pa.table({witness: pa.array([1], pa.int64())})),
+            set(),
+        )
+    if isinstance(subj, Term):  # obj is a Var
+        out = _distinct(one.union(_term_row(obj.name, subj)), _var_cols(obj.name))
+        return out, vs
+    if isinstance(obj, Term):  # subj is a Var
+        out = _distinct(one.union(_term_row(subj.name, obj)), _var_cols(subj.name))
+        return out, vs
+    if subj.name == obj.name:
+        # ?x p? ?x — zero-length covers every node; self-loops add nothing
+        return _graph_nodes(ds, subj.name), {subj.name}
+    nodes = _graph_nodes(ds, subj.name)
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names}
+        for f in _FIELDS:
+            cols[f"{obj.name}__{f}"] = batch[f"{subj.name}__{f}"]
+        return pa.table(cols)
+
+    zero = nodes.map_batches(self_pairs, batch_format="pyarrow")
+    out = _distinct(
+        one.union(zero), _var_cols(subj.name) + _var_cols(obj.name)
+    )
+    return out, {subj.name, obj.name}
+
+
 def _transitive_bindings(ds, pattern, witness: str = "_match"):
     """``subj p+ obj`` → (bindings, bound vars): one-or-more-hop
     reachability along ``p``, set semantics (SPARQL ArbitraryLengthPath).
@@ -418,50 +517,6 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
 
     def norm(d):
         return d.map_batches(_norm_table, batch_format="pyarrow")
-
-    def _term_row(var: str, t: Term):
-        """One-row bindings table: ``var`` bound to the constant term
-        (the zero-length-path solution for a constant end)."""
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    f"{var}__kind": pa.array([t.kind], pa.int64()),
-                    f"{var}__value": pa.array([t.value], pa.large_string()),
-                    f"{var}__lang": pa.array([t.lang], pa.large_string()),
-                    f"{var}__datatype": pa.array([t.datatype], pa.large_string()),
-                }
-            )
-        )
-
-    def _graph_nodes():
-        """Every term in subject or object position of any triple —
-        the SPARQL 1.1 'nodes of G' the zero-length path ranges over
-        when both ends are variables.  One streaming scan + distinct."""
-
-        def project(batch: pa.Table) -> pa.Table:
-            tables = []
-            for pos in ("subj", "obj"):
-                tables.append(
-                    pa.table(
-                        {
-                            f"{S}__kind": pc.cast(batch[f"{pos}_kind"], pa.int64()),
-                            f"{S}__value": pc.cast(
-                                batch[f"{pos}_value"], pa.large_string()
-                            ),
-                            f"{S}__lang": pc.cast(
-                                batch[f"{pos}_lang"], pa.large_string()
-                            ),
-                            f"{S}__datatype": pc.cast(
-                                batch[f"{pos}_datatype"], pa.large_string()
-                            ),
-                        }
-                    )
-                )
-            return pa.concat_tables(tables)
-
-        return _distinct(
-            ds.map_batches(project, batch_format="pyarrow"), _var_cols(S)
-        )
 
     edges, _ = _pattern_bindings(ds, (Var(S), pred, Var(O)))
     edges = _distinct(norm(edges), _var_cols(S) + _var_cols(O)).materialize()
@@ -579,7 +634,7 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
     if subj.name == obj.name:
         if tp.zero:  # ?x p* ?x — every node reaches itself
             return (
-                _rename_binding(_graph_nodes(), {S: subj.name}),
+                _rename_binding(_graph_nodes(ds, S), {S: subj.name}),
                 {subj.name},
             )
 
@@ -607,7 +662,7 @@ def _transitive_bindings(ds, pattern, witness: str = "_match"):
                 cols[f"{O}__{f}"] = batch[f"{S}__{f}"]
             return pa.table(cols)
 
-        self_pairs = _graph_nodes().map_batches(
+        self_pairs = _graph_nodes(ds, S).map_batches(
             self_pair, batch_format="pyarrow"
         )
         all_pairs = _distinct(all_pairs.union(self_pairs), pair_cols)
@@ -832,6 +887,8 @@ def _bgp(ds, patterns, filters=()):
             b, vs = _subselect_bindings(ds, pattern.query)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
+        elif isinstance(pattern[1], TransPath) and pattern[1].max_one:
+            b, vs = _zero_or_one_bindings(ds, pattern, witness=f"_match{pat_i}")
         elif isinstance(pattern[1], TransPath):
             b, vs = _transitive_bindings(ds, pattern, witness=f"_match{pat_i}")
         else:

@@ -172,15 +172,26 @@ class AltPath(NamedTuple):
 
 
 class TransPath(NamedTuple):
-    """``p+`` / ``p*`` in the predicate slot — one-or-more (or, with
-    ``zero``, zero-or-more) hops along ``pred`` (set semantics per
-    SPARQL 1.1 ArbitraryLengthPath / ZeroOrMorePath).  The zero-length
-    path matches a constant end to itself, and with both ends variable
-    matches every node of the graph (any term in subject or object
-    position) to itself."""
+    """``p+`` / ``p*`` / ``p?`` in the predicate slot — one-or-more
+    (with ``zero``: zero-or-more; with ``max_one``: zero-or-one) hops
+    along ``pred`` (set semantics per SPARQL 1.1 ArbitraryLengthPath /
+    ZeroOrMorePath / ZeroOrOnePath).  The zero-length path matches a
+    constant end to itself, and with both ends variable matches every
+    node of the graph (any term in subject or object position) to
+    itself."""
 
     pred: Term
     zero: bool = False
+    max_one: bool = False
+
+
+class NegPath(NamedTuple):
+    """``!p`` / ``!(p1|p2|…)`` in the predicate slot — any predicate
+    NOT in the set (SPARQL 1.1 NegatedPropertySet, forward IRIs only —
+    no ``^`` members).  One scan with an inverted OR-of-term-predicates
+    mask."""
+
+    preds: list  # list[Term]
 
 
 class UnionBlock(NamedTuple):
@@ -288,7 +299,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^|+-])
+    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^|+?-])
     """,
     re.VERBOSE,
 )
@@ -426,6 +437,29 @@ class _Parser:
                     inv = self.peek() == ("op", "^")
                     if inv:
                         self.next()
+                    if self.peek() == ("op", "!"):
+                        # negated property set: !p or !(p1|p2|…)
+                        if inv:
+                            raise SparqlSyntaxError(
+                                "'^' inside a negated property set not supported"
+                            )
+                        self.next()
+                        if self.peek() == ("op", "("):
+                            self.next()
+                            npreds = [self.parse_term(allow_var, verb=True)]
+                            while self.peek() == ("op", "|"):
+                                self.next()
+                                npreds.append(
+                                    self.parse_term(allow_var, verb=True)
+                                )
+                            self.expect("op", ")")
+                        else:
+                            npreds = [self.parse_term(allow_var, verb=True)]
+                        if not all(isinstance(p, Term) for p in npreds):
+                            raise SparqlSyntaxError(
+                                "negated property set members must be IRIs"
+                            )
+                        return (NegPath(npreds), False)
                     pred = self.parse_term(allow_var, verb=True)
                     if self.peek() == ("op", "|"):
                         # alternatives: p1|p2|… (constant IRIs only)
@@ -442,13 +476,15 @@ class _Parser:
                                 "path alternatives must be IRIs"
                             )
                         pred = AltPath(preds)
-                    if self.peek() in (("op", "+"), ("op", "*")):
+                    if self.peek() in (("op", "+"), ("op", "*"), ("op", "?")):
                         _, mark = self.next()
                         if inv or not isinstance(pred, Term):
                             raise SparqlSyntaxError(
                                 f"{mark!r} applies to a single forward IRI step"
                             )
-                        pred = TransPath(pred, zero=(mark == "*"))
+                        pred = TransPath(
+                            pred, zero=(mark == "*"), max_one=(mark == "?")
+                        )
                     return (pred, inv)
 
                 path = [step()]
@@ -458,7 +494,7 @@ class _Parser:
                 if not allow_var and (
                     len(path) > 1
                     or path[0][1]
-                    or isinstance(path[0][0], (AltPath, TransPath))
+                    or isinstance(path[0][0], (AltPath, TransPath, NegPath))
                 ):
                     raise SparqlSyntaxError("property paths not allowed in data blocks")
                 while True:

@@ -1334,3 +1334,61 @@ def test_group_concat_having_rejected(ray_session):
             SELECT ?s (GROUP_CONCAT(?o) AS ?vals)
             WHERE {{ ?s ex:lang ?o }} GROUP BY ?s HAVING (?vals > 1)""",
         ).take_all()
+
+
+# -- p? and negated property sets ------------------------------------------
+
+
+def test_zero_or_one_path(ray_session):
+    # d1 ex:lang? ?v: zero-length (d1 itself) plus the one-hop "en"
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?v WHERE {{ ex:d1 ex:lang? ?v }} ORDER BY ?v""",
+    ).take_all()
+    assert [r["v"] for r in out] == ['"en"', f"<{EX}d1>"]
+
+
+def test_zero_or_one_path_both_vars(ray_session):
+    import ray.data
+
+    tr = [
+        (IRI(EX + "a"), IRI(EX + "p"), IRI(EX + "b")),
+        (IRI(EX + "b"), IRI(EX + "q"), IRI(EX + "c")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(tr, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"PREFIX ex: <{EX}> SELECT ?x ?y WHERE {{ ?x ex:p? ?y }} ORDER BY ?x ?y",
+    ).take_all()
+    # every graph node (subject/object positions only — predicates are
+    # not nodes of G) matches itself, plus the one p-edge a→b
+    pairs = [(r["x"], r["y"]) for r in out]
+    a, b, c = f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"
+    assert sorted(pairs) == sorted([(a, a), (b, b), (c, c), (a, b)])
+
+def test_zero_or_one_path_const_ends(ray_session):
+    assert evaluate_ask(_ds(), f"PREFIX ex: <{EX}> ASK {{ ex:d1 ex:lang? ex:d1 }}")
+    assert not evaluate_ask(_ds(), f"PREFIX ex: <{EX}> ASK {{ ex:d1 ex:lang? ex:d2 }}")
+    assert evaluate_ask(_ds(), f'PREFIX ex: <{EX}> ASK {{ ex:d1 ex:lang? "en" }}')
+
+
+def test_negated_property_set(ray_session):
+    # everything about d1 except its type: lang + chars
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?o WHERE {{ ex:d1 !rdf:type ?o }} ORDER BY ?o""",
+    ).take_all()
+    assert [r["o"] for r in out] == [f'"120"^^<{XSD_INT}>', '"en"']
+    # negated set with two members
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?o WHERE {{ ex:d1 !(rdf:type|ex:chars) ?o }}""",
+    ).take_all()
+    assert [r["o"] for r in out] == ['"en"']
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(f"PREFIX ex: <{EX}> SELECT ?o WHERE {{ ex:d1 !(^ex:p) ?o }}")
