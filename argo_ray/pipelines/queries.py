@@ -699,6 +699,21 @@ def q_sparql_path_closure_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_if_eval(sf_dir: str):
+    """BIND(IF(…)) — vectorized conditional: one comparison kernel +
+    one if_else per batch, no exchange."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?doc ?size WHERE {{
+      ?doc ex:chars ?c .
+      BIND(IF(?c >= 300, "long", "short") AS ?size)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_path_zero_or_one_eval(sf_dir: str):
     """``ex:cites?`` from the hub: the zero-length solution (the hub
     itself) plus every cited doc — one edge scan, no fixpoint."""
@@ -932,6 +947,7 @@ KG_QUERIES = {
     "sparql_group_concat_eval": q_sparql_group_concat_eval,
     "sparql_path_zero_or_one_eval": q_sparql_path_zero_or_one_eval,
     "sparql_neg_path_eval": q_sparql_neg_path_eval,
+    "sparql_if_eval": q_sparql_if_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

@@ -60,6 +60,7 @@ from .parser import (
     EArith,
     EConst,
     EFunc,
+    EIf,
     EVar,
     ConstructQuery,
     DescribeQuery,
@@ -999,6 +1000,11 @@ def _expr_vars(e) -> set[str]:
         return set()
     if isinstance(e, EArith):
         return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, EIf):
+        return (
+            _expr_vars(e.cleft) | _expr_vars(e.cright)
+            | _expr_vars(e.then) | _expr_vars(e.other)
+        )
     return set().union(set(), *(_expr_vars(a) for a in e.args))
 
 
@@ -1010,7 +1016,44 @@ def _expr_type(e) -> str:
         return "term"
     if isinstance(e, EArith):
         return "num"
+    if isinstance(e, EIf):
+        # numeric only when BOTH branches are numeric (an integer
+        # constant counts); otherwise the branches coerce to lexical
+        # forms and the result is a plain literal
+        def numeric(b) -> bool:
+            if isinstance(b, EConst):
+                t = b.term
+                if t.kind != KIND_LITERAL or t.lang:
+                    return False
+                try:
+                    int(t.value)
+                except ValueError:
+                    return False
+                return True
+            return _expr_type(b) == "num"
+
+        return "num" if numeric(e.then) and numeric(e.other) else "str"
     return "num" if e.func == "strlen" else "str"
+
+
+_CMP_KERNELS = {
+    "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _eval_cond(batch: pa.Table, e: "EIf"):
+    """IF condition → nullable boolean array (null = condition error,
+    which leaves the IF result unbound).  Numeric comparison when both
+    sides evaluate numerically; otherwise string comparison over
+    lexical forms."""
+    try:
+        lnum, rnum = _eval_num(batch, e.cleft), _eval_num(batch, e.cright)
+        return _CMP_KERNELS[e.op](pa.array(lnum), pa.array(rnum))
+    except SparqlSyntaxError:
+        return _CMP_KERNELS[e.op](
+            _eval_str(batch, e.cleft), _eval_str(batch, e.cright)
+        )
 
 
 def _eval_num(batch: pa.Table, e) -> pd.Series:
@@ -1047,6 +1090,14 @@ def _eval_num(batch: pa.Table, e) -> pd.Series:
     if isinstance(e, EFunc) and e.func == "strlen":
         lens = pc.utf8_length(_eval_str(batch, e.args[0]))
         return pd.Series(lens.to_pylist(), dtype="Int64")
+    if isinstance(e, EIf) and _expr_type(e) == "num":
+        cond = pd.Series(
+            _eval_cond(batch, e).to_pandas().values, dtype="boolean"
+        )
+        then_s = _eval_num(batch, e.then)
+        else_s = _eval_num(batch, e.other)
+        out = then_s.where(cond.fillna(False).astype(bool), else_s)
+        return out.mask(cond.isna().values)
     raise SparqlSyntaxError("string expression in arithmetic context")
 
 
@@ -1069,6 +1120,14 @@ def _eval_str(batch: pa.Table, e) -> pa.Array:
         return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if isinstance(e, EArith) or (isinstance(e, EFunc) and e.func == "strlen"):
         return pc.cast(pa.array(_eval_num(batch, e)), pa.large_string())
+    if isinstance(e, EIf):
+        if _expr_type(e) == "num":
+            return pc.cast(pa.array(_eval_num(batch, e)), pa.large_string())
+        cond = _eval_cond(batch, e)
+        # null condition → null result (if_else propagates the null)
+        return pc.if_else(
+            cond, _eval_str(batch, e.then), _eval_str(batch, e.other)
+        )
     f = e.func
     if f == "str":
         return _eval_str(batch, e.args[0])

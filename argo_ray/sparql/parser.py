@@ -141,7 +141,21 @@ class EFunc(NamedTuple):
     args: list
 
 
-Expr = Union[EVar, EConst, EArith, EFunc]
+class EIf(NamedTuple):
+    """``IF(left op right, then, else)`` — the condition is one
+    comparison: numeric when both sides evaluate numerically, else a
+    string comparison over lexical forms.  Rows where the condition
+    errors (unbound / unparseable inputs) leave the result unbound
+    (the SPARQL error-propagation rule)."""
+
+    op: str  # = != < <= > >=
+    cleft: "Expr"
+    cright: "Expr"
+    then: "Expr"
+    other: "Expr"
+
+
+Expr = Union[EVar, EConst, EArith, EFunc, EIf]
 
 
 class BindBlock(NamedTuple):
@@ -566,6 +580,22 @@ class _Parser:
             e = self.parse_expression()
             self.expect("op", ")")
             return e
+        if self.at_word("if"):
+            self.next()
+            self.expect("op", "(")
+            cleft = self.parse_expression()
+            k, op = self.next()
+            if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
+                raise SparqlSyntaxError(
+                    "IF condition must be a single 'expr OP expr' comparison"
+                )
+            cright = self.parse_expression()
+            self.expect("op", ",")
+            then = self.parse_expression()
+            self.expect("op", ",")
+            other = self.parse_expression()
+            self.expect("op", ")")
+            return EIf(op, cleft, cright, then, other)
         if self.at_word(*self._EXPR_FUNCS):
             func = self.next()[1].lower()
             self.expect("op", "(")

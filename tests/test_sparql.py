@@ -81,10 +81,8 @@ def test_parse_literals_and_numbers():
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
         parse_query("DESCRIBE ?v WHERE { ?v ?p ?o }")  # variable form unsupported
-    with pytest.raises(SparqlSyntaxError):  # IF() not implemented
-        parse_query(
-            'SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o = 1, "a", "b") AS ?x) }'
-        )
+    with pytest.raises(SparqlSyntaxError):  # IF needs a comparison condition
+        parse_query('SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o, "a", "b") AS ?x) }')
     with pytest.raises(SparqlSyntaxError):  # empty IN list
         parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (?o IN ()) }")
     with pytest.raises(SparqlSyntaxError):
@@ -1392,3 +1390,67 @@ def test_negated_property_set(ray_session):
     assert [r["o"] for r in out] == ['"en"']
     with pytest.raises(SparqlSyntaxError):
         parse_query(f"PREFIX ex: <{EX}> SELECT ?o WHERE {{ ex:d1 !(^ex:p) ?o }}")
+
+
+# -- IF() expressions ------------------------------------------------------
+
+
+def test_bind_if_string_branches(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?size WHERE {{
+          ?s ex:chars ?c .
+          BIND(IF(?c >= 100, "long", "short") AS ?size)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "size": '"long"'},
+        {"s": f"<{EX}d2>", "size": '"short"'},
+    ]
+
+
+def test_bind_if_numeric_branches(ray_session):
+    # both branches numeric → xsd:integer result; arithmetic inside
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?v WHERE {{
+          ?s ex:chars ?c .
+          BIND(IF(?c > 100, ?c + 1, 0) AS ?v)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "v": f'"121"^^<{XSD_INT}>'},
+        {"s": f"<{EX}d2>", "v": f'"0"^^<{XSD_INT}>'},
+    ]
+
+
+def test_bind_if_string_comparison(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?tag WHERE {{
+          ?s ex:lang ?l .
+          BIND(IF(?l = "en", "english", "other") AS ?tag)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["tag"] for r in out] == ['"english"', '"other"', '"other"']
+
+
+def test_bind_if_condition_error_unbound(ray_session):
+    import ray.data
+
+    # a non-numeric chars value errors the numeric condition → ?v
+    # unbound for that row only
+    trips = TRIPLES + [(IRI(EX + "d9"), IRI(EX + "chars"), Literal("oops"))]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?v WHERE {{
+          ?s ex:chars ?c .
+          BIND(IF(?c > 100, "big", "small") AS ?v)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["v"] for r in out] == ['"big"', '"small"', ""]
