@@ -248,6 +248,9 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    "sparql_strafter_eval": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc, '"' || doc_id || '"' AS id
+FROM docs""",
     "sparql_if_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc,
        '"' || CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END || '"' AS size

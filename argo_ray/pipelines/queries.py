@@ -714,6 +714,21 @@ def q_sparql_if_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_strafter_eval(sf_dir: str):
+    """STRAFTER over IRI strings: extract each doc's numeric id from
+    its entity IRI — one vectorized partition per batch."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?doc ?id WHERE {{
+      ?doc ex:chars ?c .
+      BIND(STRAFTER(STR(?doc), "/doc/") AS ?id)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_path_zero_or_one_eval(sf_dir: str):
     """``ex:cites?`` from the hub: the zero-length solution (the hub
     itself) plus every cited doc — one edge scan, no fixpoint."""
@@ -948,6 +963,7 @@ KG_QUERIES = {
     "sparql_path_zero_or_one_eval": q_sparql_path_zero_or_one_eval,
     "sparql_neg_path_eval": q_sparql_neg_path_eval,
     "sparql_if_eval": q_sparql_if_eval,
+    "sparql_strafter_eval": q_sparql_strafter_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

@@ -52,6 +52,7 @@ from ..terms import (
 )
 from .parser import (
     AltPath,
+    ModifyOp,
     NegPath,
     AskQuery,
     BindBlock,
@@ -1160,6 +1161,27 @@ def _eval_str(batch: pa.Table, e) -> pa.Array:
             pattern=_const_str(e.args[1], "REPLACE pattern"),
             replacement=_const_str(e.args[2], "REPLACE replacement"),
         )
+    if f in ("strbefore", "strafter"):
+        # spec: no match → "" (empty literal); null input stays null.
+        # One vectorized pandas partition per batch (no pc kernel for
+        # first-occurrence split).
+        sep = _const_str(e.args[1], f"{f.upper()} separator")
+        if sep == "":  # spec: empty separator → "" (before) / input (after)
+            arr = _eval_str(batch, e.args[0])
+            if f == "strafter":
+                return arr
+            return pc.if_else(
+                pc.is_valid(arr),
+                pa.scalar("", pa.large_string()),
+                pa.scalar(None, pa.large_string()),
+            )
+        arr = _eval_str(batch, e.args[0])
+        s = pd.Series(arr.to_pandas(), dtype="object")
+        parts = s.str.partition(sep)
+        found = s.str.contains(sep, regex=False)
+        out = parts[0 if f == "strbefore" else 2].where(found, "")
+        out = out.mask(s.isna())
+        return pa.array(out, pa.large_string())
     raise SparqlSyntaxError(f"unsupported expression function {f!r}")
 
 
@@ -2043,9 +2065,66 @@ def evaluate_describe(ds, query: str | DescribeQuery):
     )
 
 
+def _unify(binding: dict, pattern, triple):
+    """Extend ``binding`` so ``pattern`` matches ``triple``; None on
+    conflict.  Terms compare by full identity (M9 semantics)."""
+    out = None
+    for pel, tel in zip(pattern, triple):
+        if isinstance(pel, Var):
+            cur = (out or binding).get(pel.name)
+            if cur is None:
+                if out is None:
+                    out = dict(binding)
+                out[pel.name] = tel
+            elif cur != tel:
+                return None
+        elif pel != tel:
+            return None
+    return binding if out is None else out
+
+
+def _match_bgp_local(triples, patterns):
+    """Nested-loop BGP match over an in-memory triple list — sized for
+    one stored graph (a document, thousands of triples), the same
+    driver-side axis as ``apply_update`` itself."""
+    sols = [{}]
+    for pat in patterns:
+        sols = [
+            b2
+            for b in sols
+            for t in triples
+            if (b2 := _unify(b, pat, t)) is not None
+        ]
+        if not sols:
+            break
+    return sols
+
+
+def _instantiate_tmpl(tmpl, sol):
+    """Template patterns → ground triples under one solution; triples
+    with an unbound template variable are skipped (SPARQL 1.1 Update:
+    such instantiations produce no triple)."""
+    out = []
+    for pat in tmpl:
+        t = []
+        for el in pat:
+            if isinstance(el, Var):
+                v = sol.get(el.name)
+                if v is None:
+                    break
+                t.append(v)
+            else:
+                t.append(el)
+        else:
+            out.append(tuple(t))
+    return out
+
+
 def apply_update(table: pa.Table, query: str) -> pa.Table:
-    """SPARQL-Update (INSERT DATA / DELETE DATA, ';'-chained) applied to
-    one stored graph's triple table, set semantics, ops in order.
+    """SPARQL-Update (INSERT DATA / DELETE DATA / DELETE WHERE /
+    DELETE-INSERT-WHERE, ';'-chained) applied to one stored graph's
+    triple table, set semantics, ops in order.  A modify op evaluates
+    its WHERE once, then deletes before inserting (spec order).
 
     Driver-side by design: this is the server half of graph-store PATCH
     (graphstoreservice.go:162-181) and a stored named graph is one
@@ -2057,7 +2136,21 @@ def apply_update(table: pa.Table, query: str) -> pa.Table:
     )
     have = set(current)
     for op in ops:
-        if op.action == "delete":
+        if isinstance(op, ModifyOp):
+            sols = _match_bgp_local(current, op.where)
+            if op.delete_tmpl:
+                rm = set()
+                for sol in sols:
+                    rm.update(_instantiate_tmpl(op.delete_tmpl, sol))
+                current = [t for t in current if t not in rm]
+                have -= rm
+            if op.insert_tmpl:
+                for sol in sols:
+                    for t in _instantiate_tmpl(op.insert_tmpl, sol):
+                        if t not in have:
+                            current.append(t)
+                            have.add(t)
+        elif op.action == "delete":
             rm = set(op.triples)
             current = [t for t in current if t not in rm]
             have -= rm

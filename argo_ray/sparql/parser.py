@@ -301,6 +301,19 @@ class UpdateOp(NamedTuple):
     triples: list[tuple[Term, Term, Term]]
 
 
+class ModifyOp(NamedTuple):
+    """Pattern-based update: ``DELETE WHERE { p }`` (delete template =
+    the patterns), ``DELETE { t } [INSERT { t }] WHERE { p }``,
+    ``INSERT { t } WHERE { p }``.  WHERE is a plain BGP (no
+    FILTER/OPTIONAL/BIND — explicit error); the WHERE solutions are
+    computed ONCE, then the delete template instantiates before the
+    insert template (SPARQL 1.1 Update modify order)."""
+
+    delete_tmpl: list | None  # triple patterns (Terms and Vars)
+    insert_tmpl: list | None
+    where: list
+
+
 _TOKEN = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
@@ -550,7 +563,7 @@ class _Parser:
     # -- BIND expressions ------------------------------------------------
     _EXPR_FUNCS = (
         "concat", "str", "ucase", "lcase", "strlen", "substr", "replace",
-        "coalesce",
+        "coalesce", "strbefore", "strafter",
     )
 
     def parse_expression(self) -> Expr:
@@ -614,6 +627,8 @@ class _Parser:
                 raise SparqlSyntaxError("SUBSTR(e, start[, length])")
             if func == "replace" and len(args) != 3:
                 raise SparqlSyntaxError('REPLACE(e, "pattern", "replacement")')
+            if func in ("strbefore", "strafter") and len(args) != 2:
+                raise SparqlSyntaxError(f'{func.upper()}(e, "separator")')
             return EFunc(func, args)
         t = self.parse_term()
         return EVar(t.name) if isinstance(t, Var) else EConst(t)
@@ -1047,27 +1062,65 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
     )
 
 
-def parse_update(text: str) -> list[UpdateOp]:
-    """``INSERT DATA { … }`` / ``DELETE DATA { … }``, ';'-chained —
-    the subset ``GraphStore.patch`` needs (the reference forwards the
-    raw string: graphstoreservice.go:162-181)."""
+def _update_patterns(p: _Parser, what: str) -> list:
+    """One ``{ … }`` block of plain triple patterns (Terms / Vars) for
+    an update template or WHERE — property paths and group keywords are
+    rejected with the block's role in the message."""
+    p.expect("op", "{")
+    pats = p.parse_triples_block(allow_var=True)
+    p.expect("op", "}")
+    for pat in pats:
+        for el in pat:
+            if isinstance(el, Var) and "$" in el.name:
+                raise SparqlSyntaxError(f"property paths not allowed in {what}")
+            if not isinstance(el, (Term, Var)):
+                raise SparqlSyntaxError(f"property paths not allowed in {what}")
+    return pats
+
+
+def parse_update(text: str) -> list[UpdateOp | ModifyOp]:
+    """``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+    ``DELETE { } [INSERT { }] WHERE { }`` / ``INSERT { } WHERE { }``,
+    ';'-chained — the subset ``GraphStore.patch`` needs (the reference
+    forwards the raw string: graphstoreservice.go:162-181)."""
     p = _Parser(text)
-    ops: list[UpdateOp] = []
+    ops: list[UpdateOp | ModifyOp] = []
     while True:
         p.parse_prologue()
         if p.peek()[0] == "eof":
             break
         if p.eat_word("insert"):
-            action = "insert"
+            if p.eat_word("data"):
+                p.expect("op", "{")
+                triples = p.parse_triples_block(allow_var=False)
+                p.expect("op", "}")
+                ops.append(UpdateOp("insert", triples))
+            else:
+                tmpl = _update_patterns(p, "an INSERT template")
+                p.expect("word", "where")
+                where = _update_patterns(p, "an update WHERE")
+                ops.append(ModifyOp(None, tmpl, where))
         elif p.eat_word("delete"):
-            action = "delete"
+            if p.eat_word("data"):
+                p.expect("op", "{")
+                triples = p.parse_triples_block(allow_var=False)
+                p.expect("op", "}")
+                ops.append(UpdateOp("delete", triples))
+            elif p.eat_word("where"):
+                pats = _update_patterns(p, "DELETE WHERE")
+                ops.append(ModifyOp(pats, None, pats))
+            else:
+                dtmpl = _update_patterns(p, "a DELETE template")
+                itmpl = None
+                if p.eat_word("insert"):
+                    itmpl = _update_patterns(p, "an INSERT template")
+                p.expect("word", "where")
+                where = _update_patterns(p, "an update WHERE")
+                ops.append(ModifyOp(dtmpl, itmpl, where))
         else:
-            raise SparqlSyntaxError(f"expected INSERT/DELETE DATA, got {p.peek()[1]!r}")
-        p.expect("word", "data")
-        p.expect("op", "{")
-        triples = p.parse_triples_block(allow_var=False)
-        p.expect("op", "}")
-        ops.append(UpdateOp(action, triples))
+            raise SparqlSyntaxError(
+                f"expected INSERT/DELETE, got {p.peek()[1]!r}"
+            )
         if p.peek() == ("op", ";"):
             p.next()
             continue

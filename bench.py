@@ -95,6 +95,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         q_graphstore_roundtrip,
         q_group_subject_count,
         q_rdfa_extract,
+        q_sparql_agg_subquery_eval,
         q_sparql_select_eval,
     )
 
@@ -115,6 +116,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("lineitem_pricing", q_lineitem_pricing),
         ("graphstore_roundtrip", q_graphstore_roundtrip),
         ("sparql_select_eval", q_sparql_select_eval),
+        ("sparql_agg_subquery_eval", q_sparql_agg_subquery_eval),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -1454,3 +1454,87 @@ def test_bind_if_condition_error_unbound(ray_session):
         }} ORDER BY ?s""",
     ).take_all()
     assert [r["v"] for r in out] == ['"big"', '"small"', ""]
+
+
+# -- pattern-based updates -------------------------------------------------
+
+
+def _upd_table():
+    return triples_to_table(TRIPLES, with_hash=False)
+
+
+def test_update_delete_where():
+    out = apply_update(
+        _upd_table(),
+        f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s ex:lang ?l }}",
+    )
+    from argo_ray.terms import table_to_triples
+
+    left = table_to_triples(out)
+    assert len(left) == 4  # 3 lang triples removed
+    assert all(p.value != EX + "lang" for _, p, _ in left)
+
+
+def test_update_delete_insert_where():
+    # rename the predicate: one WHERE evaluation drives both templates
+    out = apply_update(
+        _upd_table(),
+        f"""PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:lang ?l }} INSERT {{ ?s ex:tongue ?l }}
+        WHERE {{ ?s ex:lang ?l }}""",
+    )
+    from argo_ray.terms import table_to_triples
+
+    preds = {p.value for _, p, _ in table_to_triples(out)}
+    assert EX + "lang" not in preds and EX + "tongue" in preds
+
+
+def test_update_insert_where_join():
+    # docs typed Doc gain a flag; d3 (untyped) does not
+    out = apply_update(
+        _upd_table(),
+        f"""PREFIX ex: <{EX}>
+        INSERT {{ ?s ex:flag "y" }} WHERE {{ ?s a ex:Doc . ?s ex:lang ?l }}""",
+    )
+    from argo_ray.terms import table_to_triples
+
+    flagged = {
+        s.value for s, p, _ in table_to_triples(out) if p.value == EX + "flag"
+    }
+    assert flagged == {EX + "d1", EX + "d2"}
+
+
+def test_update_modify_rejects_groups():
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(
+            f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s ex:p/ex:q ?o }}"
+        )
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(
+            f'PREFIX ex: <{EX}> INSERT {{ ?s ex:f "1" }} WHERE {{ ?s ?p ?o . FILTER(?o > 1) }}'
+        )
+
+
+def test_bind_strbefore_strafter(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?first ?rest WHERE {{
+          ?s ex:lang ?l .
+          BIND(STRBEFORE(?l, " ") AS ?first)
+          BIND(STRAFTER(?l, " ") AS ?rest)
+        }} ORDER BY ?s""",
+    ).take_all()
+    # "Guten Tag" splits; "en"/"de" have no space → "" both sides
+    assert [(r["first"], r["rest"]) for r in out] == [
+        ('""', '""'), ('""', '""'), ('"Guten"', '"Tag"'),
+    ]
+    # STRAFTER with IRI input (STR semantics over the IRI string)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?frag WHERE {{
+          ?s a ex:Doc . BIND(STRAFTER(STR(?s), "#") AS ?frag)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["frag"] for r in out] == ['"d1"', '"d2"']

@@ -70,12 +70,9 @@ def test_file_graphstore_verbs(tmp_path):
     )["obj_lang"].to_pylist() == ["en"]
     store.put(uri, t1)  # PUT replaces
     assert store.get(uri).num_rows == 1
-    # patch = SPARQL-Update (r3); pattern-based DELETE WHERE stays out of
-    # the supported subset and must fail loudly, not corrupt the graph
-    from argo_ray.sparql.parser import SparqlSyntaxError
-
-    with pytest.raises(SparqlSyntaxError):
-        store.patch(uri, "DELETE WHERE { ?s ?p ?o }")
-    assert store.get(uri).num_rows == 1
+    # patch = SPARQL-Update; pattern-based DELETE WHERE (r3) empties
+    # the graph through the same PATCH verb
+    store.patch(uri, "DELETE WHERE { ?s ?p ?o }")
+    assert store.get(uri).num_rows == 0
     store.delete(uri)
     assert not store.head(uri) and store.graphs() == []
