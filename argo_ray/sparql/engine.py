@@ -786,11 +786,9 @@ def _subselect_aggregate(bindings, q, bound: set):
     out = _aggregate_query(bindings, q, cols)
     out = _apply_having(out, q)
     if q.order_by:
-        for v, _ in q.order_by:
-            if v not in cols:
-                raise SparqlSyntaxError(f"subquery ORDER BY {v!r} not projected")
+        order = _resolve_order(q.order_by, q.aggregates, cols)
         out = out.sort(
-            [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
+            [v for v, _ in order], descending=[d for _, d in order]
         )
         out = _apply_slice(out, q.limit, q.offset)
     func_by_alias = {a.alias: a.func for a in q.aggregates}
@@ -1809,6 +1807,31 @@ def _group_concat_agg(bindings, group_vars: list[str], agg):
     )
 
 
+def _resolve_order(order_by, aggregates, cols):
+    """ORDER BY keys over an aggregate output: a projected column name
+    passes through; ``func(var)`` / ``func(*)`` (from ORDER BY
+    DESC(COUNT(?v)) …) resolves to the matching SELECT aggregate's
+    alias."""
+    resolved = []
+    for v, d in order_by:
+        if v in cols:
+            resolved.append((v, d))
+            continue
+        if "(" in v:
+            func, _, inner = v.partition("(")
+            inner = inner.rstrip(")")
+            var = None if inner == "*" else inner
+            match = [a for a in aggregates if a.func == func and a.var == var]
+            if match:
+                resolved.append((match[0].alias, d))
+                continue
+            raise SparqlSyntaxError(
+                f"ORDER BY {func.upper()}({inner}) has no matching SELECT aggregate"
+            )
+        raise SparqlSyntaxError(f"ORDER BY {v!r} not in projection")
+    return resolved
+
+
 def _apply_having(out, q: SelectQuery):
     """HAVING conjuncts over an aggregate output Dataset (columns =
     group keys + aliases).  Each conjunct resolves to a SELECT
@@ -1927,11 +1950,9 @@ def evaluate_select(ds, query: str | SelectQuery):
         out = _aggregate_query(bindings, q, cols)
         out = _apply_having(out, q)
         if q.order_by:
-            for v, _ in q.order_by:
-                if v not in cols:
-                    raise SparqlSyntaxError(f"ORDER BY {v!r} not in projection")
+            order = _resolve_order(q.order_by, q.aggregates, cols)
             out = out.sort(
-                [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
+                [v for v, _ in order], descending=[d for _, d in order]
             )
         return _apply_slice(out, q.limit, q.offset)
     # SELECT *: path-internal ($-gensym) variables stay invisible

@@ -873,22 +873,49 @@ class _Parser:
         limit: int | None = None
         if self.eat_word("order"):
             self.expect("word", "by")
+
+            def sort_key() -> str:
+                """?var or FUNC([DISTINCT] ?v / *) — aggregate keys are
+                encoded "func(v)" / "func(*)" and resolved against the
+                SELECT aggregates at eval time."""
+                if self.at_word("count", "sum", "min", "max", "avg"):
+                    func = self.next()[1].lower()
+                    self.expect("op", "(")
+                    self.eat_word("distinct")
+                    if self.peek() == ("op", "*"):
+                        self.next()
+                        inner = "*"
+                    else:
+                        t = self.parse_term()
+                        if not isinstance(t, Var):
+                            raise SparqlSyntaxError(
+                                "ORDER BY aggregate needs a variable"
+                            )
+                        inner = t.name
+                    self.expect("op", ")")
+                    return f"{func}({inner})"
+                t = self.parse_term()
+                if not isinstance(t, Var):
+                    raise SparqlSyntaxError("ORDER BY needs variables")
+                return t.name
+
             while True:
                 k, v = self.peek()
                 if k == "word" and v.lower() in ("asc", "desc"):
                     desc = v.lower() == "desc"
                     self.next()
                     self.expect("op", "(")
-                    var = self.parse_term()
+                    name = sort_key()
                     self.expect("op", ")")
-                elif k == "var":
+                elif k == "var" or (
+                    k == "word"
+                    and v.lower() in ("count", "sum", "min", "max", "avg")
+                ):
                     desc = False
-                    var = self.parse_term()
+                    name = sort_key()
                 else:
                     break
-                if not isinstance(var, Var):
-                    raise SparqlSyntaxError("ORDER BY needs variables")
-                order.append((var.name, desc))
+                order.append((name, desc))
         # LIMIT/OFFSET accepted in either order (SPARQL 1.1 grammar)
         offset = 0
         for _ in range(2):
@@ -1037,6 +1064,25 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         p.expect("eof")
         return AskQuery(patterns, filters, optionals, binds)
     if p.eat_word("construct"):
+        if p.at_word("where"):
+            # CONSTRUCT WHERE { … } shorthand: template = the pattern
+            # block (plain triples only per the spec)
+            p.next()
+            p.expect("op", "{")
+            patterns = p.parse_triples_block()
+            p.expect("op", "}")
+            for pat in patterns:
+                if not all(isinstance(el, (Term, Var)) for el in pat) or any(
+                    isinstance(el, Var) and "$" in el.name for el in pat
+                ):
+                    raise SparqlSyntaxError(
+                        "property paths not allowed in CONSTRUCT WHERE"
+                    )
+            _, limit, offset = p.parse_modifiers()
+            if offset:
+                raise SparqlSyntaxError("OFFSET on CONSTRUCT not supported")
+            p.expect("eof")
+            return ConstructQuery(patterns, patterns, [], limit, [], [])
         p.expect("op", "{")
         template = p.parse_triples_block()
         p.expect("op", "}")

@@ -1538,3 +1538,35 @@ def test_bind_strbefore_strafter(ray_session):
         }} ORDER BY ?s""",
     ).take_all()
     assert [r["frag"] for r in out] == ['"d1"', '"d2"']
+
+
+def test_construct_where_shorthand(ray_session):
+    out = evaluate_construct(
+        _ds(),
+        f"PREFIX ex: <{EX}> CONSTRUCT WHERE {{ ?s ex:lang ?l }}",
+    ).to_pandas()
+    assert len(out) == 3
+    assert set(out["pred_value"]) == {EX + "lang"}
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            f"PREFIX ex: <{EX}> CONSTRUCT WHERE {{ ?s ex:a/ex:b ?l }}"
+        )
+
+
+def test_order_by_aggregate_expr(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?p (COUNT(*) AS ?n) WHERE {{ ?s ?p ?o }}
+        GROUP BY ?p ORDER BY DESC(COUNT(*)) ?p LIMIT 2""",
+    ).to_pandas()
+    # lang appears 3×; chars and type 2× each — chars wins the tie by ?p
+    assert out["p"].tolist() == [f"<{EX}lang>", f"<{EX}chars>"]
+    assert out["n"].tolist() == [3, 2]
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT ?p (COUNT(*) AS ?n) WHERE {{ ?s ?p ?o }}
+            GROUP BY ?p ORDER BY DESC(SUM(?o))""",
+        ).take_all()
