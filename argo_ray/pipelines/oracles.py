@@ -248,6 +248,10 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    # each doc's chars triple sits in its site's named graph
+    "sparql_graph_eval": EXP_CTE
+    + """SELECT '<' || site || '>' AS g, COUNT(*) AS n
+FROM docs GROUP BY site""",
     "sparql_strafter_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc, '"' || doc_id || '"' AS id
 FROM docs""",

@@ -714,6 +714,48 @@ def q_sparql_if_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_graph_eval(sf_dir: str):
+    """GRAPH ?g over a quads view: each doc's triples live in its
+    site's named graph (url column derived vectorized from the subject
+    IRI), then per-graph doc counts — graph scoping without per-graph
+    fan-out, one scan + the aggregate exchange."""
+    import pyarrow.compute as pc2
+
+    from ..sparql import evaluate_select
+
+    def add_graph(batch):
+        import pyarrow as pa2
+
+        subj = pc2.cast(batch["subj_value"], pa.large_string())
+        # doc id from https://kg.example.org/doc/<id>; non-doc subjects
+        # (hub, mentions) go to the default graph IRI
+        ids = pc2.extract_regex(subj, pattern=r"/doc/(?P<id>\d+)$")
+        idv = pc2.struct_field(ids, "id")
+        n = pc2.cast(pc2.cast(idv, pa.large_string()), pa.int64())
+        mod5 = pc2.subtract(n, pc2.multiply(pc2.divide(n, 5), 5))
+        site_n = pc2.binary_join_element_wise(
+            pa2.scalar("https://site", pa.large_string()),
+            pc2.cast(pc2.fill_null(mod5, 0), pa.large_string()),
+            pa2.scalar(".example.org/", pa.large_string()),
+            pa2.scalar("", pa.large_string()),
+        )
+        url = pc2.if_else(
+            pc2.is_valid(n),
+            site_n,
+            pa2.scalar("https://default.example.org/", pa.large_string()),
+        )
+        return batch.append_column("url", url)
+
+    quads = _deduped(sf_dir).map_batches(add_graph, batch_format="pyarrow")
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?g (COUNT(*) AS ?n) WHERE {{
+      GRAPH ?g {{ ?d ex:chars ?c }}
+    }} GROUP BY ?g
+    """
+    return evaluate_select(quads.materialize(), q)
+
+
 def q_sparql_strafter_eval(sf_dir: str):
     """STRAFTER over IRI strings: extract each doc's numeric id from
     its entity IRI — one vectorized partition per batch."""
@@ -964,6 +1006,7 @@ KG_QUERIES = {
     "sparql_neg_path_eval": q_sparql_neg_path_eval,
     "sparql_if_eval": q_sparql_if_eval,
     "sparql_strafter_eval": q_sparql_strafter_eval,
+    "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

@@ -52,6 +52,7 @@ from ..terms import (
 )
 from .parser import (
     AltPath,
+    GraphBlock,
     ModifyOp,
     NegPath,
     AskQuery,
@@ -101,7 +102,7 @@ def _var_cols(name: str) -> list[str]:
     return [f"{name}__{f}" for f in _FIELDS]
 
 
-def _pattern_bindings(ds, pattern, witness: str = "_match"):
+def _pattern_bindings(ds, pattern, witness: str = "_match", graph_var=None):
     """One triple pattern → (bindings Dataset, bound variable names).
 
     Constant positions filter (vectorized term predicate, M1 semantics);
@@ -109,7 +110,9 @@ def _pattern_bindings(ds, pattern, witness: str = "_match"):
     columns.  A variable repeated within the pattern adds an equality
     mask across its positions.  An ``AltPath`` predicate (``p1|p2``)
     filters with an OR of term predicates — still ONE scan, and each
-    matching triple is its own output row (bag-union multiplicity)."""
+    matching triple is its own output row (bag-union multiplicity).
+    With ``graph_var`` (GRAPH ?g) the quads dataset's ``url`` column
+    additionally binds ``?g`` as an IRI term per matching row."""
     from ..stages.filter import term_predicate
 
     consts = [
@@ -162,13 +165,24 @@ def _pattern_bindings(ds, pattern, witness: str = "_match"):
                 if f == "kind":
                     col = pc.cast(col, pa.int64())
                 cols[f"{name}__{f}"] = col
+        if graph_var is not None:
+            if "url" not in batch.column_names:
+                raise SparqlSyntaxError(
+                    "GRAPH ?var needs a quads dataset (url graph column)"
+                )
+            n = batch.num_rows
+            cols[f"{graph_var}__kind"] = pa.array([KIND_IRI] * n, pa.int64())
+            cols[f"{graph_var}__value"] = pc.cast(batch["url"], pa.large_string())
+            cols[f"{graph_var}__lang"] = pa.array([""] * n, pa.large_string())
+            cols[f"{graph_var}__datatype"] = pa.array([""] * n, pa.large_string())
         if not cols:  # all-constant pattern: keep a row-count witness
             # (name is per-pattern unique — two ground patterns must not
             # collide when their cartesian witnesses join)
             cols[witness] = pa.array([1] * batch.num_rows, pa.int64())
         return pa.table(cols)
 
-    return ds.map_batches(project, batch_format="pyarrow"), set(var_pos)
+    bound = set(var_pos) | ({graph_var} if graph_var is not None else set())
+    return ds.map_batches(project, batch_format="pyarrow"), bound
 
 
 def _norm_table(batch: pa.Table) -> pa.Table:
@@ -865,7 +879,49 @@ def _subselect_aggregate(bindings, q, bound: set):
     return out.map_batches(to_terms, batch_format="pyarrow"), set(cols)
 
 
-def _bgp(ds, patterns, filters=()):
+def _graph_bindings(ds, block):
+    """``GRAPH <iri>|?g { … }`` → (bindings, vars) over a quads dataset
+    (triples + ``url`` graph column, the ``read_graphstore`` layout).
+
+    Constant graph: ONE vectorized url-mask scopes the scan, then the
+    inner group evaluates with the full engine (paths included).
+    Variable graph: every inner pattern binds ``?g`` from ``url``; the
+    co-group join then equates ``?g`` across patterns like any shared
+    variable — no per-graph fan-out, still one scan per pattern."""
+    g = block.graph
+    cols = ds.columns()  # schema metadata only — no execution at this size
+    if cols is not None and "url" not in cols:
+        raise SparqlSyntaxError(
+            "GRAPH needs a quads dataset (url graph column)"
+        )
+    if isinstance(g, Term):
+
+        def scope(batch: pa.Table) -> pa.Table:
+            if "url" not in batch.column_names:
+                raise SparqlSyntaxError(
+                    "GRAPH needs a quads dataset (url graph column)"
+                )
+            return batch.filter(
+                pc.equal(
+                    pc.cast(batch["url"], pa.large_string()),
+                    pa.scalar(g.value, pa.large_string()),
+                )
+            )
+
+        scoped = ds.map_batches(scope, batch_format="pyarrow")
+        bindings, bound, leftover = _bgp(scoped, block.patterns, block.filters)
+        if leftover:
+            bindings = _apply_filters(bindings, leftover)
+        return bindings, bound
+    bindings, bound, leftover = _bgp(
+        ds, block.patterns, block.filters, graph_var=g.name
+    )
+    if leftover:
+        bindings = _apply_filters(bindings, leftover)
+    return bindings, bound
+
+
+def _bgp(ds, patterns, filters=(), graph_var=None):
     """Basic graph pattern → joined bindings Dataset + bound vars.
 
     Single-pattern filters push down to that pattern's scan (before any
@@ -885,6 +941,8 @@ def _bgp(ds, patterns, filters=()):
             b, vs = _union_bindings(ds, pattern)
         elif isinstance(pattern, SubSelect):
             b, vs = _subselect_bindings(ds, pattern.query)
+        elif isinstance(pattern, GraphBlock):
+            b, vs = _graph_bindings(ds, pattern)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
         elif isinstance(pattern[1], TransPath) and pattern[1].max_one:
@@ -892,7 +950,9 @@ def _bgp(ds, patterns, filters=()):
         elif isinstance(pattern[1], TransPath):
             b, vs = _transitive_bindings(ds, pattern, witness=f"_match{pat_i}")
         else:
-            b, vs = _pattern_bindings(ds, pattern, witness=f"_match{pat_i}")
+            b, vs = _pattern_bindings(
+                ds, pattern, witness=f"_match{pat_i}", graph_var=graph_var
+            )
         push = [f for f in remaining_filters if _filter_vars(f) and _filter_vars(f) <= vs]
         if push:
             b = _apply_filters(b, push)

@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 from typing import NamedTuple, Union
 
-from ..terms import IRI, KIND_LITERAL, Literal, RDF_TYPE, Term, Blank
+from ..terms import IRI, KIND_IRI, KIND_LITERAL, Literal, RDF_TYPE, Term, Blank
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
@@ -227,6 +227,19 @@ class OptionalBlock(NamedTuple):
     """``OPTIONAL { BGP [FILTER …] }`` — left-joined onto the required
     bindings."""
 
+    patterns: list
+    filters: list
+
+
+class GraphBlock(NamedTuple):
+    """``GRAPH <iri>|?g { BGP [FILTER …] }`` — scope the inner patterns
+    to one named graph (constant) or bind the graph IRI per match
+    (variable).  Evaluated against a quads dataset (triples + ``url``
+    graph column, the ``read_graphstore`` fan-in layout).  With a
+    variable graph the inner block must be plain triple patterns (no
+    property paths)."""
+
+    graph: object  # Term (IRI) | Var
     patterns: list
     filters: list
 
@@ -839,6 +852,24 @@ class _Parser:
                 filters.append(MinusBlock(p, f))
             elif self.eat_word("values"):
                 patterns.append(self.parse_values())
+            elif self.eat_word("graph"):
+                g = self.parse_term()
+                if not (isinstance(g, Var) or (
+                    isinstance(g, Term) and g.kind == KIND_IRI
+                )):
+                    raise SparqlSyntaxError("GRAPH needs an IRI or a variable")
+                p, f = self.parse_simple_group()
+                if isinstance(g, Var):
+                    for pat in p:
+                        if not all(
+                            isinstance(el, (Term, Var)) for el in pat
+                        ) or any(
+                            isinstance(el, Var) and "$" in el.name for el in pat
+                        ):
+                            raise SparqlSyntaxError(
+                                "property paths not allowed inside GRAPH ?var"
+                            )
+                patterns.append(GraphBlock(g, p, f))
             elif self.peek() == ("op", "{") and (
                 self.toks[self.i + 1][0] == "word"
                 and self.toks[self.i + 1][1].lower() == "select"

@@ -81,12 +81,10 @@ class FileSparqlService:
             configure_context()
             if not FileGraphStore(store_dir).graphs():
                 return ray.data.from_arrow(_empty_triples())
-            return read_graphstore(store_dir).map_batches(
-                lambda b: b.drop_columns(
-                    [c for c in ("url",) if c in b.column_names]
-                ),
-                batch_format="pyarrow",
-            )
+            # url column kept: it is the graph IRI, which GRAPH <iri> /
+            # GRAPH ?g clauses scope and bind on (plain triple patterns
+            # ignore it)
+            return read_graphstore(store_dir)
 
         return cls(factory)
 

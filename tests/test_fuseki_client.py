@@ -69,7 +69,8 @@ def test_repl_session_verbs(tmp_path, ray_session):
             "CONSTRUCT { ?s ex:seen ?s } WHERE { ?s ex:lang ?l }\n",
             f"DESCRIBE <{EX}d2>\n",
             "BOGUS words\n",
-            "DELETE WHERE { ?s ?p ?o }\n",  # unsupported update → error, graph intact
+            "DELETE WHERE { ?s ex:zzz ?o }\n",  # matches nothing → graph intact
+            "CLEAR ALL\n",  # genuinely unsupported update → error
         ],
         out=out,
         err=err,
@@ -89,8 +90,9 @@ def test_repl_session_verbs(tmp_path, ray_session):
         in text
     )
     assert "Invalid command: BOGUS" in errors
-    assert "Error:" in errors  # the unsupported DELETE WHERE
-    # the INSERT landed; the failed DELETE did not clear the graph
+    assert "Error:" in errors  # the unsupported CLEAR ALL
+    # the INSERT landed; the no-match DELETE WHERE (r3 pattern update)
+    # and the failed CLEAR left the graph intact
     assert ds.graph_store().get(uri).num_rows == 4
 
 

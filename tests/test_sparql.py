@@ -1570,3 +1570,84 @@ def test_order_by_aggregate_expr(ray_session):
             SELECT ?p (COUNT(*) AS ?n) WHERE {{ ?s ?p ?o }}
             GROUP BY ?p ORDER BY DESC(SUM(?o))""",
         ).take_all()
+
+
+# -- GRAPH clauses ---------------------------------------------------------
+
+
+def _quads_ds():
+    import ray.data
+
+    from argo_ray.io import configure_context
+
+    configure_context()
+    g1, g2 = "http://graphs.example.org/g1", "http://graphs.example.org/g2"
+    trips = [
+        (IRI(EX + "a"), IRI(EX + "p"), Literal("1")),
+        (IRI(EX + "a"), IRI(EX + "q"), Literal("2")),
+        (IRI(EX + "b"), IRI(EX + "p"), Literal("3")),
+    ]
+    urls = [g1, g1, g2]
+    return ray.data.from_arrow(
+        triples_to_table(trips, urls=urls, with_hash=False)
+    ), g1, g2
+
+
+def test_graph_constant(ray_session):
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?o WHERE {{ GRAPH <{g1}> {{ ?s ex:p ?o }} }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}a>", "o": '"1"'}]
+
+
+def test_graph_variable_binds(ray_session):
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }} ORDER BY ?g""",
+    ).take_all()
+    assert out == [
+        {"g": f"<{g1}>", "s": f"<{EX}a>"},
+        {"g": f"<{g2}>", "s": f"<{EX}b>"},
+    ]
+
+
+def test_graph_variable_joins_within_graph(ray_session):
+    # two patterns inside GRAPH ?g must match in the SAME graph:
+    # only g1 holds both p and q for ?s
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s ex:p ?o . ?s ex:q ?o2 }} }}""",
+    ).take_all()
+    assert out == [{"g": f"<{g1}>", "s": f"<{EX}a>"}]
+
+
+def test_graph_joins_with_outer_pattern(ray_session):
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?o2 WHERE {{
+          GRAPH <{g1}> {{ ?s ex:p ?o }}
+          ?s ex:q ?o2 .
+        }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}a>", "o2": '"2"'}]
+
+
+def test_graph_requires_quads(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            _ds(),  # no url column
+            f"PREFIX ex: <{EX}> SELECT ?g WHERE {{ GRAPH ?g {{ ?s ?p ?o }} }}",
+        ).take_all()
+    with pytest.raises(SparqlSyntaxError):  # paths inside GRAPH ?var
+        parse_query(
+            f"PREFIX ex: <{EX}> SELECT ?g WHERE {{ GRAPH ?g {{ ?s ex:p+ ?o }} }}"
+        )
