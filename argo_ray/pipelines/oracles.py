@@ -248,6 +248,11 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    # fixture langs are bare 2-letter tags, so LANGMATCHES(…,"de") = lang='de'
+    "sparql_langmatches_eval": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc,
+       '"' || title || '"@' || lang AS t
+FROM docs WHERE lang = 'de'""",
     # each doc's chars triple sits in its site's named graph
     "sparql_graph_eval": EXP_CTE
     + """SELECT '<' || site || '>' AS g, COUNT(*) AS n

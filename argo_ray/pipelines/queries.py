@@ -714,6 +714,20 @@ def q_sparql_if_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_langmatches_eval(sf_dir: str):
+    """LANGMATCHES over lang-tagged titles — one vectorized tag mask."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?t WHERE {{
+      ?doc dc:title ?t . FILTER LANGMATCHES(LANG(?t), "de")
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_graph_eval(sf_dir: str):
     """GRAPH ?g over a quads view: each doc's triples live in its
     site's named graph (url column derived vectorized from the subject
@@ -1007,6 +1021,7 @@ KG_QUERIES = {
     "sparql_if_eval": q_sparql_if_eval,
     "sparql_strafter_eval": q_sparql_strafter_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
+    "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

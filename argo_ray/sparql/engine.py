@@ -69,6 +69,8 @@ from .parser import (
     ExistsFilter,
     FuncComparison,
     InFilter,
+    LangMatches,
+    SameTerm,
     MinusBlock,
     OptionalBlock,
     Regex,
@@ -203,7 +205,9 @@ def _norm_table(batch: pa.Table) -> pa.Table:
 def _filter_vars(flt) -> set[str]:
     if isinstance(flt, (ExistsFilter, MinusBlock)):
         return set()  # group filters: never pushed down, applied in _bgp
-    if isinstance(flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter, Bound)):
+    if isinstance(
+        flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter, Bound, LangMatches)
+    ):
         return {flt.var.name}
     return {x.name for x in (flt.left, flt.right) if isinstance(x, Var)}
 
@@ -1429,6 +1433,35 @@ def _apply_filters(ds, filters):
                     m = pc.invert(m)
             elif isinstance(flt, Bound):
                 m = pc.is_valid(batch[f"{flt.var.name}__kind"])
+                if flt.negated:
+                    m = pc.invert(m)
+            elif isinstance(flt, LangMatches):
+                tag = pc.utf8_lower(
+                    pc.fill_null(
+                        pc.cast(batch[f"{flt.var.name}__lang"], pa.large_string()),
+                        "",
+                    )
+                )
+                if flt.range == "*":
+                    m = pc.not_equal(tag, "")
+                else:
+                    rng = flt.range.lower()
+                    m = pc.or_(
+                        pc.equal(tag, rng),
+                        pc.starts_with(tag, rng + "-"),
+                    )
+                if flt.negated:
+                    m = pc.invert(m)
+            elif isinstance(flt, SameTerm):
+                m = None
+                for f in _FIELDS:
+                    a = batch[f"{flt.left.name}__{f}"]
+                    b = batch[f"{flt.right.name}__{f}"]
+                    if f != "kind":
+                        a = pc.fill_null(pc.cast(a, pa.large_string()), "")
+                        b = pc.fill_null(pc.cast(b, pa.large_string()), "")
+                    eq = pc.equal(a, b)
+                    m = eq if m is None else pc.and_(m, eq)
                 if flt.negated:
                     m = pc.invert(m)
             elif isinstance(flt, FuncComparison):

@@ -86,6 +86,25 @@ class Bound(NamedTuple):
     negated: bool = False
 
 
+class LangMatches(NamedTuple):
+    """``[!]LANGMATCHES(LANG(?v), "range")`` — BCP-47 basic filtering:
+    ``"*"`` matches any non-empty tag; otherwise the range matches the
+    tag itself or any hyphen-extension of it, case-insensitively."""
+
+    var: Var
+    range: str
+    negated: bool = False
+
+
+class SameTerm(NamedTuple):
+    """``[!]sameTerm(?a, ?b)`` — full RDF term identity (kind + value +
+    lang + datatype), the M9 equality every join uses."""
+
+    left: Var
+    right: Var
+    negated: bool = False
+
+
 class ExistsFilter(NamedTuple):
     """``FILTER [NOT] EXISTS { patterns }`` — semi/anti-join of the
     outer bindings against the inner group's solutions on their shared
@@ -108,7 +127,7 @@ class MinusBlock(NamedTuple):
 
 Filter = Union[
     Comparison, Regex, StrFunc, FuncComparison, TypeCheck, InFilter,
-    ExistsFilter, MinusBlock, Bound,
+    ExistsFilter, MinusBlock, Bound, LangMatches, SameTerm,
 ]
 
 
@@ -702,6 +721,33 @@ class _Parser:
                 var = self._paren_var()
                 self.expect("op", ")")
                 out.append(Bound(var, negated))
+            elif self.at_word("langmatches"):
+                self.next()
+                self.expect("op", "(")
+                self.expect("word", "lang")
+                var = self._paren_var()
+                self.expect("op", ")")
+                self.expect("op", ",")
+                rk, rv = self.next()
+                if rk == "string":
+                    rng = _unescape(rv[1:-1])
+                elif (rk, rv) == ("op", "*"):
+                    rng = "*"
+                else:
+                    raise SparqlSyntaxError(
+                        'LANGMATCHES needs a string range or "*"'
+                    )
+                self.expect("op", ")")
+                out.append(LangMatches(var, rng, negated))
+            elif self.at_word("sameterm"):
+                self.next()
+                left = self._paren_var()
+                self.expect("op", ",")
+                right = self.parse_term()
+                if not isinstance(right, Var):
+                    raise SparqlSyntaxError("sameTerm needs two variables")
+                self.expect("op", ")")
+                out.append(SameTerm(left, right, negated))
             elif self.at_word("isiri", "isuri", "isliteral", "isblank"):
                 func = self.next()[1].lower()
                 if func == "isuri":

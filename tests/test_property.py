@@ -380,3 +380,24 @@ def test_sparql_bgp_differential(ray_session, triples, patterns):
         for sol in _ref_bgp(triples, patterns)
     )
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(object_strategy, min_size=1, max_size=20))
+def test_nt_parse_term_arrays_property(terms):
+    """nt_parse_term_arrays is the exact inverse of nt_render_term_arrays
+    over arbitrary terms (escapes, lang tags, datatypes, bnodes)."""
+    import pyarrow as pa
+
+    from argo_ray.terms import nt_parse_term_arrays, render_term
+
+    rendered = pa.array([render_term(t) for t in terms], pa.large_string())
+    out = nt_parse_term_arrays(rendered)
+    for i, t in enumerate(terms):
+        got = (
+            out["kind"][i].as_py(),
+            out["value"][i].as_py(),
+            out["lang"][i].as_py() or "",
+            out["datatype"][i].as_py() or "",
+        )
+        assert got == (t.kind, t.value, t.lang, t.datatype), (t, got)

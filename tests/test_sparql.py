@@ -1651,3 +1651,62 @@ def test_graph_requires_quads(ray_session):
         parse_query(
             f"PREFIX ex: <{EX}> SELECT ?g WHERE {{ GRAPH ?g {{ ?s ex:p+ ?o }} }}"
         )
+
+
+def test_langmatches(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l WHERE {{ ?s ex:lang ?l . FILTER LANGMATCHES(LANG(?l), "de") }}""",
+    ).take_all()
+    assert [r["l"] for r in out] == ['"Guten Tag"@de']
+    # "*" = any language-tagged literal
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l WHERE {{ ?s ex:lang ?l . FILTER (!LANGMATCHES(LANG(?l), "*")) }}""",
+    ).take_all()
+    assert sorted(r["l"] for r in out) == ['"de"', '"en"']
+
+
+def test_langmatches_prefix_range(ray_session):
+    import ray.data
+
+    trips = TRIPLES + [(IRI(EX + "d9"), IRI(EX + "lang"), Literal("Hi", lang="de-AT"))]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l WHERE {{ ?s ex:lang ?l . FILTER LANGMATCHES(LANG(?l), "DE") }}
+        ORDER BY ?l""",
+    ).take_all()
+    assert [r["l"] for r in out] == ['"Guten Tag"@de', '"Hi"@de-AT']
+
+
+def test_sameterm(ray_session):
+    import ray.data
+
+    trips = [
+        (IRI(EX + "a"), IRI(EX + "p"), Literal("x")),
+        (IRI(EX + "a"), IRI(EX + "q"), Literal("x")),
+        (IRI(EX + "b"), IRI(EX + "p"), Literal("x")),
+        (IRI(EX + "b"), IRI(EX + "q"), Literal("x", lang="en")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:p ?v1 . ?s ex:q ?v2 . FILTER sameTerm(?v1, ?v2)
+        }}""",
+    ).take_all()
+    # only a's p/q objects are the identical term ("x" vs "x"@en differ)
+    assert out == [{"s": f"<{EX}a>"}]
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:p ?v1 . ?s ex:q ?v2 . FILTER (!sameTerm(?v1, ?v2))
+        }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}b>"}]
