@@ -1,0 +1,168 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines: hash-based train/val/test assignment and per-stratum top-n
+sampling.  No reference counterpart (the reference has no sampling
+surface); the shapes follow the partial-then-small-shuffle pattern the
+rest of this engine uses.
+
+Determinism contract: both operators key on a *content hash* of an id
+column, so re-runs, resumed runs, and differently-partitioned inputs
+produce byte-identical assignments — the property a 100-TB pipeline
+needs so a re-shard never silently reshuffles a frozen eval split.
+
+Two hashers, same pattern as ``dedup.exact_dedup_docs``:
+
+- ``"fast"`` (default): the vectorized 64-bit Rust hash (``hash64``) —
+  the 100-TB path.
+- ``"md5"``: hex md5 (per-row hashlib) — byte-reproducible in DuckDB's
+  ``md5()``, the oracle-check mode.  Split thresholds compare hex
+  PREFIXES (md5 hex is uniform per character), so any fraction with
+  256ths granularity is exact in BOTH systems via plain string
+  comparison — no hex→int parsing in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _key_strings(batch: pa.Table, key_col: str, salt: str) -> pa.Array:
+    keys = pc.cast(batch[key_col], pa.large_string())
+    if salt:
+        keys = pc.binary_join_element_wise(
+            keys,
+            pa.scalar(salt, pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+    return keys
+
+
+def _md5_hex(keys: pa.Array) -> pa.Array:
+    # oracle mode only — per-row hashlib for DuckDB md5() parity
+    return pa.array(
+        [hashlib.md5(k.encode()).hexdigest() for k in keys.to_pylist()],
+        pa.large_string(),
+    )
+
+
+def hash_split(
+    ds,
+    key_col: str,
+    splits: list[tuple[str, str]] | None = None,
+    fractions: list[tuple[str, float]] | None = None,
+    salt: str = "",
+    hasher: str = "fast",
+):
+    """Append a ``split`` column assigning each row to a named split.
+
+    ``splits``: ordered ``[(name, hex_upper_bound), …]`` — a row lands
+    in the first split whose bound its md5 hex exceeds not (the LAST
+    bound must be ``"g"``/anything > "ffff…" to catch the remainder).
+    E.g. 80/10/10: ``[("train", "cd"), ("val", "e6"), ("test", "g")]``
+    (205/256 ≈ 80.1%, 25/256 ≈ 9.8%, rest).  Requires ``hasher="md5"``.
+
+    ``fractions``: ordered ``[(name, fraction), …]`` summing to 1 —
+    the ``hasher="fast"`` production path (vectorized uint64 ranges).
+
+    One stateless map_batches — no shuffle, no driver collection; the
+    assignment depends only on (key, salt), never on partitioning."""
+    if (splits is None) == (fractions is None):
+        raise ValueError("exactly one of splits= / fractions= required")
+    if splits is not None and hasher != "md5":
+        raise ValueError("hex-threshold splits require hasher='md5'")
+
+    if splits is not None:
+
+        def assign(batch: pa.Table) -> pa.Table:
+            hexes = _md5_hex(_key_strings(batch, key_col, salt))
+            out = pa.array([None] * batch.num_rows, pa.large_string())
+            assigned = pa.array([False] * batch.num_rows, pa.bool_())
+            for name, bound in splits:
+                m = pc.and_(pc.invert(assigned), pc.less(hexes, bound))
+                out = pc.if_else(m, pa.scalar(name, pa.large_string()), out)
+                assigned = pc.or_(assigned, m)
+            return batch.append_column("split", out)
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    from ..terms import hash64
+
+    total = sum(f for _, f in fractions)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+
+    bounds = []
+    acc = 0.0
+    for name, f in fractions:
+        acc += f
+        bounds.append((name, int(acc * 2**64) - 1))
+    bounds[-1] = (bounds[-1][0], 2**64 - 1)
+
+    def assign_fast(batch: pa.Table) -> pa.Table:
+        h = hash64(_key_strings(batch, key_col, salt))
+        out = pa.array([None] * batch.num_rows, pa.large_string())
+        assigned = pa.array([False] * batch.num_rows, pa.bool_())
+        for name, bound in bounds:
+            m = pc.and_(
+                pc.invert(assigned),
+                pc.less_equal(h, pa.scalar(bound, pa.uint64())),
+            )
+            out = pc.if_else(m, pa.scalar(name, pa.large_string()), out)
+            assigned = pc.or_(assigned, m)
+        return batch.append_column("split", out)
+
+    return ds.map_batches(assign_fast, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+    hasher: str = "fast",
+):
+    """Deterministic sample of ``n_per_stratum`` rows per stratum: the
+    n rows whose (salted) key hash is smallest — a uniform, repeatable
+    choice independent of input partitioning.
+
+    Scale shape: each batch keeps at most n candidates per stratum it
+    sees (vectorized pandas nsmallest partial), so the single stratum
+    exchange moves ≤ n × batches rows, never the raw table; one sorted
+    per-stratum pass then takes the global n.  Hot strata cost the same
+    as cold ones."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+    from ..terms import hash64
+
+    def rank_key(batch: pa.Table) -> pa.Table:
+        keys = _key_strings(batch, key_col, salt)
+        if hasher == "md5":
+            rk = _md5_hex(keys)
+        else:
+            rk = pc.cast(hash64(keys), pa.large_string())
+            # zero-pad so string order == numeric order
+            rk = pc.utf8_lpad(rk, 20, "0")
+        return batch.append_column("_rk", rk)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("_rk", kind="mergesort")
+            .groupby(strata_col, sort=False, dropna=False, observed=True)
+            .head(n_per_stratum)
+        )
+
+    pre = ds.map_batches(rank_key, batch_format="pyarrow").map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("_rk", kind="mergesort").head(n_per_stratum)
+
+    out = grouped_map(pre, [strata_col], final)
+    return out.map_batches(
+        lambda b: b.drop_columns(["_rk"]), batch_format="pyarrow"
+    )

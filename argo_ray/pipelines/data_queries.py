@@ -700,8 +700,45 @@ def q_events_sliding_window(sf_dir: str):
     return sliding_window_count(_events(sf_dir), size_minutes=60, slide_minutes=30)
 
 
+def q_docs_hash_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment keyed on a
+    content hash of doc_id — stateless map, no shuffle; the md5 hex
+    thresholds ('cd', 'e6') make the oracle an exact string compare.
+    Production mode is hasher='fast' (vectorized uint64 fractions)."""
+    from ..functions.sampling import hash_split
+
+    out = hash_split(
+        _docs(sf_dir, ("doc_id",)),
+        "doc_id",
+        splits=[("train", "cd"), ("val", "e6"), ("test", "g")],
+        hasher="md5",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "split"]), batch_format="pyarrow"
+    )
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """10 docs per source, chosen by smallest md5(doc_id) — per-batch
+    top-n partials cap the stratum exchange at n × batches rows."""
+    from ..functions.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir, ("doc_id", "source")),
+        strata_col="source",
+        key_col="doc_id",
+        n_per_stratum=10,
+        hasher="md5",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_hash_split": q_docs_hash_split,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "docs_token_count": q_docs_token_count,
     "docs_regex_tokens": q_docs_regex_tokens,
     "docs_vocab": q_docs_vocab,
@@ -848,6 +885,16 @@ WITH corpus AS (
 """
 
 DATA_ORACLES = {
+    "docs_hash_split": """SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
+    "docs_stratified_sample": """SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents) WHERE rn <= 10""",
     "docs_exact_dedup": _PLANTED_DOCS_CTE
     + """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies

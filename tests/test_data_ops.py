@@ -543,3 +543,59 @@ def test_fingerprint_fast_mode_columns():
     assert fp[0] == fp[1] != fp[2]  # case-folded content key
     # the two seeds are independent families
     assert out["fingerprint"].to_pylist() != out["fingerprint2"].to_pylist()
+
+
+# -- sampling / splitting --------------------------------------------------
+
+
+def test_hash_split_deterministic_across_partitioning(ray_session):
+    import ray.data
+
+    from argo_ray.functions.sampling import hash_split
+
+    tbl = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        df = hash_split(ds, "doc_id", fractions=fr).to_pandas()
+        return df.sort_values("doc_id")["split"].tolist()
+
+    a, b = run(1), run(7)
+    assert a == b  # assignment is content-keyed, not partition-keyed
+    from collections import Counter
+
+    c = Counter(a)
+    assert 320 <= c["train"] <= 470 and c["val"] >= 10 and c["test"] >= 10
+    with pytest.raises(ValueError):
+        hash_split(
+            ray.data.from_arrow(tbl), "doc_id",
+            fractions=[("a", 0.5), ("b", 0.2)],
+        )
+
+
+def test_stratified_sample_fast_deterministic(ray_session):
+    import ray.data
+
+    from argo_ray.functions.sampling import stratified_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "source": pa.array([f"s{i % 3}" for i in range(300)]),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        df = stratified_sample(
+            ds, "source", "doc_id", n_per_stratum=5
+        ).to_pandas()
+        return sorted(map(tuple, df[["source", "doc_id"]].values.tolist()))
+
+    a, b = run(1), run(6)
+    assert a == b
+    assert len(a) == 15  # 3 strata × 5
+    from collections import Counter
+
+    assert set(Counter(s for s, _ in a).values()) == {5}
