@@ -285,3 +285,68 @@ def rolling_fingerprints(text: str, window: int = 16, base: int = 257, mod: int 
             out.append(h)
             h = (h - data[i - window + 1] * power) % mod
     return out
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    size: int = 50,
+    stride: int = 40,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """Split each document's whitespace tokens into fixed windows of
+    ``size`` tokens every ``stride`` (overlap = size − stride) — the
+    sequence-chunking step before tokenizer packing.
+
+    Vectorized by *chunk index*, not by row: chunk starts are the same
+    scalar offsets for every doc (0, stride, 2·stride…), so each chunk
+    position is ONE ``list_slice`` + ``binary_join`` over all docs long
+    enough to own it — the Python loop runs max_chunks times per batch
+    (≈ max_tokens/stride), never per document.  Output rows:
+    (id, chunk_idx, chunk_text, n_chunk_tokens); empty docs yield no
+    chunks."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    text = pc.cast(batch[text_column], pa.large_string())
+    toks = pc.split_pattern(text, " ")
+    # "" splits to [''] — count empty docs as 0 tokens (no chunks)
+    n = pc.if_else(
+        pc.equal(pc.fill_null(text, ""), ""),
+        pa.scalar(0, pa.int32()),
+        pc.list_value_length(toks),
+    )
+    ids = batch[id_column]
+    sep = pa.scalar(" ", pa.large_string())
+    parts = []
+    start = 0
+    max_n = pc.max(n).as_py() or 0
+    while start < max_n:
+        mask = pc.greater(n, start)
+        sel_toks = toks.filter(mask) if hasattr(toks, "filter") else pc.filter(toks, mask)
+        sel_ids = pc.filter(ids, mask)
+        sliced = pc.list_slice(sel_toks, start, start + size)
+        parts.append(
+            pa.table(
+                {
+                    id_column: sel_ids,
+                    "chunk_idx": pa.array(
+                        [start // stride] * len(sel_ids), pa.int64()
+                    ),
+                    "chunk_text": pc.binary_join(sliced, sep),
+                    "n_chunk_tokens": pc.cast(
+                        pc.list_value_length(sliced), pa.int64()
+                    ),
+                }
+            )
+        )
+        start += stride
+    if not parts:
+        return pa.table(
+            {
+                id_column: pa.array([], batch[id_column].type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.large_string()),
+                "n_chunk_tokens": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)

@@ -700,6 +700,18 @@ def q_events_sliding_window(sf_dir: str):
     return sliding_window_count(_events(sf_dir), size_minutes=60, slide_minutes=30)
 
 
+def q_docs_chunk(sf_dir: str):
+    """Sequence chunking: 50-token windows every 40 tokens (overlap
+    10) — vectorized by chunk position (one list_slice+join per start
+    offset over all docs), a pure flat-map with no exchange."""
+    from ..functions.text import chunk_documents_batch
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: chunk_documents_batch(b, size=50, stride=40),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_hash_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment keyed on a
     content hash of doc_id — stateless map, no shuffle; the md5 hex
@@ -739,6 +751,7 @@ DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_chunk": q_docs_chunk,
     "docs_token_count": q_docs_token_count,
     "docs_regex_tokens": q_docs_regex_tokens,
     "docs_vocab": q_docs_vocab,
@@ -885,6 +898,12 @@ WITH corpus AS (
 """
 
 DATA_ORACLES = {
+    "docs_chunk": """SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[start+1 : start+50], ' ') AS chunk_text,
+       CAST(least(len(toks) - start, 50) AS BIGINT) AS n_chunk_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text <> ''),
+     LATERAL unnest(generate_series(0, len(toks)-1, 40)) AS t(start)""",
     "docs_hash_split": """SELECT doc_id,
        CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
             WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'

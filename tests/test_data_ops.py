@@ -599,3 +599,23 @@ def test_stratified_sample_fast_deterministic(ray_session):
     from collections import Counter
 
     assert set(Counter(s for s, _ in a).values()) == {5}
+
+
+def test_chunk_documents_batch_edges():
+    from argo_ray.functions.text import chunk_documents_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a b c d e f g", "x y", ""],
+        }
+    )
+    out = chunk_documents_batch(t, size=4, stride=3).to_pylist()
+    out.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    assert [r["chunk_text"] for r in out] == ["a b c d", "d e f g", "g", "x y"]
+    # overlap: last token of chunk 0 is first of chunk 1 (stride < size)
+    assert out[0]["chunk_text"].split()[-1] == out[1]["chunk_text"].split()[0]
+    # empty docs yield no chunks; bad params fail loudly
+    assert all(r["doc_id"] != 3 for r in out)
+    with pytest.raises(ValueError):
+        chunk_documents_batch(t, size=4, stride=5)
