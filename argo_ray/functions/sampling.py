@@ -40,9 +40,13 @@ def _key_strings(batch: pa.Table, key_col: str, salt: str) -> pa.Array:
 
 
 def _md5_hex(keys: pa.Array) -> pa.Array:
-    # oracle mode only — per-row hashlib for DuckDB md5() parity
+    # oracle mode only — per-row hashlib for DuckDB md5() parity;
+    # null keys stay null (→ unassigned split / never sampled)
     return pa.array(
-        [hashlib.md5(k.encode()).hexdigest() for k in keys.to_pylist()],
+        [
+            hashlib.md5(k.encode()).hexdigest() if k is not None else None
+            for k in keys.to_pylist()
+        ],
         pa.large_string(),
     )
 

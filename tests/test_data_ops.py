@@ -619,3 +619,17 @@ def test_chunk_documents_batch_edges():
     assert all(r["doc_id"] != 3 for r in out)
     with pytest.raises(ValueError):
         chunk_documents_batch(t, size=4, stride=5)
+
+
+def test_hash_split_null_keys_unassigned(ray_session):
+    import ray.data
+
+    from argo_ray.functions.sampling import hash_split
+
+    tbl = pa.table({"k": pa.array(["a", None, "b"], pa.large_string())})
+    df = hash_split(
+        ray.data.from_arrow(tbl), "k",
+        splits=[("train", "cd"), ("rest", "g")], hasher="md5",
+    ).to_pandas()
+    assert df.loc[df["k"].isna(), "split"].isna().all()
+    assert df.loc[df["k"].notna(), "split"].notna().all()
