@@ -189,6 +189,33 @@ def run_once() -> dict:
             "triples": triples_s,
             "triples_per_sec": round(triples_s / sec_s, 1),
         }
+        # SPARQL engine at scale: 2-pattern BGP co-group join + GROUP BY
+        # aggregate over the full (non-deduped) replicated extraction —
+        # the engine's scan+exchange throughput, not Ray fixed cost.
+        from argo_ray.pipelines.flagship import flagship
+        from argo_ray.pipelines.queries import EX_NS
+        from argo_ray.sparql import evaluate_select
+
+        corpus = flagship(sf_dir, dedup=False, replicate=160).materialize()
+        n_corpus = corpus.count()
+        q = f"""
+        PREFIX ex: <{EX_NS}>
+        SELECT ?site (COUNT(*) AS ?n) (SUM(?c) AS ?sum_c)
+        WHERE {{ ?d ex:site ?site . ?d ex:chars ?c }} GROUP BY ?site
+        """
+        sq_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            evaluate_select(corpus, q).count()
+            sq_runs.append(time.time() - t0)
+        sq = min(sq_runs)
+        result["sparql_scale"] = {
+            "replicate": 160,
+            "triples_scanned": n_corpus,
+            "sec": round(sq, 3),
+            "sec_runs": [round(s, 3) for s in sq_runs],
+            "triples_per_sec": round(n_corpus / sq, 1),
+        }
     ray.shutdown()
     return result
 
