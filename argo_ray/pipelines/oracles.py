@@ -248,6 +248,9 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    "sparql_or_filter_eval": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc
+FROM docs WHERE lang = 'en' OR n_chars >= 400""",
     # fixture langs are bare 2-letter tags, so LANGMATCHES(…,"de") = lang='de'
     "sparql_langmatches_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc,

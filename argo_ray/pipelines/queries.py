@@ -714,6 +714,22 @@ def q_sparql_if_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_or_filter_eval(sf_dir: str):
+    """``||`` disjunction across filter types (term equality / numeric
+    comparison) — one recursive mask, no extra scan."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc WHERE {{
+      ?doc dc:language ?l . ?doc ex:chars ?c .
+      FILTER(?l = "en" || ?c >= 400)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_langmatches_eval(sf_dir: str):
     """LANGMATCHES over lang-tagged titles — one vectorized tag mask."""
     from ..sparql import evaluate_select
@@ -1022,6 +1038,7 @@ KG_QUERIES = {
     "sparql_strafter_eval": q_sparql_strafter_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
+    "sparql_or_filter_eval": q_sparql_or_filter_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

@@ -70,6 +70,7 @@ from .parser import (
     FuncComparison,
     InFilter,
     LangMatches,
+    OrFilter,
     SameTerm,
     MinusBlock,
     OptionalBlock,
@@ -205,6 +206,10 @@ def _norm_table(batch: pa.Table) -> pa.Table:
 def _filter_vars(flt) -> set[str]:
     if isinstance(flt, (ExistsFilter, MinusBlock)):
         return set()  # group filters: never pushed down, applied in _bgp
+    if isinstance(flt, OrFilter):
+        return set().union(
+            set(), *(_filter_vars(p) for group in flt.parts for p in group)
+        )
     if isinstance(
         flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter, Bound, LangMatches)
     ):
@@ -1388,173 +1393,190 @@ def _term_identity_mask(batch: pa.Table, flt):
     return out
 
 
+_FCMP = {
+    "=": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+_FKINDS = {"isiri": KIND_IRI, "isblank": KIND_BLANK, "isliteral": KIND_LITERAL}
+_FSTRFN = {
+    "contains": pc.match_substring,
+    "strstarts": pc.starts_with,
+    "strends": pc.ends_with,
+}
+_F_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_F_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _filter_mask(batch: pa.Table, flt):
+    """One filter conjunct -> boolean mask.  ``OrFilter`` recurses and
+    ORs its parts' masks (SPARQL ``||``), so every filter type composes
+    under disjunction for free."""
+    if isinstance(flt, OrFilter):
+        m = None
+        for group in flt.parts:  # each part is one AND-group
+            gm = None
+            for part in group:
+                pm = _filter_mask(batch, part)
+                gm = pm if gm is None else pc.and_(gm, pm)
+            m = gm if m is None else pc.or_(m, gm)
+        return m
+    if isinstance(flt, Regex):
+        m = pc.match_substring_regex(
+            pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),
+            flt.pattern,
+        )
+        if flt.negated:
+            m = pc.invert(m)
+    elif isinstance(flt, StrFunc):
+        m = _FSTRFN[flt.func](
+            pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),
+            flt.arg,
+        )
+        if flt.negated:
+            m = pc.invert(m)
+    elif isinstance(flt, TypeCheck):
+        m = pc.equal(batch[f"{flt.var.name}__kind"], _FKINDS[flt.func])
+        if flt.negated:
+            m = pc.invert(m)
+    elif isinstance(flt, Bound):
+        m = pc.is_valid(batch[f"{flt.var.name}__kind"])
+        if flt.negated:
+            m = pc.invert(m)
+    elif isinstance(flt, LangMatches):
+        tag = pc.utf8_lower(
+            pc.fill_null(
+                pc.cast(batch[f"{flt.var.name}__lang"], pa.large_string()),
+                "",
+            )
+        )
+        if flt.range == "*":
+            m = pc.not_equal(tag, "")
+        else:
+            rng = flt.range.lower()
+            m = pc.or_(
+                pc.equal(tag, rng),
+                pc.starts_with(tag, rng + "-"),
+            )
+        if flt.negated:
+            m = pc.invert(m)
+    elif isinstance(flt, SameTerm):
+        m = None
+        for f in _FIELDS:
+            a = batch[f"{flt.left.name}__{f}"]
+            b = batch[f"{flt.right.name}__{f}"]
+            if f != "kind":
+                a = pc.fill_null(pc.cast(a, pa.large_string()), "")
+                b = pc.fill_null(pc.cast(b, pa.large_string()), "")
+            eq = pc.equal(a, b)
+            m = eq if m is None else pc.and_(m, eq)
+        if flt.negated:
+            m = pc.invert(m)
+    elif isinstance(flt, FuncComparison):
+        v = flt.var.name
+        if flt.func == "strlen":
+            m = _FCMP[flt.op](
+                pc.cast(
+                    pc.utf8_length(
+                        pc.cast(batch[f"{v}__value"], pa.large_string())
+                    ),
+                    pa.float64(),
+                ),
+                flt.value,
+            )
+        elif flt.func == "str":
+            # STR(term) = its lexical form / IRI string
+            m = _FCMP[flt.op](
+                pc.cast(batch[f"{v}__value"], pa.large_string()), flt.value
+            )
+        elif flt.func == "lang":
+            # language tags compare case-insensitively (RFC 4647)
+            m = _FCMP[flt.op](
+                pc.utf8_lower(
+                    pc.cast(batch[f"{v}__lang"], pa.large_string())
+                ),
+                flt.value.lower(),
+            )
+        else:  # datatype: '' column means xsd:string (plain) or
+            # rdf:langString (lang-tagged); non-literals are a
+            # SPARQL type error → row drops under = and !=
+            dt = pc.cast(batch[f"{v}__datatype"], pa.large_string())
+            lang = pc.cast(batch[f"{v}__lang"], pa.large_string())
+            eff = pc.if_else(
+                pc.not_equal(dt, ""),
+                dt,
+                pc.if_else(
+                    pc.not_equal(lang, ""),
+                    pa.scalar(_F_RDF_LANGSTRING, pa.large_string()),
+                    pa.scalar(_F_XSD_STRING, pa.large_string()),
+                ),
+            )
+            m = pc.and_(
+                _FCMP[flt.op](eff, flt.value),
+                pc.equal(batch[f"{v}__kind"], KIND_LITERAL),
+            )
+    elif isinstance(flt, InFilter):
+        v = flt.var.name
+        m = None
+        for t in flt.terms:
+            one = pc.and_(
+                pc.and_(
+                    pc.equal(batch[f"{v}__kind"], t.kind),
+                    pc.equal(
+                        pc.cast(batch[f"{v}__value"], pa.large_string()),
+                        t.value,
+                    ),
+                ),
+                pc.and_(
+                    pc.equal(
+                        pc.cast(batch[f"{v}__lang"], pa.large_string()),
+                        t.lang,
+                    ),
+                    pc.equal(
+                        pc.cast(batch[f"{v}__datatype"], pa.large_string()),
+                        t.datatype,
+                    ),
+                ),
+            )
+            m = one if m is None else pc.or_(m, one)
+        if flt.negated:
+            m = pc.invert(m)
+    else:
+        left, lnum = _operand(batch, flt.left)
+        right, rnum = _operand(batch, flt.right)
+        if lnum or rnum:  # numeric comparison when a numeric literal is involved
+            left = _to_float_coerce(left)
+            right = _to_float_coerce(right)
+            m = _FCMP[flt.op](left, right)
+            # SPARQL type error (NaN here) → condition is false,
+            # even for != (IEEE would say true)
+            for side in (left, right):
+                if not isinstance(side, pa.Scalar):
+                    m = pc.and_(m, pc.invert(pc.is_nan(side)))
+        else:
+            m = _FCMP[flt.op](left, right)
+            if flt.op in ("=", "!="):
+                # full term identity, var-var and var-constant alike
+                ident = _term_identity_mask(batch, flt)
+                m = (
+                    pc.and_(m, ident)
+                    if flt.op == "="
+                    else pc.or_(m, pc.invert(ident))
+                )
+    return m
+
+
 def _apply_filters(ds, filters):
     if not filters:
         return ds
 
-    _CMP = {
-        "=": pc.equal,
-        "!=": pc.not_equal,
-        "<": pc.less,
-        "<=": pc.less_equal,
-        ">": pc.greater,
-        ">=": pc.greater_equal,
-    }
-
-    _KINDS = {"isiri": KIND_IRI, "isblank": KIND_BLANK, "isliteral": KIND_LITERAL}
-    _STRFN = {
-        "contains": pc.match_substring,
-        "strstarts": pc.starts_with,
-        "strends": pc.ends_with,
-    }
-    _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
-    _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
-
     def fapply(batch: pa.Table) -> pa.Table:
         mask = None
         for flt in filters:
-            if isinstance(flt, Regex):
-                m = pc.match_substring_regex(
-                    pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),
-                    flt.pattern,
-                )
-                if flt.negated:
-                    m = pc.invert(m)
-            elif isinstance(flt, StrFunc):
-                m = _STRFN[flt.func](
-                    pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),
-                    flt.arg,
-                )
-                if flt.negated:
-                    m = pc.invert(m)
-            elif isinstance(flt, TypeCheck):
-                m = pc.equal(batch[f"{flt.var.name}__kind"], _KINDS[flt.func])
-                if flt.negated:
-                    m = pc.invert(m)
-            elif isinstance(flt, Bound):
-                m = pc.is_valid(batch[f"{flt.var.name}__kind"])
-                if flt.negated:
-                    m = pc.invert(m)
-            elif isinstance(flt, LangMatches):
-                tag = pc.utf8_lower(
-                    pc.fill_null(
-                        pc.cast(batch[f"{flt.var.name}__lang"], pa.large_string()),
-                        "",
-                    )
-                )
-                if flt.range == "*":
-                    m = pc.not_equal(tag, "")
-                else:
-                    rng = flt.range.lower()
-                    m = pc.or_(
-                        pc.equal(tag, rng),
-                        pc.starts_with(tag, rng + "-"),
-                    )
-                if flt.negated:
-                    m = pc.invert(m)
-            elif isinstance(flt, SameTerm):
-                m = None
-                for f in _FIELDS:
-                    a = batch[f"{flt.left.name}__{f}"]
-                    b = batch[f"{flt.right.name}__{f}"]
-                    if f != "kind":
-                        a = pc.fill_null(pc.cast(a, pa.large_string()), "")
-                        b = pc.fill_null(pc.cast(b, pa.large_string()), "")
-                    eq = pc.equal(a, b)
-                    m = eq if m is None else pc.and_(m, eq)
-                if flt.negated:
-                    m = pc.invert(m)
-            elif isinstance(flt, FuncComparison):
-                v = flt.var.name
-                if flt.func == "strlen":
-                    m = _CMP[flt.op](
-                        pc.cast(
-                            pc.utf8_length(
-                                pc.cast(batch[f"{v}__value"], pa.large_string())
-                            ),
-                            pa.float64(),
-                        ),
-                        flt.value,
-                    )
-                elif flt.func == "str":
-                    # STR(term) = its lexical form / IRI string
-                    m = _CMP[flt.op](
-                        pc.cast(batch[f"{v}__value"], pa.large_string()), flt.value
-                    )
-                elif flt.func == "lang":
-                    # language tags compare case-insensitively (RFC 4647)
-                    m = _CMP[flt.op](
-                        pc.utf8_lower(
-                            pc.cast(batch[f"{v}__lang"], pa.large_string())
-                        ),
-                        flt.value.lower(),
-                    )
-                else:  # datatype: '' column means xsd:string (plain) or
-                    # rdf:langString (lang-tagged); non-literals are a
-                    # SPARQL type error → row drops under = and !=
-                    dt = pc.cast(batch[f"{v}__datatype"], pa.large_string())
-                    lang = pc.cast(batch[f"{v}__lang"], pa.large_string())
-                    eff = pc.if_else(
-                        pc.not_equal(dt, ""),
-                        dt,
-                        pc.if_else(
-                            pc.not_equal(lang, ""),
-                            pa.scalar(_RDF_LANGSTRING, pa.large_string()),
-                            pa.scalar(_XSD_STRING, pa.large_string()),
-                        ),
-                    )
-                    m = pc.and_(
-                        _CMP[flt.op](eff, flt.value),
-                        pc.equal(batch[f"{v}__kind"], KIND_LITERAL),
-                    )
-            elif isinstance(flt, InFilter):
-                v = flt.var.name
-                m = None
-                for t in flt.terms:
-                    one = pc.and_(
-                        pc.and_(
-                            pc.equal(batch[f"{v}__kind"], t.kind),
-                            pc.equal(
-                                pc.cast(batch[f"{v}__value"], pa.large_string()),
-                                t.value,
-                            ),
-                        ),
-                        pc.and_(
-                            pc.equal(
-                                pc.cast(batch[f"{v}__lang"], pa.large_string()),
-                                t.lang,
-                            ),
-                            pc.equal(
-                                pc.cast(batch[f"{v}__datatype"], pa.large_string()),
-                                t.datatype,
-                            ),
-                        ),
-                    )
-                    m = one if m is None else pc.or_(m, one)
-                if flt.negated:
-                    m = pc.invert(m)
-            else:
-                left, lnum = _operand(batch, flt.left)
-                right, rnum = _operand(batch, flt.right)
-                if lnum or rnum:  # numeric comparison when a numeric literal is involved
-                    left = _to_float_coerce(left)
-                    right = _to_float_coerce(right)
-                    m = _CMP[flt.op](left, right)
-                    # SPARQL type error (NaN here) → condition is false,
-                    # even for != (IEEE would say true)
-                    for side in (left, right):
-                        if not isinstance(side, pa.Scalar):
-                            m = pc.and_(m, pc.invert(pc.is_nan(side)))
-                else:
-                    m = _CMP[flt.op](left, right)
-                    if flt.op in ("=", "!="):
-                        # full term identity, var-var and var-constant alike
-                        ident = _term_identity_mask(batch, flt)
-                        m = (
-                            pc.and_(m, ident)
-                            if flt.op == "="
-                            else pc.or_(m, pc.invert(ident))
-                        )
+            m = _filter_mask(batch, flt)
             mask = m if mask is None else pc.and_(mask, m)
         return batch.filter(mask) if mask is not None else batch
 

@@ -86,6 +86,14 @@ class Bound(NamedTuple):
     negated: bool = False
 
 
+class OrFilter(NamedTuple):
+    """``c₁ && c₂ || c₃ …`` — SPARQL precedence (&& over ||): each part
+    is one AND-group of conjuncts; the filter passes when any group's
+    conjuncts all hold.  EXISTS/MINUS cannot appear in a branch."""
+
+    parts: list  # list[list[Filter]]
+
+
 class LangMatches(NamedTuple):
     """``[!]LANGMATCHES(LANG(?v), "range")`` — BCP-47 basic filtering:
     ``"*"`` matches any non-empty tag; otherwise the range matches the
@@ -127,7 +135,7 @@ class MinusBlock(NamedTuple):
 
 Filter = Union[
     Comparison, Regex, StrFunc, FuncComparison, TypeCheck, InFilter,
-    ExistsFilter, MinusBlock, Bound, LangMatches, SameTerm,
+    ExistsFilter, MinusBlock, Bound, LangMatches, SameTerm, OrFilter,
 ]
 
 
@@ -358,7 +366,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<pname>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9][A-Za-z_0-9.-]*|[A-Za-z_][A-Za-z_0-9.-]*?:)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op>!=|<=|>=|&&|[=<>!*(){};,./^|+?-])
+    | (?P<op>!=|<=|>=|&&|\|\||[=<>!*(){};,./^|+?-])
     """,
     re.VERBOSE,
 )
@@ -690,6 +698,7 @@ class _Parser:
             pats, flts = self.parse_simple_group()
             return [ExistsFilter(pats, flts, negated)]
         out: list[Filter] = []
+        groups: list[list[Filter]] = []  # ||-separated AND-groups
         paren = self.peek() == ("op", "(")
         if paren:
             self.next()
@@ -815,9 +824,21 @@ class _Parser:
             if self.peek() == ("op", "&&"):
                 self.next()
                 continue
+            if self.peek() == ("op", "||"):
+                # SPARQL precedence: && binds tighter than || — close the
+                # current AND-group and start another
+                self.next()
+                groups.append(out)
+                out = []
+                continue
             break
         if paren:
             self.expect("op", ")")
+        if groups:
+            groups.append(out)
+            if any(not g for g in groups):
+                raise SparqlSyntaxError("empty '||' branch in FILTER")
+            return [OrFilter(groups)]
         return out
 
     def parse_simple_group(self) -> tuple[list[Pattern], list[Filter]]:

@@ -401,3 +401,31 @@ def test_nt_parse_term_arrays_property(terms):
             out["datatype"][i].as_py() or "",
         )
         assert got == (t.kind, t.value, t.lang, t.datatype), (t, got)
+
+
+_SPARQL_TOKENS = [
+    "SELECT", "WHERE", "{", "}", "(", ")", "?x", "?y", "ex:p",
+    "<http://x/>", '"str"', "FILTER", "OPTIONAL", "UNION", "GRAPH",
+    "BIND", "AS", "COUNT", "*", ".", ";", ",", "|", "+", "^", "!",
+    "a", "42", "@en", "^^", "PREFIX", "ORDER", "BY", "LIMIT", "GROUP",
+    "VALUES", "MINUS", "EXISTS", "IF", "&&",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from(_SPARQL_TOKENS), min_size=1, max_size=20),
+    st.text(max_size=40),
+)
+def test_sparql_parser_never_crashes(toks, garbage):
+    """Malformed queries raise SparqlSyntaxError — never IndexError /
+    KeyError / AttributeError (the REPL and services surface parser
+    errors to users verbatim)."""
+    from argo_ray.sparql.parser import SparqlSyntaxError, parse_query, parse_update
+
+    for text in (" ".join(toks), garbage):
+        for fn in (parse_query, parse_update):
+            try:
+                fn(text)
+            except SparqlSyntaxError:
+                pass

@@ -1710,3 +1710,45 @@ def test_sameterm(ray_session):
         }}""",
     ).take_all()
     assert out == [{"s": f"<{EX}b>"}]
+
+
+# -- || disjunction --------------------------------------------------------
+
+
+def test_filter_or(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l . FILTER (?l = "en" || ?l = "de")
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d2>"]
+
+
+def test_filter_or_precedence(ray_session):
+    # && binds tighter: (strlen>2 && lang=de) || l="en" → d1 (en) + d3
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          FILTER (STRLEN(?l) > 2 && LANG(?l) = "de" || ?l = "en")
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d3>"]
+
+
+def test_filter_or_mixed_kinds(ray_session):
+    # disjunction across different filter types (regex / numeric)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:chars ?c . ?s ex:lang ?l .
+          FILTER (REGEX(?l, "^G") || ?c > 100)
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>"]
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s ?p ?o . FILTER (?o = 1 ||) }')
