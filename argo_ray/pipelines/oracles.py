@@ -248,6 +248,10 @@ SELECT '<' || entity || '>' AS doc,
     # edge set (set semantics; multi-hop exercised by unit chain graphs)
     "sparql_path_closure_eval": EXP_CTE
     + f"""SELECT DISTINCT '<{HUB}>' AS a, '<' || entity || '>' AS d FROM docs""",
+    "sparql_iri_mint_eval": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc,
+       '<http://lexvo.example.org/id/' || lang || '>' AS langres
+FROM docs""",
     "sparql_or_filter_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc
 FROM docs WHERE lang = 'en' OR n_chars >= 400""",

@@ -714,6 +714,22 @@ def q_sparql_if_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_iri_mint_eval(sf_dir: str):
+    """BIND(IRI(CONCAT(…))) — minting linked-data IRIs from literal
+    values, the canonical KG-construction enrichment step."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?langres WHERE {{
+      ?doc dc:language ?l .
+      BIND(IRI(CONCAT("http://lexvo.example.org/id/", ?l)) AS ?langres)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_or_filter_eval(sf_dir: str):
     """``||`` disjunction across filter types (term equality / numeric
     comparison) — one recursive mask, no extra scan."""
@@ -1039,6 +1055,7 @@ KG_QUERIES = {
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,
+    "sparql_iri_mint_eval": q_sparql_iri_mint_eval,
     "sparql_sum_distinct_eval": q_sparql_sum_distinct_eval,
     "sparql_path_star_eval": q_sparql_path_star_eval,
     "sparql_bind_eval": q_sparql_bind_eval,

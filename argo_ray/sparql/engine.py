@@ -1228,6 +1228,9 @@ def _eval_str(batch: pa.Table, e) -> pa.Array:
             pattern=_const_str(e.args[1], "REPLACE pattern"),
             replacement=_const_str(e.args[2], "REPLACE replacement"),
         )
+    if f in ("iri", "strdt", "strlang"):
+        # nested use (e.g. STR(IRI(x))): the string content is the arg
+        return _eval_str(batch, e.args[0])
     if f in ("strbefore", "strafter"):
         # spec: no match → "" (empty literal); null input stays null.
         # One vectorized pandas partition per batch (no pc kernel for
@@ -1273,6 +1276,35 @@ def _apply_binds(ds, binds, bound: set):
 
         def fn(batch: pa.Table, expr=b.expr, alias=b.alias, etype=etype):
             n = batch.num_rows
+            if isinstance(expr, EFunc) and expr.func in (
+                "iri", "strdt", "strlang"
+            ):
+                # term constructors: mint an IRI / typed / lang literal
+                # from the string expression (null input → unbound)
+                vals = _eval_str(batch, expr.args[0])
+                okv = pc.is_valid(vals)
+                if expr.func == "iri":
+                    kind, lang, dt = KIND_IRI, "", ""
+                elif expr.func == "strdt":
+                    kind, lang, dt = KIND_LITERAL, "", expr.args[1].term.value
+                else:
+                    kind, lang, dt = KIND_LITERAL, expr.args[1].term.value, ""
+
+                def _c(v, typ):
+                    return pc.if_else(
+                        okv, pa.scalar(v, typ), pa.scalar(None, typ)
+                    )
+
+                cols = {
+                    f"{alias}__kind": _c(kind, pa.int64()),
+                    f"{alias}__value": vals,
+                    f"{alias}__lang": _c(lang, pa.large_string()),
+                    f"{alias}__datatype": _c(dt, pa.large_string()),
+                }
+                out = batch
+                for cname, col in cols.items():
+                    out = out.append_column(cname, col)
+                return out
             if etype == "term":
                 if isinstance(expr, EVar):
                     cols = {

@@ -603,7 +603,8 @@ class _Parser:
     # -- BIND expressions ------------------------------------------------
     _EXPR_FUNCS = (
         "concat", "str", "ucase", "lcase", "strlen", "substr", "replace",
-        "coalesce", "strbefore", "strafter",
+        "coalesce", "strbefore", "strafter", "iri", "uri", "strdt",
+        "strlang",
     )
 
     def parse_expression(self) -> Expr:
@@ -669,6 +670,25 @@ class _Parser:
                 raise SparqlSyntaxError('REPLACE(e, "pattern", "replacement")')
             if func in ("strbefore", "strafter") and len(args) != 2:
                 raise SparqlSyntaxError(f'{func.upper()}(e, "separator")')
+            if func in ("iri", "uri"):
+                func = "iri"
+                if len(args) != 1:
+                    raise SparqlSyntaxError("IRI() takes 1 argument")
+            if func in ("strdt", "strlang"):
+                if len(args) != 2:
+                    raise SparqlSyntaxError(f"{func.upper()}(e, tag)")
+                tag = args[1]
+                if func == "strdt" and not (
+                    isinstance(tag, EConst) and tag.term.kind == KIND_IRI
+                ):
+                    raise SparqlSyntaxError("STRDT datatype must be an IRI")
+                if func == "strlang" and not (
+                    isinstance(tag, EConst)
+                    and tag.term.kind == KIND_LITERAL
+                    and not tag.term.lang
+                    and not tag.term.datatype
+                ):
+                    raise SparqlSyntaxError("STRLANG tag must be a plain string")
             return EFunc(func, args)
         t = self.parse_term()
         return EVar(t.name) if isinstance(t, Var) else EConst(t)

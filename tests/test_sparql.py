@@ -1752,3 +1752,55 @@ def test_filter_or_mixed_kinds(ray_session):
     assert [r["s"] for r in out] == [f"<{EX}d1>"]
     with pytest.raises(SparqlSyntaxError):
         parse_query('SELECT ?s WHERE { ?s ?p ?o . FILTER (?o = 1 ||) }')
+
+
+# -- term constructors -----------------------------------------------------
+
+
+def test_bind_iri_constructor(ray_session):
+    # the classic KG-construction move: mint an entity IRI from a value
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?e WHERE {{
+          ?s ex:lang ?l . FILTER(STRLEN(?l) = 2)
+          BIND(IRI(CONCAT("http://minted.example/", ?l)) AS ?e)
+        }} ORDER BY ?e""",
+    ).take_all()
+    assert [r["e"] for r in out] == [
+        "<http://minted.example/de>", "<http://minted.example/en>",
+    ]
+
+
+def test_bind_strdt_strlang(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?t ?g WHERE {{
+          ?s ex:lang ?l . FILTER(?l = "en")
+          BIND(STRDT(?l, xsd:token) AS ?t)
+          BIND(STRLANG(?l, "en-GB") AS ?g)
+        }}""",
+    ).take_all()
+    assert out == [{
+        "t": '"en"^^<http://www.w3.org/2001/XMLSchema#token>',
+        "g": '"en"@en-GB',
+    }]
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?x WHERE { ?s ?p ?o . BIND(STRDT(?o, "notiri") AS ?x) }')
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT ?x WHERE { ?s ?p ?o . BIND(STRLANG(?o, ?o) AS ?x) }")
+
+
+def test_bind_iri_joins_like_term(ray_session):
+    # a minted IRI participates in downstream joins/filters as a term
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l .
+          BIND(IRI(CONCAT("{EX}", "d1")) AS ?self)
+          FILTER(?s = ?self)
+        }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}d1>"}]
