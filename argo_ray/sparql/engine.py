@@ -2219,6 +2219,33 @@ def evaluate_describe(ds, query: str | DescribeQuery):
     q = parse_query(query) if isinstance(query, str) else query
     if not isinstance(q, DescribeQuery):
         raise SparqlSyntaxError("not a DESCRIBE query")
+    if q.var is not None:
+        # DESCRIBE ?v WHERE { … }: evaluate the group, collect the
+        # variable's DISTINCT rendered bindings (the described-resource
+        # set is the query RESULT — driver-sized by design, same as any
+        # SELECT the client would have issued), then one vectorized
+        # is_in subject mask over the store.
+        sel = SelectQuery(
+            [q.var], True, list(q.patterns), list(q.filters),
+            [], None, [], [], [], [], 0, [],
+        )
+        vals = sorted(
+            {row[q.var] for row in evaluate_select(ds, sel).take_all()}
+        )
+        value_set = pa.array(vals, pa.large_string())
+
+        def fvar(batch: pa.Table) -> pa.Table:
+            rendered = nt_render_term_arrays(
+                batch["subj_kind"], batch["subj_value"],
+                batch["subj_lang"], batch["subj_datatype"],
+            )
+            return batch.filter(
+                pc.is_in(rendered, value_set=value_set)
+            ).select(TRIPLE_COLUMNS)
+
+        return dedup_exact(
+            ds.map_batches(fvar, batch_format="pyarrow")
+        ).map_batches(lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow")
     terms = q.terms
 
     def f(batch: pa.Table) -> pa.Table:

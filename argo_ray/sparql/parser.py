@@ -329,11 +329,15 @@ class ConstructQuery(NamedTuple):
 
 
 class DescribeQuery(NamedTuple):
-    """``DESCRIBE <iri>+`` — implementation-defined per the SPARQL spec;
-    here: all triples whose subject is one of the IRIs (the common
+    """``DESCRIBE <iri>+`` or ``DESCRIBE ?v WHERE { … }`` —
+    implementation-defined per the SPARQL spec; here: all triples whose
+    subject is one of the IRIs / the variable's bindings (the common
     concise-bounded-description core, minus bnode closure)."""
 
     terms: list[Term]
+    var: str | None = None
+    patterns: list = ()
+    filters: list = ()
 
 
 class UpdateOp(NamedTuple):
@@ -1212,13 +1216,24 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         p.expect("eof")
         return ConstructQuery(template, patterns, filters, limit, optionals, binds)
     if p.eat_word("describe"):
+        if p.peek()[0] == "var":
+            v = p.next()[1][1:]
+            if not (p.eat_word("where") or p.peek() == ("op", "{")):
+                raise SparqlSyntaxError(
+                    "DESCRIBE ?var needs a WHERE group binding it"
+                )
+            patterns, filters, optionals, binds = p.parse_group()
+            if optionals or binds:
+                raise SparqlSyntaxError(
+                    "OPTIONAL/BIND in DESCRIBE WHERE not supported"
+                )
+            p.expect("eof")
+            return DescribeQuery([], var=v, patterns=patterns, filters=filters)
         terms: list[Term] = []
         while p.peek()[0] in ("iri", "pname"):
             terms.append(p.parse_term(allow_var=False))
         if not terms:
-            raise SparqlSyntaxError(
-                "DESCRIBE needs one or more IRIs (variable form unsupported)"
-            )
+            raise SparqlSyntaxError("DESCRIBE needs IRIs or a variable")
         p.expect("eof")
         return DescribeQuery(terms)
     raise SparqlSyntaxError(

@@ -80,7 +80,7 @@ def test_parse_literals_and_numbers():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
-        parse_query("DESCRIBE ?v WHERE { ?v ?p ?o }")  # variable form unsupported
+        parse_query("DESCRIBE ?v")  # variable form needs a WHERE group
     with pytest.raises(SparqlSyntaxError):  # IF needs a comparison condition
         parse_query('SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o, "a", "b") AS ?x) }')
     with pytest.raises(SparqlSyntaxError):  # empty IN list
@@ -1804,3 +1804,83 @@ def test_bind_iri_joins_like_term(ray_session):
         }}""",
     ).take_all()
     assert out == [{"s": f"<{EX}d1>"}]
+
+
+# -- differential property test: engine vs naive matcher -------------------
+
+
+def test_bgp_differential_random_graphs(ray_session):
+    """The distributed co-group-join engine must agree with the naive
+    in-memory matcher (engine.py::_match_bgp_local — nested-loop, used
+    by pattern updates) on random small graphs × random BGPs, including
+    multiplicities (bag semantics)."""
+    import random
+    from collections import Counter
+
+    import ray.data
+
+    from argo_ray.sparql.engine import _match_bgp_local
+    from argo_ray.sparql.parser import Var
+    from argo_ray.terms import render_term
+
+    rng = random.Random(1234)
+    subjects = [IRI(EX + s) for s in ("a", "b", "c")]
+    preds = [IRI(EX + p) for p in ("p", "q")]
+    objects = subjects + [Literal("x"), Literal("y", lang="en"), Literal("3", datatype=XSD_INT)]
+    variables = ["u", "v", "w"]
+
+    def rand_pattern():
+        def pos(pool):
+            if rng.random() < 0.55:
+                return Var(rng.choice(variables))
+            return rng.choice(pool)
+
+        return (pos(subjects), pos(preds), pos(objects))
+
+    def to_sparql(term_or_var):
+        if isinstance(term_or_var, Var):
+            return "?" + term_or_var.name
+        return render_term(term_or_var)
+
+    for trial in range(12):
+        triples = [
+            (rng.choice(subjects), rng.choice(preds), rng.choice(objects))
+            for _ in range(rng.randint(2, 10))
+        ]
+        patterns = [rand_pattern() for _ in range(rng.randint(1, 3))]
+        pat_vars = sorted(
+            {t.name for p in patterns for t in p if isinstance(t, Var)}
+        )
+        if not pat_vars:
+            continue
+        q = (
+            "SELECT "
+            + " ".join("?" + v for v in pat_vars)
+            + " WHERE { "
+            + " . ".join(" ".join(to_sparql(t) for t in p) for p in patterns)
+            + " }"
+        )
+        ds = ray.data.from_arrow(triples_to_table(triples, with_hash=False))
+        got = Counter(
+            tuple(row[v] for v in pat_vars)
+            for row in evaluate_select(ds, q).take_all()
+        )
+        want = Counter(
+            tuple(render_term(sol[v]) for v in pat_vars)
+            for sol in _match_bgp_local(triples, patterns)
+        )
+        assert got == want, (trial, q, triples)
+
+
+def test_describe_variable_form(ray_session):
+    from argo_ray.sparql import evaluate_describe as ev_desc
+    from argo_ray.sparql import parse_query as pq
+
+    q = pq(
+        f"""PREFIX ex: <{EX}>
+        DESCRIBE ?d WHERE {{ ?d ex:chars ?c . FILTER(?c > 100) }}"""
+    )
+    out = ev_desc(_ds(), q).to_pandas()
+    # only d1 has chars > 100: its 3 triples come back
+    assert set(out["subj_value"]) == {EX + "d1"}
+    assert len(out) == 3
