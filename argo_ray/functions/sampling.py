@@ -105,12 +105,16 @@ def hash_split(
     bounds[-1] = (bounds[-1][0], 2**64 - 1)
 
     def assign_fast(batch: pa.Table) -> pa.Table:
-        h = hash64(_key_strings(batch, key_col, salt))
+        keys = _key_strings(batch, key_col, salt)
+        h = hash64(keys)
+        # hash64 maps null to a concrete value; null keys must stay
+        # unassigned (same contract as the md5 path)
+        valid = pc.is_valid(keys)
         out = pa.array([None] * batch.num_rows, pa.large_string())
         assigned = pa.array([False] * batch.num_rows, pa.bool_())
         for name, bound in bounds:
             m = pc.and_(
-                pc.invert(assigned),
+                pc.and_(valid, pc.invert(assigned)),
                 pc.less_equal(h, pa.scalar(bound, pa.uint64())),
             )
             out = pc.if_else(m, pa.scalar(name, pa.large_string()), out)
@@ -150,6 +154,8 @@ def stratified_sample(
             rk = pc.cast(hash64(keys), pa.large_string())
             # zero-pad so string order == numeric order
             rk = pc.utf8_lpad(rk, 20, "0")
+            # null keys must rank last / never be sampled, matching md5
+            rk = pc.if_else(pc.is_valid(keys), rk, pa.scalar(None, pa.large_string()))
         return batch.append_column("_rk", rk)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

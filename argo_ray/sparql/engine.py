@@ -146,6 +146,23 @@ def _pattern_bindings(ds, pattern, witness: str = "_match", graph_var=None):
                 nm = m if nm is None else pc.or_(nm, m)
             nm = pc.invert(nm)
             mask = nm if mask is None else pc.and_(mask, nm)
+        if graph_var is not None and graph_var in var_pos:
+            # ?g also appears in a triple position: constrain that
+            # position to equal the graph IRI instead of overwriting
+            # the binding below (GRAPH ?g { ?g <p> ?o } semantics).
+            if "url" not in batch.column_names:
+                raise SparqlSyntaxError(
+                    "GRAPH ?var needs a quads dataset (url graph column)"
+                )
+            pos = var_pos[graph_var][0]
+            gm = pc.and_(
+                pc.equal(pc.cast(batch[f"{pos}_kind"], pa.int64()), KIND_IRI),
+                pc.equal(
+                    pc.cast(batch[f"{pos}_value"], pa.large_string()),
+                    pc.cast(batch["url"], pa.large_string()),
+                ),
+            )
+            mask = gm if mask is None else pc.and_(mask, gm)
         for positions in var_pos.values():
             for extra in positions[1:]:
                 for f in _FIELDS:
@@ -168,7 +185,7 @@ def _pattern_bindings(ds, pattern, witness: str = "_match", graph_var=None):
                 if f == "kind":
                     col = pc.cast(col, pa.int64())
                 cols[f"{name}__{f}"] = col
-        if graph_var is not None:
+        if graph_var is not None and graph_var not in var_pos:
             if "url" not in batch.column_names:
                 raise SparqlSyntaxError(
                     "GRAPH ?var needs a quads dataset (url graph column)"
@@ -920,12 +937,14 @@ def _graph_bindings(ds, block):
         scoped = ds.map_batches(scope, batch_format="pyarrow")
         bindings, bound, leftover = _bgp(scoped, block.patterns, block.filters)
         if leftover:
+            _check_filter_vars(leftover, bound)
             bindings = _apply_filters(bindings, leftover)
         return bindings, bound
     bindings, bound, leftover = _bgp(
         ds, block.patterns, block.filters, graph_var=g.name
     )
     if leftover:
+        _check_filter_vars(leftover, bound)
         bindings = _apply_filters(bindings, leftover)
     return bindings, bound
 
@@ -1112,12 +1131,33 @@ _CMP_KERNELS = {
 
 def _eval_cond(batch: pa.Table, e: "EIf"):
     """IF condition → nullable boolean array (null = condition error,
-    which leaves the IF result unbound).  Numeric comparison when both
-    sides evaluate numerically; otherwise string comparison over
-    lexical forms."""
+    which leaves the IF result unbound).  Numeric comparison where both
+    sides evaluate numerically; rows where a term-typed operand is
+    non-numeric fall back to string comparison over lexical forms
+    (var-vs-var string equality works row-wise, not just when a
+    non-numeric constant forces the except path)."""
+    def statically_numeric(x) -> bool:
+        if isinstance(x, EConst):
+            try:
+                float(x.term.value)
+            except ValueError:
+                return False
+            return x.term.kind == KIND_LITERAL and not x.term.lang
+        return _expr_type(x) == "num"
+
     try:
         lnum, rnum = _eval_num(batch, e.cleft), _eval_num(batch, e.cright)
-        return _CMP_KERNELS[e.op](pa.array(lnum), pa.array(rnum))
+        num_res = _CMP_KERNELS[e.op](pa.array(lnum), pa.array(rnum))
+        num_ok = lnum.notna() & rnum.notna()
+        if num_ok.all() or statically_numeric(e.cleft) or statically_numeric(e.cright):
+            # statically-numeric side (arith, strlen, or a numeric
+            # constant): an NA there is a genuine expression error
+            # (→ unbound), not a string-typed value
+            return num_res
+        str_res = _CMP_KERNELS[e.op](
+            _eval_str(batch, e.cleft), _eval_str(batch, e.cright)
+        )
+        return pc.if_else(pa.array(num_ok.values), num_res, str_res)
     except SparqlSyntaxError:
         return _CMP_KERNELS[e.op](
             _eval_str(batch, e.cleft), _eval_str(batch, e.cright)
@@ -1425,14 +1465,7 @@ def _term_identity_mask(batch: pa.Table, flt):
     return out
 
 
-_FCMP = {
-    "=": pc.equal,
-    "!=": pc.not_equal,
-    "<": pc.less,
-    "<=": pc.less_equal,
-    ">": pc.greater,
-    ">=": pc.greater_equal,
-}
+_FCMP = _CMP_KERNELS  # one comparison-kernel table for the whole module
 _FKINDS = {"isiri": KIND_IRI, "isblank": KIND_BLANK, "isliteral": KIND_LITERAL}
 _FSTRFN = {
     "contains": pc.match_substring,
@@ -1453,8 +1486,11 @@ def _filter_mask(batch: pa.Table, flt):
             gm = None
             for part in group:
                 pm = _filter_mask(batch, part)
-                gm = pm if gm is None else pc.and_(gm, pm)
-            m = gm if m is None else pc.or_(m, gm)
+                # Kleene: error && false = false, so a null mask from an
+                # unbound OPTIONAL var can't poison a decided conjunct.
+                gm = pm if gm is None else pc.and_kleene(gm, pm)
+            # Kleene: error || true = true (SPARQL 17.2 filter evaluation).
+            m = gm if m is None else pc.or_kleene(m, gm)
         return m
     if isinstance(flt, Regex):
         m = pc.match_substring_regex(
@@ -1985,10 +2021,6 @@ def _apply_having(out, q: SelectQuery):
     aggregate's alias, then filters vectorized per batch."""
     if not q.having:
         return out
-    _CMP = {
-        "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-        "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
-    }
     concat_aliases = {
         a.alias for a in q.aggregates if a.func == "group_concat"
     }
@@ -2015,7 +2047,7 @@ def _apply_having(out, q: SelectQuery):
     def having_filter(batch: pa.Table) -> pa.Table:
         mask = None
         for col, op, value in resolved:
-            m = _CMP[op](pc.cast(batch[col], pa.float64()), value)
+            m = _CMP_KERNELS[op](pc.cast(batch[col], pa.float64()), value)
             mask = m if mask is None else pc.and_(mask, m)
         return batch.filter(mask)
 
@@ -2052,6 +2084,9 @@ def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
     # driver-side
     import ray.data
 
+    # each piece below consumes `bindings`; without this, every piece
+    # re-executes the whole lazy BGP join pipeline from the scan
+    bindings = bindings.materialize()
     pieces = []
     if plain:
         pieces.append(

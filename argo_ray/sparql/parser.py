@@ -496,7 +496,7 @@ class _Parser:
             if k == "op" and v in ("}", "{"):
                 break
             if allow_var and k == "word" and v.lower() in (
-                "filter", "optional", "values", "minus", "bind",
+                "filter", "optional", "values", "minus", "bind", "graph",
             ):
                 break
             subj = self.parse_term(allow_var)
@@ -615,10 +615,26 @@ class _Parser:
         """Additive → multiplicative → primary (var | constant |
         FUNC(args…) | parenthesized)."""
         left = self._mul_expr()
-        while self.peek() in (("op", "+"), ("op", "-")):
-            op = self.next()[1]
-            left = EArith(op, left, self._mul_expr())
-        return left
+        while True:
+            k, v = self.peek()
+            if (k, v) in (("op", "+"), ("op", "-")):
+                op = self.next()[1]
+                left = EArith(op, left, self._mul_expr())
+                continue
+            if k == "number" and v[0] in "+-":
+                # SPARQL additive grammar: a signed numeric literal in
+                # additive position is an implied operator (`?c-1`
+                # tokenizes as var + number "-1")
+                self.next()
+                right = EConst(
+                    Literal(
+                        v[1:],
+                        datatype=XSD + ("decimal" if "." in v else "integer"),
+                    )
+                )
+                left = EArith(v[0], left, right)
+                continue
+            return left
 
     def _mul_expr(self) -> Expr:
         left = self._primary_expr()

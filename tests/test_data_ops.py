@@ -633,3 +633,35 @@ def test_hash_split_null_keys_unassigned(ray_session):
     ).to_pandas()
     assert df.loc[df["k"].isna(), "split"].isna().all()
     assert df.loc[df["k"].notna(), "split"].notna().all()
+
+
+def test_hash_split_null_keys_unassigned_fast(ray_session):
+    # hash64 maps null to a concrete value; the fast path must still
+    # leave null keys unassigned, matching the md5 contract
+    import ray.data
+
+    from argo_ray.functions.sampling import hash_split
+
+    tbl = pa.table({"k": pa.array(["a", None, "b"], pa.large_string())})
+    df = hash_split(
+        ray.data.from_arrow(tbl), "k",
+        fractions=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    ).to_pandas()
+    assert df.loc[df["k"].isna(), "split"].isna().all()
+    assert df.loc[df["k"].notna(), "split"].notna().all()
+
+
+def test_stratified_sample_fast_null_keys_rank_last(ray_session):
+    import ray.data
+
+    from argo_ray.functions.sampling import stratified_sample
+
+    tbl = pa.table({
+        "g": pa.array(["x"] * 4, pa.large_string()),
+        "k": pa.array(["a", None, "b", "c"], pa.large_string()),
+    })
+    out = stratified_sample(
+        ray.data.from_arrow(tbl), "g", "k", n_per_stratum=3
+    ).to_pandas()
+    # the null-key row must lose to all 3 real keys
+    assert out["k"].notna().all() and len(out) == 3

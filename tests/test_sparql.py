@@ -1884,3 +1884,97 @@ def test_describe_variable_form(ray_session):
     # only d1 has chars > 100: its 3 triples come back
     assert set(out["subj_value"]) == {EX + "d1"}
     assert len(out) == 3
+
+
+# -- round-3 review regression tests ---------------------------------------
+
+
+def test_or_filter_unbound_optional_branch(ray_session):
+    # SPARQL 17.2: error || true = true.  An unbound OPTIONAL var in one
+    # || branch must not poison a row whose other branch is true.
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s a ex:Doc .
+          OPTIONAL {{ ?s ex:missing ?m }}
+          FILTER (?m = "zz" || ?s = ex:d2)
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d2>"]
+
+
+def test_graph_var_shared_with_triple_position(ray_session):
+    # GRAPH ?g { ?g ex:p ?o }: ?g bound by both the graph and the
+    # subject position must be equated, not overwritten
+    import ray.data
+
+    g1, g2 = "http://graphs.example.org/self", "http://graphs.example.org/other"
+    trips = [
+        (IRI(g1), IRI(EX + "p"), Literal("in-self")),
+        (IRI(EX + "other-subj"), IRI(EX + "p"), Literal("elsewhere")),
+    ]
+    ds = ray.data.from_arrow(
+        triples_to_table(trips, urls=[g1, g2], with_hash=False)
+    )
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?o WHERE {{ GRAPH ?g {{ ?g ex:p ?o }} }}""",
+    ).take_all()
+    assert out == [{"g": f"<{g1}>", "o": '"in-self"'}]
+
+
+def test_graph_after_triples_block(ray_session):
+    # a GRAPH clause following a triples block in the same group parses
+    # and joins on the shared variable
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?g ?o2 WHERE {{
+          ?s ex:p ?o .
+          GRAPH ?g {{ ?s ex:q ?o2 }}
+        }}""",
+    ).take_all()
+    assert out == [{"s": f"<{EX}a>", "g": f"<{g1}>", "o2": '"2"'}]
+
+
+def test_graph_filter_unbound_var_raises(ray_session):
+    ds, g1, g2 = _quads_ds()
+    with pytest.raises(SparqlSyntaxError):
+        evaluate_select(
+            ds,
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s WHERE {{ GRAPH <{g1}> {{ ?s ex:p ?o FILTER (?x = 1) }} }}""",
+        ).take_all()
+
+
+def test_bind_signed_number_no_space(ray_session):
+    # '?c-1' tokenizes as var + number '-1'; the additive grammar treats
+    # the signed literal as an implied operator (SPARQL 1.1 §19.8)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?d WHERE {{
+          ?s ex:chars ?c . BIND(?c-1 AS ?d)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["d"] for r in out] == [
+        '"119"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"79"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ]
+
+
+def test_if_string_var_vs_var_comparison(ray_session):
+    # var-vs-var string equality in IF(): the numeric path yields NA for
+    # every row; the row-wise string fallback must kick in
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x WHERE {{
+          ?s ex:lang ?l . ?s ex:lang ?l2 .
+          BIND(IF(?l = ?l2, "same", "diff") AS ?x)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["x"] for r in out] == ['"same"'] * 3
