@@ -267,6 +267,13 @@ FROM docs GROUP BY site""",
     "sparql_strafter_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc, '"' || doc_id || '"' AS id
 FROM docs""",
+    "sparql_numeric_hash_eval": EXP_CTE
+    + f"""SELECT '<' || entity || '>' AS doc,
+       '"' || CAST(ABS(n_chars - 500) AS VARCHAR) || '"^^<{XSD_INT}>' AS d,
+       '"' || md5(CAST(n_chars AS VARCHAR)) || '"' AS h,
+       '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>' AS dt,
+       '"' || lang || '"' AS l
+FROM docs""",
     "sparql_if_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc,
        '"' || CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END || '"' AS size

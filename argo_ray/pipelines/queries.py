@@ -817,6 +817,27 @@ def q_sparql_strafter_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_numeric_hash_eval(sf_dir: str):
+    """Numeric + hash + accessor builtins in BIND: ABS over an implied
+    signed-literal subtraction, MD5 content keys, DATATYPE/LANG term
+    accessors — all one vectorized map, no exchange."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?d ?h ?dt ?l WHERE {{
+      ?doc ex:chars ?c .
+      ?doc dc:title ?t .
+      BIND(ABS(?c-500) AS ?d)
+      BIND(MD5(STR(?c)) AS ?h)
+      BIND(DATATYPE(?t) AS ?dt)
+      BIND(LANG(?t) AS ?l)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_path_zero_or_one_eval(sf_dir: str):
     """``ex:cites?`` from the hub: the zero-length solution (the hub
     itself) plus every cited doc — one edge scan, no fixpoint."""
@@ -1052,6 +1073,7 @@ KG_QUERIES = {
     "sparql_neg_path_eval": q_sparql_neg_path_eval,
     "sparql_if_eval": q_sparql_if_eval,
     "sparql_strafter_eval": q_sparql_strafter_eval,
+    "sparql_numeric_hash_eval": q_sparql_numeric_hash_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,

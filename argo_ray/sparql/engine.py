@@ -1120,7 +1120,7 @@ def _expr_type(e) -> str:
             return _expr_type(b) == "num"
 
         return "num" if numeric(e.then) and numeric(e.other) else "str"
-    return "num" if e.func == "strlen" else "str"
+    return "num" if e.func in ("strlen", "abs", "round", "ceil", "floor") else "str"
 
 
 _CMP_KERNELS = {
@@ -1198,6 +1198,33 @@ def _eval_num(batch: pa.Table, e) -> pd.Series:
     if isinstance(e, EFunc) and e.func == "strlen":
         lens = pc.utf8_length(_eval_str(batch, e.args[0]))
         return pd.Series(lens.to_pylist(), dtype="Int64")
+    if isinstance(e, EFunc) and e.func in ("abs", "round", "ceil", "floor"):
+        # float-domain eval of the argument's lexical form, integral
+        # Int64 result (ROUND/CEIL/FLOOR are integral by definition;
+        # SPARQL ROUND ties go toward +inf).  A non-integral ABS result
+        # → NA (the engine's numeric domain is xsd:integer).
+        import numpy as np
+
+        arg = e.args[0]
+        if isinstance(arg, EVar):
+            vals = pc.cast(batch[f"{arg.name}__value"], pa.large_string())
+            f = pd.to_numeric(
+                pd.Series(vals.to_pylist(), dtype="object"), errors="coerce"
+            )
+        else:
+            f = _eval_num(batch, arg).astype("Float64")
+        f = f.astype("Float64")
+        if e.func == "abs":
+            f = f.abs()
+        elif e.func == "round":
+            f = np.floor(f + 0.5)
+        elif e.func == "ceil":
+            f = np.ceil(f)
+        else:
+            f = np.floor(f)
+        f = pd.Series(f, dtype="Float64")
+        f = f.mask(f.notna() & (f % 1 != 0))  # non-integral ABS → NA
+        return f.astype("Int64")
     if isinstance(e, EIf) and _expr_type(e) == "num":
         cond = pd.Series(
             _eval_cond(batch, e).to_pandas().values, dtype="boolean"
@@ -1292,6 +1319,63 @@ def _eval_str(batch: pa.Table, e) -> pa.Array:
         out = parts[0 if f == "strbefore" else 2].where(found, "")
         out = out.mask(s.isna())
         return pa.array(out, pa.large_string())
+    if f in ("md5", "sha1", "sha256"):
+        # lowercase-hex digest of the string value (DuckDB md5()/sha256()
+        # twins).  Per-row hashlib: digest cost dwarfs loop overhead and
+        # the oracle needs byte parity.
+        import hashlib
+
+        hfn = getattr(hashlib, f)
+        arr = _eval_str(batch, e.args[0])
+        return pa.array(
+            [
+                hfn(v.encode()).hexdigest() if v is not None else None
+                for v in arr.to_pylist()
+            ],
+            pa.large_string(),
+        )
+    if f == "lang":
+        # LANG(?x): the language tag, or "" for anything untagged
+        # (spec: LANG of a non-literal is an error → here "" too, which
+        # matches the engine's filter-side LANG)
+        a = e.args[0]
+        if not isinstance(a, EVar):
+            raise SparqlSyntaxError("LANG() takes a variable")
+        lang = pc.cast(batch[f"{a.name}__lang"], pa.large_string())
+        bound_m = pc.is_valid(batch[f"{a.name}__kind"])
+        return pc.if_else(
+            bound_m,
+            pc.fill_null(lang, ""),
+            pa.scalar(None, pa.large_string()),
+        )
+    if f == "datatype":
+        # string content of DATATYPE(?x); _apply_binds mints the IRI kind
+        a = e.args[0]
+        if not isinstance(a, EVar):
+            raise SparqlSyntaxError("DATATYPE() takes a variable")
+        kind = batch[f"{a.name}__kind"]
+        dt = pc.fill_null(
+            pc.cast(batch[f"{a.name}__datatype"], pa.large_string()), ""
+        )
+        lang = pc.fill_null(
+            pc.cast(batch[f"{a.name}__lang"], pa.large_string()), ""
+        )
+        # RDF 1.1: plain literal → xsd:string, lang literal → rdf:langString
+        dt = pc.if_else(
+            pc.not_equal(dt, ""),
+            dt,
+            pc.if_else(
+                pc.not_equal(lang, ""),
+                pa.scalar(_F_RDF_LANGSTRING, pa.large_string()),
+                pa.scalar(_F_XSD_STRING, pa.large_string()),
+            ),
+        )
+        # DATATYPE of a non-literal is an error → unbound
+        return pc.if_else(
+            pc.equal(pc.cast(kind, pa.int64()), KIND_LITERAL),
+            dt,
+            pa.scalar(None, pa.large_string()),
+        )
     raise SparqlSyntaxError(f"unsupported expression function {f!r}")
 
 
@@ -1317,13 +1401,18 @@ def _apply_binds(ds, binds, bound: set):
         def fn(batch: pa.Table, expr=b.expr, alias=b.alias, etype=etype):
             n = batch.num_rows
             if isinstance(expr, EFunc) and expr.func in (
-                "iri", "strdt", "strlang"
+                "iri", "strdt", "strlang", "datatype"
             ):
                 # term constructors: mint an IRI / typed / lang literal
-                # from the string expression (null input → unbound)
-                vals = _eval_str(batch, expr.args[0])
+                # from the string expression (null input → unbound).
+                # DATATYPE() is IRI-valued, so it mints too.
+                vals = (
+                    _eval_str(batch, expr)
+                    if expr.func == "datatype"
+                    else _eval_str(batch, expr.args[0])
+                )
                 okv = pc.is_valid(vals)
-                if expr.func == "iri":
+                if expr.func in ("iri", "datatype"):
                     kind, lang, dt = KIND_IRI, "", ""
                 elif expr.func == "strdt":
                     kind, lang, dt = KIND_LITERAL, "", expr.args[1].term.value

@@ -608,7 +608,8 @@ class _Parser:
     _EXPR_FUNCS = (
         "concat", "str", "ucase", "lcase", "strlen", "substr", "replace",
         "coalesce", "strbefore", "strafter", "iri", "uri", "strdt",
-        "strlang",
+        "strlang", "abs", "round", "ceil", "floor", "md5", "sha1",
+        "sha256", "lang", "datatype",
     )
 
     def parse_expression(self) -> Expr:
@@ -679,7 +680,11 @@ class _Parser:
                 if self.peek() == ("op", ","):
                     self.next()
             self.expect("op", ")")
-            _ARITY = {"str": 1, "ucase": 1, "lcase": 1, "strlen": 1}
+            _ARITY = {
+                "str": 1, "ucase": 1, "lcase": 1, "strlen": 1, "abs": 1,
+                "round": 1, "ceil": 1, "floor": 1, "md5": 1, "sha1": 1,
+                "sha256": 1, "lang": 1, "datatype": 1,
+            }
             if func in _ARITY and len(args) != _ARITY[func]:
                 raise SparqlSyntaxError(f"{func.upper()}() takes 1 argument")
             if func in ("concat", "coalesce") and len(args) < 2:

@@ -1978,3 +1978,62 @@ def test_if_string_var_vs_var_comparison(ray_session):
         }} ORDER BY ?s""",
     ).take_all()
     assert [r["x"] for r in out] == ['"same"'] * 3
+
+
+def test_numeric_builtins(ray_session):
+    import ray.data
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    trips = [
+        (IRI(EX + "a"), IRI(EX + "v"), Literal("-7", datatype=XSD + "integer")),
+        (IRI(EX + "b"), IRI(EX + "v"), Literal("2.5", datatype=XSD + "decimal")),
+        (IRI(EX + "c"), IRI(EX + "v"), Literal("-2.5", datatype=XSD + "decimal")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?a ?r ?c ?f WHERE {{
+          ?s ex:v ?x .
+          BIND(ABS(?x) AS ?a) BIND(ROUND(?x) AS ?r)
+          BIND(CEIL(?x) AS ?c) BIND(FLOOR(?x) AS ?f)
+        }} ORDER BY ?s""",
+    ).take_all()
+    INT = f"^^<{XSD}integer>"
+    # ABS of a non-integral value is outside the integer domain → unbound
+    assert [r["a"] for r in out] == [f'"7"{INT}', "", ""]
+    # SPARQL ROUND: ties toward +inf (round(2.5)=3, round(-2.5)=-2)
+    assert [r["r"] for r in out] == [f'"-7"{INT}', f'"3"{INT}', f'"-2"{INT}']
+    assert [r["c"] for r in out] == [f'"-7"{INT}', f'"3"{INT}', f'"-2"{INT}']
+    assert [r["f"] for r in out] == [f'"-7"{INT}', f'"2"{INT}', f'"-3"{INT}']
+
+
+def test_hash_and_accessor_builtins(ray_session):
+    import hashlib
+
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?h ?h2 ?l ?dt WHERE {{
+          ?s ex:lang ?x .
+          BIND(MD5(STR(?x)) AS ?h) BIND(SHA256(STR(?x)) AS ?h2)
+          BIND(LANG(?x) AS ?l) BIND(DATATYPE(?x) AS ?dt)
+        }} ORDER BY ?s""",
+    ).take_all()
+    # d1 "en" plain, d2 "de" plain, d3 "Guten Tag"@de
+    assert out[0]["h"] == '"' + hashlib.md5(b"en").hexdigest() + '"'
+    assert out[0]["h2"] == '"' + hashlib.sha256(b"en").hexdigest() + '"'
+    assert [r["l"] for r in out] == ['""', '""', '"de"']
+    assert out[0]["dt"] == "<http://www.w3.org/2001/XMLSchema#string>"
+    assert out[2]["dt"] == "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
+
+
+def test_datatype_of_non_literal_unbound(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?dt WHERE {{
+          ?s a ex:Doc . BIND(DATATYPE(?s) AS ?dt)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["dt"] for r in out] == ["", ""]
