@@ -1088,6 +1088,11 @@ def _expr_vars(e) -> set[str]:
     if isinstance(e, EArith):
         return _expr_vars(e.left) | _expr_vars(e.right)
     if isinstance(e, EIf):
+        if e.op == "__bool__":
+            return (
+                _filter_vars(e.cleft)
+                | _expr_vars(e.then) | _expr_vars(e.other)
+            )
         return (
             _expr_vars(e.cleft) | _expr_vars(e.cright)
             | _expr_vars(e.then) | _expr_vars(e.other)
@@ -1145,6 +1150,10 @@ def _eval_cond(batch: pa.Table, e: "EIf"):
             return x.term.kind == KIND_LITERAL and not x.term.lang
         return _expr_type(x) == "num"
 
+    if e.op == "__bool__":
+        # boolean-function condition (IF(CONTAINS(…),…)): the FILTER
+        # mask evaluator already returns the nullable boolean we need
+        return _filter_mask(batch, e.cleft)
     try:
         lnum, rnum = _eval_num(batch, e.cleft), _eval_num(batch, e.cright)
         num_res = _CMP_KERNELS[e.op](pa.array(lnum), pa.array(rnum))

@@ -658,6 +658,20 @@ class _Parser:
         if self.at_word("if"):
             self.next()
             self.expect("op", "(")
+            if self.at_word(*self._BOOL_ATOM_WORDS) or (
+                self.peek() == ("op", "!")
+                and self.toks[self.i + 1][0] == "word"
+                and self.toks[self.i + 1][1].lower() in self._BOOL_ATOM_WORDS
+            ):
+                # boolean-function condition: IF(CONTAINS(?t,"x"), …) —
+                # reuses the FILTER atom grammar and mask evaluator
+                flt = self._parse_filter_atom()
+                self.expect("op", ",")
+                then = self.parse_expression()
+                self.expect("op", ",")
+                other = self.parse_expression()
+                self.expect("op", ")")
+                return EIf("__bool__", flt, None, then, other)
             cleft = self.parse_expression()
             k, op = self.next()
             if k != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
@@ -748,124 +762,7 @@ class _Parser:
         if paren:
             self.next()
         while True:
-            negated = False
-            if self.peek() == ("op", "!"):
-                self.next()
-                negated = True
-            if self.at_word("regex"):
-                self.next()
-                var = self._paren_var()
-                self.expect("op", ",")
-                pk, pv = self.next()
-                if pk != "string":
-                    raise SparqlSyntaxError("REGEX needs a string pattern")
-                self.expect("op", ")")
-                out.append(Regex(var, _unescape(pv[1:-1]), negated))
-            elif self.at_word("contains", "strstarts", "strends"):
-                func = self.next()[1].lower()
-                var = self._paren_var()
-                self.expect("op", ",")
-                ak, av = self.next()
-                if ak != "string":
-                    raise SparqlSyntaxError(f"{func.upper()} needs a string argument")
-                self.expect("op", ")")
-                out.append(StrFunc(func, var, _unescape(av[1:-1]), negated))
-            elif self.at_word("bound"):
-                self.next()
-                var = self._paren_var()
-                self.expect("op", ")")
-                out.append(Bound(var, negated))
-            elif self.at_word("langmatches"):
-                self.next()
-                self.expect("op", "(")
-                self.expect("word", "lang")
-                var = self._paren_var()
-                self.expect("op", ")")
-                self.expect("op", ",")
-                rk, rv = self.next()
-                if rk == "string":
-                    rng = _unescape(rv[1:-1])
-                elif (rk, rv) == ("op", "*"):
-                    rng = "*"
-                else:
-                    raise SparqlSyntaxError(
-                        'LANGMATCHES needs a string range or "*"'
-                    )
-                self.expect("op", ")")
-                out.append(LangMatches(var, rng, negated))
-            elif self.at_word("sameterm"):
-                self.next()
-                left = self._paren_var()
-                self.expect("op", ",")
-                right = self.parse_term()
-                if not isinstance(right, Var):
-                    raise SparqlSyntaxError("sameTerm needs two variables")
-                self.expect("op", ")")
-                out.append(SameTerm(left, right, negated))
-            elif self.at_word("isiri", "isuri", "isliteral", "isblank"):
-                func = self.next()[1].lower()
-                if func == "isuri":
-                    func = "isiri"
-                var = self._paren_var()
-                self.expect("op", ")")
-                out.append(TypeCheck(func, var, negated))
-            elif self.at_word("str", "lang", "datatype", "strlen"):
-                if negated:
-                    raise SparqlSyntaxError("'!' not supported before comparisons")
-                func = self.next()[1].lower()
-                var = self._paren_var()
-                self.expect("op", ")")
-                k, op = self.next()
-                if k != "op" or op not in self._CMP_OPS:
-                    raise SparqlSyntaxError(f"bad operator after {func.upper()}(): {op!r}")
-                if func == "strlen":
-                    value: object = float(self.expect("number"))
-                elif func == "datatype":
-                    t = self.parse_term(allow_var=False)
-                    if t.kind != 0:
-                        raise SparqlSyntaxError("DATATYPE() compares against an IRI")
-                    value = t.value
-                else:
-                    vk, vv = self.next()
-                    if vk != "string":
-                        raise SparqlSyntaxError(
-                            f"{func.upper()}() compares against a string"
-                        )
-                    value = _unescape(vv[1:-1])
-                if func != "strlen" and op not in ("=", "!="):
-                    raise SparqlSyntaxError(
-                        f"{func.upper()}() supports only =/!=, got {op!r}"
-                    )
-                out.append(FuncComparison(func, var, op, value))
-            else:
-                if negated:
-                    raise SparqlSyntaxError(
-                        "'!' only supported before REGEX/CONTAINS/STRSTARTS/"
-                        "STRENDS/BOUND/isIRI/isLiteral/isBlank"
-                    )
-                left = self.parse_term()
-                if isinstance(left, Var) and (
-                    self.at_word("in")
-                    or (self.at_word("not") and self.toks[self.i + 1][1].lower() == "in")
-                ):
-                    neg = self.eat_word("not")
-                    self.expect("word", "in")
-                    self.expect("op", "(")
-                    terms = []
-                    while self.peek() != ("op", ")"):
-                        terms.append(self.parse_term(allow_var=False))
-                        if self.peek() == ("op", ","):
-                            self.next()
-                    self.expect("op", ")")
-                    if not terms:
-                        raise SparqlSyntaxError("IN () needs at least one term")
-                    out.append(InFilter(left, terms, neg))
-                else:
-                    k, op = self.next()
-                    if k != "op" or op not in self._CMP_OPS:
-                        raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
-                    right = self.parse_term()
-                    out.append(Comparison(op, left, right))
+            out.append(self._parse_filter_atom())
             if self.peek() == ("op", "&&"):
                 self.next()
                 continue
@@ -885,6 +782,132 @@ class _Parser:
                 raise SparqlSyntaxError("empty '||' branch in FILTER")
             return [OrFilter(groups)]
         return out
+
+    _BOOL_ATOM_WORDS = (
+        "regex", "contains", "strstarts", "strends", "bound",
+        "langmatches", "sameterm", "isiri", "isuri", "isliteral",
+        "isblank",
+    )
+
+    def _parse_filter_atom(self) -> Filter:
+        """One FILTER conjunct (also reused as an ``IF()`` boolean
+        condition)."""
+        negated = False
+        if self.peek() == ("op", "!"):
+            self.next()
+            negated = True
+        if self.at_word("regex"):
+            self.next()
+            var = self._paren_var()
+            self.expect("op", ",")
+            pk, pv = self.next()
+            if pk != "string":
+                raise SparqlSyntaxError("REGEX needs a string pattern")
+            self.expect("op", ")")
+            return Regex(var, _unescape(pv[1:-1]), negated)
+        if self.at_word("contains", "strstarts", "strends"):
+            func = self.next()[1].lower()
+            var = self._paren_var()
+            self.expect("op", ",")
+            ak, av = self.next()
+            if ak != "string":
+                raise SparqlSyntaxError(f"{func.upper()} needs a string argument")
+            self.expect("op", ")")
+            return StrFunc(func, var, _unescape(av[1:-1]), negated)
+        if self.at_word("bound"):
+            self.next()
+            var = self._paren_var()
+            self.expect("op", ")")
+            return Bound(var, negated)
+        if self.at_word("langmatches"):
+            self.next()
+            self.expect("op", "(")
+            self.expect("word", "lang")
+            var = self._paren_var()
+            self.expect("op", ")")
+            self.expect("op", ",")
+            rk, rv = self.next()
+            if rk == "string":
+                rng = _unescape(rv[1:-1])
+            elif (rk, rv) == ("op", "*"):
+                rng = "*"
+            else:
+                raise SparqlSyntaxError(
+                    'LANGMATCHES needs a string range or "*"'
+                )
+            self.expect("op", ")")
+            return LangMatches(var, rng, negated)
+        if self.at_word("sameterm"):
+            self.next()
+            left = self._paren_var()
+            self.expect("op", ",")
+            right = self.parse_term()
+            if not isinstance(right, Var):
+                raise SparqlSyntaxError("sameTerm needs two variables")
+            self.expect("op", ")")
+            return SameTerm(left, right, negated)
+        if self.at_word("isiri", "isuri", "isliteral", "isblank"):
+            func = self.next()[1].lower()
+            if func == "isuri":
+                func = "isiri"
+            var = self._paren_var()
+            self.expect("op", ")")
+            return TypeCheck(func, var, negated)
+        if self.at_word("str", "lang", "datatype", "strlen"):
+            if negated:
+                raise SparqlSyntaxError("'!' not supported before comparisons")
+            func = self.next()[1].lower()
+            var = self._paren_var()
+            self.expect("op", ")")
+            k, op = self.next()
+            if k != "op" or op not in self._CMP_OPS:
+                raise SparqlSyntaxError(f"bad operator after {func.upper()}(): {op!r}")
+            if func == "strlen":
+                value: object = float(self.expect("number"))
+            elif func == "datatype":
+                t = self.parse_term(allow_var=False)
+                if t.kind != 0:
+                    raise SparqlSyntaxError("DATATYPE() compares against an IRI")
+                value = t.value
+            else:
+                vk, vv = self.next()
+                if vk != "string":
+                    raise SparqlSyntaxError(
+                        f"{func.upper()}() compares against a string"
+                    )
+                value = _unescape(vv[1:-1])
+            if func != "strlen" and op not in ("=", "!="):
+                raise SparqlSyntaxError(
+                    f"{func.upper()}() supports only =/!=, got {op!r}"
+                )
+            return FuncComparison(func, var, op, value)
+        if negated:
+            raise SparqlSyntaxError(
+                "'!' only supported before REGEX/CONTAINS/STRSTARTS/"
+                "STRENDS/BOUND/isIRI/isLiteral/isBlank"
+            )
+        left = self.parse_term()
+        if isinstance(left, Var) and (
+            self.at_word("in")
+            or (self.at_word("not") and self.toks[self.i + 1][1].lower() == "in")
+        ):
+            neg = self.eat_word("not")
+            self.expect("word", "in")
+            self.expect("op", "(")
+            terms = []
+            while self.peek() != ("op", ")"):
+                terms.append(self.parse_term(allow_var=False))
+                if self.peek() == ("op", ","):
+                    self.next()
+            self.expect("op", ")")
+            if not terms:
+                raise SparqlSyntaxError("IN () needs at least one term")
+            return InFilter(left, terms, neg)
+        k, op = self.next()
+        if k != "op" or op not in self._CMP_OPS:
+            raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
+        right = self.parse_term()
+        return Comparison(op, left, right)
 
     def parse_simple_group(self) -> tuple[list[Pattern], list[Filter]]:
         """``{ TriplesBlock | FILTER … }`` — no nesting (used for UNION

@@ -2037,3 +2037,31 @@ def test_datatype_of_non_literal_unbound(ray_session):
         }} ORDER BY ?s""",
     ).take_all()
     assert [r["dt"] for r in out] == ["", ""]
+
+
+def test_if_boolean_function_condition(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x ?y WHERE {{
+          ?s ex:lang ?l .
+          BIND(IF(CONTAINS(?l, "n"), "has-n", "no-n") AS ?x)
+          BIND(IF(!ISLITERAL(?s), "iri", "lit") AS ?y)
+        }} ORDER BY ?s""",
+    ).take_all()
+    # d1 "en", d2 "de", d3 "Guten Tag"@de
+    assert [r["x"] for r in out] == ['"has-n"', '"no-n"', '"has-n"']
+    assert [r["y"] for r in out] == ['"iri"'] * 3
+
+
+def test_if_bound_condition_with_optional(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x WHERE {{
+          ?s ex:lang ?l .
+          OPTIONAL {{ ?s ex:chars ?c }}
+          BIND(IF(BOUND(?c), "sized", "unsized") AS ?x)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["x"] for r in out] == ['"sized"', '"sized"', '"unsized"']
