@@ -1108,6 +1108,7 @@ def _parse_select(p: _Parser) -> SelectQuery:
     p.eat_word("reduced")
     variables: list[str] = []
     aggregates: list[Aggregate] = []
+    select_binds: list[BindBlock] = []  # (expr AS ?alias) projections
     if p.peek() == ("op", "*"):
         p.next()
     else:
@@ -1117,6 +1118,21 @@ def _parse_select(p: _Parser) -> SelectQuery:
         while True:
             if p.peek()[0] == "var":
                 variables.append(p.next()[1][1:])
+            elif (
+                p.peek() == ("op", "(")
+                and p.toks[p.i + 1][1].lower() not in _AGG_FUNCS
+            ):
+                # (expr AS ?alias) projection — desugared to a BIND
+                # appended after the group's own BINDs
+                p.next()
+                expr = p.parse_expression()
+                p.expect("word", "as")
+                k, v = p.next()
+                if k != "var":
+                    raise SparqlSyntaxError("AS needs a variable alias")
+                p.expect("op", ")")
+                select_binds.append(BindBlock(expr, v[1:]))
+                variables.append(v[1:])
             elif p.peek() == ("op", "(") and p.toks[p.i + 1][1].lower() in _AGG_FUNCS:
                 p.next()  # (
                 func = p.next()[1].lower()
@@ -1160,6 +1176,13 @@ def _parse_select(p: _Parser) -> SelectQuery:
             raise SparqlSyntaxError("SELECT needs variables or *")
     p.eat_word("where")
     patterns, filters, optionals, binds = p.parse_group()
+    if select_binds:
+        if aggregates:
+            raise SparqlSyntaxError(
+                "(expr AS ?alias) projections cannot be combined with "
+                "aggregates"
+            )
+        binds = list(binds) + select_binds
     group_by: list[str] = []
     if p.eat_word("group"):
         p.expect("word", "by")

@@ -2065,3 +2065,29 @@ def test_if_bound_condition_with_optional(ray_session):
         }} ORDER BY ?s""",
     ).take_all()
     assert [r["x"] for r in out] == ['"sized"', '"sized"', '"unsized"']
+
+
+def test_select_expression_projection(ray_session):
+    # (expr AS ?alias) in the SELECT clause desugars to a trailing BIND
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (UCASE(?l) AS ?u) (STRLEN(?l) AS ?n) WHERE {{
+          ?s ex:lang ?l . FILTER (!LANGMATCHES(LANG(?l), "*"))
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert out == [
+        {"s": f"<{EX}d1>", "u": '"EN"',
+         "n": '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'},
+        {"s": f"<{EX}d2>", "u": '"DE"',
+         "n": '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'},
+    ]
+
+
+def test_select_expression_with_aggregates_rejected(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            f"""PREFIX ex: <{EX}>
+            SELECT (UCASE(?l) AS ?u) (COUNT(*) AS ?n)
+            WHERE {{ ?s ex:lang ?l }} GROUP BY ?l"""
+        )
