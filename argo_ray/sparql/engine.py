@@ -67,6 +67,7 @@ from .parser import (
     ConstructQuery,
     DescribeQuery,
     ExistsFilter,
+    ExprComparison,
     FuncComparison,
     InFilter,
     LangMatches,
@@ -231,6 +232,8 @@ def _filter_vars(flt) -> set[str]:
         flt, (Regex, StrFunc, FuncComparison, TypeCheck, InFilter, Bound, LangMatches)
     ):
         return {flt.var.name}
+    if isinstance(flt, ExprComparison):
+        return _expr_vars(flt.left) | _expr_vars(flt.right)
     return {x.name for x in (flt.left, flt.right) if isinstance(x, Var)}
 
 
@@ -1590,6 +1593,13 @@ def _filter_mask(batch: pa.Table, flt):
             # Kleene: error || true = true (SPARQL 17.2 filter evaluation).
             m = gm if m is None else pc.or_kleene(m, gm)
         return m
+    if isinstance(flt, ExprComparison):
+        # general expression comparison — reuses the IF() condition
+        # machinery (numeric where possible, string fallback row-wise);
+        # null mask = expression error → row excluded by the filter
+        return _eval_cond(
+            batch, EIf(flt.op, flt.left, flt.right, None, None)
+        )
     if isinstance(flt, Regex):
         m = pc.match_substring_regex(
             pc.cast(batch[f"{flt.var.name}__value"], pa.large_string()),

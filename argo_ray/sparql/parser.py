@@ -185,6 +185,18 @@ class EIf(NamedTuple):
 Expr = Union[EVar, EConst, EArith, EFunc, EIf]
 
 
+class ExprComparison(NamedTuple):
+    """General expression comparison in FILTER (beyond term-vs-term
+    ``Comparison``): ``FILTER(ABS(?c-500) < 10)``,
+    ``FILTER(UCASE(?l) = "EN")`` — evaluated with the same hybrid
+    numeric/string condition machinery as ``IF()``.  Part of the
+    ``Filter`` family."""
+
+    op: str  # = != < <= > >=
+    left: Expr
+    right: Expr
+
+
 class BindBlock(NamedTuple):
     """``BIND(expr AS ?alias)`` — evaluated over the group's joined
     bindings (after OPTIONALs attach), so the alias cannot be used in
@@ -886,7 +898,27 @@ class _Parser:
                 "'!' only supported before REGEX/CONTAINS/STRSTARTS/"
                 "STRENDS/BOUND/isIRI/isLiteral/isBlank"
             )
+        if self.at_word(*self._EXPR_FUNCS) and self.toks[self.i + 1] == ("op", "("):
+            # expression comparison: FILTER(UCASE(?l) = "EN") etc.
+            left_e = self.parse_expression()
+            k, op = self.next()
+            if k != "op" or op not in self._CMP_OPS:
+                raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
+            return ExprComparison(op, left_e, self.parse_expression())
+        start = self.i
         left = self.parse_term()
+        if isinstance(left, Var) and (
+            self.peek() in (("op", "+"), ("op", "-"), ("op", "*"))
+            or (self.peek()[0] == "number" and self.peek()[1][0] in "+-")
+        ):
+            # arithmetic filter (FILTER(?c - 500 > 10)): backtrack and
+            # re-parse the whole side as an expression
+            self.i = start
+            left_e = self.parse_expression()
+            k, op = self.next()
+            if k != "op" or op not in self._CMP_OPS:
+                raise SparqlSyntaxError(f"unsupported filter operator {op!r}")
+            return ExprComparison(op, left_e, self.parse_expression())
         if isinstance(left, Var) and (
             self.at_word("in")
             or (self.at_word("not") and self.toks[self.i + 1][1].lower() == "in")

@@ -2091,3 +2091,33 @@ def test_select_expression_with_aggregates_rejected(ray_session):
             SELECT (UCASE(?l) AS ?u) (COUNT(*) AS ?n)
             WHERE {{ ?s ex:lang ?l }} GROUP BY ?l"""
         )
+
+
+def test_filter_expression_comparison(ray_session):
+    # general expression comparisons in FILTER, both function-led and
+    # arithmetic-led (backtracked var parse)
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:lang ?l . FILTER(UCASE(?l) = "EN")
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>"]
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:chars ?c . FILTER(?c - 100 > 0)
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>"]
+    # ABS over implied signed literal; ExprComparison inside ||
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s ex:chars ?c . FILTER(ABS(?c-100) < 25 || ?c = 120)
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d2>"]
