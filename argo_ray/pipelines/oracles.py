@@ -274,6 +274,10 @@ FROM docs""",
        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>' AS dt,
        '"' || lang || '"' AS l
 FROM docs""",
+    "sparql_select_expr_eval": EXP_CTE
+    + f"""SELECT '<' || entity || '>' AS doc,
+       '"' || CAST(ABS(n_chars - 500) AS VARCHAR) || '"^^<{XSD_INT}>' AS dist
+FROM docs WHERE ABS(n_chars - 500) < 200""",
     "sparql_if_eval": EXP_CTE
     + """SELECT '<' || entity || '>' AS doc,
        '"' || CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END || '"' AS size

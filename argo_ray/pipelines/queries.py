@@ -838,6 +838,21 @@ def q_sparql_numeric_hash_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_select_expr_eval(sf_dir: str):
+    """SELECT (expr AS ?alias) projection + general expression FILTER
+    — both desugar onto the vectorized BIND/condition machinery."""
+    from ..sparql import evaluate_select
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    SELECT ?doc (ABS(?c-500) AS ?dist) WHERE {{
+      ?doc ex:chars ?c .
+      FILTER(ABS(?c-500) < 200)
+    }}
+    """
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_path_zero_or_one_eval(sf_dir: str):
     """``ex:cites?`` from the hub: the zero-length solution (the hub
     itself) plus every cited doc — one edge scan, no fixpoint."""
@@ -1074,6 +1089,7 @@ KG_QUERIES = {
     "sparql_if_eval": q_sparql_if_eval,
     "sparql_strafter_eval": q_sparql_strafter_eval,
     "sparql_numeric_hash_eval": q_sparql_numeric_hash_eval,
+    "sparql_select_expr_eval": q_sparql_select_expr_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,
