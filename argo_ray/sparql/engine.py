@@ -2221,6 +2221,47 @@ def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
     return ray.data.from_pandas(merged[cols])
 
 
+def _apply_dataset_clause(ds, q):
+    """``FROM`` / ``FROM NAMED`` over a quads dataset (``url`` graph
+    column, the ``read_graphstore`` layout).
+
+    - ``FROM <g>…``: the default graph is the merge of the listed
+      graphs — ONE vectorized url-mask scan; the ``url`` column is
+      dropped so a stray GRAPH clause errors loudly instead of seeing
+      graphs the dataset clause excluded.
+    - ``FROM NAMED <g>…`` (alone): quads scoped to the listed graphs;
+      GRAPH clauses see exactly those.  Divergence from the spec's
+      empty-default-graph rule: non-GRAPH patterns also match inside
+      the named graphs (documented; all-GRAPH queries — the common
+      shape — behave per spec).
+    - Combining both is rejected rather than silently wrong: it would
+      need two differently-scoped scans threaded through every join
+      path."""
+    if not (q.from_graphs or q.from_named):
+        return ds
+    if q.from_graphs and q.from_named:
+        raise SparqlSyntaxError(
+            "combining FROM and FROM NAMED is not supported"
+        )
+    cols = ds.columns()
+    if cols is not None and "url" not in cols:
+        raise SparqlSyntaxError(
+            "FROM / FROM NAMED need a quads dataset (url graph column)"
+        )
+    allowed = list(q.from_graphs or q.from_named)
+    drop_url = bool(q.from_graphs)
+
+    def scope(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            pc.cast(batch["url"], pa.large_string()),
+            value_set=pa.array(allowed, pa.large_string()),
+        )
+        batch = batch.filter(m)
+        return batch.drop_columns(["url"]) if drop_url else batch
+
+    return ds.map_batches(scope, batch_format="pyarrow")
+
+
 def evaluate_select(ds, query: str | SelectQuery):
     """SELECT over a triples Dataset → Dataset with one canonical
     N-Triples-rendered string column per selected variable (the same
@@ -2228,6 +2269,7 @@ def evaluate_select(ds, query: str | SelectQuery):
     q = parse_query(query) if isinstance(query, str) else query
     if not isinstance(q, SelectQuery):
         raise SparqlSyntaxError("not a SELECT query")
+    ds = _apply_dataset_clause(ds, q)
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
     bindings, bound = _finish_group(
         ds, bindings, bound, leftover, q.optionals, q.binds

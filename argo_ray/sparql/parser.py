@@ -322,6 +322,8 @@ class SelectQuery(NamedTuple):
     having: list[HavingCond] = []
     offset: int = 0
     binds: list[BindBlock] = []
+    from_graphs: list[str] = []  # FROM <iri> — default-graph selection
+    from_named: list[str] = []  # FROM NAMED <iri> — GRAPH scope
 
 
 class AskQuery(NamedTuple):
@@ -1206,6 +1208,15 @@ def _parse_select(p: _Parser) -> SelectQuery:
                 break
         if not variables and not aggregates:
             raise SparqlSyntaxError("SELECT needs variables or *")
+    from_graphs: list[str] = []
+    from_named: list[str] = []
+    while p.at_word("from"):
+        p.next()
+        named = p.eat_word("named")
+        t = p.parse_term(allow_var=False)
+        if t.kind != 0:
+            raise SparqlSyntaxError("FROM needs an IRI")
+        (from_named if named else from_graphs).append(t.value)
     p.eat_word("where")
     patterns, filters, optionals, binds = p.parse_group()
     if select_binds:
@@ -1267,7 +1278,8 @@ def _parse_select(p: _Parser) -> SelectQuery:
     order, limit, offset = p.parse_modifiers()
     return SelectQuery(
         variables, distinct, patterns, filters, order, limit, optionals,
-        aggregates, group_by, having, offset, binds,
+        aggregates, group_by, having, offset, binds, from_graphs,
+        from_named,
     )
 
 

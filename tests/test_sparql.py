@@ -2121,3 +2121,51 @@ def test_filter_expression_comparison(ray_session):
         }} ORDER BY ?s""",
     ).take_all()
     assert [r["s"] for r in out] == [f"<{EX}d1>", f"<{EX}d2>"]
+
+
+def test_from_dataset_clause(ray_session):
+    ds, g1, g2 = _quads_ds()
+    # FROM g1: default graph = g1 only
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?o WHERE {{ ?s ex:p ?o }}""".replace(
+            "WHERE", f"FROM <{g1}> WHERE"
+        ),
+    ).take_all()
+    assert out == [{"s": f"<{EX}a>", "o": '"1"'}]
+    # FROM both graphs: merged default graph
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s FROM <{g1}> FROM <{g2}> WHERE {{ ?s ex:p ?o }} ORDER BY ?s""",
+    ).take_all()
+    assert [r["s"] for r in out] == [f"<{EX}a>", f"<{EX}b>"]
+
+
+def test_from_named_scopes_graph(ray_session):
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?s FROM NAMED <{g2}> WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }}""",
+    ).take_all()
+    assert out == [{"g": f"<{g2}>", "s": f"<{EX}b>"}]
+
+
+def test_from_clause_errors(ray_session):
+    ds, g1, g2 = _quads_ds()
+    with pytest.raises(SparqlSyntaxError):
+        parse_query_and_run = evaluate_select(
+            ds,
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s FROM <{g1}> FROM NAMED <{g2}>
+            WHERE {{ ?s ex:p ?o }}""",
+        )
+    with pytest.raises(SparqlSyntaxError):
+        # FROM drops the url column, so GRAPH inside errors loudly
+        evaluate_select(
+            ds,
+            f"""PREFIX ex: <{EX}>
+            SELECT ?s FROM <{g1}> WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }}""",
+        ).take_all()
