@@ -2322,6 +2322,7 @@ def evaluate_ask(ds, query: str | AskQuery) -> bool:
     q = parse_query(query) if isinstance(query, str) else query
     if not isinstance(q, AskQuery):
         raise SparqlSyntaxError("not an ASK query")
+    ds = _apply_dataset_clause(ds, q)
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
     bindings, _ = _finish_group(
         ds, bindings, bound, leftover, q.optionals, q.binds
@@ -2344,6 +2345,7 @@ def evaluate_construct(ds, query: str | ConstructQuery):
                 raise SparqlSyntaxError(
                     "blank nodes in CONSTRUCT templates not supported"
                 )
+    ds = _apply_dataset_clause(ds, q)
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
     bindings, bound = _finish_group(
         ds, bindings, bound, leftover, q.optionals, q.binds

@@ -331,6 +331,8 @@ class AskQuery(NamedTuple):
     filters: list[Filter]
     optionals: list[OptionalBlock] = []
     binds: list[BindBlock] = []
+    from_graphs: list[str] = []
+    from_named: list[str] = []
 
 
 class ConstructQuery(NamedTuple):
@@ -340,6 +342,8 @@ class ConstructQuery(NamedTuple):
     limit: int | None
     optionals: list[OptionalBlock] = []
     binds: list[BindBlock] = []
+    from_graphs: list[str] = []
+    from_named: list[str] = []
 
 
 class DescribeQuery(NamedTuple):
@@ -1208,15 +1212,7 @@ def _parse_select(p: _Parser) -> SelectQuery:
                 break
         if not variables and not aggregates:
             raise SparqlSyntaxError("SELECT needs variables or *")
-    from_graphs: list[str] = []
-    from_named: list[str] = []
-    while p.at_word("from"):
-        p.next()
-        named = p.eat_word("named")
-        t = p.parse_term(allow_var=False)
-        if t.kind != 0:
-            raise SparqlSyntaxError("FROM needs an IRI")
-        (from_named if named else from_graphs).append(t.value)
+    from_graphs, from_named = _parse_dataset_clause(p)
     p.eat_word("where")
     patterns, filters, optionals, binds = p.parse_group()
     if select_binds:
@@ -1284,6 +1280,20 @@ def _parse_select(p: _Parser) -> SelectQuery:
 
 
 
+def _parse_dataset_clause(p: _Parser) -> tuple[list[str], list[str]]:
+    """``FROM <iri>`` / ``FROM NAMED <iri>`` repetitions."""
+    from_graphs: list[str] = []
+    from_named: list[str] = []
+    while p.at_word("from"):
+        p.next()
+        named = p.eat_word("named")
+        t = p.parse_term(allow_var=False)
+        if t.kind != 0:
+            raise SparqlSyntaxError("FROM needs an IRI")
+        (from_named if named else from_graphs).append(t.value)
+    return from_graphs, from_named
+
+
 def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
     p = _Parser(text)
     p.parse_prologue()
@@ -1292,11 +1302,13 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
         p.expect("eof")
         return q
     if p.eat_word("ask"):
+        fg, fn = _parse_dataset_clause(p)
         p.eat_word("where")
         patterns, filters, optionals, binds = p.parse_group()
         p.expect("eof")
-        return AskQuery(patterns, filters, optionals, binds)
+        return AskQuery(patterns, filters, optionals, binds, fg, fn)
     if p.eat_word("construct"):
+        fg, fn = _parse_dataset_clause(p)
         if p.at_word("where"):
             # CONSTRUCT WHERE { … } shorthand: template = the pattern
             # block (plain triples only per the spec)
@@ -1315,17 +1327,21 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
             if offset:
                 raise SparqlSyntaxError("OFFSET on CONSTRUCT not supported")
             p.expect("eof")
-            return ConstructQuery(patterns, patterns, [], limit, [], [])
+            return ConstructQuery(patterns, patterns, [], limit, [], [], fg, fn)
         p.expect("op", "{")
         template = p.parse_triples_block()
         p.expect("op", "}")
+        fg2, fn2 = _parse_dataset_clause(p)
+        fg, fn = fg + fg2, fn + fn2
         p.expect("word", "where")
         patterns, filters, optionals, binds = p.parse_group()
         _, limit, offset = p.parse_modifiers()
         if offset:
             raise SparqlSyntaxError("OFFSET on CONSTRUCT not supported")
         p.expect("eof")
-        return ConstructQuery(template, patterns, filters, limit, optionals, binds)
+        return ConstructQuery(
+            template, patterns, filters, limit, optionals, binds, fg, fn
+        )
     if p.eat_word("describe"):
         if p.peek()[0] == "var":
             v = p.next()[1][1:]

@@ -2169,3 +2169,22 @@ def test_from_clause_errors(ray_session):
             f"""PREFIX ex: <{EX}>
             SELECT ?s FROM <{g1}> WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }}""",
         ).take_all()
+
+
+def test_from_on_ask_and_construct(ray_session):
+    from argo_ray.sparql import evaluate_ask, evaluate_construct
+
+    ds, g1, g2 = _quads_ds()
+    # ex:b only exists in g2
+    assert evaluate_ask(
+        ds, f"PREFIX ex: <{EX}> ASK FROM <{g2}> {{ ex:b ex:p ?o }}"
+    )
+    assert not evaluate_ask(
+        ds, f"PREFIX ex: <{EX}> ASK FROM <{g1}> {{ ex:b ex:p ?o }}"
+    )
+    out = evaluate_construct(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:seen "y" }} FROM <{g1}> WHERE {{ ?s ex:p ?o }}""",
+    ).to_pandas()
+    assert list(out["subj_value"]) == [EX + "a"]
