@@ -429,3 +429,86 @@ def test_sparql_parser_never_crashes(toks, garbage):
                 fn(text)
             except SparqlSyntaxError:
                 pass
+
+
+def _ref_bgp_seeded(triples, patterns, seeds):
+    """Nested-loop BGP evaluation from initial bindings."""
+    from argo_ray.sparql.parser import Var
+
+    sols = [dict(s) for s in seeds]
+    for pat in patterns:
+        new = []
+        for binding in sols:
+            for t in triples:
+                b2 = dict(binding)
+                ok = True
+                for x, val in zip(pat, t):
+                    if isinstance(x, Var):
+                        if x.name in b2 and b2[x.name] != val:
+                            ok = False
+                            break
+                        b2[x.name] = val
+                    elif x != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(b2)
+        sols = new
+    return sols
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(_triple_gen, min_size=1, max_size=10),
+    st.lists(_pattern_gen, min_size=1, max_size=2),
+    st.lists(_pattern_gen, min_size=1, max_size=1),
+    st.sampled_from(_VARS),
+    st.sampled_from(_SPARQL_OBJS),
+)
+def test_sparql_optional_filter_differential(
+    ray_session, triples, base_pats, opt_pats, fvar, fterm
+):
+    """OPTIONAL left-join + term-equality FILTER must match the naive
+    evaluator: optionals keep unmatched rows with unbound vars; a
+    FILTER on an unbound var drops the row (error semantics)."""
+    import ray.data
+
+    from argo_ray.sparql.engine import evaluate_select
+    from argo_ray.sparql.parser import (
+        Comparison, OptionalBlock, SelectQuery, Var,
+    )
+    from argo_ray.terms import render_term
+
+    base_vars = {x.name for p in base_pats for x in p if isinstance(x, Var)}
+    opt_vars = {x.name for p in opt_pats for x in p if isinstance(x, Var)}
+    if not base_vars:
+        return  # all-ground required part: out of scope here
+    if not (opt_vars & base_vars):
+        return  # disconnected OPTIONAL (cartesian) is out of scope
+    if fvar not in base_vars:
+        return  # filter on the required part only (engine pushes down)
+    variables = sorted(base_vars | opt_vars)
+
+    # naive: base BGP -> equality filter -> left-join the optional
+    base = _ref_bgp(triples, base_pats)
+    base = [s for s in base if s.get(fvar) == fterm]
+    want_sols = []
+    for sol in base:
+        ext = _ref_bgp_seeded(triples, opt_pats, [sol])
+        want_sols.extend(ext if ext else [sol])
+    want = sorted(
+        tuple(render_term(s[v]) if v in s else "" for v in variables)
+        for s in want_sols
+    )
+
+    ds = ray.data.from_arrow(triples_to_table(triples, with_hash=False))
+    q = SelectQuery(
+        variables, False, list(base_pats),
+        [Comparison("=", Var(fvar), fterm)], [], None,
+        optionals=[OptionalBlock(list(opt_pats), [])],
+    )
+    got = sorted(
+        tuple(r[v] for v in variables)
+        for r in evaluate_select(ds, q).take_all()
+    )
+    assert got == want
