@@ -712,6 +712,24 @@ def q_docs_chunk(sf_dir: str):
     )
 
 
+def q_docs_pack_sequences(sf_dir: str):
+    """Concat-and-chunk LLM sample packing: whitespace token counts →
+    distributed prefix sum (one sort + per-block offsets) → each doc
+    assigned the 512-token window its start offset falls in.  Oracle =
+    DuckDB window cumsum with integer division."""
+    from ..functions.packing import pack_sequences
+
+    counted = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    out = pack_sequences(counted, "doc_id", "n_tokens", budget=512)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "seq_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_hash_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment keyed on a
     content hash of doc_id — stateless map, no shuffle; the md5 hex
@@ -752,6 +770,7 @@ DATA_QUERIES = {
     "docs_hash_split": q_docs_hash_split,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_chunk": q_docs_chunk,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "docs_token_count": q_docs_token_count,
     "docs_regex_tokens": q_docs_regex_tokens,
     "docs_vocab": q_docs_vocab,
@@ -919,6 +938,12 @@ FROM documents""",
        COUNT(*) AS n_copies
 FROM corpus GROUP BY md5(text)""",
     "docs_token_count": "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "docs_pack_sequences": """SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 512 AS BIGINT) AS seq_id
+FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)""",
     "docs_regex_tokens": """SELECT doc_id,
        CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
 FROM documents""",

@@ -665,3 +665,39 @@ def test_stratified_sample_fast_null_keys_rank_last(ray_session):
     ).to_pandas()
     # the null-key row must lose to all 3 real keys
     assert out["k"].notna().all() and len(out) == 3
+
+
+def test_running_total_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data
+
+    from argo_ray.functions.packing import running_total
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(500)
+    vals = rng.integers(1, 100, 500)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    # many small blocks to force multi-block offsets
+    ds = ray.data.from_arrow(tbl).repartition(13)
+    out = running_total(ds, "id", "v", out_col="cum").to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    expect = out["v"].cumsum()
+    assert (out["cum"] == expect).all()
+
+
+def test_pack_sequences_window_assignment(ray_session):
+    import ray.data
+
+    from argo_ray.functions.packing import pack_sequences
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "n": pa.array([300, 300, 300, 300, 300], pa.int64()),
+    })
+    out = (
+        pack_sequences(ray.data.from_arrow(tbl), "id", "n", budget=512)
+        .to_pandas().sort_values("id")
+    )
+    # start offsets 0,300,600,900,1200 -> windows 0,0,1,1,2
+    assert list(out["seq_id"]) == [0, 0, 1, 1, 2]
