@@ -730,6 +730,52 @@ def q_docs_pack_sequences(sf_dir: str):
     )
 
 
+def q_docs_clean_pipeline(sf_dir: str):
+    """C4-style corpus cleaning as ONE streaming composition: quality
+    gate (word count ≥ 20 AND ≥ 1 en stopword) → exact dedup keeping
+    the smallest doc_id per content fingerprint (one sort exchange) →
+    deterministic 80/10/10 content-hash split.  The shape a real
+    training-corpus pipeline runs end-to-end; every stage is an
+    operator the registry also checks in isolation."""
+    import pandas as pd
+
+    from ..functions.sampling import hash_split
+    from ..functions.text import fingerprint_batch, quality_batch
+    from ..stages.grouping import grouped_map
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_words"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(q["n_stopwords"], pa.scalar(1, pa.int64())),
+        )
+        kept = b.filter(keep)
+        return fingerprint_batch(kept, hasher="md5").select(
+            ["doc_id", "fingerprint"]
+        )
+
+    gated = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("doc_id", kind="mergesort")
+            .groupby("fingerprint", sort=False, observed=True)
+            .head(1)
+        )
+
+    uniq = grouped_map(gated, ["fingerprint"], keep_min)
+    out = hash_split(
+        uniq, "doc_id",
+        splits=[("train", "cd"), ("val", "e6"), ("test", "g")],
+        hasher="md5",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "split"]), batch_format="pyarrow"
+    )
+
+
 def q_docs_hash_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment keyed on a
     content hash of doc_id — stateless map, no shuffle; the md5 hex
@@ -768,6 +814,7 @@ def q_docs_stratified_sample(sf_dir: str):
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_hash_split": q_docs_hash_split,
+    "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_chunk": q_docs_chunk,
     "docs_pack_sequences": q_docs_pack_sequences,
@@ -928,6 +975,19 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks
             WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
             ELSE 'test' END AS split
 FROM documents""",
+    "docs_clean_pipeline": """WITH kept AS (
+  SELECT doc_id, md5(lower(text)) AS fp FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_filter(string_split(text, ' '),
+            w -> w IN ('a', 'and', 'for', 'in', 'is', 'it', 'of', 'that', 'the', 'to'))) >= 1
+), uniq AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM uniq""",
     "docs_stratified_sample": """SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source

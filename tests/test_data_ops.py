@@ -701,3 +701,17 @@ def test_pack_sequences_window_assignment(ray_session):
     )
     # start offsets 0,300,600,900,1200 -> windows 0,0,1,1,2
     assert list(out["seq_id"]) == [0, 0, 1, 1, 2]
+
+
+def test_docs_clean_pipeline_composition(ray_session):
+    from argo_ray.pipelines.data_queries import q_docs_clean_pipeline
+
+    out = q_docs_clean_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert out["doc_id"].is_unique
+    # the sf fixtures plant exact duplicates, so dedup must shrink
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).num_rows
+    assert 0 < len(out) < n_docs
