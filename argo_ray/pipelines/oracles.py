@@ -274,6 +274,9 @@ FROM docs""",
        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>' AS dt,
        '"' || lang || '"' AS l
 FROM docs""",
+    "sparql_results_roundtrip": EXP_CTE
+    + """SELECT '<' || entity || '>' AS doc, '"' || lang || '"' AS l
+FROM docs""",
     "sparql_select_expr_eval": EXP_CTE
     + f"""SELECT '<' || entity || '>' AS doc,
        '"' || CAST(ABS(n_chars - 500) AS VARCHAR) || '"^^<{XSD_INT}>' AS dist

@@ -853,6 +853,36 @@ def q_sparql_select_expr_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_results_roundtrip(sf_dir: str):
+    """Full result-format loop: evaluate SELECT → serialize to W3C
+    results XML (the document the reference's result.go parser reads)
+    → re-parse with the S6 parser → rendered rows.  Proves the write
+    twin against the read twin on real query output."""
+    import pyarrow as pa
+
+    from ..sinks.sparql_results import select_dataset_to_xml
+    from ..sources.sparql_results import parse_select_results
+    from ..sparql import evaluate_select
+    from ..terms import render_term
+
+    q = f"""
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?l WHERE {{ ?doc dc:language ?l }}
+    """
+    out = evaluate_select(_deduped(sf_dir).materialize(), q)
+    doc = select_dataset_to_xml(out, ["doc", "l"])
+    variables, rows = parse_select_results(doc)
+    return pa.table(
+        {
+            v: pa.array(
+                [render_term(r[v]) if v in r else "" for r in rows],
+                pa.large_string(),
+            )
+            for v in variables
+        }
+    )
+
+
 def q_sparql_path_zero_or_one_eval(sf_dir: str):
     """``ex:cites?`` from the hub: the zero-length solution (the hub
     itself) plus every cited doc — one edge scan, no fixpoint."""
@@ -1090,6 +1120,7 @@ KG_QUERIES = {
     "sparql_strafter_eval": q_sparql_strafter_eval,
     "sparql_numeric_hash_eval": q_sparql_numeric_hash_eval,
     "sparql_select_expr_eval": q_sparql_select_expr_eval,
+    "sparql_results_roundtrip": q_sparql_results_roundtrip,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,

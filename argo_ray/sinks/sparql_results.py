@@ -1,0 +1,114 @@
+"""SPARQL results XML serializer — the write twin of the S6 parser
+(``sources/sparql_results.py``).  Emits the W3C ``<sparql>`` results
+document the reference's streaming parser consumes
+(``/root/reference/sparql/result.go:97-518``): ``<head>`` with one
+``<variable>`` per projected var, ``<results>``/``<result>`` rows with
+``<uri>``/``<bnode>``/``<literal xml:lang|datatype>`` bindings; ASK →
+``<boolean>``.
+
+A results document is a driver-sized artifact (the reference's HTTP
+response body), so the Dataset path streams batches through the
+vectorized term parser (``nt_parse_term_arrays``) and joins the parts
+driver-side — bindings never round-trip through Python ``Term``
+objects unless the caller starts from them.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape, quoteattr
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..terms import KIND_BLANK, KIND_IRI, Term, nt_parse_term_arrays
+
+_HEADER = '<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+
+
+def _head(variables: list[str]) -> str:
+    vs = "".join(f'<variable name={quoteattr(v)}/>' for v in variables)
+    return f"<head>{vs}</head>"
+
+
+def _binding_xml(name: str, kind: int, value: str, lang: str, datatype: str) -> str:
+    if kind == KIND_IRI:
+        body = f"<uri>{escape(value)}</uri>"
+    elif kind == KIND_BLANK:
+        body = f"<bnode>{escape(value)}</bnode>"
+    elif lang:
+        body = f'<literal xml:lang={quoteattr(lang)}>{escape(value)}</literal>'
+    elif datatype:
+        body = f"<literal datatype={quoteattr(datatype)}>{escape(value)}</literal>"
+    else:
+        body = f"<literal>{escape(value)}</literal>"
+    return f"<binding name={quoteattr(name)}>{body}</binding>"
+
+
+def serialize_ask_result(value: bool) -> str:
+    return f"{_HEADER}<head/><boolean>{'true' if value else 'false'}</boolean></sparql>"
+
+
+def serialize_select_results(
+    variables: list[str], rows: list[dict[str, Term]]
+) -> str:
+    """Driver-side serialization from parsed ``Term`` rows (the shape
+    the S6 parser returns — exact round-trip partner)."""
+    parts = [_HEADER, _head(variables), "<results>"]
+    for row in rows:
+        bindings = "".join(
+            _binding_xml(v, t.kind, t.value, t.lang, t.datatype)
+            for v, t in ((v, row[v]) for v in variables if v in row)
+        )
+        parts.append(f"<result>{bindings}</result>")
+    parts.append("</results></sparql>")
+    return "".join(parts)
+
+
+def select_dataset_to_xml(ds, variables: list[str]) -> str:
+    """``evaluate_select`` output Dataset (one canonical-rendering
+    string column per variable, '' = unbound) → results XML document.
+    Term decomposition is the vectorized inverse renderer per batch;
+    only the final string join happens on the driver."""
+    chunks: list[str] = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        cols = {}
+        for v in variables:
+            rendered = pc.cast(batch[v], pa.large_string())
+            if isinstance(rendered, pa.ChunkedArray):
+                rendered = rendered.combine_chunks()
+            # '' marks an unbound binding — parse as null.  NB: if_else
+            # with a NULL SCALAR emits a corrupt large_string chunk
+            # (combine_chunks → ArrowIndexError on pyarrow 1x); a null
+            # array is fine.
+            rendered = pc.if_else(
+                pc.equal(rendered, ""),
+                pa.nulls(len(rendered), pa.large_string()),
+                rendered,
+            )
+            parsed = nt_parse_term_arrays(rendered)
+            # normalize to flat Arrays for positional .as_py() below
+            cols[v] = {
+                k: (a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+                for k, a in parsed.items()
+            }
+        n = batch.num_rows
+        rows = []
+        for i in range(n):
+            bindings = []
+            for v in variables:
+                c = cols[v]
+                kind = c["kind"][i].as_py()
+                if kind is None:
+                    continue  # unbound: omitted binding, per spec
+                bindings.append(
+                    _binding_xml(
+                        v, kind, c["value"][i].as_py(),
+                        c["lang"][i].as_py() or "",
+                        c["datatype"][i].as_py() or "",
+                    )
+                )
+            rows.append(f"<result>{''.join(bindings)}</result>")
+        chunks.append("".join(rows))
+    return "".join(
+        [_HEADER, _head(variables), "<results>", *chunks, "</results></sparql>"]
+    )

@@ -80,3 +80,61 @@ def test_trim_prefixes_m12():
     }
     # non-prefix lines pass through untouched
     assert trim_prefixes("ASK { ?s ?p ?o }", prefixes) == "ASK { ?s ?p ?o }"
+
+
+# -- serializer: the S6 parser's write twin --------------------------------
+
+
+def test_results_xml_roundtrip_terms():
+    from argo_ray.sinks.sparql_results import (
+        serialize_ask_result, serialize_select_results,
+    )
+    from argo_ray.sources.sparql_results import (
+        parse_ask_result, parse_select_results,
+    )
+    from argo_ray.terms import Blank, IRI, Literal
+
+    rows = [
+        {"s": IRI("http://e.org/a<b&c"), "o": Literal('say "hi"\n')},
+        {"s": Blank("b1"), "o": Literal("Grüße", lang="de")},
+        {"s": IRI("http://e.org/x"),
+         "o": Literal("7", datatype="http://www.w3.org/2001/XMLSchema#integer")},
+        {"s": IRI("http://e.org/unbound-o")},  # omitted binding
+    ]
+    doc = serialize_select_results(["s", "o"], rows)
+    variables, back = parse_select_results(doc)
+    assert variables == ["s", "o"]
+    assert back == rows
+    assert parse_ask_result(serialize_ask_result(True)) is True
+    assert parse_ask_result(serialize_ask_result(False)) is False
+
+
+def test_results_xml_from_dataset(ray_session):
+    import ray.data
+
+    from argo_ray.sinks.sparql_results import select_dataset_to_xml
+    from argo_ray.sources.sparql_results import parse_select_results
+    from argo_ray.sparql import evaluate_select
+    from argo_ray.terms import IRI, Literal, RDF_TYPE, triples_to_table
+
+    EX = "http://example.org/ns#"
+    trips = [
+        (IRI(EX + "d1"), IRI(RDF_TYPE), IRI(EX + "Doc")),
+        (IRI(EX + "d1"), IRI(EX + "lang"), Literal("en")),
+        (IRI(EX + "d2"), IRI(RDF_TYPE), IRI(EX + "Doc")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:Doc . OPTIONAL {{ ?s ex:lang ?l }}
+        }} ORDER BY ?s""",
+    )
+    doc = select_dataset_to_xml(out, ["s", "l"])
+    variables, rows = parse_select_results(doc)
+    assert variables == ["s", "l"]
+    assert rows == [
+        {"s": IRI(EX + "d1"), "l": Literal("en")},
+        {"s": IRI(EX + "d2")},  # unbound ?l omitted
+    ]
