@@ -112,3 +112,46 @@ def select_dataset_to_xml(ds, variables: list[str]) -> str:
     return "".join(
         [_HEADER, _head(variables), "<results>", *chunks, "</results></sparql>"]
     )
+
+
+# -- SPARQL 1.1 results JSON (application/sparql-results+json) -------------
+# Public spec sibling of the XML format; the reference speaks only XML,
+# this completes the format family for interop with JSON-only endpoints.
+
+
+def _term_json(t) -> dict:
+    from ..terms import KIND_BLANK as _B, KIND_IRI as _I
+
+    if t.kind == _I:
+        return {"type": "uri", "value": t.value}
+    if t.kind == _B:
+        return {"type": "bnode", "value": t.value}
+    out = {"type": "literal", "value": t.value}
+    if t.lang:
+        out["xml:lang"] = t.lang
+    elif t.datatype:
+        out["datatype"] = t.datatype
+    return out
+
+
+def serialize_select_results_json(variables: list[str], rows) -> str:
+    import json
+
+    return json.dumps(
+        {
+            "head": {"vars": list(variables)},
+            "results": {
+                "bindings": [
+                    {v: _term_json(row[v]) for v in variables if v in row}
+                    for row in rows
+                ]
+            },
+        },
+        ensure_ascii=False,
+    )
+
+
+def serialize_ask_result_json(value: bool) -> str:
+    import json
+
+    return json.dumps({"head": {}, "boolean": bool(value)})

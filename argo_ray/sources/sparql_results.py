@@ -123,3 +123,43 @@ def trim_prefixes(line: str, prefixes: dict[str, str]) -> str:
         prefixes[m.group(1)] = m.group(2)
         return trim_prefixes(line[m.end():], prefixes)
     return line
+
+
+# -- SPARQL 1.1 results JSON parser (format-family sibling of the XML
+# parser above; spec: https://www.w3.org/TR/sparql11-results-json/) ----
+
+
+def _json_term(b: dict) -> Term:
+    t = b.get("type")
+    if t == "uri":
+        return IRI(b["value"])
+    if t == "bnode":
+        return Blank(b["value"])
+    if t in ("literal", "typed-literal"):
+        return Literal(
+            b["value"],
+            lang=b.get("xml:lang", ""),
+            datatype=b.get("datatype", ""),
+        )
+    raise ValueError(f"unknown binding type: {t!r}")
+
+
+def parse_select_results_json(doc: str) -> tuple[list[str], list[dict[str, Term]]]:
+    import json
+
+    d = json.loads(doc)
+    variables = list(d.get("head", {}).get("vars", []))
+    rows = [
+        {v: _json_term(b) for v, b in binding.items()}
+        for binding in d.get("results", {}).get("bindings", [])
+    ]
+    return variables, rows
+
+
+def parse_ask_result_json(doc: str) -> bool:
+    import json
+
+    d = json.loads(doc)
+    if "boolean" not in d:
+        raise ValueError("not an ASK result document")
+    return bool(d["boolean"])

@@ -138,3 +138,26 @@ def test_results_xml_from_dataset(ray_session):
         {"s": IRI(EX + "d1"), "l": Literal("en")},
         {"s": IRI(EX + "d2")},  # unbound ?l omitted
     ]
+
+
+def test_results_json_roundtrip():
+    from argo_ray.sinks.sparql_results import (
+        serialize_ask_result_json, serialize_select_results_json,
+    )
+    from argo_ray.sources.sparql_results import (
+        parse_ask_result_json, parse_select_results_json,
+    )
+    from argo_ray.terms import Blank, IRI, Literal
+
+    rows = [
+        {"s": IRI("http://e.org/a"), "o": Literal('say "hi"')},
+        {"s": Blank("b1"), "o": Literal("Grüße", lang="de")},
+        {"s": IRI("http://e.org/x"),
+         "o": Literal("7", datatype="http://www.w3.org/2001/XMLSchema#integer")},
+        {"s": IRI("http://e.org/partial")},
+    ]
+    doc = serialize_select_results_json(["s", "o"], rows)
+    variables, back = parse_select_results_json(doc)
+    assert variables == ["s", "o"] and back == rows
+    assert parse_ask_result_json(serialize_ask_result_json(True)) is True
+    assert parse_ask_result_json(serialize_ask_result_json(False)) is False
