@@ -155,3 +155,37 @@ def serialize_ask_result_json(value: bool) -> str:
     import json
 
     return json.dumps({"head": {}, "boolean": bool(value)})
+
+
+# -- SPARQL 1.1 results CSV / TSV (text/csv, text/tab-separated-values) ----
+# CSV renders bare values (lossy, spreadsheet-bound per spec §3); TSV
+# renders full SPARQL-syntax terms (lossless).
+
+
+def serialize_select_results_csv(variables: list[str], rows) -> str:
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n")  # spec: CRLF line ends
+    w.writerow(variables)
+    for row in rows:
+        w.writerow([row[v].value if v in row else "" for v in variables])
+    return buf.getvalue()
+
+
+def _tsv_term(t) -> str:
+    from ..terms import render_term
+
+    # TSV uses full SPARQL term syntax — identical to the canonical
+    # N-Triples rendering this engine uses everywhere
+    return render_term(t)
+
+
+def serialize_select_results_tsv(variables: list[str], rows) -> str:
+    lines = ["\t".join("?" + v for v in variables)]
+    for row in rows:
+        lines.append(
+            "\t".join(_tsv_term(row[v]) if v in row else "" for v in variables)
+        )
+    return "\n".join(lines) + "\n"

@@ -161,3 +161,25 @@ def test_results_json_roundtrip():
     assert variables == ["s", "o"] and back == rows
     assert parse_ask_result_json(serialize_ask_result_json(True)) is True
     assert parse_ask_result_json(serialize_ask_result_json(False)) is False
+
+
+def test_results_csv_tsv():
+    from argo_ray.sinks.sparql_results import (
+        serialize_select_results_csv, serialize_select_results_tsv,
+    )
+    from argo_ray.terms import IRI, Literal
+
+    rows = [
+        {"s": IRI("http://e.org/a"), "o": Literal('v,"x"')},
+        {"s": IRI("http://e.org/b")},
+    ]
+    csv_doc = serialize_select_results_csv(["s", "o"], rows)
+    assert csv_doc.splitlines() == [
+        "s,o", 'http://e.org/a,"v,""x"""', "http://e.org/b,"
+    ]
+    tsv_doc = serialize_select_results_tsv(["s", "o"], rows)
+    assert tsv_doc.splitlines() == [
+        "?s\t?o",
+        '<http://e.org/a>\t"v,\\"x\\""',
+        "<http://e.org/b>\t",
+    ]
