@@ -2406,6 +2406,7 @@ def evaluate_describe(ds, query: str | DescribeQuery):
     q = parse_query(query) if isinstance(query, str) else query
     if not isinstance(q, DescribeQuery):
         raise SparqlSyntaxError("not a DESCRIBE query")
+    ds = _apply_dataset_clause(ds, q)
     if q.var is not None:
         # DESCRIBE ?v WHERE { … }: evaluate the group, collect the
         # variable's DISTINCT rendered bindings (the described-resource

@@ -356,6 +356,8 @@ class DescribeQuery(NamedTuple):
     var: str | None = None
     patterns: list = ()
     filters: list = ()
+    from_graphs: list = ()
+    from_named: list = ()
 
 
 class UpdateOp(NamedTuple):
@@ -1345,6 +1347,7 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
     if p.eat_word("describe"):
         if p.peek()[0] == "var":
             v = p.next()[1][1:]
+            fg, fn = _parse_dataset_clause(p)
             if not (p.eat_word("where") or p.peek() == ("op", "{")):
                 raise SparqlSyntaxError(
                     "DESCRIBE ?var needs a WHERE group binding it"
@@ -1355,14 +1358,18 @@ def parse_query(text: str) -> SelectQuery | AskQuery | ConstructQuery:
                     "OPTIONAL/BIND in DESCRIBE WHERE not supported"
                 )
             p.expect("eof")
-            return DescribeQuery([], var=v, patterns=patterns, filters=filters)
+            return DescribeQuery(
+                [], var=v, patterns=patterns, filters=filters,
+                from_graphs=fg, from_named=fn,
+            )
         terms: list[Term] = []
         while p.peek()[0] in ("iri", "pname"):
             terms.append(p.parse_term(allow_var=False))
         if not terms:
             raise SparqlSyntaxError("DESCRIBE needs IRIs or a variable")
+        fg, fn = _parse_dataset_clause(p)
         p.expect("eof")
-        return DescribeQuery(terms)
+        return DescribeQuery(terms, from_graphs=fg, from_named=fn)
     raise SparqlSyntaxError(
         f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {p.peek()[1]!r}"
     )

@@ -2188,3 +2188,17 @@ def test_from_on_ask_and_construct(ray_session):
         CONSTRUCT {{ ?s ex:seen "y" }} FROM <{g1}> WHERE {{ ?s ex:p ?o }}""",
     ).to_pandas()
     assert list(out["subj_value"]) == [EX + "a"]
+
+
+def test_describe_with_from(ray_session):
+    from argo_ray.sparql.engine import evaluate_describe
+
+    ds, g1, g2 = _quads_ds()
+    out = evaluate_describe(
+        ds, f"PREFIX ex: <{EX}> DESCRIBE ex:a FROM <{g1}>"
+    ).to_pandas()
+    assert set(out["pred_value"]) == {EX + "p", EX + "q"}
+    out = evaluate_describe(
+        ds, f"PREFIX ex: <{EX}> DESCRIBE ex:a FROM <{g2}>"
+    ).to_pandas()
+    assert len(out) == 0
