@@ -350,3 +350,60 @@ def chunk_documents_batch(
             }
         )
     return pa.concat_tables(parts)
+
+
+def repetition_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (integer-only →
+    exactly SQL-reproducible): total words, distinct words, occurrence
+    count of the most frequent word, and a ``repetitive`` flag
+    (top word > 20% of all words, compared in integers:
+    ``5*top_word_n > n_words``).
+
+    Fully vectorized: one split kernel, one explode, one Arrow-native
+    ``group_by((doc, word))`` then ``group_by(doc)`` — no per-row
+    Python.  Stateless ``map_batches`` stage; at scale the whole filter
+    is embarrassingly parallel (no shuffle — the group_bys are
+    *within-batch*, keyed by doc, and each doc lives in one row)."""
+    text = pc.cast(batch[text_column], pa.large_string())
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(toks)
+    idx = pc.list_parent_indices(toks)
+    per_word = (
+        pa.table({"i": idx, "word": flat})
+        .group_by(["i", "word"])
+        .aggregate([("word", "count")])
+    )
+    per_doc = per_word.group_by("i").aggregate(
+        [("word_count", "sum"), ("word_count", "max"), ("word_count", "count")]
+    )
+    # group_by output order is not positional — scatter back via the
+    # doc index (every doc has >= 1 token: split of "" yields [""]).
+    import numpy as np
+
+    n = len(batch)
+    order = np.asarray(per_doc["i"], dtype=np.int64)
+    n_words = np.zeros(n, dtype=np.int64)
+    top_word_n = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_words[order] = np.asarray(per_doc["word_count_sum"], dtype=np.int64)
+    top_word_n[order] = np.asarray(per_doc["word_count_max"], dtype=np.int64)
+    n_distinct[order] = np.asarray(per_doc["word_count_count"], dtype=np.int64)
+    out = batch.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_distinct_words", pa.array(n_distinct, pa.int64()))
+    out = out.append_column("top_word_n", pa.array(top_word_n, pa.int64()))
+    return out.append_column(
+        "repetitive", pa.array(5 * top_word_n > n_words, pa.bool_())
+    )
+
+
+REPETITION_ORACLE_SQL = """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(MAX(n) AS BIGINT) AS top_word_n,
+       (5 * MAX(n) > SUM(n)) AS repetitive
+FROM c GROUP BY doc_id"""

@@ -811,8 +811,51 @@ def q_docs_stratified_sample(sf_dir: str):
     )
 
 
+def q_docs_pii_redact(sf_dir: str):
+    """PII scrub (emails/phones/IPv4) over deterministically planted
+    PII — vectorized RE2 kernels, byte-identical to the DuckDB
+    ``regexp_replace`` oracle (same pattern constants both sides)."""
+    from ..functions.privacy import plant_pii_batch, redact_pii_batch
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(plant_pii_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: redact_pii_batch(b).select(
+                ["doc_id", "clean", "n_emails", "n_phones", "n_ips"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals (integer-exact): word totals,
+    distinct words, top-word count, repetitive flag."""
+    from ..functions.text import repetition_batch
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: repetition_batch(b).select(
+            ["doc_id", "n_words", "n_distinct_words", "top_word_n", "repetitive"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: train docs flagged when they share a
+    word 3-gram with the eval split (doc_id % 23 == 0).  Eval grams are
+    broadcast once (``ray.put``), train side streams vectorized."""
+    from ..functions.decontam import decontaminate
+
+    return decontaminate(_docs(sf_dir, ("doc_id", "text")))
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_pii_redact": q_docs_pii_redact,
+    "docs_repetition": q_docs_repetition,
+    "docs_decontaminate": q_docs_decontaminate,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -963,7 +1006,28 @@ WITH corpus AS (
 )
 """
 
+def _pii_oracle_sql() -> str:
+    from ..functions.privacy import redact_pii_oracle_sql
+
+    return redact_pii_oracle_sql()
+
+
+def _decontam_oracle_sql() -> str:
+    from ..functions.decontam import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql()
+
+
+def _repetition_oracle_sql() -> str:
+    from ..functions.text import REPETITION_ORACLE_SQL
+
+    return REPETITION_ORACLE_SQL
+
+
 DATA_ORACLES = {
+    "docs_pii_redact": _pii_oracle_sql(),
+    "docs_repetition": _repetition_oracle_sql(),
+    "docs_decontaminate": _decontam_oracle_sql(),
     "docs_chunk": """SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
        array_to_string(toks[start+1 : start+50], ' ') AS chunk_text,
        CAST(least(len(toks) - start, 50) AS BIGINT) AS n_chunk_tokens

@@ -715,3 +715,88 @@ def test_docs_clean_pipeline_composition(ray_session):
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
     ).num_rows
     assert 0 < len(out) < n_docs
+
+
+def test_pii_redaction_matches_duckdb():
+    """Planted email/phone/IP redaction is byte-identical to the DuckDB
+    regexp_replace oracle (same RE2 constants both sides)."""
+    import duckdb
+
+    from argo_ray.functions.privacy import (
+        plant_pii_batch,
+        redact_pii_batch,
+        redact_pii_oracle_sql,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 199, 1234], pa.int64()),
+            "text": ["alpha beta", "g 10.5 d", "e", "z", "k 1.2.3.4 x", "l"],
+        }
+    )
+    got = (
+        redact_pii_batch(plant_pii_batch(t))
+        .select(["doc_id", "clean", "n_emails", "n_phones", "n_ips"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(redact_pii_oracle_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # pre-planted IP in doc 199's text is also caught
+    assert "<IP>" in got.loc[got.doc_id == 199, "clean"].iloc[0]
+
+
+def test_repetition_batch_integer_exact():
+    from argo_ray.functions.text import repetition_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a a a a b", "u v w x y z", ""],
+        }
+    )
+    out = repetition_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 5
+    assert out.loc[1, "n_distinct_words"] == 2
+    assert out.loc[1, "top_word_n"] == 4
+    assert bool(out.loc[1, "repetitive"])  # 4*5 > 5
+    assert out.loc[2, "top_word_n"] == 1
+    assert not bool(out.loc[2, "repetitive"])  # 5 > 6 is false
+    # empty text splits to [""] — one word, all of them "distinct"
+    assert out.loc[3, "n_words"] == 1
+
+
+def test_decontaminate_flags_shared_ngrams(ray_session):
+    """Doc sharing a 3-gram with the eval doc (id 0) is contaminated;
+    disjoint doc is not; 2-token doc is dropped (no gram)."""
+    import ray.data as rd
+
+    from argo_ray.functions.decontam import decontaminate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "the quick brown fox jumps",
+                "a lazy dog saw the quick brown fox",
+                "completely different words here",
+                "too short",
+            ],
+        }
+    )
+    out = (
+        decontaminate(rd.from_arrow(t), every=23, concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [1, 2]
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
