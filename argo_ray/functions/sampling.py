@@ -176,3 +176,79 @@ def stratified_sample(
     return out.map_batches(
         lambda b: b.drop_columns(["_rk"]), batch_format="pyarrow"
     )
+
+
+# Common-Crawl-style URL shape: scheme://host/site-path/page-id.  Named
+# groups for pc.extract_regex; the SAME pattern (positional groups) is
+# formatted into the DuckDB oracle.
+URL_PATTERN = r"^https://(?P<host>[a-z0-9.\-]+)/(?P<site>[A-Za-z0-9_\-]+)/(?P<page_id>[0-9]+)$"
+URL_PATTERN_SQL = r"^https://([a-z0-9.\-]+)/([A-Za-z0-9_\-]+)/([0-9]+)$"
+
+
+def parse_url_batch(batch: pa.Table, url_column: str = "url") -> pa.Table:
+    """Vectorized URL parse (one RE2 kernel): appends ``host``, ``site``,
+    ``page_id`` columns; rows whose URL does not match are dropped
+    (poison-URL quarantine, same contract as the batch parsers)."""
+    urls = pc.cast(batch[url_column], pa.large_string())
+    ex = pc.extract_regex(urls, pattern=URL_PATTERN)
+    ok = pc.is_valid(ex)
+    batch = batch.filter(ok)
+    ex = ex.filter(ok)
+    return (
+        batch.append_column("host", pc.cast(pc.struct_field(ex, "host"), pa.string()))
+        .append_column("site", pc.cast(pc.struct_field(ex, "site"), pa.string()))
+        .append_column(
+            "page_id", pc.cast(pc.struct_field(ex, "page_id"), pa.int64())
+        )
+    )
+
+
+def domain_cap(pages_ds, k: int = 15, url_column: str = "url"):
+    """Per-domain quota (the Common-Crawl "cap pages per site" op):
+    keep the ``k`` lowest-page_id pages of each site.
+
+    Scale shape: vectorized URL parse → per-batch partial top-k per
+    site (the combiner — each batch forwards ≤ sites×k rows, never the
+    raw corpus) → one small per-site exchange (grouped_map) for the
+    global top-k.  Skew-safe: a hot site still only ships k rows per
+    batch."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return parse_url_batch(batch, url_column).select(["site", "page_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("page_id", kind="mergesort")
+            .groupby("site", sort=False, observed=True)
+            .head(k)
+        )
+
+    pre = pages_ds.map_batches(parse, batch_format="pyarrow").map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("page_id", kind="mergesort").head(k)
+
+    return grouped_map(pre, ["site"], final)
+
+
+def domain_cap_oracle_sql(k: int = 15) -> str:
+    """DuckDB twin over the documents table (page URLs reconstructed
+    the same way pages.synth_pages_batch builds them)."""
+    return f"""WITH pages AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(url, '{URL_PATTERN_SQL}', 2) AS site,
+         CAST(regexp_extract(url, '{URL_PATTERN_SQL}', 3) AS BIGINT) AS page_id
+  FROM pages
+)
+SELECT site, page_id FROM (
+  SELECT site, page_id,
+         row_number() OVER (PARTITION BY site ORDER BY page_id) AS rn
+  FROM parsed
+) WHERE rn <= {k}"""

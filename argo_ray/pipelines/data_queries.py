@@ -842,6 +842,24 @@ def q_docs_repetition(sf_dir: str):
     )
 
 
+def q_docs_keyword_topk(sf_dir: str):
+    """Integer-weighted keyword relevance top-20 (tf combiner before a
+    tiny groupby; deterministic (score desc, doc_id) tie-break)."""
+    from ..functions.scoring import keyword_topk
+
+    return keyword_topk(_docs(sf_dir, ("doc_id", "text")))
+
+
+def q_pages_domain_cap(sf_dir: str):
+    """Common-Crawl-style per-site page quota over the synthesized
+    pages corpus: vectorized URL parse, per-batch partial top-k
+    combiner, one small per-site exchange."""
+    from ..functions.sampling import domain_cap
+    from ..pages import pages_dataset
+
+    return domain_cap(pages_dataset(sf_dir), k=15)
+
+
 def q_docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: train docs flagged when they share a
     word 3-gram with the eval split (doc_id % 23 == 0).  Eval grams are
@@ -856,6 +874,8 @@ DATA_QUERIES = {
     "docs_pii_redact": q_docs_pii_redact,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_keyword_topk": q_docs_keyword_topk,
+    "pages_domain_cap": q_pages_domain_cap,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -1024,10 +1044,24 @@ def _repetition_oracle_sql() -> str:
     return REPETITION_ORACLE_SQL
 
 
+def _keyword_topk_oracle_sql() -> str:
+    from ..functions.scoring import keyword_topk_oracle_sql
+
+    return keyword_topk_oracle_sql()
+
+
+def _domain_cap_oracle_sql() -> str:
+    from ..functions.sampling import domain_cap_oracle_sql
+
+    return domain_cap_oracle_sql()
+
+
 DATA_ORACLES = {
     "docs_pii_redact": _pii_oracle_sql(),
     "docs_repetition": _repetition_oracle_sql(),
     "docs_decontaminate": _decontam_oracle_sql(),
+    "docs_keyword_topk": _keyword_topk_oracle_sql(),
+    "pages_domain_cap": _domain_cap_oracle_sql(),
     "docs_chunk": """SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
        array_to_string(toks[start+1 : start+50], ' ') AS chunk_text,
        CAST(least(len(toks) - start, 50) AS BIGINT) AS n_chunk_tokens

@@ -800,3 +800,97 @@ def test_decontaminate_flags_shared_ngrams(ray_session):
     assert sorted(out.index) == [1, 2]
     assert bool(out.loc[1, "contaminated"])
     assert not bool(out.loc[2, "contaminated"])
+
+
+def test_keyword_topk_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from argo_ray.functions.scoring import keyword_topk, keyword_topk_oracle_sql
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "data join data",        # 3+2+3 = 8
+                "vector slow vector",    # 2+1+2 = 5
+                "nothing matches here",
+                "data",                  # 3
+            ],
+        }
+    )
+    got = keyword_topk(rd.from_arrow(t), k=3).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(keyword_topk_oracle_sql(k=3)).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got.doc_id.tolist() == [1, 2, 4]
+
+
+def test_bm25_topk_matches_local_reference(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from argo_ray.functions.scoring import bm25_topk
+
+    texts = ["data join data x", "vector slow", "data", "w w w w w w w w"]
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": texts}
+    )
+    terms = ["data", "vector"]
+    got = bm25_topk(rd.from_arrow(t), terms, k=4).to_pandas()
+    toks = [s.split(" ") for s in texts]
+    N, avgdl = len(toks), sum(map(len, toks)) / len(toks)
+    df = {w: sum(1 for tk in toks if w in tk) for w in terms}
+    idf = {w: math.log((N - df[w] + 0.5) / (df[w] + 0.5) + 1.0) for w in terms}
+
+    def score(tk):
+        s = 0.0
+        for w in terms:
+            n = tk.count(w)
+            if n:
+                s += idf[w] * n * 2.5 / (n + 1.5 * (1 - 0.75 + 0.75 * len(tk) / avgdl))
+        return s
+
+    ref = sorted(
+        ((score(tk), d) for tk, d in zip(toks, [1, 2, 3, 4]) if score(tk) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert got.doc_id.tolist() == [d for _, d in ref]
+    for (rs, _), gs in zip(ref, got.score):
+        assert gs == pytest.approx(rs, abs=1e-12)
+
+
+def test_parse_url_batch_quarantines_bad_urls():
+    from argo_ray.functions.sampling import parse_url_batch
+
+    t = pa.table(
+        {
+            "url": [
+                "https://docs.example.org/src1/42",
+                "not a url",
+                "https://other.host.example/site-a/7",
+                "https://docs.example.org/src1/notanumber",
+            ]
+        }
+    )
+    out = parse_url_batch(t)
+    assert out.num_rows == 2
+    assert out["site"].to_pylist() == ["src1", "site-a"]
+    assert out["page_id"].to_pylist() == [42, 7]
+
+
+def test_domain_cap_keeps_k_lowest_per_site(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.sampling import domain_cap
+
+    urls = [f"https://h.example/s{site}/{pid}" for site in (1, 2) for pid in (9, 3, 5, 1)]
+    out = (
+        domain_cap(rd.from_items([{"url": u} for u in urls]), k=2)
+        .to_pandas()
+        .sort_values(["site", "page_id"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [["s1", 1], ["s1", 3], ["s2", 1], ["s2", 3]]
