@@ -203,7 +203,7 @@ def parse_url_batch(batch: pa.Table, url_column: str = "url") -> pa.Table:
     )
 
 
-def domain_cap(pages_ds, k: int = 15, url_column: str = "url"):
+def domain_cap(pages_ds, k: int = 15, url_column: str = "url", pre_parsed: bool = False):
     """Per-domain quota (the Common-Crawl "cap pages per site" op):
     keep the ``k`` lowest-page_id pages of each site.
 
@@ -217,6 +217,8 @@ def domain_cap(pages_ds, k: int = 15, url_column: str = "url"):
     from ..stages.grouping import grouped_map
 
     def parse(batch: pa.Table) -> pa.Table:
+        if pre_parsed:  # site/page_id columns already extracted upstream
+            return batch.select(["site", "page_id"])
         return parse_url_batch(batch, url_column).select(["site", "page_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

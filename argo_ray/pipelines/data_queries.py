@@ -860,6 +860,36 @@ def q_pages_domain_cap(sf_dir: str):
     return domain_cap(pages_dataset(sf_dir), k=15)
 
 
+CC_BLOCKLIST = ("src0", "src13")
+
+
+def q_cc_ingest_pipeline(sf_dir: str):
+    """Composed Common-Crawl-style ingest as ONE streaming pipeline:
+    synthesize pages → vectorized URL parse (poison quarantine) → site
+    blocklist filter → language gate (en) → per-site page quota.  Every
+    stage is stateless ``map_batches`` except the one small per-site
+    exchange inside :func:`domain_cap`."""
+    from ..functions.sampling import domain_cap, parse_url_batch
+    from ..pages import pages_dataset
+
+    block = pa.array(list(CC_BLOCKLIST), pa.string())
+
+    def gate(batch: pa.Table) -> pa.Table:
+        parsed = parse_url_batch(batch)
+        keep = pc.and_(
+            pc.invert(pc.is_in(parsed["site"], value_set=block)),
+            pc.equal(pc.cast(parsed["lang"], pa.string()), "en"),
+        )
+        return parsed.filter(keep).select(["site", "page_id"])
+
+    pages = pages_dataset(sf_dir).map_batches(
+        lambda b: b.select(["url", "lang"]), batch_format="pyarrow"
+    )
+    return domain_cap(
+        pages.map_batches(gate, batch_format="pyarrow"), k=10, pre_parsed=True
+    )
+
+
 def q_docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: train docs flagged when they share a
     word 3-gram with the eval split (doc_id % 23 == 0).  Eval grams are
@@ -876,6 +906,7 @@ DATA_QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_keyword_topk": q_docs_keyword_topk,
     "pages_domain_cap": q_pages_domain_cap,
+    "cc_ingest_pipeline": q_cc_ingest_pipeline,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -1056,12 +1087,26 @@ def _domain_cap_oracle_sql() -> str:
     return domain_cap_oracle_sql()
 
 
+def _cc_ingest_oracle_sql() -> str:
+    block = ", ".join(f"'{s}'" for s in CC_BLOCKLIST)
+    return f"""WITH parsed AS (
+  SELECT source AS site, doc_id AS page_id FROM documents
+  WHERE source NOT IN ({block}) AND lang = 'en'
+)
+SELECT site, page_id FROM (
+  SELECT site, page_id,
+         row_number() OVER (PARTITION BY site ORDER BY page_id) AS rn
+  FROM parsed
+) WHERE rn <= 10"""
+
+
 DATA_ORACLES = {
     "docs_pii_redact": _pii_oracle_sql(),
     "docs_repetition": _repetition_oracle_sql(),
     "docs_decontaminate": _decontam_oracle_sql(),
     "docs_keyword_topk": _keyword_topk_oracle_sql(),
     "pages_domain_cap": _domain_cap_oracle_sql(),
+    "cc_ingest_pipeline": _cc_ingest_oracle_sql(),
     "docs_chunk": """SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
        array_to_string(toks[start+1 : start+50], ' ') AS chunk_text,
        CAST(least(len(toks) - start, 50) AS BIGINT) AS n_chunk_tokens

@@ -127,6 +127,20 @@ FROM exp WHERE subj_kind = 0""",
             WHEN pred_value LIKE '%/%' THEN regexp_extract(pred_value, '/([^/]*)$', 1)
             ELSE pred_value END AS local_name
 FROM exp""",
+    "kg_degree_topk": EXP_CTE
+    + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+nodes AS (
+  SELECT subj_value AS node FROM d
+  UNION ALL
+  SELECT obj_value FROM d WHERE obj_kind <> 2
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM nodes GROUP BY node
+ORDER BY degree DESC, node LIMIT 20""",
+    "kg_predicate_hist": EXP_CTE
+    + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT pred_value AS predicate, CAST(COUNT(*) AS BIGINT) AS n_triples
+FROM d GROUP BY pred_value""",
     "group_subject_count": EXP_CTE
     + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
 FROM (SELECT DISTINCT {TERM_COLS} FROM exp)

@@ -197,6 +197,65 @@ def q_split_prefix(sf_dir: str):
     return ds.map_batches(split, batch_format="pyarrow")
 
 
+def q_kg_degree_topk(sf_dir: str):
+    """KG analytics: top-20 graph nodes by total degree (appearances as
+    subject plus as non-literal object) over the DISTINCT triple set.
+    Combiner shape: per-batch node counts (shuffle volume = distinct
+    nodes per batch), one small groupby, 20-row sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        subj = pa.table({"node": pc.cast(b["subj_value"], pa.string())})
+        obj = pa.table({"node": pc.cast(b["obj_value"], pa.string())}).filter(
+            pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), 2)
+        )
+        counted = (
+            pa.concat_tables([subj, obj])
+            .group_by("node")
+            .aggregate([("node", "count")])
+        )
+        return pa.table(
+            {
+                "node": pc.cast(counted["node"], pa.string()),
+                "part": pc.cast(counted["node_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        _deduped(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("part", alias_name="degree"))
+    )
+    return out.sort(["degree", "node"], descending=[True, False]).limit(20)
+
+
+def q_kg_predicate_hist(sf_dir: str):
+    """KG analytics: triple count per predicate over the DISTINCT
+    triple set (the schema-usage histogram every KG build reports)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        counted = (
+            pa.table({"predicate": pc.cast(b["pred_value"], pa.string())})
+            .group_by("predicate")
+            .aggregate([("predicate", "count")])
+        )
+        return pa.table(
+            {
+                "predicate": pc.cast(counted["predicate"], pa.string()),
+                "part": pc.cast(counted["predicate_count"], pa.int64()),
+            }
+        )
+
+    return (
+        _deduped(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("predicate")
+        .aggregate(Sum("part", alias_name="n_triples"))
+    )
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -1088,6 +1147,8 @@ KG_QUERIES = {
     "rewrite_regex": q_rewrite_regex,
     "split_prefix": q_split_prefix,
     "group_subject_count": q_group_subject_count,
+    "kg_degree_topk": q_kg_degree_topk,
+    "kg_predicate_hist": q_kg_predicate_hist,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,
