@@ -860,6 +860,56 @@ def q_pages_domain_cap(sf_dir: str):
     return domain_cap(pages_dataset(sf_dir), k=15)
 
 
+def q_pages_url_dedup(sf_dir: str):
+    """Crawl-recency URL dedup: pages re-crawled later (planted: every
+    4th page gets a second crawl one day newer) collapse to one row per
+    URL keeping the newest warc_ts.  Canonical combiner shape: per-batch
+    (url, max_ts, count) partials, then ONE groupby(url) — shuffle
+    volume is distinct URLs per batch, never raw crawl rows."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..pages import pages_dataset
+
+    def plant_recrawl(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        day_us = 86_400_000_000
+        # every 4th page is re-crawled (doc_id recovered from warc_ts,
+        # which pages.py derives as base + doc_id seconds)
+        ts = np.asarray(batch["warc_ts"], dtype="datetime64[us]")
+        ids = (ts.astype("int64") - 1_704_067_200_000_000) // 1_000_000
+        mask = ids % 4 == 0
+        recrawl = batch.filter(pa.array(mask)).set_column(
+            batch.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array(ts[mask] + np.timedelta64(day_us, "us"), pa.timestamp("us")),
+        )
+        return pa.concat_tables([batch, recrawl])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["url", "warc_ts"]).group_by("url").aggregate(
+            [("warc_ts", "max"), ("warc_ts", "count")]
+        )
+        return pa.table(
+            {
+                "url": pc.cast(g["url"], pa.string()),
+                "ts_max": g["warc_ts_max"],
+                "n_part": pc.cast(g["warc_ts_count"], pa.int64()),
+            }
+        )
+
+    pages = pages_dataset(sf_dir).map_batches(
+        lambda b: b.select(["url", "warc_ts"]), batch_format="pyarrow"
+    )
+    out = (
+        pages.map_batches(plant_recrawl, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Max("ts_max", alias_name="keep_ts"), Sum("n_part", alias_name="n_crawls"))
+    )
+    return out
+
+
 CC_BLOCKLIST = ("src0", "src13")
 
 
@@ -907,6 +957,7 @@ DATA_QUERIES = {
     "docs_keyword_topk": q_docs_keyword_topk,
     "pages_domain_cap": q_pages_domain_cap,
     "cc_ingest_pipeline": q_cc_ingest_pipeline,
+    "pages_url_dedup": q_pages_url_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -1107,6 +1158,17 @@ DATA_ORACLES = {
     "docs_keyword_topk": _keyword_topk_oracle_sql(),
     "pages_domain_cap": _domain_cap_oracle_sql(),
     "cc_ingest_pipeline": _cc_ingest_oracle_sql(),
+    "pages_url_dedup": """WITH crawls AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000) AS warc_ts
+  FROM documents
+  UNION ALL
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000 + 86400000000)
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT url, MAX(warc_ts) AS keep_ts, CAST(COUNT(*) AS BIGINT) AS n_crawls
+FROM crawls GROUP BY url""",
     "docs_chunk": """SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
        array_to_string(toks[start+1 : start+50], ' ') AS chunk_text,
        CAST(least(len(toks) - start, 50) AS BIGINT) AS n_chunk_tokens
