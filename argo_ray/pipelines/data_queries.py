@@ -688,6 +688,23 @@ def q_events_props_extract(sf_dir: str):
     )
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — per-batch
+    distinct-pair combiner, bounded two-exchange plan (the exact
+    sibling of an HLL sketch)."""
+    from ..stages.windows import distinct_users_per_type
+
+    return distinct_users_per_type(_events(sf_dir))
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles (p50/p90/p99) of value-in-cents via
+    mergeable per-batch histograms; matches DuckDB quantile_disc."""
+    from ..stages.windows import value_quantiles_cents
+
+    return value_quantiles_cents(_events(sf_dir))
+
+
 def q_events_window_hourly(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir), every="hour")
 
@@ -985,6 +1002,8 @@ DATA_QUERIES = {
     "loop_eval": q_loop_eval,
     "sparql_results_parse": q_sparql_results_parse,
     "format_infer": q_format_infer,
+    "events_distinct_users": q_events_distinct_users,
+    "events_value_quantiles": q_events_value_quantiles,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
@@ -1339,6 +1358,12 @@ GROUP BY n.n_name""",
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "events_distinct_users": """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type""",
+    "events_value_quantiles": """SELECT '0.5' AS q, quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.5) AS cents FROM events
+UNION ALL SELECT '0.9', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.9) FROM events
+UNION ALL SELECT '0.99', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.99) FROM events""",
     "events_window_hourly": """SELECT event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

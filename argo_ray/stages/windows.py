@@ -227,3 +227,101 @@ def sliding_window_count(events_ds, size_minutes: int = 60, slide_minutes: int =
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("partial_n", alias_name="n_events"))
     )
+
+
+def distinct_users_per_type(events_ds):
+    """Exact COUNT(DISTINCT user_id) per event_type in TWO bounded
+    exchanges: per-batch DISTINCT (event_type, user_id) pairs (the
+    combiner — shuffle volume is distinct pairs per batch, not rows),
+    one groupby over the pair set to finish the distinct, then a tiny
+    per-type count.  The exact-counting sibling of an HLL sketch; at
+    100 TB the pair exchange is bounded by |types|×|users|, and a
+    same-keyed salt can shard a hot type if |users| itself explodes."""
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        distinct = (
+            batch.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+        return distinct.append_column(
+            "one", pa.array(np.ones(len(distinct), dtype=np.int64))
+        )
+
+    distinct_pairs = (
+        events_ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("one", alias_name="n_batches"))
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        counted = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "event_type": pc.cast(counted["event_type"], pa.string()),
+                "part": pc.cast(counted["user_id_count"], pa.int64()),
+            }
+        )
+
+    return (
+        distinct_pairs.map_batches(ones, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("part", alias_name="n_users"))
+    )
+
+
+def value_quantiles_cents(events_ds, qs=(0.5, 0.9, 0.99)):
+    """Exact distributed quantiles of ``floor(value*100)`` (integer
+    cents) via mergeable per-batch value histograms — the classic
+    two-pass alternative to sorting the whole column:
+
+    1. per batch: (cents, count) partials — shuffle volume is distinct
+       cents values per batch, never rows;
+    2. one groupby(cents).sum, then the (small) histogram is collected,
+       cumulated and indexed on the driver — quantile q = smallest
+       cents value whose running count reaches ``ceil(q * n)``
+       (the lower interpolation, matching DuckDB's
+       ``quantile_disc``).
+
+    Exact (no sketch error); bounded by the value domain, not the row
+    count.  For unbounded/continuous domains the same shape works with
+    fixed-width bins (then it IS an approximate quantile sketch)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(batch["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        vals, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(vals, pa.int64()),
+                "part": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("part", alias_name="n"))
+        .sort("cents")
+        .take_all()
+    )
+    values = np.array([r["cents"] for r in hist], dtype=np.int64)
+    counts = np.array([r["n"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        rank = max(1, math.ceil(q * total))
+        idx = int(np.searchsorted(cum, rank))
+        rows.append({"q": f"{q:g}", "cents": int(values[idx])})
+    return pa.table(
+        {
+            "q": pa.array([r["q"] for r in rows], pa.string()),
+            "cents": pa.array([r["cents"] for r in rows], pa.int64()),
+        }
+    )

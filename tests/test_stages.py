@@ -190,3 +190,44 @@ def test_sort_colocation_pinned(ray_session):
     keys = rng.integers(0, 5, 20_000)
     ds = rd.from_items([{"k": int(k), "v": i} for i, k in enumerate(keys)]).repartition(16)
     verify_sorted_colocation(ds, "k")
+
+
+def test_distinct_users_partition_independent(ray_session):
+    """Exact distinct counting survives users split across batches."""
+    import ray.data as rd
+
+    from argo_ray.stages.windows import distinct_users_per_type
+
+    t = pa.table(
+        {
+            "event_type": ["a"] * 6 + ["b"] * 2,
+            "user_id": pa.array([1, 1, 2, 2, 3, 3, 1, 9], pa.int64()),
+        }
+    )
+    out = (
+        distinct_users_per_type(rd.from_arrow(t).repartition(4))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["a", "n_users"] == 3
+    assert out.loc["b", "n_users"] == 2
+
+
+def test_value_quantiles_match_quantile_disc(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from argo_ray.stages.windows import value_quantiles_cents
+
+    vals = [0.01 * i for i in range(1, 101)]  # 1..100 cents
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    got = value_quantiles_cents(rd.from_arrow(t).repartition(3)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(
+        """SELECT '0.5' AS q, quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.5) AS cents FROM events
+UNION ALL SELECT '0.9', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.9) FROM events
+UNION ALL SELECT '0.99', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.99) FROM events"""
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
