@@ -688,6 +688,64 @@ def q_events_props_extract(sf_dir: str):
     )
 
 
+def q_docs_paragraph_dedup(sf_dir: str):
+    """Dolma/CCNet-style paragraph-level dedup as a composition of two
+    registry operators: chunk the planted corpus into token windows,
+    fingerprint each chunk, keep the lexicographically-first
+    (doc_id, chunk_idx) owner per fingerprint.  One bounded exchange:
+    groupby(fingerprint) over (fingerprint, packed-key) partials —
+    chunk text never crosses the shuffle, only its md5 and one int64."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.text import chunk_documents_batch
+
+    PACK = 1 << 20  # chunk_idx < 2^20 by construction (docs are small)
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        chunks = chunk_documents_batch(batch)
+        fps = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in chunks["chunk_text"].to_pylist()
+        ]
+        packed = pc.add(
+            pc.multiply(pc.cast(chunks["doc_id"], pa.int64()), PACK),
+            pc.cast(chunks["chunk_idx"], pa.int64()),
+        )
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "packed": packed,
+            }
+        )
+
+    out = (
+        _planted_docs(sf_dir)
+        .map_batches(fingerprint, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(
+            Min("packed", alias_name="keep_packed"),
+            Count(alias_name="n_copies"),
+        )
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = pc.cast(batch["keep_packed"], pa.int64())
+        return pa.table(
+            {
+                "fingerprint": batch["fingerprint"],
+                "keep_doc_id": pc.divide(packed, PACK),
+                "keep_chunk_idx": pc.subtract(
+                    packed, pc.multiply(pc.divide(packed, PACK), PACK)
+                ),
+                "n_copies": pc.cast(batch["n_copies"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
 def q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type — per-batch
     distinct-pair combiner, bounded two-exchange plan (the exact
@@ -1002,6 +1060,7 @@ DATA_QUERIES = {
     "loop_eval": q_loop_eval,
     "sparql_results_parse": q_sparql_results_parse,
     "format_infer": q_format_infer,
+    "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
     "events_window_hourly": q_events_window_hourly,
@@ -1358,6 +1417,19 @@ GROUP BY n.n_name""",
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "docs_paragraph_dedup": _PLANTED_DOCS_CTE
+    + """, chunks AS (
+  SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
+         array_to_string(toks[start+1 : start+50], ' ') AS chunk_text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM corpus WHERE text <> ''),
+       LATERAL unnest(generate_series(0, len(toks)-1, 40)) AS t(start)
+)
+SELECT md5(chunk_text) AS fingerprint,
+       CAST(MIN(doc_id * 1048576 + chunk_idx) // 1048576 AS BIGINT) AS keep_doc_id,
+       CAST(MIN(doc_id * 1048576 + chunk_idx) % 1048576 AS BIGINT) AS keep_chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM chunks GROUP BY md5(chunk_text)""",
     "events_distinct_users": """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type""",

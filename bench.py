@@ -80,6 +80,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary per-operator timings (consumed via count())."""
     from argo_ray.pipelines.data_queries import (
         q_ann_topk,
+        q_cc_ingest_pipeline,
+        q_docs_decontaminate,
+        q_docs_pii_redact,
         q_docs_quality,
         q_docs_vocab,
         q_events_asof,
@@ -117,6 +120,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("graphstore_roundtrip", q_graphstore_roundtrip),
         ("sparql_select_eval", q_sparql_select_eval),
         ("sparql_agg_subquery_eval", q_sparql_agg_subquery_eval),
+        ("docs_pii_redact", q_docs_pii_redact),
+        ("docs_decontaminate", q_docs_decontaminate),
+        ("cc_ingest_pipeline", q_cc_ingest_pipeline),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
