@@ -363,3 +363,88 @@ def lsh_bucketed_topk(embeddings_ds, query_ids: list[int], k: int = 10, bits: in
     return pa.Table.from_pandas(
         df[["query_id", "rank", "vec_id"]].astype("int64"), preserve_index=False
     )
+
+
+def kmeans_clusters(
+    embeddings_ds, k: int = 4, iters: int = 5, train_size: int = 2048
+):
+    """Distributed k-means (spherical Lloyd's) over the embedding
+    column: ``(vec_id, cluster)`` assignments plus the final centroids
+    and objective.
+
+    Scale shape (the canonical distributed-Lloyd plan):
+    - init: deterministic :func:`_kmeans` on a BOUNDED driver sample
+      (``train_size`` rows) — same init every run, every cluster size;
+    - each iteration: centroids ship once via ``ray.put``; every batch
+      does ONE matmul assign + per-cell partial (sum-vector, count,
+      sim-sum) — the combiner, so the driver reduce sees
+      batches × k × d floats, never the corpus;
+    - assignments are a final stateless pass (never materialized
+      driver-side).
+
+    Returns ``(assign_ds, centroids, objective_per_iter)``.
+    """
+    import ray
+
+    train = embeddings_ds.limit(train_size).take_all()
+    cent = _kmeans(
+        np.asarray([r["embedding"] for r in train], dtype=np.float64),
+        k,
+        iters=1,
+        seed=0,
+    )
+    objective = []
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _normalize(_to_matrix(batch["embedding"]))
+            sims = m @ c.T  # (N, k)
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(m)), assign]
+            rows = {"cell": [], "n": [], "sim_sum": [], "vec_sum": []}
+            for cell in range(len(c)):
+                mask = assign == cell
+                rows["cell"].append(cell)
+                rows["n"].append(int(mask.sum()))
+                rows["sim_sum"].append(float(best[mask].sum()))
+                rows["vec_sum"].append(m[mask].sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cell": pa.array(rows["cell"], pa.int64()),
+                    "n": pa.array(rows["n"], pa.int64()),
+                    "sim_sum": pa.array(rows["sim_sum"], pa.float64()),
+                    "vec_sum": pa.array(
+                        rows["vec_sum"], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        parts = embeddings_ds.map_batches(partials, batch_format="pyarrow").take_all()
+        d = cent.shape[1]
+        sums = np.zeros((k, d)); counts = np.zeros(k); sim_total = 0.0
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["vec_sum"], dtype=np.float64)
+            counts[r["cell"]] += r["n"]
+            sim_total += r["sim_sum"]
+        objective.append(sim_total)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _normalize(cent)
+
+    final_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        assign = np.argmax(m @ c.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "cluster": pa.array(assign, pa.int64()),
+            }
+        )
+
+    assign_ds = embeddings_ds.map_batches(assign_batch, batch_format="pyarrow")
+    return assign_ds, cent, objective

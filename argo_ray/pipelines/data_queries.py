@@ -688,6 +688,48 @@ def q_events_props_extract(sf_dir: str):
     )
 
 
+def q_embeddings_kmeans(sf_dir: str):
+    """Distributed k-means gate (ann_ivf-style): one row per cluster
+    asserting it is non-empty and that the Lloyd objective improved
+    monotonically — a regression in the distributed partial-sum
+    reduction flips a boolean and value-hash-mismatches the oracle.
+    The exact assignment parity vs a local Lloyd reference is pinned in
+    tests/test_data_ops.py."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.ann import kmeans_clusters
+
+    k = 4
+    assign_ds, _cent, objective = kmeans_clusters(_embeddings(sf_dir), k=k, iters=5)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counted = batch.group_by("cluster").aggregate([("vec_id", "count")])
+        return pa.table(
+            {
+                "cluster": pc.cast(counted["cluster"], pa.int64()),
+                "part": pc.cast(counted["vec_id_count"], pa.int64()),
+            }
+        )
+
+    sizes = {
+        int(r["cluster"]): int(r["n"])
+        for r in assign_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("part", alias_name="n"))
+        .take_all()
+    }
+    monotone = all(
+        objective[i] <= objective[i + 1] + 1e-9 for i in range(len(objective) - 1)
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(list(range(k)), pa.int64()),
+            "nonempty": pa.array([sizes.get(c, 0) > 0 for c in range(k)], pa.bool_()),
+            "objective_monotone": pa.array([monotone] * k, pa.bool_()),
+        }
+    )
+
+
 def q_docs_paragraph_dedup(sf_dir: str):
     """Dolma/CCNet-style paragraph-level dedup as a composition of two
     registry operators: chunk the planted corpus into token windows,
@@ -1061,6 +1103,7 @@ DATA_QUERIES = {
     "sparql_results_parse": q_sparql_results_parse,
     "format_infer": q_format_infer,
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
+    "embeddings_kmeans": q_embeddings_kmeans,
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
     "events_window_hourly": q_events_window_hourly,
@@ -1417,6 +1460,9 @@ GROUP BY n.n_name""",
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "embeddings_kmeans": """SELECT CAST(c AS BIGINT) AS cluster, true AS nonempty,
+       true AS objective_monotone
+FROM generate_series(0, 3) t(c)""",
     "docs_paragraph_dedup": _PLANTED_DOCS_CTE
     + """, chunks AS (
   SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,

@@ -894,3 +894,42 @@ def test_domain_cap_keeps_k_lowest_per_site(ray_session):
         .reset_index(drop=True)
     )
     assert out.values.tolist() == [["s1", 1], ["s1", 3], ["s2", 1], ["s2", 3]]
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    """Distributed Lloyd's (broadcast centroids + per-batch partial
+    sums) reproduces a local single-process reference exactly, and the
+    objective is monotone non-decreasing."""
+    import duckdb
+    import ray.data as rd
+
+    from argo_ray.functions.ann import _kmeans, _normalize, kmeans_clusters
+    from conftest import SF_DIR
+
+    emb = (
+        duckdb.connect()
+        .execute(
+            f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+        )
+        .arrow()
+    )
+    assign_ds, cent, obj = kmeans_clusters(rd.from_arrow(emb), k=4, iters=5)
+    got = (
+        assign_ds.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+    assert all(obj[i] <= obj[i + 1] + 1e-9 for i in range(len(obj) - 1))
+
+    m = _normalize(
+        np.asarray(
+            [list(x) for x in emb.column("embedding").to_pylist()], dtype=np.float64
+        )
+    )
+    c = _kmeans(m[:2048], 4, iters=1, seed=0)
+    for _ in range(5):
+        asn = np.argmax(m @ c.T, axis=1)
+        for j in range(4):
+            if (asn == j).any():
+                c[j] = m[asn == j].mean(axis=0)
+        c = _normalize(c)
+    ref = np.argmax(m @ c.T, axis=1)
+    assert (ref == got).all()
