@@ -407,3 +407,29 @@ SELECT doc_id,
        CAST(MAX(n) AS BIGINT) AS top_word_n,
        (5 * MAX(n) > SUM(n)) AS repetitive
 FROM c GROUP BY doc_id"""
+
+
+# Normalization rules (applied in order): collapse whitespace runs,
+# strip non-alphanumeric-non-space chars, lowercase.  RE2-safe and
+# formatted verbatim into the DuckDB oracle.
+NORMALIZE_STRIP_PATTERN = r"[^a-zA-Z0-9 ]+"
+NORMALIZE_WS_PATTERN = r" +"
+
+
+def normalize_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Corpus text normalization (the pre-dedup canonical form): drop
+    punctuation/symbols, collapse spaces, trim, lowercase.  Three
+    vectorized Arrow kernels, byte-identical to the DuckDB
+    ``lower(trim(regexp_replace(...)))`` oracle."""
+    t = pc.cast(batch[text_column], pa.large_string())
+    t = pc.replace_substring_regex(t, pattern=NORMALIZE_STRIP_PATTERN, replacement=" ")
+    t = pc.replace_substring_regex(t, pattern=NORMALIZE_WS_PATTERN, replacement=" ")
+    t = pc.utf8_lower(pc.utf8_trim_whitespace(t))
+    return batch.append_column("norm_text", pc.cast(t, pa.string()))
+
+
+NORMALIZE_ORACLE_SQL = f"""SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text,
+             '{NORMALIZE_STRIP_PATTERN}', ' ', 'g'),
+             '{NORMALIZE_WS_PATTERN}', ' ', 'g'))) AS norm_text
+FROM documents"""

@@ -928,6 +928,18 @@ def q_docs_stratified_sample(sf_dir: str):
     )
 
 
+def q_docs_normalize(sf_dir: str):
+    """Canonical text normalization (strip symbols, collapse spaces,
+    lowercase) — three vectorized Arrow kernels, byte-identical to the
+    DuckDB regexp_replace oracle."""
+    from ..functions.text import normalize_batch
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: normalize_batch(b).select(["doc_id", "norm_text"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_pii_redact(sf_dir: str):
     """PII scrub (emails/phones/IPv4) over deterministically planted
     PII — vectorized RE2 kernels, byte-identical to the DuckDB
@@ -1068,6 +1080,7 @@ def q_docs_decontaminate(sf_dir: str):
 
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_normalize": q_docs_normalize,
     "docs_pii_redact": q_docs_pii_redact,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
@@ -1229,6 +1242,12 @@ WITH corpus AS (
 )
 """
 
+def _normalize_oracle_sql() -> str:
+    from ..functions.text import NORMALIZE_ORACLE_SQL
+
+    return NORMALIZE_ORACLE_SQL
+
+
 def _pii_oracle_sql() -> str:
     from ..functions.privacy import redact_pii_oracle_sql
 
@@ -1273,6 +1292,7 @@ SELECT site, page_id FROM (
 
 
 DATA_ORACLES = {
+    "docs_normalize": _normalize_oracle_sql(),
     "docs_pii_redact": _pii_oracle_sql(),
     "docs_repetition": _repetition_oracle_sql(),
     "docs_decontaminate": _decontam_oracle_sql(),

@@ -933,3 +933,22 @@ def test_kmeans_matches_local_lloyd(ray_session):
         c = _normalize(c)
     ref = np.argmax(m @ c.T, axis=1)
     assert (ref == got).all()
+
+
+def test_normalize_batch_matches_duckdb():
+    import duckdb
+
+    from argo_ray.functions.text import NORMALIZE_ORACLE_SQL, normalize_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["  Héllo,   WORLD!!  x ", "a\tb\nc", ""],
+        }
+    )
+    got = normalize_batch(t).select(["doc_id", "norm_text"]).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(NORMALIZE_ORACLE_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got.norm_text.tolist()[0] == "h llo world x"
