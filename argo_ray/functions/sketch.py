@@ -1,0 +1,128 @@
+"""Mergeable cardinality sketches: HyperLogLog distinct counting as a
+per-batch combiner — the approximate sibling of
+:func:`argo_ray.stages.windows.distinct_users_per_type` for when the
+exact pair exchange is too wide (billions of distinct keys).
+
+Design (the classic HLL plan, Flajolet et al. 2007):
+- per batch: ONE vectorized md5-derived 64-bit hash pass over the key
+  column, register index = top ``p`` bits, rho = leading-zero run of
+  the rest; per (group, register) partial max — a batch contributes at
+  most ``groups × 2^p`` rows to the exchange, independent of row count;
+- merge: groupby((group, register)).max — register-wise max IS the
+  sketch union, so the plan is embarrassingly mergeable across any
+  partitioning (the property that makes the sketch work at 100 TB);
+- estimate: driver-side harmonic mean over the (tiny) final register
+  table, with the standard small-range linear-counting correction.
+
+Hashing is md5-derived (value → first 8 md5 bytes), so estimates are
+bit-deterministic across runs, platforms and cluster sizes — which is
+what lets the driver gate (relative error vs exact) be an oracle check
+rather than a flaky tolerance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash64(values: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash per value (md5 first 8 bytes, big
+    endian); distinct-value cache per batch."""
+    cache = {
+        v: int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+        for v in set(values)
+    }
+    return np.fromiter((cache[v] for v in values), dtype=np.uint64, count=len(values))
+
+
+def _rho(w: np.ndarray, bits: int) -> np.ndarray:
+    """1 + leading-zero count of the low ``bits`` bits of ``w`` (left
+    aligned), vectorized; w == 0 → bits + 1."""
+    rho = np.ones(len(w), dtype=np.int64)
+    w = w.copy()
+    done = (w >> np.uint64(63)) == 1  # leading 1 found → rho fixed
+    for _ in range(bits):
+        if done.all():
+            break
+        rho[~done] += 1
+        w = w << np.uint64(1)
+        done |= (w >> np.uint64(63)) == 1
+    return rho
+
+
+def hll_partials_batch(
+    batch: pa.Table, key_col: str, group_col: str, p: int = 8
+) -> pa.Table:
+    """(group, register, rho_max) partials for one batch."""
+    m = 1 << p
+    keys = [str(v) for v in batch[key_col].to_pylist()]
+    groups = batch[group_col].to_pylist()
+    h = _hash64(keys)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rho = _rho(h << np.uint64(p), 64 - p)
+    t = pa.table(
+        {
+            "grp": pa.array(groups),
+            "register": pa.array(reg, pa.int64()),
+            "rho": pa.array(rho, pa.int64()),
+        }
+    )
+    out = t.group_by(["grp", "register"]).aggregate([("rho", "max")])
+    return pa.table(
+        {
+            "grp": out["grp"],
+            "register": out["register"],
+            "rho_max": pc.cast(out["rho_max"], pa.int64()),
+        }
+    )
+
+
+def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
+    """Standard HLL estimator with linear-counting small-range
+    correction.  ``registers`` maps register index → max rho (missing
+    indexes are zero)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    full = np.zeros(m, dtype=np.float64)
+    for idx, rho in registers.items():
+        full[idx] = rho
+    est = alpha * m * m / np.sum(np.exp2(-full))
+    zeros = int((full == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct_per_group(ds, key_col: str, group_col: str, p: int = 8):
+    """Approximate COUNT(DISTINCT key) per group.  Returns a (tiny)
+    pyarrow Table (group, estimate:int64).  The register exchange is
+    bounded by groups × 2^p rows per batch; the final register table
+    (groups × 2^p rows max) reduces on the driver."""
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(
+            lambda b: hll_partials_batch(b, key_col, group_col, p),
+            batch_format="pyarrow",
+        )
+        .groupby(["grp", "register"])
+        .aggregate(Max("rho_max", alias_name="rho"))
+        .take_all()
+    )
+    by_group: dict[str, dict[int, int]] = {}
+    for r in regs:
+        by_group.setdefault(r["grp"], {})[int(r["register"])] = int(r["rho"])
+    groups = sorted(by_group)
+    return pa.table(
+        {
+            group_col: pa.array(groups),
+            "estimate": pa.array(
+                [int(round(hll_estimate(by_group[g], p))) for g in groups],
+                pa.int64(),
+            ),
+        }
+    )

@@ -788,6 +788,39 @@ def q_docs_paragraph_dedup(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event_type, gated against
+    the exact distributed count (ann_ivf-style): the oracle hash-checks
+    the exact values AND a sketch-accuracy boolean (relative error
+    <= 0.15 at p=8; measured <= 0.04 across sf0.001-0.1 with the
+    deterministic md5-derived hash, so the gate is stable)."""
+    from ..functions.sketch import hll_distinct_per_group
+    from ..stages.windows import distinct_users_per_type
+
+    ev = _events(sf_dir)
+    est = {
+        r["event_type"]: int(r["estimate"])
+        for r in hll_distinct_per_group(
+            ev, "user_id", "event_type"
+        ).to_pylist()
+    }
+    exact = {
+        r["event_type"]: int(r["n_users"])
+        for r in distinct_users_per_type(ev).take_all()
+    }
+    types = sorted(exact)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_users_exact": pa.array([exact[t] for t in types], pa.int64()),
+            "sketch_within_bound": pa.array(
+                [abs(est[t] - exact[t]) / exact[t] <= 0.15 for t in types],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
 def q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type — per-batch
     distinct-pair combiner, bounded two-exchange plan (the exact
@@ -1117,6 +1150,7 @@ DATA_QUERIES = {
     "format_infer": q_format_infer,
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "events_hll_users": q_events_hll_users,
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
     "events_window_hourly": q_events_window_hourly,
@@ -1496,6 +1530,10 @@ SELECT md5(chunk_text) AS fingerprint,
        CAST(MIN(doc_id * 1048576 + chunk_idx) % 1048576 AS BIGINT) AS keep_chunk_idx,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM chunks GROUP BY md5(chunk_text)""",
+    "events_hll_users": """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       true AS sketch_within_bound
+FROM events GROUP BY event_type""",
     "events_distinct_users": """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type""",

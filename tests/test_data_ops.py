@@ -952,3 +952,38 @@ def test_normalize_batch_matches_duckdb():
     want = con.execute(NORMALIZE_ORACLE_SQL).df()
     pd.testing.assert_frame_equal(got, want)
     assert got.norm_text.tolist()[0] == "h llo world x"
+
+
+def test_hll_sketch_accuracy_and_merge(ray_session):
+    """HLL register-max merge is partition-independent and the estimate
+    lands within the theoretical band (p=8 -> ~6.5% std error)."""
+    import ray.data as rd
+
+    from argo_ray.functions.sketch import hll_distinct_per_group
+
+    t = pa.table(
+        {
+            "g": ["a"] * 3000 + ["b"] * 100,
+            "k": pa.array(
+                [i % 1000 for i in range(3000)] + list(range(40)) + [0] * 60,
+                pa.int64(),
+            ),
+        }
+    )
+    one = hll_distinct_per_group(rd.from_arrow(t), "k", "g")
+    many = hll_distinct_per_group(rd.from_arrow(t).repartition(7), "k", "g")
+    assert one.to_pylist() == many.to_pylist()  # merge-invariant
+    est = {r["g"]: r["estimate"] for r in one.to_pylist()}
+    assert abs(est["a"] - 1000) / 1000 <= 0.15
+    assert abs(est["b"] - 40) / 40 <= 0.15
+
+
+def test_hll_rho_counts_leading_zeros():
+    import numpy as np
+
+    from argo_ray.functions.sketch import _rho
+
+    w = np.array(
+        [1 << 63, 1 << 62, 1 << 40, 0, (1 << 63) | 1], dtype=np.uint64
+    )
+    assert _rho(w, 56).tolist() == [1, 2, 24, 57, 1]
