@@ -126,3 +126,75 @@ def hll_distinct_per_group(ds, key_col: str, group_col: str, p: int = 8):
             ),
         }
     )
+
+
+def mg_summary_batch(
+    batch: pa.Table, text_column: str = "text", k: int = 40
+) -> pa.Table:
+    """Misra-Gries heavy-hitter summary of one batch's whitespace
+    tokens: exact within-batch counts pruned to <= k entries by
+    subtracting the (k+1)-largest count (the standard mergeable-MG
+    prune, Agarwal et al. 2013).  Emits (word, weight) — at most k rows
+    per batch regardless of batch size."""
+    toks = pc.split_pattern(
+        pc.cast(batch[text_column], pa.large_string()), pattern=" "
+    )
+    flat = pc.list_flatten(toks)
+    counted = pa.table({"word": flat}).group_by("word").aggregate(
+        [("word", "count")]
+    )
+    words = np.asarray(counted["word"]).astype(str)
+    counts = np.asarray(counted["word_count"], dtype=np.int64)
+    if len(counts) > k:
+        cut = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+        counts = counts - cut
+        keep = counts > 0
+        words, counts = words[keep], counts[keep]
+        if len(counts) > k:  # ties at the cut — keep the k largest
+            order = np.argsort(-counts, kind="stable")[:k]
+            words, counts = words[order], counts[order]
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "weight": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def mg_merge(summaries: pa.Table, k: int = 40) -> dict[str, int]:
+    """Merge MG summaries (sum weights per word, prune back to k).
+    Input is the concatenation of per-batch summaries (<= batches × k
+    rows); output has <= k entries.  Guarantee after merging summaries
+    of a stream of n tokens: every word with true count > n/(k+1) is
+    present."""
+    merged = summaries.group_by("word").aggregate([("weight", "sum")])
+    words = np.asarray(merged["word"]).astype(str)
+    weights = np.asarray(merged["weight_sum"], dtype=np.int64)
+    if len(weights) > k:
+        cut = np.partition(weights, len(weights) - (k + 1))[len(weights) - (k + 1)]
+        weights = weights - cut
+        keep = weights > 0
+        words, weights = words[keep], weights[keep]
+        if len(weights) > k:
+            order = np.argsort(-weights, kind="stable")[:k]
+            words, weights = words[order], weights[order]
+    return {w: int(c) for w, c in zip(words, weights)}
+
+
+def mg_heavy_hitters(docs_ds, text_column: str = "text", k: int = 40) -> dict[str, int]:
+    """Distributed Misra-Gries: per-batch summaries (<= k rows each)
+    concatenated and merged once on the driver.  The driver side is
+    bounded by batches × k rows — never the vocabulary, never the
+    token stream."""
+    parts = docs_ds.map_batches(
+        lambda b: mg_summary_batch(b, text_column, k), batch_format="pyarrow"
+    ).take_all()
+    if not parts:
+        return {}
+    tbl = pa.table(
+        {
+            "word": pa.array([r["word"] for r in parts], pa.string()),
+            "weight": pa.array([r["weight"] for r in parts], pa.int64()),
+        }
+    )
+    return mg_merge(tbl, k)

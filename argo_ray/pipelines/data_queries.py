@@ -788,6 +788,59 @@ def q_docs_paragraph_dedup(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_docs_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy-hitter gate: every word with exact corpus
+    count n where 41*n > total_tokens (the MG k=40 guarantee threshold)
+    must appear in the merged sketch.  Exact counts come from the
+    distributed wordcount combiner; the sketch is per-batch summaries
+    (<= 40 rows each) merged once — driver load is batches x k, never
+    the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import mg_heavy_hitters
+    from ..functions.text import vocab_topk  # noqa: F401 (same combiner shape)
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(batch["text"], pa.large_string()), pattern=" "
+        )
+        counted = (
+            pa.table({"word": pc.list_flatten(toks)})
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {
+                "word": pc.cast(counted["word"], pa.string()),
+                "part": pc.cast(counted["word_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("part", alias_name="n"))
+    )
+    total = int(counts.sum("n"))
+    heavy = counts.map_batches(
+        lambda b: b.filter(pc.greater(pc.multiply(b["n"], 41), total)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: at most 40 rows can satisfy 41*n > total
+    sketch = mg_heavy_hitters(docs, k=40)
+    heavy_sorted = sorted(heavy, key=lambda r: r["word"])
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in heavy_sorted], pa.string()),
+            "n": pa.array([int(r["n"]) for r in heavy_sorted], pa.int64()),
+            "in_sketch": pa.array(
+                [r["word"] in sketch for r in heavy_sorted], pa.bool_()
+            ),
+        }
+    )
+
+
 def q_events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user sketch per event_type, gated against
     the exact distributed count (ann_ivf-style): the oracle hash-checks
@@ -1150,6 +1203,7 @@ DATA_QUERIES = {
     "format_infer": q_format_infer,
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "docs_heavy_hitters": q_docs_heavy_hitters,
     "events_hll_users": q_events_hll_users,
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
@@ -1530,6 +1584,12 @@ SELECT md5(chunk_text) AS fingerprint,
        CAST(MIN(doc_id * 1048576 + chunk_idx) % 1048576 AS BIGINT) AS keep_chunk_idx,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM chunks GROUP BY md5(chunk_text)""",
+    "docs_heavy_hitters": """WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+), t AS (SELECT SUM(n) AS tot FROM c)
+SELECT word, n, true AS in_sketch FROM c, t WHERE n * 41 > tot""",
     "events_hll_users": """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
        true AS sketch_within_bound

@@ -987,3 +987,19 @@ def test_hll_rho_counts_leading_zeros():
         [1 << 63, 1 << 62, 1 << 40, 0, (1 << 63) | 1], dtype=np.uint64
     )
     assert _rho(w, 56).tolist() == [1, 2, 24, 57, 1]
+
+
+def test_mg_sketch_guarantee_partition_invariant(ray_session):
+    """Misra-Gries merged sketch keeps every item above the n/(k+1)
+    threshold regardless of partitioning."""
+    import ray.data as rd
+
+    from argo_ray.functions.sketch import mg_heavy_hitters
+
+    # "hot" appears 30 times out of ~90 tokens -> way above n/(k+1)
+    texts = ["hot " * 10 + "x y z"] * 3 + [f"w{i} v{i} u{i}" for i in range(20)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    for parts in (1, 5):
+        sk = mg_heavy_hitters(rd.from_arrow(t).repartition(parts), k=10)
+        assert "hot" in sk
+        assert len(sk) <= 10
