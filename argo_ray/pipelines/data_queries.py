@@ -891,6 +891,14 @@ def q_events_value_quantiles(sf_dir: str):
     return value_quantiles_cents(_events(sf_dir))
 
 
+def q_events_type_quantiles(sf_dir: str):
+    """Per-event-type exact p50/p90 of value-in-cents (grouped
+    mergeable-histogram plan); matches DuckDB quantile_disc."""
+    from ..stages.windows import value_quantiles_by_group
+
+    return value_quantiles_by_group(_events(sf_dir))
+
+
 def q_events_window_hourly(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir), every="hour")
 
@@ -1207,6 +1215,7 @@ DATA_QUERIES = {
     "events_hll_users": q_events_hll_users,
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
+    "events_type_quantiles": q_events_type_quantiles,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding_window": q_events_sliding_window,
@@ -1600,6 +1609,12 @@ FROM events GROUP BY event_type""",
     "events_value_quantiles": """SELECT '0.5' AS q, quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.5) AS cents FROM events
 UNION ALL SELECT '0.9', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.9) FROM events
 UNION ALL SELECT '0.99', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.99) FROM events""",
+    "events_type_quantiles": """SELECT event_type, '0.5' AS q,
+       quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.5) AS cents
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, '0.9', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.9)
+FROM events GROUP BY event_type""",
     "events_window_hourly": """SELECT event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -325,3 +325,55 @@ def value_quantiles_cents(events_ds, qs=(0.5, 0.9, 0.99)):
             "cents": pa.array([r["cents"] for r in rows], pa.int64()),
         }
     )
+
+
+def value_quantiles_by_group(events_ds, group_col: str = "event_type", qs=(0.5, 0.9)):
+    """Per-group exact quantiles of ``floor(value*100)`` — the grouped
+    variant of :func:`value_quantiles_cents`: partial (group, cents,
+    count) histograms per batch, one groupby, per-group cumulative
+    index on the driver (bounded by groups × distinct cents values)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, "value"]).to_pandas()
+        df["cents"] = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        agg = (
+            df.groupby([group_col, "cents"], sort=False)
+            .size()
+            .rename("part")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    hist = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "cents"])
+        .aggregate(Sum("part", alias_name="n"))
+        .sort([group_col, "cents"])
+        .take_all()
+    )
+    out_g, out_q, out_c = [], [], []
+    i = 0
+    while i < len(hist):
+        g = hist[i][group_col]
+        vals, counts = [], []
+        while i < len(hist) and hist[i][group_col] == g:
+            vals.append(int(hist[i]["cents"]))
+            counts.append(int(hist[i]["n"]))
+            i += 1
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * total))
+            out_g.append(g)
+            out_q.append(f"{q:g}")
+            out_c.append(vals[int(np.searchsorted(cum, rank))])
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "q": pa.array(out_q, pa.string()),
+            "cents": pa.array(out_c, pa.int64()),
+        }
+    )
