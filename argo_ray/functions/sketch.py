@@ -198,3 +198,77 @@ def mg_heavy_hitters(docs_ds, text_column: str = "text", k: int = 40) -> dict[st
         }
     )
     return mg_merge(tbl, k)
+
+
+# Count-Min row-hash derivation: h_i(x) = (x * A_i + B_i) >> (64 - log2(w)),
+# multiply-shift over the md5 base hash — deterministic, no per-row md5.
+_CM_A = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+_CM_B = np.array(
+    [0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0x0123456789ABCDEF, 0xFEDCBA9876543210],
+    dtype=np.uint64,
+)
+
+
+def cms_partials_batch(
+    batch: pa.Table, text_column: str = "text", depth: int = 4, log2_width: int = 10
+) -> pa.Table:
+    """Count-Min partial of one batch's whitespace tokens: a depth ×
+    width counter grid in long form (row, col, cnt) — at most
+    depth × 2^log2_width rows per batch, sum-mergeable."""
+    width = 1 << log2_width
+    toks = pc.split_pattern(
+        pc.cast(batch[text_column], pa.large_string()), pattern=" "
+    )
+    flat = pc.list_flatten(toks).to_pylist()
+    if not flat:
+        return pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    h = _hash64(flat)
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for i in range(depth):
+        cols = ((h * _CM_A[i] + _CM_B[i]) >> np.uint64(64 - log2_width)).astype(
+            np.int64
+        )
+        np.add.at(grid[i], cols, 1)
+    rows, cols = np.nonzero(grid)
+    return pa.table(
+        {
+            "row": pa.array(rows, pa.int64()),
+            "col": pa.array(cols, pa.int64()),
+            "cnt": pa.array(grid[rows, cols], pa.int64()),
+        }
+    )
+
+
+def cms_estimate(grid: dict[tuple[int, int], int], word: str, depth: int = 4, log2_width: int = 10) -> int:
+    """Point estimate: min over rows of the word's counter."""
+    h = _hash64([word])  # length-1 array: uint64 wraparound is the intent
+    cols = ((h * _CM_A + _CM_B) >> np.uint64(64 - log2_width)).astype(np.int64)
+    return int(min(grid.get((i, int(c)), 0) for i, c in enumerate(cols[:depth])))
+
+
+def cms_counts(docs_ds, text_column: str = "text", depth: int = 4, log2_width: int = 10):
+    """Distributed Count-Min: per-batch grids merged by ONE
+    groupby((row, col)).sum — the exchange and the final driver table
+    are both bounded by depth × 2^log2_width cells, independent of the
+    corpus.  Returns the merged grid as a dict for point queries."""
+    from ray.data.aggregate import Sum
+
+    cells = (
+        docs_ds.map_batches(
+            lambda b: cms_partials_batch(b, text_column, depth, log2_width),
+            batch_format="pyarrow",
+        )
+        .groupby(["row", "col"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .take_all()
+    )
+    return {(int(r["row"]), int(r["col"])): int(r["n"]) for r in cells}

@@ -433,3 +433,60 @@ NORMALIZE_ORACLE_SQL = f"""SELECT doc_id,
              '{NORMALIZE_STRIP_PATTERN}', ' ', 'g'),
              '{NORMALIZE_WS_PATTERN}', ' ', 'g'))) AS norm_text
 FROM documents"""
+
+
+def feature_hash_batch(
+    batch: pa.Table, n_buckets: int = 8, text_column: str = "text"
+) -> pa.Table:
+    """Feature-hashing document vectorizer (the hashing trick): token →
+    md5-derived 64-bit hash → bucket = hash % n_buckets; per-doc bucket
+    counts in long form (doc_id, bucket, n).  The deterministic
+    "embedding generation" stage of the training-data suite — its
+    md5 keying is DuckDB-reproducible, so the full integer vector is
+    oracle-checked (floats/normalization are a trivial downstream map).
+    Stateless map_batches; one hash per DISTINCT token per batch."""
+    toks = pc.split_pattern(
+        pc.cast(batch[text_column], pa.large_string()), pattern=" "
+    )
+    flat = pc.list_flatten(toks).to_pylist()
+    idx = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    if not flat:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    h = _token_hashes(flat, hasher="md5")
+    bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+    doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[idx]
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        }
+    )
+    out = t.group_by(["doc_id", "bucket"]).aggregate([("bucket", "count")])
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "bucket": out["bucket"],
+            "n": pc.cast(out["bucket_count"], pa.int64()),
+        }
+    )
+
+
+def feature_hash_oracle_sql(n_buckets: int = 8) -> str:
+    """DuckDB twin: same md5-first-8-bytes keying as `_token_hashes`
+    ("md5" mode), same modulo."""
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(word), 1, 16) AS UBIGINT)
+              % {n_buckets} AS BIGINT) AS bucket
+  FROM w
+)
+SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM hashed GROUP BY doc_id, bucket"""

@@ -841,6 +841,60 @@ def q_docs_heavy_hitters(sf_dir: str):
     )
 
 
+def q_docs_cms_counts(sf_dir: str):
+    """Count-Min sketch gate: for every exact heavy hitter, the CMS
+    point estimate must satisfy the sketch guarantee
+    n <= est <= n + 3*N/width (deterministic hashing -> stable gate;
+    verified tight at sf0.001-0.1).  The CMS exchange is bounded by
+    depth x width cells per batch, independent of the corpus."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import cms_counts, cms_estimate
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(batch["text"], pa.large_string()), pattern=" "
+        )
+        counted = (
+            pa.table({"word": pc.list_flatten(toks)})
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {
+                "word": pc.cast(counted["word"], pa.string()),
+                "part": pc.cast(counted["word_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("part", alias_name="n"))
+    )
+    total = int(counts.sum("n"))
+    heavy = counts.map_batches(
+        lambda b: b.filter(pc.greater(pc.multiply(b["n"], 41), total)),
+        batch_format="pyarrow",
+    ).take_all()
+    grid = cms_counts(docs)
+    heavy_sorted = sorted(heavy, key=lambda r: r["word"])
+    bound = 3 * total / 1024
+    oks = []
+    for r in heavy_sorted:
+        est = cms_estimate(grid, r["word"])
+        oks.append(int(r["n"]) <= est <= int(r["n"]) + bound)
+    return pa.table(
+        {
+            "word": pa.array([r["word"] for r in heavy_sorted], pa.string()),
+            "n": pa.array([int(r["n"]) for r in heavy_sorted], pa.int64()),
+            "cms_ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
 def q_events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user sketch per event_type, gated against
     the exact distributed count (ann_ivf-style): the oracle hash-checks
@@ -1022,6 +1076,17 @@ def q_docs_stratified_sample(sf_dir: str):
     )
 
 
+def q_docs_feature_hash(sf_dir: str):
+    """Feature-hashing vectorizer (hashing trick): per-doc md5-keyed
+    bucket counts, integer-exact vs the DuckDB md5 oracle — the
+    deterministic embedding-generation stage."""
+    from ..functions.text import feature_hash_batch
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        feature_hash_batch, batch_format="pyarrow"
+    )
+
+
 def q_docs_normalize(sf_dir: str):
     """Canonical text normalization (strip symbols, collapse spaces,
     lowercase) — three vectorized Arrow kernels, byte-identical to the
@@ -1174,6 +1239,7 @@ def q_docs_decontaminate(sf_dir: str):
 
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_feature_hash": q_docs_feature_hash,
     "docs_normalize": q_docs_normalize,
     "docs_pii_redact": q_docs_pii_redact,
     "docs_repetition": q_docs_repetition,
@@ -1212,6 +1278,7 @@ DATA_QUERIES = {
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_heavy_hitters": q_docs_heavy_hitters,
+    "docs_cms_counts": q_docs_cms_counts,
     "events_hll_users": q_events_hll_users,
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
@@ -1339,6 +1406,12 @@ WITH corpus AS (
 )
 """
 
+def _feature_hash_oracle_sql() -> str:
+    from ..functions.text import feature_hash_oracle_sql
+
+    return feature_hash_oracle_sql()
+
+
 def _normalize_oracle_sql() -> str:
     from ..functions.text import NORMALIZE_ORACLE_SQL
 
@@ -1389,6 +1462,7 @@ SELECT site, page_id FROM (
 
 
 DATA_ORACLES = {
+    "docs_feature_hash": _feature_hash_oracle_sql(),
     "docs_normalize": _normalize_oracle_sql(),
     "docs_pii_redact": _pii_oracle_sql(),
     "docs_repetition": _repetition_oracle_sql(),
@@ -1593,6 +1667,12 @@ SELECT md5(chunk_text) AS fingerprint,
        CAST(MIN(doc_id * 1048576 + chunk_idx) % 1048576 AS BIGINT) AS keep_chunk_idx,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM chunks GROUP BY md5(chunk_text)""",
+    "docs_cms_counts": """WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+), t AS (SELECT SUM(n) AS tot FROM c)
+SELECT word, n, true AS cms_ok FROM c, t WHERE n * 41 > tot""",
     "docs_heavy_hitters": """WITH w AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
 ), c AS (

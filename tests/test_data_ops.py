@@ -1003,3 +1003,49 @@ def test_mg_sketch_guarantee_partition_invariant(ray_session):
         sk = mg_heavy_hitters(rd.from_arrow(t).repartition(parts), k=10)
         assert "hot" in sk
         assert len(sk) <= 10
+
+
+def test_cms_bounds_and_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.sketch import cms_counts, cms_estimate
+
+    texts = ["hot cold " * 5] * 10 + [f"w{i} x{i}" for i in range(50)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    g1 = cms_counts(rd.from_arrow(t))
+    g7 = cms_counts(rd.from_arrow(t).repartition(7))
+    assert g1 == g7  # linear merge -> partition-invariant
+    n_tokens = sum(len(s.split(" ")) for s in texts)
+    # "hot" appears 50 times; CMS never underestimates, overestimate
+    # bounded by collisions
+    est = cms_estimate(g1, "hot")
+    assert 50 <= est <= 50 + 3 * n_tokens / 1024
+
+
+def test_feature_hash_matches_duckdb():
+    import duckdb
+
+    from argo_ray.functions.text import feature_hash_batch, feature_hash_oracle_sql
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["a b a c", "d d d"],
+        }
+    )
+    got = (
+        feature_hash_batch(t)
+        .to_pandas()
+        .sort_values(["doc_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(feature_hash_oracle_sql())
+        .df()
+        .sort_values(["doc_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got.groupby("doc_id")["n"].sum().tolist() == [4, 3]
