@@ -24,6 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--salt", default="", help="skolemization salt")
     ap.add_argument(
+        "--pipeline", choices=("kg", "clean"), default="kg",
+        help="kg: pages -> triples -> dedup (flagship); clean: quality "
+        "gate -> PII redact -> normalize -> fingerprint (corpus cleaning)",
+    )
+    ap.add_argument(
         "--on-mismatch", choices=("error", "invalidate"), default="error",
         help="resume policy when a committed partition's plan (fragments/"
         "predicate/stage versions) differs from the current plan",
@@ -46,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
 
     summary = run_checkpointed(
         args.input, args.out, num_partitions=args.partitions, salt=args.salt,
-        on_mismatch=args.on_mismatch,
+        on_mismatch=args.on_mismatch, pipeline=args.pipeline,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -37,6 +37,14 @@ STAGE_VERSIONS = {
     "dedup_exact": 1,
 }
 
+# the corpus-cleaning job (--pipeline clean) versions independently
+CLEAN_STAGE_VERSIONS = {
+    "quality_gate": 1,
+    "pii_redact": 1,
+    "normalize": 1,
+    "fingerprint": 1,
+}
+
 
 class CheckpointManifest:
     def __init__(self, out_dir: str):
@@ -223,6 +231,7 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     counts = ray.get(counters.get.remote())
     return {
         "partition_id": pid,
+        "pipeline": "kg",
         "input_fragments": spec["input_fragments"],
         "predicate": spec.get("predicate"),
         "salt": salt,
@@ -238,6 +247,96 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     }
 
 
+def run_partition_clean(spec: dict, out_dir: str) -> dict:
+    """Run the corpus-cleaning pipeline for one partition and commit its
+    shard atomically: quality gate (word count >= 20 AND >= 1 en
+    stopword, the docs_clean_pipeline thresholds) → PII redaction →
+    text normalization → content fingerprint.  Output columns:
+    (doc_id, clean, fingerprint).  Same lineage/commit discipline as
+    the KG partition runner."""
+    import ray.data as rd
+
+    from ..functions.privacy import redact_pii_batch
+    from ..functions.text import fingerprint_batch, normalize_batch, quality_batch
+
+    pid = spec["partition_id"]
+    pred = spec.get("predicate")
+    t0 = time.time()
+    counters = StageCounters.remote()
+
+    ds = rd.read_parquet(spec["input_fragments"], columns=["doc_id", "text"])
+    if pred is not None:
+        import numpy as np
+
+        def part_filter(b: pa.Table) -> pa.Table:
+            vals = b[pred["column"]].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(vals % pred["mod"] == pred["rem"]))
+
+        ds = ds.map_batches(part_filter, batch_format="pyarrow")
+    ds = ds.map_batches(_counting(counters, "documents"), batch_format="pyarrow")
+
+    def clean(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_words"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(q["n_stopwords"], pa.scalar(1, pa.int64())),
+        )
+        kept = b.filter(keep)
+        redacted = redact_pii_batch(kept)
+        normed = normalize_batch(
+            redacted.select(["doc_id"]).append_column("text", redacted["clean"])
+        )
+        fp = fingerprint_batch(normed, text_column="norm_text")
+        return pa.table(
+            {
+                "doc_id": pc.cast(fp["doc_id"], pa.int64()),
+                "clean": pc.cast(fp["norm_text"], pa.string()),
+                "fingerprint": fp["fingerprint"],
+            }
+        )
+
+    out = ds.map_batches(clean, batch_format="pyarrow").map_batches(
+        _counting(counters, "docs_kept"), batch_format="pyarrow"
+    )
+
+    final_dir = os.path.join(out_dir, "partitions", f"part={pid}")
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    out.write_parquet(tmp_dir)
+    import pyarrow.parquet as pq
+
+    n_kept = sum(
+        pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+        for f in os.listdir(tmp_dir)
+        if f.endswith(".parquet")
+    )
+    if os.path.exists(final_dir):
+        import shutil
+
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+
+    counts = ray.get(counters.get.remote())
+    return {
+        "partition_id": pid,
+        "pipeline": "clean",
+        "input_fragments": spec["input_fragments"],
+        "predicate": spec.get("predicate"),
+        "salt": "",
+        "stage_versions": CLEAN_STAGE_VERSIONS,
+        "row_counts": {
+            "documents": counts.get("documents", 0),
+            "docs_kept": n_kept,
+        },
+        "output_files": sorted(os.listdir(final_dir)),
+        "wall_sec": round(time.time() - t0, 3),
+        "committed_at_unix": int(time.time()),
+    }
+
+
 class CheckpointMismatch(RuntimeError):
     """A committed partition's plan no longer matches the current plan
     (different --partitions value, changed input layout, or bumped stage
@@ -245,8 +344,12 @@ class CheckpointMismatch(RuntimeError):
     (duplicated/missing documents).  ADVICE r1."""
 
 
-def _spec_mismatch(rec: dict, spec: dict, salt: str = "") -> list[str]:
+def _spec_mismatch(
+    rec: dict, spec: dict, salt: str = "", pipeline: str = "kg"
+) -> list[str]:
     out = []
+    if rec.get("pipeline", "kg") != pipeline:
+        out.append("pipeline")
     if rec.get("input_fragments") != spec["input_fragments"]:
         out.append("input_fragments")
     if rec.get("predicate") != spec.get("predicate"):
@@ -255,7 +358,8 @@ def _spec_mismatch(rec: dict, spec: dict, salt: str = "") -> list[str]:
         # a different skolemization salt would mix two anon-id
         # namespaces over the same pages — incompatible outputs
         out.append("salt")
-    if rec.get("stage_versions") != STAGE_VERSIONS:
+    expected = STAGE_VERSIONS if pipeline == "kg" else CLEAN_STAGE_VERSIONS
+    if rec.get("stage_versions") != expected:
         out.append("stage_versions")
     return out
 
@@ -266,6 +370,7 @@ def run_checkpointed(
     num_partitions: int = 4,
     salt: str = "",
     on_mismatch: str = "error",
+    pipeline: str = "kg",
 ) -> dict:
     """Resumable flagship run: skips partitions already committed in the
     manifest; returns a summary {completed, skipped, total_triples}.
@@ -306,7 +411,7 @@ def run_checkpointed(
     for spec in plan:
         pid = spec["partition_id"]
         if pid in done:
-            bad = _spec_mismatch(done[pid], spec, salt)
+            bad = _spec_mismatch(done[pid], spec, salt, pipeline)
             if not bad:
                 skipped.append(pid)
                 continue
@@ -321,15 +426,23 @@ def run_checkpointed(
             stale = os.path.join(manifest.partitions_dir, f"part={pid}")
             if os.path.exists(stale):
                 shutil.rmtree(stale)
-        record = run_partition(spec, out_dir, salt)
+        if pipeline == "clean":
+            record = run_partition_clean(spec, out_dir)
+        else:
+            record = run_partition(spec, out_dir, salt)
         manifest.commit(record)
         completed.append(pid)
+    count_key = "docs_kept" if pipeline == "clean" else "triples_deduped"
     total = sum(
-        rec["row_counts"]["triples_deduped"] for rec in manifest.completed().values()
+        rec["row_counts"][count_key] for rec in manifest.completed().values()
     )
-    return {
+    summary = {
         "completed": completed,
         "skipped": skipped,
-        "total_triples_deduped": total,
+        "pipeline": pipeline,
         "out_dir": out_dir,
     }
+    summary["total_docs_kept" if pipeline == "clean" else "total_triples_deduped"] = (
+        total
+    )
+    return summary

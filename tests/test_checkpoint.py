@@ -168,3 +168,40 @@ def test_resume_rejects_changed_salt(ray_session, out_dir):
         run_checkpointed(SF_DIR, out_dir, num_partitions=2, salt="b")
     again = run_checkpointed(SF_DIR, out_dir, num_partitions=2, salt="a")
     assert sorted(again["skipped"]) == [0, 1]
+
+
+def test_clean_pipeline_run_and_resume(ray_session, out_dir):
+    """--pipeline clean: quality gate -> PII redact -> normalize ->
+    fingerprint, committed per partition; resume skips everything."""
+    import duckdb
+
+    first = run_checkpointed(SF_DIR, out_dir, num_partitions=4, pipeline="clean")
+    assert first["completed"] == [0, 1, 2, 3]
+    kept = first["total_docs_kept"]
+    assert 0 < kept < 500  # the gate drops short/stopword-free docs
+    second = run_checkpointed(SF_DIR, out_dir, num_partitions=4, pipeline="clean")
+    assert second["completed"] == []
+    assert second["skipped"] == [0, 1, 2, 3]
+    assert second["total_docs_kept"] == kept
+    df = duckdb.sql(
+        f"SELECT COUNT(*) AS n, COUNT(DISTINCT doc_id) AS d, "
+        f"COUNT(DISTINCT fingerprint) AS f "
+        f"FROM read_parquet('{out_dir}/partitions/*/*.parquet')"
+    ).df()
+    assert int(df.n[0]) == kept == int(df.d[0])
+    # normalized text is lowercase alnum+space only
+    sample = duckdb.sql(
+        f"SELECT clean FROM read_parquet('{out_dir}/partitions/*/*.parquet') LIMIT 50"
+    ).df()
+    assert all(
+        c.islower() or c.isdigit() or c == " " for t in sample.clean for c in t
+    )
+
+
+def test_resume_rejects_pipeline_switch(ray_session, out_dir):
+    """A clean checkpoint must not resume as a kg run (or vice versa)."""
+    from argo_ray.state.checkpoint import CheckpointMismatch
+
+    run_checkpointed(SF_DIR, out_dir, num_partitions=2, pipeline="clean")
+    with pytest.raises(CheckpointMismatch):
+        run_checkpointed(SF_DIR, out_dir, num_partitions=2, pipeline="kg")
