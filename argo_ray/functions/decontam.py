@@ -48,10 +48,21 @@ def _gram_hashes(
         pc.cast(batch[text_column], pa.large_string()), pattern=" "
     )
     lengths = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-    flat = pc.list_flatten(toks).to_pylist()
-    if not flat:
+    flat_arr = pc.list_flatten(toks)
+    if len(flat_arr) == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    h = _token_hashes(flat, hasher)
+    if hasher == "fast":
+        # hash the Arrow array directly (zero-copy into the polars Rust
+        # kernel) — the to_pylist detour costs ~4x wall on token-heavy
+        # corpora (measured via bench.py --docs-scale)
+        try:
+            import polars as pl
+
+            h = pl.from_arrow(flat_arr).hash(seed=0).to_numpy().astype(np.uint64)
+        except Exception:
+            h = _token_hashes(flat_arr.to_pylist(), hasher)
+    else:
+        h = _token_hashes(flat_arr.to_pylist(), hasher)
     m = len(h) - n + 1
     if m <= 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64)

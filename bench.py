@@ -285,10 +285,94 @@ def run_scaling() -> dict:
     }
 
 
+
+def run_docs_scale() -> dict:
+    """Training-data operator family at inflated scale: the documents
+    table replicated GRAFT_SCALE_REPLICATE times in-pipeline (same
+    deterministic doc_id-shift scheme as the pages scale input; text is
+    identical across copies, so exact dedup additionally stresses 500
+    maximally-hot fingerprint keys).  Reports wall + rows/sec for PII
+    redaction, decontamination, exact dedup and the Count-Min sketch."""
+    import ray
+    import ray.data as rd
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "160"))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from argo_ray.functions.decontam import decontaminate
+    from argo_ray.functions.dedup import exact_dedup_docs
+    from argo_ray.functions.privacy import plant_pii_batch, redact_pii_batch
+    from argo_ray.functions.sketch import cms_counts
+    from argo_ray.io import configure_context, target_blocks
+
+    configure_context()
+
+    def docs_scaled():
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=target_blocks(),
+        )
+
+        def inflate(b: pa.Table) -> pa.Table:
+            i = b.column_names.index("doc_id")
+            return pa.concat_tables(
+                b.set_column(i, "doc_id", pc.add(b["doc_id"], r * 1_000_000))
+                for r in range(replicate)
+            )
+
+        return ds.map_batches(inflate, batch_format="pyarrow")
+
+    n_docs = docs_scaled().count()
+    out = {
+        "metric": "training-data ops at inflated docs scale",
+        "replicate": replicate,
+        "n_docs": n_docs,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "ops": {},
+    }
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        sec = time.time() - t0
+        out["ops"][name] = {
+            "sec": round(sec, 3),
+            "docs_per_sec": round(n_docs / sec, 1),
+        }
+
+    timed(
+        "pii_redact",
+        lambda: docs_scaled()
+        .map_batches(plant_pii_batch, batch_format="pyarrow")
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+        .count(),
+    )
+    timed("decontaminate", lambda: decontaminate(docs_scaled()).count())
+    timed("exact_dedup_hot", lambda: exact_dedup_docs(docs_scaled()).count())
+    timed("cms_counts", lambda: cms_counts(docs_scaled()))
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--docs-scale" in sys.argv:
+        print(json.dumps(run_docs_scale()))
     else:
         print(json.dumps(run_once()))
