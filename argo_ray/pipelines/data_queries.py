@@ -1087,6 +1087,25 @@ def q_docs_feature_hash(sf_dir: str):
     )
 
 
+def q_docs_bpe_first_merge(sf_dir: str):
+    """BPE tokenizer training (distributed wordcount + driver merge
+    loop): the first learned merge is fully SQL-expressible (most
+    frequent adjacent char pair over the weighted vocabulary, ties ->
+    smallest pair), so the driver value-checks pair and frequency
+    exactly.  The full 20-merge list and the encoder are pinned against
+    the classic Sennrich reference in tests/test_data_ops.py."""
+    from ..functions.bpe import bpe_train_distributed
+
+    merges = bpe_train_distributed(_docs(sf_dir, ("doc_id", "text")), n_merges=1)
+    a, b, freq = merges[0]
+    return pa.table(
+        {
+            "pair": pa.array([a + b], pa.string()),
+            "freq": pa.array([freq], pa.int64()),
+        }
+    )
+
+
 def q_docs_normalize(sf_dir: str):
     """Canonical text normalization (strip symbols, collapse spaces,
     lowercase) — three vectorized Arrow kernels, byte-identical to the
@@ -1239,6 +1258,7 @@ def q_docs_decontaminate(sf_dir: str):
 
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_bpe_first_merge": q_docs_bpe_first_merge,
     "docs_feature_hash": q_docs_feature_hash,
     "docs_normalize": q_docs_normalize,
     "docs_pii_redact": q_docs_pii_redact,
@@ -1462,6 +1482,16 @@ SELECT site, page_id FROM (
 
 
 DATA_ORACLES = {
+    "docs_bpe_first_merge": """WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substr(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS freq
+  FROM words, UNNEST(generate_series(1, len(word) - 1)) AS t(i)
+  GROUP BY substr(word, i, 2)
+)
+SELECT pair, freq FROM pairs ORDER BY freq DESC, pair LIMIT 1""",
     "docs_feature_hash": _feature_hash_oracle_sql(),
     "docs_normalize": _normalize_oracle_sql(),
     "docs_pii_redact": _pii_oracle_sql(),

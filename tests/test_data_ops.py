@@ -1049,3 +1049,40 @@ def test_feature_hash_matches_duckdb():
     )
     pd.testing.assert_frame_equal(got, want)
     assert got.groupby("doc_id")["n"].sum().tolist() == [4, 3]
+
+
+def test_bpe_train_matches_sennrich_example(ray_session):
+    """The classic BPE walkthrough: es (9) then est (9); encoder
+    applies ranks greedily; distributed wordcount feeds the same loop."""
+    import ray.data as rd
+
+    from argo_ray.functions.bpe import BpeEncoder, bpe_train_distributed, train_bpe
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    m = train_bpe(vocab, 6)
+    assert m[0] == ("e", "s", 9)
+    assert m[1] == ("es", "t", 9)
+    freqs = [f for _, _, f in m]
+    assert freqs == sorted(freqs, reverse=True)
+    enc = BpeEncoder(m)
+    assert enc.encode_word("newest") == 2  # n + ewest
+    assert enc.encode_word("low") == 1
+    assert enc.encode_word("zzz") == 3  # no learned merges apply
+
+    # the distributed path learns the same merges from a corpus with
+    # those word frequencies, regardless of partitioning
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    m2 = bpe_train_distributed(rd.from_arrow(t).repartition(4), n_merges=6)
+    assert m2 == m
+
+    # encoder as an actor-pool stage
+    out = (
+        rd.from_arrow(t)
+        .map_batches(BpeEncoder, fn_constructor_args=(m,), concurrency=1,
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out.loc[out.text == "newest", "n_bpe_pieces"].iloc[0] == 2
