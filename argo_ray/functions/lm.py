@@ -1,0 +1,178 @@
+"""Unigram language-model quality scoring (CCNet-style): train a
+unigram LM on a high-quality reference slice, score every document by
+its total token surprisal — the standard "does this look like the
+reference distribution?" quality gate LLM pipelines run after dedup.
+
+No reference counterpart; part of the brief-mandated training-data
+suite.  Shape at 100 TB:
+
+- **Model fit is ONE distributed wordcount** over the reference slice
+  (per-batch Arrow groupby combiner → one small ``groupby`` — the same
+  plan as ``docs_vocab``/``bpe.word_counts``): the collected state is
+  |vocab|, not corpus size.
+- **Scoring streams**: the (word → surprisal) table is ``ray.put``
+  once and fetched once per actor in ``__init__``; each batch is one
+  split kernel + one vectorized dict lookup + two ``bincount``
+  scatters.  No per-row Python, no shuffle.
+
+Determinism (why integer "bits", not float nats): surprisal is
+quantized to whole bits via ``floor(log2 ·)`` on *integers* —
+``floor(log2(c))`` is exact for any count ``c`` well below 2**50
+(IEEE log2 is exact at powers of two and >1e-7 away from an integer
+elsewhere at these magnitudes), and per-doc scores are integer SUMs,
+so results are independent of summation order, partitioning and
+cluster size, and the DuckDB oracle reproduces them bit-for-bit.
+
+    surprisal(w) = floor(log2 T) - floor(log2 c(w))   (in-vocab)
+                 = floor(log2 T) + 1                  (OOV)
+
+with ``T`` the reference token count — i.e. ``-log2 p(w)`` rounded
+down to whole bits, OOV charged one bit more than the rarest possible
+word.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ilog2(n: int) -> int:
+    """floor(log2(n)) for a positive int — exact integer math."""
+    return int(n).bit_length() - 1
+
+
+def fit_unigram_surprisal(
+    ref_ds, text_column: str = "text"
+) -> tuple[dict[str, int], int]:
+    """ONE distributed wordcount over the reference slice → (word →
+    surprisal bits, OOV bits).  Empty tokens (from repeated spaces) are
+    dropped on both sides — the oracle filters ``w <> ''`` identically."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(batch[text_column], pa.large_string()), pattern=" "
+        )
+        counted = (
+            pa.table({"word": pc.list_flatten(toks)})
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {
+                "word": pc.cast(counted["word"], pa.string()),
+                "part": pc.cast(counted["word_count"], pa.int64()),
+            }
+        )
+
+    rows = (
+        ref_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("part", alias_name="n"))
+        .take_all()
+    )
+    counts = {r["word"]: int(r["n"]) for r in rows if r["word"]}
+    total = sum(counts.values())
+    bits_t = _ilog2(total) if total else 0
+    table = {w: bits_t - _ilog2(c) for w, c in counts.items()}
+    return table, bits_t + 1
+
+
+class SurprisalScorer:
+    """Actor-pool ``map_batches`` stage: per doc ``(n_tokens, n_oov,
+    surprisal_bits)`` under the broadcast unigram model.  The model is
+    fetched from the object store ONCE per actor."""
+
+    def __init__(self, model_ref, oov_bits: int, text_column: str = "text"):
+        import pandas as pd
+        import ray
+
+        model = ray.get(model_ref) if not isinstance(model_ref, dict) else model_ref
+        # pandas Series for the vectorized .map lookup (same pattern as
+        # the entity-linking dictionary stage, stages/link.py)
+        self.lut = pd.Series(model, dtype="int64")
+        self.oov_bits = oov_bits
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern(
+            pc.cast(batch[self.text_column], pa.large_string()), pattern=" "
+        )
+        lengths = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        n_docs = len(batch)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        words = pd.Series(flat.to_pandas(), dtype="object")
+        nonempty = (words != "").to_numpy()
+        sval = words.map(self.lut).to_numpy(dtype="float64", na_value=np.nan)
+        oov = np.isnan(sval) & nonempty
+        sval = np.where(oov, float(self.oov_bits), np.where(nonempty, sval, 0.0))
+        # integer-valued floats summed via bincount: exact below 2**53
+        bits = np.bincount(doc_of, weights=sval, minlength=n_docs)
+        n_tok = np.bincount(doc_of, weights=nonempty.astype(np.float64), minlength=n_docs)
+        n_oov = np.bincount(doc_of, weights=oov.astype(np.float64), minlength=n_docs)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "n_oov": pa.array(n_oov.astype(np.int64), pa.int64()),
+                "surprisal_bits": pa.array(bits.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def lm_surprisal(
+    docs_ds,
+    ref_lang: str = "en",
+    text_column: str = "text",
+    concurrency: int = 2,
+):
+    """Fit on the ``lang == ref_lang`` slice, score every document.
+    Returns ``(doc_id, n_tokens, n_oov, surprisal_bits)``."""
+    import ray
+
+    def only_ref(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["lang"], ref_lang))
+
+    ref = docs_ds.map_batches(only_ref, batch_format="pyarrow")
+    model, oov_bits = fit_unigram_surprisal(ref, text_column)
+    model_ref = ray.put(model)
+    return docs_ds.map_batches(
+        SurprisalScorer,
+        fn_constructor_args=(model_ref, oov_bits, text_column),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def lm_surprisal_oracle_sql(ref_lang: str = "en") -> str:
+    """Exact relational reconstruction: reference wordcount → integer
+    floor-log2 surprisal table → per-doc LEFT-JOIN sum.  ``floor(log2 n)``
+    on BIGINT counts is exact at these magnitudes (see module header)."""
+    return f"""WITH ref AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  WHERE lang = '{ref_lang}'
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM ref WHERE w <> '' GROUP BY w
+), tot AS (
+  SELECT CAST(floor(log2(SUM(c))) AS BIGINT) AS bits_t FROM vocab
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS is_oov,
+         CASE WHEN v.c IS NULL THEN bits_t + 1
+              ELSE bits_t - CAST(floor(log2(v.c)) AS BIGINT) END AS s
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w, tot
+  WHERE t.w <> ''
+)
+SELECT d.doc_id,
+       CAST(COALESCE(COUNT(s.doc_id), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(s.is_oov), 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(SUM(s.s), 0) AS BIGINT) AS surprisal_bits
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+GROUP BY d.doc_id"""

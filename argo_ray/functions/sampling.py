@@ -254,3 +254,96 @@ SELECT site, page_id FROM (
          row_number() OVER (PARTITION BY site ORDER BY page_id) AS rn
   FROM parsed
 ) WHERE rn <= {k}"""
+
+
+def temperature_sample(
+    ds,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    hasher: str = "fast",
+    concurrency: int = 2,
+):
+    """Temperature-based source rebalancing (the GPT-3/Gopher data-mix
+    move): downsample each stratum with keep probability
+    ``p_s = (min_n / n_s) ** (1 - alpha)`` — alpha=1 keeps everything,
+    alpha=0 equalizes every stratum to the smallest.  Selection is a
+    deterministic hash-fraction test (keep iff ``hash(key) < floor(p_s
+    * 2^bits)``), so re-runs, resumes and re-shards keep the same rows.
+
+    Plan at 100 TB: ONE tiny count-per-stratum groupby (rows = distinct
+    strata), thresholds broadcast in the actor constructor, then a
+    stateless streamed filter — no data shuffle.
+
+    Exactness contract (``hasher="md5"``, the oracle mode, alpha=0.5):
+    ``p_s = sqrt(min_n / n_s)`` uses only IEEE-correctly-rounded ops
+    (one divide, one sqrt, one scale by 2^32, floor), so DuckDB's
+    ``floor(sqrt(CAST(min_n AS DOUBLE) / n_s) * 4294967296.0)``
+    computes the bit-identical threshold, and the integer comparison
+    against the first 4 md5 bytes reproduces the sample exactly."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from ..terms import hash64  # driver-side: workers get it by closure
+
+    counts = {
+        r[strata_col]: int(r["count()"])
+        for r in ds.groupby(strata_col).count().take_all()
+    }
+    if not counts:
+        return ds.filter(lambda row: False)
+    min_n = min(counts.values())
+    bits = 32 if hasher == "md5" else 64
+    thresholds = {}
+    for s, n in counts.items():
+        if alpha == 0.5:
+            p = math.sqrt(min_n / n)  # correctly-rounded divide + sqrt
+        else:
+            p = (min_n / n) ** (1.0 - alpha)
+        thresholds[s] = math.floor(p * float(2**bits))
+    thr_ref = ray.put(thresholds)
+
+    class Sampler:
+        def __init__(self):
+            t = ray.get(thr_ref) if not isinstance(thr_ref, dict) else thr_ref
+            self.thr = t
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = _key_strings(batch, key_col, "")
+            if hasher == "md5":
+                hexes = _md5_hex(keys).to_pylist()
+                u = np.array(
+                    [int(h[:8], 16) if h is not None else 2**32 for h in hexes],
+                    dtype=np.uint64,
+                )
+            else:
+                u = np.asarray(hash64(keys), dtype=np.uint64)
+            strata = batch[strata_col].to_pylist()
+            raw = [self.thr.get(s, 0) for s in strata]
+            # p == 1 strata get threshold 2**bits, which overflows the
+            # uint64 compare lane — carry them as an explicit keep-all
+            cap = 2**bits
+            t = np.array([min(r, cap - 1) for r in raw], dtype=np.uint64)
+            keep_all = np.array([r >= cap for r in raw], dtype=bool)
+            return batch.filter(pa.array((u < t) | keep_all, pa.bool_()))
+
+    return ds.map_batches(Sampler, batch_format="pyarrow", concurrency=concurrency)
+
+
+def temperature_sample_oracle_sql(strata_col: str = "source") -> str:
+    """Exact SQL twin of ``temperature_sample(hasher='md5', alpha=0.5)``
+    over the documents table (see exactness contract above)."""
+    return f"""WITH n AS (
+  SELECT {strata_col}, COUNT(*) AS n_s FROM documents GROUP BY {strata_col}
+), m AS (
+  SELECT MIN(n_s) AS min_n FROM n
+), thr AS (
+  SELECT {strata_col},
+         CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_s) * 4294967296.0) AS UBIGINT) AS t
+  FROM n, m
+)
+SELECT d.doc_id, d.{strata_col} AS {strata_col}
+FROM documents d JOIN thr USING ({strata_col})
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) < t"""

@@ -272,3 +272,75 @@ def cms_counts(docs_ds, text_column: str = "text", depth: int = 4, log2_width: i
         .take_all()
     )
     return {(int(r["row"]), int(r["col"])): int(r["n"]) for r in cells}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable seen-set membership
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(values: list[str], log2_m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two bit positions per value: the first / second 4 md5 bytes
+    (big endian) mod 2^log2_m — exactly ``CAST('0x'||substr(md5(v),1,8)
+    AS UBIGINT) % m`` / ``substr(…,9,8)`` in DuckDB, so the oracle can
+    reconstruct the filter (false positives included) bit-for-bit."""
+    m = np.uint64(1 << log2_m)
+    cache: dict[str, tuple[int, int]] = {}
+    for v in set(values):
+        d = hashlib.md5(v.encode()).digest()
+        cache[v] = (
+            int.from_bytes(d[:4], "big") % int(m),
+            int.from_bytes(d[4:8], "big") % int(m),
+        )
+    p1 = np.fromiter((cache[v][0] for v in values), dtype=np.int64, count=len(values))
+    p2 = np.fromiter((cache[v][1] for v in values), dtype=np.int64, count=len(values))
+    return p1, p2
+
+
+def bloom_build(ref_ds, key_col: str = "text", log2_m: int = 10) -> np.ndarray:
+    """Distributed build: per-batch DISTINCT set-bit positions (≤ 2^log2_m
+    rows per batch regardless of row count), driver union = bitwise-OR
+    merge — the property that makes a Bloom filter shard-mergeable at
+    100 TB.  Returns the sorted set-bit positions (bounded by m)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[key_col], pa.string()).to_pylist()
+        p1, p2 = _bloom_positions(vals, log2_m)
+        return pa.table(
+            {"pos": pa.array(np.unique(np.concatenate([p1, p2])), pa.int64())}
+        )
+
+    parts = [
+        np.asarray(b["pos"], dtype=np.int64)
+        for b in ref_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+class BloomProbe:
+    """Actor-pool ``map_batches`` stage: flag rows whose key the Bloom
+    filter has (possibly falsely) seen.  The bit array is fetched from
+    the object store ONCE per actor."""
+
+    def __init__(self, bits_ref, log2_m: int, key_col: str = "text"):
+        import ray
+
+        pos = ray.get(bits_ref) if not isinstance(bits_ref, np.ndarray) else bits_ref
+        self.bits = np.zeros(1 << log2_m, dtype=bool)
+        self.bits[pos] = True
+        self.log2_m = log2_m
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[self.key_col], pa.string()).to_pylist()
+        p1, p2 = _bloom_positions(vals, self.log2_m)
+        hit = self.bits[p1] & self.bits[p2] if len(vals) else np.empty(0, bool)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bloom_hit": pa.array(hit, pa.bool_()),
+            }
+        )

@@ -1256,8 +1256,66 @@ def q_docs_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir, ("doc_id", "text")))
 
 
+def q_docs_lm_surprisal(sf_dir: str):
+    """CCNet-style unigram LM quality scoring: fit on the lang='en'
+    reference slice (ONE distributed wordcount), score every doc by
+    integer floor-log2 surprisal bits — order/partitioning-independent,
+    so the oracle reproduces it exactly."""
+    from ..functions.lm import lm_surprisal
+
+    return lm_surprisal(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
+def q_docs_bloom_seen(sf_dir: str):
+    """Bloom-filter seen-set membership over the planted-duplicate
+    corpus: the filter is built from the to-be-copied originals
+    (doc_id % 10 == 0), probed by everything else — planted copies hit
+    (same text), the rest shows the filter's real md5-derived
+    false-positive behaviour, which the oracle reconstructs
+    bit-for-bit."""
+    import ray
+
+    from ..functions.sketch import BloomProbe, bloom_build
+
+    planted = _planted_docs(sf_dir)
+
+    def ref_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 10 == 0) & (ids < PLANT_OFFSET)))
+
+    def probe_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~((ids % 10 == 0) & (ids < PLANT_OFFSET))))
+
+    bits = bloom_build(
+        planted.map_batches(ref_side, batch_format="pyarrow"), "text", log2_m=10
+    )
+    bits_ref = ray.put(bits)
+    return planted.map_batches(probe_side, batch_format="pyarrow").map_batches(
+        BloomProbe,
+        fn_constructor_args=(bits_ref, 10, "text"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def q_docs_temperature_sample(sf_dir: str):
+    """Temperature-based rebalancing of the (skewed) language mix (md5
+    oracle mode): keep prob per lang = sqrt(min_n / n_s), deterministic
+    hash-fraction selection — IEEE-exact, so the oracle reproduces the
+    sample."""
+    from ..functions.sampling import temperature_sample
+
+    return temperature_sample(
+        _docs(sf_dir, ("doc_id", "lang")), strata_col="lang", hasher="md5"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_lm_surprisal": q_docs_lm_surprisal,
+    "docs_bloom_seen": q_docs_bloom_seen,
+    "docs_temperature_sample": q_docs_temperature_sample,
     "docs_bpe_first_merge": q_docs_bpe_first_merge,
     "docs_feature_hash": q_docs_feature_hash,
     "docs_normalize": q_docs_normalize,
@@ -1544,6 +1602,26 @@ FROM uniq""",
     + """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
 FROM corpus GROUP BY md5(text)""",
+    "docs_lm_surprisal": None,  # filled below from functions.lm
+    "docs_temperature_sample": None,  # filled below from functions.sampling
+    "docs_bloom_seen": _PLANTED_DOCS_CTE
+    + f""", ref AS (
+  SELECT text FROM corpus WHERE doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}
+), bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 1024 AS p FROM ref
+    UNION ALL
+    SELECT CAST('0x' || substr(md5(text), 9, 8) AS UBIGINT) % 1024 AS p FROM ref
+  )
+), probe AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 1024 AS p1,
+         CAST('0x' || substr(md5(text), 9, 8) AS UBIGINT) % 1024 AS p2
+  FROM corpus WHERE NOT (doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET})
+)
+SELECT doc_id,
+       (p1 IN (SELECT p FROM bits) AND p2 IN (SELECT p FROM bits)) AS bloom_hit
+FROM probe""",
     "docs_token_count": "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
     "docs_pack_sequences": """SELECT doc_id, n_tokens,
        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1742,3 +1820,11 @@ FROM (
   SELECT event_type, date_trunc('minute', ts) - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE - INTERVAL 30 MINUTE FROM events
 ) GROUP BY event_type, window_start""",
 }
+
+# Oracles whose SQL lives next to the operator implementation (keeps
+# the exactness contract and its reconstruction in one file):
+from ..functions.lm import lm_surprisal_oracle_sql as _lm_oracle
+from ..functions.sampling import temperature_sample_oracle_sql as _temp_oracle
+
+DATA_ORACLES["docs_lm_surprisal"] = _lm_oracle()
+DATA_ORACLES["docs_temperature_sample"] = _temp_oracle(strata_col="lang")

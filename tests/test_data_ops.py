@@ -1086,3 +1086,96 @@ def test_bpe_train_matches_sennrich_example(ray_session):
         .to_pandas()
     )
     assert out.loc[out.text == "newest", "n_bpe_pieces"].iloc[0] == 2
+
+
+def test_lm_surprisal_integer_exact(ray_session):
+    """Unigram surprisal: floor-log2 bits vs a hand-computed model;
+    partition-count must not change any score (integer sums)."""
+    import ray.data as rd
+
+    from argo_ray.functions.lm import _ilog2, fit_unigram_surprisal, lm_surprisal
+
+    # reference slice: "a a a b" → T=4, c(a)=3, c(b)=1
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["a a a b", "a b zz", "zz zz"],
+            "lang": ["en", "fr", "fr"],
+        }
+    )
+    model, oov = fit_unigram_surprisal(rd.from_arrow(t).filter(lambda r: r["lang"] == "en"))
+    assert model == {"a": 2 - 1, "b": 2 - 0}  # bits_t=2, ilog2(3)=1, ilog2(1)=0
+    assert oov == 3
+    assert _ilog2(1) == 0 and _ilog2(8) == 3 and _ilog2(7) == 2
+
+    for parts in (1, 3):
+        out = (
+            lm_surprisal(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "surprisal_bits"] == 1 + 1 + 1 + 2
+        assert out.loc[1, "surprisal_bits"] == 1 + 2 + 3
+        assert out.loc[1, "n_oov"] == 1
+        assert out.loc[2, "surprisal_bits"] == 6
+        assert list(out["n_tokens"]) == [4, 3, 2]
+
+
+def test_bloom_filter_membership_and_merge(ray_session):
+    """Bloom: every inserted key hits; merge (= position union) is
+    partition-invariant; a fresh key's hit status matches the direct
+    bit test (false positives allowed, misses of inserted keys not)."""
+    import ray
+    import ray.data as rd
+
+    from argo_ray.functions.sketch import BloomProbe, _bloom_positions, bloom_build
+
+    keys = [f"key-{i}" for i in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": keys})
+    bits1 = bloom_build(rd.from_arrow(t).repartition(1), "text", log2_m=10)
+    bits4 = bloom_build(rd.from_arrow(t).repartition(4), "text", log2_m=10)
+    assert (bits1 == bits4).all()
+
+    probe = BloomProbe(ray.put(bits1), 10, "text")
+    out = probe(t)
+    assert out["bloom_hit"].to_pylist() == [True] * 40  # no false negatives
+
+    fresh = pa.table({"doc_id": pa.array([99], pa.int64()), "text": ["unseen-key"]})
+    p1, p2 = _bloom_positions(["unseen-key"], 10)
+    expect = bool(np.isin(p1, bits1)[0] and np.isin(p2, bits1)[0])
+    assert probe(fresh)["bloom_hit"].to_pylist() == [expect]
+
+
+def test_temperature_sample_rebalances_and_is_deterministic(ray_session):
+    """sqrt(min/n) keep-prob: smallest stratum fully kept, hot stratum
+    downsampled toward it; identical selection across partitionings."""
+    import ray.data as rd
+
+    from argo_ray.functions.sampling import temperature_sample
+
+    n_hot, n_cold = 400, 25
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_hot + n_cold), pa.int64()),
+            "lang": ["en"] * n_hot + ["fr"] * n_cold,
+        }
+    )
+    kept = {}
+    for parts in (1, 5):
+        out = temperature_sample(
+            rd.from_arrow(t).repartition(parts), strata_col="lang", hasher="md5"
+        ).to_pandas()
+        kept[parts] = sorted(out["doc_id"])
+        by = out.groupby("lang").size()
+        assert by["fr"] == n_cold  # smallest stratum: p = 1
+        # hot stratum: E[kept] = 400 * sqrt(25/400) = 100
+        assert 60 <= by["en"] <= 140
+    assert kept[1] == kept[5]
+
+    # fast-path (hash64) production mode: same shape guarantees
+    fast = temperature_sample(
+        rd.from_arrow(t).repartition(3), strata_col="lang", hasher="fast"
+    ).to_pandas()
+    byf = fast.groupby("lang").size()
+    assert byf["fr"] == n_cold and 60 <= byf["en"] <= 140
