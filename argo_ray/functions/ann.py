@@ -386,6 +386,12 @@ def kmeans_clusters(
     """
     import ray
 
+    # the loop re-consumes this Dataset iters+1 times; without
+    # materializing, each pass would re-execute the whole upstream
+    # lineage (parquet read + any transforms) from scratch.  The cached
+    # blocks are one (vec_id, embedding) projection — object-store
+    # resident, spillable, never driver-side.
+    embeddings_ds = embeddings_ds.materialize()
     train = embeddings_ds.limit(train_size).take_all()
     cent = _kmeans(
         np.asarray([r["embedding"] for r in train], dtype=np.float64),

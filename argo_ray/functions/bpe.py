@@ -21,33 +21,12 @@ import pyarrow.compute as pc
 
 
 def word_counts(docs_ds, text_column: str = "text") -> dict[str, int]:
-    """Distributed wordcount (combiner before the single groupby),
-    collected as the vocabulary table — bounded by |vocab|, not corpus
-    size."""
-    from ray.data.aggregate import Sum
+    """Distributed wordcount (the shared combiner-before-groupby plan,
+    :func:`argo_ray.functions.text.word_counts_ds`), collected as the
+    vocabulary table — bounded by |vocab|, not corpus size."""
+    from .text import word_counts_ds
 
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.cast(batch[text_column], pa.large_string()), pattern=" "
-        )
-        counted = (
-            pa.table({"word": pc.list_flatten(toks)})
-            .group_by("word")
-            .aggregate([("word", "count")])
-        )
-        return pa.table(
-            {
-                "word": pc.cast(counted["word"], pa.string()),
-                "part": pc.cast(counted["word_count"], pa.int64()),
-            }
-        )
-
-    out = (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("part", alias_name="n"))
-        .take_all()
-    )
+    out = word_counts_ds(docs_ds, text_column).take_all()
     return {r["word"]: int(r["n"]) for r in out if r["word"]}
 
 

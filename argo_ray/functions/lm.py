@@ -49,30 +49,9 @@ def fit_unigram_surprisal(
     """ONE distributed wordcount over the reference slice → (word →
     surprisal bits, OOV bits).  Empty tokens (from repeated spaces) are
     dropped on both sides — the oracle filters ``w <> ''`` identically."""
-    from ray.data.aggregate import Sum
+    from .text import word_counts_ds
 
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.cast(batch[text_column], pa.large_string()), pattern=" "
-        )
-        counted = (
-            pa.table({"word": pc.list_flatten(toks)})
-            .group_by("word")
-            .aggregate([("word", "count")])
-        )
-        return pa.table(
-            {
-                "word": pc.cast(counted["word"], pa.string()),
-                "part": pc.cast(counted["word_count"], pa.int64()),
-            }
-        )
-
-    rows = (
-        ref_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("part", alias_name="n"))
-        .take_all()
-    )
+    rows = word_counts_ds(ref_ds, text_column).take_all()
     counts = {r["word"]: int(r["n"]) for r in rows if r["word"]}
     total = sum(counts.values())
     bits_t = _ilog2(total) if total else 0

@@ -28,15 +28,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level bind, NOT a lazy import inside _hash64: these functions
+# run inside worker-side UDFs, where a runtime `from .text import …`
+# raises ModuleNotFoundError (workers get this module by cloudpickle
+# value, not via sys.path — see argo_ray/__init__.py)
+from .text import _token_hashes
+
 
 def _hash64(values: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hash per value (md5 first 8 bytes, big
-    endian); distinct-value cache per batch."""
-    cache = {
-        v: int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
-        for v in set(values)
-    }
-    return np.fromiter((cache[v] for v in values), dtype=np.uint64, count=len(values))
+    """Deterministic 64-bit hash per value — the canonical md5-derived
+    hashing (:func:`argo_ray.functions.text._token_hashes` ``"md5"``
+    mode), so the HLL/CMS DuckDB-parity claim and SimHash share one
+    bit-exact implementation."""
+    return _token_hashes(list(values), "md5")
 
 
 def _rho(w: np.ndarray, bits: int) -> np.ndarray:

@@ -47,34 +47,49 @@ def regex_token_count_batch(
     return batch.append_column("n_bpe_tokens", n)
 
 
-def vocab_topk(docs_ds, k: int = 20, text_column: str = "text"):
-    """Distributed vocabulary build → top-k words by corpus frequency
-    (ties → lexicographically smallest word).  The canonical combiner
-    shape: per-batch token explode + LOCAL count (shuffle volume =
-    distinct words per batch, not token occurrences), then one global
-    ``groupby(word).sum``, then a k-row sort."""
+def word_count_partials(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-batch wordcount combiner: whitespace split → LOCAL
+    ``group_by(word).count`` (shuffle volume = distinct words per batch,
+    not token occurrences).  Output ``(word, part)``.  The ONE canonical
+    copy — shared by :func:`vocab_topk`, the heavy-hitter / CMS queries,
+    BPE wordcount and the unigram-LM fit, so tokenization can never
+    drift between them."""
+    toks = pc.split_pattern(
+        pc.cast(batch[text_column], pa.large_string()), pattern=" "
+    )
+    counted = (
+        pa.table({"word": pc.list_flatten(toks)})
+        .group_by("word")
+        .aggregate([("word", "count")])
+    )
+    return pa.table(
+        {
+            "word": pc.cast(counted["word"], pa.string()),
+            "part": pc.cast(counted["word_count"], pa.int64()),
+        }
+    )
+
+
+def word_counts_ds(docs_ds, text_column: str = "text"):
+    """Distributed wordcount: the per-batch combiner above, then ONE
+    global ``groupby(word).sum`` → Dataset of ``(word, n)``."""
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.cast(batch[text_column], pa.large_string()), pattern=" "
+    return (
+        docs_ds.map_batches(
+            lambda b: word_count_partials(b, text_column),
+            batch_format="pyarrow",
         )
-        flat = pc.list_flatten(toks)
-        counted = pa.table({"word": flat}).group_by("word").aggregate(
-            [("word", "count")]
-        )
-        return pa.table(
-            {
-                "word": pc.cast(counted["word"], pa.string()),
-                "partial_n": pc.cast(counted["word_count"], pa.int64()),
-            }
-        )
-
-    out = (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("word")
-        .aggregate(Sum("partial_n", alias_name="n"))
+        .aggregate(Sum("part", alias_name="n"))
     )
+
+
+def vocab_topk(docs_ds, k: int = 20, text_column: str = "text"):
+    """Distributed vocabulary build → top-k words by corpus frequency
+    (ties → lexicographically smallest word): wordcount, then a k-row
+    sort."""
+    out = word_counts_ds(docs_ds, text_column)
     top = out.sort(["n", "word"], descending=[True, False]).limit(k)
     return top.map_batches(
         lambda b: pa.table(
@@ -145,6 +160,10 @@ def fingerprint_batch(
       composite keeps birthday collisions negligible at 10^12 docs.
       Within-run keys only (polars hashes aren't stable across
       versions) — exactly what a dedup key needs.
+    - ``"stable"``: two environment-independent FNV-1a passes
+      (:func:`argo_ray.terms.hash64_stable` seeds 0/1) — the same
+      128-bit composite as ``"fast"`` but safe to PERSIST (checkpoint
+      shards that a resume may extend under a different polars build).
     - ``"md5"``: hex md5 string — DuckDB-reproducible (same rationale
       as skolem ids); the oracle-check mode.
     """
@@ -155,6 +174,12 @@ def fingerprint_batch(
         return batch.append_column(
             "fingerprint", hash64(lowered, seed=0)
         ).append_column("fingerprint2", hash64(lowered, seed=1))
+    if hasher == "stable":
+        from ..terms import hash64_stable
+
+        return batch.append_column(
+            "fingerprint", hash64_stable(lowered)
+        ).append_column("fingerprint2", hash64_stable(lowered, seed=1))
     fp = [hashlib.md5(t.encode()).hexdigest() for t in lowered.to_pylist()]
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 

@@ -788,6 +788,24 @@ def q_docs_paragraph_dedup(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def _exact_heavy_hitters(docs, k: int = 40) -> tuple[int, list[dict]]:
+    """Exact corpus heavy hitters: total token count plus every word
+    with count n where ``(k+1)*n > total`` (the MG guarantee threshold),
+    sorted by word.  The wordcount Dataset is MATERIALIZED once (it is
+    vocabulary-sized) so ``sum`` and the heavy filter share one
+    execution of the dominant read+explode+groupby lineage instead of
+    running it twice."""
+    from ..functions.text import word_counts_ds
+
+    counts = word_counts_ds(docs).materialize()
+    total = int(counts.sum("n"))
+    heavy = counts.map_batches(
+        lambda b: b.filter(pc.greater(pc.multiply(b["n"], k + 1), total)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: at most k rows can satisfy (k+1)*n > total
+    return total, sorted(heavy, key=lambda r: r["word"])
+
+
 def q_docs_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy-hitter gate: every word with exact corpus
     count n where 41*n > total_tokens (the MG k=40 guarantee threshold)
@@ -795,41 +813,11 @@ def q_docs_heavy_hitters(sf_dir: str):
     distributed wordcount combiner; the sketch is per-batch summaries
     (<= 40 rows each) merged once — driver load is batches x k, never
     the vocabulary."""
-    from ray.data.aggregate import Sum
-
     from ..functions.sketch import mg_heavy_hitters
-    from ..functions.text import vocab_topk  # noqa: F401 (same combiner shape)
 
     docs = _docs(sf_dir, ("doc_id", "text"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.cast(batch["text"], pa.large_string()), pattern=" "
-        )
-        counted = (
-            pa.table({"word": pc.list_flatten(toks)})
-            .group_by("word")
-            .aggregate([("word", "count")])
-        )
-        return pa.table(
-            {
-                "word": pc.cast(counted["word"], pa.string()),
-                "part": pc.cast(counted["word_count"], pa.int64()),
-            }
-        )
-
-    counts = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("part", alias_name="n"))
-    )
-    total = int(counts.sum("n"))
-    heavy = counts.map_batches(
-        lambda b: b.filter(pc.greater(pc.multiply(b["n"], 41), total)),
-        batch_format="pyarrow",
-    ).take_all()  # bounded: at most 40 rows can satisfy 41*n > total
+    _, heavy_sorted = _exact_heavy_hitters(docs, k=40)
     sketch = mg_heavy_hitters(docs, k=40)
-    heavy_sorted = sorted(heavy, key=lambda r: r["word"])
     return pa.table(
         {
             "word": pa.array([r["word"] for r in heavy_sorted], pa.string()),
@@ -847,40 +835,11 @@ def q_docs_cms_counts(sf_dir: str):
     n <= est <= n + 3*N/width (deterministic hashing -> stable gate;
     verified tight at sf0.001-0.1).  The CMS exchange is bounded by
     depth x width cells per batch, independent of the corpus."""
-    from ray.data.aggregate import Sum
-
     from ..functions.sketch import cms_counts, cms_estimate
 
     docs = _docs(sf_dir, ("doc_id", "text"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.cast(batch["text"], pa.large_string()), pattern=" "
-        )
-        counted = (
-            pa.table({"word": pc.list_flatten(toks)})
-            .group_by("word")
-            .aggregate([("word", "count")])
-        )
-        return pa.table(
-            {
-                "word": pc.cast(counted["word"], pa.string()),
-                "part": pc.cast(counted["word_count"], pa.int64()),
-            }
-        )
-
-    counts = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("part", alias_name="n"))
-    )
-    total = int(counts.sum("n"))
-    heavy = counts.map_batches(
-        lambda b: b.filter(pc.greater(pc.multiply(b["n"], 41), total)),
-        batch_format="pyarrow",
-    ).take_all()
+    total, heavy_sorted = _exact_heavy_hitters(docs, k=40)
     grid = cms_counts(docs)
-    heavy_sorted = sorted(heavy, key=lambda r: r["word"])
     bound = 3 * total / 1024
     oks = []
     for r in heavy_sorted:

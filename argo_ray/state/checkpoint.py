@@ -42,8 +42,37 @@ CLEAN_STAGE_VERSIONS = {
     "quality_gate": 1,
     "pii_redact": 1,
     "normalize": 1,
-    "fingerprint": 1,
+    # v2: environment-independent FNV-1a 128-bit fingerprint pair
+    # (hasher="stable") — v1 persisted polars-version-dependent hash64
+    # keys, which a resume under a different polars build would not
+    # reproduce (shards would mix two hash families)
+    "fingerprint": 2,
 }
+
+
+def _commit_shard(ds, out_dir: str, pid: int) -> tuple[int, list[str]]:
+    """Atomic per-partition commit shared by both pipeline runners:
+    write the Dataset to ``part=<pid>.tmp``, count rows from parquet
+    METADATA (no re-read of data), then ``os.replace`` into place —
+    atomic on POSIX.  Returns (row_count, output_files)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    final_dir = os.path.join(out_dir, "partitions", f"part={pid}")
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    ds.write_parquet(tmp_dir)
+    n_rows = sum(
+        pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+        for f in os.listdir(tmp_dir)
+        if f.endswith(".parquet")
+    )
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    return n_rows, sorted(os.listdir(final_dir))
 
 
 class CheckpointManifest:
@@ -208,25 +237,7 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     ).map_batches(_counting(counters, "triples_raw"), batch_format="pyarrow")
     deduped = dedup_exact(triples)
 
-    final_dir = os.path.join(out_dir, "partitions", f"part={pid}")
-    tmp_dir = final_dir + ".tmp"
-    if os.path.exists(tmp_dir):
-        import shutil
-
-        shutil.rmtree(tmp_dir)
-    deduped.write_parquet(tmp_dir)
-    import pyarrow.parquet as pq
-
-    n_deduped = sum(
-        pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
-        for f in os.listdir(tmp_dir)
-        if f.endswith(".parquet")
-    )
-    if os.path.exists(final_dir):
-        import shutil
-
-        shutil.rmtree(final_dir)
-    os.replace(tmp_dir, final_dir)
+    n_deduped, output_files = _commit_shard(deduped, out_dir, pid)
 
     counts = ray.get(counters.get.remote())
     return {
@@ -241,7 +252,7 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
             "triples_raw": counts.get("triples_raw", 0),
             "triples_deduped": n_deduped,
         },
-        "output_files": sorted(os.listdir(final_dir)),
+        "output_files": output_files,
         "wall_sec": round(time.time() - t0, 3),
         "committed_at_unix": int(time.time()),
     }
@@ -286,38 +297,25 @@ def run_partition_clean(spec: dict, out_dir: str) -> dict:
         normed = normalize_batch(
             redacted.select(["doc_id"]).append_column("text", redacted["clean"])
         )
-        fp = fingerprint_batch(normed, text_column="norm_text")
+        # "stable" hasher (FNV-1a pair): these fingerprints are PERSISTED
+        # into resumable shards, so they must reproduce across polars
+        # versions — the "fast" polars family is for within-run keys only
+        fp = fingerprint_batch(normed, text_column="norm_text", hasher="stable")
         return pa.table(
             {
                 "doc_id": pc.cast(fp["doc_id"], pa.int64()),
                 "clean": pc.cast(fp["norm_text"], pa.string()),
                 "fingerprint": fp["fingerprint"],
+                "fingerprint2": fp["fingerprint2"],
             }
         )
 
-    out = ds.map_batches(clean, batch_format="pyarrow").map_batches(
-        _counting(counters, "docs_kept"), batch_format="pyarrow"
-    )
+    # no docs_kept counting stage: the kept count comes free from the
+    # committed parquet metadata — a per-batch counter round-trip on the
+    # write path would be paid for a number the record never reads
+    out = ds.map_batches(clean, batch_format="pyarrow")
 
-    final_dir = os.path.join(out_dir, "partitions", f"part={pid}")
-    tmp_dir = final_dir + ".tmp"
-    if os.path.exists(tmp_dir):
-        import shutil
-
-        shutil.rmtree(tmp_dir)
-    out.write_parquet(tmp_dir)
-    import pyarrow.parquet as pq
-
-    n_kept = sum(
-        pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
-        for f in os.listdir(tmp_dir)
-        if f.endswith(".parquet")
-    )
-    if os.path.exists(final_dir):
-        import shutil
-
-        shutil.rmtree(final_dir)
-    os.replace(tmp_dir, final_dir)
+    n_kept, output_files = _commit_shard(out, out_dir, pid)
 
     counts = ray.get(counters.get.remote())
     return {
@@ -331,7 +329,7 @@ def run_partition_clean(spec: dict, out_dir: str) -> dict:
             "documents": counts.get("documents", 0),
             "docs_kept": n_kept,
         },
-        "output_files": sorted(os.listdir(final_dir)),
+        "output_files": output_files,
         "wall_sec": round(time.time() - t0, 3),
         "committed_at_unix": int(time.time()),
     }
@@ -354,9 +352,12 @@ def _spec_mismatch(
         out.append("input_fragments")
     if rec.get("predicate") != spec.get("predicate"):
         out.append("predicate")
-    if rec.get("salt", "") != salt:
+    if pipeline == "kg" and rec.get("salt", "") != salt:
         # a different skolemization salt would mix two anon-id
-        # namespaces over the same pages — incompatible outputs
+        # namespaces over the same pages — incompatible outputs.
+        # The clean pipeline has no skolemization (records carry
+        # salt=""), so comparing against the CLI --salt there would
+        # make every salted re-invocation unresumable.
         out.append("salt")
     expected = STAGE_VERSIONS if pipeline == "kg" else CLEAN_STAGE_VERSIONS
     if rec.get("stage_versions") != expected:

@@ -205,3 +205,34 @@ def test_resume_rejects_pipeline_switch(ray_session, out_dir):
     run_checkpointed(SF_DIR, out_dir, num_partitions=2, pipeline="clean")
     with pytest.raises(CheckpointMismatch):
         run_checkpointed(SF_DIR, out_dir, num_partitions=2, pipeline="kg")
+
+
+def test_clean_salted_resume_and_stable_fingerprints(ray_session, out_dir):
+    """Two review findings: (a) a salted clean invocation must RESUME —
+    salt is meaningless to the clean pipeline, and comparing the CLI
+    --salt against the record's "" made every salted re-run
+    unresumable; (b) the persisted fingerprints must be the
+    environment-independent FNV-1a pair (hash64_stable seeds 0/1), not
+    polars-version-dependent hash64 keys — a resume under a different
+    polars build must extend the shards with the SAME hash family."""
+    import duckdb
+
+    from argo_ray.terms import hash64_stable
+
+    run_checkpointed(SF_DIR, out_dir, num_partitions=2, pipeline="clean", salt="s1")
+    second = run_checkpointed(
+        SF_DIR, out_dir, num_partitions=2, pipeline="clean", salt="s2"
+    )
+    assert second["completed"] == []
+    assert sorted(second["skipped"]) == [0, 1]
+
+    df = duckdb.sql(
+        f"SELECT clean, fingerprint, fingerprint2 "
+        f"FROM read_parquet('{out_dir}/partitions/*/*.parquet') "
+        f"ORDER BY doc_id LIMIT 20"
+    ).df()
+    texts = [t.lower() for t in df.clean]
+    assert [int(v) for v in df.fingerprint] == hash64_stable(texts).to_pylist()
+    assert [int(v) for v in df.fingerprint2] == hash64_stable(
+        texts, seed=1
+    ).to_pylist()
