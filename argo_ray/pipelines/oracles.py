@@ -93,6 +93,36 @@ TOKENS_CTE_BODY = f"""
 """
 
 
+def _pagerank_sql(iters: int = 5) -> str:
+    """Nested per-iteration CTEs mirroring the simple PageRank power
+    iteration exactly (d=0.85, no dangling redistribution): each r{i}
+    is (1-d)/N + d * SUM over in-edges of r{i-1}/outdeg, with the
+    LEFT JOIN chain giving no-in-edge nodes a NULL sum (COALESCE 0).
+    All literals CAST to DOUBLE so DuckDB never routes through DECIMAL
+    arithmetic; final ranks ROUND(…, 6) like the Ray side."""
+    sql = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+odeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)
+         + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r{i - 1}.pr / odeg.odeg), 0) AS pr
+  FROM nodes
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN odeg ON odeg.src = e.src
+  LEFT JOIN r{i - 1} ON r{i - 1}.node = e.src
+  GROUP BY nodes.node
+)"""
+    return sql + f"""
+SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
+ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
+
+
 ORACLES: dict[str, str] = {
     "rdfa_extract": EXP_CTE + f"SELECT {TERM_COLS} FROM exp",
     "dedup_exact": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
@@ -141,6 +171,7 @@ ORDER BY degree DESC, node LIMIT 20""",
     + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
 SELECT pred_value AS predicate, CAST(COUNT(*) AS BIGINT) AS n_triples
 FROM d GROUP BY pred_value""",
+    "kg_pagerank": _pagerank_sql(5),
     "group_subject_count": EXP_CTE
     + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
 FROM (SELECT DISTINCT {TERM_COLS} FROM exp)

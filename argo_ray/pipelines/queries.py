@@ -256,6 +256,49 @@ def q_kg_predicate_hist(sf_dir: str):
     )
 
 
+PAGERANK_ITERS = 5
+
+
+def q_kg_pagerank(sf_dir: str):
+    """KG analytics: top-20 nodes by PageRank over the distinct
+    (subject → non-literal object) link graph — 5 fixed power
+    iterations of the simple (no dangling-redistribution) convention,
+    d=0.85 (see :mod:`argo_ray.functions.graph` for the distributed
+    plan).  Ranks rounded to 6 decimals so the DuckDB oracle's
+    different float-summation order can never flip the hash."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import pagerank
+
+    def links(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), 2))
+        return pa.table(
+            {
+                "src": pc.cast(m["subj_value"], pa.string()),
+                "dst": pc.cast(m["obj_value"], pa.string()),
+            }
+        )
+
+    edges = (
+        _deduped(sf_dir)
+        .map_batches(links, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))  # distinct edges
+        .select_columns(["src", "dst"])
+    )
+    ranks = pagerank(edges, iters=PAGERANK_ITERS, damping=0.85)
+    rounded = ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "pr": pc.round(pc.cast(b["rank"], pa.float64()), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -1149,6 +1192,7 @@ KG_QUERIES = {
     "group_subject_count": q_group_subject_count,
     "kg_degree_topk": q_kg_degree_topk,
     "kg_predicate_hist": q_kg_predicate_hist,
+    "kg_pagerank": q_kg_pagerank,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,
