@@ -5,24 +5,32 @@ exposes the graph, `/root/reference/rdf/store.go`, but has no analytics
 layer; these are the Ray-native extension).
 
 Scale shape (the canonical distributed power-iteration plan):
-- the edge list is a Dataset and NEVER leaves the object store;
-- per iteration: ONE hash join (ranks → edges on src, the same
-  ``Dataset.join`` machinery as near-dup label propagation,
-  ``dedup.py``) + ONE groupby-sum — both bounded by |E| exchange, no
-  driver materialization;
-- static per-edge state (out-degree) is joined ONCE before the loop and
-  the joined edge table is materialized, so each iteration re-reads
-  cached blocks instead of re-executing the upstream extraction;
-- ranks are a (node, rank) Dataset, only COUNT(nodes) crosses the
-  driver.
+- the edge list is a Dataset and NEVER leaves the object store; only
+  COUNT(nodes) and per-iteration norm scalars cross the driver;
+- per iteration: ONE value scatter + ONE groupby-sum, both bounded by
+  |E|+|V| exchange volume;
+- the scatter deliberately avoids ``Dataset.join``: in this Ray version
+  a hash join's (and hash aggregate's) EMPTY output partitions forward
+  schema-less blocks, and a downstream join's finalize rejects them
+  with "No match ... FieldRef" whenever partitions outnumber keys
+  (small inputs, or skewed tails at scale).  Instead value rows union
+  with the keyed edge list, ONE sort by key co-locates each key's
+  value row with its edges (the grouping.py sort-colocation contract),
+  and a vectorized in-block pandas merge emits the contributions — the
+  same all-to-all exchange class as the hash join, none of its
+  empty-partition fragility;
+- static per-edge state (out-degree weights) is computed ONCE before
+  the loop and the keyed edge table is materialized, so each iteration
+  re-reads cached blocks instead of re-executing upstream extraction.
 
-Convention: the "simple" PageRank power iteration
-
-    rank_{t+1}(v) = (1-d)/N + d * sum_{u -> v} rank_t(u) / outdeg(u)
-
-without dangling-mass redistribution — dangling nodes (no out-edges)
-absorb; the total mass is NOT conserved.  Deterministic and exactly
-mirrored by the DuckDB oracle's nested per-iteration CTEs.
+Conventions (each exactly mirrored by nested per-iteration CTEs in the
+DuckDB oracles):
+- :func:`pagerank` — the "simple" power iteration
+  ``rank'(v) = (1-d)/N + d * sum_{u->v} rank(u)/outdeg(u)`` without
+  dangling-mass redistribution (dangling nodes absorb; total mass is
+  not conserved).
+- :func:`hits` — Kleinberg hubs/authorities with L2 normalization of
+  each vector every iteration, h0 = 1.
 """
 
 from __future__ import annotations
@@ -30,24 +38,23 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_KV_SCHEMA = pa.schema(
+    [
+        ("key", pa.string()),
+        ("out", pa.string()),
+        ("w", pa.float64()),
+        ("val", pa.float64()),
+    ]
+)
+_PART_SCHEMA = pa.schema([("node", pa.string()), ("part", pa.float64())])
 
-def pagerank(
-    edges_ds,
-    iters: int = 5,
-    damping: float = 0.85,
-):
-    """PageRank over a directed edge Dataset with string columns
-    ``(src, dst)`` (caller supplies DISTINCT edges).  Returns a
-    ``(node, rank)`` Dataset after ``iters`` power iterations from the
-    uniform 1/N start."""
-    from ray.data.aggregate import Count, Sum
 
-    edges_ds = edges_ds.materialize()
+def _distinct_nodes(edges_ds):
+    """src ∪ dst, distinct — one shuffle; reused as the per-iteration
+    zero-contribution floor so no left-outer join is ever needed."""
+    from ray.data.aggregate import Count
 
-    # node universe: src ∪ dst, distinct — one shuffle, reused as the
-    # per-iteration zero-contribution floor so no left-outer join is
-    # needed (union + groupby keeps every node present every round)
-    def _both_ends(b: pa.Table) -> pa.Table:
+    def both_ends(b: pa.Table) -> pa.Table:
         return pa.concat_tables(
             [
                 pa.table({"node": pc.cast(b["src"], pa.string())}),
@@ -55,132 +62,150 @@ def pagerank(
             ]
         )
 
-    nodes = (
-        edges_ds.map_batches(_both_ends, batch_format="pyarrow")
+    return (
+        edges_ds.map_batches(both_ends, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Count(alias_name="_n"))  # distinct via groupby
         .select_columns(["node"])
         .materialize()
     )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.map_batches(
-            lambda b: pa.table(
-                {"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
-            ),
-            batch_format="pyarrow",
-        )
 
-    # NO Dataset.join anywhere: in this Ray version a hash join's (and a
-    # hash aggregate's) EMPTY output partitions forward schema-less
-    # blocks, and a downstream join's finalize rejects them with
-    # "No match ... FieldRef" whenever num_partitions exceeds the key
-    # count (small inputs, or skewed tails at scale).  The rank scatter
-    # instead uses the repo's sort-colocation pattern (grouping.py):
-    # union rank rows with edge rows, ONE sort by src per iteration,
-    # then a vectorized in-block pandas merge — the same all-to-all
-    # exchange class as the hash join, none of its empty-partition
-    # fragility.
+
+def _keyed_edges(edges_ds, key_col: str, out_col: str, degree_weight: bool):
+    """(key, out, w, val=null) edge table, materialized.  ``w`` is the
+    contribution DIVISOR: the key node's edge count under this keying
+    when ``degree_weight`` (PageRank's outdeg), else 1.  Arrow blocks
+    with a pinned schema so the per-iteration union with the value rows
+    never mixes block types or nullability-inferred column types."""
     from ..stages import grouping as _colocation_guard  # noqa: F401
 
-    edge_schema = pa.schema(
-        [
-            ("src", pa.string()),
-            ("dst", pa.string()),
-            ("odeg", pa.float64()),
-            ("rank", pa.float64()),
-        ]
-    )
-
-    def _add_odeg(df):
-        # (src, dst, odeg, rank=null): rank is the union slot the
-        # per-iteration rank rows fill; returned as an ARROW table with
-        # a pinned schema so the union with the Arrow rank rows never
-        # mixes block types or nullability-inferred column types
+    def build(df):
         if len(df) == 0:
-            return edge_schema.empty_table()
-        df = df.copy()
-        df["odeg"] = (
-            df.groupby("src", sort=False)["src"].transform("size").astype("float64")
-        )
-        df["rank"] = float("nan")
+            return _KV_SCHEMA.empty_table()
+        out = df.rename(columns={key_col: "key", out_col: "out"}).copy()
+        if degree_weight:
+            out["w"] = (
+                out.groupby("key", sort=False)["key"]
+                .transform("size")
+                .astype("float64")
+            )
+        else:
+            out["w"] = 1.0
+        out["val"] = float("nan")
         return pa.Table.from_pandas(
-            df[["src", "dst", "odeg", "rank"]],
-            schema=edge_schema,
+            out[["key", "out", "w", "val"]],
+            schema=_KV_SCHEMA,
             preserve_index=False,
         )
 
-    edges_w = (
-        edges_ds.sort("src")
-        .map_batches(_add_odeg, batch_format="pandas", batch_size=None)
-        .materialize()
+    ds = edges_ds
+    if degree_weight:
+        # the degree transform needs whole key groups per block
+        ds = ds.sort(key_col)
+    return ds.map_batches(
+        build, batch_format="pandas", batch_size=None
+    ).materialize()
+
+
+def _value_rows(values_ds, val_col: str):
+    """(node, val) Dataset → union-compatible (key, out=null, w, val)."""
+    return values_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["node"], pa.string()),
+                "out": pa.array([None] * b.num_rows, pa.string()),
+                "w": pa.array([None] * b.num_rows, pa.float64()),
+                "val": pc.cast(b[val_col], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
+
+def _scatter_block(df):
+    """One sorted block = whole key groups (sort-colocation contract):
+    broadcast each key's value row onto its edges → (node=out,
+    part=val/w)."""
+    if len(df) == 0 or "key" not in df.columns:
+        return _PART_SCHEMA.empty_table()
+    is_val = df["out"].isna()
+    v = df.loc[is_val, ["key", "val"]]
+    e = df.loc[~is_val, ["key", "out", "w"]]
+    if len(v) == 0 or len(e) == 0:
+        return _PART_SCHEMA.empty_table()
+    m = e.merge(v, on="key", how="inner")
+    return pa.table(
+        {
+            "node": pa.array(m["out"], pa.string()),
+            "part": pa.array(
+                (m["val"] / m["w"]).to_numpy(dtype="float64"), pa.float64()
+            ),
+        }
+    )
+
+
+def _scatter_sum(edges_kv, values_ds, val_col: str, zero_rows):
+    """sum over edges key→out of val(key)/w → Dataset (node, insum);
+    every node present (zero floor).  The result is REPARTITIONED back
+    to the zero-floor's block count: union concatenates block lists, so
+    without the rebound every iteration's vector grows by the edge
+    table's block count and per-iteration wall time climbs linearly
+    (quadratic for the whole loop — measured 3.5 s → 33 s over 5
+    iterations at sf0.001 before the fix)."""
+    from ray.data.aggregate import Sum
+
+    contribs = (
+        edges_kv.union(_value_rows(values_ds, val_col))
+        .sort("key")
+        .map_batches(_scatter_block, batch_format="pandas", batch_size=None)
+    )
+    return (
+        contribs.union(zero_rows)
+        .groupby("node")
+        .aggregate(Sum("part", alias_name="insum"))
+        .repartition(max(1, zero_rows.num_blocks()))
+    )
+
+
+def _const_nodes(nodes, col: str, value: float):
+    return nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                col: pa.array([value] * b.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def _empty_result(nodes, cols: list[str]):
+    fields = [("node", pa.string())] + [(c, pa.float64()) for c in cols]
+    schema = pa.schema(fields)
+    return nodes.map_batches(
+        lambda b: schema.empty_table(), batch_format="pyarrow"
+    )
+
+
+def pagerank(edges_ds, iters: int = 5, damping: float = 0.85):
+    """PageRank over a directed edge Dataset with string columns
+    ``(src, dst)`` (caller supplies DISTINCT edges).  Returns a
+    ``(node, rank)`` Dataset after ``iters`` power iterations from the
+    uniform 1/N start."""
+    edges_ds = edges_ds.materialize()
+    nodes = _distinct_nodes(edges_ds)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return _empty_result(nodes, ["rank"])
+
+    edges_kv = _keyed_edges(edges_ds, "src", "dst", degree_weight=True)
+    zero_rows = _const_nodes(nodes, "part", 0.0)
+    ranks = _const_nodes(nodes, "rank", 1.0 / n_nodes)
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.map_batches(
-        lambda b: pa.table(
-            {
-                "node": pc.cast(b["node"], pa.string()),
-                "rank": pa.array([1.0 / n_nodes] * b.num_rows, pa.float64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    zero_rows = nodes.map_batches(
-        lambda b: pa.table(
-            {
-                "node": pc.cast(b["node"], pa.string()),
-                "part": pa.array([0.0] * b.num_rows, pa.float64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    part_schema = pa.schema([("node", pa.string()), ("part", pa.float64())])
-
-    def _scatter(df):
-        # one sorted block = whole src groups (sort-colocation
-        # contract): broadcast each src's rank onto its out-edges
-        if len(df) == 0 or "src" not in df.columns:
-            return part_schema.empty_table()
-        is_rank = df["dst"].isna()
-        r = df.loc[is_rank, ["src", "rank"]]
-        e = df.loc[~is_rank, ["src", "dst", "odeg"]]
-        if len(r) == 0 or len(e) == 0:
-            return part_schema.empty_table()
-        m = e.merge(r, on="src", how="inner")
-        return pa.table(
-            {
-                "node": pa.array(m["dst"], pa.string()),
-                "part": pa.array(
-                    (m["rank"] / m["odeg"]).to_numpy(dtype="float64"),
-                    pa.float64(),
-                ),
-            }
-        )
 
     for _ in range(iters):
-        rank_rows = ranks.map_batches(
-            lambda b: pa.table(
-                {
-                    "src": pc.cast(b["node"], pa.string()),
-                    "dst": pa.array([None] * b.num_rows, pa.string()),
-                    "odeg": pa.array([None] * b.num_rows, pa.float64()),
-                    "rank": pc.cast(b["rank"], pa.float64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        contribs = (
-            edges_w.union(rank_rows)
-            .sort("src")
-            .map_batches(_scatter, batch_format="pandas", batch_size=None)
-        )
         ranks = (
-            contribs.union(zero_rows)
-            .groupby("node")
-            .aggregate(Sum("part", alias_name="insum"))
+            _scatter_sum(edges_kv, ranks, "rank", zero_rows)
             .map_batches(
                 lambda b: pa.table(
                     {
@@ -199,3 +224,102 @@ def pagerank(
             .materialize()
         )
     return ranks
+
+
+def _l2_norm(values_ds, col: str) -> float:
+    """sqrt(sum(col²)) — per-batch partial sums, one scalar reduce."""
+    import math
+
+    total = values_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "ss": pa.array(
+                    [
+                        pc.sum(
+                            pc.multiply(
+                                pc.cast(b[col], pa.float64()),
+                                pc.cast(b[col], pa.float64()),
+                            )
+                        ).as_py()
+                        or 0.0
+                    ],
+                    pa.float64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("ss")
+    return math.sqrt(total or 0.0)
+
+
+def hits(edges_ds, iters: int = 5):
+    """Kleinberg HITS over a directed edge Dataset ``(src, dst)``
+    (DISTINCT edges): per iteration ``a(v) = Σ_{u→v} h(u)`` then L2-
+    normalize, ``h(u) = Σ_{u→v} a(v)`` then L2-normalize; ``h₀ = 1``.
+    Returns a ``(node, hub, authority)`` Dataset."""
+    edges_ds = edges_ds.materialize()
+    nodes = _distinct_nodes(edges_ds)
+    if nodes.count() == 0:
+        return _empty_result(nodes, ["hub", "authority"])
+
+    fwd = _keyed_edges(edges_ds, "src", "dst", degree_weight=False)  # h → a
+    rev = _keyed_edges(edges_ds, "dst", "src", degree_weight=False)  # a → h
+    zero_rows = _const_nodes(nodes, "part", 0.0)
+    hubs = _const_nodes(nodes, "val", 1.0)
+    auths = _const_nodes(nodes, "val", 0.0)
+
+    def _normalized(raw, norm: float):
+        return raw.map_batches(
+            lambda b, _n=norm: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "val": pc.divide(
+                        pc.cast(b["insum"], pa.float64()),
+                        pa.scalar(_n, pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    for _ in range(iters):
+        a_raw = _scatter_sum(fwd, hubs, "val", zero_rows).materialize()
+        na = _l2_norm(a_raw, "insum")
+        if na == 0.0:
+            break
+        auths = _normalized(a_raw, na)
+        h_raw = _scatter_sum(rev, auths, "val", zero_rows).materialize()
+        nh = _l2_norm(h_raw, "insum")
+        if nh == 0.0:
+            break
+        hubs = _normalized(h_raw, nh)
+
+    # one sort-colocated merge stitches the two vectors (node is unique
+    # per side, so a block holds both rows of each node after the sort)
+    tagged = hubs.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "hub": pc.cast(b["val"], pa.float64()),
+                "authority": pa.array([None] * b.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        auths.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "hub": pa.array([None] * b.num_rows, pa.float64()),
+                    "authority": pc.cast(b["val"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from ray.data.aggregate import Max
+
+    return tagged.groupby("node").aggregate(
+        Max("hub", alias_name="hub", ignore_nulls=True),
+        Max("authority", alias_name="authority", ignore_nulls=True),
+    )

@@ -100,15 +100,15 @@ def _pagerank_sql(iters: int = 5) -> str:
     LEFT JOIN chain giving no-in-edge nodes a NULL sum (COALESCE 0).
     All literals CAST to DOUBLE so DuckDB never routes through DECIMAL
     arithmetic; final ranks ROUND(…, 6) like the Ray side."""
-    sql = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
-e AS (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
-odeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
-r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)"""
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+odeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)"""
     for i in range(1, iters + 1):
         sql += f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT nodes.node,
          CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)
          + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r{i - 1}.pr / odeg.odeg), 0) AS pr
@@ -121,6 +121,44 @@ r{i} AS (
     return sql + f"""
 SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
 ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Nested per-iteration CTEs mirroring HITS exactly: each a{i} is
+    the in-neighbor hub sum L2-normalized, each h{i} the out-neighbor
+    authority sum L2-normalized, h0 = 1.  Final scores ROUND(…, 6)
+    like the Ray side.  Every iteration CTE is AS MATERIALIZED: the
+    norm subquery references each _raw twice and the chain compounds,
+    so DuckDB's default CTE inlining re-evaluates the base ~2^iters
+    times (it exhausted the fd limit re-opening the parquet)."""
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS val FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+a{i}_raw AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(SUM(h{i - 1}.val), 0) AS val
+  FROM nodes
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN h{i - 1} ON h{i - 1}.node = e.src
+  GROUP BY nodes.node
+),
+a{i} AS MATERIALIZED (SELECT node, val / (SELECT SQRT(SUM(val * val)) FROM a{i}_raw) AS val
+         FROM a{i}_raw),
+h{i}_raw AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(SUM(a{i}.val), 0) AS val
+  FROM nodes
+  LEFT JOIN e ON e.src = nodes.node
+  LEFT JOIN a{i} ON a{i}.node = e.dst
+  GROUP BY nodes.node
+),
+h{i} AS MATERIALIZED (SELECT node, val / (SELECT SQRT(SUM(val * val)) FROM h{i}_raw) AS val
+         FROM h{i}_raw)"""
+    return sql + f"""
+SELECT h.node, ROUND(h.val, 6) AS hub, ROUND(a.val, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+ORDER BY ROUND(a.val, 6) DESC, h.node LIMIT 20"""
 
 
 ORACLES: dict[str, str] = {
@@ -172,6 +210,7 @@ ORDER BY degree DESC, node LIMIT 20""",
 SELECT pred_value AS predicate, CAST(COUNT(*) AS BIGINT) AS n_triples
 FROM d GROUP BY pred_value""",
     "kg_pagerank": _pagerank_sql(5),
+    "kg_hits": _hits_sql(5),
     "group_subject_count": EXP_CTE
     + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
 FROM (SELECT DISTINCT {TERM_COLS} FROM exp)

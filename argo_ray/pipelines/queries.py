@@ -266,27 +266,9 @@ def q_kg_pagerank(sf_dir: str):
     d=0.85 (see :mod:`argo_ray.functions.graph` for the distributed
     plan).  Ranks rounded to 6 decimals so the DuckDB oracle's
     different float-summation order can never flip the hash."""
-    from ray.data.aggregate import Count
-
     from ..functions.graph import pagerank
 
-    def links(b: pa.Table) -> pa.Table:
-        m = b.filter(pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), 2))
-        return pa.table(
-            {
-                "src": pc.cast(m["subj_value"], pa.string()),
-                "dst": pc.cast(m["obj_value"], pa.string()),
-            }
-        )
-
-    edges = (
-        _deduped(sf_dir)
-        .map_batches(links, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))  # distinct edges
-        .select_columns(["src", "dst"])
-    )
-    ranks = pagerank(edges, iters=PAGERANK_ITERS, damping=0.85)
+    ranks = pagerank(_kg_link_edges(sf_dir), iters=PAGERANK_ITERS, damping=0.85)
     rounded = ranks.map_batches(
         lambda b: pa.table(
             {
@@ -297,6 +279,53 @@ def q_kg_pagerank(sf_dir: str):
         batch_format="pyarrow",
     )
     return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
+def _kg_link_edges(sf_dir: str):
+    """Distinct (subject → non-literal object) edge set of the KG."""
+    from ray.data.aggregate import Count
+
+    def links(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), 2))
+        return pa.table(
+            {
+                "src": pc.cast(m["subj_value"], pa.string()),
+                "dst": pc.cast(m["obj_value"], pa.string()),
+            }
+        )
+
+    return (
+        _deduped(sf_dir)
+        .map_batches(links, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))  # distinct edges
+        .select_columns(["src", "dst"])
+    )
+
+
+def q_kg_hits(sf_dir: str):
+    """KG analytics: top-20 nodes by HITS authority (hub score
+    alongside) over the distinct link graph — 5 iterations of
+    Kleinberg's algorithm with per-iteration L2 normalization (see
+    :func:`argo_ray.functions.graph.hits`).  Scores rounded to 6
+    decimals so the oracle's different float-summation order can never
+    flip the hash."""
+    from ..functions.graph import hits
+
+    scored = hits(_kg_link_edges(sf_dir), iters=PAGERANK_ITERS)
+    rounded = scored.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "hub": pc.round(pc.cast(b["hub"], pa.float64()), ndigits=6),
+                "authority": pc.round(
+                    pc.cast(b["authority"], pa.float64()), ndigits=6
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["authority", "node"], descending=[True, False]).limit(20)
 
 
 def q_group_subject_count(sf_dir: str):
@@ -1193,6 +1222,7 @@ KG_QUERIES = {
     "kg_degree_topk": q_kg_degree_topk,
     "kg_predicate_hist": q_kg_predicate_hist,
     "kg_pagerank": q_kg_pagerank,
+    "kg_hits": q_kg_hits,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

@@ -54,3 +54,31 @@ def test_pagerank_empty_graph(ray_session):
         pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
     )
     assert pagerank(ds, iters=2).take_all() == []
+
+
+def test_hits_matches_reference(ray_session):
+    from argo_ray.functions.graph import hits
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"), ("d", "c")]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in E], "dst": [t for _, t in E]})
+    )
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(ds, iters=5).take_all()}
+
+    nodes = sorted({s for s, _ in E} | {t for _, t in E})
+    idx = {n: i for i, n in enumerate(nodes)}
+    h = np.ones(len(nodes))
+    for _ in range(5):
+        a = np.zeros(len(nodes))
+        for s, t in E:
+            a[idx[t]] += h[idx[s]]
+        a = a / np.sqrt((a * a).sum())
+        h = np.zeros(len(nodes))
+        for s, t in E:
+            h[idx[s]] += a[idx[t]]
+        h = h / np.sqrt((h * h).sum())
+
+    assert set(out) == set(nodes)
+    for n in nodes:
+        assert abs(out[n][0] - h[idx[n]]) < 1e-12, n
+        assert abs(out[n][1] - a[idx[n]]) < 1e-12, n
