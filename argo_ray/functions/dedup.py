@@ -837,3 +837,135 @@ def neardup_components(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated text spans (the "duplicate substrings across documents"
+# dedup signal of Lee et al. 2022, hash-based variant): for every
+# length-L character window of every document, is the same window text
+# present in ANY other document?
+# ---------------------------------------------------------------------------
+
+_SPAN_BASE = np.uint64(1099511628211)  # FNV prime as the Rabin-Karp base
+
+
+def _span_hashes(texts: list[str], L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, hash) for every length-L character window of every
+    text — fully vectorized: ONE utf-32 decode of the joined corpus,
+    then L shifted passes of ``H = H*B + code`` (mod 2^64) over the
+    whole batch, windows crossing document boundaries masked out.
+    Python never touches individual characters or windows."""
+    n = len(texts)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint64))
+    if n == 0:
+        return empty
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    m = int(lens.sum())
+    if m < L:
+        return empty
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    w = m - L + 1
+    h = np.zeros(w, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            h = h * _SPAN_BASE + codes[j : j + w]
+    valid = rows[:w] == rows[L - 1 :]  # window stays inside one doc
+    return rows[:w][valid], h[valid]
+
+
+def dup_span_partials(batch: pa.Table, L: int = 20) -> pa.Table:
+    """Per-batch combiner: (span_hash, doc_id, cnt) with cnt = how many
+    positions of that doc carry that window — shuffle volume = distinct
+    (window, doc) pairs per batch, never character positions.  Each doc
+    lives in exactly one input row/batch, so the emitted pairs are
+    globally unique."""
+    texts = [t if t is not None else "" for t in batch["text"].to_pylist()]
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows, hashes = _span_hashes(texts, L)
+    df = pd.DataFrame({"h": hashes, "doc_id": doc_ids[rows]})
+    g = df.groupby(["h", "doc_id"], sort=False).size().reset_index(name="cnt")
+    return pa.table(
+        {
+            "h": pa.array(g["h"].to_numpy(dtype=np.uint64), pa.uint64()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def duplicate_spans(docs_ds, L: int = 20):
+    """(doc_id, n_spans, n_dup_spans) per document: n_spans = number of
+    length-L character windows, n_dup_spans = how many of them also
+    appear in at least one OTHER document.
+
+    Scale shape: vectorized Rabin-Karp partials (above) → ONE sort by
+    window hash (equal hashes co-locate per block — the grouping.py
+    contract) → per-block mark windows whose (hash) group spans ≥2
+    docs → per-doc sum.  The 64-bit hash stands in for the window text
+    (collision odds ~(total windows)²/2⁶⁴); the DuckDB oracle groups by
+    the literal substring, so a collision would surface as a mismatch.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    pairs = docs_ds.map_batches(
+        lambda b, _L=L: dup_span_partials(b, _L), batch_format="pyarrow"
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_spans", pa.int64()),
+            ("n_dup_spans", pa.int64()),
+        ]
+    )
+
+    def mark_dups(df):
+        # rows are unique per (h, doc): group size == distinct docs
+        if len(df) == 0:
+            return out_schema.empty_table()
+        sizes = df.groupby("h", sort=False)["h"].transform("size")
+        dup = df.loc[sizes >= 2]
+        agg = dup.groupby("doc_id", sort=False)["cnt"].sum().reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_spans": pa.array(np.zeros(len(agg), np.int64), pa.int64()),
+                "n_dup_spans": pa.array(
+                    agg["cnt"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    dup_rows = pairs.sort("h").map_batches(
+        mark_dups, batch_format="pandas", batch_size=None
+    )
+
+    def span_counts(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(pc.cast(b["text"], pa.large_string()))
+        spans = pc.max_element_wise(
+            pc.add(pc.subtract(pc.cast(lens, pa.int64()), pa.scalar(L, pa.int64())),
+                   pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_spans": spans,
+                "n_dup_spans": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        )
+
+    base_rows = docs_ds.map_batches(span_counts, batch_format="pyarrow")
+    return (
+        base_rows.union(dup_rows)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("n_dup_spans", alias_name="n_dup_spans"),
+        )
+    )

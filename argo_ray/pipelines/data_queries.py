@@ -730,6 +730,22 @@ def q_embeddings_kmeans(sf_dir: str):
     )
 
 
+DUP_SPAN_L = 20
+
+
+def q_docs_dup_spans(sf_dir: str):
+    """Exact duplicated text spans (Lee et al. 2022 signal, hash-based):
+    per document, how many of its length-20 character windows also
+    appear verbatim in at least one other document.  See
+    :func:`argo_ray.functions.dedup.duplicate_spans` for the
+    vectorized Rabin-Karp + sort-colocation plan; the oracle groups by
+    the literal substring."""
+    from ..functions.dedup import duplicate_spans
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    return duplicate_spans(docs, L=DUP_SPAN_L)
+
+
 def q_docs_paragraph_dedup(sf_dir: str):
     """Dolma/CCNet-style paragraph-level dedup as a composition of two
     registry operators: chunk the planted corpus into token windows,
@@ -1313,6 +1329,7 @@ DATA_QUERIES = {
     "sparql_results_parse": q_sparql_results_parse,
     "format_infer": q_format_infer,
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
+    "docs_dup_spans": q_docs_dup_spans,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_heavy_hitters": q_docs_heavy_hitters,
     "docs_cms_counts": q_docs_cms_counts,
@@ -1515,6 +1532,20 @@ SELECT pair, freq FROM pairs ORDER BY freq DESC, pair LIMIT 1""",
     "docs_repetition": _repetition_oracle_sql(),
     "docs_decontaminate": _decontam_oracle_sql(),
     "docs_keyword_topk": _keyword_topk_oracle_sql(),
+    "docs_dup_spans": f"""WITH grams AS MATERIALIZED (
+  SELECT doc_id, substr(text, CAST(i AS INT), {DUP_SPAN_L}) AS g
+  FROM documents, UNNEST(generate_series(1, len(text) - {DUP_SPAN_L} + 1)) AS t(i)
+), dup AS MATERIALIZED (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+), cnts AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM grams
+  JOIN dup USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN len(d.text) >= {DUP_SPAN_L}
+                 THEN len(d.text) - {DUP_SPAN_L} + 1 ELSE 0 END AS BIGINT) AS n_spans,
+       COALESCE(c.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans
+FROM documents d LEFT JOIN cnts c USING (doc_id)""",
     "pages_domain_cap": _domain_cap_oracle_sql(),
     "cc_ingest_pipeline": _cc_ingest_oracle_sql(),
     "pages_url_dedup": """WITH crawls AS (

@@ -1179,3 +1179,40 @@ def test_temperature_sample_rebalances_and_is_deterministic(ray_session):
     ).to_pandas()
     byf = fast.groupby("lang").size()
     assert byf["fr"] == n_cold and 60 <= byf["en"] <= 140
+
+
+def test_duplicate_spans_planted(ray_session):
+    """Hand-built corpus: docs 1/2 share one 20-char span (at different
+    offsets), doc 3 shares nothing, doc 4 is too short for any span,
+    doc 5 repeats the shared span twice (both positions count)."""
+    import ray.data as rd
+
+    from argo_ray.functions.dedup import duplicate_spans
+
+    shared = "ABCDEFGHIJKLMNOPQRST"  # exactly 20 chars
+    assert len(shared) == 20
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "xx" + shared + "yy",          # spans at 5 offsets; 1 dup
+                    shared,                          # 1 span, dup
+                    "u" * 30,                        # 11 spans, none shared
+                    "tiny",                          # 0 spans
+                    shared + "-" + shared,           # dup at 2 matching offsets
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_spans(docs, L=20).take_all()
+    }
+    assert out[4] == (0, 0)
+    assert out[3] == (11, 0)
+    assert out[2] == (1, 1)
+    assert out[1] == (5, 1)
+    # doc 5: 22 spans; exactly the two aligned copies of `shared` match
+    # other docs (the straddling windows contain '-', unseen elsewhere)
+    assert out[5] == (22, 2)
