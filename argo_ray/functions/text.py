@@ -515,3 +515,151 @@ def feature_hash_oracle_sql(n_buckets: int = 8) -> str:
 )
 SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
 FROM hashed GROUP BY doc_id, bucket"""
+
+
+def tfidf_topk(docs_ds, k: int = 3, text_column: str = "text"):
+    """Per-document top-k terms by tf-idf (score = tf · ln(N/df), ties →
+    lexicographically smallest word) → (doc_id, rank, word, tf, df,
+    tfidf).
+
+    Scale shape: tf is EXACT per batch (each document is one row, so a
+    local (doc, word) count never needs a shuffle); df is one
+    vocabulary-sized groupby over the distinct (doc, word) pairs; the
+    df join back onto the tf pairs and the per-doc top-k both use the
+    sort-colocation pattern (one sort by word, one sort by doc) instead
+    of hash joins.  Scores are rounded to 4 decimals BEFORE ranking on
+    both sides: DuckDB's LN and numpy's log disagree by a few ulp, and
+    ranking on the rounded score makes the order (and the hash)
+    immune to it."""
+    from ray.data.aggregate import Count
+
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    def tf_partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(batch[text_column], pa.large_string()), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks)
+        flat = pa.table(
+            {
+                "doc_id": pa.Array.from_pandas(
+                    np.repeat(
+                        batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        n_tok.to_numpy(zero_copy_only=False),
+                    )
+                ),
+                "word": pc.cast(pc.list_flatten(toks), pa.string()),
+            }
+        ).filter(pc.not_equal(pc.list_flatten(toks), pa.scalar("", pa.large_string())))
+        counted = flat.group_by(["doc_id", "word"]).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": pc.cast(counted["word"], pa.string()),
+                "doc_id": pc.cast(counted["doc_id"], pa.int64()),
+                "tf": pc.cast(counted["word_count"], pa.int64()),
+            }
+        )
+
+    tf = docs_ds.map_batches(tf_partials, batch_format="pyarrow").materialize()
+    n_docs = float(docs_ds.count())
+
+    df_rows = (
+        tf.map_batches(
+            lambda b: pa.table({"word": b["word"]}), batch_format="pyarrow"
+        )
+        .groupby("word")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "word": pc.cast(b["word"], pa.string()),
+                    "doc_id": pa.array([None] * b.num_rows, pa.int64()),
+                    "tf": pa.array([None] * b.num_rows, pa.int64()),
+                    "df": pc.cast(b["df"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    tf_tagged = tf.map_batches(
+        lambda b: b.append_column("df", pa.array([None] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    scored_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("word", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("tfidf", pa.float64()),
+        ]
+    )
+
+    def score_block(df_blk):
+        # sorted by word: each word's df row co-locates with its tf rows
+        if len(df_blk) == 0 or "word" not in df_blk.columns:
+            return scored_schema.empty_table()
+        is_df = df_blk["doc_id"].isna()
+        d = df_blk.loc[is_df, ["word", "df"]]
+        t = df_blk.loc[~is_df, ["doc_id", "word", "tf"]]
+        if len(d) == 0 or len(t) == 0:
+            return scored_schema.empty_table()
+        m = t.merge(d, on="word", how="inner")
+        tf_v = m["tf"].to_numpy(dtype=np.float64)
+        df_v = m["df"].to_numpy(dtype=np.float64)
+        score = np.round(tf_v * np.log(n_docs / df_v), 4)
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "word": pa.array(m["word"], pa.string()),
+                "tf": pa.array(m["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "df": pa.array(m["df"].to_numpy(dtype=np.int64), pa.int64()),
+                "tfidf": pa.array(score, pa.float64()),
+            }
+        )
+
+    scored = (
+        tf_tagged.union(df_rows)
+        .sort("word")
+        .map_batches(score_block, batch_format="pandas", batch_size=None)
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("word", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("tfidf", pa.float64()),
+        ]
+    )
+
+    def topk_block(df_blk):
+        # sorted by doc_id: whole docs per block; vectorized rank-and-cut
+        if len(df_blk) == 0 or "doc_id" not in df_blk.columns:
+            return out_schema.empty_table()
+        s = df_blk.sort_values(
+            ["doc_id", "tfidf", "word"], ascending=[True, False, True]
+        )
+        rank = s.groupby("doc_id", sort=False).cumcount() + 1
+        keep = s.loc[rank <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "rank": pa.array(
+                    rank[rank <= k].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "word": pa.array(keep["word"], pa.string()),
+                "tf": pa.array(keep["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "df": pa.array(keep["df"].to_numpy(dtype=np.int64), pa.int64()),
+                "tfidf": pa.array(
+                    keep["tfidf"].to_numpy(dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return scored.sort("doc_id").map_batches(
+        topk_block, batch_format="pandas", batch_size=None
+    )

@@ -730,6 +730,18 @@ def q_embeddings_kmeans(sf_dir: str):
     )
 
 
+def q_docs_tfidf(sf_dir: str):
+    """Per-document top-3 terms by tf-idf (score = tf · ln(N/df),
+    rounded to 4 decimals BEFORE ranking so DuckDB's LN vs numpy's log
+    ulp differences can't flip the order; ties → smallest word).  See
+    :func:`argo_ray.functions.text.tfidf_topk` for the plan: exact
+    per-batch tf, one vocabulary groupby for df, sort-colocated df join
+    and per-doc top-k."""
+    from ..functions.text import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir, ("doc_id", "text")), k=3)
+
+
 DUP_SPAN_L = 20
 
 
@@ -1330,6 +1342,7 @@ DATA_QUERIES = {
     "format_infer": q_format_infer,
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "docs_dup_spans": q_docs_dup_spans,
+    "docs_tfidf": q_docs_tfidf,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_heavy_hitters": q_docs_heavy_hitters,
     "docs_cms_counts": q_docs_cms_counts,
@@ -1546,6 +1559,24 @@ SELECT d.doc_id,
                  THEN len(d.text) - {DUP_SPAN_L} + 1 ELSE 0 END AS BIGINT) AS n_spans,
        COALESCE(c.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans
 FROM documents d LEFT JOIN cnts c USING (doc_id)""",
+    "docs_tfidf": """WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE word <> '' GROUP BY doc_id, word
+), df AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS MATERIALIZED (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         ROUND(CAST(tf.tf AS DOUBLE) * LN((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 4) AS tfidf
+  FROM tf JOIN df USING (word)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word
+  ) AS rank FROM scored
+)
+SELECT doc_id, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 3""",
     "pages_domain_cap": _domain_cap_oracle_sql(),
     "cc_ingest_pipeline": _cc_ingest_oracle_sql(),
     "pages_url_dedup": """WITH crawls AS (

@@ -1216,3 +1216,40 @@ def test_duplicate_spans_planted(ray_session):
     # doc 5: 22 spans; exactly the two aligned copies of `shared` match
     # other docs (the straddling windows contain '-', unseen elsewhere)
     assert out[5] == (22, 2)
+
+
+def test_tfidf_topk_planted(ray_session):
+    """3-doc corpus with a hand-checkable tf-idf ordering: 'rare' only
+    in doc 1 (idf=ln 3) beats 'common' (idf=0, everywhere) even at
+    higher tf; ranks are 1-based and capped at k."""
+    import math
+
+    import ray.data as rd
+
+    from argo_ray.functions.text import tfidf_topk
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "common common common rare",
+                    "common mid",
+                    "common mid",
+                ],
+            }
+        )
+    )
+    rows = tfidf_topk(docs, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["word"] for r in d1] == ["rare", "common"]
+    assert d1[0]["tf"] == 1 and d1[0]["df"] == 1
+    assert abs(d1[0]["tfidf"] - round(math.log(3.0), 4)) < 1e-9
+    # 'common' appears in all docs -> idf = ln(1) = 0
+    assert d1[1]["tfidf"] == 0.0
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert [r["word"] for r in d2] == ["mid", "common"]
+    assert abs(d2[0]["tfidf"] - round(math.log(1.5), 4)) < 1e-9
