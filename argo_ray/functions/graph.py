@@ -144,6 +144,17 @@ def _scatter_block(df):
     )
 
 
+def _scatter_contribs(edges_kv, values_ds, val_col: str):
+    """(node=out, part=val(key)/w) contribution rows for every edge —
+    the shared scatter: union value rows into the keyed edge table, ONE
+    sort by key, vectorized in-block merge."""
+    return (
+        edges_kv.union(_value_rows(values_ds, val_col))
+        .sort("key")
+        .map_batches(_scatter_block, batch_format="pandas", batch_size=None)
+    )
+
+
 def _scatter_sum(edges_kv, values_ds, val_col: str, zero_rows):
     """sum over edges key→out of val(key)/w → Dataset (node, insum);
     every node present (zero floor).  The result is REPARTITIONED back
@@ -154,11 +165,7 @@ def _scatter_sum(edges_kv, values_ds, val_col: str, zero_rows):
     iterations at sf0.001 before the fix)."""
     from ray.data.aggregate import Sum
 
-    contribs = (
-        edges_kv.union(_value_rows(values_ds, val_col))
-        .sort("key")
-        .map_batches(_scatter_block, batch_format="pandas", batch_size=None)
-    )
+    contribs = _scatter_contribs(edges_kv, values_ds, val_col)
     return (
         contribs.union(zero_rows)
         .groupby("node")
@@ -323,3 +330,90 @@ def hits(edges_ds, iters: int = 5):
         Max("hub", alias_name="hub", ignore_nulls=True),
         Max("authority", alias_name="authority", ignore_nulls=True),
     )
+
+
+BFS_UNREACHED = 1_000_000  # integer infinity — exact in SQL and Arrow
+
+
+def bfs_distances(edges_ds, iters: int = 6, seed: str | None = None):
+    """Directed BFS hop distances from a seed node (default: the
+    lexicographically smallest node — deterministic without input):
+    ``dist'(v) = min(dist(v), 1 + min_{u→v} dist(u))``, ``iters``
+    relaxation rounds, so the result is exact for every node within
+    ``iters`` hops and :data:`BFS_UNREACHED` beyond.  Pure integer
+    arithmetic — the DuckDB oracle is bit-exact with no rounding.
+    Returns a ``(node, dist)`` Dataset (unreached nodes carry the
+    sentinel)."""
+    edges_ds = edges_ds.materialize()
+    nodes = _distinct_nodes(edges_ds)
+    if nodes.count() == 0:
+        return _empty_result(nodes, ["dist"])
+    if seed is None:
+        seed = nodes.min("node")
+
+    fwd = _keyed_edges(edges_ds, "src", "dst", degree_weight=False)
+
+    dists = nodes.map_batches(
+        lambda b, _s=seed: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "dist": pc.if_else(
+                    pc.equal(pc.cast(b["node"], pa.string()), pa.scalar(_s)),
+                    pa.scalar(0, pa.int64()),
+                    pa.scalar(BFS_UNREACHED, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_blocks = max(1, dists.num_blocks())
+
+    from ray.data.aggregate import Min
+
+    for _ in range(iters):
+        # scatter dist+1 along edges (float in transit, exact: ints
+        # ≤ 1e6+6 are exactly representable in float64)
+        inc = dists.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "val": pc.cast(
+                        pc.add(b["dist"], pa.scalar(1, pa.int64())), pa.float64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = _scatter_contribs(fwd, inc, "val")
+        self_rows = dists.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "part": pc.cast(b["dist"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dists = (
+            contribs.union(self_rows)
+            .groupby("node")
+            .aggregate(Min("part", alias_name="dist"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.cast(b["node"], pa.string()),
+                        "dist": pc.cast(
+                            pc.min_element_wise(
+                                b["dist"],
+                                pa.scalar(float(BFS_UNREACHED), pa.float64()),
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_blocks)
+            .materialize()
+        )
+    return dists

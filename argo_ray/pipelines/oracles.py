@@ -161,6 +161,35 @@ FROM h{iters} h JOIN a{iters} a ON a.node = h.node
 ORDER BY ROUND(a.val, 6) DESC, h.node LIMIT 20"""
 
 
+def _bfs_sql(iters: int = 6, unreached: int = 1_000_000) -> str:
+    """Nested per-iteration CTEs mirroring the BFS relaxation exactly:
+    d{i}(v) = LEAST(d{i-1}(v), 1 + MIN over in-edges d{i-1}(u)), seed =
+    MIN(node), integer sentinel for unreached — bit-exact, no floats."""
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+eu AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node = (SELECT MIN(node) FROM nodes) THEN 0
+              ELSE {unreached} END AS dist
+  FROM nodes
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT n.node,
+         LEAST(dp.dist, COALESCE(MIN(de.dist + 1), {unreached})) AS dist
+  FROM nodes n
+  JOIN d{i - 1} dp ON dp.node = n.node
+  LEFT JOIN eu ON eu.dst = n.node
+  LEFT JOIN d{i - 1} de ON de.node = eu.src
+  GROUP BY n.node, dp.dist
+)"""
+    return sql + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist < {unreached}"""
+
+
 ORACLES: dict[str, str] = {
     "rdfa_extract": EXP_CTE + f"SELECT {TERM_COLS} FROM exp",
     "dedup_exact": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
@@ -211,6 +240,7 @@ SELECT pred_value AS predicate, CAST(COUNT(*) AS BIGINT) AS n_triples
 FROM d GROUP BY pred_value""",
     "kg_pagerank": _pagerank_sql(5),
     "kg_hits": _hits_sql(5),
+    "kg_bfs": _bfs_sql(6),
     "group_subject_count": EXP_CTE
     + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
 FROM (SELECT DISTINCT {TERM_COLS} FROM exp)

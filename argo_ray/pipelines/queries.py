@@ -328,6 +328,35 @@ def q_kg_hits(sf_dir: str):
     return rounded.sort(["authority", "node"], descending=[True, False]).limit(20)
 
 
+def q_kg_bfs(sf_dir: str):
+    """KG analytics: UNDIRECTED BFS hop distance from the
+    lexicographically-smallest node, 6 relaxation rounds (exact within
+    6 hops), reached nodes only.  Undirected because subject→object
+    links rarely chain (objects are leaf IRIs) — symmetrizing gives the
+    neighborhood query users actually ask of a KG.  Pure integer
+    arithmetic — the oracle is bit-exact."""
+    from ..functions.graph import BFS_UNREACHED, bfs_distances
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                b.select(["src", "dst"]),
+                pa.table({"src": b["dst"], "dst": b["src"]}),
+            ]
+        )
+
+    undirected = _kg_link_edges(sf_dir).map_batches(
+        symmetrize, batch_format="pyarrow"
+    )
+    dists = bfs_distances(undirected, iters=6)
+    return dists.map_batches(
+        lambda b: b.filter(
+            pc.less(b["dist"], pa.scalar(BFS_UNREACHED, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -1223,6 +1252,7 @@ KG_QUERIES = {
     "kg_predicate_hist": q_kg_predicate_hist,
     "kg_pagerank": q_kg_pagerank,
     "kg_hits": q_kg_hits,
+    "kg_bfs": q_kg_bfs,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

@@ -82,3 +82,26 @@ def test_hits_matches_reference(ray_session):
     for n in nodes:
         assert abs(out[n][0] - h[idx[n]]) < 1e-12, n
         assert abs(out[n][1] - a[idx[n]]) < 1e-12, n
+
+
+def test_bfs_distances_chain_and_sentinel(ray_session):
+    from argo_ray.functions.graph import BFS_UNREACHED, bfs_distances
+
+    # seed = "a" (lexicographic min); chain a->b->c, isolated pair x->y
+    ds = rd.from_arrow(
+        pa.table({"src": ["a", "b", "x"], "dst": ["b", "c", "y"]})
+    )
+    out = {r["node"]: r["dist"] for r in bfs_distances(ds, iters=4).take_all()}
+    assert out["a"] == 0 and out["b"] == 1 and out["c"] == 2
+    assert out["x"] == BFS_UNREACHED and out["y"] == BFS_UNREACHED
+
+    # iters bounds the horizon: 1 round only relaxes one hop
+    out1 = {r["node"]: r["dist"] for r in bfs_distances(ds, iters=1).take_all()}
+    assert out1["b"] == 1 and out1["c"] == BFS_UNREACHED
+
+    # explicit seed
+    out_x = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(ds, iters=2, seed="x").take_all()
+    }
+    assert out_x["x"] == 0 and out_x["y"] == 1 and out_x["a"] == BFS_UNREACHED
