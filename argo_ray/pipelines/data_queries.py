@@ -730,6 +730,25 @@ def q_embeddings_kmeans(sf_dir: str):
     )
 
 
+DSIR_BUCKETS = 64
+
+
+def q_docs_dsir(sf_dir: str):
+    """DSIR-style importance logweights (Xie et al. 2023): score every
+    document against the hashed-unigram model of the English slice vs
+    the whole corpus — the domain-selection stage of a training-data
+    pipeline.  See :mod:`argo_ray.functions.dsir` for the plan (two
+    64-row bucket models, one stateless scoring pass)."""
+    from ..functions.dsir import dsir_logweights
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], pa.scalar("en"))),
+        batch_format="pyarrow",
+    )
+    return dsir_logweights(docs, target, n_buckets=DSIR_BUCKETS)
+
+
 def q_docs_tfidf(sf_dir: str):
     """Per-document top-3 terms by tf-idf (score = tf · ln(N/df),
     rounded to 4 decimals BEFORE ranking so DuckDB's LN vs numpy's log
@@ -1343,6 +1362,7 @@ DATA_QUERIES = {
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_tfidf": q_docs_tfidf,
+    "docs_dsir": q_docs_dsir,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_heavy_hitters": q_docs_heavy_hitters,
     "docs_cms_counts": q_docs_cms_counts,
@@ -1559,6 +1579,35 @@ SELECT d.doc_id,
                  THEN len(d.text) - {DUP_SPAN_L} + 1 ELSE 0 END AS BIGINT) AS n_spans,
        COALESCE(c.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans
 FROM documents d LEFT JOIN cnts c USING (doc_id)""",
+    "docs_dsir": f"""WITH hashed AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(word), 1, 16) AS UBIGINT)
+              % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+), counts AS MATERIALIZED (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hashed GROUP BY doc_id, bucket
+), buckets AS (SELECT UNNEST(generate_series(0, {DSIR_BUCKETS - 1})) AS bucket),
+t_counts AS MATERIALIZED (
+  SELECT c.bucket, SUM(c.n) AS cnt
+  FROM counts c JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY c.bucket
+), r_counts AS MATERIALIZED (
+  SELECT bucket, SUM(n) AS cnt FROM counts GROUP BY bucket
+), ratio AS MATERIALIZED (
+  SELECT b.bucket,
+         LN(CAST(COALESCE(t.cnt, 0) + 1 AS DOUBLE)
+            / CAST((SELECT SUM(cnt) FROM t_counts) + {DSIR_BUCKETS} AS DOUBLE))
+       - LN(CAST(COALESCE(r.cnt, 0) + 1 AS DOUBLE)
+            / CAST((SELECT SUM(cnt) FROM r_counts) + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+  FROM buckets b
+  LEFT JOIN t_counts t ON t.bucket = b.bucket
+  LEFT JOIN r_counts r ON r.bucket = b.bucket
+)
+SELECT c.doc_id, CAST(SUM(c.n) AS BIGINT) AS n_features,
+       ROUND(SUM(CAST(c.n AS DOUBLE) * ratio.lr), 4) AS logw
+FROM counts c JOIN ratio ON ratio.bucket = c.bucket
+GROUP BY c.doc_id""",
     "docs_tfidf": """WITH toks AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ), tf AS MATERIALIZED (

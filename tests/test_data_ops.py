@@ -1253,3 +1253,29 @@ def test_tfidf_topk_planted(ray_session):
     d2 = sorted(by_doc[2], key=lambda r: r["rank"])
     assert [r["word"] for r in d2] == ["mid", "common"]
     assert abs(d2[0]["tfidf"] - round(math.log(1.5), 4)) < 1e-9
+
+
+def test_dsir_logweights_favor_target_slice(ray_session):
+    """DSIR semantic gate: on the real corpus, English documents must
+    score a higher MEAN importance logweight than non-English ones
+    (the model was fitted on the English slice)."""
+    from argo_ray.functions.dsir import dsir_logweights
+    from argo_ray.pipelines.data_queries import _docs
+
+    docs = _docs(SF_DIR, ("doc_id", "text", "lang"))
+    target = docs.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["lang"], pa.scalar("en"))),
+        batch_format="pyarrow",
+    )
+    weights = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(docs, target, n_buckets=64).take_all()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select_columns(["doc_id", "lang"]).take_all()
+    }
+    en = [w for d, w in weights.items() if langs[d] == "en"]
+    other = [w for d, w in weights.items() if langs[d] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
