@@ -35,6 +35,7 @@ DuckDB oracles):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -417,3 +418,302 @@ def bfs_distances(edges_ds, iters: int = 6, seed: str | None = None):
             .materialize()
         )
     return dists
+
+
+_SEP = "\x1f"  # key separator for wedge-closure keys (not in IRIs)
+
+
+def triangles(edges_ds):
+    """Per-node triangle counts over the UNDIRECTED simple graph of the
+    given edges (self-loops dropped, direction and multiplicity
+    ignored) → ``(node, n_triangles)`` for every node in ≥1 triangle.
+
+    The classic degree-ordered wedge plan, with every join expressed as
+    the sort-colocation pattern (no ``Dataset.join`` — see the module
+    header):
+    - canonicalize (min,max) + distinct → ec;
+    - orient every edge from its (degree, name)-smaller endpoint: total
+      wedge volume is then bounded by O(|E|^1.5) regardless of hub
+      skew (a hub of degree d only fans out to neighbors of rank ≥ d);
+    - wedges: sort by apex, per block emit each out-neighbor pair
+      (name-ordered) — numpy ``triu_indices`` per group, no per-pair
+      Python;
+    - closure: wedge keys union edge-marker keys, ONE sort, in-block
+      membership test;
+    - each triangle is found exactly once (at its unique minimal apex)
+      and credits all three corners via a final groupby-count.
+    """
+    from ray.data.aggregate import Count
+
+    edges_ds = edges_ds.materialize()
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.large_string())
+        d = pc.cast(b["dst"], pa.large_string())
+        keep = pc.not_equal(s, d)
+        return pa.table(
+            {
+                "u": pc.cast(pc.min_element_wise(s, d), pa.string()),
+                "v": pc.cast(pc.max_element_wise(s, d), pa.string()),
+            }
+        ).filter(keep)
+
+    ec = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    deg = (
+        ec.map_batches(
+            lambda b: pa.concat_tables(
+                [pa.table({"node": b["u"]}), pa.table({"node": b["v"]})]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+
+    # attach deg to each endpoint: two sort-colocated value passes
+    attach_schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("other", pa.string()),
+            ("carry", pa.int64()),  # deg already attached (pass 2)
+            ("degv", pa.int64()),   # the value row's payload
+        ]
+    )
+
+    def _deg_rows(key_name):
+        return deg.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["node"], pa.string()),
+                    "other": pa.array([None] * b.num_rows, pa.string()),
+                    "carry": pa.array([None] * b.num_rows, pa.int64()),
+                    "degv": pc.cast(b["deg"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _attach_block(df):
+        if len(df) == 0 or "key" not in df.columns:
+            return pa.schema(
+                [("key", pa.string()), ("other", pa.string()),
+                 ("carry", pa.int64()), ("deg_attached", pa.int64())]
+            ).empty_table()
+        is_val = df["other"].isna()
+        vals = df.loc[is_val, ["key", "degv"]]
+        rows = df.loc[~is_val, ["key", "other", "carry"]]
+        m = rows.merge(vals, on="key", how="inner")
+        return pa.table(
+            {
+                "key": pa.array(m["key"], pa.string()),
+                "other": pa.array(m["other"], pa.string()),
+                "carry": pa.array(
+                    m["carry"].to_numpy(dtype="float64"), pa.float64()
+                ).cast(pa.int64(), safe=False)
+                if m["carry"].notna().any()
+                else pa.array([None] * len(m), pa.int64()),
+                "deg_attached": pa.array(
+                    m["degv"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # pass 1: key = u → attach deg(u) (lands in deg_attached, carry null)
+    p1_rows = ec.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["u"], pa.string()),
+                "other": pc.cast(b["v"], pa.string()),
+                "carry": pa.array([None] * b.num_rows, pa.int64()),
+                "degv": pa.array([None] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    p1 = (
+        p1_rows.union(_deg_rows("u"))
+        .sort("key")
+        .map_batches(_attach_block, batch_format="pandas", batch_size=None)
+    )
+    # pass 2: key = v → attach deg(v); carry = deg(u)
+    p2_rows = p1.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["other"], pa.string()),
+                "other": pc.cast(b["key"], pa.string()),
+                "carry": pc.cast(b["deg_attached"], pa.int64()),
+                "degv": pa.array([None] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    p2 = (
+        p2_rows.union(_deg_rows("v"))
+        .sort("key")
+        .map_batches(_attach_block, batch_format="pandas", batch_size=None)
+    )
+    # p2 rows: key = v, other = u, carry = deg(u), deg_attached = deg(v)
+
+    oriented_schema = pa.schema([("f", pa.string()), ("t", pa.string())])
+
+    def orient(df):
+        if len(df) == 0 or "key" not in df.columns:
+            return oriented_schema.empty_table()
+        v = df["key"].to_numpy(dtype=object)
+        u = df["other"].to_numpy(dtype=object)
+        dv = df["deg_attached"].to_numpy(dtype=np.int64)
+        du = df["carry"].to_numpy(dtype=np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {
+                "f": pa.array(np.where(u_first, u, v), pa.string()),
+                "t": pa.array(np.where(u_first, v, u), pa.string()),
+            }
+        )
+
+    oriented = p2.map_batches(orient, batch_format="pandas", batch_size=None)
+
+    wedge_schema = pa.schema(
+        [("key", pa.string()), ("apex", pa.string())]
+    )
+
+    def wedges(df):
+        # sorted by f: whole out-neighbor lists per block
+        if len(df) == 0 or "f" not in df.columns:
+            return wedge_schema.empty_table()
+        keys, apexes = [], []
+        for apex, g in df.groupby("f", sort=False):
+            ts = np.sort(g["t"].to_numpy(dtype=object))
+            k = len(ts)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            # ts sorted by name → ts[i] < ts[j] elementwise
+            keys.append(
+                np.char.add(
+                    np.char.add(ts[i].astype(str), _SEP), ts[j].astype(str)
+                )
+            )
+            apexes.append(np.full(len(i), apex, dtype=object))
+        if not keys:
+            return wedge_schema.empty_table()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys), pa.string()),
+                "apex": pa.array(np.concatenate(apexes), pa.string()),
+            }
+        )
+
+    wedge_rows = oriented.sort("f").map_batches(
+        wedges, batch_format="pandas", batch_size=None
+    )
+    edge_marks = ec.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.binary_join_element_wise(
+                    pc.cast(b["u"], pa.large_string()),
+                    pc.cast(b["v"], pa.large_string()),
+                    pa.scalar(_SEP, pa.large_string()),
+                ),
+                "apex": pa.array([None] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    tri_schema = pa.schema([("node", pa.string())])
+
+    def close_block(df):
+        # sorted by key: wedge rows + at most one edge-marker per key
+        if len(df) == 0 or "key" not in df.columns:
+            return tri_schema.empty_table()
+        is_mark = df["apex"].isna()
+        marked = set(df.loc[is_mark, "key"])
+        if not marked:
+            return tri_schema.empty_table()
+        w = df.loc[~is_mark]
+        hit = w.loc[w["key"].isin(marked)]
+        if len(hit) == 0:
+            return tri_schema.empty_table()
+        parts = hit["key"].str.split(_SEP, n=1, expand=True)
+        nodes = np.concatenate(
+            [
+                hit["apex"].to_numpy(dtype=object),
+                parts[0].to_numpy(dtype=object),
+                parts[1].to_numpy(dtype=object),
+            ]
+        )
+        return pa.table({"node": pa.array(nodes, pa.string())})
+
+    corner_rows = (
+        wedge_rows.union(edge_marks)
+        .sort("key")
+        .map_batches(close_block, batch_format="pandas", batch_size=None)
+    )
+    out_schema = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+    return (
+        corner_rows.groupby("node")
+        .aggregate(Count(alias_name="n_triangles"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "n_triangles": pc.cast(b["n_triangles"], pa.int64()),
+                }
+            )
+            if b.num_rows
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def cooccurrence_edges(pairs_ds, group_col: str, item_col: str):
+    """Distinct co-occurrence edges: two items connected when they share
+    a group → (src, dst) with src < dst.  Sort by group (whole groups
+    per block), numpy ``triu_indices`` pair generation per group, one
+    distinct groupby.  Edge volume is Σ C(k,2) over group sizes —
+    callers must ensure group fan-out is bounded (cap or drop hub
+    groups), or a single hub becomes a clique."""
+    from ray.data.aggregate import Count
+
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def pairs(df):
+        if len(df) == 0 or group_col not in df.columns:
+            return schema.empty_table()
+        us, vs = [], []
+        for _, g in df.groupby(group_col, sort=False):
+            items = np.sort(g[item_col].astype(str).unique().astype(object))
+            k = len(items)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            us.append(items[i])
+            vs.append(items[j])
+        if not us:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(us), pa.string()),
+                "dst": pa.array(np.concatenate(vs), pa.string()),
+            }
+        )
+
+    return (
+        pairs_ds.sort(group_col)
+        .map_batches(pairs, batch_format="pandas", batch_size=None)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )

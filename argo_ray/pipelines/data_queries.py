@@ -612,6 +612,40 @@ def q_top_users(sf_dir: str):
     )
 
 
+def q_parts_cooccur_triangles(sf_dir: str):
+    """Per-part triangle counts over the CO-PURCHASE graph (two parts
+    connected when some order contains both) — the classic
+    basket-analysis clustering signal, and the triangle host with
+    bounded fan-out (orders hold ≤ ~11 distinct parts, so no hub
+    cliques; the KG link graph is near-bipartite and triangle-free).
+    Degree-ordered wedge enumeration, integer-exact
+    (:func:`argo_ray.functions.graph.triangles`)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import cooccurrence_edges, triangles
+    from ..io import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))  # distinct (order, part)
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+    edges = cooccurrence_edges(pairs, "l_orderkey", "l_partkey")
+    out = triangles(edges)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                # nodes travel as strings through the graph core; the
+                # oracle compares on the numeric part key
+                "partkey": pc.cast(b["node"], pa.int64()),
+                "n_triangles": pc.cast(b["n_triangles"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem (generic relational
     capability): partial per-batch combine → small groupby.  Money as
@@ -1363,6 +1397,7 @@ DATA_QUERIES = {
     "docs_dup_spans": q_docs_dup_spans,
     "docs_tfidf": q_docs_tfidf,
     "docs_dsir": q_docs_dsir,
+    "parts_cooccur_triangles": q_parts_cooccur_triangles,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_heavy_hitters": q_docs_heavy_hitters,
     "docs_cms_counts": q_docs_cms_counts,
@@ -1626,6 +1661,38 @@ scored AS MATERIALIZED (
   ) AS rank FROM scored
 )
 SELECT doc_id, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 3""",
+    # degree-ordered wedge enumeration over the co-purchase graph: each
+    # triangle found once at its (deg, name)-minimal apex, credited to
+    # all three corners — the exact mirror of graph.py::triangles
+    "parts_cooccur_triangles": """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS VARCHAR) AS pkey
+  FROM lineitem
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+  FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey
+), ec AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+), deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM ec UNION ALL SELECT v FROM ec) GROUP BY node
+), o AS MATERIALIZED (
+  SELECT CASE WHEN (du.deg, ec.u) < (dv.deg, ec.v) THEN ec.u ELSE ec.v END AS f,
+         CASE WHEN (du.deg, ec.u) < (dv.deg, ec.v) THEN ec.v ELSE ec.u END AS t
+  FROM ec
+  JOIN deg du ON du.node = ec.u
+  JOIN deg dv ON dv.node = ec.v
+), w AS MATERIALIZED (
+  SELECT o1.f AS apex, o1.t AS x, o2.t AS y
+  FROM o o1 JOIN o o2 ON o1.f = o2.f AND o1.t < o2.t
+), tri AS MATERIALIZED (
+  SELECT apex, x, y FROM w JOIN ec ON ec.u = w.x AND ec.v = w.y
+)
+SELECT CAST(node AS BIGINT) AS partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT apex AS node FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri)
+GROUP BY node""",
     "pages_domain_cap": _domain_cap_oracle_sql(),
     "cc_ingest_pipeline": _cc_ingest_oracle_sql(),
     "pages_url_dedup": """WITH crawls AS (

@@ -80,6 +80,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary per-operator timings (consumed via count())."""
     from argo_ray.pipelines.data_queries import (
         q_ann_topk,
+        q_docs_dsir,
+        q_docs_dup_spans,
         q_cc_ingest_pipeline,
         q_docs_decontaminate,
         q_docs_pii_redact,
@@ -95,6 +97,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     )
     from argo_ray.pipelines.queries import (
         q_entity_link,
+        q_kg_pagerank,
         q_graphstore_roundtrip,
         q_group_subject_count,
         q_rdfa_extract,
@@ -123,6 +126,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_pii_redact", q_docs_pii_redact),
         ("docs_decontaminate", q_docs_decontaminate),
         ("cc_ingest_pipeline", q_cc_ingest_pipeline),
+        ("kg_pagerank", q_kg_pagerank),
+        ("docs_dup_spans", q_docs_dup_spans),
+        ("docs_dsir", q_docs_dsir),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -105,3 +105,37 @@ def test_bfs_distances_chain_and_sentinel(ray_session):
         for r in bfs_distances(ds, iters=2, seed="x").take_all()
     }
     assert out_x["x"] == 0 and out_x["y"] == 1 and out_x["a"] == BFS_UNREACHED
+
+
+def test_triangles_canonicalization_and_counts(ray_session):
+    from argo_ray.functions.graph import triangles
+
+    # two triangles sharing edge b-c; pendant d-e; a reversed duplicate
+    # edge and a self-loop that canonicalization must absorb
+    E = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("c", "d"),
+         ("d", "e"), ("b", "a"), ("e", "e")]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in E], "dst": [t for _, t in E]})
+    )
+    out = sorted((r["node"], r["n_triangles"]) for r in triangles(ds).take_all())
+    assert out == [("a", 1), ("b", 2), ("c", 2), ("d", 1)]
+
+
+def test_cooccurrence_edges_groups(ray_session):
+    from argo_ray.functions.graph import cooccurrence_edges
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "g": [1, 1, 1, 2, 2, 3],
+                "item": [10, 20, 30, 20, 30, 40],
+            }
+        )
+    )
+    edges = sorted(
+        (r["src"], r["dst"])
+        for r in cooccurrence_edges(pairs, "g", "item").take_all()
+    )
+    # group 1 → 3 pairs, group 2 → 1 pair (dedup with group 1's 20-30),
+    # group 3 singleton → none
+    assert edges == [("10", "20"), ("10", "30"), ("20", "30")]
