@@ -1005,6 +1005,15 @@ def q_events_sliding_window(sf_dir: str):
     return sliding_window_count(_events(sf_dir), size_minutes=60, slide_minutes=30)
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered view→click→signup funnel per user (each step strictly
+    after the previous one's completion) — the conversion-analysis
+    staple; see :func:`argo_ray.stages.windows.funnel`."""
+    from ..stages.windows import funnel
+
+    return funnel(_events(sf_dir), steps=("view", "click", "signup"))
+
+
 def q_docs_chunk(sf_dir: str):
     """Sequence chunking: 50-token windows every 40 tokens (overlap
     10) — vectorized by chunk position (one list_slice+join per start
@@ -1407,6 +1416,7 @@ DATA_QUERIES = {
     "events_type_quantiles": q_events_type_quantiles,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_funnel": q_events_funnel,
     "events_sliding_window": q_events_sliding_window,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1951,6 +1961,25 @@ FROM (
   SELECT user_id, ts, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
   FROM events
 ) GROUP BY user_id""",
+    "events_funnel": """WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'signup' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed,
+       s1.t1, s2.t2, s3.t3
+FROM u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id""",
     "events_sliding_window": """SELECT event_type, window_start, COUNT(*) AS n_events FROM (
   SELECT event_type, date_trunc('minute', ts) - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE AS window_start FROM events
   UNION ALL

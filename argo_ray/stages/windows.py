@@ -377,3 +377,45 @@ def value_quantiles_by_group(events_ds, group_col: str = "event_type", qs=(0.5, 
             "cents": pa.array(out_c, pa.int64()),
         }
     )
+
+
+def funnel(events_ds, steps=("view", "click", "signup")):
+    """Ordered funnel per user: step i completes at the EARLIEST event
+    of its type STRICTLY AFTER step i-1's completion time (step 1 at
+    the user's earliest event of its type) → (user_id,
+    steps_completed, t1..tk, nullable timestamps).
+
+    Same partitioning contract as :func:`sessionize`: one sort
+    co-locates each user's events, then every step is a C-level
+    filtered groupby-min per block — len(steps) vectorized passes, no
+    per-user Python."""
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": pd.Series([], dtype="int64"),
+                "steps_completed": pd.Series([], dtype="int64")}
+        for i in range(1, len(steps) + 1):
+            cols[f"t{i}"] = pd.Series([], dtype="datetime64[us]")
+        if df.empty:
+            return pd.DataFrame(cols)
+        out = pd.DataFrame(
+            index=pd.Index(np.sort(df["user_id"].unique()), name="user_id")
+        )
+        prev_t = pd.Series(pd.Timestamp.min, index=out.index)
+        for i, step in enumerate(steps, 1):
+            sub = df[df["event_type"] == step]
+            floor = sub["user_id"].map(prev_t)
+            ok = sub[floor.notna() & (sub["ts"] > floor)]
+            out[f"t{i}"] = ok.groupby("user_id", sort=False)["ts"].min()
+            prev_t = out[f"t{i}"]
+        tcols = [f"t{i}" for i in range(1, len(steps) + 1)]
+        # a missed step blocks all later ones by construction, so the
+        # notna count IS the completed prefix length
+        out["steps_completed"] = out[tcols].notna().sum(axis=1).astype("int64")
+        out = out.reset_index()
+        return out[["user_id", "steps_completed", *tcols]]
+
+    return (
+        events_ds.select_columns(["user_id", "ts", "event_type"])
+        .sort("user_id")
+        .map_batches(per_block, batch_format="pandas", batch_size=None)
+    )

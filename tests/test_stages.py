@@ -231,3 +231,38 @@ UNION ALL SELECT '0.9', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.9) FRO
 UNION ALL SELECT '0.99', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.99) FROM events"""
     ).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_funnel_strict_ordering(ray_session):
+    """Funnel steps must complete strictly in order: user 1 converts
+    fully, user 2's signup PRECEDES the click so it must not count,
+    user 3 has only a click (step 1 missing -> 0 steps)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.stages.windows import funnel
+
+    def t(minute):
+        return pd.Timestamp(2024, 1, 1, 10, minute)
+
+    rows = [
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "signup"),
+        (2, t(0), "view"), (2, t(1), "signup"), (2, t(2), "click"),
+        (3, t(0), "click"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": [r[2] for r in rows],
+            }
+        )
+    )
+    out = {r["user_id"]: r for r in funnel(ds).take_all()}
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 2  # view, click — signup too early
+    assert pd.isna(out[2]["t3"])
+    assert out[3]["steps_completed"] == 0
+    assert pd.isna(out[3]["t1"])
