@@ -1005,6 +1005,15 @@ def q_events_sliding_window(sf_dir: str):
     return sliding_window_count(_events(sf_dir), size_minutes=60, slide_minutes=30)
 
 
+def q_events_retention(sf_dir: str):
+    """Day-grain retention matrix (cohort = day of first event; distinct
+    active users per (cohort, offset) cell) — see
+    :func:`argo_ray.stages.windows.retention_cohorts`."""
+    from ..stages.windows import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir))
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→signup funnel per user (each step strictly
     after the previous one's completion) — the conversion-analysis
@@ -1417,6 +1426,7 @@ DATA_QUERIES = {
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "events_sliding_window": q_events_sliding_window,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1961,6 +1971,14 @@ FROM (
   SELECT user_id, ts, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
   FROM events
 ) GROUP BY user_id""",
+    "events_retention": """WITH f AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM events GROUP BY user_id
+)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f ON f.user_id = e.user_id
+GROUP BY 1, 2""",
     "events_funnel": """WITH u AS (SELECT DISTINCT user_id FROM events),
 s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
        WHERE event_type = 'view' GROUP BY user_id),

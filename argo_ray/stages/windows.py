@@ -419,3 +419,47 @@ def funnel(events_ds, steps=("view", "click", "signup")):
         .sort("user_id")
         .map_batches(per_block, batch_format="pandas", batch_size=None)
     )
+
+
+def retention_cohorts(events_ds):
+    """Day-grain retention matrix: cohort = day of the user's FIRST
+    event; one output row per (cohort_day, day_offset) with the count
+    of distinct users from that cohort active that day.
+
+    Plan: one sort co-locates each user's events (whole user per
+    block), so the first-event cohort is an in-block groupby-min and
+    the per-cell user sets are locally EXACT — the global exchange is
+    only the (cohort, offset) groupby over pre-deduplicated
+    (cohort, offset, user) rows."""
+    from ray.data.aggregate import Count
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series([], dtype="datetime64[us]"),
+                    "day_offset": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                }
+            )
+        cohort = (
+            df.groupby("user_id", sort=False)["ts"].transform("min").dt.floor("D")
+        )
+        offset = (df["ts"].dt.floor("D") - cohort).dt.days.astype("int64")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort,
+                "day_offset": offset,
+                "user_id": df["user_id"].astype("int64"),
+            }
+        ).drop_duplicates()  # whole user in this block → locally exact
+        return out
+
+    cells = (
+        events_ds.select_columns(["user_id", "ts"])
+        .sort("user_id")
+        .map_batches(per_block, batch_format="pandas", batch_size=None)
+    )
+    return cells.groupby(["cohort_day", "day_offset"]).aggregate(
+        Count(alias_name="n_users")
+    )

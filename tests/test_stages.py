@@ -266,3 +266,35 @@ def test_funnel_strict_ordering(ray_session):
     assert pd.isna(out[2]["t3"])
     assert out[3]["steps_completed"] == 0
     assert pd.isna(out[3]["t1"])
+
+
+def test_retention_cohorts_hand_case(ray_session):
+    """Two cohorts: users 1,2 start day 0 (user 1 returns day 2),
+    user 3 starts day 1 (returns day 1 again — dedup to one cell)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.stages.windows import retention_cohorts
+
+    def d(day, hour=9):
+        return pd.Timestamp(2024, 1, 1 + day, hour)
+
+    rows = [(1, d(0)), (1, d(2)), (2, d(0)), (3, d(1)), (3, d(1, 18))]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    out = {
+        (str(r["cohort_day"])[:10], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ds).take_all()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,  # users 1 and 2 on their first day
+        ("2024-01-01", 2): 1,  # user 1 returned
+        ("2024-01-02", 0): 1,  # user 3's cohort, same-day dedup
+    }
