@@ -211,6 +211,11 @@ def pagerank(edges_ds, iters: int = 5, damping: float = 0.85):
     ranks = _const_nodes(nodes, "rank", 1.0 / n_nodes)
     base = (1.0 - damping) / n_nodes
 
+    # materialize EACH iteration: the vector is consumed only once, but
+    # leaving the loop lazy stacks 5 sort+groupby all-to-alls into one
+    # streaming topology and the executor runs them concurrently —
+    # measured 22.9 s vs 13.8 s at sf0.1 for the lazy variant.  The
+    # per-iteration barrier keeps exactly one exchange in flight.
     for _ in range(iters):
         ranks = (
             _scatter_sum(edges_kv, ranks, "rank", zero_rows)

@@ -646,6 +646,111 @@ def q_parts_cooccur_triangles(sf_dir: str):
     )
 
 
+def q_parts_pair_lift(sf_dir: str):
+    """Market-basket association: lift(x,y) = N·c(x,y) / (s(x)·s(y))
+    over parts co-purchased in the same order, top-20 pairs by lift
+    among pairs seen in ≥2 orders.  Pure rational arithmetic (no
+    transcendentals) so Ray and DuckDB values are IEEE-identical.
+
+    Plan: distinct (order, part) → in-block pair generation per order
+    (sort co-location, numpy triu) → ONE pair groupby; part supports
+    are one part-sized groupby BROADCAST onto the pair stream twice
+    (map-side join — pairs never shuffle again).  Broadcast is the
+    scale path while distinct parts fit worker memory; beyond that the
+    sort-colocation attach (graph.py triangles) is the fallback."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from ..io import read_table
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+    from ..stages.broadcast import broadcast_join
+
+    li = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))  # distinct (order, part)
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()
+    )
+    n_orders = float(
+        li.groupby("l_orderkey").aggregate(Count(alias_name="_k")).count()
+    )
+
+    pair_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    def pair_block(df):
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pair_schema.empty_table()
+        xs, ys = [], []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            items = np.sort(g["l_partkey"].to_numpy(dtype=np.int64))
+            k = len(items)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            xs.append(items[i])
+            ys.append(items[j])
+        if not xs:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(xs), pa.int64()),
+                "y": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
+
+    pairs = (
+        li.sort("l_orderkey")
+        .map_batches(pair_block, batch_format="pandas", batch_size=None)
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    supports = (
+        li.map_batches(
+            lambda b: pa.table({"pkey": pc.cast(b["l_partkey"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("pkey")
+        .aggregate(Count(alias_name="s"))
+    )
+    sx = supports.map_batches(
+        lambda b: pa.table(
+            {"x": pc.cast(b["pkey"], pa.int64()), "sx": pc.cast(b["s"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    sy = supports.map_batches(
+        lambda b: pa.table(
+            {"y": pc.cast(b["pkey"], pa.int64()), "sy": pc.cast(b["s"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(broadcast_join(pairs, sx, on="x"), sy, on="y")
+
+    def score(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater_equal(b["c"], pa.scalar(2, pa.int64())))
+        c = keep["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxv = keep["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syv = keep["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = np.round((n_orders * c) / (sxv * syv), 6)
+        return pa.table(
+            {
+                "x": pc.cast(keep["x"], pa.int64()),
+                "y": pc.cast(keep["y"], pa.int64()),
+                "c": pc.cast(keep["c"], pa.int64()),
+                "lift": pa.array(lift, pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .sort(["lift", "x", "y"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem (generic relational
     capability): partial per-batch combine → small groupby.  Money as
@@ -1416,6 +1521,7 @@ DATA_QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "docs_dsir": q_docs_dsir,
     "parts_cooccur_triangles": q_parts_cooccur_triangles,
+    "parts_pair_lift": q_parts_pair_lift,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_heavy_hitters": q_docs_heavy_hitters,
     "docs_cms_counts": q_docs_cms_counts,
@@ -1713,6 +1819,23 @@ FROM (SELECT apex AS node FROM tri
       UNION ALL SELECT x FROM tri
       UNION ALL SELECT y FROM tri)
 GROUP BY node""",
+    "parts_pair_lift": """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), n AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n FROM li),
+pairs AS MATERIALIZED (
+  SELECT a.pkey AS x, b.pkey AS y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey GROUP BY 1, 2
+), s AS MATERIALIZED (
+  SELECT pkey, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY pkey
+)
+SELECT p.x, p.y, p.c,
+       ROUND(((SELECT n FROM n) * CAST(p.c AS DOUBLE))
+             / (CAST(sx.s AS DOUBLE) * CAST(sy.s AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN s sx ON sx.pkey = p.x
+JOIN s sy ON sy.pkey = p.y
+WHERE p.c >= 2
+ORDER BY lift DESC, p.x, p.y LIMIT 20""",
     "pages_domain_cap": _domain_cap_oracle_sql(),
     "cc_ingest_pipeline": _cc_ingest_oracle_sql(),
     "pages_url_dedup": """WITH crawls AS (
