@@ -722,3 +722,116 @@ def cooccurrence_edges(pairs_ds, group_col: str, item_col: str):
         .aggregate(Count(alias_name="_n"))
         .select_columns(["src", "dst"])
     )
+
+
+_LP_SCHEMA = pa.schema(
+    [("key", pa.string()), ("out", pa.string()), ("lab", pa.string())]
+)
+
+
+def label_propagation(edges_ds, iters: int = 8):
+    """Connected-component labels by FIXED-ROUND min-label propagation
+    over the UNDIRECTED graph: ``label'(v) = min(label(v), min over
+    neighbors label(u))``, labels initialized to the node's own name.
+    Exact components for every node within ``iters`` hops of its
+    component's minimal node (fixed rounds, not convergence-detected,
+    so the DuckDB oracle mirrors it bit-exactly — strings only, no
+    floats).  Returns ``(node, label)``.
+
+    The near-dup variant (``dedup.neardup_components``) converges
+    adaptively on int64 doc ids; this one trades the early exit for an
+    exactly SQL-checkable contract over string node ids."""
+    from ray.data.aggregate import Min
+
+    edges_ds = edges_ds.materialize()
+    nodes = _distinct_nodes(edges_ds)
+    if nodes.count() == 0:
+        return nodes.map_batches(
+            lambda b: pa.schema(
+                [("node", pa.string()), ("label", pa.string())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+    n_blocks = max(1, nodes.num_blocks())
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string())
+        d = pc.cast(b["dst"], pa.string())
+        return pa.concat_tables(
+            [
+                pa.table({"key": s, "out": d}),
+                pa.table({"key": d, "out": s}),
+            ]
+        ).append_column("lab", pa.array([None] * (2 * b.num_rows), pa.string()))
+
+    und = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "label": pc.cast(b["node"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def scatter_block(df):
+        schema = pa.schema([("node", pa.string()), ("cand", pa.string())])
+        if len(df) == 0 or "key" not in df.columns:
+            return schema.empty_table()
+        is_val = df["out"].isna()
+        v = df.loc[is_val, ["key", "lab"]]
+        e = df.loc[~is_val, ["key", "out"]]
+        if len(v) == 0 or len(e) == 0:
+            return schema.empty_table()
+        m = e.merge(v, on="key", how="inner")
+        return pa.table(
+            {
+                "node": pa.array(m["out"], pa.string()),
+                "cand": pa.array(m["lab"], pa.string()),
+            }
+        )
+
+    for _ in range(iters):
+        val_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["node"], pa.string()),
+                    "out": pa.array([None] * b.num_rows, pa.string()),
+                    "lab": pc.cast(b["label"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = (
+            und.union(val_rows)
+            .sort("key")
+            .map_batches(scatter_block, batch_format="pandas", batch_size=None)
+        )
+        self_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "cand": pc.cast(b["label"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            contribs.union(self_rows)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.cast(b["node"], pa.string()),
+                        "label": pc.cast(b["label"], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_blocks)
+            .materialize()
+        )
+    return labels

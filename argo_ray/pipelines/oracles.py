@@ -190,6 +190,29 @@ d{i} AS MATERIALIZED (
 SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist < {unreached}"""
 
 
+def _components_sql(iters: int = 8) -> str:
+    """Fixed-round undirected min-label propagation, labels = node
+    names: l{i}(v) = LEAST(l{i-1}(v), MIN over neighbors l{i-1}(u)) —
+    strings only, bit-exact, mirrors graph.py::label_propagation."""
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+eu AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+l{i} AS MATERIALIZED (
+  SELECT n.node, LEAST(lp.label, COALESCE(MIN(ln.label), lp.label)) AS label
+  FROM nodes n
+  JOIN l{i - 1} lp ON lp.node = n.node
+  LEFT JOIN eu ON eu.dst = n.node
+  LEFT JOIN l{i - 1} ln ON ln.node = eu.src
+  GROUP BY n.node, lp.label
+)"""
+    return sql + f"""
+SELECT node, label FROM l{iters}"""
+
+
 ORACLES: dict[str, str] = {
     "rdfa_extract": EXP_CTE + f"SELECT {TERM_COLS} FROM exp",
     "dedup_exact": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
@@ -241,6 +264,7 @@ FROM d GROUP BY pred_value""",
     "kg_pagerank": _pagerank_sql(5),
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
+    "kg_components": _components_sql(8),
     "group_subject_count": EXP_CTE
     + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
 FROM (SELECT DISTINCT {TERM_COLS} FROM exp)

@@ -357,6 +357,17 @@ def q_kg_bfs(sf_dir: str):
     )
 
 
+def q_kg_components(sf_dir: str):
+    """KG analytics: connected-component labels by 8 fixed rounds of
+    undirected min-label propagation over the link graph — every node
+    within 8 hops of its component's minimal node is exactly labeled,
+    and the fixed round count makes the string-only oracle bit-exact
+    (:func:`argo_ray.functions.graph.label_propagation`)."""
+    from ..functions.graph import label_propagation
+
+    return label_propagation(_kg_link_edges(sf_dir), iters=8)
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -1253,6 +1264,7 @@ KG_QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_hits": q_kg_hits,
     "kg_bfs": q_kg_bfs,
+    "kg_components": q_kg_components,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

@@ -139,3 +139,23 @@ def test_cooccurrence_edges_groups(ray_session):
     # group 1 → 3 pairs, group 2 → 1 pair (dedup with group 1's 20-30),
     # group 3 singleton → none
     assert edges == [("10", "20"), ("10", "30"), ("20", "30")]
+
+
+def test_label_propagation_components(ray_session):
+    from argo_ray.functions.graph import label_propagation
+
+    # two components: {a,b,c} (min label "a") and {x,y} (min "x");
+    # direction must not matter (undirected propagation)
+    ds = rd.from_arrow(
+        pa.table({"src": ["b", "c", "y"], "dst": ["a", "b", "x"]})
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(ds, iters=4).take_all()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    # fixed rounds bound the reach: a 4-node chain needs 3 rounds to
+    # fully converge; 1 round labels only direct neighbors of the min
+    chain = rd.from_arrow(
+        pa.table({"src": ["a", "b", "c"], "dst": ["b", "c", "d"]})
+    )
+    one = {r["node"]: r["label"] for r in label_propagation(chain, iters=1).take_all()}
+    assert one == {"a": "a", "b": "a", "c": "b", "d": "c"}
