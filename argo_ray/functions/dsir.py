@@ -7,39 +7,45 @@ Laplace-smoothed bucket probabilities.  Documents with high logw look
 like the target domain; resampling by weight is a downstream sampler.
 
 Scale shape:
-- per-doc bucket counts reuse :func:`argo_ray.functions.text.
-  feature_hash_batch` (md5 keying → DuckDB-reproducible), one stateless
-  ``map_batches`` — a doc is one row, so the counts never shuffle;
+- the corpus is MATERIALIZED once and the per-doc bucket counts are
+  computed in ONE hashing pass, reused by both the raw model and the
+  scoring pass (a doc is one row, so its counts never shuffle); the
+  target slice filters the cached corpus blocks and hashes only its
+  subset — one corpus read, 1+|target|/|corpus| hash passes total;
 - the two bucket MODELS are each one ``groupby(bucket).sum`` whose
   result is ``n_buckets`` rows — the only driver-side state, O(64),
   independent of corpus size;
-- scoring is a second stateless pass with the 64-float log-ratio table
-  captured in the UDF closure (broadcast once per worker by Ray's
-  pickling, never per batch).
+- scoring reduces the cached count blocks with the 64-float log-ratio
+  table captured in the UDF closure (broadcast once per worker by
+  Ray's pickling, never per batch).
 """
 
 from __future__ import annotations
 
 import math
+from typing import Callable
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .text import feature_hash_batch
 
+_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_features", pa.int64()),
+        ("logw", pa.float64()),
+    ]
+)
 
-def _bucket_totals(docs_ds, n_buckets: int) -> np.ndarray:
-    """Σ token count per hash bucket over a docs Dataset → dense
+
+def _bucket_totals(counts_ds, n_buckets: int) -> np.ndarray:
+    """Σ n per hash bucket over a (doc_id, bucket, n) Dataset → dense
     int64[n_buckets] (zero-filled)."""
     from ray.data.aggregate import Sum
 
     rows = (
-        docs_ds.map_batches(
-            lambda b, _k=n_buckets: feature_hash_batch(b, n_buckets=_k),
-            batch_format="pyarrow",
-        )
-        .groupby("bucket")
+        counts_ds.groupby("bucket")
         .aggregate(Sum("n", alias_name="total"))
         .take_all()
     )  # bounded: at most n_buckets rows
@@ -49,14 +55,30 @@ def _bucket_totals(docs_ds, n_buckets: int) -> np.ndarray:
     return out
 
 
-def dsir_logweights(docs_ds, target_ds, n_buckets: int = 64):
+def dsir_logweights(
+    docs_ds,
+    target_filter: Callable[[pa.Table], pa.Table],
+    n_buckets: int = 64,
+):
     """(doc_id, n_features, logw) per document of ``docs_ds``, scored
-    against the model fitted on ``target_ds`` vs the one fitted on
-    ``docs_ds`` itself.  logw is rounded to 4 decimals — ln differs by
-    ulps between libm and DuckDB, and rounding after the ≤n_buckets-term
-    dot product absorbs it."""
-    t = _bucket_totals(target_ds, n_buckets)
-    r = _bucket_totals(docs_ds, n_buckets)
+    against the model fitted on the ``target_filter``-selected slice vs
+    the one fitted on the whole corpus.  ``target_filter`` is a
+    batch→batch predicate applied to the cached corpus blocks (so the
+    corpus parquet is read exactly once).  logw is rounded to 4
+    decimals — ln differs by ulps between libm and DuckDB, and rounding
+    after the ≤n_buckets-term dot product absorbs it."""
+    docs_ds = docs_ds.materialize()
+    counts = docs_ds.map_batches(
+        lambda b, _k=n_buckets: feature_hash_batch(b, n_buckets=_k),
+        batch_format="pyarrow",
+    ).materialize()
+    target_counts = docs_ds.map_batches(target_filter, batch_format="pyarrow").map_batches(
+        lambda b, _k=n_buckets: feature_hash_batch(b, n_buckets=_k),
+        batch_format="pyarrow",
+    )
+
+    t = _bucket_totals(target_counts, n_buckets)
+    r = _bucket_totals(counts, n_buckets)
     t_tot, r_tot = int(t.sum()), int(r.sum())
     # Laplace-smoothed log ratio per bucket, computed ONCE driver-side
     ratio = np.array(
@@ -68,20 +90,22 @@ def dsir_logweights(docs_ds, target_ds, n_buckets: int = 64):
         dtype=np.float64,
     )
 
-    def score(batch: pa.Table) -> pa.Table:
-        counts = feature_hash_batch(batch, n_buckets=n_buckets)
-        doc = counts["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bkt = counts["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # docs are whole rows of this batch → local reduce is exact.
-        # np.unique sorts doc ids; contributions are added in bucket
-        # order within each doc via the grouped cumulative trick.
+    def score(cb: pa.Table) -> pa.Table:
+        doc = cb["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(doc) == 0:  # empty block: starts would be [0] on an
+            return _OUT_SCHEMA.empty_table()  # empty doc_s → IndexError
+        bkt = cb["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = cb["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a doc's count rows all live in this block (they were emitted
+        # by one feature_hash_batch call) → local reduce is exact.
+        # np.lexsort groups docs; contributions are added in bucket
+        # order within each doc via reduceat.
         order = np.lexsort((bkt, doc))
         doc_s, bkt_s, n_s = doc[order], bkt[order], n[order]
         starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
         contrib = n_s.astype(np.float64) * ratio[bkt_s]
-        sums = np.add.reduceat(contrib, starts) if len(contrib) else np.array([])
-        n_feat = np.add.reduceat(n_s, starts) if len(n_s) else np.array([], np.int64)
+        sums = np.add.reduceat(contrib, starts)
+        n_feat = np.add.reduceat(n_s, starts)
         return pa.table(
             {
                 "doc_id": pa.array(doc_s[starts], pa.int64()),
@@ -90,4 +114,4 @@ def dsir_logweights(docs_ds, target_ds, n_buckets: int = 64):
             }
         )
 
-    return docs_ds.map_batches(score, batch_format="pyarrow")
+    return counts.map_batches(score, batch_format="pyarrow")

@@ -123,18 +123,28 @@ def _value_rows(values_ds, val_col: str):
     )
 
 
-def _scatter_block(df):
-    """One sorted block = whole key groups (sort-colocation contract):
-    broadcast each key's value row onto its edges → (node=out,
-    part=val/w)."""
+def _split_merge(df, val_cols):
+    """Sorted-block core of EVERY scatter in this module: split the
+    value rows (``out`` is null) from the edge rows, inner-merge each
+    key's values onto its edges (one sorted block = whole key groups,
+    the sort-colocation contract).  Returns the merged frame, or None
+    when either side is absent."""
     if len(df) == 0 or "key" not in df.columns:
-        return _PART_SCHEMA.empty_table()
+        return None
     is_val = df["out"].isna()
-    v = df.loc[is_val, ["key", "val"]]
-    e = df.loc[~is_val, ["key", "out", "w"]]
+    v = df.loc[is_val, ["key", *val_cols]]
+    e = df.loc[~is_val, [c for c in df.columns if c not in val_cols]]
     if len(v) == 0 or len(e) == 0:
+        return None
+    return e.merge(v, on="key", how="inner")
+
+
+def _scatter_block(df):
+    """Broadcast each key's value row onto its edges → (node=out,
+    part=val/w)."""
+    m = _split_merge(df, ["val"])
+    if m is None:
         return _PART_SCHEMA.empty_table()
-    m = e.merge(v, on="key", how="inner")
     return pa.table(
         {
             "node": pa.array(m["out"], pa.string()),
@@ -428,10 +438,14 @@ def bfs_distances(edges_ds, iters: int = 6, seed: str | None = None):
 _SEP = "\x1f"  # key separator for wedge-closure keys (not in IRIs)
 
 
-def triangles(edges_ds):
+def triangles(edges_ds, assume_canonical: bool = False):
     """Per-node triangle counts over the UNDIRECTED simple graph of the
     given edges (self-loops dropped, direction and multiplicity
     ignored) → ``(node, n_triangles)`` for every node in ≥1 triangle.
+    Pass ``assume_canonical=True`` when the input is already distinct
+    with ``src < dst`` and no self-loops (e.g. the output of
+    :func:`cooccurrence_edges`) — it skips a full-edge-set distinct
+    exchange that would otherwise be repeated.
 
     The classic degree-ordered wedge plan, with every join expressed as
     the sort-colocation pattern (no ``Dataset.join`` — see the module
@@ -463,13 +477,24 @@ def triangles(edges_ds):
             }
         ).filter(keep)
 
-    ec = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    if assume_canonical:
+        ec = edges_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": pc.cast(b["src"], pa.string()),
+                    "v": pc.cast(b["dst"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        ec = (
+            edges_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby(["u", "v"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["u", "v"])
+            .materialize()
+        )
 
     deg = (
         ec.map_batches(
@@ -493,18 +518,18 @@ def triangles(edges_ds):
         ]
     )
 
-    def _deg_rows(key_name):
-        return deg.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": pc.cast(b["node"], pa.string()),
-                    "other": pa.array([None] * b.num_rows, pa.string()),
-                    "carry": pa.array([None] * b.num_rows, pa.int64()),
-                    "degv": pc.cast(b["deg"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    # the same degree value-row dataset serves both attach passes
+    deg_rows = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["node"], pa.string()),
+                "other": pa.array([None] * b.num_rows, pa.string()),
+                "carry": pa.array([None] * b.num_rows, pa.int64()),
+                "degv": pc.cast(b["deg"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     def _attach_block(df):
         if len(df) == 0 or "key" not in df.columns:
@@ -544,7 +569,7 @@ def triangles(edges_ds):
         batch_format="pyarrow",
     )
     p1 = (
-        p1_rows.union(_deg_rows("u"))
+        p1_rows.union(deg_rows)
         .sort("key")
         .map_batches(_attach_block, batch_format="pandas", batch_size=None)
     )
@@ -561,7 +586,7 @@ def triangles(edges_ds):
         batch_format="pyarrow",
     )
     p2 = (
-        p2_rows.union(_deg_rows("v"))
+        p2_rows.union(deg_rows)
         .sort("key")
         .map_batches(_attach_block, batch_format="pandas", batch_size=None)
     )
@@ -623,10 +648,16 @@ def triangles(edges_ds):
     edge_marks = ec.map_batches(
         lambda b: pa.table(
             {
-                "key": pc.binary_join_element_wise(
-                    pc.cast(b["u"], pa.large_string()),
-                    pc.cast(b["v"], pa.large_string()),
-                    pa.scalar(_SEP, pa.large_string()),
+                # cast back to string: the wedge rows emit string keys,
+                # and mixed string/large_string schemas across unioned
+                # blocks trip the executor's schema-consistency warning
+                "key": pc.cast(
+                    pc.binary_join_element_wise(
+                        pc.cast(b["u"], pa.large_string()),
+                        pc.cast(b["v"], pa.large_string()),
+                        pa.scalar(_SEP, pa.large_string()),
+                    ),
+                    pa.string(),
                 ),
                 "apex": pa.array([None] * b.num_rows, pa.string()),
             }
@@ -777,15 +808,11 @@ def label_propagation(edges_ds, iters: int = 8):
     ).materialize()
 
     def scatter_block(df):
+        # the shared sorted-block merge core, string payload
         schema = pa.schema([("node", pa.string()), ("cand", pa.string())])
-        if len(df) == 0 or "key" not in df.columns:
+        m = _split_merge(df, ["lab"])
+        if m is None:
             return schema.empty_table()
-        is_val = df["out"].isna()
-        v = df.loc[is_val, ["key", "lab"]]
-        e = df.loc[~is_val, ["key", "out"]]
-        if len(v) == 0 or len(e) == 0:
-            return schema.empty_table()
-        m = e.merge(v, on="key", how="inner")
         return pa.table(
             {
                 "node": pa.array(m["out"], pa.string()),

@@ -536,8 +536,15 @@ def tfidf_topk(docs_ds, k: int = 3, text_column: str = "text"):
     from ..stages import grouping as _colocation_guard  # noqa: F401
 
     def tf_partials(batch: pa.Table) -> pa.Table:
+        # fill_null BEFORE splitting: a null text yields a null token
+        # list, whose null list_value_length poisons np.repeat and whose
+        # skipped list_flatten would misalign doc_ids against words
         toks = pc.split_pattern(
-            pc.cast(batch[text_column], pa.large_string()), pattern=" "
+            pc.fill_null(
+                pc.cast(batch[text_column], pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            ),
+            pattern=" ",
         )
         n_tok = pc.list_value_length(toks)
         flat = pa.table(

@@ -632,7 +632,9 @@ def q_parts_cooccur_triangles(sf_dir: str):
         .select_columns(["l_orderkey", "l_partkey"])
     )
     edges = cooccurrence_edges(pairs, "l_orderkey", "l_partkey")
-    out = triangles(edges)
+    # cooccurrence_edges output is already distinct with src < dst —
+    # skip triangles' re-canonicalizing distinct exchange
+    out = triangles(edges, assume_canonical=True)
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -881,11 +883,11 @@ def q_docs_dsir(sf_dir: str):
     from ..functions.dsir import dsir_logweights
 
     docs = _docs(sf_dir, ("doc_id", "text", "lang"))
-    target = docs.map_batches(
+    return dsir_logweights(
+        docs,
         lambda b: b.filter(pc.equal(b["lang"], pa.scalar("en"))),
-        batch_format="pyarrow",
+        n_buckets=DSIR_BUCKETS,
     )
-    return dsir_logweights(docs, target, n_buckets=DSIR_BUCKETS)
 
 
 def q_docs_tfidf(sf_dir: str):

@@ -1263,13 +1263,13 @@ def test_dsir_logweights_favor_target_slice(ray_session):
     from argo_ray.pipelines.data_queries import _docs
 
     docs = _docs(SF_DIR, ("doc_id", "text", "lang"))
-    target = docs.map_batches(
-        lambda b: b.filter(pa.compute.equal(b["lang"], pa.scalar("en"))),
-        batch_format="pyarrow",
-    )
     weights = {
         r["doc_id"]: r["logw"]
-        for r in dsir_logweights(docs, target, n_buckets=64).take_all()
+        for r in dsir_logweights(
+            docs,
+            lambda b: b.filter(pa.compute.equal(b["lang"], pa.scalar("en"))),
+            n_buckets=64,
+        ).take_all()
     }
     langs = {
         r["doc_id"]: r["lang"]
