@@ -719,3 +719,92 @@ def multimodal_features(sf_dir: str):
         lambda b: b.select(["item_id", "payload_len", "payload_md5"]),
         batch_format="pyarrow",
     )
+
+
+def image_ahash_dedup(sf_dir: str):
+    """Perceptual-hash (aHash) image near-dup: decode the BMP corpus
+    for real, average-threshold each 8×8 grayscale image into a 64-bit
+    hash (emitted as a 64-char bit string), and mark each image's
+    canonical representative (min item_id per hash) — the visual-dedup
+    stage of a multimodal training-data pipeline.
+
+    Vectorized: one ``frombuffer`` reshape per batch (all decoded
+    images are 8×8×3), mean + threshold as numpy matrix ops, bit rows
+    viewed as U64 strings without a per-bit Python loop; the keep
+    decision is ONE sort by hash + an in-block groupby-min (the
+    grouping.py colocation contract).  Oracle: every pixel is
+    ``md5(text)`` digest byte ``i % 16``, so DuckDB reconstructs the
+    hash bit-for-bit (mean = sum/64 is exact — a power-of-two
+    divisor)."""
+    import numpy as np
+
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    ds = documents_as_bmp(sf_dir)
+    decoded = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=128
+    )
+
+    hash_schema = pa.schema([("item_id", pa.int64()), ("ahash", pa.string())])
+
+    def ahash(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return hash_schema.empty_table()
+        raw = b"".join(b["pixels"].to_pylist())
+        gray = np.frombuffer(raw, np.uint8).reshape(n, -1)[:, ::3]  # R=G=B
+        mean = gray.mean(axis=1)  # sum/64: exact (power-of-two divisor)
+        bits = gray > mean[:, None]
+        chars = np.where(bits, "1", "0").astype("<U1")
+        strs = np.ascontiguousarray(chars).view(f"<U{bits.shape[1]}").ravel()
+        return pa.table(
+            {
+                "item_id": pc.cast(b["item_id"], pa.int64()),
+                "ahash": pa.array(strs, pa.string()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("item_id", pa.int64()), ("ahash", pa.string()), ("keep_id", pa.int64())]
+    )
+
+    def mark(df):
+        if len(df) == 0 or "ahash" not in df.columns:
+            return out_schema.empty_table()
+        keep = df.groupby("ahash", sort=False)["item_id"].transform("min")
+        return pa.table(
+            {
+                "item_id": pa.array(
+                    df["item_id"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "ahash": pa.array(df["ahash"], pa.string()),
+                "keep_id": pa.array(keep.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        decoded.map_batches(ahash, batch_format="pyarrow")
+        .sort("ahash")
+        .map_batches(mark, batch_format="pandas", batch_size=None)
+    )
+
+
+def image_ahash_oracle_sql() -> str:
+    """DuckDB twin of :func:`image_ahash_dedup`: pixel i of the decoded
+    8×8 gray image is md5-digest byte ``i % 16``, the mean is the exact
+    sum/64, each hash bit compares its pixel against the mean, and the
+    keep decision is MIN(item_id) per hash."""
+    byte = [
+        f"CAST('0x' || substr(md5(text), {2 * j + 1}, 2) AS INT)" for j in range(16)
+    ]
+    mean = "CAST(4 * (" + " + ".join(byte) + ") AS DOUBLE) / 64.0"
+    bits = " || ".join(
+        f"CASE WHEN {byte[i % 16]} > m THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""WITH px AS (
+  SELECT doc_id AS item_id, text, {mean} AS m FROM documents
+), hashed AS (
+  SELECT item_id, {bits} AS ahash FROM px
+)
+SELECT item_id, ahash, MIN(item_id) OVER (PARTITION BY ahash) AS keep_id
+FROM hashed"""

@@ -323,6 +323,15 @@ def q_multimodal_decode(sf_dir: str):
     return multimodal_decode(sf_dir)
 
 
+def q_multimodal_ahash(sf_dir: str):
+    """Perceptual-hash (aHash) image near-dup over the real BMP decode
+    path — visual dedup as a first-class multimodal stage
+    (:func:`argo_ray.functions.multimodal.image_ahash_dedup`)."""
+    from ..functions.multimodal import image_ahash_dedup
+
+    return image_ahash_dedup(sf_dir)
+
+
 def q_sparql_results_parse(sf_dir: str):
     """S6 driver-checked: a deterministic SELECT-results XML document is
     synthesized per doc (three binding kinds: typed literal, lang
@@ -1513,6 +1522,7 @@ DATA_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_ahash": q_multimodal_ahash,
     "audio_wav_features": q_audio_wav_features,
     "video_frame_sample": q_video_frame_sample,
     "loop_eval": q_loop_eval,
@@ -1655,6 +1665,12 @@ WITH corpus AS (
   SELECT vec_id + {PLANT_OFFSET}, embedding, label FROM embeddings WHERE vec_id % 20 = 0
 )
 """
+
+def _multimodal_ahash_oracle_sql() -> str:
+    from ..functions.multimodal import image_ahash_oracle_sql
+
+    return image_ahash_oracle_sql()
+
 
 def _feature_hash_oracle_sql() -> str:
     from ..functions.text import feature_hash_oracle_sql
@@ -1975,6 +1991,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9""",
   WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
 ) WHERE rank <= 10""",
     "multimodal_decode": multimodal_decode_oracle_sql(),
+    "multimodal_ahash": _multimodal_ahash_oracle_sql(),
     "audio_wav_features": audio_wav_oracle_sql(),
     "video_frame_sample": video_frame_oracle_sql(),
     "loop_eval": "SELECT doc_id, CAST(n_chars + doc_id AS BIGINT) AS loop_result FROM documents",

@@ -1279,3 +1279,26 @@ def test_dsir_logweights_favor_target_slice(ray_session):
     other = [w for d, w in weights.items() if langs[d] != "en"]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_image_ahash_dedup_groups_identical_images(ray_session):
+    """aHash over the real BMP decode: identical texts yield identical
+    images and must share a hash + keep_id; the hash is the 64-bit
+    mean-threshold pattern of the 8x8 grayscale."""
+    from argo_ray.functions.multimodal import image_ahash_dedup
+
+    rows = {r["item_id"]: r for r in image_ahash_dedup(SF_DIR).take_all()}
+    assert len(rows) == 500
+    assert all(len(r["ahash"]) == 64 and set(r["ahash"]) <= {"0", "1"}
+               for r in rows.values())
+    # the corpus plants exact text duplicates (dedup fixtures) → at
+    # least one hash group with >1 member, and keep_id = group min
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows.values():
+        groups[r["ahash"]].append(r)
+    multi = [g for g in groups.values() if len(g) > 1]
+    assert multi
+    for g in groups.values():
+        assert {r["keep_id"] for r in g} == {min(r["item_id"] for r in g)}
