@@ -1130,6 +1130,44 @@ def q_events_retention(sf_dir: str):
     return retention_cohorts(_events(sf_dir))
 
 
+LATE_CLONE_OFFSET = 10_000_000
+
+
+def q_events_late(sf_dir: str):
+    """Late events under a 10-minute watermark, replaying each user's
+    stream in arrival (event_id) order — the out-of-order-data triage
+    every streaming window pipeline needs
+    (:func:`argo_ray.stages.windows.late_events`).  The synthetic
+    events table is perfectly time-ordered, so the fixture replays a
+    delayed copy of every 7th event (arrival id +10M, event time −30
+    min) — the standard planted-disorder pattern (cf. pages_url_dedup's
+    re-crawl clones)."""
+    from ..stages.windows import late_events
+
+    import numpy as np
+
+    def plant_late(b: pa.Table) -> pa.Table:
+        base = b.select(["event_id", "user_id", "ts"])
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = base.filter(pa.array(ids % 7 == 0))
+        clones = pa.table(
+            {
+                "event_id": pc.add(
+                    pc.cast(sel["event_id"], pa.int64()),
+                    pa.scalar(LATE_CLONE_OFFSET, pa.int64()),
+                ),
+                "user_id": sel["user_id"],
+                "ts": pc.subtract(
+                    sel["ts"], pa.scalar(30 * 60 * 1_000_000, pa.duration("us"))
+                ),
+            }
+        )
+        return pa.concat_tables([base, clones.cast(base.schema)])
+
+    stream = _events(sf_dir).map_batches(plant_late, batch_format="pyarrow")
+    return late_events(stream, allowed_lateness_minutes=10)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→signup funnel per user (each step strictly
     after the previous one's completion) — the conversion-analysis
@@ -1545,6 +1583,7 @@ DATA_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_late": q_events_late,
     "events_sliding_window": q_events_sliding_window,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -2113,6 +2152,18 @@ FROM (
   SELECT user_id, ts, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
   FROM events
 ) GROUP BY user_id""",
+    "events_late": f"""WITH stream AS (
+  SELECT event_id, user_id, ts FROM events
+  UNION ALL
+  SELECT event_id + {LATE_CLONE_OFFSET}, user_id, ts - INTERVAL 30 MINUTE
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT event_id, user_id, ts, wm AS watermark_ts FROM (
+  SELECT event_id, user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM stream
+) WHERE wm > ts + INTERVAL 10 MINUTE""",
     "events_retention": """WITH f AS (
   SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM events GROUP BY user_id
 )

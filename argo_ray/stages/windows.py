@@ -463,3 +463,50 @@ def retention_cohorts(events_ds):
     return cells.groupby(["cohort_day", "day_offset"]).aggregate(
         Count(alias_name="n_users")
     )
+
+
+def late_events(events_ds, allowed_lateness_minutes: int = 10):
+    """Streaming-semantics late-event detection: replaying each user's
+    stream in ARRIVAL order (event_id), an event is LATE when the
+    watermark — the max event time seen strictly before it — already
+    exceeds its timestamp by more than the allowed lateness.  Returns
+    the late events only: (event_id, user_id, ts, watermark_ts).
+
+    Same partitioning contract as sessionize: one sort co-locates each
+    user's events; the watermark is a C-level per-user shifted cummax,
+    no per-event Python."""
+    lateness = pd.Timedelta(minutes=allowed_lateness_minutes)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "watermark_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        # per-user shifted cummax without per-group Python: C-level
+        # groupby cummax, one global shift, first-row-of-user masked
+        wm = df.groupby("user_id", sort=False)["ts"].cummax().shift()
+        wm[df["user_id"].ne(df["user_id"].shift())] = pd.NaT
+        late = wm.notna() & (wm > df["ts"] + lateness)
+        out = df.loc[late, ["event_id", "user_id", "ts"]].copy()
+        out["watermark_ts"] = wm[late]
+        return out.astype(
+            {
+                "event_id": "int64",
+                "user_id": "int64",
+                "ts": "datetime64[us]",
+                "watermark_ts": "datetime64[us]",
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .sort("user_id")
+        .map_batches(per_block, batch_format="pandas", batch_size=None)
+    )

@@ -298,3 +298,35 @@ def test_retention_cohorts_hand_case(ray_session):
         ("2024-01-01", 2): 1,  # user 1 returned
         ("2024-01-02", 0): 1,  # user 3's cohort, same-day dedup
     }
+
+
+def test_late_events_watermark(ray_session):
+    """Watermark semantics: an event is late only when an EARLIER
+    arrival (by event_id) already carried a timestamp more than the
+    allowed lateness ahead of it."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.stages.windows import late_events
+
+    def t(minute):
+        return pd.Timestamp(2024, 1, 1, 10, minute)
+
+    # arrival order 1..4: t=0, t=30, t=5 (25 min behind wm=30 → late),
+    # t=25 (5 min behind wm → within lateness, NOT late)
+    rows = [(1, 7, t(0)), (2, 7, t(30)), (3, 7, t(5)), (4, 7, t(25)),
+            (5, 9, t(0))]  # other user: single event, never late
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    out = late_events(ds, allowed_lateness_minutes=10).take_all()
+    assert [(r["event_id"], str(r["watermark_ts"])) for r in out] == [
+        (3, "2024-01-01 10:30:00")
+    ]
