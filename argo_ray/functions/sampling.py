@@ -347,3 +347,73 @@ def temperature_sample_oracle_sql(strata_col: str = "source") -> str:
 SELECT d.doc_id, d.{strata_col} AS {strata_col}
 FROM documents d JOIN thr USING ({strata_col})
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) < t"""
+
+
+def weighted_reservoir_topk(docs_ds, k: int = 20, weight_col: str = "n_chars"):
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES, the
+    one-pass distributed weighted sample): each item draws a
+    deterministic md5-uniform u ∈ (0,1] and ranks by ``ln(u)/w`` — the
+    top-k under that key IS an exact weighted sample without
+    replacement.  Deterministic uniforms (first 8 md5 bytes of the
+    text) make the draw reproducible across runs, partitions and the
+    DuckDB oracle; keys round to 12 decimals before ranking so ln ulp
+    differences can't flip the order (ties break on doc_id).
+
+    Scale shape: one stateless keying pass + a k-row sort/limit —
+    per-partition top-k combining is what Ray's sort+limit already
+    does, so the exchange is k rows per block, never the corpus.
+    Returns a k-row pa.Table (rank, doc_id, w, key)."""
+    import hashlib
+
+    import numpy as np
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = [t if t is not None else "" for t in batch["text"].to_pylist()]
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in texts
+            ],
+            dtype=np.uint64,
+        )
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = np.maximum(
+            batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            1.0,
+        )
+        key = np.round(np.log(u) / w, 12)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "w": pa.array(w.astype(np.int64), pa.int64()),
+                "key": pa.array(key, pa.float64()),
+            }
+        )
+
+    top = (
+        docs_ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )  # bounded: k rows
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+            "w": pa.array([r["w"] for r in top], pa.int64()),
+            "key": pa.array([r["key"] for r in top], pa.float64()),
+        }
+    )
+
+
+WEIGHTED_RESERVOIR_ORACLE_SQL = """WITH k AS (
+  SELECT doc_id, GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS w,
+         (CAST(CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT) AS DOUBLE) + 1.0)
+           / 18446744073709551616.0 AS u
+  FROM documents
+), scored AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS w, ROUND(LN(u) / w, 12) AS key FROM k
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, w, key
+FROM scored ORDER BY key DESC, doc_id LIMIT 20"""

@@ -899,6 +899,18 @@ def q_docs_dsir(sf_dir: str):
     )
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    """Weighted reservoir sample (A-ES, deterministic md5 uniforms):
+    top-20 docs under the ln(u)/w key with w = n_chars — the one-pass
+    distributed weighted sampler
+    (:func:`argo_ray.functions.sampling.weighted_reservoir_topk`)."""
+    from ..functions.sampling import weighted_reservoir_topk
+
+    return weighted_reservoir_topk(
+        _docs(sf_dir, ("doc_id", "text", "n_chars")), k=20
+    )
+
+
 def q_docs_tfidf(sf_dir: str):
     """Per-document top-3 terms by tf-idf (score = tf · ln(N/df),
     rounded to 4 decimals BEFORE ranking so DuckDB's LN vs numpy's log
@@ -1570,6 +1582,7 @@ DATA_QUERIES = {
     "docs_dup_spans": q_docs_dup_spans,
     "docs_tfidf": q_docs_tfidf,
     "docs_dsir": q_docs_dsir,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "parts_cooccur_triangles": q_parts_cooccur_triangles,
     "parts_pair_lift": q_parts_pair_lift,
     "embeddings_kmeans": q_embeddings_kmeans,
@@ -1705,6 +1718,12 @@ WITH corpus AS (
 )
 """
 
+def _weighted_reservoir_oracle_sql() -> str:
+    from ..functions.sampling import WEIGHTED_RESERVOIR_ORACLE_SQL
+
+    return WEIGHTED_RESERVOIR_ORACLE_SQL
+
+
 def _multimodal_ahash_oracle_sql() -> str:
     from ..functions.multimodal import image_ahash_oracle_sql
 
@@ -1797,6 +1816,7 @@ SELECT d.doc_id,
                  THEN len(d.text) - {DUP_SPAN_L} + 1 ELSE 0 END AS BIGINT) AS n_spans,
        COALESCE(c.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans
 FROM documents d LEFT JOIN cnts c USING (doc_id)""",
+    "docs_weighted_sample": _weighted_reservoir_oracle_sql(),
     "docs_dsir": f"""WITH hashed AS MATERIALIZED (
   SELECT doc_id,
          CAST(CAST('0x' || substr(md5(word), 1, 16) AS UBIGINT)

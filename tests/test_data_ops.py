@@ -1302,3 +1302,23 @@ def test_image_ahash_dedup_groups_identical_images(ray_session):
     assert multi
     for g in groups.values():
         assert {r["keep_id"] for r in g} == {min(r["item_id"] for r in g)}
+
+
+def test_weighted_reservoir_favors_heavy_docs(ray_session):
+    """A-ES semantic gate: the weighted sample's mean weight must
+    exceed the corpus mean (heavier docs are proportionally more
+    likely), and the draw is deterministic."""
+    import duckdb
+
+    from argo_ray.functions.sampling import weighted_reservoir_topk
+    from argo_ray.pipelines.data_queries import _docs
+
+    docs = _docs(SF_DIR, ("doc_id", "text", "n_chars"))
+    out = weighted_reservoir_topk(docs, k=50)
+    again = weighted_reservoir_topk(docs, k=50)
+    assert out.equals(again)  # deterministic draw
+    mean_w = sum(out["w"].to_pylist()) / out.num_rows
+    corpus_mean = duckdb.sql(
+        f"SELECT AVG(n_chars) AS m FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df().m[0]
+    assert mean_w > corpus_mean
