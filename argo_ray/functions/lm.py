@@ -155,3 +155,197 @@ SELECT d.doc_id,
        CAST(COALESCE(SUM(s.s), 0) AS BIGINT) AS surprisal_bits
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 GROUP BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram extension: conditional surprisal with unigram backoff — the
+# next rung of the CCNet-style ladder.  Same integer-bits determinism
+# contract as the unigram model above.
+#
+#   s(prev, w) = floor(log2 c1(prev)) - floor(log2 c2(prev, w))   (bigram seen)
+#              = 2 + floor(log2 T) - floor(log2 c1(w))            (backoff)
+#              = 2 + floor(log2 T) + 1                            (backoff, OOV)
+#
+# i.e. -log2 p(w | prev) in whole bits when the transition is known,
+# else the unigram score plus a flat 2-bit backoff penalty.  The first
+# token of each document is not scored (no predecessor).  Token
+# sequences drop '' (repeated spaces) BEFORE pairing on both sides.
+# ---------------------------------------------------------------------------
+
+BIGRAM_BACKOFF_BITS = 2
+_BIGRAM_SEP = "\x1f"
+
+
+def _bigram_partials(batch: pa.Table, text_column: str) -> pa.Table:
+    """Per-batch (prev, w, part) counts over consecutive non-empty
+    token pairs — the combiner before the single bigram groupby."""
+    import pandas as pd
+
+    toks = pc.split_pattern(
+        pc.cast(batch[text_column], pa.large_string()), pattern=" "
+    )
+    lengths = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    words = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    keep = words != ""
+    words, doc_of = words[keep], doc_of[keep]
+    if len(words) < 2:
+        return pa.table(
+            {"prev": pa.array([], pa.string()), "w": pa.array([], pa.string()),
+             "part": pa.array([], pa.int64())}
+        )
+    same = doc_of[1:] == doc_of[:-1]
+    prev, cur = words[:-1][same], words[1:][same]
+    g = (
+        pd.DataFrame({"prev": prev, "w": cur})
+        .groupby(["prev", "w"], sort=False)
+        .size()
+        .reset_index(name="part")
+    )
+    return pa.table(
+        {
+            "prev": pa.array(g["prev"], pa.string()),
+            "w": pa.array(g["w"], pa.string()),
+            "part": pa.array(g["part"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def fit_bigram_surprisal(
+    ref_ds, text_column: str = "text"
+) -> tuple[dict[str, int], dict[str, int], int]:
+    """(unigram word → count-bits table, bigram "prev␟w" → bits table,
+    total-bits T) fitted on the reference slice with TWO distributed
+    counts (unigram + bigram, each combiner → one groupby).  Collected
+    state is |vocab| + |bigrams| — bounded by the reference slice."""
+    from ray.data.aggregate import Sum
+
+    from .text import word_counts_ds
+
+    uni_rows = word_counts_ds(ref_ds, text_column).take_all()
+    uni = {r["word"]: int(r["n"]) for r in uni_rows if r["word"]}
+    total = sum(uni.values())
+    bits_t = _ilog2(total) if total else 0
+
+    bi_rows = (
+        ref_ds.map_batches(
+            lambda b: _bigram_partials(b, text_column), batch_format="pyarrow"
+        )
+        .groupby(["prev", "w"])
+        .aggregate(Sum("part", alias_name="n"))
+        .take_all()
+    )
+    uni_bits = {w: _ilog2(c) for w, c in uni.items()}
+    bi_bits = {
+        f"{r['prev']}{_BIGRAM_SEP}{r['w']}": uni_bits[r["prev"]] - _ilog2(int(r["n"]))
+        for r in bi_rows
+    }
+    return uni_bits, bi_bits, bits_t
+
+
+class BigramScorer:
+    """Actor-pool stage: per doc ``(n_transitions, n_backoff,
+    bigram_bits)`` under the broadcast bigram model (both LUTs fetched
+    once per actor)."""
+
+    def __init__(self, model_ref, text_column: str = "text"):
+        import pandas as pd
+        import ray
+
+        uni_bits, bi_bits, bits_t = (
+            ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref
+        )
+        self.uni = pd.Series(uni_bits, dtype="int64")
+        self.bi = pd.Series(bi_bits, dtype="int64")
+        self.bits_t = int(bits_t)
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern(
+            pc.cast(batch[self.text_column], pa.large_string()), pattern=" "
+        )
+        lengths = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        words = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        n_docs = len(batch)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        keep = words != ""
+        words, doc_of = words[keep], doc_of[keep]
+        if len(words) < 2:
+            z = np.zeros(n_docs, dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_transitions": pa.array(z, pa.int64()),
+                    "n_backoff": pa.array(z, pa.int64()),
+                    "bigram_bits": pa.array(z, pa.int64()),
+                }
+            )
+        same = doc_of[1:] == doc_of[:-1]
+        prev, cur, docs = words[:-1][same], words[1:][same], doc_of[1:][same]
+        keys = pd.Series(np.char.add(np.char.add(prev.astype(str), _BIGRAM_SEP),
+                                     cur.astype(str)))
+        bi = keys.map(self.bi).to_numpy(dtype="float64", na_value=np.nan)
+        backoff = np.isnan(bi)
+        uni = pd.Series(cur[backoff]).map(self.uni).to_numpy(
+            dtype="float64", na_value=np.nan
+        )
+        # backoff score: 2 + T-bits - uni-bits (OOV: 2 + T-bits + 1)
+        uni_score = BIGRAM_BACKOFF_BITS + self.bits_t - np.where(
+            np.isnan(uni), -1.0, uni
+        )
+        s = bi.copy()
+        s[backoff] = uni_score
+        bits = np.bincount(docs, weights=s, minlength=n_docs)
+        n_tr = np.bincount(docs, minlength=n_docs)
+        n_bo = np.bincount(docs[backoff], minlength=n_docs)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_transitions": pa.array(n_tr.astype(np.int64), pa.int64()),
+                "n_backoff": pa.array(n_bo.astype(np.int64), pa.int64()),
+                "bigram_bits": pa.array(bits.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def bigram_surprisal_oracle_sql(ref_lang: str = "en") -> str:
+    """Exact relational twin: ordered non-empty tokens via
+    generate_subscripts + LAG, bigram/unigram count tables, integer
+    floor-log2 CASE ladder, per-doc integer sums."""
+    return f"""WITH toks0 AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(l) AS w, unnest(generate_series(1, len(l))) AS i
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+), toks AS MATERIALIZED (
+  SELECT doc_id, lang, w, i,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM toks0 WHERE w <> ''
+), vocab AS MATERIALIZED (
+  SELECT w, CAST(floor(log2(COUNT(*))) AS BIGINT) AS ub,
+         COUNT(*) AS c
+  FROM toks WHERE lang = '{ref_lang}' GROUP BY w
+), tot AS (
+  SELECT CAST(floor(log2(SUM(c))) AS BIGINT) AS bits_t FROM vocab
+), bi AS MATERIALIZED (
+  SELECT prev, w, CAST(floor(log2(COUNT(*))) AS BIGINT) AS bb
+  FROM toks WHERE lang = '{ref_lang}' AND prev IS NOT NULL
+  GROUP BY prev, w
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN b.bb IS NOT NULL THEN 0 ELSE 1 END AS is_backoff,
+         CASE WHEN b.bb IS NOT NULL THEN vp.ub - b.bb
+              WHEN vw.ub IS NOT NULL THEN {BIGRAM_BACKOFF_BITS} + bits_t - vw.ub
+              ELSE {BIGRAM_BACKOFF_BITS} + bits_t + 1 END AS s
+  FROM toks t
+  LEFT JOIN bi b ON b.prev = t.prev AND b.w = t.w
+  LEFT JOIN vocab vp ON vp.w = t.prev
+  LEFT JOIN vocab vw ON vw.w = t.w, tot
+  WHERE t.prev IS NOT NULL
+)
+SELECT d.doc_id,
+       CAST(COALESCE(COUNT(s.doc_id), 0) AS BIGINT) AS n_transitions,
+       CAST(COALESCE(SUM(s.is_backoff), 0) AS BIGINT) AS n_backoff,
+       CAST(COALESCE(SUM(s.s), 0) AS BIGINT) AS bigram_bits
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+GROUP BY d.doc_id"""

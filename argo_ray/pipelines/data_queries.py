@@ -1490,6 +1490,30 @@ def q_docs_lm_surprisal(sf_dir: str):
     return lm_surprisal(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
+def q_docs_bigram_surprisal(sf_dir: str):
+    """Bigram LM quality scoring with unigram backoff (the next rung of
+    the CCNet ladder): fit transition counts on the lang='en' slice,
+    score every doc's conditional surprisal in integer bits —
+    order/partitioning-independent, bit-exact oracle."""
+    import ray
+
+    from ..functions.lm import BigramScorer, fit_bigram_surprisal
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang")).materialize()
+    ref = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], pa.scalar("en"))),
+        batch_format="pyarrow",
+    )
+    model = fit_bigram_surprisal(ref)
+    model_ref = ray.put(model)
+    return docs.map_batches(
+        BigramScorer,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 def q_docs_bloom_seen(sf_dir: str):
     """Bloom-filter seen-set membership over the planted-duplicate
     corpus: the filter is built from the to-be-copied originals
@@ -1538,6 +1562,7 @@ def q_docs_temperature_sample(sf_dir: str):
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
+    "docs_bigram_surprisal": q_docs_bigram_surprisal,
     "docs_bloom_seen": q_docs_bloom_seen,
     "docs_temperature_sample": q_docs_temperature_sample,
     "docs_bpe_first_merge": q_docs_bpe_first_merge,
@@ -2224,4 +2249,7 @@ from ..functions.lm import lm_surprisal_oracle_sql as _lm_oracle
 from ..functions.sampling import temperature_sample_oracle_sql as _temp_oracle
 
 DATA_ORACLES["docs_lm_surprisal"] = _lm_oracle()
+from ..functions.lm import bigram_surprisal_oracle_sql as _bigram_oracle
+
+DATA_ORACLES["docs_bigram_surprisal"] = _bigram_oracle()
 DATA_ORACLES["docs_temperature_sample"] = _temp_oracle(strata_col="lang")

@@ -1322,3 +1322,50 @@ def test_weighted_reservoir_favors_heavy_docs(ray_session):
         f"SELECT AVG(n_chars) AS m FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).df().m[0]
     assert mean_w > corpus_mean
+
+
+def test_bigram_surprisal_hand_case(ray_session):
+    """Hand-checkable bigram scoring: model fitted on one 'en' doc;
+    known transitions cost ilog2(c1(prev)) - ilog2(c2), unseen
+    transitions back off to unigram + 2 bits, unseen words to
+    bits_t + 3."""
+    import ray
+    import ray.data as rd
+
+    from argo_ray.functions.lm import BigramScorer, fit_bigram_surprisal
+
+    ref_text = "a b a b a c"  # c1: a=3 b=2 c=1, T=6; c2: ab=2 ba=2 ac=1
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [ref_text, "a b a z"],
+                "lang": ["en", "de"],
+            }
+        )
+    )
+    ref = docs.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["lang"], pa.scalar("en"))),
+        batch_format="pyarrow",
+    )
+    model = fit_bigram_surprisal(ref)
+    out = {
+        r["doc_id"]: r
+        for r in docs.map_batches(
+            BigramScorer,
+            fn_constructor_args=(ray.put(model),),
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+    }
+    # T=6 -> bits_t=2.  doc 2 transitions: a->b seen (ilog2(3)-ilog2(2)
+    # = 1-1 = 0), b->a seen (ilog2(2)-ilog2(2) = 0), a->z OOV backoff
+    # (2 + 2 + 1 = 5).  Total = 5, backoffs = 1, transitions = 3.
+    assert out[2]["n_transitions"] == 3
+    assert out[2]["n_backoff"] == 1
+    assert out[2]["bigram_bits"] == 5
+    # doc 1 (the reference itself): a->b 0, b->a 0, a->b 0, b->a 0,
+    # a->c = ilog2(3)-ilog2(1) = 1 -> total 1, no backoff
+    assert out[1]["n_transitions"] == 5
+    assert out[1]["n_backoff"] == 0
+    assert out[1]["bigram_bits"] == 1
