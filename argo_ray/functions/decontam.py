@@ -187,3 +187,19 @@ SELECT tr.doc_id,
          AS contaminated
 FROM tr LEFT JOIN ev ON tr.g = ev.g
 GROUP BY tr.doc_id"""
+
+
+class DecontaminationFilter(Decontaminator):
+    """Pass-through variant for composed pipelines: DROP contaminated
+    docs and keep every input column (``Decontaminator`` reports flags
+    instead).  Docs too short for a single n-gram are trivially clean
+    and pass through."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_of, g = _gram_hashes(batch, self.n, self.text_column, self.hasher)
+        hit = np.zeros(len(batch), dtype=bool)
+        if len(g) and len(self.grams):
+            pos = np.searchsorted(self.grams, g)
+            pos[pos == len(self.grams)] = 0
+            np.logical_or.at(hit, doc_of, self.grams[pos] == g)
+        return batch.filter(pa.array(~hit, pa.bool_()))

@@ -1514,6 +1514,78 @@ def q_docs_bigram_surprisal(sf_dir: str):
     )
 
 
+def q_docs_pretrain_pipeline(sf_dir: str):
+    """The composed pretraining-corpus flagship: quality gate (word
+    count ≥ 20 AND ≥ 1 en stopword) → exact dedup keeping the smallest
+    doc per content fingerprint → benchmark DECONTAMINATION (drop any
+    train doc sharing a word 3-gram with the doc_id%23 eval split) →
+    per-doc token budget.  Every stage is also registry-checked in
+    isolation; this query proves they compose in ONE streaming plan
+    (read once, one dedup exchange, broadcast eval grams, no
+    driver-side corpus state)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.decontam import DecontaminationFilter, collect_eval_grams
+    from ..functions.text import fingerprint_batch, quality_batch
+    from ..stages.grouping import grouped_map
+
+    docs = _docs(sf_dir, ("doc_id", "text")).materialize()  # read ONCE
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_words"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(q["n_stopwords"], pa.scalar(1, pa.int64())),
+        )
+        kept = q.filter(keep)
+        fp = fingerprint_batch(
+            kept.select(["doc_id", "text"]), hasher="md5"
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "text": pc.cast(kept["text"], pa.string()),
+                "fingerprint": fp["fingerprint"],
+                "n_tokens": pc.cast(kept["n_words"], pa.int64()),
+            }
+        )
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("doc_id", kind="mergesort")
+            .groupby("fingerprint", sort=False, observed=True)
+            .head(1)
+        )
+
+    uniq = grouped_map(gated, ["fingerprint"], keep_min)
+
+    import numpy as np
+
+    def eval_slice(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(did % 23 == 0))
+
+    def train_slice(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(did % 23 != 0))
+
+    grams_ref = ray.put(
+        collect_eval_grams(docs.map_batches(eval_slice, batch_format="pyarrow"))
+    )
+    clean = uniq.map_batches(train_slice, batch_format="pyarrow").map_batches(
+        DecontaminationFilter,
+        fn_constructor_args=(grams_ref, 3, "text", "fast"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return clean.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
 def q_docs_bloom_seen(sf_dir: str):
     """Bloom-filter seen-set membership over the planted-duplicate
     corpus: the filter is built from the to-be-copied originals
@@ -1563,6 +1635,7 @@ DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
     "docs_bigram_surprisal": q_docs_bigram_surprisal,
+    "docs_pretrain_pipeline": q_docs_pretrain_pipeline,
     "docs_bloom_seen": q_docs_bloom_seen,
     "docs_temperature_sample": q_docs_temperature_sample,
     "docs_bpe_first_merge": q_docs_bpe_first_merge,
@@ -1975,6 +2048,27 @@ SELECT doc_id,
             WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
             ELSE 'test' END AS split
 FROM uniq""",
+    "docs_pretrain_pipeline": """WITH kept AS MATERIALIZED (
+  SELECT doc_id, text, md5(lower(text)) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_filter(string_split(text, ' '),
+            w -> w IN ('a', 'and', 'for', 'in', 'is', 'it', 'of', 'that', 'the', 'to'))) >= 1
+), uniq AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+), survivors AS MATERIALIZED (
+  SELECT k.doc_id, k.n_tokens FROM kept k JOIN uniq u ON u.doc_id = k.doc_id
+), grams AS MATERIALIZED (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), ev AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0)
+SELECT s.doc_id, s.n_tokens FROM survivors s
+WHERE s.doc_id % 23 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM grams tg JOIN ev ON ev.g = tg.g WHERE tg.doc_id = s.doc_id
+  )""",
     "docs_stratified_sample": """SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
