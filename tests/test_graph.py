@@ -159,3 +159,80 @@ def test_label_propagation_components(ray_session):
     )
     one = {r["node"]: r["label"] for r in label_propagation(chain, iters=1).take_all()}
     assert one == {"a": "a", "b": "a", "c": "b", "d": "c"}
+
+
+def test_graph_ops_match_bruteforce_on_random_graphs(ray_session):
+    """Differential check on seeded random graphs: triangles vs
+    itertools brute force, label propagation vs union-find components,
+    pagerank vs the dense numpy power iteration."""
+    import itertools
+
+    from argo_ray.functions.graph import label_propagation, pagerank, triangles
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        n = 12
+        names = [f"n{i:02d}" for i in range(n)]
+        pairs = {
+            (names[a], names[b])
+            for a, b in zip(rng.randint(0, n, 30), rng.randint(0, n, 30))
+            if a != b
+        }
+        edges = sorted(pairs)
+        ds = rd.from_arrow(
+            pa.table(
+                {"src": [s for s, _ in edges], "dst": [t for _, t in edges]}
+            )
+        )
+
+        # triangles: brute force over the undirected simple graph
+        und = {frozenset(e) for e in edges}
+        nodes = sorted({x for e in und for x in e})
+        tri_count = {v: 0 for v in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (
+                frozenset((a, b)) in und
+                and frozenset((b, c)) in und
+                and frozenset((a, c)) in und
+            ):
+                for v in (a, b, c):
+                    tri_count[v] += 1
+        expect = {v: c for v, c in tri_count.items() if c}
+        got = {r["node"]: r["n_triangles"] for r in triangles(ds).take_all()}
+        assert got == expect, f"triangles seed={seed}"
+
+        # components: enough fixed rounds (n) to converge any graph of n nodes
+        parent = {v: v for v in nodes}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for e in und:
+            a, b = sorted(e)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect_lbl = {v: find(v) for v in nodes}
+        got_lbl = {
+            r["node"]: r["label"]
+            for r in label_propagation(ds, iters=n).take_all()
+        }
+        assert got_lbl == expect_lbl, f"components seed={seed}"
+
+        # pagerank vs dense reference
+        idx = {v: i for i, v in enumerate(nodes)}
+        odeg = {}
+        for s, _ in edges:
+            odeg[s] = odeg.get(s, 0) + 1
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(4):
+            nr = np.full(len(nodes), 0.15 / len(nodes))
+            for s, t in edges:
+                nr[idx[t]] += 0.85 * r[idx[s]] / odeg[s]
+            r = nr
+        got_pr = {x["node"]: x["rank"] for x in pagerank(ds, iters=4).take_all()}
+        for v in nodes:
+            assert abs(got_pr[v] - r[idx[v]]) < 1e-12, f"pagerank seed={seed} {v}"
