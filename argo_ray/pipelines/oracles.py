@@ -265,6 +265,31 @@ FROM d GROUP BY pred_value""",
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
     "kg_components": _components_sql(8),
+    "kg_sameas_canon": EXP_CTE
+    + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+alias AS (
+  SELECT subj_kind,
+         CASE WHEN subj_kind = 0 THEN replace(subj_value, 'https://kg.example.org/doc/', 'https://kb.example.org/entity/') ELSE subj_value END AS subj_value,
+         subj_lang, subj_datatype,
+         pred_kind, pred_value, pred_lang, pred_datatype,
+         obj_kind,
+         CASE WHEN obj_kind = 0 THEN replace(obj_value, 'https://kg.example.org/doc/', 'https://kb.example.org/entity/') ELSE obj_value END AS obj_value,
+         obj_lang, obj_datatype
+  FROM d
+),
+u AS (SELECT * FROM d UNION SELECT * FROM alias),
+m AS (
+  SELECT 'https://kg.example.org/doc/' || doc_id AS node, 'https://kb.example.org/entity/' || doc_id AS label
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT DISTINCT u.subj_kind,
+       COALESCE(ms.label, u.subj_value) AS subj_value, u.subj_lang, u.subj_datatype,
+       u.pred_kind, u.pred_value, u.pred_lang, u.pred_datatype,
+       u.obj_kind,
+       COALESCE(mo.label, u.obj_value) AS obj_value, u.obj_lang, u.obj_datatype
+FROM u
+LEFT JOIN m ms ON u.subj_kind = 0 AND u.subj_value = ms.node
+LEFT JOIN m mo ON u.obj_kind = 0 AND u.obj_value = mo.node""",
     "group_subject_count": EXP_CTE
     + f"""SELECT subj_kind, subj_value, COUNT(*) AS n_triples
 FROM (SELECT DISTINCT {TERM_COLS} FROM exp)

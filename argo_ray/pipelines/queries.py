@@ -10,6 +10,8 @@ operations are the documented dedup / group-by shuffles.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -366,6 +368,47 @@ def q_kg_components(sf_dir: str):
     from ..functions.graph import label_propagation
 
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
+
+
+def q_kg_sameas_canon(sf_dir: str):
+    """KG entity fusion: a second source asserts the same facts under
+    an alias namespace (kb.example.org); owl:sameAs links connect the
+    two IRIs for every doc_id %% 4 == 0 entity; canonicalization
+    (components over the sameAs set -> broadcast min-label rewrite ->
+    exact dedup) collapses the merged entities' duplicate facts while
+    non-linked entities stay distinct under both namespaces
+    (:func:`argo_ray.stages.canon.canonicalize_sameas`)."""
+    from ..stages.canon import canonicalize_sameas, rewrite_triples
+
+    KG = "https://kg.example.org/doc/"
+    KB = "https://kb.example.org/entity/"
+    base = _deduped(sf_dir).map_batches(
+        lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    )
+    alias = rewrite_triples(
+        base,
+        [RewriteRule(pattern="^" + re.escape(KG), replacement=KB,
+                     positions=("subj", "obj"))],
+        rehash=False,
+    )
+    union = base.union(alias)
+
+    def sameas_edges(b: pa.Table) -> pa.Table:
+        subj = pc.cast(b["subj_value"], pa.string())
+        is_type = pc.and_(
+            pc.equal(pc.cast(b["pred_value"], pa.string()),
+                     pa.scalar("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")),
+            pc.equal(pc.cast(b["obj_value"], pa.string()), pa.scalar(EX_NS + "Document")),
+        )
+        ents = pc.cast(b.filter(is_type)["subj_value"], pa.string())
+        ids = pc.cast(pc.utf8_slice_codeunits(ents, len(KG), 1 << 30), pa.int64())
+        keep = pc.equal(pc.bit_wise_and(ids, pa.scalar(3, pa.int64())), pa.scalar(0, pa.int64()))
+        src = ents.filter(keep) if isinstance(ents, pa.ChunkedArray) else ents.filter(keep)
+        dst = pc.replace_substring_regex(src, pattern="^" + re.escape(KG), replacement=KB)
+        return pa.table({"src": pc.cast(src, pa.string()), "dst": pc.cast(dst, pa.string())})
+
+    edges = base.map_batches(sameas_edges, batch_format="pyarrow")
+    return _finalize(canonicalize_sameas(union, edges, iters=4))
 
 
 def q_group_subject_count(sf_dir: str):
@@ -1265,6 +1308,7 @@ KG_QUERIES = {
     "kg_hits": q_kg_hits,
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
+    "kg_sameas_canon": q_kg_sameas_canon,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

@@ -189,3 +189,82 @@ def coerce_literals_batch(batch: pa.Table, pos: str = "obj") -> pa.Table:
     out = out.append_column(f"{pos}_as_float", pa.array(as_float, pa.float64(), from_pandas=True))
     out = out.append_column(f"{pos}_as_bool", pa.array(as_bool, pa.bool_(), from_pandas=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# owl:sameAs canonicalization — the entity-fusion stage of a KG build.
+# ---------------------------------------------------------------------------
+
+
+class _SameAsCanon:
+    """Actor: resolves the broadcast (node → canonical label) mapping
+    once per worker, rewrites IRI subjects/objects per batch with
+    vectorized ``index_in``/``take`` — the big triple stream never
+    shuffles for the rewrite itself."""
+
+    def __init__(self, mapping_ref):
+        import ray
+
+        m = mapping_ref if isinstance(mapping_ref, pa.Table) else ray.get(mapping_ref)
+        self.nodes = pc.cast(m["node"], pa.large_string())
+        self.labels = pc.cast(m["label"], pa.large_string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {name: batch[name] for name in batch.column_names}
+        for pos in ("subj", "obj"):
+            value = pc.cast(cols[f"{pos}_value"], pa.large_string())
+            idx = pc.index_in(value, value_set=self.nodes)
+            mapped = pc.take(self.labels, idx)
+            is_iri = pc.equal(
+                pc.cast(cols[f"{pos}_kind"], pa.int64()), pa.scalar(0, pa.int64())
+            )
+            hit = pc.and_(is_iri, pc.is_valid(mapped))
+            cols[f"{pos}_value"] = pc.if_else(hit, mapped, value)
+        return pa.table(cols)
+
+
+def canonicalize_sameas(triples_ds, sameas_ds, iters: int = 8):
+    """owl:sameAs canonicalization (KG entity fusion): connected
+    components over the ``(src, dst)`` sameAs assertion set by
+    fixed-round min-label propagation (:func:`argo_ray.functions.graph.
+    label_propagation` — the same exactly-SQL-checkable convention as
+    ``kg_components``), every IRI subject/object rewritten to its
+    component's lexicographically-minimal IRI, then exact dedup so
+    facts asserted under merged aliases collapse to one canonical
+    triple.  No reference counterpart (the reference never merges
+    terms; its equality is strict, term.go:54-60) — this is the fusion
+    step a multi-source KG build needs on top of it.
+
+    Scale shape: the sameAs graph is the assertion set (≪ the triple
+    set — only entities somebody linked), so its component mapping is
+    the classic broadcast small side: shipped once per worker via
+    ``ray.put``, resolved in ``__init__``.  The triple stream is
+    rewritten in place with zero data movement; the one exchange is the
+    skew-proof ``triple_hash`` dedup that follows.  For a sameAs set
+    too large to broadcast, the fallback is the sort-colocation merge
+    used by :mod:`argo_ray.functions.graph` (same exchange class as a
+    hash join), keyed once by subject and once by object.
+    """
+    import ray
+
+    from ..functions.graph import label_propagation
+    from .materialize import dedup_exact
+
+    mapping = label_propagation(sameas_ds, iters=iters).map_batches(
+        lambda b: b.filter(pc.not_equal(b["node"], b["label"])),
+        batch_format="pyarrow",
+    )
+    tables = ray.get(mapping.to_arrow_refs())
+    small = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+    )
+    ref = ray.put(small)
+    rewritten = triples_ds.map_batches(
+        _SameAsCanon,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"mapping_ref": ref},
+    )
+    return dedup_exact(rewritten)

@@ -98,6 +98,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     from argo_ray.pipelines.queries import (
         q_entity_link,
         q_kg_pagerank,
+        q_kg_sameas_canon,
         q_graphstore_roundtrip,
         q_group_subject_count,
         q_rdfa_extract,
@@ -127,6 +128,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_decontaminate", q_docs_decontaminate),
         ("cc_ingest_pipeline", q_cc_ingest_pipeline),
         ("kg_pagerank", q_kg_pagerank),
+        ("kg_sameas_canon", q_kg_sameas_canon),
         ("docs_dup_spans", q_docs_dup_spans),
         ("docs_dsir", q_docs_dsir),
     ]:

@@ -236,3 +236,43 @@ def test_graph_ops_match_bruteforce_on_random_graphs(ray_session):
         got_pr = {x["node"]: x["rank"] for x in pagerank(ds, iters=4).take_all()}
         for v in nodes:
             assert abs(got_pr[v] - r[idx[v]]) < 1e-12, f"pagerank seed={seed} {v}"
+
+
+def test_canonicalize_sameas_chain_merge(ray_session):
+    """A 3-IRI sameAs chain (a=b, b=c) must collapse all three aliases'
+    facts onto the minimal IRI; unlinked entities and literals are
+    untouched; duplicate facts asserted under merged aliases dedup."""
+    from argo_ray.stages.canon import canonicalize_sameas
+    from argo_ray.terms import TRIPLE_COLUMNS
+
+    A, B, C, Z = "http://x/a", "http://x/b", "http://x/c", "http://x/z"
+    P = "http://x/p"
+
+    def trip(s, o, okind=0):
+        return {
+            "subj_kind": 0, "subj_value": s, "subj_lang": "", "subj_datatype": "",
+            "pred_kind": 0, "pred_value": P, "pred_lang": "", "pred_datatype": "",
+            "obj_kind": okind, "obj_value": o, "obj_lang": "", "obj_datatype": "",
+        }
+
+    rows = [
+        trip(A, "v", okind=2),   # literal object: value never rewritten
+        trip(B, "v", okind=2),   # same fact under alias b → collapses
+        trip(C, Z),              # IRI object z unlinked, subject c → a
+        trip(Z, B),              # object b → a
+    ]
+    tbl = pa.table({k: [r[k] for r in rows] for k in TRIPLE_COLUMNS})
+    tbl = tbl.set_column(0, "subj_kind", pa.array([0, 0, 0, 0], pa.uint8())) \
+             .set_column(4, "pred_kind", pa.array([0] * 4, pa.uint8())) \
+             .set_column(8, "obj_kind", pa.array([2, 2, 0, 0], pa.uint8()))
+    triples = rd.from_arrow(tbl)
+    sameas = rd.from_arrow(pa.table({"src": [A, B], "dst": [B, C]}))
+
+    out = canonicalize_sameas(triples, sameas, iters=4)
+    got = sorted(
+        (r["subj_value"], r["obj_value"], r["obj_kind"])
+        for r in out.take_all()
+    )
+    assert got == sorted(
+        [(A, "v", 2), (A, Z, 0), (Z, A, 0)]
+    )
