@@ -265,6 +265,38 @@ FROM d GROUP BY pred_value""",
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
     "kg_components": _components_sql(8),
+    "kg_rdfs_infer": EXP_CTE
+    + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT DISTINCT * FROM (
+  SELECT * FROM d
+  UNION ALL
+  SELECT subj_kind, subj_value, '', '', CAST(0 AS BIGINT), '{RDF_TYPE}', '', '',
+         CAST(0 AS BIGINT), '{EX}' || t.super, '', ''
+  FROM d, (VALUES ('Work'), ('Thing')) t(super)
+  WHERE pred_value = '{RDF_TYPE}' AND obj_value = '{EX}Document'
+  UNION ALL
+  SELECT subj_kind, subj_value, '', '', 0, '{RDF_TYPE}', '', '',
+         0, '{EX}Annotation', '', ''
+  FROM d WHERE pred_value = '{RDF_TYPE}' AND obj_value = '{EX}Mention'
+  UNION ALL
+  SELECT subj_kind, subj_value, '', '', 0, '{RDF_TYPE}', '', '',
+         0, '{EX}CitingAgent', '', ''
+  FROM d WHERE pred_value = '{EX}cites'
+  UNION ALL
+  SELECT obj_kind, obj_value, '', '', 0, '{RDF_TYPE}', '', '',
+         0, '{EX}' || t.super, '', ''
+  FROM d, (VALUES ('Work'), ('Thing')) t(super)
+  WHERE pred_value = '{EX}cites' AND obj_kind <> 2
+  UNION ALL
+  SELECT subj_kind, subj_value, '', '', 0, '{RDF_TYPE}', '', '',
+         0, '{EX}Titled', '', ''
+  FROM d WHERE pred_value = '{DC}title'
+  UNION ALL
+  SELECT subj_kind, subj_value, subj_lang, subj_datatype,
+         0, 'http://www.w3.org/2000/01/rdf-schema#label', '', '',
+         obj_kind, obj_value, obj_lang, obj_datatype
+  FROM d WHERE pred_value = '{EX}label'
+)""",
     "kg_sameas_canon": EXP_CTE
     + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
 alias AS (

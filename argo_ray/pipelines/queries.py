@@ -411,6 +411,45 @@ def q_kg_sameas_canon(sf_dir: str):
     return _finalize(canonicalize_sameas(union, edges, iters=4))
 
 
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+
+
+def _kg_schema() -> pa.Table:
+    """The inline TBox for the extracted KG: class chain Document <
+    Work < Thing, Mention < Annotation, domains/ranges for cites and
+    dc:title, ex:label < rdfs:label."""
+    rows = [
+        (EX_NS + "Document", RDFS_NS + "subClassOf", EX_NS + "Work"),
+        (EX_NS + "Work", RDFS_NS + "subClassOf", EX_NS + "Thing"),
+        (EX_NS + "Mention", RDFS_NS + "subClassOf", EX_NS + "Annotation"),
+        (EX_NS + "cites", RDFS_NS + "domain", EX_NS + "CitingAgent"),
+        (EX_NS + "cites", RDFS_NS + "range", EX_NS + "Work"),
+        (DC_NS + "title", RDFS_NS + "domain", EX_NS + "Titled"),
+        (EX_NS + "label", RDFS_NS + "subPropertyOf", RDFS_NS + "label"),
+    ]
+    return pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array([r[1] for r in rows], pa.string()),
+            "o": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def q_kg_rdfs_infer(sf_dir: str):
+    """RDFS forward chaining over the extracted KG under the inline
+    TBox (:mod:`argo_ray.stages.reason`): one broadcast-LUT entailment
+    pass (closures pre-composed driver-side) + the skew-proof dedup —
+    subclass chains, domain/range typing and subproperty lifting all
+    land in one exchange."""
+    from ..stages.reason import rdfs_infer
+
+    base = _deduped(sf_dir).map_batches(
+        lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    )
+    return _finalize(rdfs_infer(base, _kg_schema()))
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -1309,6 +1348,7 @@ KG_QUERIES = {
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
     "kg_sameas_canon": q_kg_sameas_canon,
+    "kg_rdfs_infer": q_kg_rdfs_infer,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

@@ -276,3 +276,52 @@ def test_canonicalize_sameas_chain_merge(ray_session):
     assert got == sorted(
         [(A, "v", 2), (A, Z, 0), (Z, A, 0)]
     )
+
+
+def test_rdfs_infer_closure_composition(ray_session):
+    """subPropertyOf chain p < q < r where r carries the domain and a
+    2-level class chain above it: one pass must still reach the
+    fixpoint (closures pre-composed), and rdfs3 must skip literal
+    objects."""
+    from argo_ray.stages.reason import RDF_TYPE, RDFS_NS, rdfs_infer
+    from argo_ray.terms import TRIPLE_COLUMNS
+
+    X = "http://x/"
+    schema = pa.table(
+        {
+            "s": [X + "p", X + "q", X + "A", X + "r", X + "r"],
+            "p": [
+                RDFS_NS + "subPropertyOf",
+                RDFS_NS + "subPropertyOf",
+                RDFS_NS + "subClassOf",
+                RDFS_NS + "domain",
+                RDFS_NS + "range",
+            ],
+            "o": [X + "q", X + "r", X + "B", X + "A", X + "A"],
+        }
+    )
+
+    def trip(s, p, o, okind):
+        return {
+            "subj_kind": 0, "subj_value": s, "subj_lang": "", "subj_datatype": "",
+            "pred_kind": 0, "pred_value": p, "pred_lang": "", "pred_datatype": "",
+            "obj_kind": okind, "obj_value": o, "obj_lang": "", "obj_datatype": "",
+        }
+
+    rows = [trip(X + "s1", X + "p", X + "o1", 0), trip(X + "s2", X + "p", "lit", 2)]
+    tbl = pa.table({k: [r[k] for r in rows] for k in TRIPLE_COLUMNS})
+    out = rdfs_infer(rd.from_arrow(tbl), schema)
+    got = {
+        (r["subj_value"], r["pred_value"], r["obj_value"]) for r in out.take_all()
+    }
+    # asserted + lifted to q and r; s1/s2 typed A and B (domain of r via
+    # chain, class closure); o1 typed A and B (range, non-literal only)
+    expect = {
+        (X + "s1", X + "p", X + "o1"), (X + "s2", X + "p", "lit"),
+        (X + "s1", X + "q", X + "o1"), (X + "s2", X + "q", "lit"),
+        (X + "s1", X + "r", X + "o1"), (X + "s2", X + "r", "lit"),
+        (X + "s1", RDF_TYPE, X + "A"), (X + "s1", RDF_TYPE, X + "B"),
+        (X + "s2", RDF_TYPE, X + "A"), (X + "s2", RDF_TYPE, X + "B"),
+        (X + "o1", RDF_TYPE, X + "A"), (X + "o1", RDF_TYPE, X + "B"),
+    }
+    assert got == expect
