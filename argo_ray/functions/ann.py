@@ -454,3 +454,117 @@ def kmeans_clusters(
 
     assign_ds = embeddings_ds.map_batches(assign_batch, batch_format="pyarrow")
     return assign_ds, cent, objective
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup inside
+# embedding clusters — drop a vector when a smaller-id vector in the
+# same cluster is closer than the cosine threshold.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(embeddings_ds, threshold: float = 0.9, group_col: str = "label",
+             shards: int | None = None):
+    """Per-cluster semantic dedup: ``kept(v) = ¬∃ u : cluster(u) =
+    cluster(v) ∧ id(u) < id(v) ∧ cos(u, v) > threshold`` (the
+    one-pass, SQL-EXISTS-exact convention; the paper's greedy
+    keep-one-per-ball differs only on chains and needs a sequential
+    pass).  Returns ``(vec_id, cluster, kept)`` for every input row.
+
+    ``group_col`` is the cluster assignment — any column: a k-means
+    assignment (compose with :func:`kmeans_clusters`, pinned in tests),
+    an LSH bucket, or a planted label.  Scale shape: within-cluster
+    all-pairs distributes over ~shards²/2 independent blocks via
+    :func:`argo_ray.functions.dedup.explode_shard_pairs` (hot clusters
+    split), drop marks are id-only rows, and the final kept-vote is one
+    groupby over ids — the embedding payload never re-shuffles."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.dedup import explode_shard_pairs
+    from ..io import shuffle_partitions
+    from ..stages.grouping import grouped_map
+
+    if shards is None:
+        shards = min(8, shuffle_partitions())
+
+    sharded = embeddings_ds.map_batches(
+        lambda b: explode_shard_pairs(b, "vec_id", shards), batch_format="pyarrow"
+    )
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "drop": pd.Series([], dtype="int64"),
+            }
+        )
+        sa, sb = int(g["_sa"].iloc[0]), int(g["_sb"].iloc[0])
+        cluster = int(g[group_col].iloc[0])
+        if sa == sb:
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = _normalize(
+                np.asarray(list(g["embedding"].to_numpy()[order]), dtype=np.float64)
+            )
+            s = m @ m.T
+            hit = np.triu(s > threshold, k=1).any(axis=0)  # col j: ∃ i<j
+            dropped = ids[hit]
+        else:
+            left, right = g[g["_shard"] == sa], g[g["_shard"] == sb]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            ids_a = left["vec_id"].to_numpy(dtype=np.int64)
+            ids_b = right["vec_id"].to_numpy(dtype=np.int64)
+            ma = _normalize(np.asarray(list(left["embedding"].to_numpy()), dtype=np.float64))
+            mb = _normalize(np.asarray(list(right["embedding"].to_numpy()), dtype=np.float64))
+            s = ma @ mb.T
+            ia, ib = np.nonzero(s > threshold)
+            dropped = np.maximum(ids_a[ia], ids_b[ib])  # larger id loses
+        if len(dropped) == 0:
+            return empty
+        dropped = np.unique(dropped)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dropped, dtype="int64"),
+                "cluster": pd.Series([cluster] * len(dropped), dtype="int64"),
+                "drop": pd.Series([1] * len(dropped), dtype="int64"),
+            }
+        )
+
+    marks = grouped_map(sharded, [group_col, "_sa", "_sb"], drops).map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "cluster": pc.cast(b["cluster"], pa.int64()),
+                "drop": pc.cast(b["drop"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ids = embeddings_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "cluster": pc.cast(b[group_col], pa.int64()),
+                "drop": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        ids.union(marks)
+        .groupby("vec_id")
+        .aggregate(Max("cluster", alias_name="cluster"), Sum("drop", alias_name="_d"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                    "cluster": pc.cast(b["cluster"], pa.int64()),
+                    "kept": pc.equal(pc.cast(b["_d"], pa.int64()), pa.scalar(0, pa.int64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

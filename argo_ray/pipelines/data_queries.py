@@ -880,6 +880,18 @@ def q_embeddings_kmeans(sf_dir: str):
     )
 
 
+def q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the planted corpus with the
+    label column as the cluster assignment (SQL-reconstructible, so the
+    oracle is exact; the k-means-assigned composition is pinned in
+    tests): keep a vector unless a smaller-id same-cluster vector sits
+    above 0.9 cosine — the planted exact duplicates are the guaranteed
+    drops (:func:`argo_ray.functions.ann.semdedup`)."""
+    from ..functions.ann import semdedup
+
+    return semdedup(_planted_embeddings(sf_dir), threshold=0.9, group_col="label")
+
+
 DSIR_BUCKETS = 64
 
 
@@ -1684,6 +1696,7 @@ DATA_QUERIES = {
     "parts_cooccur_triangles": q_parts_cooccur_triangles,
     "parts_pair_lift": q_parts_pair_lift,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "embeddings_semdedup": q_embeddings_semdedup,
     "docs_heavy_hitters": q_docs_heavy_hitters,
     "docs_cms_counts": q_docs_cms_counts,
     "events_hll_users": q_events_hll_users,
@@ -2236,6 +2249,13 @@ GROUP BY n.n_name""",
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "embeddings_semdedup": _PLANTED_EMB_CTE
+    + """SELECT c.vec_id, CAST(c.label AS BIGINT) AS cluster, NOT EXISTS (
+  SELECT 1 FROM corpus o
+  WHERE o.label = c.label AND o.vec_id < c.vec_id
+    AND list_cosine_similarity(o.embedding, c.embedding) > 0.9
+) AS kept
+FROM corpus c""",
     "embeddings_kmeans": """SELECT CAST(c AS BIGINT) AS cluster, true AS nonempty,
        true AS objective_monotone
 FROM generate_series(0, 3) t(c)""",

@@ -1369,3 +1369,46 @@ def test_bigram_surprisal_hand_case(ray_session):
     assert out[1]["n_transitions"] == 5
     assert out[1]["n_backoff"] == 0
     assert out[1]["bigram_bits"] == 1
+
+
+def test_semdedup_kmeans_composition_matches_bruteforce(ray_session):
+    """SemDeDup composed with the k-means assignment must equal the
+    local brute-force rule: drop v iff a smaller-id same-cluster vector
+    exceeds the cosine threshold (chain semantics included: c drops
+    because of an already-dropped b)."""
+    import duckdb
+    import ray.data as rd
+
+    from argo_ray.functions.ann import _normalize, kmeans_clusters, semdedup
+    from conftest import SF_DIR
+
+    emb = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 200"
+        )
+        .arrow()
+    )
+    assign_ds, _c, _o = kmeans_clusters(rd.from_arrow(emb), k=3, iters=3)
+    assign_df = assign_ds.to_pandas()
+    with_cluster = emb.to_pandas().merge(assign_df[["vec_id", "cluster"]], on="vec_id")
+    out = semdedup(
+        rd.from_pandas(with_cluster), threshold=0.3, group_col="cluster"
+    ).to_pandas()
+    got = dict(zip(out["vec_id"], out["kept"]))
+
+    ids = emb.column("vec_id").to_pylist()
+    m = _normalize(
+        np.asarray([list(x) for x in emb.column("embedding").to_pylist()],
+                   dtype=np.float64)
+    )
+    asn = dict(zip(assign_ds.to_pandas()["vec_id"], assign_ds.to_pandas()["cluster"]))
+    s = m @ m.T
+    for j, vj in enumerate(ids):
+        expect = not any(
+            s[i, j] > 0.3 and asn[ids[i]] == asn[vj]
+            for i in range(j)
+        )
+        assert got[vj] == expect, vj
+    assert not all(out["kept"])  # the fixture does contain near-dups
