@@ -548,3 +548,30 @@ FROM docs WHERE doc_id % 7 = 0""",
          CAST(0 AS BIGINT), '{EX}patchedBy', '', '',
          CAST(2 AS BIGINT), 'sparql-update', '', '')""",
 }
+
+
+def _delta_sql() -> str:
+    """kg_delta oracle: re-instantiate the expected-triples CTE body
+    twice over two doc filters (old crawl = doc_id%3<>2, recrawl =
+    doc_id%3<>0), then the two distinct-set EXCEPTs tagged del/add."""
+    body = _EXP_PART.rstrip()
+    assert body.endswith(")")
+    body = body[:-1]
+    return (
+        _DOCS_PART
+        + "docs_old AS (SELECT * FROM docs WHERE doc_id % 3 <> 2),\n"
+        + "docs_new AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),\n"
+        + "exp_old AS ("
+        + body.replace("FROM docs", "FROM docs_old")
+        + "),\nexp_new AS ("
+        + body.replace("FROM docs", "FROM docs_new")
+        + f"""),
+d_old AS (SELECT DISTINCT {TERM_COLS} FROM exp_old),
+d_new AS (SELECT DISTINCT {TERM_COLS} FROM exp_new)
+SELECT 'del' AS op, * FROM (SELECT * FROM d_old EXCEPT SELECT * FROM d_new)
+UNION ALL
+SELECT 'add' AS op, * FROM (SELECT * FROM d_new EXCEPT SELECT * FROM d_old)"""
+    )
+
+
+ORACLES["kg_delta"] = _delta_sql()

@@ -1328,6 +1328,47 @@ def q_graphstore_patch(sf_dir: str):
     return _finalize(ray.data.from_arrow(store.get(graph_uri)))
 
 
+def q_kg_delta(sf_dir: str):
+    """KG maintenance: snapshot diff between two KG builds.  The "old"
+    build extracts from the pages of docs with doc_id % 3 != 2 (the
+    previous crawl); the "new" build from docs with doc_id % 3 != 0
+    (the recrawl — one third of pages gone, one third newly
+    discovered).  ``graph_delta`` tags each triple present in exactly
+    one snapshot with op='del'/'add' via one triple-hash sort exchange
+    (:func:`argo_ray.stages.materialize.graph_delta`).  No reference
+    counterpart — argo has no graph-version notion."""
+    from ..pages import synth_pages_batch
+    from ..stages.materialize import graph_delta
+    from ..io import read_table
+
+    def snapshot(drop_mod: int):
+        def keep(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64())
+            three = pa.scalar(3, pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, three), three))
+            return b.filter(pc.not_equal(mod, pa.scalar(drop_mod, pa.int64())))
+
+        return (
+            read_table(sf_dir, "documents")
+            .map_batches(keep, batch_format="pyarrow")
+            .map_batches(synth_pages_batch, batch_format="pyarrow")
+            .map_batches(extract_rdfa_batch, batch_format="pyarrow")
+        )
+
+    delta = graph_delta(snapshot(2), snapshot(0))
+
+    def cast_kinds(b: pa.Table) -> pa.Table:
+        cols = {"op": b["op"]}
+        for name in TRIPLE_COLUMNS:
+            col = b[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            cols[name] = col
+        return pa.table(cols)
+
+    return delta.map_batches(cast_kinds, batch_format="pyarrow")
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1391,4 +1432,5 @@ KG_QUERIES = {
     "sparql_bind_eval": q_sparql_bind_eval,
     "sparql_bound_filter_eval": q_sparql_bound_filter_eval,
     "graphstore_patch": q_graphstore_patch,
+    "kg_delta": q_kg_delta,
 }

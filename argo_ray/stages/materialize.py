@@ -174,3 +174,59 @@ def group_by_subject(ds, render_fn, num_salts: int = 0, batch_format: str = "pan
         key = "subject_hash"
 
     return grouped_map(ds, key, render_fn, batch_format=batch_format)
+
+
+def graph_delta(old_ds, new_ds):
+    """Snapshot diff between two triple sets — the KG-maintenance
+    primitive (recrawl vs previous build): rows of ``op`` ('add' |
+    'del') + the 12 term columns.  No reference counterpart (the
+    reference has no notion of graph versions); semantics are the two
+    SQL EXCEPTs over the distinct sets.
+
+    ONE exchange: both sides project to the term columns with a side
+    tag, union, sort on the skew-proof ``triple_hash`` (identical
+    triples of both sides co-locate in one block), then a vectorized
+    per-block groupby emits triples present on exactly one side.
+    Within-batch combiners dedup each side before the shuffle."""
+
+    def prep(tag: int):
+        def fn(b: pa.Table) -> pa.Table:
+            out = b.select(TRIPLE_COLUMNS)
+            out = _dedup_within_batch(out)
+            out = append_triple_hash(out)
+            return out.append_column("_side", pa.array([tag] * out.num_rows, pa.int64()))
+
+        return fn
+
+    both = old_ds.map_batches(prep(1), batch_format="pyarrow").union(
+        new_ds.map_batches(prep(2), batch_format="pyarrow")
+    )
+
+    def diff_block(df):
+        import pandas as pd
+
+        cols = ["op"] + list(TRIPLE_COLUMNS)
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(
+                        [], dtype="int64" if c.endswith("_kind") else "object"
+                    )
+                    for c in cols
+                }
+            )
+        g = (
+            df.groupby(list(TRIPLE_COLUMNS), sort=False, dropna=False)["_side"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        only_old = g[(g["min"] == 1) & (g["max"] == 1)].copy()
+        only_new = g[(g["min"] == 2) & (g["max"] == 2)].copy()
+        only_old["op"] = "del"
+        only_new["op"] = "add"
+        out = pd.concat([only_old, only_new], ignore_index=True)
+        return out[cols]
+
+    return both.sort(DEDUP_KEY).map_batches(
+        diff_block, batch_format="pandas", batch_size=None
+    )

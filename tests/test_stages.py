@@ -330,3 +330,32 @@ def test_late_events_watermark(ray_session):
     assert [(r["event_id"], str(r["watermark_ts"])) for r in out] == [
         (3, "2024-01-01 10:30:00")
     ]
+
+
+def test_graph_delta_hand_case(ray_session):
+    import ray.data as rd
+
+    from argo_ray.stages.materialize import graph_delta
+    from argo_ray.terms import IRI, Literal
+
+    ex = "http://example.org/"
+
+    def trip(n, o):
+        return (IRI(ex + n), IRI(ex + "p"), Literal(o))
+
+    old = rd.from_arrow(
+        triples_to_table([trip("a", "1"), trip("b", "2"), trip("b", "2")],
+                         with_hash=False)
+    )
+    new = rd.from_arrow(
+        triples_to_table([trip("b", "2"), trip("c", "3")], with_hash=False)
+    )
+    out = graph_delta(old, new).take_all()
+    got = sorted((r["op"], r["subj_value"], r["obj_value"]) for r in out)
+    # b survives (in both, old duplicate collapsed); a deleted; c added
+    assert got == [("add", ex + "c", "3"), ("del", ex + "a", "1")]
+
+    # empty delta: identical snapshots
+    same = rd.from_arrow(triples_to_table([trip("a", "1")], with_hash=False))
+    same2 = rd.from_arrow(triples_to_table([trip("a", "1")], with_hash=False))
+    assert graph_delta(same, same2).count() == 0
