@@ -575,3 +575,40 @@ SELECT 'add' AS op, * FROM (SELECT * FROM d_new EXCEPT SELECT * FROM d_old)"""
 
 
 ORACLES["kg_delta"] = _delta_sql()
+
+
+def _qa_report_sql() -> str:
+    """kg_qa_report oracle: distinct (metric, value) pairs over the
+    distinct triple set, counted per metric (chr(31) joins mirror the
+    Ray side's \\x1f separator)."""
+    j = " || chr(31) || "
+    full = j.join(
+        f"CAST({c.strip()} AS VARCHAR)"
+        for c in TERM_COLS.replace("\n", " ").split(",")
+    )
+    subj = f"CAST(subj_kind AS VARCHAR){j}subj_value"
+    lit = f"obj_value{j}obj_lang{j}obj_datatype"
+    return (
+        EXP_CTE
+        + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+pairs AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'n_triples' AS metric, {full} AS value FROM d
+    UNION ALL SELECT 'n_subjects', {subj} FROM d
+    UNION ALL SELECT 'n_predicates', pred_value FROM d
+    UNION ALL SELECT 'n_iri_entities', subj_value FROM d WHERE subj_kind = 0
+    UNION ALL SELECT 'n_iri_entities', obj_value FROM d WHERE obj_kind = 0
+    UNION ALL SELECT 'n_bnodes', subj_value FROM d WHERE subj_kind = 1
+    UNION ALL SELECT 'n_bnodes', obj_value FROM d WHERE obj_kind = 1
+    UNION ALL SELECT 'n_literals', {lit} FROM d WHERE obj_kind = 2
+    UNION ALL SELECT 'n_lang_literals', {lit} FROM d WHERE obj_kind = 2 AND obj_lang <> ''
+    UNION ALL SELECT 'n_typed_literals', {lit} FROM d WHERE obj_kind = 2 AND obj_datatype <> ''
+    UNION ALL SELECT 'n_typed_subjects', {subj} FROM d WHERE pred_value = '{RDF_TYPE}'
+    UNION ALL SELECT 'n_classes', obj_value FROM d WHERE pred_value = '{RDF_TYPE}'
+  )
+)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY metric"""
+    )
+
+
+ORACLES["kg_qa_report"] = _qa_report_sql()

@@ -1369,6 +1369,96 @@ def q_kg_delta(sf_dir: str):
     return delta.map_batches(cast_kinds, batch_format="pyarrow")
 
 
+def q_kg_qa_report(sf_dir: str):
+    """KG QA report: the distinct-count health metrics a KG build
+    publishes (triples, subjects, predicates, IRI entities, bnodes,
+    literal inventory, typing coverage).  ONE vectorized scatter pass
+    over the distinct triple set emits (metric, value) pairs, one
+    distinct exchange dedups them globally, then per-block partial
+    counts + a 10-key groupby sum produce the report — shuffle volume
+    = distinct pairs, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.materialize import distinct_rows
+    from ..terms import RDF_TYPE
+
+    SEP = pa.scalar("\x1f", pa.large_string())
+
+    def pairs(b: pa.Table) -> pa.Table:
+        def ls(name):
+            return pc.cast(b[name], pa.large_string())
+
+        def join(*arrs):
+            return pc.binary_join_element_wise(*arrs, SEP)
+
+        subj_kind = pc.cast(b["subj_kind"], pa.int64())
+        obj_kind = pc.cast(b["obj_kind"], pa.int64())
+        sv, pv, ov = ls("subj_value"), ls("pred_value"), ls("obj_value")
+        full = join(
+            ls("subj_kind"), sv, ls("subj_lang"), ls("subj_datatype"),
+            ls("pred_kind"), pv, ls("pred_lang"), ls("pred_datatype"),
+            ls("obj_kind"), ov, ls("obj_lang"), ls("obj_datatype"),
+        )
+        subj = join(ls("subj_kind"), sv)
+        lit = join(ov, ls("obj_lang"), ls("obj_datatype"))
+
+        is_lit = pc.equal(obj_kind, pa.scalar(2, pa.int64()))
+        is_type = pc.equal(pv, pa.scalar(RDF_TYPE, pa.large_string()))
+        nonempty = lambda name: pc.not_equal(ls(name), pa.scalar("", pa.large_string()))
+
+        out = []
+
+        def emit(name, arr, mask=None):
+            if mask is not None:
+                arr = arr.filter(mask)
+            out.append(
+                pa.table(
+                    {
+                        "metric": pa.array([name] * len(arr), pa.large_string()),
+                        "value": arr,
+                    }
+                )
+            )
+
+        emit("n_triples", full)
+        emit("n_subjects", subj)
+        emit("n_predicates", pv)
+        emit("n_iri_entities", sv, pc.equal(subj_kind, pa.scalar(0, pa.int64())))
+        emit("n_iri_entities", ov, pc.equal(obj_kind, pa.scalar(0, pa.int64())))
+        emit("n_bnodes", sv, pc.equal(subj_kind, pa.scalar(1, pa.int64())))
+        emit("n_bnodes", ov, pc.equal(obj_kind, pa.scalar(1, pa.int64())))
+        emit("n_literals", lit, is_lit)
+        emit("n_lang_literals", lit, pc.and_(is_lit, nonempty("obj_lang")))
+        emit("n_typed_literals", lit, pc.and_(is_lit, nonempty("obj_datatype")))
+        emit("n_typed_subjects", subj, is_type)
+        emit("n_classes", ov, is_type)
+        return pa.concat_tables(out)
+
+    uniq = distinct_rows(
+        _deduped(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        ["metric", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        counted = (
+            pa.table({"metric": pc.cast(b["metric"], pa.string())})
+            .group_by("metric")
+            .aggregate([("metric", "count")])
+        )
+        return pa.table(
+            {
+                "metric": pc.cast(counted["metric"], pa.string()),
+                "part": pc.cast(counted["metric_count"], pa.int64()),
+            }
+        )
+
+    return (
+        uniq.map_batches(partial, batch_format="pyarrow")
+        .groupby("metric")
+        .aggregate(Sum("part", alias_name="n"))
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1433,4 +1523,5 @@ KG_QUERIES = {
     "sparql_bound_filter_eval": q_sparql_bound_filter_eval,
     "graphstore_patch": q_graphstore_patch,
     "kg_delta": q_kg_delta,
+    "kg_qa_report": q_kg_qa_report,
 }
