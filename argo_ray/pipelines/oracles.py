@@ -577,6 +577,23 @@ SELECT 'add' AS op, * FROM (SELECT * FROM d_new EXCEPT SELECT * FROM d_old)"""
 ORACLES["kg_delta"] = _delta_sql()
 
 
+def _snapshot_sql(keep_filter: str) -> str:
+    """Distinct expected triples of one crawl generation (kg_delta_apply
+    oracle: applying the delta to the old store must yield exactly the
+    recrawl's build)."""
+    body = _EXP_PART.rstrip()[:-1]
+    return (
+        _DOCS_PART
+        + f"docs_gen AS (SELECT * FROM docs WHERE {keep_filter}),\n"
+        + "exp_gen AS ("
+        + body.replace("FROM docs", "FROM docs_gen")
+        + f")\nSELECT DISTINCT {TERM_COLS} FROM exp_gen"
+    )
+
+
+ORACLES["kg_delta_apply"] = _snapshot_sql("doc_id % 3 <> 0")
+
+
 def _qa_report_sql() -> str:
     """kg_qa_report oracle: distinct (metric, value) pairs over the
     distinct triple set, counted per metric (chr(31) joins mirror the

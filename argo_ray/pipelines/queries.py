@@ -1328,6 +1328,28 @@ def q_graphstore_patch(sf_dir: str):
     return _finalize(ray.data.from_arrow(store.get(graph_uri)))
 
 
+def _crawl_snapshot(sf_dir: str, drop_mod: int):
+    """Extracted triples of one synthetic crawl generation: the pages
+    of every doc with doc_id % 3 != drop_mod (each generation drops a
+    different third of the corpus — old crawl drop_mod=2, recrawl
+    drop_mod=0)."""
+    from ..io import read_table
+    from ..pages import synth_pages_batch
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        three = pa.scalar(3, pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, three), three))
+        return b.filter(pc.not_equal(mod, pa.scalar(drop_mod, pa.int64())))
+
+    return (
+        read_table(sf_dir, "documents")
+        .map_batches(keep, batch_format="pyarrow")
+        .map_batches(synth_pages_batch, batch_format="pyarrow")
+        .map_batches(extract_rdfa_batch, batch_format="pyarrow")
+    )
+
+
 def q_kg_delta(sf_dir: str):
     """KG maintenance: snapshot diff between two KG builds.  The "old"
     build extracts from the pages of docs with doc_id % 3 != 2 (the
@@ -1337,25 +1359,11 @@ def q_kg_delta(sf_dir: str):
     one snapshot with op='del'/'add' via one triple-hash sort exchange
     (:func:`argo_ray.stages.materialize.graph_delta`).  No reference
     counterpart — argo has no graph-version notion."""
-    from ..pages import synth_pages_batch
     from ..stages.materialize import graph_delta
-    from ..io import read_table
 
-    def snapshot(drop_mod: int):
-        def keep(b: pa.Table) -> pa.Table:
-            ids = pc.cast(b["doc_id"], pa.int64())
-            three = pa.scalar(3, pa.int64())
-            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, three), three))
-            return b.filter(pc.not_equal(mod, pa.scalar(drop_mod, pa.int64())))
-
-        return (
-            read_table(sf_dir, "documents")
-            .map_batches(keep, batch_format="pyarrow")
-            .map_batches(synth_pages_batch, batch_format="pyarrow")
-            .map_batches(extract_rdfa_batch, batch_format="pyarrow")
-        )
-
-    delta = graph_delta(snapshot(2), snapshot(0))
+    delta = graph_delta(
+        _crawl_snapshot(sf_dir, drop_mod=2), _crawl_snapshot(sf_dir, drop_mod=0)
+    )
 
     def cast_kinds(b: pa.Table) -> pa.Table:
         cols = {"op": b["op"]}
@@ -1367,6 +1375,34 @@ def q_kg_delta(sf_dir: str):
         return pa.table(cols)
 
     return delta.map_batches(cast_kinds, batch_format="pyarrow")
+
+
+def q_kg_delta_apply(sf_dir: str):
+    """Incremental KG maintenance end-to-end: the OLD crawl's build is
+    written to the dictionary-encoded Parquet store, the add/del delta
+    vs the recrawl is computed (:func:`graph_delta`), applied to the
+    STORED graph (:func:`apply_delta` — del = co-located anti-join,
+    add = union, one triple-hash exchange), and the updated graph is
+    returned.  Must equal the recrawl's distinct triple set exactly
+    (the oracle), proving a recrawl needs only delta-sized work against
+    the standing store, never a full rebuild."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sinks.parquet_store import decode_store, write_store
+    from ..stages.materialize import apply_delta, dedup_exact, graph_delta
+
+    out = (
+        "/tmp/argo_delta_apply/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_store(dedup_exact(_crawl_snapshot(sf_dir, drop_mod=2)), out)
+    stored = decode_store(out)
+    delta = graph_delta(stored, _crawl_snapshot(sf_dir, drop_mod=0))
+    return _finalize(apply_delta(decode_store(out), delta))
 
 
 def q_kg_qa_report(sf_dir: str):
@@ -1524,4 +1560,5 @@ KG_QUERIES = {
     "graphstore_patch": q_graphstore_patch,
     "kg_delta": q_kg_delta,
     "kg_qa_report": q_kg_qa_report,
+    "kg_delta_apply": q_kg_delta_apply,
 }

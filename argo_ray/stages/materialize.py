@@ -230,3 +230,65 @@ def graph_delta(old_ds, new_ds):
     return both.sort(DEDUP_KEY).map_batches(
         diff_block, batch_format="pandas", batch_size=None
     )
+
+
+def apply_delta(base_ds, delta_ds):
+    """Apply a :func:`graph_delta` result to a base triple set: 'del'
+    rows drop their matching triples, 'add' rows append.  Same
+    ONE-exchange shape as the diff itself — base rows tag 0, delta
+    rows tag 1 (del) / 2 (add), union, triple-hash sort co-locates a
+    triple's every row, then a vectorized per-block resolution keeps
+    (base and not deleted) or added triples."""
+
+    def prep_base(b: pa.Table) -> pa.Table:
+        out = b.select(TRIPLE_COLUMNS)
+        out = _dedup_within_batch(out)
+        out = append_triple_hash(out)
+        return out.append_column(
+            "_dtag", pa.array([0] * out.num_rows, pa.int64())
+        )
+
+    def prep_delta(b: pa.Table) -> pa.Table:
+        tag = pc.if_else(
+            pc.equal(pc.cast(b["op"], pa.string()), pa.scalar("del")),
+            pa.scalar(1, pa.int64()),
+            pa.scalar(2, pa.int64()),
+        )
+        out = b.select(TRIPLE_COLUMNS)
+        out = append_triple_hash(out)
+        return out.append_column("_dtag", pc.cast(tag, pa.int64()))
+
+    both = base_ds.map_batches(prep_base, batch_format="pyarrow").union(
+        delta_ds.map_batches(prep_delta, batch_format="pyarrow")
+    )
+
+    def resolve_block(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(
+                        [], dtype="int64" if c.endswith("_kind") else "object"
+                    )
+                    for c in TRIPLE_COLUMNS
+                }
+            )
+        df = df.assign(
+            _base=df["_dtag"] == 0,
+            _del=df["_dtag"] == 1,
+            _add=df["_dtag"] == 2,
+        )
+        g = (
+            df.groupby(list(TRIPLE_COLUMNS), sort=False, dropna=False)[
+                ["_base", "_del", "_add"]
+            ]
+            .max()
+            .reset_index()
+        )
+        keep = (g["_base"] & ~g["_del"]) | g["_add"]
+        return g.loc[keep, list(TRIPLE_COLUMNS)]
+
+    return both.sort(DEDUP_KEY).map_batches(
+        resolve_block, batch_format="pandas", batch_size=None
+    )

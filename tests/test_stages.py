@@ -359,3 +359,24 @@ def test_graph_delta_hand_case(ray_session):
     same = rd.from_arrow(triples_to_table([trip("a", "1")], with_hash=False))
     same2 = rd.from_arrow(triples_to_table([trip("a", "1")], with_hash=False))
     assert graph_delta(same, same2).count() == 0
+
+
+def test_apply_delta_inverts_graph_delta(ray_session):
+    import ray.data as rd
+
+    from argo_ray.stages.materialize import apply_delta, graph_delta
+    from argo_ray.terms import IRI, Literal
+
+    ex = "http://example.org/"
+
+    def trip(n, o):
+        return (IRI(ex + n), IRI(ex + "p"), Literal(o))
+
+    def ds(*rows):
+        return rd.from_arrow(triples_to_table(list(rows), with_hash=False))
+
+    old = ds(trip("a", "1"), trip("b", "2"))
+    new = ds(trip("b", "2"), trip("c", "3"))
+    applied = apply_delta(old, graph_delta(old, new)).take_all()
+    got = sorted((r["subj_value"], r["obj_value"]) for r in applied)
+    assert got == [(ex + "b", "2"), (ex + "c", "3")]
