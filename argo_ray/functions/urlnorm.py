@@ -1,0 +1,74 @@
+"""URL canonicalization — the normalization pass a web-crawl corpus
+runs before URL-keyed dedup (cf. the crawl-recency dedup in
+pipelines/data_queries.py::q_pages_url_dedup, which assumes already-
+canonical URLs).
+
+Rules (applied in order, all RE2 regexes so the DuckDB oracle mirrors
+them literally):
+
+1. strip the fragment (``#...``)
+2. lowercase the scheme
+3. lowercase the host; strip a ``:80``/``:443`` default port and a
+   leading ``www.``
+4. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``)
+5. re-point the first ``&`` to ``?`` when the leading param was dropped
+6. strip a trailing ``?``/``&``, collapse ``//+`` runs in the
+   path+query, strip trailing slashes
+
+Path/query case and non-tracking params are preserved.  Rules 4/6 are
+deliberate canonical-form choices (a ``//`` inside a query string is
+also collapsed); they are applied identically by the oracle SQL in
+data_queries.py, so parity holds for any input.
+
+Everything is vectorized pyarrow (``replace_substring_regex`` /
+``extract_regex`` / ``utf8_lower``); no per-row Python.  At 100 TB this
+is a pure streaming map stage — no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TRACKING = r"[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+_SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def canonical_url_array(urls) -> pa.Array:
+    """Canonical form of each URL (large_string array in, out)."""
+    u = pc.cast(urls, pa.large_string())
+    ls = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    ext = pc.extract_regex(u, pattern=r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://")
+    scheme = pc.utf8_lower(pc.struct_field(ext, "s"))
+    rest = pc.replace_substring_regex(
+        u, pattern=_SCHEME, replacement="", max_replacements=1
+    )
+    hext = pc.extract_regex(rest, pattern=r"^(?P<h>[^/?]*)")
+    host = pc.utf8_lower(pc.struct_field(hext, "h"))
+    host = pc.replace_substring_regex(host, pattern=r":(80|443)$", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
+    tail = pc.replace_substring_regex(
+        rest, pattern=r"^[^/?]*", replacement="", max_replacements=1
+    )
+    tail = pc.replace_substring_regex(tail, pattern=_TRACKING, replacement="")
+    tail = pc.replace_substring_regex(
+        tail, pattern=r"^([^?]*)&", replacement=r"\1?", max_replacements=1
+    )
+    tail = pc.replace_substring_regex(tail, pattern=r"[?&]+$", replacement="")
+    tail = pc.replace_substring_regex(tail, pattern=r"//+", replacement="/")
+    tail = pc.replace_substring_regex(tail, pattern=r"/+$", replacement="")
+    host_tail = pc.binary_join_element_wise(host, tail, ls(""))
+    out = pc.binary_join_element_wise(scheme, host_tail, ls("://"))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def canonicalize_url_batch(
+    batch: pa.Table, url_column: str = "url", out_column: str = "url_canon"
+) -> pa.Table:
+    """``map_batches`` UDF: append the canonical form of ``url_column``."""
+    if out_column in batch.column_names:
+        batch = batch.drop_columns([out_column])
+    return batch.append_column(out_column, canonical_url_array(batch[url_column]))

@@ -1643,6 +1643,91 @@ def q_docs_temperature_sample(sf_dir: str):
     )
 
 
+def _noisy_url_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL fixture: each doc pair (2k, 2k+1) shares
+    a base path while members differ in scheme case, host casing /
+    default port / www prefix, path slash doubling, trailing slash,
+    tracking vs kept query params and fragment — every rule in
+    :mod:`argo_ray.functions.urlnorm` fires somewhere in the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    base = (ids - ids % 2).astype(str)
+    scheme = np.where(ids % 2 == 1, "HTTPS://", "https://")
+    host = np.select(
+        [ids % 4 == 0, ids % 4 == 1, ids % 4 == 2],
+        ["docs.example.org", "WWW.Docs.Example.org", "docs.example.org:443"],
+        "www.docs.example.org",
+    )
+    path = np.where(ids % 6 == 0, "/crawl//", "/crawl/")
+    trail = np.where(ids % 5 == 0, "/", "")
+    query = np.select(
+        [ids % 3 == 0, ids % 3 == 1],
+        ["?utm_source=feed&utm_medium=rss", "?utm_campaign=x&ref=rss"],
+        "",
+    )
+    frag = np.where(ids % 7 == 0, "#sec1", "")
+    raw = (pd.Series(scheme) + host + path + base + trail + query + frag).to_numpy()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "raw_url": pa.array(raw, pa.large_string()),
+        }
+    )
+
+
+def _noisy_urls(sf_dir: str):
+    from ..functions.urlnorm import canonicalize_url_batch
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(_noisy_url_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: canonicalize_url_batch(b, url_column="raw_url"),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_pages_url_canon(sf_dir: str):
+    """URL canonicalization (crawl normalization): messy URL in,
+    canonical form out — pure streaming vectorized map, no shuffle
+    (:mod:`argo_ray.functions.urlnorm`)."""
+    return _noisy_urls(sf_dir)
+
+
+def q_pages_canon_dedup(sf_dir: str):
+    """URL-alias dedup over the canonical key: per-batch (canon, min
+    doc_id, count) partials then ONE groupby — shuffle volume =
+    distinct canonical URLs, never raw crawl rows."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["url_canon", "doc_id"])
+            .group_by("url_canon")
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
+        )
+        return pa.table(
+            {
+                "url_canon": pc.cast(g["url_canon"], pa.string()),
+                "keep_part": pc.cast(g["doc_id_min"], pa.int64()),
+                "n_part": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    return (
+        _noisy_urls(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("url_canon")
+        .aggregate(
+            Min("keep_part", alias_name="keep_doc_id"),
+            Sum("n_part", alias_name="n_aliases"),
+        )
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -1660,6 +1745,8 @@ DATA_QUERIES = {
     "pages_domain_cap": q_pages_domain_cap,
     "cc_ingest_pipeline": q_cc_ingest_pipeline,
     "pages_url_dedup": q_pages_url_dedup,
+    "pages_url_canon": q_pages_url_canon,
+    "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -2367,3 +2454,47 @@ from ..functions.lm import bigram_surprisal_oracle_sql as _bigram_oracle
 
 DATA_ORACLES["docs_bigram_surprisal"] = _bigram_oracle()
 DATA_ORACLES["docs_temperature_sample"] = _temp_oracle(strata_col="lang")
+
+
+_RAW_URL_SQL = """CASE WHEN doc_id % 2 = 1 THEN 'HTTPS://' ELSE 'https://' END ||
+CASE doc_id % 4 WHEN 0 THEN 'docs.example.org' WHEN 1 THEN 'WWW.Docs.Example.org'
+     WHEN 2 THEN 'docs.example.org:443' ELSE 'www.docs.example.org' END ||
+CASE WHEN doc_id % 6 = 0 THEN '/crawl//' ELSE '/crawl/' END ||
+CAST(doc_id - doc_id % 2 AS VARCHAR) ||
+CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&utm_medium=rss'
+     WHEN 1 THEN '?utm_campaign=x&ref=rss' ELSE '' END ||
+CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END"""
+
+# SQL mirror of functions/urlnorm.py (same RE2 regexes, same order).
+_URL_CANON_CTE = rf"""
+WITH raws AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents),
+s1 AS (SELECT doc_id, raw_url,
+              regexp_replace(raw_url, '#.*$', '') AS u1 FROM raws),
+s2 AS (SELECT doc_id, raw_url, u1,
+              regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS u2 FROM s1),
+canon AS (
+  SELECT doc_id, raw_url,
+    lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) || '://' ||
+    regexp_replace(regexp_replace(lower(regexp_extract(u2, '^([^/?]*)', 1)),
+                   ':(80|443)$', ''), '^www\.', '') ||
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(u2, '^[^/?]*', ''),
+        '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
+        '^([^?]*)&', '\1?'),
+        '[?&]+$', ''),
+        '//+', '/', 'g'),
+        '/+$', '') AS url_canon
+  FROM s2
+)"""
+
+DATA_ORACLES["pages_url_canon"] = (
+    _URL_CANON_CTE + "\nSELECT doc_id, raw_url, url_canon FROM canon"
+)
+DATA_ORACLES["pages_canon_dedup"] = (
+    _URL_CANON_CTE
+    + """
+SELECT url_canon, MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_aliases
+FROM canon GROUP BY url_canon"""
+)

@@ -1412,3 +1412,22 @@ def test_semdedup_kmeans_composition_matches_bruteforce(ray_session):
         )
         assert got[vj] == expect, vj
     assert not all(out["kept"])  # the fixture does contain near-dups
+
+
+def test_url_canonicalization_hand_cases():
+    import pyarrow as pa
+
+    from argo_ray.functions.urlnorm import canonical_url_array
+
+    cases = {
+        "HTTPS://WWW.Docs.Example.org:443/a/?utm_source=f&utm_medium=r#x":
+            "https://docs.example.org/a",
+        "http://site.example.org:80//a//b/?utm_campaign=x&ref=rss":
+            "http://site.example.org/a/b/?ref=rss",
+        "https://example.org/?gclid=abc": "https://example.org",
+        "https://example.org/path?q=1&fbclid=z&r=2":
+            "https://example.org/path?q=1&r=2",
+        "https://example.org/unchanged?q=1": "https://example.org/unchanged?q=1",
+    }
+    got = canonical_url_array(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
