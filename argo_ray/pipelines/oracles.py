@@ -593,6 +593,12 @@ def _snapshot_sql(keep_filter: str) -> str:
 
 ORACLES["kg_delta_apply"] = _snapshot_sql("doc_id % 3 <> 0")
 
+# N-Quads round-trip: each page's distinct triples in the page-url
+# named graph; the quad columns survive the serialize/parse cycle.
+ORACLES["nquads_roundtrip"] = (
+    EXP_URL_CTE + f"SELECT DISTINCT url AS graph_value, {TERM_COLS} FROM exp"
+)
+
 
 def _qa_report_sql() -> str:
     """kg_qa_report oracle: distinct (metric, value) pairs over the

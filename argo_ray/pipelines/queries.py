@@ -127,6 +127,45 @@ def q_rdfxml_roundtrip(sf_dir: str):
     )
 
 
+def q_nquads_roundtrip(sf_dir: str):
+    """N-Quads named-graph round-trip (K1/S1's quad extension,
+    sinks/nquads.py + sources/nquads.py): each page's distinct triples
+    become quads in the page-url graph; serialize → re-parse →
+    flattened quads (graph_value + the 12 term columns) survive
+    byte-exact."""
+    from ..sinks.nquads import serialize_nquads
+    from ..sources.nquads import parse_nquads_batch
+    from ..stages.materialize import distinct_rows
+
+    distinct = distinct_rows(_extract(sf_dir), ["url"] + list(TRIPLE_COLUMNS))
+
+    def ser(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "graph_value", pc.cast(b["url"], pa.large_string())
+        ).drop_columns(["url"])
+        doc = serialize_nquads(b)
+        return pa.table(
+            {
+                "url": pa.array([""], pa.string()),
+                "text": pa.array([doc], pa.string()),
+            }
+        )
+
+    def reparse(b: pa.Table) -> pa.Table:
+        t = parse_nquads_batch(b)
+        cols = {"graph_value": pc.cast(t["graph_value"], pa.string())}
+        for name in TRIPLE_COLUMNS:
+            col = t[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            cols[name] = col
+        return pa.table(cols)
+
+    return distinct.map_batches(ser, batch_format="pyarrow").map_batches(
+        reparse, batch_format="pyarrow"
+    )
+
+
 def q_squirtle_roundtrip(sf_dir: str):
     """K5 → S3 round-trip (delete-on-inline nesting + name decls)."""
     return _roundtrip(
@@ -1500,6 +1539,7 @@ KG_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "nt_lines": q_nt_lines,
     "nt_roundtrip": q_nt_roundtrip,
+    "nquads_roundtrip": q_nquads_roundtrip,
     "turtle_roundtrip": q_turtle_roundtrip,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "squirtle_roundtrip": q_squirtle_roundtrip,

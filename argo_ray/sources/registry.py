@@ -36,6 +36,8 @@ def _default_formats() -> dict[str, Format]:
     from ..sinks.rdfxml import serialize_rdfxml
     from ..sinks.squirtle import serialize_squirtle
     from ..sinks.turtle import serialize_turtle
+    from ..sinks.nquads import serialize_nquads
+    from ..sources.nquads import parse_nquads, parse_nquads_batch
     from ..sources.ntriples import parse_ntriples, parse_ntriples_batch
     from ..sources.rdfa import extract_rdfa, extract_rdfa_batch
     from ..sources.rdfxml import parse_rdfxml, parse_rdfxml_batch
@@ -76,6 +78,12 @@ def _default_formats() -> dict[str, Format]:
             parser=lambda text, uri="", salt="": parse_rdfjson(text),
             serializer=lambda table, prefixes=None: serialize_rdfjson(table),
             batch_parser=parse_rdfjson_batch,
+        ),
+        Format(
+            "nquads", "NQuads", "application/n-quads", ".nq",
+            parser=lambda text, uri="", salt="": parse_nquads(text),
+            serializer=lambda table, prefixes=None: serialize_nquads(table),
+            batch_parser=parse_nquads_batch,
         ),
         Format(
             "rdfa", "RDFA", "text/html", ".html",

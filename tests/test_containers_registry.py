@@ -43,7 +43,9 @@ def test_empty_list():
 
 
 def test_registry_lookup():
-    assert set(FORMATS) == {"ntriples", "rdfxml", "turtle", "squirtle", "json", "rdfa"}
+    assert set(FORMATS) == {
+        "ntriples", "nquads", "rdfxml", "turtle", "squirtle", "json", "rdfa"
+    }
     assert format_from_filename("/x/y/data.nt").id == "ntriples"
     assert format_from_filename("page.HTML".lower()).id == "rdfa"
     assert format_from_filename("g.ttl").id == "turtle"
