@@ -670,3 +670,37 @@ def tfidf_topk(docs_ds, k: int = 3, text_column: str = "text"):
     return scored.sort("doc_id").map_batches(
         topk_block, batch_format="pandas", batch_size=None
     )
+
+
+def blocklist_batch(
+    batch: pa.Table,
+    terms: tuple[str, ...],
+    text_column: str = "text",
+    max_blocked_per_50_words: int = 1,
+) -> pa.Table:
+    """Blocklist safety gate (the C4/RefinedWeb-style bad-word filter):
+    count word-boundary occurrences of the blocked terms per document
+    and keep documents whose blocked density stays under the threshold
+    (default: fewer than 1 blocked hit per 50 words, integer-exact —
+    ``n_blocked * 50 < n_words``).
+
+    Vectorized: ONE RE2 alternation scan per batch plus the whitespace
+    word count; a pure streaming map stage, no shuffle, no state."""
+    import re as _re
+
+    text = pc.cast(batch[text_column], pa.large_string())
+    pattern = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    n_blocked = pc.cast(pc.count_substring_regex(text, pattern=pattern), pa.int64())
+    n_words = pc.cast(
+        pc.list_value_length(pc.split_pattern(text, pattern=" ")), pa.int64()
+    )
+    kept = pc.less(
+        pc.multiply(n_blocked, pa.scalar(50 // max_blocked_per_50_words, pa.int64())),
+        n_words,
+    )
+    out = batch.select(["doc_id"])
+    return (
+        out.append_column("n_blocked", n_blocked)
+        .append_column("n_words", n_words)
+        .append_column("kept", kept)
+    )

@@ -1393,6 +1393,19 @@ def q_docs_keyword_topk(sf_dir: str):
     return keyword_topk(_docs(sf_dir, ("doc_id", "text")))
 
 
+def q_docs_blocklist(sf_dir: str):
+    """Blocklist safety gate (C4-style bad-word filter): word-boundary
+    hits of the blocked terms per doc, kept = fewer than 1 hit per 50
+    words (integer-exact) — one RE2 alternation scan, zero shuffle
+    (:func:`argo_ray.functions.text.blocklist_batch`)."""
+    from ..functions.text import blocklist_batch
+
+    terms = ("slow", "dup", "hash")
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: blocklist_batch(b, terms), batch_format="pyarrow"
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -1746,6 +1759,7 @@ DATA_QUERIES = {
     "cc_ingest_pipeline": q_cc_ingest_pipeline,
     "pages_url_dedup": q_pages_url_dedup,
     "pages_url_canon": q_pages_url_canon,
+    "docs_blocklist": q_docs_blocklist,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2498,3 +2512,12 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+
+
+DATA_ORACLES["docs_blocklist"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(slow|dup|hash)\b')) AS BIGINT) AS n_blocked,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       len(regexp_extract_all(text, '\b(slow|dup|hash)\b')) * 50
+         < len(string_split(text, ' ')) AS kept
+FROM documents"""
