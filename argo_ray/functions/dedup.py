@@ -969,3 +969,101 @@ def duplicate_spans(docs_ds, L: int = 20):
             Sum("n_dup_spans", alias_name="n_dup_spans"),
         )
     )
+
+
+_KEEP_BEST_BASE = 1_000_000_000_000  # doc ids stay far below this
+
+
+def keep_best_per_component(docs_ds, comp_ds):
+    """The dedup endgame: given (doc_id, n_chars) docs and a
+    (doc_id, component) near-dup clustering (:func:`neardup_components`
+    output; unclustered docs are implicit singletons), pick ONE
+    representative per component — longest doc, ties to the smallest
+    doc_id — and report member counts.
+
+    Two uniform-key exchanges, no driver materialization:
+
+    1. groupby(doc_id) over the tagged union of docs and cluster labels
+       (Min label = component, Max chars = the doc's length).
+    2. groupby(component) over per-batch argmax partials.  The argmax
+       merges through plain ``Max`` by encoding (n_chars, doc_id) into
+       one integer key ``chars * B - (doc_id + 1)`` — larger chars win,
+       then smaller doc_id — so no custom reduce is needed.
+
+    Assumes ``n_chars >= 1`` and ``doc_id < B`` (truncating int division
+    in the decode step would mis-round a zero-length doc's key).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def docs_part(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "label": ids,
+                "chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    def comp_part(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "label": pc.cast(b["component"], pa.int64()),
+                "chars": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        )
+
+    labeled = (
+        docs_ds.map_batches(docs_part, batch_format="pyarrow")
+        .union(comp_ds.map_batches(comp_part, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Min("label", alias_name="component"),
+                   Max("chars", alias_name="n_chars"))
+    )
+
+    def argmax_partial(b: pa.Table) -> pa.Table:
+        key = pc.subtract(
+            pc.multiply(
+                pc.cast(b["n_chars"], pa.int64()),
+                pa.scalar(_KEEP_BEST_BASE, pa.int64()),
+            ),
+            pc.add(pc.cast(b["doc_id"], pa.int64()), pa.scalar(1, pa.int64())),
+        )
+        g = (
+            pa.table({"component": b["component"], "key": key})
+            .group_by("component")
+            .aggregate([("key", "max"), ("key", "count")])
+        )
+        return pa.table(
+            {
+                "component": pc.cast(g["component"], pa.int64()),
+                "key_part": g["key_max"],
+                "n_part": pc.cast(g["key_count"], pa.int64()),
+            }
+        )
+
+    best = (
+        labeled.map_batches(argmax_partial, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Max("key_part", alias_name="key"),
+                   Sum("n_part", alias_name="n_members"))
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["key"], pa.int64())
+        base = pa.scalar(_KEEP_BEST_BASE, pa.int64())
+        chars = pc.add(pc.divide(key, base), pa.scalar(1, pa.int64()))
+        doc = pc.subtract(
+            pc.subtract(pc.multiply(chars, base), key), pa.scalar(1, pa.int64())
+        )
+        return pa.table(
+            {
+                "component": pc.cast(b["component"], pa.int64()),
+                "keep_doc_id": doc,
+                "n_members": pc.cast(b["n_members"], pa.int64()),
+            }
+        )
+
+    return best.map_batches(decode, batch_format="pyarrow")

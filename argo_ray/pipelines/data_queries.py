@@ -220,6 +220,21 @@ def q_neardup_components(sf_dir: str):
     return neardup_components(pairs)
 
 
+def q_docs_neardup_keep_best(sf_dir: str):
+    """Near-dup cluster canonicalization: components over the char-set
+    Jaccard pair graph, then ONE kept representative per cluster
+    (longest doc, ties to smallest doc_id) with member counts —
+    singleton docs are their own component
+    (:func:`argo_ray.functions.dedup.keep_best_per_component`)."""
+    from ..functions.dedup import keep_best_per_component, neardup_components
+
+    pairs = charset_jaccard_pairs(
+        _docs(sf_dir, ("doc_id", "text", "source")), threshold=1.0
+    )
+    comp = neardup_components(pairs)
+    return keep_best_per_component(_docs(sf_dir, ("doc_id", "n_chars")), comp)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Same-label cosine > 0.9 over the planted-copy corpus."""
     return embedding_neardup_pairs(_planted_embeddings(sf_dir), threshold=0.9)
@@ -1777,6 +1792,7 @@ DATA_QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_components": q_neardup_components,
+    "docs_neardup_keep_best": q_docs_neardup_keep_best,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -2521,3 +2537,31 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\b(slow|dup|hash)\b')) * 50
          < len(string_split(text, ' ')) AS kept
 FROM documents"""
+
+
+DATA_ORACLES["docs_neardup_keep_best"] = """WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE jaccard(a.text, b.text) >= 1.0
+), nodes AS (
+  SELECT a AS n FROM edges UNION SELECT b FROM edges
+), reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, CASE WHEN e.a = r.m THEN e.b ELSE e.a END
+  FROM reach r JOIN edges e ON e.a = r.m OR e.b = r.m
+), comp AS (
+  SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+), all_docs AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT component, doc_id AS keep_doc_id, n_members FROM (
+  SELECT component, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY component ORDER BY n_chars DESC, doc_id
+         ) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+  FROM all_docs
+) WHERE rn = 1"""
