@@ -593,6 +593,40 @@ def _snapshot_sql(keep_filter: str) -> str:
 
 ORACLES["kg_delta_apply"] = _snapshot_sql("doc_id % 3 <> 0")
 
+# SHACL-lite validation over the dirtied KG: planted second titles
+# (doc_id%11), untyped chars literals (doc_id%13), plus the naturally
+# untyped hub subject.
+ORACLES["kg_shacl_validate"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+dirty AS (
+  SELECT * FROM d
+  UNION ALL
+  SELECT subj_kind, subj_value, subj_lang, subj_datatype,
+         pred_kind, pred_value, pred_lang, pred_datatype,
+         obj_kind, obj_value || '!', obj_lang, obj_datatype
+  FROM d JOIN docs ON subj_value = entity
+  WHERE pred_value = '{DC}title' AND doc_id % 11 = 0
+  UNION ALL
+  SELECT subj_kind, subj_value, subj_lang, subj_datatype,
+         pred_kind, pred_value, pred_lang, pred_datatype,
+         obj_kind, obj_value, obj_lang, ''
+  FROM d JOIN docs ON subj_value = entity
+  WHERE pred_value = '{EX}chars' AND doc_id % 13 = 0
+)
+SELECT 'functional:{DC}title' AS shape, subj_value
+FROM dirty WHERE pred_value = '{DC}title'
+GROUP BY subj_value HAVING COUNT(DISTINCT obj_value) > 1
+UNION ALL
+SELECT 'required:rdf-type', subj_value FROM (
+  SELECT subj_value,
+         MAX(CASE WHEN pred_value = '{RDF_TYPE}' THEN 1 ELSE 0 END) AS has_type
+  FROM dirty WHERE subj_kind = 0 GROUP BY subj_value
+) WHERE has_type = 0
+UNION ALL
+SELECT DISTINCT 'datatype:{EX}chars', subj_value
+FROM dirty
+WHERE pred_value = '{EX}chars' AND obj_kind = 2
+  AND obj_datatype <> 'http://www.w3.org/2001/XMLSchema#integer'"""
+
 # N-Quads round-trip: each page's distinct triples in the page-url
 # named graph; the quad columns survive the serialize/parse cycle.
 ORACLES["nquads_roundtrip"] = (

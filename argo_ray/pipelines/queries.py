@@ -1534,6 +1534,60 @@ def q_kg_qa_report(sf_dir: str):
     )
 
 
+def q_kg_shacl_validate(sf_dir: str):
+    """SHACL-lite validation over a deliberately dirtied KG: every
+    doc_id%11==0 gains a second distinct dc:title (functional-property
+    violation), every doc_id%13==0 gains an untyped ex:chars literal
+    (datatype violation), and the hub subject has no rdf:type (required-
+    type violation, present in the clean build too).  Violations come
+    back as distinct (shape, subj_value) rows
+    (:func:`argo_ray.stages.validate.validate_graph`)."""
+    from ..stages.validate import validate_graph
+
+    ls = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
+    title_iri = DC_NS + "title"
+    chars_iri = EX_NS + "chars"
+
+    def plant(b: pa.Table) -> pa.Table:
+        subj = pc.cast(b["subj_value"], pa.large_string())
+        pred = pc.cast(b["pred_value"], pa.large_string())
+        ids = pc.extract_regex(subj, pattern=r"/doc/(?P<id>\d+)$")
+        idv = pc.cast(pc.struct_field(ids, "id"), pa.int64())
+
+        def mod_is0(m: int):
+            r = pc.subtract(
+                idv, pc.multiply(pc.divide(idv, pa.scalar(m, pa.int64())),
+                                 pa.scalar(m, pa.int64()))
+            )
+            return pc.fill_null(pc.equal(r, pa.scalar(0, pa.int64())), False)
+
+        titles = b.filter(pc.and_(mod_is0(11), pc.equal(pred, ls(title_iri))))
+        extra_title = titles.set_column(
+            titles.schema.get_field_index("obj_value"),
+            "obj_value",
+            pc.binary_join_element_wise(
+                pc.cast(titles["obj_value"], pa.large_string()), ls("!"), ls("")
+            ),
+        )
+        chars = b.filter(pc.and_(mod_is0(13), pc.equal(pred, ls(chars_iri))))
+        extra_chars = chars.set_column(
+            chars.schema.get_field_index("obj_datatype"),
+            "obj_datatype",
+            pa.array([""] * chars.num_rows, chars["obj_datatype"].type),
+        )
+        return pa.concat_tables([b, extra_title, extra_chars])
+
+    dirty = _deduped(sf_dir).map_batches(
+        lambda b: plant(b.select(TRIPLE_COLUMNS)), batch_format="pyarrow"
+    )
+    return validate_graph(
+        dirty,
+        functional_preds=(title_iri,),
+        required_type=True,
+        datatype_constraints={chars_iri: XSD_NS + "integer"},
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1601,4 +1655,5 @@ KG_QUERIES = {
     "kg_delta": q_kg_delta,
     "kg_qa_report": q_kg_qa_report,
     "kg_delta_apply": q_kg_delta_apply,
+    "kg_shacl_validate": q_kg_shacl_validate,
 }

@@ -380,3 +380,35 @@ def test_apply_delta_inverts_graph_delta(ray_session):
     applied = apply_delta(old, graph_delta(old, new)).take_all()
     got = sorted((r["subj_value"], r["obj_value"]) for r in applied)
     assert got == [(ex + "b", "2"), (ex + "c", "3")]
+
+
+def test_validate_graph_hand_case(ray_session):
+    import ray.data as rd
+
+    from argo_ray.stages.validate import validate_graph
+    from argo_ray.terms import IRI, Literal, triples_to_table as t2t
+
+    ex = "http://example.org/"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    triples = [
+        (IRI(ex + "a"), IRI(rdf_type), IRI(ex + "T")),
+        (IRI(ex + "a"), IRI(ex + "title"), Literal("t1")),
+        (IRI(ex + "a"), IRI(ex + "title"), Literal("t2")),   # functional violation
+        (IRI(ex + "b"), IRI(ex + "title"), Literal("t1")),   # untyped subject
+        (IRI(ex + "b"), IRI(ex + "n"), Literal("5", datatype=xsd_int)),
+        (IRI(ex + "a"), IRI(ex + "n"), Literal("7")),        # datatype violation
+    ]
+    ds = rd.from_arrow(t2t(triples, with_hash=False))
+    out = validate_graph(
+        ds,
+        functional_preds=(ex + "title",),
+        required_type=True,
+        datatype_constraints={ex + "n": xsd_int},
+    ).take_all()
+    got = sorted((r["shape"], r["subj_value"]) for r in out)
+    assert got == [
+        (f"datatype:{ex}n", ex + "a"),
+        (f"functional:{ex}title", ex + "a"),
+        ("required:rdf-type", ex + "b"),
+    ]
