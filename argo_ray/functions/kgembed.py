@@ -1,0 +1,134 @@
+"""KG-embedding training prep: dictionary-encode the graph into
+contiguous integer ids and export (head, relation, tail) edge triples
+— the input layout TransE-family trainers expect.
+
+Ids are **dense 0-based ranks in sorted term order**, not hashes, so
+the assignment is reproducible relationally (``ROW_NUMBER() OVER
+(ORDER BY term) - 1`` in the oracle) and the id space is exactly
+[0, n) for embedding-table sizing.
+
+Scale shape: the dictionaries are built with one distinct exchange +
+one sort (``running_total``'s block-manifest pass moves one row per
+block through the driver); the triple mapping is three distributed
+hash joins keyed on term strings — uniform keys, since dictionary
+terms are distinct by construction.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..terms import KIND_LITERAL
+from .packing import running_total
+
+
+def dense_rank_ids(ds, col: str, out_col: str = "id"):
+    """(term) rows → (term, id) with id = 0-based rank in sorted term
+    order.  Input must be distinct on ``col``."""
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                col: pc.cast(b[col], pa.string()),
+                "_one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    out = running_total(
+        ds.map_batches(ones, batch_format="pyarrow"), col, "_one", out_col="_cum"
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                col: pc.cast(b[col], pa.string()),
+                out_col: pc.subtract(
+                    pc.cast(b["_cum"], pa.int64()), pa.scalar(1, pa.int64())
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def triples_to_id_edges(triples_ds, num_partitions: int | None = None):
+    """Non-literal triples → (h_id, r_id, t_id) rows under dense ids.
+
+    Entities = distinct subject terms plus non-literal object terms;
+    relations = distinct predicates of the edge triples.  Attribute
+    (literal-object) triples are excluded, as in standard KG-embedding
+    corpora."""
+    from ..io import shuffle_partitions
+    from ..stages.materialize import distinct_rows
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+
+    def edge_proj(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(
+            pc.cast(b["obj_kind"], pa.int64()), pa.scalar(KIND_LITERAL, pa.int64())
+        )
+        f = b.filter(m)
+        return pa.table(
+            {
+                "subj_value": pc.cast(f["subj_value"], pa.string()),
+                "pred_value": pc.cast(f["pred_value"], pa.string()),
+                "obj_value": pc.cast(f["obj_value"], pa.string()),
+            }
+        )
+
+    edges = triples_ds.map_batches(edge_proj, batch_format="pyarrow")
+
+    def ent_scatter(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [
+                        pc.cast(b["subj_value"], pa.string()).combine_chunks(),
+                        pc.cast(b["obj_value"], pa.string()).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    ents = distinct_rows(
+        edges.map_batches(ent_scatter, batch_format="pyarrow"), ["term"]
+    )
+    rels = distinct_rows(
+        edges.map_batches(
+            lambda b: pa.table({"term": pc.cast(b["pred_value"], pa.string())}),
+            batch_format="pyarrow",
+        ),
+        ["term"],
+    )
+    ent_ids = dense_rank_ids(ents, "term")
+    rel_ids = dense_rank_ids(rels, "term")
+
+    def renamed(ids_ds, key: str, id_name: str):
+        return ids_ds.map_batches(
+            lambda b: pa.table({key: b["term"], id_name: b["id"]}),
+            batch_format="pyarrow",
+        )
+
+    out = edges.join(
+        renamed(ent_ids, "subj_value", "h_id"),
+        join_type="inner",
+        on=("subj_value",),
+        num_partitions=num_partitions,
+    )
+    out = out.join(
+        renamed(rel_ids, "pred_value", "r_id"),
+        join_type="inner",
+        on=("pred_value",),
+        num_partitions=num_partitions,
+    )
+    out = out.join(
+        renamed(ent_ids, "obj_value", "t_id"),
+        join_type="inner",
+        on=("obj_value",),
+        num_partitions=num_partitions,
+    )
+    return out.map_batches(
+        lambda b: b.select(["h_id", "r_id", "t_id"]), batch_format="pyarrow"
+    )

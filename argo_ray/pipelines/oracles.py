@@ -627,6 +627,23 @@ FROM dirty
 WHERE pred_value = '{EX}chars' AND obj_kind = 2
   AND obj_datatype <> 'http://www.w3.org/2001/XMLSchema#integer'"""
 
+# KG-embedding prep: dense sorted-order ids over entities (subjects +
+# non-literal objects) and relations; (h,r,t) for the edge triples.
+ORACLES["kg_triple_ids"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS (SELECT subj_value, pred_value, obj_value FROM d WHERE obj_kind <> 2),
+ent AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS id FROM (
+    SELECT subj_value AS t FROM e UNION SELECT obj_value FROM e)
+),
+rel AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS id FROM (
+    SELECT DISTINCT pred_value AS t FROM e)
+)
+SELECT h.id AS h_id, r.id AS r_id, t.id AS t_id
+FROM e JOIN ent h ON e.subj_value = h.t
+       JOIN rel r ON e.pred_value = r.t
+       JOIN ent t ON e.obj_value = t.t"""
+
 # N-Quads round-trip: each page's distinct triples in the page-url
 # named graph; the quad columns survive the serialize/parse cycle.
 ORACLES["nquads_roundtrip"] = (

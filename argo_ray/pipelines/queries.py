@@ -1588,6 +1588,17 @@ def q_kg_shacl_validate(sf_dir: str):
     )
 
 
+def q_kg_triple_ids(sf_dir: str):
+    """KG-embedding training prep: the deduped KG's non-literal triples
+    dictionary-encoded to (h_id, r_id, t_id) under dense 0-based ids in
+    sorted term order — one distinct exchange + one sort per dictionary,
+    then three uniform-key hash joins
+    (:func:`argo_ray.functions.kgembed.triples_to_id_edges`)."""
+    from ..functions.kgembed import triples_to_id_edges
+
+    return triples_to_id_edges(_deduped(sf_dir))
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1656,4 +1667,5 @@ KG_QUERIES = {
     "kg_qa_report": q_kg_qa_report,
     "kg_delta_apply": q_kg_delta_apply,
     "kg_shacl_validate": q_kg_shacl_validate,
+    "kg_triple_ids": q_kg_triple_ids,
 }
