@@ -132,3 +132,51 @@ def triples_to_id_edges(triples_ds, num_partitions: int | None = None):
     return out.map_batches(
         lambda b: b.select(["h_id", "r_id", "t_id"]), batch_format="pyarrow"
     )
+
+
+def edge_negatives(edges_ds):
+    """TransE-style negative sampling: one corrupted tail per edge,
+    ``neg_t = (t + 1 + k % (n-1)) % n`` with k = the first 8 md5 bytes
+    of ``"h:r:t"`` — deterministic (reproducible across runs and in the
+    DuckDB oracle via the hex-prefix-to-UBIGINT idiom), uniform over
+    the other n-1 entities, and never equal to t.
+
+    n is recovered as max(id)+1 (ids are dense and every entity occurs
+    in some edge).  The count triggers one pass over the edge lineage;
+    a production run would persist the edges first (checkpoint sink)
+    and negative-sample from the persisted table.  Per-row hashlib md5
+    is the oracle-parity mode, same trade as fingerprint_batch."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    agg = edges_ds.aggregate(Max("h_id"), Max("t_id"))
+    n = int(max(agg["max(h_id)"], agg["max(t_id)"])) + 1
+    if n < 2:
+        raise ValueError("need at least 2 entities to corrupt tails")
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        h = b["h_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["r_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["t_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{a}:{b_}:{c}".encode()).digest()[:8], "big"
+                )
+                for a, b_, c in zip(h, r, t)
+            ],
+            dtype=np.uint64,
+        )
+        neg = (t + 1 + (k % np.uint64(n - 1)).astype(np.int64)) % n
+        return pa.table(
+            {
+                "h_id": pa.array(h, pa.int64()),
+                "r_id": pa.array(r, pa.int64()),
+                "t_id": pa.array(t, pa.int64()),
+                "neg_t_id": pa.array(neg, pa.int64()),
+            }
+        )
+
+    return edges_ds.map_batches(corrupt, batch_format="pyarrow")

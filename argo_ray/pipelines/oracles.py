@@ -644,6 +644,32 @@ FROM e JOIN ent h ON e.subj_value = h.t
        JOIN rel r ON e.pred_value = r.t
        JOIN ent t ON e.obj_value = t.t"""
 
+# Negative sampling over the dense-id edges: md5-keyed tail corruption
+# (same hex-prefix-to-UBIGINT idiom as the fingerprint oracle).
+ORACLES["kg_edge_negatives"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS (SELECT subj_value, pred_value, obj_value FROM d WHERE obj_kind <> 2),
+ent AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS id FROM (
+    SELECT subj_value AS t FROM e UNION SELECT obj_value FROM e)
+),
+rel AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS id FROM (
+    SELECT DISTINCT pred_value AS t FROM e)
+),
+ids AS (
+  SELECT h.id AS h_id, r.id AS r_id, t.id AS t_id
+  FROM e JOIN ent h ON e.subj_value = h.t
+         JOIN rel r ON e.pred_value = r.t
+         JOIN ent t ON e.obj_value = t.t
+),
+nn AS (SELECT COUNT(*) AS n FROM ent)
+SELECT h_id, r_id, t_id,
+       CAST((t_id + 1 + CAST(('0x' || substr(md5(
+               CAST(h_id AS VARCHAR) || ':' || CAST(r_id AS VARCHAR) || ':'
+               || CAST(t_id AS VARCHAR)), 1, 16)) AS UBIGINT) % (n - 1)) % n
+            AS BIGINT) AS neg_t_id
+FROM ids, nn"""
+
 # N-Quads round-trip: each page's distinct triples in the page-url
 # named graph; the quad columns survive the serialize/parse cycle.
 ORACLES["nquads_roundtrip"] = (

@@ -1599,6 +1599,16 @@ def q_kg_triple_ids(sf_dir: str):
     return triples_to_id_edges(_deduped(sf_dir))
 
 
+def q_kg_edge_negatives(sf_dir: str):
+    """KG-embedding negative sampling: one corrupted tail per edge,
+    deterministic md5-keyed offset over the dense entity id space —
+    never the true tail, reproducible in SQL
+    (:func:`argo_ray.functions.kgembed.edge_negatives`)."""
+    from ..functions.kgembed import edge_negatives, triples_to_id_edges
+
+    return edge_negatives(triples_to_id_edges(_deduped(sf_dir)))
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1668,4 +1678,5 @@ KG_QUERIES = {
     "kg_delta_apply": q_kg_delta_apply,
     "kg_shacl_validate": q_kg_shacl_validate,
     "kg_triple_ids": q_kg_triple_ids,
+    "kg_edge_negatives": q_kg_edge_negatives,
 }
