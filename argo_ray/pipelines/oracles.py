@@ -675,6 +675,7 @@ FROM ids, nn"""
 ORACLES["nquads_roundtrip"] = (
     EXP_URL_CTE + f"SELECT DISTINCT url AS graph_value, {TERM_COLS} FROM exp"
 )
+ORACLES["trig_roundtrip"] = ORACLES["nquads_roundtrip"]
 
 
 def _qa_report_sql() -> str:

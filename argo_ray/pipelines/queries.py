@@ -166,6 +166,43 @@ def q_nquads_roundtrip(sf_dir: str):
     )
 
 
+def q_trig_roundtrip(sf_dir: str):
+    """TriG named-graph round-trip (K4's quad twin, sinks/trig.py +
+    sources/trig.py): page triples in page-url graph sections with
+    qname compaction on; serialize → re-parse → flattened quads."""
+    from ..sinks.trig import serialize_trig
+    from ..sources.trig import parse_trig_batch
+    from ..stages.materialize import distinct_rows
+
+    distinct = distinct_rows(_extract(sf_dir), ["url"] + list(TRIPLE_COLUMNS))
+
+    def ser(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "graph_value", pc.cast(b["url"], pa.large_string())
+        ).drop_columns(["url"])
+        doc = serialize_trig(b, _PREFIXES)
+        return pa.table(
+            {
+                "url": pa.array([""], pa.string()),
+                "text": pa.array([doc], pa.string()),
+            }
+        )
+
+    def reparse(b: pa.Table) -> pa.Table:
+        t = parse_trig_batch(b)
+        cols = {"graph_value": pc.cast(t["graph_value"], pa.string())}
+        for name in TRIPLE_COLUMNS:
+            col = t[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            cols[name] = col
+        return pa.table(cols)
+
+    return distinct.map_batches(ser, batch_format="pyarrow").map_batches(
+        reparse, batch_format="pyarrow"
+    )
+
+
 def q_squirtle_roundtrip(sf_dir: str):
     """K5 → S3 round-trip (delete-on-inline nesting + name decls)."""
     return _roundtrip(
@@ -1615,6 +1652,7 @@ KG_QUERIES = {
     "nt_lines": q_nt_lines,
     "nt_roundtrip": q_nt_roundtrip,
     "nquads_roundtrip": q_nquads_roundtrip,
+    "trig_roundtrip": q_trig_roundtrip,
     "turtle_roundtrip": q_turtle_roundtrip,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "squirtle_roundtrip": q_squirtle_roundtrip,

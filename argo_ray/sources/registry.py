@@ -37,6 +37,8 @@ def _default_formats() -> dict[str, Format]:
     from ..sinks.squirtle import serialize_squirtle
     from ..sinks.turtle import serialize_turtle
     from ..sinks.nquads import serialize_nquads
+    from ..sinks.trig import serialize_trig
+    from ..sources.trig import parse_trig, parse_trig_batch
     from ..sources.nquads import parse_nquads, parse_nquads_batch
     from ..sources.ntriples import parse_ntriples, parse_ntriples_batch
     from ..sources.rdfa import extract_rdfa, extract_rdfa_batch
@@ -84,6 +86,12 @@ def _default_formats() -> dict[str, Format]:
             parser=lambda text, uri="", salt="": parse_nquads(text),
             serializer=lambda table, prefixes=None: serialize_nquads(table),
             batch_parser=parse_nquads_batch,
+        ),
+        Format(
+            "trig", "TriG", "application/trig", ".trig",
+            parser=lambda text, uri="", salt="": parse_trig(text),
+            serializer=serialize_trig,
+            batch_parser=parse_trig_batch,
         ),
         Format(
             "rdfa", "RDFA", "text/html", ".html",

@@ -44,7 +44,8 @@ def test_empty_list():
 
 def test_registry_lookup():
     assert set(FORMATS) == {
-        "ntriples", "nquads", "rdfxml", "turtle", "squirtle", "json", "rdfa"
+        "ntriples", "nquads", "rdfxml", "turtle", "trig", "squirtle", "json",
+        "rdfa"
     }
     assert format_from_filename("/x/y/data.nt").id == "ntriples"
     assert format_from_filename("page.HTML".lower()).id == "rdfa"
