@@ -713,3 +713,11 @@ SELECT metric, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY metric"""
 
 
 ORACLES["kg_qa_report"] = _qa_report_sql()
+
+# ER blocking: cross-namespace candidate pairs via exact-title join
+# (title collisions across docs intentionally produce extra pairs).
+ORACLES["kg_er_candidates"] = EXP_CTE + """, t AS (SELECT entity, title FROM docs)
+SELECT a.entity AS src,
+       replace(b.entity, 'https://kg.example.org/doc/',
+               'https://kb.example.org/entity/') AS dst
+FROM t a JOIN t b ON a.title = b.title"""

@@ -1646,6 +1646,73 @@ def q_kg_edge_negatives(sf_dir: str):
     return edge_negatives(triples_to_id_edges(_deduped(sf_dir)))
 
 
+def q_kg_er_candidates(sf_dir: str):
+    """Entity-resolution blocking: discover cross-source owl:sameAs
+    CANDIDATES (the links kg_sameas_canon consumes) by blocked join on
+    the dc:title attribute — block key = exact title, one sort
+    exchange co-locates each block, a per-block cross of the two
+    namespaces emits (src, dst) pairs.  Title collisions across
+    different docs produce extra candidates by design (blocking is a
+    recall stage; precision comes from the downstream verify).  The
+    partitioning assumption is the usual blocked-ER one: a block fits
+    a worker (salt the block key if a title ever goes hot)."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    KG = "https://kg.example.org/doc/"
+    KB = "https://kb.example.org/entity/"
+    title_iri = DC_NS + "title"
+
+    def titles(b: pa.Table) -> pa.Table:
+        m = pc.equal(
+            pc.cast(b["pred_value"], pa.large_string()),
+            pa.scalar(title_iri, pa.large_string()),
+        )
+        f = b.filter(m)
+        return pa.table(
+            {
+                "entity": pc.cast(f["subj_value"], pa.string()),
+                "title": pc.cast(f["obj_value"], pa.string()),
+            }
+        )
+
+    kg_side = _deduped(sf_dir).map_batches(titles, batch_format="pyarrow")
+
+    # the second source: same attribute table under the kb namespace
+    def to_kb(b: pa.Table) -> pa.Table:
+        ent = pc.replace_substring_regex(
+            pc.cast(b["entity"], pa.large_string()),
+            pattern="^" + re.escape(KG),
+            replacement=KB,
+        )
+        return pa.table(
+            {"entity": pc.cast(ent, pa.string()), "title": b["title"]}
+        )
+
+    kb_side = kg_side.map_batches(to_kb, batch_format="pyarrow")
+
+    def tag(ds, side: int):
+        return ds.map_batches(
+            lambda b, s=side: b.append_column(
+                "side", pa.array([s] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    both = tag(kg_side, 0).union(tag(kb_side, 1))
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, "entity"]
+        b = g.loc[g["side"] == 1, "entity"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"src": [], "dst": []})
+        m = a.to_frame("src").merge(b.to_frame("dst"), how="cross")
+        return m[["src", "dst"]]
+
+    return grouped_map(both, "title", block_pairs)
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1717,4 +1784,5 @@ KG_QUERIES = {
     "kg_shacl_validate": q_kg_shacl_validate,
     "kg_triple_ids": q_kg_triple_ids,
     "kg_edge_negatives": q_kg_edge_negatives,
+    "kg_er_candidates": q_kg_er_candidates,
 }
