@@ -721,3 +721,10 @@ SELECT a.entity AS src,
        replace(b.entity, 'https://kg.example.org/doc/',
                'https://kb.example.org/entity/') AS dst
 FROM t a JOIN t b ON a.title = b.title"""
+
+# Property-graph export: one wide attribute row per Document entity
+# (validates extraction + pivot end-to-end against the docs relation).
+ORACLES["kg_node_table"] = EXP_CTE + f"""SELECT entity,
+       '{EX}Document' AS type, title, lang, site,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM docs"""

@@ -1713,6 +1713,62 @@ def q_kg_er_candidates(sf_dir: str):
     return grouped_map(both, "title", block_pairs)
 
 
+def q_kg_node_table(sf_dir: str):
+    """Property-graph export (the KG → tabular-ML bridge): pivot each
+    Document entity's literal/IRI attributes into ONE wide row
+    (entity, type, title, lang, n_chars, site).  Per-batch sparse
+    pivot partials (each predicate lands in its own column, absent =
+    neutral), then a single groupby(entity) Max — one value per
+    predicate per subject after dedup, so Max IS the value."""
+    from ray.data.aggregate import Max
+
+    ls = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
+    KG = "https://kg.example.org/doc/"
+    preds = {
+        "type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "title": DC_NS + "title",
+        "lang": DC_NS + "language",
+        "site": EX_NS + "site",
+    }
+
+    def pivot_partial(b: pa.Table) -> pa.Table:
+        subj = pc.cast(b["subj_value"], pa.large_string())
+        in_kg = pc.starts_with(subj, pattern=KG)
+        f = b.filter(in_kg)
+        fsubj = pc.cast(f["subj_value"], pa.string())
+        fpred = pc.cast(f["pred_value"], pa.large_string())
+        fobj = pc.cast(f["obj_value"], pa.large_string())
+        cols = {"entity": fsubj}
+        for name, iri in preds.items():
+            cols[name] = pc.cast(
+                pc.if_else(pc.equal(fpred, ls(iri)), fobj, ls("")), pa.string()
+            )
+        chars = pc.if_else(
+            pc.equal(fpred, ls(EX_NS + "chars")),
+            pc.cast(fobj, pa.large_string()),
+            ls("0"),
+        )
+        cols["n_chars"] = pc.cast(pc.cast(chars, pa.string()), pa.int64())
+        t = pa.table(cols)
+        g = t.group_by("entity").aggregate(
+            [(c, "max") for c in list(preds) + ["n_chars"]]
+        )
+        return g.rename_columns(["entity"] + list(preds) + ["n_chars"])
+
+    return (
+        _deduped(sf_dir)
+        .map_batches(pivot_partial, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(
+            Max("type", alias_name="type"),
+            Max("title", alias_name="title"),
+            Max("lang", alias_name="lang"),
+            Max("site", alias_name="site"),
+            Max("n_chars", alias_name="n_chars"),
+        )
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1785,4 +1841,5 @@ KG_QUERIES = {
     "kg_triple_ids": q_kg_triple_ids,
     "kg_edge_negatives": q_kg_edge_negatives,
     "kg_er_candidates": q_kg_er_candidates,
+    "kg_node_table": q_kg_node_table,
 }
