@@ -862,3 +862,127 @@ def label_propagation(edges_ds, iters: int = 8):
             .materialize()
         )
     return labels
+
+
+def khop_sample(edges_ds, seeds_ds, hops: int = 2, fanout: int = 3):
+    """GraphSAGE-style k-hop neighborhood sampling (GNN minibatch
+    prep): from each seed, expand ``hops`` rounds taking at most
+    ``fanout`` neighbors per expanded node, ranked by the
+    deterministic md5 of ``"src:dst"`` — reproducible across runs,
+    partitions and the SQL oracle (ROW_NUMBER over md5).  Returns
+    distinct (seed, node, hop) rows with hop = the node's FIRST
+    discovery depth (min over paths); seeds themselves are excluded.
+
+    Scale shape per hop: one hash join (frontier × edges, keys =
+    frontier nodes) and one sort-colocated per-(seed, parent) top-k —
+    the fanout cap bounds frontier growth at seeds × fanout^hop.  The
+    hub-style hot node costs one group of its degree, capped by the
+    same top-k.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+    from ..io import shuffle_partitions
+
+    num_partitions = shuffle_partitions()
+
+    def seed_frontier(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["seed"], pa.string())
+        return pa.table({"seed": s, "node": s})
+
+    frontier = seeds_ds.map_batches(seed_frontier, batch_format="pyarrow")
+    collected = []
+
+    for hop in range(1, hops + 1):
+        cand = frontier.join(
+            edges_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.cast(b["src"], pa.string()),
+                        "dst": pc.cast(b["dst"], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            on=("node",),
+            num_partitions=num_partitions,
+        )
+
+        def keyed(b: pa.Table) -> pa.Table:
+            srcs = b["node"].to_pylist()
+            dsts = b["dst"].to_pylist()
+            keys = [
+                hashlib.md5(f"{s}:{d}".encode()).hexdigest()
+                for s, d in zip(srcs, dsts)
+            ]
+            return pa.table(
+                {
+                    "seed": pc.cast(b["seed"], pa.string()),
+                    "parent": pc.cast(b["node"], pa.string()),
+                    "node": pc.cast(b["dst"], pa.string()),
+                    "key": pa.array(keys, pa.string()),
+                }
+            )
+
+        def topk(g: pd.DataFrame) -> pd.DataFrame:
+            return (
+                g.sort_values("key", kind="mergesort")
+                .head(fanout)[["seed", "node"]]
+                .copy()
+            )
+
+        sampled = grouped_map(
+            cand.map_batches(keyed, batch_format="pyarrow"),
+            ["seed", "parent"],
+            topk,
+        )
+        sampled = sampled.map_batches(
+            lambda b, h=hop: b.append_column(
+                "hop", pa.array([h] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        collected.append(sampled)
+        # dedup the next frontier: at hop >= 2 two parents can sample
+        # the same node for one seed, and a duplicated (seed, parent)
+        # group would corrupt the per-group top-k
+        from ..stages.materialize import distinct_rows
+
+        frontier = distinct_rows(
+            sampled.map_batches(
+                lambda b: b.select(["seed", "node"]), batch_format="pyarrow"
+            ),
+            ["seed", "node"],
+        )
+
+    out = collected[0]
+    for s in collected[1:]:
+        out = out.union(s)
+
+    # distinct (seed, node) keeping min hop; drop the seed itself
+    def min_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(
+            pc.not_equal(
+                pc.cast(b["seed"], pa.large_string()),
+                pc.cast(b["node"], pa.large_string()),
+            )
+        )
+        g = f.group_by(["seed", "node"]).aggregate([("hop", "min")])
+        return pa.table(
+            {
+                "seed": pc.cast(g["seed"], pa.string()),
+                "node": pc.cast(g["node"], pa.string()),
+                "hop_part": pc.cast(g["hop_min"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        out.map_batches(min_partial, batch_format="pyarrow")
+        .groupby(["seed", "node"])
+        .aggregate(Min("hop_part", alias_name="hop"))
+    )

@@ -728,3 +728,26 @@ ORACLES["kg_node_table"] = EXP_CTE + f"""SELECT entity,
        '{EX}Document' AS type, title, lang, site,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM docs"""
+
+# k-hop neighborhood sampling: 2 hops, fanout 3, md5-ranked neighbor
+# choice over the undirected distinct link graph, seeds = doc_id%10==0.
+ORACLES["kg_khop_sample"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e0 AS (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (SELECT 'https://kg.example.org/doc/' || doc_id AS seed
+          FROM documents WHERE doc_id % 10 = 0),
+h1 AS (
+  SELECT s.seed, e.dst AS node FROM seeds s JOIN e ON e.src = s.seed
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY s.seed ORDER BY md5(s.seed || ':' || e.dst)) <= 3
+),
+h2 AS (
+  SELECT h1.seed, e.dst AS node FROM h1 JOIN e ON e.src = h1.node
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY h1.seed, h1.node ORDER BY md5(h1.node || ':' || e.dst)) <= 3
+)
+SELECT seed, node, MIN(hop) AS hop FROM (
+  SELECT seed, node, CAST(1 AS BIGINT) AS hop FROM h1
+  UNION ALL
+  SELECT seed, node, 2 FROM h2
+) WHERE node <> seed GROUP BY seed, node"""

@@ -1769,6 +1769,49 @@ def q_kg_node_table(sf_dir: str):
     )
 
 
+def q_kg_khop_sample(sf_dir: str):
+    """GNN minibatch prep: 2-hop / fanout-3 neighborhood sample from
+    every 10th Document entity over the undirected distinct link
+    graph, md5-ranked deterministic neighbor choice
+    (:func:`argo_ray.functions.graph.khop_sample`)."""
+    from ..functions.graph import khop_sample
+    from ..io import read_table
+    from ..stages.materialize import distinct_rows
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                b.select(["src", "dst"]),
+                pa.table({"src": b["dst"], "dst": b["src"]}),
+            ]
+        )
+
+    sym = distinct_rows(
+        _kg_link_edges(sf_dir).map_batches(symmetrize, batch_format="pyarrow"),
+        ["src", "dst"],
+    )
+
+    def seeds_fn(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        ten = pa.scalar(10, pa.int64())
+        m = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, ten), ten)),
+            pa.scalar(0, pa.int64()),
+        )
+        kept = ids.filter(m) if isinstance(ids, pa.ChunkedArray) else ids.filter(m)
+        seed = pc.binary_join_element_wise(
+            pa.scalar("https://kg.example.org/doc/", pa.large_string()),
+            pc.cast(kept, pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        return pa.table({"seed": pc.cast(seed, pa.string())})
+
+    seeds = read_table(sf_dir, "documents").map_batches(
+        seeds_fn, batch_format="pyarrow"
+    )
+    return khop_sample(sym, seeds, hops=2, fanout=3)
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1842,4 +1885,5 @@ KG_QUERIES = {
     "kg_edge_negatives": q_kg_edge_negatives,
     "kg_er_candidates": q_kg_er_candidates,
     "kg_node_table": q_kg_node_table,
+    "kg_khop_sample": q_kg_khop_sample,
 }
