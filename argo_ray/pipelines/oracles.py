@@ -751,3 +751,10 @@ SELECT seed, node, MIN(hop) AS hop FROM (
   UNION ALL
   SELECT seed, node, 2 FROM h2
 ) WHERE node <> seed GROUP BY seed, node"""
+
+# CSR-style adjacency export: sorted neighbor list + out-degree.
+ORACLES["kg_adjacency"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2)
+SELECT src AS node, string_agg(dst, ',' ORDER BY dst) AS neighbors,
+       CAST(COUNT(*) AS BIGINT) AS out_degree
+FROM e GROUP BY src"""

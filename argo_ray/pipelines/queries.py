@@ -1812,6 +1812,38 @@ def q_kg_khop_sample(sf_dir: str):
     return khop_sample(sym, seeds, hops=2, fanout=3)
 
 
+def q_kg_adjacency(sf_dir: str):
+    """CSR-style adjacency export for external graph engines: one row
+    per source node with its sorted comma-joined neighbor list and
+    out-degree — one sort exchange co-locates each node's edges, the
+    per-group join is vectorized pandas."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    def adj(g: pd.DataFrame) -> pd.DataFrame:
+        dsts = sorted(g["dst"].tolist())
+        return pd.DataFrame(
+            {
+                "node": [g["src"].iloc[0]],
+                "neighbors": [",".join(dsts)],
+                "out_degree": [len(dsts)],
+            }
+        )
+
+    out = grouped_map(_kg_link_edges(sf_dir), "src", adj)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "neighbors": pc.cast(b["neighbors"], pa.string()),
+                "out_degree": pc.cast(b["out_degree"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1886,4 +1918,5 @@ KG_QUERIES = {
     "kg_er_candidates": q_kg_er_candidates,
     "kg_node_table": q_kg_node_table,
     "kg_khop_sample": q_kg_khop_sample,
+    "kg_adjacency": q_kg_adjacency,
 }
