@@ -595,8 +595,9 @@ ORACLES["kg_delta_apply"] = _snapshot_sql("doc_id % 3 <> 0")
 
 # SHACL-lite validation over the dirtied KG: planted second titles
 # (doc_id%11), untyped chars literals (doc_id%13), plus the naturally
-# untyped hub subject.
-ORACLES["kg_shacl_validate"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+# untyped hub subject.  _DIRTY_CTE and the verdict block are shared
+# with the kg_build_pipeline oracle below.
+_DIRTY_CTE = f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
 dirty AS (
   SELECT * FROM d
   UNION ALL
@@ -611,8 +612,9 @@ dirty AS (
          obj_kind, obj_value, obj_lang, ''
   FROM d JOIN docs ON subj_value = entity
   WHERE pred_value = '{EX}chars' AND doc_id % 13 = 0
-)
-SELECT 'functional:{DC}title' AS shape, subj_value
+)"""
+
+_VERDICTS_SQL = f"""SELECT 'functional:{DC}title' AS shape, subj_value
 FROM dirty WHERE pred_value = '{DC}title'
 GROUP BY subj_value HAVING COUNT(DISTINCT obj_value) > 1
 UNION ALL
@@ -626,6 +628,8 @@ SELECT DISTINCT 'datatype:{EX}chars', subj_value
 FROM dirty
 WHERE pred_value = '{EX}chars' AND obj_kind = 2
   AND obj_datatype <> 'http://www.w3.org/2001/XMLSchema#integer'"""
+
+ORACLES["kg_shacl_validate"] = EXP_CTE + _DIRTY_CTE + "\n" + _VERDICTS_SQL
 
 # KG-embedding prep: dense sorted-order ids over entities (subjects +
 # non-literal objects) and relations; (h,r,t) for the edge triples.
@@ -678,10 +682,10 @@ ORACLES["nquads_roundtrip"] = (
 ORACLES["trig_roundtrip"] = ORACLES["nquads_roundtrip"]
 
 
-def _qa_report_sql() -> str:
-    """kg_qa_report oracle: distinct (metric, value) pairs over the
-    distinct triple set, counted per metric (chr(31) joins mirror the
-    Ray side's \\x1f separator)."""
+def _qa_pairs_sql(src: str) -> str:
+    """QA-report metric block over a triples CTE named ``src``:
+    distinct (metric, value) pairs counted per metric (chr(31) joins
+    mirror the Ray side's \\x1f separator)."""
     j = " || chr(31) || "
     full = j.join(
         f"CAST({c.strip()} AS VARCHAR)"
@@ -689,30 +693,46 @@ def _qa_report_sql() -> str:
     )
     subj = f"CAST(subj_kind AS VARCHAR){j}subj_value"
     lit = f"obj_value{j}obj_lang{j}obj_datatype"
-    return (
-        EXP_CTE
-        + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+    return f""",
 pairs AS (
   SELECT DISTINCT * FROM (
-    SELECT 'n_triples' AS metric, {full} AS value FROM d
-    UNION ALL SELECT 'n_subjects', {subj} FROM d
-    UNION ALL SELECT 'n_predicates', pred_value FROM d
-    UNION ALL SELECT 'n_iri_entities', subj_value FROM d WHERE subj_kind = 0
-    UNION ALL SELECT 'n_iri_entities', obj_value FROM d WHERE obj_kind = 0
-    UNION ALL SELECT 'n_bnodes', subj_value FROM d WHERE subj_kind = 1
-    UNION ALL SELECT 'n_bnodes', obj_value FROM d WHERE obj_kind = 1
-    UNION ALL SELECT 'n_literals', {lit} FROM d WHERE obj_kind = 2
-    UNION ALL SELECT 'n_lang_literals', {lit} FROM d WHERE obj_kind = 2 AND obj_lang <> ''
-    UNION ALL SELECT 'n_typed_literals', {lit} FROM d WHERE obj_kind = 2 AND obj_datatype <> ''
-    UNION ALL SELECT 'n_typed_subjects', {subj} FROM d WHERE pred_value = '{RDF_TYPE}'
-    UNION ALL SELECT 'n_classes', obj_value FROM d WHERE pred_value = '{RDF_TYPE}'
+    SELECT 'n_triples' AS metric, {full} AS value FROM {src}
+    UNION ALL SELECT 'n_subjects', {subj} FROM {src}
+    UNION ALL SELECT 'n_predicates', pred_value FROM {src}
+    UNION ALL SELECT 'n_iri_entities', subj_value FROM {src} WHERE subj_kind = 0
+    UNION ALL SELECT 'n_iri_entities', obj_value FROM {src} WHERE obj_kind = 0
+    UNION ALL SELECT 'n_bnodes', subj_value FROM {src} WHERE subj_kind = 1
+    UNION ALL SELECT 'n_bnodes', obj_value FROM {src} WHERE obj_kind = 1
+    UNION ALL SELECT 'n_literals', {lit} FROM {src} WHERE obj_kind = 2
+    UNION ALL SELECT 'n_lang_literals', {lit} FROM {src} WHERE obj_kind = 2 AND obj_lang <> ''
+    UNION ALL SELECT 'n_typed_literals', {lit} FROM {src} WHERE obj_kind = 2 AND obj_datatype <> ''
+    UNION ALL SELECT 'n_typed_subjects', {subj} FROM {src} WHERE pred_value = '{RDF_TYPE}'
+    UNION ALL SELECT 'n_classes', obj_value FROM {src} WHERE pred_value = '{RDF_TYPE}'
   )
 )
 SELECT metric, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY metric"""
-    )
 
 
-ORACLES["kg_qa_report"] = _qa_report_sql()
+ORACLES["kg_qa_report"] = (
+    EXP_CTE
+    + f", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)"
+    + _qa_pairs_sql("d")
+)
+
+# Composed KG-build flagship: dirty build -> validation verdicts ->
+# quarantine every violating subject -> QA report of the published
+# graph (same dirty/verdict blocks as kg_shacl_validate).
+ORACLES["kg_build_pipeline"] = (
+    EXP_CTE
+    + _DIRTY_CTE
+    + f""",
+viol AS (SELECT DISTINCT subj_value FROM ({_VERDICTS_SQL})),
+clean AS (
+  SELECT * FROM dirty
+  WHERE subj_value NOT IN (SELECT subj_value FROM viol)
+)"""
+    + _qa_pairs_sql("clean")
+)
 
 # ER blocking: cross-namespace candidate pairs via exact-title join
 # (title collisions across docs intentionally produce extra pairs).

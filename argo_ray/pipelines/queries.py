@@ -1481,14 +1481,9 @@ def q_kg_delta_apply(sf_dir: str):
     return _finalize(apply_delta(decode_store(out), delta))
 
 
-def q_kg_qa_report(sf_dir: str):
-    """KG QA report: the distinct-count health metrics a KG build
-    publishes (triples, subjects, predicates, IRI entities, bnodes,
-    literal inventory, typing coverage).  ONE vectorized scatter pass
-    over the distinct triple set emits (metric, value) pairs, one
-    distinct exchange dedups them globally, then per-block partial
-    counts + a 10-key groupby sum produce the report — shuffle volume
-    = distinct pairs, never the corpus."""
+def _qa_report_over(triples_ds):
+    """Shared QA-report core: distinct (metric, value) pair scatter →
+    one distinct exchange → 10-key count (see q_kg_qa_report)."""
     from ray.data.aggregate import Sum
 
     from ..stages.materialize import distinct_rows
@@ -1547,7 +1542,7 @@ def q_kg_qa_report(sf_dir: str):
         return pa.concat_tables(out)
 
     uniq = distinct_rows(
-        _deduped(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        triples_ds.map_batches(pairs, batch_format="pyarrow"),
         ["metric", "value"],
     )
 
@@ -1571,16 +1566,23 @@ def q_kg_qa_report(sf_dir: str):
     )
 
 
-def q_kg_shacl_validate(sf_dir: str):
-    """SHACL-lite validation over a deliberately dirtied KG: every
-    doc_id%11==0 gains a second distinct dc:title (functional-property
-    violation), every doc_id%13==0 gains an untyped ex:chars literal
-    (datatype violation), and the hub subject has no rdf:type (required-
-    type violation, present in the clean build too).  Violations come
-    back as distinct (shape, subj_value) rows
-    (:func:`argo_ray.stages.validate.validate_graph`)."""
-    from ..stages.validate import validate_graph
+def q_kg_qa_report(sf_dir: str):
+    """KG QA report: the distinct-count health metrics a KG build
+    publishes (triples, subjects, predicates, IRI entities, bnodes,
+    literal inventory, typing coverage).  ONE vectorized scatter pass
+    over the distinct triple set emits (metric, value) pairs, one
+    distinct exchange dedups them globally, then per-block partial
+    counts + a 10-key groupby sum produce the report — shuffle volume
+    = distinct pairs, never the corpus."""
+    return _qa_report_over(_deduped(sf_dir))
 
+
+def _planted_dirty(sf_dir: str):
+    """The dirtied KG fixture shared by kg_shacl_validate and
+    kg_build_pipeline: every doc_id%11==0 gains a second distinct
+    dc:title (functional-property violation), every doc_id%13==0 an
+    untyped ex:chars literal (datatype violation); the hub subject has
+    no rdf:type in the clean build already."""
     ls = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
     title_iri = DC_NS + "title"
     chars_iri = EX_NS + "chars"
@@ -1614,15 +1616,27 @@ def q_kg_shacl_validate(sf_dir: str):
         )
         return pa.concat_tables([b, extra_title, extra_chars])
 
-    dirty = _deduped(sf_dir).map_batches(
+    return _deduped(sf_dir).map_batches(
         lambda b: plant(b.select(TRIPLE_COLUMNS)), batch_format="pyarrow"
     )
-    return validate_graph(
-        dirty,
-        functional_preds=(title_iri,),
-        required_type=True,
-        datatype_constraints={chars_iri: XSD_NS + "integer"},
-    )
+
+
+_SHACL_SHAPES = dict(
+    functional_preds=(DC_NS + "title",),
+    required_type=True,
+    datatype_constraints={EX_NS + "chars": XSD_NS + "integer"},
+)
+
+
+def q_kg_shacl_validate(sf_dir: str):
+    """SHACL-lite validation over the deliberately dirtied KG (see
+    :func:`_planted_dirty` for the planted violations; the hub is
+    naturally untyped).  Violations come back as distinct
+    (shape, subj_value) rows
+    (:func:`argo_ray.stages.validate.validate_graph`)."""
+    from ..stages.validate import validate_graph
+
+    return validate_graph(_planted_dirty(sf_dir), **_SHACL_SHAPES)
 
 
 def q_kg_triple_ids(sf_dir: str):
@@ -1844,6 +1858,59 @@ def q_kg_adjacency(sf_dir: str):
     )
 
 
+def q_kg_build_pipeline(sf_dir: str):
+    """Composed KG-build flagship: extract → exact dedup → SHACL-lite
+    validation → QUARANTINE every violating subject (all its triples
+    drop, the standard remediate-by-entity rule) → QA report of the
+    published graph.  The gate is a co-located anti-join: violation
+    subjects become marker rows, one subject sort groups each
+    subject's triples with its markers, groups with a marker drop."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+    from ..stages.validate import validate_graph
+
+    dirty = _planted_dirty(sf_dir)
+    violations = validate_graph(dirty, **_SHACL_SHAPES)
+
+    def markers(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {}
+        for name in TRIPLE_COLUMNS:
+            if name == "subj_value":
+                cols[name] = pc.cast(b["subj_value"], pa.large_string())
+            elif name.endswith("_kind"):
+                cols[name] = pa.array([0] * n, pa.int64())
+            else:
+                cols[name] = pa.array([""] * n, pa.large_string())
+        cols["_bad"] = pa.array([1] * n, pa.int64())
+        return pa.table(cols)
+
+    def tag_triples(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name in TRIPLE_COLUMNS:
+            col = b[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            else:
+                col = pc.cast(col, pa.large_string())
+            cols[name] = col
+        cols["_bad"] = pa.array([0] * b.num_rows, pa.int64())
+        return pa.table(cols)
+
+    both = dirty.map_batches(tag_triples, batch_format="pyarrow").union(
+        violations.map_batches(markers, batch_format="pyarrow")
+    )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        if g["_bad"].max() == 1:
+            return pd.DataFrame()
+        return g.drop(columns=["_bad"])
+
+    clean = grouped_map(both, "subj_value", gate)
+    return _qa_report_over(clean)
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1919,4 +1986,5 @@ KG_QUERIES = {
     "kg_node_table": q_kg_node_table,
     "kg_khop_sample": q_kg_khop_sample,
     "kg_adjacency": q_kg_adjacency,
+    "kg_build_pipeline": q_kg_build_pipeline,
 }
