@@ -986,3 +986,109 @@ def khop_sample(edges_ds, seeds_ds, hops: int = 2, fanout: int = 3):
         .groupby(["seed", "node"])
         .aggregate(Min("hop_part", alias_name="hop"))
     )
+
+
+def random_walks(edges_ds, seeds_ds, walk_len: int = 3, walks_per_seed: int = 2):
+    """DeepWalk-style random-walk corpus generation: ``walks_per_seed``
+    walks of up to ``walk_len`` steps from each seed.  The "random"
+    step is the deterministic md5 of ``"node:seed:walk:step:dst"`` —
+    rank-1 neighbor under that key — so walks are reproducible across
+    runs, partitions and the SQL oracle, while different walk ids and
+    steps take different branches.  Dead ends (no outgoing edge) end
+    the walk early.  Returns (seed, walk, step, node) rows, step 0 =
+    the seed itself.
+
+    Per step: one hash join (frontier × edges) + one sort-colocated
+    per-(seed, walk) rank-1 — frontier size is bounded by seeds ×
+    walks_per_seed forever (walks never branch).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..io import shuffle_partitions
+    from ..stages.grouping import grouped_map
+
+    num_partitions = shuffle_partitions()
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["seed"], pa.string())
+        tables = [
+            pa.table(
+                {
+                    "seed": s,
+                    "walk": pa.array([w] * len(s), pa.int64()),
+                    "node": s,
+                }
+            )
+            for w in range(walks_per_seed)
+        ]
+        return pa.concat_tables(tables)
+
+    frontier = seeds_ds.map_batches(seed_rows, batch_format="pyarrow")
+
+    def with_step(ds, step: int):
+        return ds.map_batches(
+            lambda b, s=step: b.append_column(
+                "step", pa.array([s] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    collected = [with_step(frontier, 0)]
+
+    for step in range(1, walk_len + 1):
+        cand = frontier.join(
+            edges_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.cast(b["src"], pa.string()),
+                        "dst": pc.cast(b["dst"], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            on=("node",),
+            num_partitions=num_partitions,
+        )
+
+        def keyed(b: pa.Table, s=step) -> pa.Table:
+            nodes = b["node"].to_pylist()
+            seeds = b["seed"].to_pylist()
+            walks = b["walk"].to_pylist()
+            dsts = b["dst"].to_pylist()
+            keys = [
+                hashlib.md5(f"{n}:{sd}:{w}:{s}:{d}".encode()).hexdigest()
+                for n, sd, w, d in zip(nodes, seeds, walks, dsts)
+            ]
+            return pa.table(
+                {
+                    "seed": pc.cast(b["seed"], pa.string()),
+                    "walk": pc.cast(b["walk"], pa.int64()),
+                    "node": pc.cast(b["dst"], pa.string()),
+                    "key": pa.array(keys, pa.string()),
+                }
+            )
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            return (
+                g.sort_values("key", kind="mergesort")
+                .head(1)[["seed", "walk", "node"]]
+                .copy()
+            )
+
+        frontier = grouped_map(
+            cand.map_batches(keyed, batch_format="pyarrow"),
+            ["seed", "walk"],
+            pick,
+        )
+        collected.append(with_step(frontier, step))
+
+    out = collected[0]
+    for s in collected[1:]:
+        out = out.union(s)
+    return out.map_batches(
+        lambda b: b.select(["seed", "walk", "step", "node"]),
+        batch_format="pyarrow",
+    )

@@ -778,3 +778,32 @@ e AS (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind 
 SELECT src AS node, string_agg(dst, ',' ORDER BY dst) AS neighbors,
        CAST(COUNT(*) AS BIGINT) AS out_degree
 FROM e GROUP BY src"""
+
+# DeepWalk corpus: 2 walks x 3 steps, md5-keyed deterministic choice.
+def _walks_sql(walk_len: int = 3) -> str:
+    sql = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e0 AS (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (SELECT 'https://kg.example.org/doc/' || doc_id AS seed
+          FROM documents WHERE doc_id % 10 = 0),
+w0 AS (SELECT seed, CAST(w.walk AS BIGINT) AS walk, seed AS node
+       FROM seeds CROSS JOIN (VALUES (0), (1)) w(walk))"""
+    for step in range(1, walk_len + 1):
+        prev = f"w{step - 1}"
+        sql += f""",
+w{step} AS (
+  SELECT {prev}.seed, {prev}.walk, e.dst AS node
+  FROM {prev} JOIN e ON e.src = {prev}.node
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY {prev}.seed, {prev}.walk
+    ORDER BY md5({prev}.node || ':' || {prev}.seed || ':'
+                 || CAST({prev}.walk AS VARCHAR) || ':{step}:' || e.dst)) = 1
+)"""
+    selects = [
+        f"SELECT seed, walk, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+        for s in range(walk_len + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["kg_random_walks"] = _walks_sql(3)

@@ -1783,13 +1783,8 @@ def q_kg_node_table(sf_dir: str):
     )
 
 
-def q_kg_khop_sample(sf_dir: str):
-    """GNN minibatch prep: 2-hop / fanout-3 neighborhood sample from
-    every 10th Document entity over the undirected distinct link
-    graph, md5-ranked deterministic neighbor choice
-    (:func:`argo_ray.functions.graph.khop_sample`)."""
-    from ..functions.graph import khop_sample
-    from ..io import read_table
+def _sym_link_edges(sf_dir: str):
+    """Undirected distinct link graph (shared by the GNN-prep ops)."""
     from ..stages.materialize import distinct_rows
 
     def symmetrize(b: pa.Table) -> pa.Table:
@@ -1800,19 +1795,24 @@ def q_kg_khop_sample(sf_dir: str):
             ]
         )
 
-    sym = distinct_rows(
+    return distinct_rows(
         _kg_link_edges(sf_dir).map_batches(symmetrize, batch_format="pyarrow"),
         ["src", "dst"],
     )
 
+
+def _entity_seeds(sf_dir: str, mod: int = 10):
+    """Every ``mod``-th Document entity as a (seed) Dataset."""
+    from ..io import read_table
+
     def seeds_fn(b: pa.Table) -> pa.Table:
         ids = pc.cast(b["doc_id"], pa.int64())
-        ten = pa.scalar(10, pa.int64())
-        m = pc.equal(
-            pc.subtract(ids, pc.multiply(pc.divide(ids, ten), ten)),
+        m_ = pa.scalar(mod, pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, m_), m_)),
             pa.scalar(0, pa.int64()),
         )
-        kept = ids.filter(m) if isinstance(ids, pa.ChunkedArray) else ids.filter(m)
+        kept = ids.filter(keep)
         seed = pc.binary_join_element_wise(
             pa.scalar("https://kg.example.org/doc/", pa.large_string()),
             pc.cast(kept, pa.large_string()),
@@ -1820,10 +1820,33 @@ def q_kg_khop_sample(sf_dir: str):
         )
         return pa.table({"seed": pc.cast(seed, pa.string())})
 
-    seeds = read_table(sf_dir, "documents").map_batches(
+    return read_table(sf_dir, "documents").map_batches(
         seeds_fn, batch_format="pyarrow"
     )
-    return khop_sample(sym, seeds, hops=2, fanout=3)
+
+
+def q_kg_khop_sample(sf_dir: str):
+    """GNN minibatch prep: 2-hop / fanout-3 neighborhood sample from
+    every 10th Document entity over the undirected distinct link
+    graph, md5-ranked deterministic neighbor choice
+    (:func:`argo_ray.functions.graph.khop_sample`)."""
+    from ..functions.graph import khop_sample
+
+    return khop_sample(
+        _sym_link_edges(sf_dir), _entity_seeds(sf_dir), hops=2, fanout=3
+    )
+
+
+def q_kg_random_walks(sf_dir: str):
+    """DeepWalk-style walk corpus: 2 walks × 3 steps from every 10th
+    entity over the undirected link graph, md5-keyed deterministic
+    step choice (:func:`argo_ray.functions.graph.random_walks`)."""
+    from ..functions.graph import random_walks
+
+    return random_walks(
+        _sym_link_edges(sf_dir), _entity_seeds(sf_dir),
+        walk_len=3, walks_per_seed=2,
+    )
 
 
 def q_kg_adjacency(sf_dir: str):
@@ -1987,4 +2010,5 @@ KG_QUERIES = {
     "kg_khop_sample": q_kg_khop_sample,
     "kg_adjacency": q_kg_adjacency,
     "kg_build_pipeline": q_kg_build_pipeline,
+    "kg_random_walks": q_kg_random_walks,
 }

@@ -97,6 +97,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
     )
     from argo_ray.pipelines.queries import (
         q_entity_link,
+        q_kg_build_pipeline,
         q_kg_delta,
         q_kg_pagerank,
         q_kg_sameas_canon,
@@ -133,6 +134,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_dup_spans", q_docs_dup_spans),
         ("docs_dsir", q_docs_dsir),
         ("kg_delta", q_kg_delta),
+        ("kg_build_pipeline", q_kg_build_pipeline),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
