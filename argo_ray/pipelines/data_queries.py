@@ -1421,6 +1421,70 @@ def q_docs_blocklist(sf_dir: str):
     )
 
 
+def q_docs_skipgrams(sf_dir: str):
+    """word2vec corpus prep: skip-gram (center, context) pair counts
+    within a ±2 token window over every document.  Per-batch the pair
+    multiset is built with numpy shifts over the flattened token
+    stream (document boundaries masked — no per-row Python), partials
+    pre-aggregate per batch, then ONE groupby(center, context) sums —
+    shuffle volume is distinct pairs per batch, never token count."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    WINDOW = 2
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(b["text"], pa.large_string()), pattern=" "
+        )
+        flat = np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        if flat.size == 0:
+            return pa.table(
+                {
+                    "center": pa.array([], pa.string()),
+                    "context": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        # doc id per flattened token → mask pairs that cross documents
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        centers, contexts = [], []
+        for off in range(1, WINDOW + 1):
+            valid = doc_of[:-off] == doc_of[off:]
+            a = flat[:-off][valid]
+            c = flat[off:][valid]
+            # symmetric window: emit both directions
+            centers.append(a)
+            contexts.append(c)
+            centers.append(c)
+            contexts.append(a)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "center": np.concatenate(centers),
+                "context": np.concatenate(contexts),
+            }
+        )
+        g = df.groupby(["center", "context"], sort=False).size().reset_index(name="n_part")
+        return pa.table(
+            {
+                "center": pa.array(g["center"], pa.string()),
+                "context": pa.array(g["context"], pa.string()),
+                "n_part": pa.array(g["n_part"], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("n_part", alias_name="n_pairs"))
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -1775,6 +1839,7 @@ DATA_QUERIES = {
     "pages_url_dedup": q_pages_url_dedup,
     "pages_url_canon": q_pages_url_canon,
     "docs_blocklist": q_docs_blocklist,
+    "docs_skipgrams": q_docs_skipgrams,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2565,3 +2630,15 @@ SELECT component, doc_id AS keep_doc_id, n_members FROM (
          CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
   FROM all_docs
 ) WHERE rn = 1"""
+
+
+DATA_ORACLES["docs_skipgrams"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT a.w AS center, b.w AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+GROUP BY a.w, b.w"""
