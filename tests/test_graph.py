@@ -325,3 +325,40 @@ def test_rdfs_infer_closure_composition(ray_session):
         (X + "o1", RDF_TYPE, X + "A"), (X + "o1", RDF_TYPE, X + "B"),
     }
     assert got == expect
+
+
+def test_dense_rank_ids_sorted_contiguous(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.functions.kgembed import dense_rank_ids
+
+    ds = rd.from_arrow(pa.table({"term": ["c", "a", "b", "d"]}))
+    out = {r["term"]: r["id"] for r in dense_rank_ids(ds, "term").take_all()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_edge_negatives_never_true_tail(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.functions.kgembed import edge_negatives
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "h_id": [0, 1, 2, 0],
+                "r_id": [0, 0, 1, 1],
+                "t_id": [1, 2, 0, 2],
+            }
+        )
+    )
+    rows = edge_negatives(edges).take_all()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r["neg_t_id"] < 3
+        assert r["neg_t_id"] != r["t_id"]
+    # determinism: a second run draws identical negatives
+    rows2 = edge_negatives(edges).take_all()
+    key = lambda r: (r["h_id"], r["r_id"], r["t_id"])  # noqa: E731
+    assert sorted(rows, key=key) == sorted(rows2, key=key)
