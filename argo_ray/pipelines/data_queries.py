@@ -1485,6 +1485,66 @@ def q_docs_skipgrams(sf_dir: str):
     )
 
 
+def q_docs_inverted_index(sf_dir: str):
+    """Search-index build: inverted postings per word — document
+    frequency and the sorted comma-joined doc_id posting list.
+    Within-batch the (word, doc) presence pairs dedup vectorized
+    (token explode + repeat), then ONE word sort co-locates each
+    word's postings for the in-block list join — shuffle volume is
+    distinct (word, doc) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    def presence_pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(b["text"], pa.large_string()), pattern=" "
+        )
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        ids = np.repeat(
+            pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False), lens
+        )
+        df = pd.DataFrame(
+            {"word": flat.to_pandas().to_numpy(dtype=object), "doc_id": ids}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "word": pa.array(df["word"], pa.string()),
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+            }
+        )
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc_id"].tolist()))
+        return pd.DataFrame(
+            {
+                "word": [g["word"].iloc[0]],
+                "df": [len(docs)],
+                "postings": [",".join(str(d) for d in docs)],
+            }
+        )
+
+    out = grouped_map(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            presence_pairs, batch_format="pyarrow"
+        ),
+        "word",
+        postings,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "word": pc.cast(b["word"], pa.string()),
+                "df": pc.cast(b["df"], pa.int64()),
+                "postings": pc.cast(b["postings"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -1840,6 +1900,7 @@ DATA_QUERIES = {
     "pages_url_canon": q_pages_url_canon,
     "docs_blocklist": q_docs_blocklist,
     "docs_skipgrams": q_docs_skipgrams,
+    "docs_inverted_index": q_docs_inverted_index,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2642,3 +2703,11 @@ SELECT a.w AS center, b.w AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
 GROUP BY a.w, b.w"""
+
+
+DATA_ORACLES["docs_inverted_index"] = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), pairs AS (SELECT DISTINCT doc_id, word FROM toks)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY word"""
