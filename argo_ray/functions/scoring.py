@@ -141,6 +141,7 @@ def bm25_topk(
     k1: float = 1.5,
     b: float = 0.75,
     text_column: str = "text",
+    round6: bool = False,
 ):
     """BM25 top-k: one DF pass (combiner groupby), one count/avgdl pass,
     then a stateless scoring ``map_batches`` with the (tiny) idf table
@@ -215,4 +216,17 @@ def bm25_topk(
         )
 
     scored = docs_ds.map_batches(score, batch_format="pyarrow")
+    if round6:
+        # oracle-stable ordering: round BEFORE the sort so a float-ulp
+        # difference in the per-term sum order can never flip the
+        # boundary of the top-k (same protocol as pagerank/hits)
+        scored = scored.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "score": pc.round(pc.cast(b["score"], pa.float64()), ndigits=6),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)

@@ -1545,6 +1545,21 @@ def q_docs_inverted_index(sf_dir: str):
     )
 
 
+def q_docs_bm25(sf_dir: str):
+    """BM25 top-20 for a 3-term query (k1=1.5, b=0.75): distributed DF
+    combiner pass + exact integer avgdl inputs, stateless vectorized
+    scoring, scores rounded to 6 decimals BEFORE the top-k sort so the
+    ranking is oracle-stable (:func:`argo_ray.functions.scoring.bm25_topk`)."""
+    from ..functions.scoring import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ("doc_id", "text")),
+        terms=["spark", "join", "merge"],
+        k=20,
+        round6=True,
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -1901,6 +1916,7 @@ DATA_QUERIES = {
     "docs_blocklist": q_docs_blocklist,
     "docs_skipgrams": q_docs_skipgrams,
     "docs_inverted_index": q_docs_inverted_index,
+    "docs_bm25": q_docs_bm25,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2711,3 +2727,36 @@ DATA_ORACLES["docs_inverted_index"] = """WITH toks AS (
 SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM pairs GROUP BY word"""
+
+
+DATA_ORACLES["docs_bm25"] = """WITH d AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf_join,
+    len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS tf_merge,
+    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf_spark,
+    len(string_split(text, ' ')) AS dl
+  FROM documents
+), s AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+    SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+  FROM d
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM (
+  SELECT doc_id,
+    (CASE WHEN tf_join > 0 THEN
+        ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        * tf_join * 2.5 / (tf_join + 1.5 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ELSE 0 END)
+    + (CASE WHEN tf_merge > 0 THEN
+        ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+        * tf_merge * 2.5 / (tf_merge + 1.5 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ELSE 0 END)
+    + (CASE WHEN tf_spark > 0 THEN
+        ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        * tf_spark * 2.5 / (tf_spark + 1.5 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ELSE 0 END) AS score
+  FROM d, s
+) WHERE score > 0
+ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20"""
