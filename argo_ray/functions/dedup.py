@@ -1024,6 +1024,14 @@ def keep_best_per_component(docs_ds, comp_ds):
     )
 
     def argmax_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows:
+            max_chars = pc.max(pc.cast(b["n_chars"], pa.int64())).as_py()
+            if max_chars is not None and max_chars >= (1 << 63) // _KEEP_BEST_BASE:
+                raise ValueError(
+                    f"n_chars {max_chars} would overflow the encoded argmax "
+                    f"key (bound {(1 << 63) // _KEEP_BEST_BASE}); raise "
+                    "_KEEP_BEST_BASE's doc_id headroom or pre-scale n_chars"
+                )
         key = pc.subtract(
             pc.multiply(
                 pc.cast(b["n_chars"], pa.int64()),

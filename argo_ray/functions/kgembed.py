@@ -152,6 +152,8 @@ def edge_negatives(edges_ds):
     from ray.data.aggregate import Max
 
     agg = edges_ds.aggregate(Max("h_id"), Max("t_id"))
+    if not agg or agg.get("max(h_id)") is None or agg.get("max(t_id)") is None:
+        raise ValueError("edge_negatives: empty edge set — nothing to corrupt")
     n = int(max(agg["max(h_id)"], agg["max(t_id)"])) + 1
     if n < 2:
         raise ValueError("need at least 2 entities to corrupt tails")

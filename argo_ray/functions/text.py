@@ -694,9 +694,12 @@ def blocklist_batch(
     n_words = pc.cast(
         pc.list_value_length(pc.split_pattern(text, pattern=" ")), pa.int64()
     )
+    # exact cross-multiplied density compare (n_blocked/n_words <
+    # max/50) — integer division here would mis-threshold any max that
+    # does not divide 50 and degenerate to keep-all past 50
     kept = pc.less(
-        pc.multiply(n_blocked, pa.scalar(50 // max_blocked_per_50_words, pa.int64())),
-        n_words,
+        pc.multiply(n_blocked, pa.scalar(50, pa.int64())),
+        pc.multiply(n_words, pa.scalar(max_blocked_per_50_words, pa.int64())),
     )
     out = batch.select(["doc_id"])
     return (

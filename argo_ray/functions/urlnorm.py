@@ -40,7 +40,10 @@ def canonical_url_array(urls) -> pa.Array:
     ls = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
     u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
     ext = pc.extract_regex(u, pattern=r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://")
-    scheme = pc.utf8_lower(pc.struct_field(ext, "s"))
+    # scheme-less URLs: extract_regex yields null, DuckDB regexp_extract
+    # yields '' — fill to keep Ray/oracle parity instead of propagating
+    # null through the joins (which would nullify the whole canon)
+    scheme = pc.fill_null(pc.utf8_lower(pc.struct_field(ext, "s")), "")
     rest = pc.replace_substring_regex(
         u, pattern=_SCHEME, replacement="", max_replacements=1
     )

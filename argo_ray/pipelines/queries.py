@@ -127,14 +127,11 @@ def q_rdfxml_roundtrip(sf_dir: str):
     )
 
 
-def q_nquads_roundtrip(sf_dir: str):
-    """N-Quads named-graph round-trip (K1/S1's quad extension,
-    sinks/nquads.py + sources/nquads.py): each page's distinct triples
+def _quad_roundtrip(sf_dir: str, serialize_doc, parse_batch):
+    """Shared named-graph round-trip: each page's distinct triples
     become quads in the page-url graph; serialize → re-parse →
     flattened quads (graph_value + the 12 term columns) survive
     byte-exact."""
-    from ..sinks.nquads import serialize_nquads
-    from ..sources.nquads import parse_nquads_batch
     from ..stages.materialize import distinct_rows
 
     distinct = distinct_rows(_extract(sf_dir), ["url"] + list(TRIPLE_COLUMNS))
@@ -143,7 +140,7 @@ def q_nquads_roundtrip(sf_dir: str):
         b = b.append_column(
             "graph_value", pc.cast(b["url"], pa.large_string())
         ).drop_columns(["url"])
-        doc = serialize_nquads(b)
+        doc = serialize_doc(b)
         return pa.table(
             {
                 "url": pa.array([""], pa.string()),
@@ -152,7 +149,7 @@ def q_nquads_roundtrip(sf_dir: str):
         )
 
     def reparse(b: pa.Table) -> pa.Table:
-        t = parse_nquads_batch(b)
+        t = parse_batch(b)
         cols = {"graph_value": pc.cast(t["graph_value"], pa.string())}
         for name in TRIPLE_COLUMNS:
             col = t[name]
@@ -166,40 +163,24 @@ def q_nquads_roundtrip(sf_dir: str):
     )
 
 
+def q_nquads_roundtrip(sf_dir: str):
+    """N-Quads named-graph round-trip (K1/S1's quad extension,
+    sinks/nquads.py + sources/nquads.py)."""
+    from ..sinks.nquads import serialize_nquads
+    from ..sources.nquads import parse_nquads_batch
+
+    return _quad_roundtrip(sf_dir, serialize_nquads, parse_nquads_batch)
+
+
 def q_trig_roundtrip(sf_dir: str):
     """TriG named-graph round-trip (K4's quad twin, sinks/trig.py +
     sources/trig.py): page triples in page-url graph sections with
-    qname compaction on; serialize → re-parse → flattened quads."""
+    qname compaction on."""
     from ..sinks.trig import serialize_trig
     from ..sources.trig import parse_trig_batch
-    from ..stages.materialize import distinct_rows
 
-    distinct = distinct_rows(_extract(sf_dir), ["url"] + list(TRIPLE_COLUMNS))
-
-    def ser(b: pa.Table) -> pa.Table:
-        b = b.append_column(
-            "graph_value", pc.cast(b["url"], pa.large_string())
-        ).drop_columns(["url"])
-        doc = serialize_trig(b, _PREFIXES)
-        return pa.table(
-            {
-                "url": pa.array([""], pa.string()),
-                "text": pa.array([doc], pa.string()),
-            }
-        )
-
-    def reparse(b: pa.Table) -> pa.Table:
-        t = parse_trig_batch(b)
-        cols = {"graph_value": pc.cast(t["graph_value"], pa.string())}
-        for name in TRIPLE_COLUMNS:
-            col = t[name]
-            if name.endswith("_kind"):
-                col = pc.cast(col, pa.int64())
-            cols[name] = col
-        return pa.table(cols)
-
-    return distinct.map_batches(ser, batch_format="pyarrow").map_batches(
-        reparse, batch_format="pyarrow"
+    return _quad_roundtrip(
+        sf_dir, lambda b: serialize_trig(b, _PREFIXES), parse_trig_batch
     )
 
 
@@ -1767,7 +1748,12 @@ def q_kg_node_table(sf_dir: str):
         g = t.group_by("entity").aggregate(
             [(c, "max") for c in list(preds) + ["n_chars"]]
         )
-        return g.rename_columns(["entity"] + list(preds) + ["n_chars"])
+        # name-based selection — the position of the group key in
+        # TableGroupBy.aggregate output differs across pyarrow versions
+        return pa.table(
+            {"entity": g["entity"]}
+            | {c: g[f"{c}_max"] for c in list(preds) + ["n_chars"]}
+        )
 
     return (
         _deduped(sf_dir)

@@ -44,10 +44,13 @@ def parse_trig(text: str) -> list[tuple[Term, Term, Term, Term]]:
         for s, p, o in parse_turtle(header + segment):
             quads.append((s, p, o, graph))
 
-    # scan top level: braces outside quoted strings delimit graph bodies
+    # scan top level: braces outside quoted strings AND outside <IRI>s
+    # delimit graph bodies (the IRI charset allows '{' but not '<'/'"',
+    # so <...> is safe to treat as opaque)
     i, n = 0, len(body)
     seg_start = 0
     in_string = False
+    in_iri = False
     while i < n:
         ch = body[i]
         if in_string:
@@ -56,8 +59,13 @@ def parse_trig(text: str) -> list[tuple[Term, Term, Term, Term]]:
                 continue
             if ch == '"':
                 in_string = False
+        elif in_iri:
+            if ch == ">":
+                in_iri = False
         elif ch == '"':
             in_string = True
+        elif ch == "<":
+            in_iri = True
         elif ch == "{":
             before = body[seg_start:i]
             m = _GRAPH_LABEL_RE.search(before)
@@ -68,9 +76,10 @@ def parse_trig(text: str) -> list[tuple[Term, Term, Term, Term]]:
                 Term(1, label[2:]) if label.startswith("_:") else Term(0, label[1:-1])
             )
             parse_into(before[: m.start()], _DEFAULT_GRAPH)
-            # find the matching close brace (same string-aware scan)
+            # find the matching close brace (same string/IRI-aware scan)
             j = i + 1
             depth_in_string = False
+            depth_in_iri = False
             while j < n:
                 cj = body[j]
                 if depth_in_string:
@@ -79,8 +88,13 @@ def parse_trig(text: str) -> list[tuple[Term, Term, Term, Term]]:
                         continue
                     if cj == '"':
                         depth_in_string = False
+                elif depth_in_iri:
+                    if cj == ">":
+                        depth_in_iri = False
                 elif cj == '"':
                     depth_in_string = True
+                elif cj == "<":
+                    depth_in_iri = True
                 elif cj == "}":
                     break
                 j += 1

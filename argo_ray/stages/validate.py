@@ -178,6 +178,11 @@ def validate_graph(
             )
         )
 
+    if not parts:
+        raise ValueError(
+            "validate_graph: no constraints enabled (functional_preds, "
+            "required_type and datatype_constraints are all empty)"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -1431,3 +1431,35 @@ def test_url_canonicalization_hand_cases():
     }
     got = canonical_url_array(pa.array(list(cases))).to_pylist()
     assert got == list(cases.values())
+
+
+def test_blocklist_threshold_exact_cross_multiply():
+    import pyarrow as pa
+
+    from argo_ray.functions.text import blocklist_batch
+
+    # 3 blocked in 49 words: density 3/49 > 3/50 -> must be dropped
+    text49 = "slow dup hash " + "word " * 45 + "end"
+    assert len(text49.split(" ")) == 49
+    b = pa.table({"doc_id": [1], "text": [text49]})
+    out = blocklist_batch(b, ("slow", "dup", "hash"), max_blocked_per_50_words=3)
+    assert out["kept"].to_pylist() == [False]
+    # 3 blocked in 51 words: density 3/51 < 3/50 -> kept
+    text51 = "slow dup hash " + "word " * 47 + "end"
+    assert len(text51.split(" ")) == 51
+    b = pa.table({"doc_id": [1], "text": [text51]})
+    out = blocklist_batch(b, ("slow", "dup", "hash"), max_blocked_per_50_words=3)
+    assert out["kept"].to_pylist() == [True]
+
+
+def test_url_canon_schemeless_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+
+    from argo_ray.functions.urlnorm import canonical_url_array
+
+    raw = "example.com/path?utm_source=x&q=1"
+    got = canonical_url_array(pa.array([raw])).to_pylist()
+    # DuckDB regexp_extract yields '' on no match; parity must hold
+    assert got == ["://example.com/path?q=1"]
+    assert got[0] is not None

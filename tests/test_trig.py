@@ -63,3 +63,15 @@ def test_poison_documents_quarantined():
     out = parse_trig_batch(bad, on_error="skip")
     assert set(out["url"].to_pylist()) == {"good"}
     assert out.num_rows == 4
+
+
+def test_brace_inside_iri_is_not_a_graph_section():
+    quads = parse_trig('<http://a/{b}>\n  <http://p> "v" ;\n  .\n')
+    assert len(quads) == 1
+    assert quads[0][0] == IRI("http://a/{b}")
+    assert quads[0][3] == Term(0, "")
+
+    # and inside a named section too
+    doc = '<http://g> {\n<http://a/{b}>\n  <http://p> "v" ;\n  .\n\n}\n'
+    quads = parse_trig(doc)
+    assert [q[3] for q in quads] == [IRI("http://g")]
