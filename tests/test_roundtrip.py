@@ -128,7 +128,9 @@ def test_poison_docs_quarantine_all_parsers():
     import pytest
 
     from argo_ray.sinks.rdfjson import parse_rdfjson_batch
+    from argo_ray.sources.nquads import parse_nquads_batch
     from argo_ray.sources.ntriples import parse_ntriples_batch
+    from argo_ray.sources.trig import parse_trig_batch
     from argo_ray.sources.rdfxml import parse_rdfxml_batch
     from argo_ray.sources.squirtle import parse_squirtle_batch
     from argo_ray.sources.turtle import parse_turtle_batch
@@ -148,6 +150,12 @@ def test_poison_docs_quarantine_all_parsers():
         (parse_rdfjson_batch,
          '{"http://s/1": {"http://p/1": [{"type": "literal", "value": "v"}]}}',
          "{not json"),
+        (parse_nquads_batch,
+         '<http://s/1> <http://p/1> "v" <http://g/1> .',
+         '<http://s/1> <http://p/1> "v" "literal graph" .'),
+        (parse_trig_batch,
+         '<http://g> {\n<http://s/1>\n  <http://p/1> "v" ;\n  .\n\n}\n',
+         "<http://g> { unterminated"),
     ]
     for parse, good, bad in cases:
         b = pa.table({"url": ["u1", "u2"], "text": [good, bad]})
