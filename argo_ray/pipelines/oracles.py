@@ -807,3 +807,8 @@ w{step} AS (
 
 
 ORACLES["kg_random_walks"] = _walks_sql(3)
+
+# Property-graph edge export: distinct (src, label, dst).
+ORACLES["kg_edge_table"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT DISTINCT subj_value AS src, pred_value AS label, obj_value AS dst
+FROM d WHERE obj_kind <> 2"""

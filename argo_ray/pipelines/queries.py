@@ -1920,6 +1920,30 @@ def q_kg_build_pipeline(sf_dir: str):
     return _qa_report_over(clean)
 
 
+def q_kg_edge_table(sf_dir: str):
+    """Property-graph edge export (kg_node_table's sibling): one row
+    per distinct (src, label, dst) relationship — non-literal triples
+    projected and deduped on the skew-proof triple hash."""
+    from ..stages.materialize import distinct_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        f = b.filter(
+            pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), pa.scalar(2, pa.int64()))
+        )
+        return pa.table(
+            {
+                "src": pc.cast(f["subj_value"], pa.string()),
+                "label": pc.cast(f["pred_value"], pa.string()),
+                "dst": pc.cast(f["obj_value"], pa.string()),
+            }
+        )
+
+    return distinct_rows(
+        _extract(sf_dir).map_batches(edges, batch_format="pyarrow"),
+        ["src", "label", "dst"],
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -1997,4 +2021,5 @@ KG_QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "kg_build_pipeline": q_kg_build_pipeline,
     "kg_random_walks": q_kg_random_walks,
+    "kg_edge_table": q_kg_edge_table,
 }
