@@ -1560,6 +1560,69 @@ def q_docs_bm25(sf_dir: str):
     )
 
 
+def q_docs_kwic(sf_dir: str):
+    """Keyword-in-context (concordance) extraction: every occurrence of
+    the query term with its ±3-token window — the snippet stage of the
+    search stack (index → BM25 → snippets).  Fully vectorized: flat
+    token stream + shifted gathers build the seven window slots at
+    once, document boundaries clip, empties collapse.  Assumes tokens
+    are non-empty (single-space corpus), which the oracle's true list
+    slice also relies on.  Zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    TERM = "spark"
+    W = 3
+
+    def kwic(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(b["text"], pa.large_string()), pattern=" "
+        )
+        flat = np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        m = np.flatnonzero(flat == TERM)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "snippet": pa.array([], pa.string()),
+                }
+            )
+        mdoc = doc_of[m]
+        lo = starts[mdoc]
+        hi = lo + lens[mdoc]  # exclusive doc end
+        parts = []
+        for off in range(-W, W + 1):
+            idx = m + off
+            ok = (idx >= lo) & (idx < hi)
+            vals = np.where(ok, flat[np.clip(idx, 0, len(flat) - 1)], "")
+            parts.append(pd.Series(vals, dtype=object))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined + " " + p
+        snippet = (
+            joined.str.replace(r" +", " ", regex=True).str.strip().to_numpy()
+        )
+        doc_ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[mdoc]
+        pos = m - lo + 1  # 1-based position within the doc
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "snippet": pa.array(snippet, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        kwic, batch_format="pyarrow"
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -1917,6 +1980,7 @@ DATA_QUERIES = {
     "docs_skipgrams": q_docs_skipgrams,
     "docs_inverted_index": q_docs_inverted_index,
     "docs_bm25": q_docs_bm25,
+    "docs_kwic": q_docs_kwic,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2760,3 +2824,13 @@ SELECT doc_id, ROUND(score, 6) AS score FROM (
   FROM d, s
 ) WHERE score > 0
 ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20"""
+
+
+DATA_ORACLES["docs_kwic"] = """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), m AS (
+  SELECT doc_id, l, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM t
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(l[greatest(1, pos - 3):least(len(l), pos + 3)], ' ') AS snippet
+FROM m WHERE w = 'spark'"""
