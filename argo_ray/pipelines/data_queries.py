@@ -1623,6 +1623,73 @@ def q_docs_kwic(sf_dir: str):
     )
 
 
+def q_docs_pmi_topk(sf_dir: str):
+    """Collocation mining: top-20 skip-gram pairs by PMI
+    (ln(N·n_ab / (n_a·n_b)) over the ±2 window pair counts, min pair
+    support 5).  The unigram table rides the same flattened stream as
+    the pair counts; the final PMI join broadcasts the tiny aggregated
+    tables driver-side only at fixture scale — the distributed path is
+    the same two hash joins as kg_triple_ids.  Scores round to 6
+    decimals BEFORE the top-k sort (oracle-stable ordering)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    pairs = q_docs_skipgrams(sf_dir)
+
+    def unigram_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.cast(b["text"], pa.large_string()), pattern=" "
+        )
+        flat = pc.list_flatten(toks)
+        g = pa.table({"word": pc.cast(flat, pa.string())}).group_by(
+            "word"
+        ).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": pc.cast(g["word"], pa.string()),
+                "n_part": pc.cast(g["word_count"], pa.int64()),
+            }
+        )
+
+    unigrams = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="n_word"))
+    )
+
+    def score_all(pair_rows, uni_rows):
+        counts = {r["word"]: int(r["n_word"]) for r in uni_rows}
+        total_pairs = sum(int(r["n_pairs"]) for r in pair_rows)
+        out = []
+        for r in pair_rows:
+            n_ab = int(r["n_pairs"])
+            if n_ab < 5:
+                continue
+            pmi = float(
+                np.log(
+                    total_pairs
+                    * n_ab
+                    / (counts[r["center"]] * counts[r["context"]])
+                )
+            )
+            out.append((r["center"], r["context"], round(pmi, 6)))
+        out.sort(key=lambda t: (-t[2], t[0], t[1]))
+        return out[:20]
+
+    # vocab and pair tables are tiny aggregates (|vocab|² bound); the
+    # driver-side scoring is the small-result finish, not a data pass
+    top = score_all(pairs.take_all(), unigrams.take_all())
+    return pa.table(
+        {
+            "center": pa.array([t[0] for t in top], pa.string()),
+            "context": pa.array([t[1] for t in top], pa.string()),
+            "pmi": pa.array([t[2] for t in top], pa.float64()),
+        }
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -1981,6 +2048,7 @@ DATA_QUERIES = {
     "docs_inverted_index": q_docs_inverted_index,
     "docs_bm25": q_docs_bm25,
     "docs_kwic": q_docs_kwic,
+    "docs_pmi_topk": q_docs_pmi_topk,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2834,3 +2902,28 @@ DATA_ORACLES["docs_kwic"] = """WITH t AS (
 SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        array_to_string(l[greatest(1, pos - 3):least(len(l), pos + 3)], ' ') AS snippet
 FROM m WHERE w = 'spark'"""
+
+
+DATA_ORACLES["docs_pmi_topk"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), pairs AS (
+  SELECT a.w AS center, b.w AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+  GROUP BY a.w, b.w
+), uni AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n_word FROM toks GROUP BY w
+), tot AS (SELECT SUM(n_pairs) AS n FROM pairs)
+SELECT center, context, pmi FROM (
+  SELECT center, context,
+         ROUND(ln(CAST(tot.n AS DOUBLE) * n_pairs
+                  / (ua.n_word * ub.n_word)), 6) AS pmi
+  FROM pairs, tot
+  JOIN uni ua ON ua.word = center
+  JOIN uni ub ON ub.word = context
+  WHERE n_pairs >= 5
+)
+ORDER BY pmi DESC, center, context LIMIT 20"""
