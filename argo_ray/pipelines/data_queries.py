@@ -1690,6 +1690,35 @@ def q_docs_pmi_topk(sf_dir: str):
     )
 
 
+def q_docs_lang_confusion(sf_dir: str):
+    """Corpus-health confusion matrix: stated ``lang`` column vs the
+    LangId prediction, counted per (lang, lang_pred) cell — per-batch
+    partials inside the actor pool's output, one tiny cell groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["lang", "lang_pred"])
+            .group_by(["lang", "lang_pred"])
+            .aggregate([("lang", "count")])
+        )
+        return pa.table(
+            {
+                "lang": pc.cast(g["lang"], pa.string()),
+                "lang_pred": pc.cast(g["lang_pred"], pa.string()),
+                "n_part": pc.cast(g["lang_count"], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -2049,6 +2078,7 @@ DATA_QUERIES = {
     "docs_bm25": q_docs_bm25,
     "docs_kwic": q_docs_kwic,
     "docs_pmi_topk": q_docs_pmi_topk,
+    "docs_lang_confusion": q_docs_lang_confusion,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2927,3 +2957,11 @@ SELECT center, context, pmi FROM (
   WHERE n_pairs >= 5
 )
 ORDER BY pmi DESC, center, context LIMIT 20"""
+
+
+DATA_ORACLES["docs_lang_confusion"] = (
+    "WITH p AS (" + _langid_oracle_sql() + """)
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.lang_pred"""
+)
