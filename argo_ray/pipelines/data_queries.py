@@ -1152,6 +1152,68 @@ def q_events_window_hourly(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir), every="hour")
 
 
+def q_events_anomalies(sf_dir: str):
+    """Integer-exact anomaly detection over the hourly count stream:
+    flag windows whose count sits more than 2 population standard
+    deviations from that type's mean.  |z| > 2 is evaluated as the
+    cross-multiplied integer inequality
+    ``(x·n − Σx)² > 4·(n·Σx² − (Σx)²)`` — no float mean/σ anywhere, so
+    the oracle matches bit-for-bit.  The per-type stats are a tiny
+    aggregate over the (already aggregated) hourly table; the flag
+    pass closes over them as a broadcast dict."""
+    from ray.data.aggregate import Count, Sum
+
+    hourly = tumbling_window_agg(_events(sf_dir), every="hour").map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "window_start": b["window_start"],
+                "x": pc.cast(b["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # small (types × hours); reused by both passes
+
+    def sq_partial(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "x2", pc.multiply(pc.cast(b["x"], pa.int64()), pc.cast(b["x"], pa.int64()))
+        )
+
+    stats = {
+        r["event_type"]: (int(r["n"]), int(r["sumx"]), int(r["sumx2"]))
+        for r in hourly.map_batches(sq_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sumx"),
+            Sum("x2", alias_name="sumx2"),
+        )
+        .take_all()
+    }
+
+    def flag(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        types = b["event_type"].to_pylist()
+        x = b["x"].to_numpy(zero_copy_only=False).astype(object)
+        keep = []
+        for t, xi in zip(types, x):
+            n, sumx, sumx2 = stats[t]
+            lhs = (int(xi) * n - sumx) ** 2  # exact python ints
+            rhs = 4 * (n * sumx2 - sumx * sumx)
+            keep.append(lhs > rhs)
+        f = b.filter(pa.array(keep, pa.bool_()))
+        return pa.table(
+            {
+                "event_type": pc.cast(f["event_type"], pa.string()),
+                "window_start": f["window_start"],
+                "n_events": pc.cast(f["x"], pa.int64()),
+            }
+        )
+
+    return hourly.map_batches(flag, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
@@ -2079,6 +2141,7 @@ DATA_QUERIES = {
     "docs_kwic": q_docs_kwic,
     "docs_pmi_topk": q_docs_pmi_topk,
     "docs_lang_confusion": q_docs_lang_confusion,
+    "events_anomalies": q_events_anomalies,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2965,3 +3028,18 @@ SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
 FROM p JOIN documents d USING (doc_id)
 GROUP BY d.lang, p.lang_pred"""
 )
+
+
+DATA_ORACLES["events_anomalies"] = """WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sumx,
+         CAST(SUM(x * x) AS BIGINT) AS sumx2
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.window_start, x AS n_events
+FROM h JOIN s USING (event_type)
+WHERE (x * n - sumx) * (x * n - sumx) > 4 * (n * sumx2 - sumx * sumx)"""
