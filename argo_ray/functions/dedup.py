@@ -1075,3 +1075,66 @@ def keep_best_per_component(docs_ds, comp_ds):
         )
 
     return best.map_batches(decode, batch_format="pyarrow")
+
+
+def simhash_neardup(
+    docs_ds,
+    bands: int = 4,
+    hasher: str = "fast",
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+):
+    """SimHash near-dup with the Hamming VERIFY stage: band-bucket
+    candidates (:func:`simhash_candidates`) joined back to both sides'
+    signatures, kept when popcount(sig_a XOR sig_b) <= max_hamming —
+    the precision pass the banding recall stage needs.  Two uniform
+    hash joins + a vectorized popcount filter; no driver
+    materialization."""
+    from ..functions.text import simhash_batch
+
+    if num_partitions is None:
+        from ..io import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+
+    cand = simhash_candidates(docs_ds, bands=bands, hasher=hasher)
+    sigs = docs_ds.map_batches(
+        lambda b: simhash_batch(b, hasher=hasher), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+    def renamed(col_doc, col_sig):
+        return sigs.map_batches(
+            lambda b: pa.table(
+                {col_doc: b["doc_id"], col_sig: b["simhash"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = cand.join(
+        renamed("doc_a", "sig_a"),
+        join_type="inner",
+        on=("doc_a",),
+        num_partitions=num_partitions,
+    ).join(
+        renamed("doc_b", "sig_b"),
+        join_type="inner",
+        on=("doc_b",),
+        num_partitions=num_partitions,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        sa = np.asarray(b["sig_a"].to_pylist(), dtype=np.uint64)
+        sb = np.asarray(b["sig_b"].to_pylist(), dtype=np.uint64)
+        ham = _popcount64((sa ^ sb)[:, None]).sum(axis=1)
+        keep = pa.array(ham <= max_hamming)
+        f = b.filter(keep)
+        return pa.table(
+            {
+                "doc_a": pc.cast(f["doc_a"], pa.int64()),
+                "doc_b": pc.cast(f["doc_b"], pa.int64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -203,6 +203,18 @@ def q_simhash_candidates(sf_dir: str):
     return simhash_candidates(_planted_docs(sf_dir, near=True), hasher="md5")
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash candidates + Hamming VERIFY (md5 oracle mode): banded
+    candidate pairs kept only when popcount(sig_a XOR sig_b) <= 3 —
+    the precision stage on top of the recall banding
+    (:func:`argo_ray.functions.dedup.simhash_neardup`)."""
+    from ..functions.dedup import simhash_neardup
+
+    return simhash_neardup(
+        _planted_docs(sf_dir, near=True), hasher="md5", max_hamming=3
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Char-set Jaccard pairs (DuckDB ``jaccard()``-compatible) within
     source partitions, threshold 1.0 (identical char sets)."""
@@ -2142,6 +2154,7 @@ DATA_QUERIES = {
     "docs_pmi_topk": q_docs_pmi_topk,
     "docs_lang_confusion": q_docs_lang_confusion,
     "events_anomalies": q_events_anomalies,
+    "simhash_neardup": q_simhash_neardup,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -2248,7 +2261,7 @@ WITH corpus AS (
 """
 
 
-def _simhash_oracle_sql(bands: int = 4, cap: int = 200) -> str:
+def _simhash_oracle_sql(bands: int = 4, cap: int = 200, hamming: int | None = None) -> str:
     """Relational reconstruction of the md5-mode SimHash band
     candidates: token hash = CAST('0x'||substr(md5(t),1,16) AS UBIGINT)
     (bit-identical to the Python md5 hasher), ±1 bit votes summed per
@@ -2294,7 +2307,10 @@ tok AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM ok a JOIN ok b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id"""
+ AND a.doc_id < b.doc_id""" + ("" if hamming is None else f"""
+   JOIN sh sa ON sa.doc_id = a.doc_id
+   JOIN sh sb ON sb.doc_id = b.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {hamming}""")
 
 
 _PLANTED_DOCS_CTE = f"""
@@ -3043,3 +3059,6 @@ DATA_ORACLES["events_anomalies"] = """WITH h AS (
 SELECT h.event_type, h.window_start, x AS n_events
 FROM h JOIN s USING (event_type)
 WHERE (x * n - sumx) * (x * n - sumx) > 4 * (n * sumx2 - sumx * sumx)"""
+
+
+DATA_ORACLES["simhash_neardup"] = _simhash_oracle_sql(hamming=3)
