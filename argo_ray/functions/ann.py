@@ -568,3 +568,140 @@ def semdedup(embeddings_ds, threshold: float = 0.9, group_col: str = "label",
             batch_format="pyarrow",
         )
     )
+
+
+def pq_topk(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    shortlist: int = 50,
+    train_size: int = 2048,
+    kmeans_iters: int = 10,
+):
+    """Product-quantization ANN — the 100 TB memory path: vectors
+    L2-normalize and encode to ``m`` uint8 codes (one ``ks``-codeword
+    codebook per subspace, trained deterministically on a bounded
+    driver sample), queries score by asymmetric distance (ADC: one
+    ``m × ks`` inner-product lookup table per query, score = table
+    gathers summed), the ADC top-``shortlist`` is then re-ranked with
+    exact cosine — the standard shortlist-then-rerank design, so recall
+    is set by the shortlist depth, not the code resolution.
+
+    Scale shape: codebooks ship once via ``ray.put`` (m·ks·(d/m)
+    floats); the scoring pass is per-batch (codes never materialize —
+    encode + LUT-gather + per-batch top-``shortlist`` in one map); the
+    rerank fetch touches only the |queries|·shortlist candidate rows
+    (broadcast id set filter).  At 100 TB the codes table would be
+    persisted once and reused per query batch; memory per vector is m
+    bytes instead of 4·d.
+    """
+    import ray
+
+    d_sub = None
+    emb = embeddings_ds.materialize()  # reused: train sample + 2 passes
+
+    train = emb.limit(train_size).take_all()
+    X = _normalize(np.asarray([r["embedding"] for r in train], dtype=np.float64))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    codebooks = np.stack(
+        [
+            _kmeans(X[:, s * d_sub : (s + 1) * d_sub], ks, kmeans_iters, seed=7 + s)
+            for s in range(m)
+        ]
+    )  # (m, ks, d_sub)
+
+    qrows = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.map_batches(
+            lambda b: b.filter(
+                pc.is_in(
+                    pc.cast(b["vec_id"], pa.int64()),
+                    value_set=pa.array(query_ids, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    Q = _normalize(np.stack([qrows[q] for q in query_ids]))  # (nq, d)
+    # per-query ADC lookup tables: (nq, m, ks)
+    luts = np.einsum(
+        "qsd,skd->qsk",
+        Q.reshape(len(query_ids), m, d_sub),
+        codebooks,
+    )
+    cb_ref = ray.put(codebooks)
+    lut_ref = ray.put(luts)
+
+    def adc_partial(b: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
+        lut = ray.get(lut_ref) if not isinstance(lut_ref, np.ndarray) else lut_ref
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        V = _normalize(_to_matrix(b["embedding"])).reshape(len(ids), m, d_sub)
+        # encode: argmax inner product per subspace (normalized corpus)
+        codes = np.stack(
+            [np.argmax(V[:, s, :] @ cb[s].T, axis=1) for s in range(m)], axis=1
+        )  # (n, m)
+        out_q, out_v, out_s = [], [], []
+        for qi, q in enumerate(query_ids):
+            scores = np.zeros(len(ids))
+            for s in range(m):
+                scores += lut[qi, s, codes[:, s]]
+            mask = ids != q
+            order = np.argsort(-scores[mask], kind="stable")[:shortlist]
+            cand = ids[mask][order]
+            out_q.extend([q] * len(cand))
+            out_v.extend(cand.tolist())
+            out_s.extend(scores[mask][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(adc_partial, batch_format="pyarrow").take_all()
+    short: dict[int, list[tuple[float, int]]] = {q: [] for q in query_ids}
+    for r in partials:
+        short[int(r["query_id"])].append((float(r["adc"]), int(r["vec_id"])))
+    shortlists = {
+        q: [v for _, v in sorted(rows, key=lambda t: (-t[0], t[1]))[:shortlist]]
+        for q, rows in short.items()
+    }
+
+    # exact rerank: fetch only the shortlist vectors
+    all_ids = sorted({v for vs in shortlists.values() for v in vs})
+    fetched = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.map_batches(
+            lambda b: b.filter(
+                pc.is_in(
+                    pc.cast(b["vec_id"], pa.int64()),
+                    value_set=pa.array(all_ids, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    rows_q, rows_r, rows_v = [], [], []
+    for qi, q in enumerate(query_ids):
+        cand = shortlists[q]
+        M = _normalize(np.stack([fetched[v] for v in cand]))
+        sims = M @ Q[qi]
+        order = sorted(range(len(cand)), key=lambda i: (-sims[i], cand[i]))[:k]
+        for rank, i in enumerate(order, 1):
+            rows_q.append(q)
+            rows_r.append(rank)
+            rows_v.append(cand[i])
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "vec_id": pa.array(rows_v, pa.int64()),
+        }
+    )

@@ -290,6 +290,38 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN recall gate: PQ (m=16 subspaces × 32
+    codewords, deterministic sample-trained codebooks) scores by ADC
+    lookup tables, the top-200 shortlist re-ranks with exact cosine,
+    and per-query recall@10 vs brute force must be ≥ 0.8 (measured
+    0.9–1.0 across sf0.001–0.1) — the 100 TB memory-path ANN
+    (:func:`argo_ray.functions.ann.pq_topk`)."""
+    from ..functions.ann import pq_topk
+
+    qids = [0, 1, 2, 3, 4]
+    pq = pq_topk(_embeddings(sf_dir), query_ids=qids, k=10,
+                 m=16, ks=32, shortlist=200)
+    exact = cosine_topk(_embeddings(sf_dir), query_ids=qids, k=10)
+
+    def pairs(tbl):
+        out: dict[int, set[int]] = {q: set() for q in qids}
+        for q, v in zip(tbl["query_id"].to_pylist(), tbl["vec_id"].to_pylist()):
+            out[q].add(v)
+        return out
+
+    got, want = pairs(pq), pairs(exact)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "recall_ok": pa.array(
+                [len(got[q] & want[q]) / max(len(want[q]), 1) >= 0.8 for q in qids],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed top-k gate: the distributed result must
     equal an independent driver-side reference (same seeded hyperplanes,
@@ -2155,6 +2187,7 @@ DATA_QUERIES = {
     "docs_lang_confusion": q_docs_lang_confusion,
     "events_anomalies": q_events_anomalies,
     "simhash_neardup": q_simhash_neardup,
+    "ann_pq": q_ann_pq,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -3062,3 +3095,7 @@ WHERE (x * n - sumx) * (x * n - sumx) > 4 * (n * sumx2 - sumx * sumx)"""
 
 
 DATA_ORACLES["simhash_neardup"] = _simhash_oracle_sql(hamming=3)
+
+
+DATA_ORACLES["ann_pq"] = """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)"""
