@@ -79,7 +79,9 @@ def run_skew() -> dict:
 def _bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary per-operator timings (consumed via count())."""
     from argo_ray.pipelines.data_queries import (
+        q_ann_pq,
         q_ann_topk,
+        q_docs_bm25,
         q_docs_dsir,
         q_docs_dup_spans,
         q_cc_ingest_pipeline,
@@ -135,6 +137,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_dsir", q_docs_dsir),
         ("kg_delta", q_kg_delta),
         ("kg_build_pipeline", q_kg_build_pipeline),
+        ("ann_pq", q_ann_pq),
+        ("docs_bm25", q_docs_bm25),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
