@@ -1313,6 +1313,51 @@ def q_events_late(sf_dir: str):
     return late_events(stream, allowed_lateness_minutes=10)
 
 
+def q_events_transitions(sf_dir: str):
+    """User-path mining: the Markov transition counts between
+    consecutive event types per user (ordered by ts, event_id).  One
+    user sort co-locates each user's events, per-group vectorized
+    shift builds the pairs, partial counts pre-aggregate, one tiny
+    (prev, next) groupby sums."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        df = pd.DataFrame(
+            {
+                "prev_type": g["event_type"].shift(1),
+                "event_type": g["event_type"],
+            }
+        ).dropna()
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype="object"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_part": pd.Series([], dtype="int64"),
+                }
+            )
+        return (
+            df.groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+
+    pruned = _events(sf_dir).map_batches(
+        lambda b: b.select(["user_id", "ts", "event_id", "event_type"]),
+        batch_format="pyarrow",
+    )
+    return (
+        grouped_map(pruned, "user_id", per_user)
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→signup funnel per user (each step strictly
     after the previous one's completion) — the conversion-analysis
@@ -2188,6 +2233,7 @@ DATA_QUERIES = {
     "events_anomalies": q_events_anomalies,
     "simhash_neardup": q_simhash_neardup,
     "ann_pq": q_ann_pq,
+    "events_transitions": q_events_transitions,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -3099,3 +3145,12 @@ DATA_ORACLES["simhash_neardup"] = _simhash_oracle_sql(hamming=3)
 
 DATA_ORACLES["ann_pq"] = """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
 FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)"""
+
+
+DATA_ORACLES["events_transitions"] = """WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"""
