@@ -716,6 +716,62 @@ def q_parts_cooccur_triangles(sf_dir: str):
     )
 
 
+def q_parts_clustering(sf_dir: str):
+    """Local clustering signal, integer-exact: per part in ≥1 triangle,
+    its triangle count AND degree over the co-purchase graph — the
+    consumer derives CC = 2T/(d(d-1)) without any float leaving the
+    pipeline.  One triangles plan + a degree scatter + one uniform
+    node join."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.graph import cooccurrence_edges, triangles
+    from ..io import read_table, shuffle_partitions
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+    edges = cooccurrence_edges(pairs, "l_orderkey", "l_partkey").materialize()
+    tri = triangles(edges, assume_canonical=True)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = pa.concat_tables(
+            [
+                pa.table({"node": pc.cast(b["src"], pa.string())}),
+                pa.table({"node": pc.cast(b["dst"], pa.string())}),
+            ]
+        )
+        g = both.group_by("node").aggregate([("node", "count")])
+        return pa.table(
+            {
+                "node": pc.cast(g["node"], pa.string()),
+                "d_part": pc.cast(g["node_count"], pa.int64()),
+            }
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d_part", alias_name="degree"))
+    )
+    joined = tri.join(
+        deg, join_type="inner", on=("node",),
+        num_partitions=shuffle_partitions(),
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "partkey": pc.cast(pc.cast(b["node"], pa.string()), pa.int64()),
+                "n_triangles": pc.cast(b["n_triangles"], pa.int64()),
+                "degree": pc.cast(b["degree"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_parts_pair_lift(sf_dir: str):
     """Market-basket association: lift(x,y) = N·c(x,y) / (s(x)·s(y))
     over parts co-purchased in the same order, top-20 pairs by lift
@@ -2234,6 +2290,7 @@ DATA_QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_pq": q_ann_pq,
     "events_transitions": q_events_transitions,
+    "parts_clustering": q_parts_clustering,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -3154,3 +3211,17 @@ DATA_ORACLES["events_transitions"] = """WITH o AS (
 )
 SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"""
+
+
+_TRI_PREFIX = DATA_ORACLES["parts_cooccur_triangles"].rsplit(
+    "SELECT CAST(node AS BIGINT)", 1
+)[0]
+DATA_ORACLES["parts_clustering"] = _TRI_PREFIX + """, t AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT apex AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+  GROUP BY node
+)
+SELECT CAST(t.node AS BIGINT) AS partkey, t.n_triangles, d.deg AS degree
+FROM t JOIN deg d ON d.node = t.node"""
