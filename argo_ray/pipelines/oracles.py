@@ -93,7 +93,7 @@ TOKENS_CTE_BODY = f"""
 """
 
 
-def _pagerank_sql(iters: int = 5) -> str:
+def _pagerank_sql(iters: int = 5, seed_where: str | None = None) -> str:
     """Nested per-iteration CTEs mirroring the simple PageRank power
     iteration exactly (d=0.85, no dangling redistribution): each r{i}
     is (1-d)/N + d * SUM over in-edges of r{i-1}/outdeg, with the
@@ -106,11 +106,34 @@ nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
 odeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
 r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)"""
+    if seed_where is not None:
+        # personalized variant: teleport/start vector = 1/|S| on seeds
+        sql = sql.replace(
+            "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)",
+            f"""seeds AS MATERIALIZED (
+  SELECT 'https://kg.example.org/doc/' || doc_id AS node
+  FROM documents WHERE {seed_where}
+),
+ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM seeds),
+r0 AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL
+              THEN CAST(1.0 AS DOUBLE) / (SELECT cnt FROM ns)
+              ELSE CAST(0.0 AS DOUBLE) END AS pr
+  FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node)""",
+        )
+    base_expr = (
+        "CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)"
+        if seed_where is None
+        else "CASE WHEN nodes.node IN (SELECT node FROM seeds) "
+             "THEN CAST(0.15 AS DOUBLE) / (SELECT cnt FROM ns) "
+             "ELSE CAST(0.0 AS DOUBLE) END"
+    )
     for i in range(1, iters + 1):
         sql += f""",
 r{i} AS MATERIALIZED (
   SELECT nodes.node,
-         CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)
+         {base_expr}
          + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r{i - 1}.pr / odeg.odeg), 0) AS pr
   FROM nodes
   LEFT JOIN e ON e.dst = nodes.node
@@ -262,6 +285,7 @@ ORDER BY degree DESC, node LIMIT 20""",
 SELECT pred_value AS predicate, CAST(COUNT(*) AS BIGINT) AS n_triples
 FROM d GROUP BY pred_value""",
     "kg_pagerank": _pagerank_sql(5),
+    "kg_ppr": _pagerank_sql(5, seed_where="doc_id % 10 = 0"),
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
     "kg_components": _components_sql(8),

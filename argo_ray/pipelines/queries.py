@@ -340,6 +340,33 @@ def q_kg_pagerank(sf_dir: str):
     return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
 
 
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the doc_id%10 seed entities: teleport
+    and start vectors put 1/|S| on the seeds, 0 elsewhere; same
+    materialized power-iteration plan as kg_pagerank (seed set is a
+    tiny driver-side list here; at scale it stays a broadcast array).
+    Top-20 by 6-decimal-rounded rank."""
+    from ..functions.graph import pagerank
+
+    seeds = [
+        r["seed"] for r in _entity_seeds(sf_dir).take_all()
+    ]  # |docs|/10 strings — broadcast-sized
+    ranks = pagerank(
+        _kg_link_edges(sf_dir), iters=PAGERANK_ITERS, damping=0.85,
+        teleport_nodes=seeds,
+    )
+    rounded = ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "pr": pc.round(pc.cast(b["rank"], pa.float64()), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
 def _kg_link_edges(sf_dir: str):
     """Distinct (subject → non-literal object) edge set of the KG."""
     from ray.data.aggregate import Count
@@ -2022,4 +2049,5 @@ KG_QUERIES = {
     "kg_build_pipeline": q_kg_build_pipeline,
     "kg_random_walks": q_kg_random_walks,
     "kg_edge_table": q_kg_edge_table,
+    "kg_ppr": q_kg_ppr,
 }
