@@ -1926,6 +1926,54 @@ def q_docs_lang_confusion(sf_dir: str):
     )
 
 
+def q_docs_quality_gate(sf_dir: str):
+    """Composite C4-style keep/drop gate in ONE vectorized pass: reason
+    bitmask over four integer-exact rules — bit0 too short (<20 words),
+    bit1 blocked-term density (≥1 hit per 50 words), bit2 too few en
+    stopwords (<2), bit3 punctuation-heavy (n_punct·10 > n_chars).
+    kept ⇔ mask == 0.  Composes quality_batch + blocklist_batch
+    signals without a second scan; zero shuffle."""
+    from ..functions.text import blocklist_batch, quality_batch
+
+    terms = ("slow", "dup", "hash")
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        bl = blocklist_batch(b, terms)
+        n_words = pc.cast(q["n_words"], pa.int64())
+        mask = pc.cast(
+            pc.less(n_words, pa.scalar(20, pa.int64())), pa.int64()
+        )
+        blocked = pc.cast(
+            pc.invert(pc.cast(bl["kept"], pa.bool_())), pa.int64()
+        )
+        mask = pc.add(mask, pc.multiply(blocked, pa.scalar(2, pa.int64())))
+        low_stop = pc.cast(
+            pc.less(pc.cast(q["n_stopwords"], pa.int64()), pa.scalar(2, pa.int64())),
+            pa.int64(),
+        )
+        mask = pc.add(mask, pc.multiply(low_stop, pa.scalar(4, pa.int64())))
+        punct_heavy = pc.cast(
+            pc.greater(
+                pc.multiply(pc.cast(q["n_punct"], pa.int64()), pa.scalar(10, pa.int64())),
+                pc.cast(q["n_chars_text"], pa.int64()),
+            ),
+            pa.int64(),
+        )
+        mask = pc.add(mask, pc.multiply(punct_heavy, pa.scalar(8, pa.int64())))
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "reason_mask": mask,
+                "kept": pc.equal(mask, pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -2291,6 +2339,7 @@ DATA_QUERIES = {
     "ann_pq": q_ann_pq,
     "events_transitions": q_events_transitions,
     "parts_clustering": q_parts_clustering,
+    "docs_quality_gate": q_docs_quality_gate,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -3225,3 +3274,26 @@ DATA_ORACLES["parts_clustering"] = _TRI_PREFIX + """, t AS (
 )
 SELECT CAST(t.node AS BIGINT) AS partkey, t.n_triangles, d.deg AS degree
 FROM t JOIN deg d ON d.node = t.node"""
+
+
+DATA_ORACLES["docs_quality_gate"] = """WITH q AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars_text,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('a', 'and', 'for', 'in', 'is', 'it', 'of', 'that', 'the', 'to'))) AS n_stop,
+         len(regexp_extract_all(text, '\\b(slow|dup|hash)\\b')) AS n_blocked
+  FROM documents
+)
+SELECT doc_id,
+       CAST((CASE WHEN n_words < 20 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_blocked * 50 >= n_words THEN 2 ELSE 0 END)
+          + (CASE WHEN n_stop < 2 THEN 4 ELSE 0 END)
+          + (CASE WHEN n_punct * 10 > n_chars_text THEN 8 ELSE 0 END) AS BIGINT)
+         AS reason_mask,
+       (CASE WHEN n_words < 20 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_blocked * 50 >= n_words THEN 2 ELSE 0 END)
+          + (CASE WHEN n_stop < 2 THEN 4 ELSE 0 END)
+          + (CASE WHEN n_punct * 10 > n_chars_text THEN 8 ELSE 0 END) = 0 AS kept
+FROM q"""
