@@ -1974,6 +1974,53 @@ def q_docs_quality_gate(sf_dir: str):
     )
 
 
+def q_orders_monthly_trend(sf_dir: str):
+    """BI time-series rollup with month-over-month delta: revenue per
+    month in exact integer cents (floor(price·100) partials per batch,
+    one month groupby), then the MoM delta via one sorted pass — the
+    LAG-window staple, cents-exact so the oracle hashes bit-for-bit."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["o_orderdate", "o_totalprice"]).to_pandas()
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        import numpy as np
+
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy(dtype="float64") * 100
+        ).astype("int64")
+        g = df.groupby("month", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "month": pa.array(g["month"], pa.timestamp("us")),
+                "cents_part": pa.array(g["cents"], pa.int64()),
+            }
+        )
+
+    monthly = (
+        read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("cents_part", alias_name="revenue_cents"))
+    )
+
+    def with_delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("month", kind="mergesort")
+        df["mom_delta_cents"] = (
+            df["revenue_cents"] - df["revenue_cents"].shift(1)
+        ).fillna(0).astype("int64")
+        return df
+
+    # months are a tiny set — the delta pass is one sorted block
+    return monthly.repartition(1).map_batches(
+        with_delta, batch_format="pandas", batch_size=None
+    )
+
+
 def q_pages_domain_cap(sf_dir: str):
     """Common-Crawl-style per-site page quota over the synthesized
     pages corpus: vectorized URL parse, per-batch partial top-k
@@ -2340,6 +2387,7 @@ DATA_QUERIES = {
     "events_transitions": q_events_transitions,
     "parts_clustering": q_parts_clustering,
     "docs_quality_gate": q_docs_quality_gate,
+    "orders_monthly_trend": q_orders_monthly_trend,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -3297,3 +3345,15 @@ SELECT doc_id,
           + (CASE WHEN n_stop < 2 THEN 4 ELSE 0 END)
           + (CASE WHEN n_punct * 10 > n_chars_text THEN 8 ELSE 0 END) = 0 AS kept
 FROM q"""
+
+
+DATA_ORACLES["orders_monthly_trend"] = """WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month, revenue_cents,
+       CAST(COALESCE(revenue_cents - LAG(revenue_cents)
+                     OVER (ORDER BY month), 0) AS BIGINT) AS mom_delta_cents
+FROM m"""
