@@ -395,7 +395,12 @@ def hits(edges_ds, iters: int = 5):
 BFS_UNREACHED = 1_000_000  # integer infinity — exact in SQL and Arrow
 
 
-def bfs_distances(edges_ds, iters: int = 6, seed: str | None = None):
+def bfs_distances(
+    edges_ds,
+    iters: int = 6,
+    seed: str | None = None,
+    seeds: list[str] | None = None,
+):
     """Directed BFS hop distances from a seed node (default: the
     lexicographically smallest node — deterministic without input):
     ``dist'(v) = min(dist(v), 1 + min_{u→v} dist(u))``, ``iters``
@@ -408,17 +413,24 @@ def bfs_distances(edges_ds, iters: int = 6, seed: str | None = None):
     nodes = _distinct_nodes(edges_ds)
     if nodes.count() == 0:
         return _empty_result(nodes, ["dist"])
-    if seed is None:
-        seed = nodes.min("node")
+    if seeds is None:
+        if seed is None:
+            seed = nodes.min("node")
+        seeds = [seed]
+    # multi-source BFS: dist 0 on every seed — the frontier union
+    seed_arr = pa.array(sorted(set(seeds)), pa.large_string())
 
     fwd = _keyed_edges(edges_ds, "src", "dst", degree_weight=False)
 
     dists = nodes.map_batches(
-        lambda b, _s=seed: pa.table(
+        lambda b: pa.table(
             {
                 "node": pc.cast(b["node"], pa.string()),
                 "dist": pc.if_else(
-                    pc.equal(pc.cast(b["node"], pa.string()), pa.scalar(_s)),
+                    pc.is_in(
+                        pc.cast(b["node"], pa.large_string()),
+                        value_set=seed_arr,
+                    ),
                     pa.scalar(0, pa.int64()),
                     pa.scalar(BFS_UNREACHED, pa.int64()),
                 ),

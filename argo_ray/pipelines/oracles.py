@@ -184,17 +184,25 @@ FROM h{iters} h JOIN a{iters} a ON a.node = h.node
 ORDER BY ROUND(a.val, 6) DESC, h.node LIMIT 20"""
 
 
-def _bfs_sql(iters: int = 6, unreached: int = 1_000_000) -> str:
+def _bfs_sql(
+    iters: int = 6, unreached: int = 1_000_000, seed_where: str | None = None
+) -> str:
     """Nested per-iteration CTEs mirroring the BFS relaxation exactly:
     d{i}(v) = LEAST(d{i-1}(v), 1 + MIN over in-edges d{i-1}(u)), seed =
     MIN(node), integer sentinel for unreached — bit-exact, no floats."""
+    seed_cond = (
+        "node = (SELECT MIN(node) FROM nodes)"
+        if seed_where is None
+        else "node IN (SELECT 'https://kg.example.org/doc/' || doc_id "
+             f"FROM documents WHERE {seed_where})"
+    )
     sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
 e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
 eu AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
 d0 AS MATERIALIZED (
   SELECT node,
-         CASE WHEN node = (SELECT MIN(node) FROM nodes) THEN 0
+         CASE WHEN {seed_cond} THEN 0
               ELSE {unreached} END AS dist
   FROM nodes
 )"""
@@ -288,6 +296,7 @@ FROM d GROUP BY pred_value""",
     "kg_ppr": _pagerank_sql(5, seed_where="doc_id % 10 = 0"),
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
+    "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
     "kg_rdfs_infer": EXP_CTE
     + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)

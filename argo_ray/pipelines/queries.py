@@ -443,6 +443,36 @@ def q_kg_bfs(sf_dir: str):
     )
 
 
+def q_kg_bfs_seeded(sf_dir: str):
+    """Multi-source BFS: hop distance to the NEAREST doc_id%10 seed
+    entity over the undirected link graph (4 relaxation rounds —
+    multi-source frontiers converge fast; exact within 4 hops,
+    integer-exact oracle).  The classic nearest-landmark distance
+    feature (:func:`argo_ray.functions.graph.bfs_distances` with
+    ``seeds=``)."""
+    from ..functions.graph import BFS_UNREACHED, bfs_distances
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                b.select(["src", "dst"]),
+                pa.table({"src": b["dst"], "dst": b["src"]}),
+            ]
+        )
+
+    undirected = _kg_link_edges(sf_dir).map_batches(
+        symmetrize, batch_format="pyarrow"
+    )
+    seeds = [r["seed"] for r in _entity_seeds(sf_dir).take_all()]
+    dists = bfs_distances(undirected, iters=4, seeds=seeds)
+    return dists.map_batches(
+        lambda b: b.filter(
+            pc.less(b["dist"], pa.scalar(BFS_UNREACHED, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_kg_components(sf_dir: str):
     """KG analytics: connected-component labels by 8 fixed rounds of
     undirected min-label propagation over the link graph — every node
@@ -2050,4 +2080,5 @@ KG_QUERIES = {
     "kg_random_walks": q_kg_random_walks,
     "kg_edge_table": q_kg_edge_table,
     "kg_ppr": q_kg_ppr,
+    "kg_bfs_seeded": q_kg_bfs_seeded,
 }
