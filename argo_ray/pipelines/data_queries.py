@@ -1314,6 +1314,31 @@ def q_events_anomalies(sf_dir: str):
     return hourly.map_batches(flag, batch_format="pyarrow")
 
 
+def q_events_peak_hour(sf_dir: str):
+    """Per-type peak load window: the hour with the highest event count
+    (ties → earliest hour).  Hourly partials first, then one sort
+    co-locates each type's (few hundred) windows for the in-block
+    argmax."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    hourly = tumbling_window_agg(_events(sf_dir), every="hour").map_batches(
+        lambda b: b.select(["event_type", "window_start", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+    def peak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_events", "window_start"],
+            ascending=[False, True],
+            kind="mergesort",
+        )
+        return g.head(1)[["event_type", "window_start", "n_events"]]
+
+    return grouped_map(hourly, "event_type", peak)
+
+
 def q_events_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
@@ -2388,6 +2413,7 @@ DATA_QUERIES = {
     "parts_clustering": q_parts_clustering,
     "docs_quality_gate": q_docs_quality_gate,
     "orders_monthly_trend": q_orders_monthly_trend,
+    "events_peak_hour": q_events_peak_hour,
     "pages_canon_dedup": q_pages_canon_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
@@ -3357,3 +3383,13 @@ SELECT month, revenue_cents,
        CAST(COALESCE(revenue_cents - LAG(revenue_cents)
                      OVER (ORDER BY month), 0) AS BIGINT) AS mom_delta_cents
 FROM m"""
+
+
+DATA_ORACLES["events_peak_hour"] = """SELECT event_type, window_start, n_events FROM (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY COUNT(*) DESC, date_trunc('hour', ts)) AS rn
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+) WHERE rn = 1"""
