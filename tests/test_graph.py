@@ -362,3 +362,62 @@ def test_edge_negatives_never_true_tail(ray_session):
     rows2 = edge_negatives(edges).take_all()
     key = lambda r: (r["h_id"], r["r_id"], r["t_id"])  # noqa: E731
     assert sorted(rows, key=key) == sorted(rows2, key=key)
+
+
+def test_ppr_and_multisource_bfs_match_bruteforce(ray_session):
+    """Differential check for the seeded variants on the same random
+    graphs: personalized pagerank vs the dense teleport iteration,
+    multi-source BFS vs per-seed Dijkstra-free hop relaxation."""
+    from argo_ray.functions.graph import BFS_UNREACHED, bfs_distances, pagerank
+
+    for seed in (0, 1):
+        rng = np.random.RandomState(seed)
+        n = 12
+        names = [f"n{i:02d}" for i in range(n)]
+        pairs = {
+            (names[a], names[b])
+            for a, b in zip(rng.randint(0, n, 30), rng.randint(0, n, 30))
+            if a != b
+        }
+        edges = sorted(pairs)
+        ds = rd.from_arrow(
+            pa.table(
+                {"src": [s for s, _ in edges], "dst": [t for _, t in edges]}
+            )
+        )
+        nodes = sorted({x for e in edges for x in e})
+        seeds = nodes[::4]
+        idx = {v: i for i, v in enumerate(nodes)}
+
+        # PPR dense reference
+        odeg = {}
+        for s, _ in edges:
+            odeg[s] = odeg.get(s, 0) + 1
+        t = np.zeros(len(nodes))
+        for v in seeds:
+            t[idx[v]] = 1.0 / len(seeds)
+        r = t.copy()
+        for _ in range(4):
+            nr = 0.15 * t.copy()
+            for s, d in edges:
+                nr[idx[d]] += 0.85 * r[idx[s]] / odeg[s]
+            r = nr
+        got = {
+            x["node"]: x["rank"]
+            for x in pagerank(ds, iters=4, teleport_nodes=seeds).take_all()
+        }
+        for v in nodes:
+            assert abs(got[v] - r[idx[v]]) < 1e-12, f"ppr seed={seed} {v}"
+
+        # multi-source BFS reference: iterative relaxation over in-edges
+        dist = {v: (0 if v in set(seeds) else BFS_UNREACHED) for v in nodes}
+        for _ in range(4):
+            nd = dict(dist)
+            for s, d in edges:
+                nd[d] = min(nd[d], dist[s] + 1)
+            dist = nd
+        got_d = {
+            x["node"]: x["dist"]
+            for x in bfs_distances(ds, iters=4, seeds=seeds).take_all()
+        }
+        assert got_d == dist, f"msbfs seed={seed}"
