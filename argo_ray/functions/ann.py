@@ -33,6 +33,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _require_query_rows(found_ids, query_ids) -> None:
+    """Every ANN entry point fails the same way on an unknown query id:
+    a ValueError naming the missing ids (instead of a per-function mix
+    of silent drops and KeyErrors)."""
+    missing = sorted(set(int(q) for q in query_ids) - set(int(i) for i in found_ids))
+    if missing:
+        raise ValueError(f"query_ids not present in the corpus: {missing}")
+
+
 class CosineTopK:
     """Actor-pool stage: per-batch cosine scores against the broadcast
     query matrix → partial (query_id, vec_id, score) top-k rows.
@@ -92,6 +101,7 @@ def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 10):
     for row in qtab:
         qids.append(row["vec_id"])
         qvecs.append(row["embedding"])
+    _require_query_rows(qids, query_ids)
     order = np.argsort(qids)
     qids = [qids[i] for i in order]
     qvecs = [qvecs[i] for i in order]
@@ -215,6 +225,7 @@ def ivf_topk(
         batch_format="pyarrow",
     ).take_all()
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    _require_query_rows(qids, query_ids)
     qm = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
     order = np.argsort(qids)
     qids, qm = qids[order], qm[order]
@@ -298,6 +309,7 @@ def lsh_bucketed_topk(embeddings_ds, query_ids: list[int], k: int = 10, bits: in
         lambda b: b.filter(pc.is_in(b["vec_id"], pa.array(query_ids))),
         batch_format="pyarrow",
     ).take_all()
+    _require_query_rows([r["vec_id"] for r in qrows], query_ids)
     by_bucket: dict[int, list] = {}
     for row in qrows:
         by_bucket.setdefault(row["bucket"], []).append(
@@ -627,6 +639,7 @@ def pq_topk(
             batch_format="pyarrow",
         ).take_all()
     }
+    _require_query_rows(qrows.keys(), query_ids)
     Q = _normalize(np.stack([qrows[q] for q in query_ids]))  # (nq, d)
     # per-query ADC lookup tables: (nq, m, ks)
     luts = np.einsum(

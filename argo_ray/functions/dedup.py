@@ -149,6 +149,18 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
         self.k = k
         self.num_hashes = num_hashes
+        # Decide the shingle-hash backend ONCE per actor: mixing polars
+        # and blake2b hashes across batches (e.g. polars installed on
+        # some workers only) would silently split every near-dup pair
+        # across incompatible LSH buckets.  Probe here so a whole actor
+        # lifetime uses one family; the blake2b path is itself
+        # deterministic so homogeneous clusters agree either way.
+        try:
+            import polars  # noqa: F401
+
+            self._use_polars = True
+        except Exception:
+            self._use_polars = False
 
     def signature(self, text: str) -> np.ndarray:
         x = _shingle_hashes(text, self.k)
@@ -175,14 +187,14 @@ class MinHasher:
                     }
                 )
             bounds.append(len(all_shingles))
-        try:
+        if self._use_polars:
             import polars as pl
 
             hashed = (
                 pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)
                 >> np.uint64(3)
             )
-        except Exception:
+        else:
             hashed = np.array(
                 [
                     int.from_bytes(

@@ -62,7 +62,6 @@ def hll_partials_batch(
     batch: pa.Table, key_col: str, group_col: str, p: int = 8
 ) -> pa.Table:
     """(group, register, rho_max) partials for one batch."""
-    m = 1 << p
     keys = [str(v) for v in batch[key_col].to_pylist()]
     groups = batch[group_col].to_pylist()
     h = _hash64(keys)

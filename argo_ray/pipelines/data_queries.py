@@ -1248,6 +1248,17 @@ def q_events_type_quantiles(sf_dir: str):
     return value_quantiles_by_group(_events(sf_dir))
 
 
+def q_events_type_quantiles_binned(sf_dir: str):
+    """Per-event-type approximate p50/p90 via the bounded-memory
+    fixed-width-histogram path (4096 bins over [0, 1024), width 0.25 —
+    an exact binary fraction, so the oracle's double arithmetic
+    reproduces the bin edges bit-for-bit).  The scale story: driver
+    state is ≤ groups × bins regardless of the value domain."""
+    from ..stages.windows import value_quantiles_by_group_binned
+
+    return value_quantiles_by_group_binned(_events(sf_dir))
+
+
 def q_events_window_hourly(sf_dir: str):
     return tumbling_window_agg(_events(sf_dir), every="hour")
 
@@ -1855,15 +1866,65 @@ def q_docs_kwic(sf_dir: str):
     )
 
 
+class _PmiScorer:
+    """Actor-pool PMI scoring stage: the vocab-bounded unigram count
+    dict ships once per actor (``ray.get`` in ``__init__``), each pair
+    block filters on min support and computes
+    ``round(ln(N·n_ab/(n_a·n_b)), 6)`` vectorized."""
+
+    def __init__(self, uni_ref, total_pairs: int, min_support: int = 5):
+        import ray
+
+        self.counts = (
+            uni_ref if isinstance(uni_ref, dict) else ray.get(uni_ref)
+        )
+        self.total = float(total_pairs)
+        self.min_support = min_support
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        b = b.filter(
+            pc.greater_equal(b["n_pairs"], pa.scalar(self.min_support, pa.int64()))
+        )
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "center": pa.array([], pa.string()),
+                    "context": pa.array([], pa.string()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        n_ab = pc.cast(b["n_pairs"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_a = (
+            pd.Series(b["center"].to_pylist()).map(self.counts).to_numpy(np.float64)
+        )
+        n_b = (
+            pd.Series(b["context"].to_pylist()).map(self.counts).to_numpy(np.float64)
+        )
+        pmi = np.round(np.log(self.total * n_ab / (n_a * n_b)), 6)
+        return pa.table(
+            {
+                "center": pc.cast(b["center"], pa.string()),
+                "context": pc.cast(b["context"], pa.string()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+
 def q_docs_pmi_topk(sf_dir: str):
     """Collocation mining: top-20 skip-gram pairs by PMI
     (ln(N·n_ab / (n_a·n_b)) over the ±2 window pair counts, min pair
-    support 5).  The unigram table rides the same flattened stream as
-    the pair counts; the final PMI join broadcasts the tiny aggregated
-    tables driver-side only at fixture scale — the distributed path is
-    the same two hash joins as kg_triple_ids.  Scores round to 6
-    decimals BEFORE the top-k sort (oracle-stable ordering)."""
-    import numpy as np
+    support 5).  Fully distributed finish: the unigram count table is
+    vocab-bounded so it broadcasts once via ``ray.put`` (fetched per
+    actor in ``_PmiScorer.__init__``), each PAIR block scores
+    vectorized (support filter + log + round-6), and the top-k is
+    ``sort(pmi desc, center, context).limit(20)`` — the open-vocab
+    pair table (billions of distinct pairs at web scale) never touches
+    the driver.  Scores round to 6 decimals BEFORE the top-k sort
+    (oracle-stable ordering)."""
+    import ray
 
     from ray.data.aggregate import Sum
 
@@ -1891,35 +1952,30 @@ def q_docs_pmi_topk(sf_dir: str):
         .aggregate(Sum("n_part", alias_name="n_word"))
     )
 
-    def score_all(pair_rows, uni_rows):
-        counts = {r["word"]: int(r["n_word"]) for r in uni_rows}
-        total_pairs = sum(int(r["n_pairs"]) for r in pair_rows)
-        out = []
-        for r in pair_rows:
-            n_ab = int(r["n_pairs"])
-            if n_ab < 5:
-                continue
-            pmi = float(
-                np.log(
-                    total_pairs
-                    * n_ab
-                    / (counts[r["center"]] * counts[r["context"]])
-                )
-            )
-            out.append((r["center"], r["context"], round(pmi, 6)))
-        out.sort(key=lambda t: (-t[2], t[0], t[1]))
-        return out[:20]
+    # two passes over the pair table (total count, then scoring) — pin
+    # the aggregated pairs in the object store instead of recomputing
+    # the skip-gram exchange
+    pairs = pairs.materialize()
+    total_pairs = pairs.sum("n_pairs")
+    # the unigram table is vocab-bounded (≪ distinct pairs): collect it
+    # into one dict and broadcast once; each scorer actor fetches it in
+    # __init__, never per batch
+    counts = {r["word"]: int(r["n_word"]) for r in unigrams.take_all()}
+    uni_ref = ray.put(counts)
 
-    # vocab and pair tables are tiny aggregates (|vocab|² bound); the
-    # driver-side scoring is the small-result finish, not a data pass
-    top = score_all(pairs.take_all(), unigrams.take_all())
-    return pa.table(
-        {
-            "center": pa.array([t[0] for t in top], pa.string()),
-            "context": pa.array([t[1] for t in top], pa.string()),
-            "pmi": pa.array([t[2] for t in top], pa.float64()),
-        }
+    scored = pairs.map_batches(
+        _PmiScorer,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={
+            "uni_ref": uni_ref,
+            "total_pairs": int(total_pairs),
+            "min_support": 5,
+        },
     )
+    return scored.sort(
+        ["pmi", "center", "context"], descending=[True, False, False]
+    ).limit(20)
 
 
 def q_docs_lang_confusion(sf_dir: str):
@@ -2459,6 +2515,7 @@ DATA_QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "events_value_quantiles": q_events_value_quantiles,
     "events_type_quantiles": q_events_type_quantiles,
+    "events_type_quantiles_binned": q_events_type_quantiles_binned,
     "events_window_hourly": q_events_window_hourly,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
@@ -3059,6 +3116,21 @@ FROM events GROUP BY event_type
 UNION ALL
 SELECT event_type, '0.9', quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.9)
 FROM events GROUP BY event_type""",
+    "events_type_quantiles_binned": """WITH hist AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 0.25), 0), 4095) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+)
+SELECT event_type, q, 0.0 + 0.25 * (MIN(bin) + 1) AS value_ub
+FROM cum CROSS JOIN (VALUES ('0.5', 0.5), ('0.9', 0.9)) AS v(q, qv)
+WHERE c >= CEIL(qv * total)
+GROUP BY event_type, q""",
     "events_window_hourly": """SELECT event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

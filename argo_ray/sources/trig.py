@@ -15,6 +15,7 @@ import re
 import pyarrow as pa
 
 from ..terms import (
+    KIND_BLANK,
     KIND_IRI,
     Term,
     append_subject_hash,
@@ -73,7 +74,9 @@ def parse_trig(text: str) -> list[tuple[Term, Term, Term, Term]]:
                 raise TurtleParseError("graph section without a label")
             label = m.group(1)
             graph = (
-                Term(1, label[2:]) if label.startswith("_:") else Term(0, label[1:-1])
+                Term(KIND_BLANK, label[2:])
+                if label.startswith("_:")
+                else Term(KIND_IRI, label[1:-1])
             )
             parse_into(before[: m.start()], _DEFAULT_GRAPH)
             # find the matching close brace (same string/IRI-aware scan)

@@ -314,6 +314,10 @@ def value_quantiles_cents(events_ds, qs=(0.5, 0.9, 0.99)):
     counts = np.array([r["n"] for r in hist], dtype=np.int64)
     cum = np.cumsum(counts)
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return pa.table(
+            {"q": pa.array([], pa.string()), "cents": pa.array([], pa.int64())}
+        )
     rows = []
     for q in qs:
         rank = max(1, math.ceil(q * total))
@@ -375,6 +379,82 @@ def value_quantiles_by_group(events_ds, group_col: str = "event_type", qs=(0.5, 
             group_col: pa.array(out_g, pa.string()),
             "q": pa.array(out_q, pa.string()),
             "cents": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
+def value_quantiles_by_group_binned(
+    events_ds,
+    group_col: str = "event_type",
+    qs=(0.5, 0.9),
+    bins: int = 4096,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+):
+    """Bounded-memory approximate per-group quantiles — the mergeable
+    fixed-width-histogram fallback to :func:`value_quantiles_by_group`
+    for UNBOUNDED / continuous value domains.
+
+    The exact path's driver cumulation is bounded by groups × distinct
+    values — fine for integer cents, unbounded for arbitrary floats.
+    Here every batch emits counts over ``bins`` fixed-width bins per
+    group (``bin = clip(floor((v-lo)/width), 0, bins-1)``), one
+    groupby sums the mergeable partials, and the driver cumulates over
+    ≤ groups × bins rows — the memory bound is CHOSEN (``bins``), not
+    data-dependent.  Quantile q reports the UPPER edge of the bin
+    holding rank ``ceil(q·n)``: error ≤ one bin width = (hi-lo)/bins.
+    Values outside [lo, hi) clamp into the edge bins (their quantiles
+    saturate at the range edges — pick lo/hi from domain knowledge or a
+    prior min/max pass).  Default width 0.25 (1024/4096) is an exact
+    binary fraction so the float arithmetic reproduces bit-for-bit in
+    any engine (the DuckDB oracle does the same multiply)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, "value"]).to_pandas()
+        b = np.floor((df["value"].to_numpy(np.float64) - lo) / width)
+        df["bin"] = np.clip(b, 0, bins - 1).astype(np.int64)
+        agg = (
+            df.groupby([group_col, "bin"], sort=False)
+            .size()
+            .rename("part")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    hist = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("part", alias_name="n"))
+        .sort([group_col, "bin"])
+        .take_all()
+    )
+    out_g, out_q, out_v = [], [], []
+    i = 0
+    while i < len(hist):
+        g = hist[i][group_col]
+        edges, counts = [], []
+        while i < len(hist) and hist[i][group_col] == g:
+            edges.append(int(hist[i]["bin"]))
+            counts.append(int(hist[i]["n"]))
+            i += 1
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * total))
+            b = edges[int(np.searchsorted(cum, rank))]
+            out_g.append(g)
+            out_q.append(f"{q:g}")
+            out_v.append(lo + (b + 1) * width)
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "q": pa.array(out_q, pa.string()),
+            "value_ub": pa.array(out_v, pa.float64()),
         }
     )
 

@@ -1463,3 +1463,63 @@ def test_url_canon_schemeless_matches_duckdb():
     # DuckDB regexp_extract yields '' on no match; parity must hold
     assert got == ["://example.com/path?q=1"]
     assert got[0] is not None
+
+
+def test_value_quantiles_cents_empty_input(ray_session):
+    """Empty event stream → empty (q, cents) table, not an IndexError
+    (rank=max(1,ceil(q*0)) used to index into an empty values array)."""
+    import pyarrow as pa
+    import ray
+
+    from argo_ray.stages.windows import value_quantiles_cents
+
+    empty = ray.data.from_arrow(
+        pa.table({"value": pa.array([], pa.float64())})
+    )
+    out = value_quantiles_cents(empty, qs=(0.5, 0.9))
+    assert out.num_rows == 0
+    assert out.column_names == ["q", "cents"]
+
+
+def test_ann_missing_query_id_raises_value_error(ray_session):
+    """All four ANN entry points fail identically on an unknown query id:
+    ValueError naming the missing ids (pq_topk used to KeyError while
+    cosine_topk silently dropped them)."""
+    import pytest
+
+    from argo_ray.functions.ann import cosine_topk, ivf_topk, lsh_bucketed_topk, pq_topk
+    from argo_ray.pipelines.data_queries import _embeddings
+
+    sf = "/root/testdata/sf0.001"
+    bad = [0, 10_000_000]
+    for fn, kwargs in (
+        (cosine_topk, {}),
+        (ivf_topk, {"nlist": 4, "nprobe": 2, "train_size": 64}),
+        (lsh_bucketed_topk, {"bits": 4}),
+        (pq_topk, {"m": 4, "train_size": 64}),
+    ):
+        with pytest.raises(ValueError, match="10000000"):
+            fn(_embeddings(sf), bad, k=3, **kwargs)
+
+
+def test_minhasher_backend_fixed_per_actor():
+    """The shingle-hash backend is decided once in __init__ (polars
+    probe), never per batch — heterogeneous fallback would mix hash
+    families across batches and split LSH buckets silently."""
+    import numpy as np
+    import pyarrow as pa
+
+    from argo_ray.functions.dedup import MinHasher
+
+    h = MinHasher(num_hashes=8)
+    assert isinstance(h._use_polars, bool)
+    batch = pa.table({"doc_id": [1, 2], "text": ["a b c d e", "a b c d e"]})
+    out = h(batch)
+    sigs = out["signature"].to_pylist()
+    assert sigs[0] == sigs[1]
+    # forcing the blake2b family still yields deterministic signatures
+    h2 = MinHasher(num_hashes=8)
+    h2._use_polars = False
+    out2 = h2(batch)
+    assert out2["signature"].to_pylist()[0] == out2["signature"].to_pylist()[1]
+    assert np.asarray(sigs[0]).dtype is not None

@@ -421,3 +421,48 @@ def test_ppr_and_multisource_bfs_match_bruteforce(ray_session):
             for x in bfs_distances(ds, iters=4, seeds=seeds).take_all()
         }
         assert got_d == dist, f"msbfs seed={seed}"
+
+
+def test_canonicalize_sameas_join_path_matches_broadcast(ray_session):
+    """mode="join" (the no-broadcast sort-colocation rewrite for
+    mappings too large to ship via ray.put) must produce exactly the
+    broadcast path's output, schema included."""
+    from argo_ray.stages.canon import canonicalize_sameas
+    from argo_ray.terms import TRIPLE_COLUMNS
+
+    A, B, C, Z = "http://x/a", "http://x/b", "http://x/c", "http://x/z"
+    P = "http://x/p"
+
+    def trip(s, o, okind=0):
+        return {
+            "subj_kind": 0, "subj_value": s, "subj_lang": "", "subj_datatype": "",
+            "pred_kind": 0, "pred_value": P, "pred_lang": "", "pred_datatype": "",
+            "obj_kind": okind, "obj_value": o, "obj_lang": "", "obj_datatype": "",
+        }
+
+    rows = [
+        trip(A, "v", okind=2),
+        trip(B, "v", okind=2),
+        trip(C, Z),
+        trip(Z, B),
+        trip(Z, "http://x/a", okind=2),  # literal that LOOKS like a mapped IRI: untouched
+    ]
+    tbl = pa.table({k: [r[k] for r in rows] for k in TRIPLE_COLUMNS})
+    tbl = tbl.set_column(0, "subj_kind", pa.array([0] * 5, pa.uint8())) \
+             .set_column(4, "pred_kind", pa.array([0] * 5, pa.uint8())) \
+             .set_column(8, "obj_kind", pa.array([2, 2, 0, 0, 2], pa.uint8()))
+    sameas_tbl = pa.table({"src": [A, B], "dst": [B, C]})
+
+    outs = {}
+    for mode in ("broadcast", "join"):
+        out = canonicalize_sameas(
+            rd.from_arrow(tbl), rd.from_arrow(sameas_tbl), iters=4, mode=mode
+        )
+        outs[mode] = sorted(
+            tuple(r[k] for k in TRIPLE_COLUMNS) for r in out.take_all()
+        )
+        assert set(out.schema().names) >= set(TRIPLE_COLUMNS)
+    assert outs["join"] == outs["broadcast"]
+    # the chain still collapsed and the IRI-shaped literal survived
+    subj_obj = {(r[1], r[9], r[8]) for r in outs["join"]}
+    assert (Z, "http://x/a", 2) in subj_obj

@@ -412,3 +412,43 @@ def test_validate_graph_hand_case(ray_session):
         (f"functional:{ex}title", ex + "a"),
         ("required:rdf-type", ex + "b"),
     ]
+
+
+def test_grouped_map_verify_flag(ray_session):
+    """grouped_map(verify=True) rides a zero-CPU boundary-registry actor
+    (one round trip per block) and must (a) produce exactly the
+    unverified output on a healthy Ray, (b) raise through the registry
+    when a boundary key is claimed by two blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from argo_ray.stages.grouping import _BoundaryRegistry, grouped_map
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 7, 5_000)
+    ds = rd.from_items(
+        [{"k": int(k), "v": i} for i, k in enumerate(keys)]
+    ).repartition(8)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)]})
+
+    plain = sorted(
+        (r["k"], r["n"]) for r in grouped_map(ds, "k", agg).take_all()
+    )
+    verified = sorted(
+        (r["k"], r["n"])
+        for r in grouped_map(ds, "k", agg, verify=True).take_all()
+    )
+    assert verified == plain and len(plain) == 7
+
+    # the registry itself: a key seen in two register calls = violation
+    reg = ray.remote(num_cpus=0)(_BoundaryRegistry).remote(limit=None)
+    assert ray.get(reg.register.remote(["('3',)", "('9',)"])) == []
+    assert ray.get(reg.register.remote(["('9',)"])) == ["('9',)"]
+    # sampled mode stops checking past the limit
+    reg2 = ray.remote(num_cpus=0)(_BoundaryRegistry).remote(limit=1)
+    assert ray.get(reg2.register.remote(["a"])) == []
+    assert ray.get(reg2.register.remote(["a"])) == []  # past limit: skipped
