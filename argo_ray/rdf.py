@@ -21,8 +21,10 @@ Mapping from the reference:
   no ``-o`` → serialize to stdout (driver-side, small outputs);
 - ``-F`` lists formats; end-of-run stats line mirrors
   ``rdf/rdf.go:422-424`` (triples processed, rewritten terms, ms).
-- ``-u/--url`` is intentionally absent: no network mid-pipeline
-  (download first, pass files).
+- ``-u/--url`` is OPT-IN (reference rdf.go's -u): fetches happen inside
+  distributed tasks via :func:`argo_ray.sources.url.read_urls`;
+  ``file://`` works everywhere, ``http(s)://`` needs cluster egress —
+  the default (no ``-u``) remains strictly no-network.
 """
 
 from __future__ import annotations
@@ -85,7 +87,22 @@ def build_pipeline(args) -> tuple:
                 fmt.batch_parser, batch_format="pyarrow"
             )
             parts.append(parsed)
-    else:  # stdin (driver-local by nature)
+    if getattr(args, "url", None):
+        # opt-in URL fan-in (reference ParseURL, graph.go:313-335):
+        # quarantined fetch failures are dropped from the triple stream
+        # here (the CLI is a converter; use read_urls directly for the
+        # crawl error report)
+        from .sources.url import read_urls
+
+        urls = read_urls(list(args.url), format=args.input_format)
+        urls = urls.map_batches(
+            lambda b: b.filter(pc.is_null(b["source_error"])).drop_columns(
+                ["source_error"]
+            ),
+            batch_format="pyarrow",
+        )
+        parts.append(urls)
+    if not parts:  # stdin (driver-local by nature)
         fmt = FORMATS[args.stdin_format]
         text = sys.stdin.read()
         tbl = pa.table({"url": pa.array(["stdin"]), "text": pa.array([text])})
@@ -157,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("files", nargs="*", help="files/globs to parse and add")
     ap.add_argument("-o", "--output", help="output DIRECTORY (default: stdout)")
     ap.add_argument("-I", "--input-format", choices=sorted(FORMATS))
+    ap.add_argument("-u", "--url", action="append", default=[],
+                    help="URL to fetch and parse (opt-in; file:// always "
+                    "works, http(s):// needs cluster egress)")
     ap.add_argument("-i", "--stdin-format", default="rdfxml", choices=sorted(FORMATS))
     serializable = sorted(f.id for f in FORMATS.values() if f.serializer)
     ap.add_argument("-O", "--output-format", choices=serializable)

@@ -81,14 +81,75 @@ def verify_sorted_colocation(ds, key: str) -> None:
             )
 
 
-def grouped_map(ds, keys, fn, batch_format: str = "pandas"):
+class _BoundaryRegistry:
+    """Zero-CPU actor behind ``grouped_map(verify=True)``: every block
+    registers its first/last key once; a key surfacing in TWO different
+    register calls means an equal-key run spans a block boundary — the
+    sort-colocation contract is broken and the second block raises,
+    failing the job instead of silently corrupting grouped output.
+    ``limit`` bounds the sampled block count (first N register calls)."""
+
+    def __init__(self, limit: int | None = None):
+        self._seen: set[str] = set()
+        self._calls = 0
+        self._limit = limit
+
+    def register(self, boundary_keys: list[str]) -> list[str]:
+        self._calls += 1
+        if self._limit is not None and self._calls > self._limit:
+            return []
+        clashes = [k for k in boundary_keys if k in self._seen]
+        self._seen.update(boundary_keys)
+        return clashes
+
+
+def grouped_map(
+    ds,
+    keys,
+    fn,
+    batch_format: str = "pandas",
+    verify: bool = False,
+    verify_blocks: int | None = None,
+):
     """Semantics of ``groupby(keys).map_groups(fn)`` (each call of ``fn``
     sees ALL rows of one key, key columns included; returns any frame).
 
     ``batch_format`` is the format handed to ``fn`` ("pandas" or
     "pyarrow" per-group tables).
+
+    ``verify=True`` arms the opt-in runtime colocation assertion: each
+    block reports its boundary keys to a shared zero-CPU registry actor
+    and RAISES if any boundary key was already claimed by another block
+    — i.e. if Ray's sort stopped emitting whole key runs per block (the
+    contract the version pin at module import warns about).  One tiny
+    actor round-trip per block; ``verify_blocks=N`` samples only the
+    first N blocks.  Use after a Ray upgrade / in canary jobs — the
+    failure mode it guards against is silent wrong answers.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+
+    registry = None
+    if verify:
+        import ray
+
+        registry = (
+            ray.remote(num_cpus=0)(_BoundaryRegistry)
+            .remote(limit=verify_blocks)
+        )
+
+    def check_boundaries(df: pd.DataFrame) -> None:
+        import ray
+
+        first = str(tuple(df.iloc[0][k] for k in keys))
+        last = str(tuple(df.iloc[-1][k] for k in keys))
+        clashes = ray.get(registry.register.remote(list({first, last})))
+        if clashes:
+            raise RuntimeError(
+                f"sort co-location contract violated: boundary key(s) "
+                f"{clashes!r} appear in more than one block (Ray sort "
+                f"behavior changed) — grouped_map results are NOT "
+                f"trustworthy on this Ray version"
+            )
 
     def apply_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -97,6 +158,8 @@ def grouped_map(ds, keys, fn, batch_format: str = "pandas"):
                 return out if isinstance(out, pd.DataFrame) else out.to_pandas()
             except Exception:
                 return pd.DataFrame()
+        if registry is not None:
+            check_boundaries(df)
         parts = []
         for _, g in df.groupby(keys, sort=False, dropna=False, observed=True):
             out = fn(g if batch_format == "pandas" else pa.Table.from_pandas(g))

@@ -73,3 +73,23 @@ def test_cli_html_rdfa_extraction(ray_session, tmp_path, capsys):
     assert len(triples) == 1
     assert triples[0][1].value == "http://purl.org/dc/elements/1.1/title"
     assert triples[0][2].value == "Hello"
+
+
+def test_cli_url_fanin(ray_session, sources, tmp_path, capsys):
+    """Opt-in -u/--url rides read_urls (file:// URLs), unions with file
+    parts, and drops quarantined fetch failures from the converter
+    stream (reference rdf.go's -u flag)."""
+    from argo_ray.rdf import main
+    from argo_ray.sources.ntriples import parse_ntriples
+
+    rc = main([
+        str(sources / "a.nt"),
+        "-u", (sources / "b.ttl").as_uri(),
+        "-u", (sources / "absent.nt").as_uri(),  # quarantined, not fatal
+        "-O", "ntriples",
+    ])
+    assert rc == 0
+    doc = capsys.readouterr().out
+    triples = parse_ntriples(doc)
+    assert len(triples) == 3  # 2 from the file + 1 from the URL
+    assert any(t[2].value == "Bob" for t in triples)
