@@ -845,3 +845,31 @@ ORACLES["kg_random_walks"] = _walks_sql(3)
 ORACLES["kg_edge_table"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
 SELECT DISTINCT subj_value AS src, pred_value AS label, obj_value AS dst
 FROM d WHERE obj_kind <> 2"""
+
+# M3: Graph.Get/GetAll/HasSubject point lookups for three fixed entities.
+ORACLES["point_lookups"] = EXP_CTE + """SELECT entity AS subj_value, title,
+       CAST(n_chars AS BIGINT) AS chars_int, CAST(1 AS BIGINT) AS has_subject
+FROM docs WHERE doc_id IN (0, 1, 2)"""
+
+# J2: distributed cons-list walk == the in-batch list round-trip's output.
+ORACLES["list_walk_grouped"] = EXP_CTE + """SELECT entity AS subj_value,
+       CAST(n AS BIGINT) AS pos, string_split(title, ' ')[n] AS word
+FROM docs, (SELECT UNNEST([1, 2, 3]) AS n) ns
+WHERE len(string_split(title, ' ')) >= n"""
+
+# S5: split-serialize-reread fan-in recovers the distinct extraction.
+ORACLES["multi_source_fanin"] = EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp"
+
+# T1: warmed+persisted+reloaded prefix cache, broadcast into expansion.
+ORACLES["prefix_cache_expand"] = """SELECT lower(n_name) AS prefix,
+       'https://ns.example.org/' || lower(n_name) || '/thing' AS iri,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#' AS rdf_uri,
+       '' AS miss
+FROM nation"""
+
+# M12: two stacked PREFIX decls trimmed into the session map.
+ORACLES["repl_prefix_trim"] = """SELECT doc_id,
+       'SELECT ?x # ' || lang AS rest,
+       'https://docs.example.org/' || source || '/' || doc_id AS page_uri,
+       'https://kg.example.org/doc/' || doc_id AS entity_uri
+FROM documents"""

@@ -2001,6 +2001,209 @@ def q_kg_edge_table(sf_dir: str):
     )
 
 
+def q_point_lookups(sf_dir: str):
+    """M3: ``Graph.Get`` / ``GetAll`` / ``HasSubject`` point lookups
+    (``graph.go:185-229``) against the deduped extraction for three
+    fixed entities.  These are driver-side accessors by design in the
+    reference too (each is a filtered streaming scan + limit); the
+    in-pipeline form at scale is the broadcast lookup join (J3,
+    ``stages/link.py``).  The dataset is materialized once so the nine
+    lookups share one extraction run instead of re-executing it."""
+    from ..stages.filter import get_all_objects, get_first_object, has_subject
+
+    ds = _deduped(sf_dir).materialize()
+    dc_title = IRI(DC_NS + "title")
+    ex_chars = IRI(EX_NS + "chars")
+    subjects, titles, chars_ints, has_flags = [], [], [], []
+    for did in (0, 1, 2):
+        s = IRI(entity_iri(did))
+        title_objs = get_all_objects(ds, s, dc_title)
+        chars = get_first_object(ds, s, ex_chars)
+        subjects.append(entity_iri(did))
+        titles.append(title_objs[0].value if title_objs else "")
+        chars_ints.append(int(chars.value) if chars else -1)
+        has_flags.append(1 if has_subject(ds, s) else 0)
+    return pa.table(
+        {
+            "subj_value": pa.array(subjects, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "chars_int": pa.array(chars_ints, pa.int64()),
+            "has_subject": pa.array(has_flags, pa.int64()),
+        }
+    )
+
+
+def q_list_walk_grouped(sf_dir: str):
+    """J2: ``Graph.Get`` point lookups during a cons-list walk
+    (``graph.go:210-218,255-271``), distributed: each document's list
+    cells are emitted as flat triple rows keyed by the root doc, ONE
+    sort-colocation exchange groups every root's cells, and the walk
+    runs Get-by-Get against the transient per-group index (T4) inside
+    ``map_groups`` — the reference's iterative index join, re-expressed
+    as the partitioned walk that scales (the partitioning assumption:
+    one list's cells share the group key, which the skolemizer's
+    document-locality guarantees)."""
+    from ..io import read_table
+    from ..pages import title_of
+    from ..stages.containers import decode_list, encode_list
+    from ..stages.grouping import grouped_map
+    from ..terms import Literal, table_to_triples
+
+    def encode(b: pa.Table) -> pa.Table:
+        dids, triples = [], []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            root = IRI(entity_iri(did))
+            items = [Literal(w) for w in title_of(text).split(" ")[:3]]
+            for t in encode_list(root, items, list_key=str(did)):
+                dids.append(did)
+                triples.append(t)
+        t = triples_to_table(triples, with_hash=False)
+        return t.add_column(0, "doc_id", pa.array(dids, pa.int64()))
+
+    flat = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+    def walk(group: pa.Table) -> pa.Table:
+        did = group["doc_id"][0].as_py()
+        root = IRI(entity_iri(did))
+        items = decode_list(table_to_triples(group.select(TRIPLE_COLUMNS)), root)
+        return pa.table(
+            {
+                "subj_value": pa.array([entity_iri(did)] * len(items), pa.string()),
+                "pos": pa.array(range(1, len(items) + 1), pa.int64()),
+                "word": pa.array([t.value for t in items], pa.string()),
+            }
+        )
+
+    return grouped_map(flat, "doc_id", walk, batch_format="pyarrow")
+
+
+def q_multi_source_fanin(sf_dir: str):
+    """S5: the ``ParseFile`` → format-registry connector glue
+    (``graph.go:281-311``; ``rdf.py::read_rdf_files``): the deduped
+    extraction is split in two, serialized to an ``.nt`` and an
+    ``.rdf`` scratch file, and both files are read back through the
+    extension-inferred distributed file connector and fanned in (A6
+    union) — recovering exactly the original distinct set.  The
+    driver-side collect is the fixture writer, not the pipeline: the
+    read side is the distributed path under test."""
+    import os
+    import tempfile
+
+    from ..rdf import read_rdf_files
+    from ..sinks.ntriples import serialize_ntriples
+
+    rows = _deduped(sf_dir).select_columns(TRIPLE_COLUMNS).take_all()
+    tbl = pa.Table.from_pylist(rows).select(TRIPLE_COLUMNS)
+    half_a = tbl.slice(0, tbl.num_rows // 2)
+    half_b = tbl.slice(tbl.num_rows // 2)
+    scratch = tempfile.mkdtemp(prefix="fanin_", dir="/tmp")
+    with open(os.path.join(scratch, "a.nt"), "w", encoding="utf-8") as f:
+        f.write(serialize_ntriples(half_a))
+    with open(os.path.join(scratch, "b.rdf"), "w", encoding="utf-8") as f:
+        f.write(serialize_rdfxml(half_b))
+
+    parts = read_rdf_files([os.path.join(scratch, "*.nt"), os.path.join(scratch, "*.rdf")])
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.union(p)
+    return _finalize(dedup_exact(unioned))
+
+
+def q_prefix_cache_expand(sf_dir: str):
+    """T1: the persisted prefix cache (``namespace.go:111-177``:
+    prefix.cc lookup + gob save/load).  A driver-side resolver hook
+    (the prefix.cc stand-in — NEVER called mid-pipeline) warms the
+    cache from the nation table, ``save`` persists it, a fresh
+    resolver-less ``PrefixCache`` reloads the file, and THAT cache is
+    broadcast via ``ray.put`` into a ``map_batches`` CURIE expansion —
+    builtins fall through, unknown prefixes expand to ``""`` exactly
+    like the reference's failed lookup."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..io import read_table
+    from ..namespaces import PrefixCache
+
+    names = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_name"]
+    )["n_name"].to_pylist()
+    resolved = {n.lower(): f"https://ns.example.org/{n.lower()}/" for n in names}
+
+    scratch = tempfile.mkdtemp(prefix="pfx_", dir="/tmp")
+    cache_file = os.path.join(scratch, "prefixes.json")
+    warm = PrefixCache(resolver=lambda p: resolved.get(p, ""))
+    for n in names:
+        warm.lookup(n.lower())
+    warm.save(cache_file)
+
+    reloaded = PrefixCache(cache_file=cache_file)  # no resolver: task-safe
+    cache_ref = ray.put(reloaded)
+
+    def expand(b: pa.Table) -> pa.Table:
+        cache = ray.get(cache_ref)
+        prefixes = [n.lower() for n in b["n_name"].to_pylist()]
+        return pa.table(
+            {
+                "prefix": pa.array(prefixes, pa.string()),
+                "iri": pa.array(
+                    [
+                        (cache.lookup(p) + "thing") if cache.lookup(p) else ""
+                        for p in prefixes
+                    ],
+                    pa.string(),
+                ),
+                "rdf_uri": pa.array([cache.lookup("rdf")] * len(prefixes), pa.string()),
+                "miss": pa.array([cache.lookup("zzz_nosuch")] * len(prefixes), pa.string()),
+            }
+        )
+
+    return read_table(sf_dir, "nation", columns=["n_name"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
+def q_repl_prefix_trim(sf_dir: str):
+    """M12: REPL prefix trimming (``sparqlclient.go:17,99-107``;
+    ``sources/sparql_results.py::trim_prefixes``) over a synthesized
+    per-document session line carrying TWO stacked ``PREFIX`` decls —
+    both trimmed into the session map, remainder returned."""
+    from ..io import read_table
+    from ..pages import page_url
+    from ..sources.sparql_results import trim_prefixes
+
+    def fn(b: pa.Table) -> pa.Table:
+        doc_ids = b["doc_id"].to_pylist()
+        langs = b["lang"].to_pylist()
+        sources = b["source"].to_pylist()
+        rests, page_uris, entity_uris = [], [], []
+        for did, lang, src in zip(doc_ids, langs, sources):
+            line = (
+                f"PREFIX p{did}: <{page_url(src, did)}> . "
+                f"PREFIX q{did}: <{entity_iri(did)}> . SELECT ?x # {lang}"
+            )
+            prefixes: dict[str, str] = {}
+            rests.append(trim_prefixes(line, prefixes))
+            page_uris.append(prefixes[f"p{did}"])
+            entity_uris.append(prefixes[f"q{did}"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "rest": pa.array(rests, pa.string()),
+                "page_uri": pa.array(page_uris, pa.string()),
+                "entity_uri": pa.array(entity_uris, pa.string()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -2081,4 +2284,9 @@ KG_QUERIES = {
     "kg_edge_table": q_kg_edge_table,
     "kg_ppr": q_kg_ppr,
     "kg_bfs_seeded": q_kg_bfs_seeded,
+    "point_lookups": q_point_lookups,
+    "list_walk_grouped": q_list_walk_grouped,
+    "multi_source_fanin": q_multi_source_fanin,
+    "prefix_cache_expand": q_prefix_cache_expand,
+    "repl_prefix_trim": q_repl_prefix_trim,
 }

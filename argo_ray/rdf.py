@@ -52,6 +52,42 @@ def _collect_sources(files: list[str], input_format: str | None):
     return by_fmt
 
 
+def read_rdf_files(patterns: list[str], input_format: str | None = None) -> list:
+    """S5 connector glue (``Graph.ParseFile``, graph.go:281-311) as a
+    library entry: glob each pattern, infer every file's format from
+    its extension via the registry (unless ``input_format`` overrides),
+    and return one parsed triple ``Dataset`` per format group.  Files
+    are read distributed (``read_binary_files``); each format's batch
+    parser runs inside ``map_batches``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .sources.registry import FORMATS
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(b["path"], pa.string()),
+                "text": pa.array(
+                    [x.decode("utf-8", "replace") for x in b["bytes"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    parts = []
+    for fmt_id, paths in _collect_sources(patterns, input_format).items():
+        fmt = FORMATS[fmt_id]
+        ds = rd.read_binary_files(paths, include_paths=True)
+        parts.append(
+            ds.map_batches(to_docs, batch_format="pyarrow").map_batches(
+                fmt.batch_parser, batch_format="pyarrow"
+            )
+        )
+    return parts
+
+
 def build_pipeline(args) -> tuple:
     """→ (triples_ds, counters) — the read→parse→rewrite plan."""
     import pyarrow as pa
@@ -67,26 +103,9 @@ def build_pipeline(args) -> tuple:
 
     import pyarrow.compute as pc
 
-    def to_docs(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": pc.cast(b["path"], pa.string()),
-                "text": pa.array(
-                    [x.decode("utf-8", "replace") for x in b["bytes"].to_pylist()],
-                    pa.string(),
-                ),
-            }
-        )
-
     parts = []
     if args.files:
-        for fmt_id, paths in _collect_sources(args.files, args.input_format).items():
-            fmt = FORMATS[fmt_id]
-            ds = rd.read_binary_files(paths, include_paths=True)
-            parsed = ds.map_batches(to_docs, batch_format="pyarrow").map_batches(
-                fmt.batch_parser, batch_format="pyarrow"
-            )
-            parts.append(parsed)
+        parts.extend(read_rdf_files(args.files, args.input_format))
     if getattr(args, "url", None):
         # opt-in URL fan-in (reference ParseURL, graph.go:313-335):
         # quarantined fetch failures are dropped from the triple stream

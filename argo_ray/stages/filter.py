@@ -64,18 +64,6 @@ def has_subject(ds, s: Term) -> bool:
     return filter_triples(ds, s=s).limit(1).count() > 0
 
 
-def _obj_terms(table: pa.Table) -> list[Term]:
-    return [
-        Term(k, v, l, d)
-        for k, v, l, d in zip(
-            table["obj_kind"].to_pylist(),
-            table["obj_value"].to_pylist(),
-            table["obj_lang"].to_pylist(),
-            table["obj_datatype"].to_pylist(),
-        )
-    ]
-
-
 def get_first_object(ds, s: Term, p: Term):
     """Graph.Get point lookup (graph.go:185-208): first object for
     (s, p), or None.  Small-result driver-side helper."""
@@ -93,7 +81,9 @@ def get_all_objects(ds, s: Term, p: Term, limit: int | None = None) -> list[Term
     if limit is not None:
         out = out.limit(limit)
     rows = out.take_all()
-    if not rows:
-        return []
-    t = pa.Table.from_pylist(rows)
-    return _obj_terms(t)
+    # build Terms straight from the row dicts: the rows may carry extra
+    # columns (e.g. the uint64 __row_hash) that from_pylist would choke on
+    return [
+        Term(r["obj_kind"], r["obj_value"], r["obj_lang"], r["obj_datatype"])
+        for r in rows
+    ]
