@@ -4,6 +4,14 @@ triple set (reference precedent: the store's Filter/group machinery
 exposes the graph, `/root/reference/rdf/store.go`, but has no analytics
 layer; these are the Ray-native extension).
 
+Plan choice is by measured statistics, never a flag: graphs at or
+under :data:`SMALL_GRAPH_EDGES` distinct edges run their whole
+iteration vectorized inside ONE worker task (the iterative-graph
+analogue of a size-gated broadcast join — per-round exchange fixed
+cost dominates anything that small); larger graphs run the
+distributed loop below.  Both plans are pinned equal on random graphs
+by tests/test_graph.py.
+
 Scale shape (the canonical distributed power-iteration plan):
 - the edge list is a Dataset and NEVER leaves the object store; only
   COUNT(nodes) and per-iteration norm scalars cross the driver;
@@ -139,30 +147,45 @@ def _split_merge(df, val_cols):
     return e.merge(v, on="key", how="inner")
 
 
-def _scatter_block(df):
-    """Broadcast each key's value row onto its edges → (node=out,
-    part=val/w)."""
+def _scatter_block(df, combine: str):
+    """Broadcast each key's value row onto its edges, then COMBINE
+    in-block: partially aggregate the contributions per destination
+    (``combine`` must match the downstream reduce — "sum" for
+    PageRank/HITS, "min" for BFS; both are associative so block-level
+    pre-aggregation is exact) before they leave the task, so the
+    downstream groupby exchange moves at most |distinct dst per block|
+    rows instead of |edges per block| — the map-side combiner every
+    scatter-gather wants at scale."""
     m = _split_merge(df, ["val"])
     if m is None:
         return _PART_SCHEMA.empty_table()
+    part = (m["val"] / m["w"]).to_numpy(dtype="float64")
+    g = (
+        m.assign(part=part)
+        .groupby("out", sort=False)["part"]
+        .agg(combine)
+        .reset_index()
+    )
     return pa.table(
         {
-            "node": pa.array(m["out"], pa.string()),
-            "part": pa.array(
-                (m["val"] / m["w"]).to_numpy(dtype="float64"), pa.float64()
-            ),
+            "node": pa.array(g["out"], pa.string()),
+            "part": pa.array(g["part"].to_numpy(dtype="float64"), pa.float64()),
         }
     )
 
 
-def _scatter_contribs(edges_kv, values_ds, val_col: str):
-    """(node=out, part=val(key)/w) contribution rows for every edge —
-    the shared scatter: union value rows into the keyed edge table, ONE
-    sort by key, vectorized in-block merge."""
+def _scatter_contribs(edges_kv, values_ds, val_col: str, combine: str = "sum"):
+    """(node=out, part=val(key)/w) contribution rows, pre-combined per
+    block — the shared scatter: union value rows into the keyed edge
+    table, ONE sort by key, vectorized in-block merge + combiner."""
     return (
         edges_kv.union(_value_rows(values_ds, val_col))
         .sort("key")
-        .map_batches(_scatter_block, batch_format="pandas", batch_size=None)
+        .map_batches(
+            lambda df: _scatter_block(df, combine),
+            batch_format="pandas",
+            batch_size=None,
+        )
     )
 
 
@@ -205,11 +228,70 @@ def _empty_result(nodes, cols: list[str]):
     )
 
 
+# Below this many (distinct) edges the whole power iteration runs
+# vectorized inside ONE worker task instead of 5 distributed exchange
+# rounds — the iterative-graph analogue of a size-gated broadcast join.
+# ~2M string edges ≈ low hundreds of MB in one task heap; the per-round
+# exchange fixed cost (~2 s/round on this Ray version regardless of
+# data size) dominates anything below it.  Callers override per call;
+# the plan choice is by measured statistics (edge count), never a flag.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _pagerank_small(
+    edges_ds, iters: int, damping: float,
+    teleport_nodes: list[str] | None,
+):
+    """Single-task fast path: identical convention to the distributed
+    loop (simple power iteration, dangling nodes absorb), pinned equal
+    by tests/test_graph.py's differential random-graph checks."""
+    seed_list = sorted(set(teleport_nodes)) if teleport_nodes is not None else None
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        n = len(nodes)
+        src = nodes.get_indexer(src_v)
+        dst = nodes.get_indexer(dst_v)
+        outdeg = np.bincount(src, minlength=n).astype(np.float64)
+        if seed_list is None:
+            rank = np.full(n, 1.0 / n)
+            base = np.full(n, (1.0 - damping) / n)
+        else:
+            seed_idx = nodes.get_indexer(pd.Index(seed_list))
+            seed_idx = seed_idx[seed_idx >= 0]
+            mass = 1.0 / len(seed_list)
+            rank = np.zeros(n)
+            rank[seed_idx] = mass
+            base = np.zeros(n)
+            base[seed_idx] = (1.0 - damping) * mass
+        for _ in range(iters):
+            contrib = rank[src] / outdeg[src]
+            rank = base + damping * np.bincount(
+                dst, weights=contrib, minlength=n
+            )
+        return pa.table(
+            {
+                "node": pa.array(nodes.to_numpy(), pa.string()),
+                "rank": pa.array(rank, pa.float64()),
+            }
+        )
+
+    # one block → one task; the whole graph fits by the gate's bound
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
 def pagerank(
     edges_ds,
     iters: int = 5,
     damping: float = 0.85,
     teleport_nodes: list[str] | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ):
     """PageRank over a directed edge Dataset with string columns
     ``(src, dst)`` (caller supplies DISTINCT edges).  Returns a
@@ -219,12 +301,19 @@ def pagerank(
     ``teleport_nodes`` switches to PERSONALIZED PageRank: the teleport
     vector (and the start vector) put 1/|S| on each seed and 0
     elsewhere — the seed set is a tiny broadcast captured by the
-    per-iteration map, everything else is the same plan."""
+    per-iteration map, everything else is the same plan.
+
+    Plan choice by statistics: graphs at or under ``small_graph_edges``
+    distinct edges run the single-task fast path (:func:`_pagerank_small`);
+    larger graphs run the per-iteration exchange loop below."""
     edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return _empty_result(edges_ds, ["rank"])
+    if n_edges <= small_graph_edges:
+        return _pagerank_small(edges_ds, iters, damping, teleport_nodes)
     nodes = _distinct_nodes(edges_ds)
     n_nodes = nodes.count()
-    if n_nodes == 0:
-        return _empty_result(nodes, ["rank"])
 
     edges_kv = _keyed_edges(edges_ds, "src", "dst", degree_weight=True)
     zero_rows = _const_nodes(nodes, "part", 0.0)
@@ -319,15 +408,59 @@ def _l2_norm(values_ds, col: str) -> float:
     return math.sqrt(total or 0.0)
 
 
-def hits(edges_ds, iters: int = 5):
+def _hits_small(edges_ds, iters: int):
+    """Single-task HITS fast path — exact mirror of the distributed
+    loop's convention including the zero-norm early breaks."""
+    import math
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        n = len(nodes)
+        src = nodes.get_indexer(src_v)
+        dst = nodes.get_indexer(dst_v)
+        h = np.ones(n)
+        a = np.zeros(n)
+        for _ in range(iters):
+            a_raw = np.bincount(dst, weights=h[src], minlength=n)
+            na = math.sqrt(float(np.dot(a_raw, a_raw)))
+            if na == 0.0:
+                break
+            a = a_raw / na
+            h_raw = np.bincount(src, weights=a[dst], minlength=n)
+            nh = math.sqrt(float(np.dot(h_raw, h_raw)))
+            if nh == 0.0:
+                break
+            h = h_raw / nh
+        return pa.table(
+            {
+                "node": pa.array(nodes.to_numpy(), pa.string()),
+                "hub": pa.array(h, pa.float64()),
+                "authority": pa.array(a, pa.float64()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
+def hits(edges_ds, iters: int = 5, small_graph_edges: int = SMALL_GRAPH_EDGES):
     """Kleinberg HITS over a directed edge Dataset ``(src, dst)``
     (DISTINCT edges): per iteration ``a(v) = Σ_{u→v} h(u)`` then L2-
     normalize, ``h(u) = Σ_{u→v} a(v)`` then L2-normalize; ``h₀ = 1``.
-    Returns a ``(node, hub, authority)`` Dataset."""
+    Returns a ``(node, hub, authority)`` Dataset.  Plan choice by edge
+    count, same gate as :func:`pagerank`."""
     edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return _empty_result(edges_ds, ["hub", "authority"])
+    if n_edges <= small_graph_edges:
+        return _hits_small(edges_ds, iters)
     nodes = _distinct_nodes(edges_ds)
-    if nodes.count() == 0:
-        return _empty_result(nodes, ["hub", "authority"])
 
     fwd = _keyed_edges(edges_ds, "src", "dst", degree_weight=False)  # h → a
     rev = _keyed_edges(edges_ds, "dst", "src", degree_weight=False)  # a → h
@@ -395,11 +528,48 @@ def hits(edges_ds, iters: int = 5):
 BFS_UNREACHED = 1_000_000  # integer infinity — exact in SQL and Arrow
 
 
+def _bfs_small(edges_ds, iters: int, seed_list: list[str] | None):
+    """Single-task BFS fast path — same fixed-round min-relaxation and
+    sentinel as the distributed loop; ``seed_list=None`` resolves to
+    the lexicographically smallest node inside the task."""
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        n = len(nodes)
+        src = nodes.get_indexer(src_v)
+        dst = nodes.get_indexer(dst_v)
+        dist = np.full(n, BFS_UNREACHED, dtype=np.int64)
+        if seed_list is None:
+            dist[nodes.get_indexer([nodes.to_numpy().min()])] = 0
+        else:
+            seed_idx = nodes.get_indexer(pd.Index(seed_list))
+            dist[seed_idx[seed_idx >= 0]] = 0
+        for _ in range(iters):
+            relaxed = np.full(n, BFS_UNREACHED, dtype=np.int64)
+            np.minimum.at(relaxed, dst, dist[src] + 1)
+            dist = np.minimum(dist, relaxed)
+        return pa.table(
+            {
+                "node": pa.array(nodes.to_numpy(), pa.string()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
 def bfs_distances(
     edges_ds,
     iters: int = 6,
     seed: str | None = None,
     seeds: list[str] | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ):
     """Directed BFS hop distances from a seed node (default: the
     lexicographically smallest node — deterministic without input):
@@ -408,15 +578,24 @@ def bfs_distances(
     ``iters`` hops and :data:`BFS_UNREACHED` beyond.  Pure integer
     arithmetic — the DuckDB oracle is bit-exact with no rounding.
     Returns a ``(node, dist)`` Dataset (unreached nodes carry the
-    sentinel)."""
+    sentinel).  Plan choice by edge count, same gate as
+    :func:`pagerank`."""
     edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return _empty_result(edges_ds, ["dist"])
+    if seeds is not None:
+        seed_list = sorted(set(seeds))
+    elif seed is not None:
+        seed_list = [seed]
+    else:
+        seed_list = None
+    if n_edges <= small_graph_edges:
+        return _bfs_small(edges_ds, iters, seed_list)
     nodes = _distinct_nodes(edges_ds)
-    if nodes.count() == 0:
-        return _empty_result(nodes, ["dist"])
-    if seeds is None:
-        if seed is None:
-            seed = nodes.min("node")
-        seeds = [seed]
+    if seed_list is None:
+        seed_list = [nodes.min("node")]
+    seeds = seed_list
     # multi-source BFS: dist 0 on every seed — the frontier union
     seed_arr = pa.array(sorted(set(seeds)), pa.large_string())
 
@@ -456,7 +635,7 @@ def bfs_distances(
             ),
             batch_format="pyarrow",
         )
-        contribs = _scatter_contribs(fwd, inc, "val")
+        contribs = _scatter_contribs(fwd, inc, "val", combine="min")
         self_rows = dists.map_batches(
             lambda b: pa.table(
                 {
@@ -816,7 +995,47 @@ _LP_SCHEMA = pa.schema(
 )
 
 
-def label_propagation(edges_ds, iters: int = 8):
+def _label_prop_small(edges_ds, iters: int):
+    """Single-task min-label propagation fast path — same fixed-round
+    contract as the distributed loop (string labels, no early exit)."""
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        names = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        n = len(names)
+        src = names.get_indexer(src_v)
+        dst = names.get_indexer(dst_v)
+        # propagate over string ORDER without string compares per round:
+        # rank nodes by name once, propagate integer ranks, map back
+        order = np.argsort(names.to_numpy())
+        rank_of = np.empty(n, dtype=np.int64)
+        rank_of[order] = np.arange(n)
+        lab = rank_of.copy()
+        u = np.concatenate([src, dst])
+        v = np.concatenate([dst, src])
+        for _ in range(iters):
+            relaxed = np.full(n, n, dtype=np.int64)
+            np.minimum.at(relaxed, v, lab[u])
+            lab = np.minimum(lab, relaxed)
+        name_arr = names.to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(name_arr, pa.string()),
+                "label": pa.array(name_arr[order[lab]], pa.string()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
+def label_propagation(
+    edges_ds, iters: int = 8, small_graph_edges: int = SMALL_GRAPH_EDGES
+):
     """Connected-component labels by FIXED-ROUND min-label propagation
     over the UNDIRECTED graph: ``label'(v) = min(label(v), min over
     neighbors label(u))``, labels initialized to the node's own name.
@@ -827,18 +1046,22 @@ def label_propagation(edges_ds, iters: int = 8):
 
     The near-dup variant (``dedup.neardup_components``) converges
     adaptively on int64 doc ids; this one trades the early exit for an
-    exactly SQL-checkable contract over string node ids."""
+    exactly SQL-checkable contract over string node ids.  Plan choice
+    by edge count, same gate as :func:`pagerank`."""
     from ray.data.aggregate import Min
 
     edges_ds = edges_ds.materialize()
-    nodes = _distinct_nodes(edges_ds)
-    if nodes.count() == 0:
-        return nodes.map_batches(
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return edges_ds.map_batches(
             lambda b: pa.schema(
                 [("node", pa.string()), ("label", pa.string())]
             ).empty_table(),
             batch_format="pyarrow",
         )
+    if n_edges <= small_graph_edges:
+        return _label_prop_small(edges_ds, iters)
+    nodes = _distinct_nodes(edges_ds)
     n_blocks = max(1, nodes.num_blocks())
 
     def symmetrize(b: pa.Table) -> pa.Table:

@@ -64,6 +64,10 @@ def test_hits_matches_reference(ray_session):
         pa.table({"src": [s for s, _ in E], "dst": [t for _, t in E]})
     )
     out = {r["node"]: (r["hub"], r["authority"]) for r in hits(ds, iters=5).take_all()}
+    out_dist = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(ds, iters=5, small_graph_edges=0).take_all()
+    }
 
     nodes = sorted({s for s, _ in E} | {t for _, t in E})
     idx = {n: i for i, n in enumerate(nodes)}
@@ -82,6 +86,8 @@ def test_hits_matches_reference(ray_session):
     for n in nodes:
         assert abs(out[n][0] - h[idx[n]]) < 1e-12, n
         assert abs(out[n][1] - a[idx[n]]) < 1e-12, n
+        assert abs(out_dist[n][0] - h[idx[n]]) < 1e-12, n
+        assert abs(out_dist[n][1] - a[idx[n]]) < 1e-12, n
 
 
 def test_bfs_distances_chain_and_sentinel(ray_session):
@@ -221,6 +227,11 @@ def test_graph_ops_match_bruteforce_on_random_graphs(ray_session):
             for r in label_propagation(ds, iters=n).take_all()
         }
         assert got_lbl == expect_lbl, f"components seed={seed}"
+        got_lbl_dist = {
+            r["node"]: r["label"]
+            for r in label_propagation(ds, iters=n, small_graph_edges=0).take_all()
+        }
+        assert got_lbl_dist == expect_lbl, f"components-dist seed={seed}"
 
         # pagerank vs dense reference
         idx = {v: i for i, v in enumerate(nodes)}
@@ -233,9 +244,17 @@ def test_graph_ops_match_bruteforce_on_random_graphs(ray_session):
             for s, t in edges:
                 nr[idx[t]] += 0.85 * r[idx[s]] / odeg[s]
             r = nr
+        # both plans (the statistics-gated single-task fast path and
+        # the forced distributed exchange loop) must match the dense
+        # reference independently
         got_pr = {x["node"]: x["rank"] for x in pagerank(ds, iters=4).take_all()}
+        got_dist = {
+            x["node"]: x["rank"]
+            for x in pagerank(ds, iters=4, small_graph_edges=0).take_all()
+        }
         for v in nodes:
             assert abs(got_pr[v] - r[idx[v]]) < 1e-12, f"pagerank seed={seed} {v}"
+            assert abs(got_dist[v] - r[idx[v]]) < 1e-12, f"pagerank-dist seed={seed} {v}"
 
 
 def test_canonicalize_sameas_chain_merge(ray_session):
@@ -406,8 +425,15 @@ def test_ppr_and_multisource_bfs_match_bruteforce(ray_session):
             x["node"]: x["rank"]
             for x in pagerank(ds, iters=4, teleport_nodes=seeds).take_all()
         }
+        got_dist = {
+            x["node"]: x["rank"]
+            for x in pagerank(
+                ds, iters=4, teleport_nodes=seeds, small_graph_edges=0
+            ).take_all()
+        }
         for v in nodes:
             assert abs(got[v] - r[idx[v]]) < 1e-12, f"ppr seed={seed} {v}"
+            assert abs(got_dist[v] - r[idx[v]]) < 1e-12, f"ppr-dist seed={seed} {v}"
 
         # multi-source BFS reference: iterative relaxation over in-edges
         dist = {v: (0 if v in set(seeds) else BFS_UNREACHED) for v in nodes}
@@ -421,6 +447,13 @@ def test_ppr_and_multisource_bfs_match_bruteforce(ray_session):
             for x in bfs_distances(ds, iters=4, seeds=seeds).take_all()
         }
         assert got_d == dist, f"msbfs seed={seed}"
+        got_d_dist = {
+            x["node"]: x["dist"]
+            for x in bfs_distances(
+                ds, iters=4, seeds=seeds, small_graph_edges=0
+            ).take_all()
+        }
+        assert got_d_dist == dist, f"msbfs-dist seed={seed}"
 
 
 def test_canonicalize_sameas_join_path_matches_broadcast(ray_session):
