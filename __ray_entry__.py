@@ -41,7 +41,18 @@ def _driver_checked_names() -> set[str]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            seen.update(rows.keys())
+            for name, row in rows.items():
+                # only a PASSING row counts as checked: a recorded
+                # failure must rotate back to the front of the window
+                # for re-verification, not fall out of it
+                if (
+                    isinstance(row, dict)
+                    and row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match", True)  # rows-only checks
+                ):
+                    seen.add(name)
     return seen
 
 

@@ -143,24 +143,37 @@ class MinHasher:
     coefficients are derived once per actor in ``__init__`` from a fixed
     seed (deterministic across actors and runs)."""
 
-    def __init__(self, num_hashes: int = 64, k: int = 3, seed: int = 42):
+    def __init__(
+        self,
+        num_hashes: int = 64,
+        k: int = 3,
+        seed: int = 42,
+        use_polars: bool | None = None,
+    ):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
         self.k = k
         self.num_hashes = num_hashes
-        # Decide the shingle-hash backend ONCE per actor: mixing polars
-        # and blake2b hashes across batches (e.g. polars installed on
-        # some workers only) would silently split every near-dup pair
-        # across incompatible LSH buckets.  Probe here so a whole actor
-        # lifetime uses one family; the blake2b path is itself
-        # deterministic so homogeneous clusters agree either way.
-        try:
-            import polars  # noqa: F401
+        # Decide the shingle-hash backend ONCE, on the DRIVER: the
+        # pipeline ships a prebuilt INSTANCE (see minhash_lsh_neardup),
+        # so this probe runs driver-side and the single decision rides
+        # the closure to every task.  Mixing polars and blake2b hashes
+        # across tasks (polars installed on some workers only) would
+        # silently split every near-dup pair across incompatible LSH
+        # buckets — with the decision pinned here, a worker missing
+        # polars fails LOUDLY on `import polars` in __call__ instead.
+        # Callers on knowingly heterogeneous clusters pass
+        # use_polars=False to pin the everywhere-available blake2b path.
+        if use_polars is not None:
+            self._use_polars = use_polars
+        else:
+            try:
+                import polars  # noqa: F401
 
-            self._use_polars = True
-        except Exception:
-            self._use_polars = False
+                self._use_polars = True
+            except Exception:
+                self._use_polars = False
 
     def signature(self, text: str) -> np.ndarray:
         x = _shingle_hashes(text, self.k)

@@ -238,6 +238,31 @@ def _empty_result(nodes, cols: list[str]):
 SMALL_GRAPH_EDGES = 2_000_000
 
 
+def _single_task_graph(edges_ds, kernel):
+    """Shared fast-path scaffold: repartition the (gate-bounded) edge
+    set into ONE block, number its nodes, and hand ``kernel(nodes,
+    src_idx, dst_idx)`` (→ dict of result columns, each aligned to
+    ``nodes``) the integer edge arrays inside a single worker task."""
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        src = nodes.get_indexer(src_v)
+        dst = nodes.get_indexer(dst_v)
+        cols = kernel(nodes, src, dst)
+        return pa.table(
+            {"node": pa.array(nodes.to_numpy(), pa.string()), **cols}
+        )
+
+    # one block → one task; the whole graph fits by the gate's bound
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _pagerank_small(
     edges_ds, iters: int, damping: float,
     teleport_nodes: list[str] | None,
@@ -247,15 +272,10 @@ def _pagerank_small(
     by tests/test_graph.py's differential random-graph checks."""
     seed_list = sorted(set(teleport_nodes)) if teleport_nodes is not None else None
 
-    def run(b: pa.Table) -> pa.Table:
+    def kernel(nodes, src, dst):
         import pandas as pd
 
-        src_v = b["src"].to_pandas()
-        dst_v = b["dst"].to_pandas()
-        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
         n = len(nodes)
-        src = nodes.get_indexer(src_v)
-        dst = nodes.get_indexer(dst_v)
         outdeg = np.bincount(src, minlength=n).astype(np.float64)
         if seed_list is None:
             rank = np.full(n, 1.0 / n)
@@ -273,17 +293,9 @@ def _pagerank_small(
             rank = base + damping * np.bincount(
                 dst, weights=contrib, minlength=n
             )
-        return pa.table(
-            {
-                "node": pa.array(nodes.to_numpy(), pa.string()),
-                "rank": pa.array(rank, pa.float64()),
-            }
-        )
+        return {"rank": pa.array(rank, pa.float64())}
 
-    # one block → one task; the whole graph fits by the gate's bound
-    return edges_ds.repartition(1).map_batches(
-        run, batch_format="pyarrow", batch_size=None
-    )
+    return _single_task_graph(edges_ds, kernel)
 
 
 def pagerank(
@@ -413,15 +425,8 @@ def _hits_small(edges_ds, iters: int):
     loop's convention including the zero-norm early breaks."""
     import math
 
-    def run(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        src_v = b["src"].to_pandas()
-        dst_v = b["dst"].to_pandas()
-        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+    def kernel(nodes, src, dst):
         n = len(nodes)
-        src = nodes.get_indexer(src_v)
-        dst = nodes.get_indexer(dst_v)
         h = np.ones(n)
         a = np.zeros(n)
         for _ in range(iters):
@@ -435,17 +440,12 @@ def _hits_small(edges_ds, iters: int):
             if nh == 0.0:
                 break
             h = h_raw / nh
-        return pa.table(
-            {
-                "node": pa.array(nodes.to_numpy(), pa.string()),
-                "hub": pa.array(h, pa.float64()),
-                "authority": pa.array(a, pa.float64()),
-            }
-        )
+        return {
+            "hub": pa.array(h, pa.float64()),
+            "authority": pa.array(a, pa.float64()),
+        }
 
-    return edges_ds.repartition(1).map_batches(
-        run, batch_format="pyarrow", batch_size=None
-    )
+    return _single_task_graph(edges_ds, kernel)
 
 
 def hits(edges_ds, iters: int = 5, small_graph_edges: int = SMALL_GRAPH_EDGES):
@@ -533,15 +533,10 @@ def _bfs_small(edges_ds, iters: int, seed_list: list[str] | None):
     sentinel as the distributed loop; ``seed_list=None`` resolves to
     the lexicographically smallest node inside the task."""
 
-    def run(b: pa.Table) -> pa.Table:
+    def kernel(nodes, src, dst):
         import pandas as pd
 
-        src_v = b["src"].to_pandas()
-        dst_v = b["dst"].to_pandas()
-        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
         n = len(nodes)
-        src = nodes.get_indexer(src_v)
-        dst = nodes.get_indexer(dst_v)
         dist = np.full(n, BFS_UNREACHED, dtype=np.int64)
         if seed_list is None:
             dist[nodes.get_indexer([nodes.to_numpy().min()])] = 0
@@ -552,16 +547,9 @@ def _bfs_small(edges_ds, iters: int, seed_list: list[str] | None):
             relaxed = np.full(n, BFS_UNREACHED, dtype=np.int64)
             np.minimum.at(relaxed, dst, dist[src] + 1)
             dist = np.minimum(dist, relaxed)
-        return pa.table(
-            {
-                "node": pa.array(nodes.to_numpy(), pa.string()),
-                "dist": pa.array(dist, pa.int64()),
-            }
-        )
+        return {"dist": pa.array(dist, pa.int64())}
 
-    return edges_ds.repartition(1).map_batches(
-        run, batch_format="pyarrow", batch_size=None
-    )
+    return _single_task_graph(edges_ds, kernel)
 
 
 def bfs_distances(
@@ -999,18 +987,12 @@ def _label_prop_small(edges_ds, iters: int):
     """Single-task min-label propagation fast path — same fixed-round
     contract as the distributed loop (string labels, no early exit)."""
 
-    def run(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        src_v = b["src"].to_pandas()
-        dst_v = b["dst"].to_pandas()
-        names = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
-        n = len(names)
-        src = names.get_indexer(src_v)
-        dst = names.get_indexer(dst_v)
+    def kernel(nodes, src, dst):
+        n = len(nodes)
         # propagate over string ORDER without string compares per round:
         # rank nodes by name once, propagate integer ranks, map back
-        order = np.argsort(names.to_numpy())
+        name_arr = nodes.to_numpy()
+        order = np.argsort(name_arr)
         rank_of = np.empty(n, dtype=np.int64)
         rank_of[order] = np.arange(n)
         lab = rank_of.copy()
@@ -1020,17 +1002,9 @@ def _label_prop_small(edges_ds, iters: int):
             relaxed = np.full(n, n, dtype=np.int64)
             np.minimum.at(relaxed, v, lab[u])
             lab = np.minimum(lab, relaxed)
-        name_arr = names.to_numpy()
-        return pa.table(
-            {
-                "node": pa.array(name_arr, pa.string()),
-                "label": pa.array(name_arr[order[lab]], pa.string()),
-            }
-        )
+        return {"label": pa.array(name_arr[order[lab]], pa.string())}
 
-    return edges_ds.repartition(1).map_batches(
-        run, batch_format="pyarrow", batch_size=None
-    )
+    return _single_task_graph(edges_ds, kernel)
 
 
 def label_propagation(

@@ -2079,7 +2079,7 @@ def q_list_walk_grouped(sf_dir: str):
     return grouped_map(flat, "doc_id", walk, batch_format="pyarrow")
 
 
-def q_multi_source_fanin(sf_dir: str):
+def q_multi_source_fanin(sf_dir: str, scratch_dir: str | None = None):
     """S5: the ``ParseFile`` → format-registry connector glue
     (``graph.go:281-311``; ``rdf.py::read_rdf_files``): the deduped
     extraction is split in two, serialized to an ``.nt`` and an
@@ -2087,7 +2087,12 @@ def q_multi_source_fanin(sf_dir: str):
     extension-inferred distributed file connector and fanned in (A6
     union) — recovering exactly the original distinct set.  The
     driver-side collect is the fixture writer, not the pipeline: the
-    read side is the distributed path under test."""
+    read side is the distributed path under test.
+
+    ``scratch_dir`` (or ``$GRAFT_SCRATCH``) must be storage every
+    worker can read — NFS/object-store URI on a multi-node cluster;
+    the driver-local /tmp default is for single-node runs, where
+    ``read_binary_files`` tasks all land on the one node."""
     import os
     import tempfile
 
@@ -2098,7 +2103,10 @@ def q_multi_source_fanin(sf_dir: str):
     tbl = pa.Table.from_pylist(rows).select(TRIPLE_COLUMNS)
     half_a = tbl.slice(0, tbl.num_rows // 2)
     half_b = tbl.slice(tbl.num_rows // 2)
-    scratch = tempfile.mkdtemp(prefix="fanin_", dir="/tmp")
+    scratch = tempfile.mkdtemp(
+        prefix="fanin_",
+        dir=scratch_dir or os.environ.get("GRAFT_SCRATCH", "/tmp"),
+    )
     with open(os.path.join(scratch, "a.nt"), "w", encoding="utf-8") as f:
         f.write(serialize_ntriples(half_a))
     with open(os.path.join(scratch, "b.rdf"), "w", encoding="utf-8") as f:
@@ -2144,27 +2152,41 @@ def q_prefix_cache_expand(sf_dir: str):
     reloaded = PrefixCache(cache_file=cache_file)  # no resolver: task-safe
     cache_ref = ray.put(reloaded)
 
-    def expand(b: pa.Table) -> pa.Table:
-        cache = ray.get(cache_ref)
+    return read_table(sf_dir, "nation", columns=["n_name"]).map_batches(
+        _PrefixExpand,
+        fn_constructor_args=(cache_ref,),
+        concurrency=1,
+        batch_format="pyarrow",
+    )
+
+
+class _PrefixExpand:
+    """Actor-pool CURIE expansion: the broadcast cache ref resolves
+    ONCE per actor in ``__init__`` (the _PmiScorer pattern), never per
+    batch."""
+
+    def __init__(self, cache_ref):
+        import ray
+
+        self.cache = ray.get(cache_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
         prefixes = [n.lower() for n in b["n_name"].to_pylist()]
+        uris = [self.cache.lookup(p) for p in prefixes]
         return pa.table(
             {
                 "prefix": pa.array(prefixes, pa.string()),
                 "iri": pa.array(
-                    [
-                        (cache.lookup(p) + "thing") if cache.lookup(p) else ""
-                        for p in prefixes
-                    ],
-                    pa.string(),
+                    [(u + "thing") if u else "" for u in uris], pa.string()
                 ),
-                "rdf_uri": pa.array([cache.lookup("rdf")] * len(prefixes), pa.string()),
-                "miss": pa.array([cache.lookup("zzz_nosuch")] * len(prefixes), pa.string()),
+                "rdf_uri": pa.array(
+                    [self.cache.lookup("rdf")] * len(prefixes), pa.string()
+                ),
+                "miss": pa.array(
+                    [self.cache.lookup("zzz_nosuch")] * len(prefixes), pa.string()
+                ),
             }
         )
-
-    return read_table(sf_dir, "nation", columns=["n_name"]).map_batches(
-        expand, batch_format="pyarrow"
-    )
 
 
 def q_repl_prefix_trim(sf_dir: str):

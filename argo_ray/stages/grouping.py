@@ -83,23 +83,34 @@ def verify_sorted_colocation(ds, key: str) -> None:
 
 class _BoundaryRegistry:
     """Zero-CPU actor behind ``grouped_map(verify=True)``: every block
-    registers its first/last key once; a key surfacing in TWO different
-    register calls means an equal-key run spans a block boundary — the
-    sort-colocation contract is broken and the second block raises,
-    failing the job instead of silently corrupting grouped output.
-    ``limit`` bounds the sampled block count (first N register calls)."""
+    registers its boundary keys with a TOKEN identifying the block's
+    content; a key surfacing from two blocks with DIFFERENT tokens
+    means an equal-key run spans a block boundary — the contract is
+    broken and the second block raises, failing the job instead of
+    silently corrupting grouped output.  A key re-registered with the
+    SAME token is idempotent: Ray re-executes blocks routinely (a lazy
+    result consumed twice, task retry after a worker crash, lineage
+    reconstruction) and a retry must not read as a violation.
+    Limitation: two blocks that split one key AND carry byte-identical
+    content would collide tokens and go undetected — this is a canary,
+    not a proof.  ``limit`` bounds the sampled block count (first N
+    distinct tokens)."""
 
     def __init__(self, limit: int | None = None):
-        self._seen: set[str] = set()
-        self._calls = 0
+        self._seen: dict[str, str] = {}  # boundary key -> block token
+        self._tokens: set[str] = set()
         self._limit = limit
 
-    def register(self, boundary_keys: list[str]) -> list[str]:
-        self._calls += 1
-        if self._limit is not None and self._calls > self._limit:
-            return []
-        clashes = [k for k in boundary_keys if k in self._seen]
-        self._seen.update(boundary_keys)
+    def register(self, boundary_keys: list[str], token: str) -> list[str]:
+        if self._limit is not None and token not in self._tokens:
+            if len(self._tokens) >= self._limit:
+                return []
+        self._tokens.add(token)
+        clashes = [
+            k for k in boundary_keys if self._seen.get(k, token) != token
+        ]
+        for k in boundary_keys:
+            self._seen.setdefault(k, token)
         return clashes
 
 
@@ -119,12 +130,16 @@ def grouped_map(
 
     ``verify=True`` arms the opt-in runtime colocation assertion: each
     block reports its boundary keys to a shared zero-CPU registry actor
-    and RAISES if any boundary key was already claimed by another block
-    — i.e. if Ray's sort stopped emitting whole key runs per block (the
-    contract the version pin at module import warns about).  One tiny
-    actor round-trip per block; ``verify_blocks=N`` samples only the
-    first N blocks.  Use after a Ray upgrade / in canary jobs — the
-    failure mode it guards against is silent wrong answers.
+    and RAISES if any boundary key was already claimed by a block with
+    different content — i.e. if Ray's sort stopped emitting whole key
+    runs per block (the contract the version pin at module import
+    warns about).  One tiny actor round-trip per block;
+    ``verify_blocks=N`` samples only the first N blocks.  Task retries
+    re-register idempotently (same content token); re-EXECUTIONS of the
+    whole plan could legitimately re-sort into a different layout, so
+    the verified result is returned MATERIALIZED — it executes exactly
+    once.  Use after a Ray upgrade / in canary jobs — the failure mode
+    it guards against is silent wrong answers.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -142,7 +157,11 @@ def grouped_map(
 
         first = str(tuple(df.iloc[0][k] for k in keys))
         last = str(tuple(df.iloc[-1][k] for k in keys))
-        clashes = ray.get(registry.register.remote(list({first, last})))
+        # deterministic per logical block, stable across re-executions:
+        # boundary keys + row count + an order-insensitive content hash
+        content = int(pd.util.hash_pandas_object(df, index=False).sum())
+        token = f"{first}|{last}|{len(df)}|{content}"
+        clashes = ray.get(registry.register.remote(list({first, last}), token))
         if clashes:
             raise RuntimeError(
                 f"sort co-location contract violated: boundary key(s) "
@@ -171,9 +190,15 @@ def grouped_map(
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
-    return ds.sort(keys).map_batches(
+    out = ds.sort(keys).map_batches(
         apply_block, batch_format="pandas", batch_size=None
     )
+    if verify:
+        # one execution only: a lazy result consumed twice re-sorts and
+        # may legally land a key on different block boundaries, which
+        # the registry could not tell from a violation
+        out = out.materialize()
+    return out
 
 
 def sorted_unique(ds, subset: list[str], key: str):

@@ -438,17 +438,21 @@ def test_grouped_map_verify_flag(ray_session):
     plain = sorted(
         (r["k"], r["n"]) for r in grouped_map(ds, "k", agg).take_all()
     )
-    verified = sorted(
-        (r["k"], r["n"])
-        for r in grouped_map(ds, "k", agg, verify=True).take_all()
-    )
+    out = grouped_map(ds, "k", agg, verify=True)
+    verified = sorted((r["k"], r["n"]) for r in out.take_all())
     assert verified == plain and len(plain) == 7
+    # re-executing the same lazy result (second consume = every block
+    # re-registers) must be idempotent, not a spurious violation
+    reverified = sorted((r["k"], r["n"]) for r in out.take_all())
+    assert reverified == plain
 
-    # the registry itself: a key seen in two register calls = violation
+    # the registry itself: a key from two DIFFERENT block tokens =
+    # violation; the same token re-registering = retry, no violation
     reg = ray.remote(num_cpus=0)(_BoundaryRegistry).remote(limit=None)
-    assert ray.get(reg.register.remote(["('3',)", "('9',)"])) == []
-    assert ray.get(reg.register.remote(["('9',)"])) == ["('9',)"]
-    # sampled mode stops checking past the limit
+    assert ray.get(reg.register.remote(["('3',)", "('9',)"], "blockA")) == []
+    assert ray.get(reg.register.remote(["('9',)"], "blockB")) == ["('9',)"]
+    assert ray.get(reg.register.remote(["('3',)", "('9',)"], "blockA")) == []
+    # sampled mode stops admitting NEW tokens past the limit
     reg2 = ray.remote(num_cpus=0)(_BoundaryRegistry).remote(limit=1)
-    assert ray.get(reg2.register.remote(["a"])) == []
-    assert ray.get(reg2.register.remote(["a"])) == []  # past limit: skipped
+    assert ray.get(reg2.register.remote(["a"], "t1")) == []
+    assert ray.get(reg2.register.remote(["a"], "t2")) == []  # past limit
