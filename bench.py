@@ -139,6 +139,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("kg_build_pipeline", q_kg_build_pipeline),
         ("ann_pq", q_ann_pq),
         ("docs_bm25", q_docs_bm25),
+        ("kg_pagerank_dist", _kg_pagerank_forced_distributed),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -146,6 +147,20 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
             res.count()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def _kg_pagerank_forced_distributed(sf_dir: str):
+    """kg_pagerank with the single-task fast path DISABLED
+    (small_graph_edges=0): keeps the distributed exchange loop's
+    round-over-round throughput visible in BENCH now that the default
+    plan takes the statistics-gated fast path at this scale."""
+    from argo_ray.functions.graph import pagerank
+    from argo_ray.pipelines.queries import PAGERANK_ITERS, _kg_link_edges
+
+    return pagerank(
+        _kg_link_edges(sf_dir), iters=PAGERANK_ITERS, damping=0.85,
+        small_graph_edges=0,
+    )
 
 
 def run_once() -> dict:
