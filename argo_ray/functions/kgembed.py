@@ -9,9 +9,14 @@ the assignment is reproducible relationally (``ROW_NUMBER() OVER
 
 Scale shape: the dictionaries are built with one distinct exchange +
 one sort (``running_total``'s block-manifest pass moves one row per
-block through the driver); the triple mapping is three distributed
-hash joins keyed on term strings — uniform keys, since dictionary
-terms are distinct by construction.
+block through the driver); the triple mapping is three sort-colocation
+lookup joins keyed on term strings — uniform keys, since dictionary
+terms are distinct by construction.  NOT ``Dataset.join``: on this Ray
+version a hash join's empty output partitions forward schema-less
+blocks and a downstream (chained) join's finalize rejects them with
+"No match or multiple matches for key" — observed live at sf0.1,
+where the three-join chain failed while sf0.01 passed (the same
+fragility class the graph module documents).
 """
 
 from __future__ import annotations
@@ -52,18 +57,80 @@ def dense_rank_ids(ds, col: str, out_col: str = "id"):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
-def triples_to_id_edges(triples_ds, num_partitions: int | None = None):
+def _lookup_join(ds, key: str, ids_ds, out_col: str):
+    """Inner-join ``ds`` against the (term, id) dictionary on ``key``
+    via the sort-colocation pattern: id rows union into the stream,
+    ONE sort by key groups each key's id row with its data rows, and a
+    vectorized in-block pandas merge attaches the id — the same
+    exchange volume as a hash join, none of its empty-partition
+    fragility."""
+    import pandas as pd
+
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    schema = ds.schema()
+
+    def _arrow_type(t):
+        # upstream plans may report a PandasBlockSchema (numpy dtypes)
+        if isinstance(t, pa.DataType):
+            return t
+        import numpy as np
+
+        dt = np.dtype(t)
+        return pa.string() if dt == np.dtype("O") else pa.from_numpy_dtype(dt)
+
+    col_types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+
+    def fixed_type(c):
+        # string keys sort-exchange as plain string; other payloads
+        # (e.g. ids attached by an earlier lookup) keep their type
+        t = col_types[c]
+        return pa.string() if pa.types.is_string(t) or pa.types.is_large_string(t) else t
+
+    def tag_ids(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in schema.names:
+            if c == key:
+                cols[c] = pc.cast(b["term"], pa.string())
+            else:
+                cols[c] = pa.nulls(b.num_rows, fixed_type(c))
+        cols[out_col] = pc.cast(b["id"], pa.int64())
+        return pa.table(cols)
+
+    def tag_data(b: pa.Table) -> pa.Table:
+        cols = {c: pc.cast(b[c], fixed_type(c)) for c in schema.names}
+        cols[out_col] = pa.nulls(b.num_rows, pa.int64())
+        return pa.table(cols)
+
+    unioned = ds.map_batches(tag_data, batch_format="pyarrow").union(
+        ids_ds.map_batches(tag_ids, batch_format="pyarrow")
+    )
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        is_id = df[out_col].notna()
+        v = df.loc[is_id, [key, out_col]]
+        e = df.loc[~is_id, [c for c in df.columns if c != out_col]]
+        if len(v) == 0 or len(e) == 0:
+            return df.head(0)
+        m = e.merge(v, on=key, how="inner")
+        m[out_col] = m[out_col].astype("int64")
+        return m
+
+    return unioned.sort(key).map_batches(
+        merge_block, batch_format="pandas", batch_size=None
+    )
+
+
+def triples_to_id_edges(triples_ds):
     """Non-literal triples → (h_id, r_id, t_id) rows under dense ids.
 
     Entities = distinct subject terms plus non-literal object terms;
     relations = distinct predicates of the edge triples.  Attribute
     (literal-object) triples are excluded, as in standard KG-embedding
     corpora."""
-    from ..io import shuffle_partitions
     from ..stages.materialize import distinct_rows
-
-    if num_partitions is None:
-        num_partitions = shuffle_partitions()
 
     def edge_proj(b: pa.Table) -> pa.Table:
         m = pc.not_equal(
@@ -105,32 +172,21 @@ def triples_to_id_edges(triples_ds, num_partitions: int | None = None):
     ent_ids = dense_rank_ids(ents, "term")
     rel_ids = dense_rank_ids(rels, "term")
 
-    def renamed(ids_ds, key: str, id_name: str):
-        return ids_ds.map_batches(
-            lambda b: pa.table({key: b["term"], id_name: b["id"]}),
-            batch_format="pyarrow",
-        )
-
-    out = edges.join(
-        renamed(ent_ids, "subj_value", "h_id"),
-        join_type="inner",
-        on=("subj_value",),
-        num_partitions=num_partitions,
-    )
-    out = out.join(
-        renamed(rel_ids, "pred_value", "r_id"),
-        join_type="inner",
-        on=("pred_value",),
-        num_partitions=num_partitions,
-    )
-    out = out.join(
-        renamed(ent_ids, "obj_value", "t_id"),
-        join_type="inner",
-        on=("obj_value",),
-        num_partitions=num_partitions,
-    )
+    out = _lookup_join(edges, "subj_value", ent_ids, "h_id")
+    out = _lookup_join(out, "pred_value", rel_ids, "r_id")
+    out = _lookup_join(out, "obj_value", ent_ids, "t_id")
     return out.map_batches(
-        lambda b: b.select(["h_id", "r_id", "t_id"]), batch_format="pyarrow"
+        lambda b: pa.table(
+            {
+                # earlier-attached ids transit later pandas merges as
+                # float64 (nullable int in the union blocks) — exact for
+                # dense ids; pin the contract dtype here
+                "h_id": pc.cast(b["h_id"], pa.int64()),
+                "r_id": pc.cast(b["r_id"], pa.int64()),
+                "t_id": pc.cast(b["t_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
