@@ -47,6 +47,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..terms import hash64
+
 _KV_SCHEMA = pa.schema(
     [
         ("key", pa.string()),
@@ -661,7 +663,100 @@ def bfs_distances(
 _SEP = "\x1f"  # key separator for wedge-closure keys (not in IRIs)
 
 
-def triangles(edges_ds, assume_canonical: bool = False):
+# Below this many distinct canonical edges, the triangle closure test
+# broadcasts the edge set (a sorted 64-bit pair-hash array for the
+# vectorized filter + the exact pair set for hit verification) into a
+# per-actor membership check INSIDE the wedge generator — no wedge row
+# ever leaves its block, removing the O(#wedges) sort exchange that
+# dominates dense co-occurrence graphs.  Above it, the all-distributed
+# union+sort closure below runs unchanged.
+BROADCAST_EDGE_LIMIT = 2_000_000
+
+
+def _mix_pair_hashes(hu: np.ndarray, hv: np.ndarray) -> np.ndarray:
+    """Order-asymmetric 64-bit combine of two per-node hash arrays —
+    candidates verify exactly against the pair set, so collisions only
+    cost a set probe, never a wrong triangle."""
+    return (hu * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        (hv << np.uint64(1)) | (hv >> np.uint64(63))
+    )
+
+
+class _BroadcastWedgeCloser:
+    """Actor-pool wedge generator + closure: the broadcast edge-set
+    filter resolves ONCE per actor in ``__init__`` — two parallel
+    uint64 arrays (independent hash families mixed per edge, sorted by
+    the first), ZERO-COPY out of the object store, so actor startup
+    costs nothing regardless of pool size.  Membership = both 64-bit
+    mixes match → effectively a 128-bit key; two distinct edges
+    colliding on both families is ~n/2^128 — the same exactness trade
+    the exact-dedup fast path documents."""
+
+    def __init__(self, h1_ref, h2_ref):
+        import ray
+
+        self.sh1 = ray.get(h1_ref)  # sorted
+        self.sh2 = ray.get(h2_ref)  # aligned to sh1's order
+
+    def _member(self, w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
+        lo = np.searchsorted(self.sh1, w1, "left")
+        hi = np.searchsorted(self.sh1, w1, "right")
+        match = np.zeros(len(w1), dtype=bool)
+        simple = (hi - lo) == 1
+        if simple.any():
+            match[simple] = self.sh2[lo[simple]] == w2[simple]
+        for idx in np.nonzero(hi - lo > 1)[0]:  # first-family dup runs: rare
+            match[idx] = bool(
+                (self.sh2[lo[idx] : hi[idx]] == w2[idx]).any()
+            )
+        return match
+
+    def __call__(self, df):
+        # hash64 is a module global: worker-side code must not execute
+        # relative imports (workers receive this module by value and
+        # have no importable argo_ray on sys.path)
+        tri_schema = pa.schema([("node", pa.string())])
+        if len(df) == 0 or "f" not in df.columns:
+            return tri_schema.empty_table()
+        out = []
+        # ONE vectorized hash pass per family per block (thousands of
+        # apex groups), carried alongside the neighbor column
+        t_arr = pa.array(df["t"].to_numpy(dtype=object).astype(str))
+        df = df.assign(
+            _h1=hash64(t_arr, seed=0).to_numpy(zero_copy_only=False),
+            _h2=hash64(t_arr, seed=1).to_numpy(zero_copy_only=False),
+        )
+        for apex, g in df.groupby("f", sort=False):
+            ts = g["t"].to_numpy(dtype=object)
+            k = len(ts)
+            if k < 2:
+                continue
+            order = np.argsort(ts)
+            ts = ts[order]
+            h1 = g["_h1"].to_numpy()[order]
+            h2 = g["_h2"].to_numpy()[order]
+            i, j = np.triu_indices(k, 1)
+            keep = self._member(
+                _mix_pair_hashes(h1[i], h1[j]), _mix_pair_hashes(h2[i], h2[j])
+            )
+            if not keep.any():
+                continue
+            ci, cj = i[keep], j[keep]
+            out.append(
+                np.concatenate(
+                    [np.full(len(ci), apex, dtype=object), ts[ci], ts[cj]]
+                )
+            )
+        if not out:
+            return tri_schema.empty_table()
+        return pa.table({"node": pa.array(np.concatenate(out), pa.string())})
+
+
+def triangles(
+    edges_ds,
+    assume_canonical: bool = False,
+    broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT,
+):
     """Per-node triangle counts over the UNDIRECTED simple graph of the
     given edges (self-loops dropped, direction and multiplicity
     ignored) → ``(node, n_triangles)`` for every node in ≥1 triangle.
@@ -718,6 +813,77 @@ def triangles(edges_ds, assume_canonical: bool = False):
             .select_columns(["u", "v"])
             .materialize()
         )
+
+    if ec.count() <= broadcast_edge_limit:
+        # broadcast plan: ONE driver pass over the (gate-bounded)
+        # canonical edge set builds BOTH the closure filter (two mixed
+        # hash families, sorted by the first) AND the degree lookup
+        # (np.unique over the seed-0 node hashes).  Degrees keyed by
+        # hash stay globally consistent even across a 64-bit node
+        # collision, so the (degree, name) orientation remains a total
+        # order and every triangle is still found at exactly one apex.
+        # This replaces the distributed plan's two degree-attach sort
+        # exchanges with a zero-shuffle orient map — measured 118 s →
+        # the cost of one apex sort on the sf0.1 co-purchase graph.
+        import ray
+
+        h0u_parts, h0v_parts, h1_parts, h2_parts = [], [], [], []
+        for b in ec.iter_batches(batch_format="pyarrow"):
+            u = pc.cast(b["u"], pa.string())
+            v = pc.cast(b["v"], pa.string())
+            hu0 = hash64(u, seed=0).to_numpy(zero_copy_only=False)
+            hv0 = hash64(v, seed=0).to_numpy(zero_copy_only=False)
+            h0u_parts.append(hu0)
+            h0v_parts.append(hv0)
+            h1_parts.append(_mix_pair_hashes(hu0, hv0))
+            h2_parts.append(
+                _mix_pair_hashes(
+                    hash64(u, seed=1).to_numpy(zero_copy_only=False),
+                    hash64(v, seed=1).to_numpy(zero_copy_only=False),
+                )
+            )
+        h1 = np.concatenate(h1_parts)
+        h2 = np.concatenate(h2_parts)
+        order = np.argsort(h1, kind="stable")
+        refs = (ray.put(h1[order]), ray.put(h2[order]))
+        node_h, node_deg = np.unique(
+            np.concatenate(h0u_parts + h0v_parts), return_counts=True
+        )
+        deg_refs = (ray.put(node_h), ray.put(node_deg.astype(np.int64)))
+
+        def orient_broadcast(b: pa.Table) -> pa.Table:
+            u = pc.cast(b["u"], pa.string())
+            v = pc.cast(b["v"], pa.string())
+            nh = ray.get(deg_refs[0])  # zero-copy plasma read per task
+            nd = ray.get(deg_refs[1])
+            du = nd[np.searchsorted(nh, hash64(u, seed=0).to_numpy(zero_copy_only=False))]
+            dv = nd[np.searchsorted(nh, hash64(v, seed=0).to_numpy(zero_copy_only=False))]
+            un = u.to_numpy(zero_copy_only=False)
+            vn = v.to_numpy(zero_copy_only=False)
+            u_first = (du < dv) | ((du == dv) & (un < vn))
+            return pa.table(
+                {
+                    "f": pa.array(np.where(u_first, un, vn), pa.string()),
+                    "t": pa.array(np.where(u_first, vn, un), pa.string()),
+                }
+            )
+
+        oriented = ec.map_batches(orient_broadcast, batch_format="pyarrow")
+        # the closure IS the compute-bound stage — size the pool to most
+        # of the cluster, not the shuffle-partition count (which would
+        # leave 3/4 of the CPUs idle during wedge generation)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        corner_rows = oriented.sort("f").map_batches(
+            _BroadcastWedgeCloser,
+            fn_constructor_args=refs,
+            concurrency=max(2, cpus * 3 // 4),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        # barrier before the corner groupby: chaining the apex sort,
+        # the closure map and the count exchange in one streaming
+        # topology thrashes ~10x (see cooccurrence_edges)
+        return _count_corners(corner_rows.materialize())
 
     deg = (
         ec.map_batches(
@@ -791,10 +957,15 @@ def triangles(edges_ds, assume_canonical: bool = False):
         ),
         batch_format="pyarrow",
     )
+    # barriers between every consecutive pair of all-to-alls below
+    # (attach-1 sort, attach-2 sort, apex sort): chaining them in one
+    # streaming topology thrashes ~10× (measured on the sf0.1
+    # co-purchase graph — see cooccurrence_edges)
     p1 = (
         p1_rows.union(deg_rows)
         .sort("key")
         .map_batches(_attach_block, batch_format="pandas", batch_size=None)
+        .materialize()
     )
     # pass 2: key = v → attach deg(v); carry = deg(u)
     p2_rows = p1.map_batches(
@@ -812,6 +983,7 @@ def triangles(edges_ds, assume_canonical: bool = False):
         p2_rows.union(deg_rows)
         .sort("key")
         .map_batches(_attach_block, batch_format="pandas", batch_size=None)
+        .materialize()
     )
     # p2 rows: key = v, other = u, carry = deg(u), deg_attached = deg(v)
 
@@ -832,7 +1004,9 @@ def triangles(edges_ds, assume_canonical: bool = False):
             }
         )
 
-    oriented = p2.map_batches(orient, batch_format="pandas", batch_size=None)
+    oriented = p2.map_batches(
+        orient, batch_format="pandas", batch_size=None
+    ).materialize()
 
     wedge_schema = pa.schema(
         [("key", pa.string()), ("apex", pa.string())]
@@ -916,7 +1090,16 @@ def triangles(edges_ds, assume_canonical: bool = False):
         wedge_rows.union(edge_marks)
         .sort("key")
         .map_batches(close_block, batch_format="pandas", batch_size=None)
+        .materialize()  # barrier before the corner groupby (see above)
     )
+    return _count_corners(corner_rows)
+
+
+def _count_corners(corner_rows):
+    """(node) corner rows → (node, n_triangles), shared by both closure
+    plans."""
+    from ray.data.aggregate import Count
+
     out_schema = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
     return (
         corner_rows.groupby("node")
@@ -969,10 +1152,20 @@ def cooccurrence_edges(pairs_ds, group_col: str, item_col: str):
             }
         )
 
-    return (
+    # MATERIALIZE between the two all-to-alls: chaining the group sort
+    # and the distinct groupby in one streaming topology runs them
+    # concurrently and the executor thrashes — measured 145 s chained
+    # vs 15 s with the barrier on the sf0.1 co-purchase graph (600k
+    # pairs → 1.2M edges, 32 CPUs); same effect class as the pagerank
+    # loop's per-iteration materialize, 10× here.  The intermediate is
+    # the raw pair stream — the same volume the groupby exchanges.
+    raw_pairs = (
         pairs_ds.sort(group_col)
         .map_batches(pairs, batch_format="pandas", batch_size=None)
-        .groupby(["src", "dst"])
+        .materialize()
+    )
+    return (
+        raw_pairs.groupby(["src", "dst"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["src", "dst"])
     )

@@ -829,6 +829,10 @@ def q_parts_pair_lift(sf_dir: str):
     pairs = (
         li.sort("l_orderkey")
         .map_batches(pair_block, batch_format="pandas", batch_size=None)
+        # barrier between the two all-to-alls: chained sort + groupby in
+        # one streaming topology thrash 10× (measured in
+        # graph.py::cooccurrence_edges on this exact pair stream)
+        .materialize()
         .groupby(["x", "y"])
         .aggregate(Count(alias_name="c"))
     )

@@ -206,6 +206,11 @@ def test_graph_ops_match_bruteforce_on_random_graphs(ray_session):
         expect = {v: c for v, c in tri_count.items() if c}
         got = {r["node"]: r["n_triangles"] for r in triangles(ds).take_all()}
         assert got == expect, f"triangles seed={seed}"
+        got_dist = {
+            r["node"]: r["n_triangles"]
+            for r in triangles(ds, broadcast_edge_limit=0).take_all()
+        }
+        assert got_dist == expect, f"triangles-dist seed={seed}"
 
         # components: enough fixed rounds (n) to converge any graph of n nodes
         parent = {v: v for v in nodes}
