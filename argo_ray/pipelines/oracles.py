@@ -255,6 +255,7 @@ FROM (SELECT DISTINCT {TERM_COLS} FROM exp)""",
     "rdfxml_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "squirtle_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "rdfjson_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
+    "jsonld_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "store_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "graphstore_roundtrip": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
     "dedup_provenance": EXP_URL_CTE

@@ -196,6 +196,15 @@ def q_rdfjson_roundtrip(sf_dir: str):
     return _roundtrip(sf_dir, serialize_rdfjson, parse_rdfjson_batch)
 
 
+def q_jsonld_roundtrip(sf_dir: str):
+    """JSON-LD expanded-form round-trip (sinks/jsonld.py): node objects
+    with @id/@type/value-object predicates survive serialize → parse
+    byte-exact."""
+    from ..sinks.jsonld import parse_jsonld_batch, serialize_jsonld
+
+    return _roundtrip(sf_dir, serialize_jsonld, parse_jsonld_batch)
+
+
 # ---------------------------------------------------------------------------
 # Query-surface operators
 # ---------------------------------------------------------------------------
@@ -2237,6 +2246,7 @@ KG_QUERIES = {
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "squirtle_roundtrip": q_squirtle_roundtrip,
     "rdfjson_roundtrip": q_rdfjson_roundtrip,
+    "jsonld_roundtrip": q_jsonld_roundtrip,
     "filter_pattern": q_filter_pattern,
     "rewrite_regex": q_rewrite_regex,
     "split_prefix": q_split_prefix,

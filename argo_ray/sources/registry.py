@@ -31,6 +31,7 @@ class Format:
 
 
 def _default_formats() -> dict[str, Format]:
+    from ..sinks.jsonld import parse_jsonld, parse_jsonld_batch, serialize_jsonld
     from ..sinks.ntriples import serialize_ntriples
     from ..sinks.rdfjson import parse_rdfjson, parse_rdfjson_batch, serialize_rdfjson
     from ..sinks.rdfxml import serialize_rdfxml
@@ -80,6 +81,12 @@ def _default_formats() -> dict[str, Format]:
             parser=lambda text, uri="", salt="": parse_rdfjson(text),
             serializer=lambda table, prefixes=None: serialize_rdfjson(table),
             batch_parser=parse_rdfjson_batch,
+        ),
+        Format(
+            "jsonld", "JSON-LD", "application/ld+json", ".jsonld",
+            parser=lambda text, uri="", salt="": parse_jsonld(text),
+            serializer=serialize_jsonld,
+            batch_parser=parse_jsonld_batch,
         ),
         Format(
             "nquads", "NQuads", "application/n-quads", ".nq",

@@ -45,8 +45,10 @@ def test_empty_list():
 def test_registry_lookup():
     assert set(FORMATS) == {
         "ntriples", "nquads", "rdfxml", "turtle", "trig", "squirtle", "json",
-        "rdfa"
+        "jsonld", "rdfa"
     }
+    assert format_from_filename("g.jsonld").id == "jsonld"
+    assert format_from_mime_type("application/ld+json").id == "jsonld"
     assert format_from_filename("/x/y/data.nt").id == "ntriples"
     assert format_from_filename("page.HTML".lower()).id == "rdfa"
     assert format_from_filename("g.ttl").id == "turtle"

@@ -70,6 +70,65 @@ def test_rdfjson_roundtrip(table):
     assert as_multiset(parse_rdfjson(text)) == as_multiset(TRIPLES)
 
 
+def test_jsonld_roundtrip(table):
+    from argo_ray.sinks.jsonld import parse_jsonld, serialize_jsonld
+
+    text = serialize_jsonld(table)
+    # serialization dedups per-subject value objects only via sorting;
+    # multiset equality still holds because TRIPLES has no duplicates
+    assert as_multiset(parse_jsonld(text)) == as_multiset(TRIPLES)
+
+
+def test_jsonld_parser_semantics():
+    from argo_ray.sinks.jsonld import parse_jsonld
+
+    doc = """{
+      "@context": {"foaf": "http://xmlns.com/foaf/0.1/",
+                   "xsd": "http://www.w3.org/2001/XMLSchema#"},
+      "@graph": [
+        {"@id": "http://e.org/alice",
+         "@type": "foaf:Person",
+         "foaf:name": [{"@value": "Alice", "@language": "en"}],
+         "foaf:age": {"@value": "30", "@type": "xsd:integer"},
+         "foaf:nick": "ally",
+         "foaf:knows": {"@id": "http://e.org/bob",
+                        "foaf:name": {"@value": "Bob"}},
+         "foaf:friend": {"@id": "_:b7"}}
+      ]
+    }"""
+    triples = parse_jsonld(doc)
+    alice = IRI("http://e.org/alice")
+    assert (alice, IRI("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), IRI(FOAF + "Person")) in triples
+    assert (alice, IRI(FOAF + "name"), Literal("Alice", lang="en")) in triples
+    assert (alice, IRI(FOAF + "age"), Literal("30", datatype="http://www.w3.org/2001/XMLSchema#integer")) in triples
+    assert (alice, IRI(FOAF + "nick"), Literal("ally")) in triples
+    assert (alice, IRI(FOAF + "knows"), IRI("http://e.org/bob")) in triples
+    # the nested node object contributes its own triple
+    assert (IRI("http://e.org/bob"), IRI(FOAF + "name"), Literal("Bob")) in triples
+    assert (alice, IRI(FOAF + "friend"), Blank("b7")) in triples
+    assert len(triples) == 7
+
+
+def test_jsonld_native_values_and_list_rejection():
+    from argo_ray.sinks.jsonld import parse_jsonld
+
+    triples = parse_jsonld(
+        '[{"@id": "http://s", "http://p": [1, 2.5, true, "x"]}]'
+    )
+    objs = {t[2] for t in triples}
+    assert Literal("1", datatype="http://www.w3.org/2001/XMLSchema#integer") in objs
+    assert Literal("2.5", datatype="http://www.w3.org/2001/XMLSchema#double") in objs
+    assert Literal("true", datatype="http://www.w3.org/2001/XMLSchema#boolean") in objs
+    assert Literal("x") in objs
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_jsonld('[{"@id": "http://s", "http://p": {"@list": ["a"]}}]')
+    with pytest.raises(ValueError):
+        parse_jsonld('[{"http://p": "anonymous subject"}]')
+
+
 def test_rdfxml_type_elision():
     # exactly one rdf:type with Resource object → elided into the tag and
     # re-emitted by the parser (rdfxml.go:186-201 / :120-122)
@@ -127,6 +186,7 @@ def test_poison_docs_quarantine_all_parsers():
     import pyarrow as pa
     import pytest
 
+    from argo_ray.sinks.jsonld import parse_jsonld_batch
     from argo_ray.sinks.rdfjson import parse_rdfjson_batch
     from argo_ray.sources.nquads import parse_nquads_batch
     from argo_ray.sources.ntriples import parse_ntriples_batch
@@ -150,6 +210,9 @@ def test_poison_docs_quarantine_all_parsers():
         (parse_rdfjson_batch,
          '{"http://s/1": {"http://p/1": [{"type": "literal", "value": "v"}]}}',
          "{not json"),
+        (parse_jsonld_batch,
+         '[{"@id": "http://s/1", "http://p/1": [{"@value": "v"}]}]',
+         '[{"@id": "http://s/1", "http://p/1": [{"@list": ["v"]}]}]'),
         (parse_nquads_batch,
          '<http://s/1> <http://p/1> "v" <http://g/1> .',
          '<http://s/1> <http://p/1> "v" "literal graph" .'),
