@@ -331,6 +331,51 @@ SELECT DISTINCT * FROM (
          obj_kind, obj_value, obj_lang, obj_datatype
   FROM d WHERE pred_value = '{EX}label'
 )""",
+    "kg_owl_infer": EXP_CTE
+    + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+nxt AS (
+  SELECT 'https://kg.example.org/doc/' || doc_id AS s,
+         'https://kg.example.org/doc/' || (doc_id + 1) AS o
+  FROM documents WHERE doc_id % 50 <> 49
+),
+nextc AS (
+  -- transitive closure of the 50-doc chains = all ordered pairs
+  -- within a block (closed form; no recursion needed)
+  SELECT 'https://kg.example.org/doc/' || a.doc_id AS s,
+         'https://kg.example.org/doc/' || b.doc_id AS o
+  FROM documents a JOIN documents b
+    ON a.doc_id - (a.doc_id % 50) = b.doc_id - (b.doc_id % 50)
+   AND b.doc_id > a.doc_id
+),
+u AS (
+  SELECT * FROM d
+  UNION
+  SELECT CAST(0 AS BIGINT), s, '', '', CAST(0 AS BIGINT), '{EX}next', '', '',
+         CAST(0 AS BIGINT), o, '', '' FROM nxt
+  UNION
+  SELECT 0, s, '', '', 0, '{EX}next', '', '', 0, o, '', '' FROM nextc
+  UNION
+  SELECT obj_kind, obj_value, '', '', 0, '{EX}citedBy', '', '',
+         subj_kind, subj_value, '', ''
+  FROM d WHERE pred_value = '{EX}cites' AND obj_kind <> 2
+  UNION
+  SELECT obj_kind, obj_value, '', '', 0, '{EX}site', '', '',
+         subj_kind, subj_value, '', ''
+  FROM d WHERE pred_value = '{EX}site' AND obj_kind <> 2
+  UNION
+  SELECT l.subj_kind, l.subj_value, '', '', 0, '{EX}citesSite', '', '',
+         r.obj_kind, r.obj_value, '', ''
+  FROM d l JOIN d r ON l.obj_kind = r.subj_kind AND l.obj_value = r.subj_value
+  WHERE l.pred_value = '{EX}cites' AND l.obj_kind <> 2
+    AND r.pred_value = '{EX}site' AND r.obj_kind <> 2
+  UNION
+  SELECT r.obj_kind, r.obj_value, '', '', 0, '{EX}siteCited', '', '',
+         l.subj_kind, l.subj_value, '', ''
+  FROM d l JOIN d r ON l.obj_kind = r.subj_kind AND l.obj_value = r.subj_value
+  WHERE l.pred_value = '{EX}cites' AND l.obj_kind <> 2
+    AND r.pred_value = '{EX}site' AND r.obj_kind <> 2
+)
+SELECT DISTINCT {TERM_COLS} FROM u""",
     "kg_sameas_canon": EXP_CTE
     + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
 alias AS (

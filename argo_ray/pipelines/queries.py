@@ -573,6 +573,86 @@ def q_kg_rdfs_infer(sf_dir: str):
     return _finalize(rdfs_infer(base, _kg_schema()))
 
 
+def _owl_schema() -> pa.Table:
+    """The OWL property-axiom TBox for the extracted KG: cites/citedBy
+    inverses, symmetric ex:site, transitive ex:next (the synthetic
+    50-doc chains), and the length-2 chain citesSite = cites ∘ site
+    with its own inverse (exercises the post-closure inv/sym pass)."""
+    from ..stages.reason import (
+        OWL_CHAIN,
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+    )
+    from ..terms import RDF_TYPE
+
+    rows = [
+        (EX_NS + "cites", OWL_INVERSE, EX_NS + "citedBy"),
+        (EX_NS + "site", RDF_TYPE, OWL_SYMMETRIC),
+        (EX_NS + "next", RDF_TYPE, OWL_TRANSITIVE),
+        (EX_NS + "citesSite", OWL_CHAIN, "_:c1"),
+        ("_:c1", RDF_FIRST, EX_NS + "cites"),
+        ("_:c1", RDF_REST, "_:c2"),
+        ("_:c2", RDF_FIRST, EX_NS + "site"),
+        ("_:c2", RDF_REST, RDF_NIL),
+        (EX_NS + "citesSite", OWL_INVERSE, EX_NS + "siteCited"),
+    ]
+    return pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array([r[1] for r in rows], pa.string()),
+            "o": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def q_kg_owl_infer(sf_dir: str):
+    """OWL 2 RL property entailment over the extracted KG + synthetic
+    ``ex:next`` 50-doc chains (:func:`argo_ray.stages.reason.owl_infer`):
+    inverse, symmetric, length-2 property chain (one mid-node hash
+    join) and the size-gated transitive closure, one final dedup
+    exchange."""
+    from ..io import read_table
+    from ..stages.reason import owl_infer
+
+    KG = "https://kg.example.org/doc/"
+
+    def next_edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 50 != 49]
+        n = len(ids)
+        s = pa.array([f"{KG}{i}" for i in ids], pa.large_string())
+        o = pa.array([f"{KG}{i + 1}" for i in ids], pa.large_string())
+        cols = {
+            "subj_kind": pa.array([0] * n, pa.uint8()),
+            "subj_value": s,
+            "subj_lang": pa.array([""] * n, pa.string()),
+            "subj_datatype": pa.array([""] * n, pa.string()),
+            "pred_kind": pa.array([0] * n, pa.uint8()),
+            "pred_value": pa.array([EX_NS + "next"] * n, pa.large_string()),
+            "pred_lang": pa.array([""] * n, pa.string()),
+            "pred_datatype": pa.array([""] * n, pa.string()),
+            "obj_kind": pa.array([0] * n, pa.uint8()),
+            "obj_value": o,
+            "obj_lang": pa.array([""] * n, pa.string()),
+            "obj_datatype": pa.array([""] * n, pa.string()),
+        }
+        return pa.table(cols)
+
+    base = _deduped(sf_dir).map_batches(
+        lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    )
+    chain_edges = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        next_edges, batch_format="pyarrow"
+    )
+    return _finalize(owl_infer(base.union(chain_edges), _owl_schema()))
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -2259,6 +2339,7 @@ KG_QUERIES = {
     "kg_components": q_kg_components,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_rdfs_infer": q_kg_rdfs_infer,
+    "kg_owl_infer": q_kg_owl_infer,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

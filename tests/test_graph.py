@@ -351,6 +351,111 @@ def test_rdfs_infer_closure_composition(ray_session):
     assert got == expect
 
 
+def test_owl_infer_property_rules(ray_session):
+    """prp-inv / prp-symp / prp-trp / prp-spo2 over a toy graph: chain
+    a→b→c→d transitive, knows symmetric, cites/citedBy inverse, and a
+    length-2 chain citesSite = cites ∘ site; the final inv/sym pass
+    must flip the closure- and chain-derived edges too."""
+    from argo_ray.stages.reason import (
+        OWL_CHAIN,
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        RDF_TYPE,
+        owl_infer,
+    )
+    from argo_ray.terms import TRIPLE_COLUMNS
+
+    X = "http://x/"
+    schema = pa.table(
+        {
+            "s": [X + "cites", X + "knows", X + "next",
+                  X + "citesSite", "_:c1", "_:c1", "_:c2", "_:c2",
+                  X + "citesSite"],
+            "p": [OWL_INVERSE, RDF_TYPE, RDF_TYPE,
+                  OWL_CHAIN, RDF_FIRST, RDF_REST, RDF_FIRST, RDF_REST,
+                  OWL_INVERSE],
+            "o": [X + "citedBy", OWL_SYMMETRIC, OWL_TRANSITIVE,
+                  "_:c1", X + "cites", "_:c2", X + "site", RDF_NIL,
+                  X + "siteCited"],
+        }
+    )
+
+    def trip(s, p, o, okind=0):
+        return {
+            "subj_kind": 0, "subj_value": s, "subj_lang": "", "subj_datatype": "",
+            "pred_kind": 0, "pred_value": p, "pred_lang": "", "pred_datatype": "",
+            "obj_kind": okind, "obj_value": o, "obj_lang": "", "obj_datatype": "",
+        }
+
+    rows = [
+        trip(X + "a", X + "next", X + "b"),
+        trip(X + "b", X + "next", X + "c"),
+        trip(X + "c", X + "next", X + "d"),
+        trip(X + "u", X + "knows", X + "v"),
+        trip(X + "u", X + "knows", "litname", okind=2),  # literal: never flipped
+        trip(X + "h", X + "cites", X + "doc"),
+        trip(X + "doc", X + "site", X + "s1"),
+    ]
+    tbl = pa.table({k: [r[k] for r in rows] for k in TRIPLE_COLUMNS})
+    out = owl_infer(rd.from_arrow(tbl), schema)
+    got = {
+        (r["subj_value"], r["pred_value"], r["obj_value"]) for r in out.take_all()
+    }
+    expect = {(r["subj_value"], r["pred_value"], r["obj_value"]) for r in rows} | {
+        # transitive closure of next
+        (X + "a", X + "next", X + "c"),
+        (X + "a", X + "next", X + "d"),
+        (X + "b", X + "next", X + "d"),
+        # symmetric knows (literal object NOT flipped)
+        (X + "v", X + "knows", X + "u"),
+        # inverse of cites
+        (X + "doc", X + "citedBy", X + "h"),
+        # chain: citesSite = cites ∘ site, and ITS inverse (final pass)
+        (X + "h", X + "citesSite", X + "s1"),
+        (X + "s1", X + "siteCited", X + "h"),
+    }
+    assert got == expect
+    assert out.count() == len(expect)  # exact-deduped
+
+
+def test_owl_infer_distributed_closure_matches(ray_session):
+    """Force the distributed closure path (gate=0) on a random sparse
+    graph and pin it equal to the single-task path."""
+    from argo_ray.stages.reason import RDF_TYPE, OWL_TRANSITIVE, owl_infer
+    from argo_ray.terms import TRIPLE_COLUMNS
+
+    X = "http://x/"
+    rng = np.random.RandomState(11)
+    n = 40
+    edges = {(int(a), int(b)) for a, b in rng.randint(0, n, size=(60, 2)) if a != b}
+    rows = []
+    for a, b in sorted(edges):
+        rows.append({
+            "subj_kind": 0, "subj_value": f"{X}n{a}", "subj_lang": "", "subj_datatype": "",
+            "pred_kind": 0, "pred_value": X + "r", "pred_lang": "", "pred_datatype": "",
+            "obj_kind": 0, "obj_value": f"{X}n{b}", "obj_lang": "", "obj_datatype": "",
+        })
+    tbl = pa.table({k: [r[k] for r in rows] for k in TRIPLE_COLUMNS})
+    schema = pa.table({"s": [X + "r"], "p": [RDF_TYPE], "o": [OWL_TRANSITIVE]})
+
+    def triple_set(ds):
+        return {
+            (r["subj_value"], r["pred_value"], r["obj_value"])
+            for r in ds.take_all()
+        }
+
+    small = triple_set(owl_infer(rd.from_arrow(tbl), schema))
+    dist = triple_set(
+        owl_infer(rd.from_arrow(tbl), schema, small_graph_edges=0, max_rounds=64)
+    )
+    assert small == dist
+    assert len(small) > len(rows)  # the closure actually added edges
+
+
 def test_dense_rank_ids_sorted_contiguous(ray_session):
     import pyarrow as pa
     import ray.data as rd
