@@ -1310,6 +1310,201 @@ def label_propagation(
     return labels
 
 
+_KCORE_SCHEMA = pa.schema([("node", pa.string()), ("degree", pa.int64())])
+
+
+def _kcore_small(edges_ds, k: int, rounds: int):
+    """Single-task peeling fast path (gate-bounded edge set)."""
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cur = pa.table(
+            {
+                "s": pc.cast(b["src"], pa.string()),
+                "d": pc.cast(b["dst"], pa.string()),
+            }
+        ).to_pandas()
+        for _ in range(rounds):
+            deg = pd.concat([cur["s"], cur["d"]]).value_counts()
+            keep = set(deg[deg >= k].index)
+            new = cur[cur["s"].isin(keep) & cur["d"].isin(keep)]
+            if len(new) == len(cur):
+                break
+            cur = new
+        if cur.empty:
+            return _KCORE_SCHEMA.empty_table()
+        deg = pd.concat([cur["s"], cur["d"]]).value_counts()
+        return pa.table(
+            {
+                "node": pa.array(deg.index.astype(object), pa.string()),
+                "degree": pa.array(deg.to_numpy(), pa.int64()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
+def kcore(
+    edges_ds,
+    k: int = 3,
+    rounds: int = 8,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+):
+    """k-core decomposition by FIXED-ROUND peeling over the undirected
+    graph: each round drops every node whose degree in the surviving
+    subgraph is < ``k`` (and its edges); early exit when a round peels
+    nothing (identical to running all ``rounds`` — peeling is monotone,
+    so a no-change round is the fixpoint).  Returns ``(node, degree)``
+    over the surviving subgraph — the classic spam/bot-farm and
+    community-density signal on interaction graphs.
+
+    ``edges_ds``: distinct canonical edges (``src`` < ``dst``).  Fixed
+    rounds keep the DuckDB oracle mechanical (one CTE pair per round).
+
+    Scale shape: the single-task fast path under the shared
+    ``SMALL_GRAPH_EDGES`` gate; above it, each round is one degree
+    exchange (map-side partial counts → groupby sum) plus two
+    sort-colocated marker semi-joins (src side then dst side) — the
+    same co-located marker-gate pattern as the KG-build quarantine, no
+    broadcast of the (node-sized) kept set.  Rounds are bounded by
+    ``rounds``, not data."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return edges_ds.map_batches(
+            lambda b: _KCORE_SCHEMA.empty_table(), batch_format="pyarrow"
+        )
+    if n_edges <= small_graph_edges:
+        return _kcore_small(edges_ds, k, rounds)
+
+    def degree_partials(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string()).to_pandas()
+        d = pc.cast(b["dst"], pa.string()).to_pandas()
+        vc = pd.concat([s, d]).value_counts()
+        return pa.table(
+            {
+                "node": pa.array(vc.index.astype(object), pa.string()),
+                "part": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    def normalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b["src"], pa.string()),
+                "dst": pc.cast(b["dst"], pa.string()),
+            }
+        )
+
+    cur = edges_ds.map_batches(normalize, batch_format="pyarrow")
+    count = n_edges
+    for _ in range(rounds):
+        degrees = (
+            cur.map_batches(degree_partials, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("part", alias_name="deg"))
+        )
+        def marker_rows(b: pa.Table) -> pa.Table:
+            keep = pc.filter(
+                b["node"],
+                pc.greater_equal(
+                    pc.cast(b["deg"], pa.int64()), pa.scalar(k, pa.int64())
+                ),
+            )
+            n = len(keep)
+            return pa.table(
+                {
+                    "key": pc.cast(keep, pa.string()),
+                    "other": pa.array([None] * n, pa.string()),
+                    "is_marker": pa.array([1] * n, pa.int64()),
+                }
+            )
+
+        kept_markers = degrees.map_batches(
+            marker_rows, batch_format="pyarrow"
+        ).materialize()
+
+        def semi_join(edge_rows, key_col: str, other_col: str):
+            """Keep edge rows whose ``key_col`` node has a marker."""
+
+            def tag(b: pa.Table, key_col=key_col, other_col=other_col) -> pa.Table:
+                return pa.table(
+                    {
+                        "key": b[key_col],
+                        "other": b[other_col],
+                        "is_marker": pa.array([0] * b.num_rows, pa.int64()),
+                    }
+                )
+
+            def gate(g: pd.DataFrame) -> pd.DataFrame:
+                if g["is_marker"].max() == 0:
+                    return pd.DataFrame(
+                        {"key": pd.Series([], dtype="object"),
+                         "other": pd.Series([], dtype="object")}
+                    )
+                e = g[g["is_marker"] == 0]
+                return e[["key", "other"]]
+
+            return grouped_map(
+                edge_rows.map_batches(tag, batch_format="pyarrow").union(
+                    kept_markers
+                ),
+                "key",
+                gate,
+            )
+
+        by_src = semi_join(cur, "src", "dst").map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b["key"], pa.string()),
+                    "dst": pc.cast(b["other"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cur = (
+            semi_join(by_src, "dst", "src")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": pc.cast(b["other"], pa.string()),
+                        "dst": pc.cast(b["key"], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        new_count = cur.count()
+        if new_count == count:
+            break
+        count = new_count
+
+    return (
+        cur.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("part", alias_name="degree"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "degree": pc.cast(b["degree"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def khop_sample(edges_ds, seeds_ds, hops: int = 2, fanout: int = 3):
     """GraphSAGE-style k-hop neighborhood sampling (GNN minibatch
     prep): from each seed, expand ``hops`` rounds taking at most

@@ -244,6 +244,32 @@ l{i} AS MATERIALIZED (
 SELECT node, label FROM l{iters}"""
 
 
+def _kcore_sql(k: int = 6, rounds: int = 8) -> str:
+    """Fixed-round k-core peeling over the divisor graph of doc ids —
+    one (kept-nodes, surviving-edges) CTE pair per round, mirrors
+    graph.py::kcore (early exit there is the fixpoint, so extra rounds
+    are no-ops on both sides)."""
+    sql = """WITH e0 AS MATERIALIZED (
+  SELECT CAST(a.doc_id AS BIGINT) AS s, CAST(b.doc_id AS BIGINT) AS d
+  FROM documents a JOIN documents b
+    ON a.doc_id >= 1 AND b.doc_id > a.doc_id AND b.doc_id % a.doc_id = 0
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+n{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT s AS node FROM e{r - 1} UNION ALL SELECT d FROM e{r - 1})
+  GROUP BY node HAVING COUNT(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT s, d FROM e{r - 1}
+  WHERE s IN (SELECT node FROM n{r}) AND d IN (SELECT node FROM n{r})
+)"""
+    return sql + f"""
+SELECT node AS doc_id, COUNT(*) AS degree
+FROM (SELECT s AS node FROM e{rounds} UNION ALL SELECT d FROM e{rounds})
+GROUP BY node"""
+
+
 ORACLES: dict[str, str] = {
     "rdfa_extract": EXP_CTE + f"SELECT {TERM_COLS} FROM exp",
     "dedup_exact": EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp",
@@ -331,6 +357,7 @@ SELECT DISTINCT * FROM (
          obj_kind, obj_value, obj_lang, obj_datatype
   FROM d WHERE pred_value = '{EX}label'
 )""",
+    "graph_kcore": _kcore_sql(6, 8),
     "kg_owl_infer": EXP_CTE
     + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
 nxt AS (

@@ -653,6 +653,57 @@ def q_kg_owl_infer(sf_dir: str):
     return _finalize(owl_infer(base.union(chain_edges), _owl_schema()))
 
 
+def q_graph_kcore(sf_dir: str):
+    """k-core decomposition (k=6, fixed 8 peeling rounds,
+    :func:`argo_ray.functions.graph.kcore`) over the divisor graph of
+    doc ids (edge i→j when i divides j) — a deterministic skewed-degree
+    fixture (node 1 touches everything, primes are near-leaves) whose
+    core structure actually peels, unlike the near-regular co-purchase
+    graph.  Returns surviving (doc_id, degree)."""
+    import numpy as np
+
+    from ..functions.graph import kcore
+    from ..io import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_max = int(docs.max("doc_id"))
+
+    def divisor_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst = [], []
+        for j in ids:
+            if j < 1:
+                continue
+            m = np.arange(2 * j, n_max + 1, j, dtype=np.int64)
+            if len(m):
+                src.append(np.full(len(m), j, dtype=np.int64))
+                dst.append(m)
+        if not src:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+            )
+        s = np.concatenate(src)
+        d = np.concatenate(dst)
+        return pa.table(
+            {
+                "src": pa.array([str(v) for v in s], pa.string()),
+                "dst": pa.array([str(v) for v in d], pa.string()),
+            }
+        )
+
+    edges = docs.map_batches(divisor_edges, batch_format="pyarrow")
+    out = kcore(edges, k=6, rounds=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["node"], pa.int64()),
+                "degree": pc.cast(b["degree"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_group_subject_count(sf_dir: str):
     """A1/A2: distinct triples per subject in ONE shuffle — the
     subject_hash sort co-locates a subject's every row (duplicates of a
@@ -2340,6 +2391,7 @@ KG_QUERIES = {
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
+    "graph_kcore": q_graph_kcore,
     "typed_coercion": q_typed_coercion,
     "skolemize": q_skolemize,
     "union_sources": q_union_sources,

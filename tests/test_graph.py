@@ -456,6 +456,50 @@ def test_owl_infer_distributed_closure_matches(ray_session):
     assert len(small) > len(rows)  # the closure actually added edges
 
 
+def test_kcore_peeling_and_distributed_parity(ray_session):
+    """kcore: (a) pins fixed-round peeling against a naive reference
+    loop on a random graph; (b) forces the distributed marker-semi-join
+    path (gate=0) and pins it equal to the single-task path."""
+    import pandas as pd
+
+    from argo_ray.functions.graph import kcore
+
+    rng = np.random.RandomState(7)
+    n = 60
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, n, size=(150, 2)) if a != b}
+    canon = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    edges = pa.table(
+        {
+            "src": pa.array([f"n{a:03d}" for a, _ in canon], pa.string()),
+            "dst": pa.array([f"n{b:03d}" for _, b in canon], pa.string()),
+        }
+    )
+    k = 3
+
+    # naive reference peeling to fixpoint
+    cur = pd.DataFrame({"s": edges["src"].to_pylist(), "d": edges["dst"].to_pylist()})
+    while True:
+        deg = pd.concat([cur["s"], cur["d"]]).value_counts()
+        keep = set(deg[deg >= k].index)
+        new = cur[cur["s"].isin(keep) & cur["d"].isin(keep)]
+        if len(new) == len(cur):
+            break
+        cur = new
+    deg = pd.concat([cur["s"], cur["d"]]).value_counts()
+    expect = {(node, int(c)) for node, c in deg.items()}
+    assert expect  # fixture has a non-empty 3-core
+
+    def result_set(ds):
+        return {(r["node"], int(r["degree"])) for r in ds.take_all()}
+
+    small = result_set(kcore(rd.from_arrow(edges), k=k, rounds=16))
+    assert small == expect
+    dist = result_set(
+        kcore(rd.from_arrow(edges), k=k, rounds=16, small_graph_edges=0)
+    )
+    assert dist == expect
+
+
 def test_dense_rank_ids_sorted_contiguous(ray_session):
     import pyarrow as pa
     import ray.data as rd
