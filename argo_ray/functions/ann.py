@@ -718,3 +718,166 @@ def pq_topk(
             "vec_id": pa.array(rows_v, pa.int64()),
         }
     )
+
+
+class _KnnGraphExact:
+    """Actor-pool stage for the exact kNN graph: the (vec_id-sorted,
+    normalized) corpus matrix ships once per actor via ``ray.put``;
+    each batch of source rows is scored against the full corpus and
+    emits its FINAL top-k rows directly — every row sees every
+    candidate, so no cross-batch reduce is needed (zero shuffles).
+
+    Ties break (score desc, dst_id asc): the corpus matrix is sorted by
+    vec_id, so a STABLE argsort on -scores yields exactly that order.
+    """
+
+    def __init__(self, corpus_ref, k: int = 10):
+        import ray
+
+        ids, mat = (
+            ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
+        )
+        self.ids = np.asarray(ids, dtype=np.int64)  # sorted ascending
+        self.mat = _normalize(np.asarray(mat, dtype=np.float64))  # (N, d)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch["embedding"]))  # (B, d)
+        scores = m @ self.mat.T  # (B, N)
+        scores[src_ids[:, None] == self.ids[None, :]] = -np.inf
+        k = min(self.k, scores.shape[1] - 1)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]  # (B, k)
+        B = len(src_ids)
+        return pa.table(
+            {
+                "src_id": pa.array(np.repeat(src_ids, k), pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, k + 1), B), pa.int64()),
+                "dst_id": pa.array(self.ids[order].ravel(), pa.int64()),
+            }
+        )
+
+
+def knn_graph(embeddings_ds, k: int = 10):
+    """Exact cosine kNN graph → Dataset of (src_id, rank, dst_id).
+
+    Every node is a query: the corpus matrix is collected once on the
+    driver (bounded: N×d float64 — the BROADCAST-SIDE gate; at web
+    scale where the corpus exceeds a worker heap, use
+    :func:`knn_graph_ivf`, whose memory is per-cell), shipped once per
+    actor, and the corpus is then STREAMED through the actor pool — one
+    vectorized matmul per batch, per-row exact top-k inside the batch,
+    zero shuffles, output is N×k narrow rows.
+    """
+    import ray
+
+    rows = embeddings_ds.select_columns(["vec_id", "embedding"]).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ref = ray.put((ids, mat))
+    return embeddings_ds.map_batches(
+        _KnnGraphExact,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"corpus_ref": ref, "k": k},
+    )
+
+
+def knn_graph_ivf(
+    embeddings_ds,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    iters: int = 5,
+):
+    """IVF-bucketed kNN graph (the 100 TB path): nothing is broadcast
+    except the nlist×d centroid matrix.
+
+    Plan: k-means centroids on a bounded sample → each vector explodes
+    into ``nprobe`` QUERY-role rows (its nearest cells) plus one
+    MEMBER-role row (its home cell) → ONE cell-keyed sort exchange →
+    per-cell vectorized query×member matmul emitting per-source partial
+    top-k → one (src)-keyed exchange picks the global top-k.  Data
+    moved = (nprobe+1)× the corpus; per-task memory = one cell, never
+    the corpus.  Approximate — recall governed by nprobe/nlist.
+    """
+    import ray
+
+    from ..stages.grouping import grouped_map
+
+    train = embeddings_ds.limit(train_size).take_all()
+    train_m = np.asarray([r["embedding"] for r in train], dtype=np.float64)
+    cent = _kmeans(train_m, nlist, iters, seed=0)
+    cent_ref = ray.put(cent)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        sims = m @ c.T  # (B, nlist)
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]  # (B, nprobe)
+        home = probes[:, 0]  # member role: the single nearest cell
+        B = len(vec_ids)
+        cells = np.concatenate([probes.ravel(), home])
+        ids_out = np.concatenate([np.repeat(vec_ids, nprobe), vec_ids])
+        roles = np.concatenate(
+            [np.zeros(B * nprobe, dtype=np.int8), np.ones(B, dtype=np.int8)]
+        )
+        emb = batch["embedding"]
+        emb_out = pa.concat_arrays(
+            [
+                emb.combine_chunks().take(
+                    pa.array(np.repeat(np.arange(B), nprobe), pa.int64())
+                ),
+                emb.combine_chunks(),
+            ]
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "vec_id": pa.array(ids_out, pa.int64()),
+                "role": pa.array(roles, pa.int8()),
+                "embedding": emb_out,
+            }
+        )
+
+    exploded = embeddings_ds.map_batches(explode, batch_format="pyarrow")
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["role"] == 0]
+        mm = g[g["role"] == 1]
+        if q.empty or mm.empty:
+            return pd.DataFrame({"src_id": [], "dst_id": [], "score": []})
+        qids = q["vec_id"].to_numpy(dtype=np.int64)
+        mids = mm["vec_id"].to_numpy(dtype=np.int64)
+        qm = _normalize(np.asarray(list(q["embedding"]), dtype=np.float64))
+        mmat = _normalize(np.asarray(list(mm["embedding"]), dtype=np.float64))
+        # members sorted by id → stable argsort ties break on dst asc
+        morder = np.argsort(mids, kind="stable")
+        mids, mmat = mids[morder], mmat[morder]
+        scores = qm @ mmat.T
+        scores[qids[:, None] == mids[None, :]] = -np.inf
+        kk = min(k, scores.shape[1])
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        src, dst, sc = [], [], []
+        for i in range(len(qids)):
+            for j in top[i]:
+                if np.isfinite(scores[i, j]):
+                    src.append(int(qids[i]))
+                    dst.append(int(mids[j]))
+                    sc.append(float(scores[i, j]))
+        return pd.DataFrame({"src_id": src, "dst_id": dst, "score": sc})
+
+    partials = grouped_map(exploded, "cell", per_cell)
+
+    def per_src(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["dst_id"]).sort_values(
+            ["score", "dst_id"], ascending=[False, True]
+        )
+        out = g.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1)
+        return out[["src_id", "rank", "dst_id"]]
+
+    return grouped_map(partials, "src_id", per_src)

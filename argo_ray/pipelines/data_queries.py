@@ -322,6 +322,44 @@ def q_ann_pq(sf_dir: str):
     )
 
 
+def q_embeddings_knn_graph(sf_dir: str):
+    """Exact cosine kNN graph (k=10) over ALL nodes — the
+    all-nodes-as-queries extension of ann_topk: corpus matrix broadcast
+    once, corpus streamed through an actor pool, per-row final top-k
+    inside each batch, zero shuffles
+    (:func:`argo_ray.functions.ann.knn_graph`).  Full SQL oracle."""
+    from ..functions.ann import knn_graph
+
+    return knn_graph(_embeddings(sf_dir), k=10)
+
+
+def q_embeddings_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed kNN graph recall gate (the 100 TB path — nothing
+    broadcast but 16 centroids; one cell exchange + one src exchange):
+    per node, recall@10 vs the exact graph must be ≥ 0.5 at
+    nlist=16/nprobe=12 (measured min 0.5–0.7, avg ≈0.94 across
+    sf0.001–0.1 on these deliberately-hard mixed-cluster embeddings)
+    (:func:`argo_ray.functions.ann.knn_graph_ivf`)."""
+    from ..functions.ann import knn_graph, knn_graph_ivf
+
+    exact = knn_graph(_embeddings(sf_dir), k=10).to_pandas()
+    ivf = knn_graph_ivf(_embeddings(sf_dir), k=10, nlist=16, nprobe=12).to_pandas()
+    exact_sets = exact.groupby("src_id")["dst_id"].apply(set)
+    ivf_sets = ivf.groupby("src_id")["dst_id"].apply(set)
+    nodes = sorted(exact_sets.index)
+    ok = [
+        len(ivf_sets.get(s, set()) & exact_sets[s]) / max(len(exact_sets[s]), 1)
+        >= 0.5
+        for s in nodes
+    ]
+    return pa.table(
+        {
+            "vec_id": pa.array([int(s) for s in nodes], pa.int64()),
+            "recall_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed top-k gate: the distributed result must
     equal an independent driver-side reference (same seeded hyperplanes,
@@ -2496,6 +2534,8 @@ DATA_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "embeddings_knn_graph": q_embeddings_knn_graph,
+    "embeddings_knn_graph_ivf": q_embeddings_knn_graph_ivf,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_ahash": q_multimodal_ahash,
@@ -3401,6 +3441,20 @@ DATA_ORACLES["simhash_neardup"] = _simhash_oracle_sql(hamming=3)
 
 DATA_ORACLES["ann_pq"] = """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
 FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)"""
+
+
+DATA_ORACLES["embeddings_knn_graph"] = """SELECT src_id, CAST(rank AS BIGINT) AS rank, dst_id FROM (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= 10"""
+
+
+DATA_ORACLES["embeddings_knn_graph_ivf"] = """SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS recall_ok
+FROM embeddings"""
 
 
 DATA_ORACLES["events_transitions"] = """WITH o AS (
