@@ -1118,6 +1118,242 @@ def _count_corners(corner_rows):
     )
 
 
+def link_prediction_jaccard(edges_ds, k: int = 20):
+    """Neighborhood-Jaccard link prediction over the UNDIRECTED simple
+    graph (self-loops dropped, direction/multiplicity ignored): for
+    every non-adjacent pair (a, b) sharing ≥1 neighbor,
+    ``common = |N(a)∩N(b)|`` and
+    ``jaccard = common / (deg(a)+deg(b)-common)`` → top-k
+    ``(node_a, node_b, common, jaccard)`` ranked
+    (jaccard desc, common desc, node_a, node_b).  The float is ONE
+    division of exact integers on both sides, so the DuckDB oracle is
+    IEEE-identical.
+
+    Plan (every join sort-colocated on uniform keys, no Dataset.join):
+    undirected-distinct exchange → degree groupby → ONE apex sort with
+    per-block numpy ``triu_indices`` wedge-pair generation → wedge
+    rows union edge-marker rows into ONE pair-key groupby that both
+    sums ``common`` and drops already-adjacent pairs → two
+    degree-attach sort passes → narrow top-k sort.  Wedge volume is
+    Σ_z deg(z)² — unlike :func:`triangles` no degree orientation can
+    bound it (common-neighbor counts need every wedge), so at web
+    scale cap hub apexes upstream (deterministic neighbor sampling
+    above a degree threshold) before calling.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    edges_ds = edges_ds.materialize()
+
+    def both(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string())
+        d = pc.cast(b["dst"], pa.string())
+        t = pa.concat_tables(
+            [pa.table({"a": s, "b": d}), pa.table({"a": d, "b": s})]
+        )
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    eu = (
+        edges_ds.map_batches(both, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    deg = (
+        eu.groupby("a")
+        .aggregate(Count(alias_name="degv"))
+        .materialize()
+    )
+
+    pair_schema = pa.schema(
+        [("key", pa.string()), ("w", pa.int64()), ("m", pa.int64())]
+    )
+
+    def wedge_pairs(df):
+        # sorted by apex "a": whole neighbor lists per block
+        if len(df) == 0 or "a" not in df.columns:
+            return pair_schema.empty_table()
+        keys = []
+        for _, g in df.groupby("a", sort=False):
+            ts = np.sort(g["b"].to_numpy(dtype=object))
+            n = len(ts)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            keys.append(
+                np.char.add(np.char.add(ts[i].astype(str), _SEP), ts[j].astype(str))
+            )
+        if not keys:
+            return pair_schema.empty_table()
+        allk = np.concatenate(keys)
+        return pa.table(
+            {
+                "key": pa.array(allk, pa.string()),
+                "w": pa.array(np.ones(len(allk), np.int64()), pa.int64()),
+                "m": pa.array(np.zeros(len(allk), np.int64()), pa.int64()),
+            }
+        )
+
+    wedge_rows = eu.sort("a").map_batches(
+        wedge_pairs, batch_format="pandas", batch_size=None
+    )
+    edge_marks = eu.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(
+                    pc.binary_join_element_wise(
+                        pc.cast(b["a"], pa.large_string()),
+                        pc.cast(b["b"], pa.large_string()),
+                        pa.scalar(_SEP, pa.large_string()),
+                    ),
+                    pa.string(),
+                ),
+                "w": pa.array([0] * b.num_rows, pa.int64()),
+                "m": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        ).filter(pc.less(pc.cast(b["a"], pa.string()), pc.cast(b["b"], pa.string()))),
+        batch_format="pyarrow",
+    )
+    # barrier between the apex sort and the pair-count exchange
+    # (chained all-to-alls thrash — see triangles)
+    counted = (
+        wedge_rows.union(edge_marks)
+        .materialize()
+        .groupby("key")
+        .aggregate(Sum("w", alias_name="common"), Sum("m", alias_name="marked"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.equal(pc.cast(b["marked"], pa.int64()), 0),
+                    pc.greater(pc.cast(b["common"], pa.int64()), 0),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def split_key(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(pc.cast(b["key"], pa.string()), _SEP, max_splits=1)
+        return pa.table(
+            {
+                "node_a": pc.list_element(parts, 0),
+                "node_b": pc.list_element(parts, 1),
+                "common": pc.cast(b["common"], pa.int64()),
+            }
+        )
+
+    pairs = counted.map_batches(split_key, batch_format="pyarrow").materialize()
+
+    deg_rows = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["a"], pa.string()),
+                "other": pa.array([None] * b.num_rows, pa.string()),
+                "common": pa.array([None] * b.num_rows, pa.int64()),
+                "carry": pa.array([None] * b.num_rows, pa.int64()),
+                "degv": pc.cast(b["degv"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    attach_schema = pa.schema(
+        [("key", pa.string()), ("other", pa.string()), ("common", pa.int64()),
+         ("carry", pa.int64()), ("deg_attached", pa.int64())]
+    )
+
+    def attach_block(df):
+        if len(df) == 0 or "key" not in df.columns:
+            return attach_schema.empty_table()
+        is_val = df["other"].isna()
+        vals = df.loc[is_val, ["key", "degv"]]
+        rows = df.loc[~is_val, ["key", "other", "common", "carry"]]
+        m = rows.merge(vals, on="key", how="inner")
+        carry = (
+            pa.array(m["carry"].to_numpy(dtype="float64"), pa.float64()).cast(
+                pa.int64(), safe=False
+            )
+            if m["carry"].notna().any()
+            else pa.array([None] * len(m), pa.int64())
+        )
+        return pa.table(
+            {
+                "key": pa.array(m["key"], pa.string()),
+                "other": pa.array(m["other"], pa.string()),
+                "common": pa.array(m["common"].to_numpy(dtype=np.int64), pa.int64()),
+                "carry": carry,
+                "deg_attached": pa.array(
+                    m["degv"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    p1_rows = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["node_a"], pa.string()),
+                "other": pc.cast(b["node_b"], pa.string()),
+                "common": pc.cast(b["common"], pa.int64()),
+                "carry": pa.array([None] * b.num_rows, pa.int64()),
+                "degv": pa.array([None] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    p1 = (
+        p1_rows.union(deg_rows)
+        .sort("key")
+        .map_batches(attach_block, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    p2_rows = p1.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["other"], pa.string()),
+                "other": pc.cast(b["key"], pa.string()),
+                "common": pc.cast(b["common"], pa.int64()),
+                "carry": pc.cast(b["deg_attached"], pa.int64()),
+                "degv": pa.array([None] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    p2 = (
+        p2_rows.union(deg_rows)
+        .sort("key")
+        .map_batches(attach_block, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    # p2: key = node_b, other = node_a, carry = deg(node_a),
+    # deg_attached = deg(node_b)
+
+    def score(b: pa.Table) -> pa.Table:
+        common = pc.cast(b["common"], pa.int64()).to_numpy(zero_copy_only=False)
+        da = pc.cast(b["carry"], pa.int64()).to_numpy(zero_copy_only=False)
+        db = pc.cast(b["deg_attached"], pa.int64()).to_numpy(zero_copy_only=False)
+        union = da + db - common
+        return pa.table(
+            {
+                "node_a": pc.cast(b["other"], pa.string()),
+                "node_b": pc.cast(b["key"], pa.string()),
+                "common": pa.array(common, pa.int64()),
+                "jaccard": pa.array(
+                    common.astype(np.float64) / union.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        p2.map_batches(score, batch_format="pyarrow")
+        .sort(
+            ["jaccard", "common", "node_a", "node_b"],
+            descending=[True, True, False, False],
+        )
+        .limit(k)
+    )
+
+
 def cooccurrence_edges(pairs_ds, group_col: str, item_col: str):
     """Distinct co-occurrence edges: two items connected when they share
     a group → (src, dst) with src < dst.  Sort by group (whole groups

@@ -325,6 +325,25 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
+    # link prediction: jaccard = common/(da+db-common) is ONE division
+    # of exact integers on both sides → IEEE-identical doubles; full
+    # (jaccard, common, ids) tie-break makes the LIMIT 20 set unique
+    "kg_link_predict": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst
+                   FROM d WHERE obj_kind <> 2 AND subj_value <> obj_value),
+eu AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS dg FROM eu GROUP BY a),
+cn AS MATERIALIZED (
+  SELECT x.b AS na, y.b AS nb, COUNT(*) AS common
+  FROM eu x JOIN eu y ON x.a = y.a AND x.b < y.b GROUP BY x.b, y.b),
+cand AS (
+  SELECT cn.na, cn.nb, cn.common, da.dg + db.dg - cn.common AS u
+  FROM cn JOIN deg da ON da.node = cn.na JOIN deg db ON db.node = cn.nb
+  WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.a = cn.na AND eu.b = cn.nb))
+SELECT na AS node_a, nb AS node_b, CAST(common AS BIGINT) AS common,
+       CAST(common AS DOUBLE) / u AS jaccard
+FROM cand ORDER BY jaccard DESC, common DESC, node_a, node_b LIMIT 20""",
     "kg_rdfs_infer": EXP_CTE
     + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
 SELECT DISTINCT * FROM (

@@ -493,6 +493,18 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_kg_link_predict(sf_dir: str):
+    """KG link prediction: top-20 non-adjacent node pairs by
+    neighborhood Jaccard (common-neighbor count / union-degree) over
+    the undirected link graph — the classic similarity-based missing-
+    edge ranking; the score is one exact-integer division, so the
+    oracle is IEEE-identical
+    (:func:`argo_ray.functions.graph.link_prediction_jaccard`)."""
+    from ..functions.graph import link_prediction_jaccard
+
+    return link_prediction_jaccard(_kg_link_edges(sf_dir), k=20)
+
+
 def q_kg_sameas_canon(sf_dir: str):
     """KG entity fusion: a second source asserts the same facts under
     an alias namespace (kb.example.org); owl:sameAs links connect the
@@ -2388,6 +2400,7 @@ KG_QUERIES = {
     "kg_hits": q_kg_hits,
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
+    "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,

@@ -653,3 +653,51 @@ def test_canonicalize_sameas_join_path_matches_broadcast(ray_session):
     # the chain still collapsed and the IRI-shaped literal survived
     subj_obj = {(r[1], r[9], r[8]) for r in outs["join"]}
     assert (Z, "http://x/a", 2) in subj_obj
+
+
+def test_link_prediction_jaccard_matches_bruteforce(ray_session):
+    """Differential check on seeded random graphs: top-k neighborhood-
+    Jaccard pairs vs an itertools brute force (adjacency sets, exact
+    integer counts, identical (jaccard desc, common desc, ids)
+    ranking)."""
+    import itertools
+
+    from argo_ray.functions.graph import link_prediction_jaccard
+
+    for seed in (0, 3):
+        rng = np.random.RandomState(seed)
+        n = 14
+        names = [f"n{i:02d}" for i in range(n)]
+        pairs = {
+            (names[a], names[b])
+            for a, b in zip(rng.randint(0, n, 40), rng.randint(0, n, 40))
+            if a != b
+        }
+        edges = sorted(pairs)
+        ds = rd.from_arrow(
+            pa.table(
+                {"src": [s for s, _ in edges], "dst": [t for _, t in edges]}
+            )
+        )
+        adj: dict[str, set[str]] = {}
+        for s, t in edges:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        want = []
+        for a, b in itertools.combinations(sorted(adj), 2):
+            if b in adj[a]:
+                continue
+            common = len(adj[a] & adj[b])
+            if common == 0:
+                continue
+            union = len(adj[a]) + len(adj[b]) - common
+            want.append((a, b, common, common / union))
+        want.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+        want = want[:10]
+
+        got = link_prediction_jaccard(ds, k=10).to_pandas()
+        got_rows = [
+            (r.node_a, r.node_b, int(r.common), float(r.jaccard))
+            for r in got.itertuples()
+        ]
+        assert got_rows == want, seed
