@@ -481,6 +481,28 @@ WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
 SELECT DISTINCT e.subj_value, c.entity_iri AS entity_value
 FROM exp e JOIN cand c ON e.obj_value = c.surface_form
 WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
+    # popularity-weighted linking: in-degree prior over the DISTINCT
+    # triple set, ties broken on entity IRI — integer-exact both sides
+    "entity_link_ranked": EXP_CTE
+    + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+indeg AS (SELECT obj_value AS node, COUNT(*) AS pop
+          FROM d WHERE obj_kind <> 2 GROUP BY obj_value),
+cand AS (
+  SELECT title AS surface_form,
+         'https://kg.example.org/doc/' || doc_id AS entity_iri,
+         COALESCE(pop, 0) AS pop
+  FROM docs LEFT JOIN indeg
+    ON indeg.node = 'https://kg.example.org/doc/' || doc_id),
+best AS (
+  SELECT surface_form, entity_iri FROM (
+    SELECT surface_form, entity_iri,
+           ROW_NUMBER() OVER (
+             PARTITION BY surface_form ORDER BY pop DESC, entity_iri
+           ) AS rn
+    FROM cand) WHERE rn = 1)
+SELECT DISTINCT e.subj_value, b.entity_iri AS entity_value
+FROM d e JOIN best b ON e.obj_value = b.surface_form
+WHERE e.pred_value = '{DC}title' AND e.obj_kind = 2""",
     "list_roundtrip": EXP_CTE
     + """SELECT entity AS subj_value, CAST(n AS BIGINT) AS pos,
        string_split(title, ' ')[n] AS word

@@ -889,6 +889,35 @@ def q_entity_link_join(sf_dir: str):
     return distinct_rows(ds, ["subj_value", "entity_value"])
 
 
+def q_entity_link_ranked(sf_dir: str):
+    """Popularity-weighted entity linking: ambiguous titles resolve to
+    the entity with the highest KG in-degree (citation count; tie →
+    min IRI) instead of min-doc-id — the "most-referenced entity"
+    prior, computed distributed (one in-degree groupby, sort-colocated
+    LEFT-attach, per-surface-form argmax exchange)
+    (:func:`argo_ray.stages.link.build_candidates_ranked`)."""
+    from ..io import read_table
+    from ..stages.link import build_candidates_ranked, link_entities_join
+
+    dd = _deduped(sf_dir)
+    cands = build_candidates_ranked(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), dd
+    )
+    linked = link_entities_join(
+        dd, cands, mention_pred=DC_NS + "title", num_partitions=2
+    )
+    ds = linked.map_batches(
+        lambda b: pa.table(
+            {
+                "subj_value": pc.cast(b["subj_value"], pa.string()),
+                "entity_value": pc.cast(b["obj_value"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_rows(ds, ["subj_value", "entity_value"])
+
+
 def q_dedup_provenance(sf_dir: str):
     """A4 with provenance: distinct triples each carrying the smallest
     source url (deterministic MIN — oracle-reproducible lineage)."""
@@ -2411,6 +2440,7 @@ KG_QUERIES = {
     "container_encode": q_container_encode,
     "entity_link": q_entity_link,
     "entity_link_join": q_entity_link_join,
+    "entity_link_ranked": q_entity_link_ranked,
     "store_roundtrip": q_store_roundtrip,
     "graphstore_roundtrip": q_graphstore_roundtrip,
     "dedup_provenance": q_dedup_provenance,

@@ -69,6 +69,126 @@ def build_candidates(docs_ds, keep: str = "min"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def build_candidates_ranked(docs_ds, triples_ds):
+    """Popularity-weighted candidate table: ambiguous surface forms
+    resolve to the entity with the highest KG in-degree (tie → min
+    entity IRI) instead of :func:`build_candidates`'s min-doc-id rule —
+    the "link to the most-referenced entity" prior of real linkers.
+
+    Distributed shape: one in-degree groupby over the triple stream
+    (node-keyed, uniform), popularity attached to candidates via the
+    sort-colocation LEFT-lookup (missing → 0, no broadcast, no
+    ``Dataset.join``), then a per-surface-form argmax via one more sort
+    exchange with in-block pandas groups.
+    """
+    import pandas as pd  # noqa: F401  (block fns receive pandas frames)
+
+    from ray.data.aggregate import Count
+
+    from ..pages import entity_iri, title_of
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        titles = [title_of(t) for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "surface_form": pa.array(titles, pa.string()),
+                "entity_iri": pa.array([entity_iri(i) for i in ids], pa.string()),
+            }
+        )
+
+    cands = docs_ds.map_batches(derive, batch_format="pyarrow")
+
+    def in_nodes(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), KIND_LITERAL))
+        return pa.table({"node": pc.cast(m["obj_value"], pa.string())})
+
+    indeg = (
+        triples_ds.map_batches(in_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="pop"))
+    )
+
+    # LEFT-attach pop to candidates, colocated on the entity IRI
+    cand_rows = cands.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["entity_iri"], pa.string()),
+                "surface_form": pc.cast(b["surface_form"], pa.string()),
+                "pop": pa.array([None] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pop_rows = indeg.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["node"], pa.string()),
+                "surface_form": pa.array([None] * b.num_rows, pa.string()),
+                "pop": pc.cast(b["pop"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    attach_schema = pa.schema(
+        [("surface_form", pa.string()), ("entity_iri", pa.string()),
+         ("pop", pa.int64())]
+    )
+
+    def attach_block(df):
+        if len(df) == 0 or "key" not in df.columns:
+            return attach_schema.empty_table()
+        is_val = df["surface_form"].isna()
+        vals = df.loc[is_val, ["key", "pop"]]
+        rows = df.loc[~is_val, ["key", "surface_form"]]
+        if len(rows) == 0:
+            return attach_schema.empty_table()
+        m = rows.merge(vals, on="key", how="left")
+        return pa.table(
+            {
+                "surface_form": pa.array(m["surface_form"], pa.string()),
+                "entity_iri": pa.array(m["key"], pa.string()),
+                "pop": pa.array(
+                    m["pop"].fillna(0).to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    weighted = (
+        cand_rows.union(pop_rows)
+        .sort("key")
+        .map_batches(attach_block, batch_format="pandas", batch_size=None)
+        .materialize()  # barrier between the two consecutive sorts
+    )
+
+    best_schema = pa.schema(
+        [("surface_form", pa.string()), ("entity_iri", pa.string())]
+    )
+
+    def best_block(df: "pd.DataFrame"):
+        if len(df) == 0 or "surface_form" not in df.columns:
+            return best_schema.empty_table()
+        picked = (
+            df.sort_values(
+                ["surface_form", "pop", "entity_iri"],
+                ascending=[True, False, True],
+            )
+            .groupby("surface_form", sort=False)
+            .head(1)
+        )
+        return pa.table(
+            {
+                "surface_form": pa.array(picked["surface_form"], pa.string()),
+                "entity_iri": pa.array(picked["entity_iri"], pa.string()),
+            }
+        )
+
+    return weighted.sort("surface_form").map_batches(
+        best_block, batch_format="pandas", batch_size=None
+    )
+
+
 class EntityLinker:
     """Actor-pool stage: triples batch in → link triples out.
 

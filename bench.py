@@ -140,6 +140,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("ann_pq", q_ann_pq),
         ("docs_bm25", q_docs_bm25),
         ("kg_pagerank_dist", _kg_pagerank_forced_distributed),
+        ("graph_kcore", _q_graph_kcore),
+        ("kg_owl_infer", _q_kg_owl_infer),
+        ("embeddings_knn_graph", _q_embeddings_knn_graph),
+        ("kg_link_predict", _q_kg_link_predict),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -147,6 +151,30 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
             res.count()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def _q_graph_kcore(sf_dir: str):
+    from argo_ray.pipelines.queries import q_graph_kcore
+
+    return q_graph_kcore(sf_dir)
+
+
+def _q_kg_owl_infer(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_owl_infer
+
+    return q_kg_owl_infer(sf_dir)
+
+
+def _q_embeddings_knn_graph(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_embeddings_knn_graph
+
+    return q_embeddings_knn_graph(sf_dir)
+
+
+def _q_kg_link_predict(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_link_predict
+
+    return q_kg_link_predict(sf_dir)
 
 
 def _kg_pagerank_forced_distributed(sf_dir: str):
