@@ -881,3 +881,64 @@ def knn_graph_ivf(
         return out[["src_id", "rank", "dst_id"]]
 
     return grouped_map(partials, "src_id", per_src)
+
+
+class _KnnLabelVote:
+    """Actor-pool stage: exact k-nearest neighbors (same broadcast +
+    stable-argsort plan as :class:`_KnnGraphExact`) followed by an
+    in-actor majority vote over the neighbor labels — label prediction
+    costs ZERO extra shuffles on top of the scoring matmul.  Vote ties
+    break to the smallest label (``np.argmax`` returns the first
+    maximum of the bincount)."""
+
+    def __init__(self, corpus_ref, k: int = 10):
+        import ray
+
+        ids, mat, labels = (
+            ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
+        )
+        self.ids = np.asarray(ids, dtype=np.int64)  # sorted ascending
+        self.mat = _normalize(np.asarray(mat, dtype=np.float64))
+        self.labels = np.asarray(labels, dtype=np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        scores = m @ self.mat.T
+        scores[src_ids[:, None] == self.ids[None, :]] = -np.inf
+        k = min(self.k, scores.shape[1] - 1)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]  # (B, k)
+        neigh_labels = self.labels[order]  # (B, k)
+        nlab = int(self.labels.max()) + 1 if len(self.labels) else 1
+        offs = neigh_labels + np.arange(len(src_ids))[:, None] * nlab
+        counts = np.bincount(offs.ravel(), minlength=len(src_ids) * nlab)
+        pred = counts.reshape(len(src_ids), nlab).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(src_ids, pa.int64()),
+                "pred_label": pa.array(pred.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def knn_label_predict(embeddings_ds, k: int = 10):
+    """kNN majority-vote label prediction over the corpus → Dataset of
+    ``(vec_id, pred_label)`` — the weak-supervision bootstrap (label a
+    corpus from its nearest labeled neighbors).  Same broadcast-side
+    gate as :func:`knn_graph`; the vote happens inside the scoring
+    actor, so the whole prediction is one streamed pass."""
+    import ray
+
+    rows = embeddings_ds.select_columns(["vec_id", "embedding", "label"]).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    labels = [int(r["label"]) for r in rows]
+    ref = ray.put((ids, mat, labels))
+    return embeddings_ds.map_batches(
+        _KnnLabelVote,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"corpus_ref": ref, "k": k},
+    )

@@ -1121,26 +1121,31 @@ def _count_corners(corner_rows):
 def link_prediction_jaccard(edges_ds, k: int = 20):
     """Neighborhood-Jaccard link prediction over the UNDIRECTED simple
     graph (self-loops dropped, direction/multiplicity ignored): for
-    every non-adjacent pair (a, b) sharing ≥1 neighbor,
-    ``common = |N(a)∩N(b)|`` and
-    ``jaccard = common / (deg(a)+deg(b)-common)`` → top-k
+    every non-adjacent pair (a, b) sharing >=1 neighbor,
+    ``common = |N(a) intersect N(b)|`` and
+    ``jaccard = common / (deg(a)+deg(b)-common)`` -> top-k
     ``(node_a, node_b, common, jaccard)`` ranked
     (jaccard desc, common desc, node_a, node_b).  The float is ONE
     division of exact integers on both sides, so the DuckDB oracle is
     IEEE-identical.
 
-    Plan (every join sort-colocated on uniform keys, no Dataset.join):
-    undirected-distinct exchange → degree groupby → ONE apex sort with
-    per-block numpy ``triu_indices`` wedge-pair generation → wedge
-    rows union edge-marker rows into ONE pair-key groupby that both
-    sums ``common`` and drops already-adjacent pairs → two
-    degree-attach sort passes → narrow top-k sort.  Wedge volume is
-    Σ_z deg(z)² — unlike :func:`triangles` no degree orientation can
-    bound it (common-neighbor counts need every wedge), so at web
-    scale cap hub apexes upstream (deterministic neighbor sampling
-    above a degree threshold) before calling.
+    Plan: the hot path runs entirely on DENSE INTEGER ids (0-based rank
+    in sorted node order, so id order == lexicographic name order and
+    the tie-break matches the string oracle).  Node degrees ride ON the
+    edge rows into wedge generation, so the only full-volume exchange
+    is the single pair-count groupby: wedge pairs (with both endpoint
+    degrees as columns) union edge-marker rows -> ONE int-keyed groupby
+    that sums ``common``, drops adjacent pairs, and keeps the degrees
+    via Min -> per-block partial top-k -> tiny global sort -> winner
+    ids resolved back to names with one bounded filter.  Wedge volume
+    is still sum_z deg(z)^2 — unlike :func:`triangles` no degree
+    orientation can bound it (common-neighbor counts need every
+    wedge), so at web scale cap hub apexes upstream (deterministic
+    neighbor sampling above a degree threshold) before calling.
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .kgembed import _lookup_join, dense_rank_ids
 
     edges_ds = edges_ds.materialize()
 
@@ -1159,198 +1164,186 @@ def link_prediction_jaccard(edges_ds, k: int = 20):
         .select_columns(["a", "b"])
         .materialize()
     )
-    deg = (
-        eu.groupby("a")
-        .aggregate(Count(alias_name="degv"))
+    deg = eu.groupby("a").aggregate(Count(alias_name="degv")).materialize()
+
+    ids = dense_rank_ids(
+        deg.map_batches(
+            lambda b: pa.table({"term": pc.cast(b["a"], pa.string())}),
+            batch_format="pyarrow",
+        ),
+        "term",
+    ).materialize()
+    deg_as_ids = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "term": pc.cast(b["a"], pa.string()),
+                "id": pc.cast(b["degv"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # three SMALL exchanges (edge-list volume): a_id, b_id, deg(b)
+    eu_ids = _lookup_join(eu, "a", ids, "a_id")
+    eu_ids = _lookup_join(eu_ids, "b", ids, "b_id")
+    eu_ids = (
+        _lookup_join(eu_ids, "b", deg_as_ids, "deg_b")
+        .select_columns(["a_id", "b_id", "deg_b"])
         .materialize()
     )
 
+    _SENTINEL = 1 << 62
     pair_schema = pa.schema(
-        [("key", pa.string()), ("w", pa.int64()), ("m", pa.int64())]
+        [("pa", pa.int64()), ("pb", pa.int64()), ("da", pa.int64()),
+         ("db", pa.int64()), ("w", pa.int64()), ("m", pa.int64())]
     )
 
     def wedge_pairs(df):
-        # sorted by apex "a": whole neighbor lists per block
-        if len(df) == 0 or "a" not in df.columns:
+        # sorted by apex a_id: whole neighbor lists per block; degrees
+        # of both pair endpoints ride along from the edge rows
+        if len(df) == 0 or "a_id" not in df.columns:
             return pair_schema.empty_table()
-        keys = []
-        for _, g in df.groupby("a", sort=False):
-            ts = np.sort(g["b"].to_numpy(dtype=object))
-            n = len(ts)
+        pas, pbs, das, dbs = [], [], [], []
+        for _, g in df.groupby("a_id", sort=False):
+            bs = g["b_id"].to_numpy(dtype=np.int64)
+            ds_ = g["deg_b"].to_numpy(dtype=np.int64)
+            order = np.argsort(bs, kind="stable")
+            bs, ds_ = bs[order], ds_[order]
+            n = len(bs)
             if n < 2:
                 continue
             i, j = np.triu_indices(n, 1)
-            keys.append(
-                np.char.add(np.char.add(ts[i].astype(str), _SEP), ts[j].astype(str))
-            )
-        if not keys:
+            pas.append(bs[i])
+            pbs.append(bs[j])
+            das.append(ds_[i])
+            dbs.append(ds_[j])
+        if not pas:
             return pair_schema.empty_table()
-        allk = np.concatenate(keys)
+        pa_all = np.concatenate(pas)
+        n_all = len(pa_all)
         return pa.table(
             {
-                "key": pa.array(allk, pa.string()),
-                "w": pa.array(np.ones(len(allk), np.int64()), pa.int64()),
-                "m": pa.array(np.zeros(len(allk), np.int64()), pa.int64()),
+                "pa": pa.array(pa_all, pa.int64()),
+                "pb": pa.array(np.concatenate(pbs), pa.int64()),
+                "da": pa.array(np.concatenate(das), pa.int64()),
+                "db": pa.array(np.concatenate(dbs), pa.int64()),
+                "w": pa.array(np.ones(n_all, np.int64), pa.int64()),
+                "m": pa.array(np.zeros(n_all, np.int64), pa.int64()),
             }
         )
 
-    wedge_rows = eu.sort("a").map_batches(
+    wedge_rows = eu_ids.sort("a_id").map_batches(
         wedge_pairs, batch_format="pandas", batch_size=None
     )
-    edge_marks = eu.map_batches(
-        lambda b: pa.table(
+
+    def mark(b: pa.Table) -> pa.Table:
+        a_id = pc.cast(b["a_id"], pa.int64())
+        b_id = pc.cast(b["b_id"], pa.int64())
+        t = pa.table(
             {
-                "key": pc.cast(
-                    pc.binary_join_element_wise(
-                        pc.cast(b["a"], pa.large_string()),
-                        pc.cast(b["b"], pa.large_string()),
-                        pa.scalar(_SEP, pa.large_string()),
-                    ),
-                    pa.string(),
-                ),
+                "pa": a_id,
+                "pb": b_id,
+                "da": pa.array([_SENTINEL] * b.num_rows, pa.int64()),
+                "db": pa.array([_SENTINEL] * b.num_rows, pa.int64()),
                 "w": pa.array([0] * b.num_rows, pa.int64()),
                 "m": pa.array([1] * b.num_rows, pa.int64()),
             }
-        ).filter(pc.less(pc.cast(b["a"], pa.string()), pc.cast(b["b"], pa.string()))),
-        batch_format="pyarrow",
-    )
+        )
+        return t.filter(pc.less(t["pa"], t["pb"]))
+
+    edge_marks = eu_ids.map_batches(mark, batch_format="pyarrow")
+
     # barrier between the apex sort and the pair-count exchange
-    # (chained all-to-alls thrash — see triangles)
+    # (chained all-to-alls thrash — see triangles); this groupby is the
+    # ONE full-wedge-volume exchange of the plan (6 int64 columns)
     counted = (
         wedge_rows.union(edge_marks)
         .materialize()
-        .groupby("key")
-        .aggregate(Sum("w", alias_name="common"), Sum("m", alias_name="marked"))
-        .map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.equal(pc.cast(b["marked"], pa.int64()), 0),
-                    pc.greater(pc.cast(b["common"], pa.int64()), 0),
-                )
-            ),
-            batch_format="pyarrow",
+        .groupby(["pa", "pb"])
+        .aggregate(
+            Sum("w", alias_name="common"),
+            Sum("m", alias_name="marked"),
+            Min("da", alias_name="da"),
+            Min("db", alias_name="db"),
         )
     )
 
-    def split_key(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(pc.cast(b["key"], pa.string()), _SEP, max_splits=1)
-        return pa.table(
-            {
-                "node_a": pc.list_element(parts, 0),
-                "node_b": pc.list_element(parts, 1),
-                "common": pc.cast(b["common"], pa.int64()),
-            }
+    topk_schema = pa.schema(
+        [("pa", pa.int64()), ("pb", pa.int64()), ("common", pa.int64()),
+         ("jaccard", pa.float64())]
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(pc.cast(b["marked"], pa.int64()), 0),
+            pc.greater(pc.cast(b["common"], pa.int64()), 0),
         )
-
-    pairs = counted.map_batches(split_key, batch_format="pyarrow").materialize()
-
-    deg_rows = deg.map_batches(
-        lambda b: pa.table(
-            {
-                "key": pc.cast(b["a"], pa.string()),
-                "other": pa.array([None] * b.num_rows, pa.string()),
-                "common": pa.array([None] * b.num_rows, pa.int64()),
-                "carry": pa.array([None] * b.num_rows, pa.int64()),
-                "degv": pc.cast(b["degv"], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    attach_schema = pa.schema(
-        [("key", pa.string()), ("other", pa.string()), ("common", pa.int64()),
-         ("carry", pa.int64()), ("deg_attached", pa.int64())]
-    )
-
-    def attach_block(df):
-        if len(df) == 0 or "key" not in df.columns:
-            return attach_schema.empty_table()
-        is_val = df["other"].isna()
-        vals = df.loc[is_val, ["key", "degv"]]
-        rows = df.loc[~is_val, ["key", "other", "common", "carry"]]
-        m = rows.merge(vals, on="key", how="inner")
-        carry = (
-            pa.array(m["carry"].to_numpy(dtype="float64"), pa.float64()).cast(
-                pa.int64(), safe=False
-            )
-            if m["carry"].notna().any()
-            else pa.array([None] * len(m), pa.int64())
-        )
-        return pa.table(
-            {
-                "key": pa.array(m["key"], pa.string()),
-                "other": pa.array(m["other"], pa.string()),
-                "common": pa.array(m["common"].to_numpy(dtype=np.int64), pa.int64()),
-                "carry": carry,
-                "deg_attached": pa.array(
-                    m["degv"].to_numpy(dtype=np.int64), pa.int64()
-                ),
-            }
-        )
-
-    p1_rows = pairs.map_batches(
-        lambda b: pa.table(
-            {
-                "key": pc.cast(b["node_a"], pa.string()),
-                "other": pc.cast(b["node_b"], pa.string()),
-                "common": pc.cast(b["common"], pa.int64()),
-                "carry": pa.array([None] * b.num_rows, pa.int64()),
-                "degv": pa.array([None] * b.num_rows, pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    p1 = (
-        p1_rows.union(deg_rows)
-        .sort("key")
-        .map_batches(attach_block, batch_format="pandas", batch_size=None)
-        .materialize()
-    )
-    p2_rows = p1.map_batches(
-        lambda b: pa.table(
-            {
-                "key": pc.cast(b["other"], pa.string()),
-                "other": pc.cast(b["key"], pa.string()),
-                "common": pc.cast(b["common"], pa.int64()),
-                "carry": pc.cast(b["deg_attached"], pa.int64()),
-                "degv": pa.array([None] * b.num_rows, pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    p2 = (
-        p2_rows.union(deg_rows)
-        .sort("key")
-        .map_batches(attach_block, batch_format="pandas", batch_size=None)
-        .materialize()
-    )
-    # p2: key = node_b, other = node_a, carry = deg(node_a),
-    # deg_attached = deg(node_b)
-
-    def score(b: pa.Table) -> pa.Table:
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return topk_schema.empty_table()
         common = pc.cast(b["common"], pa.int64()).to_numpy(zero_copy_only=False)
-        da = pc.cast(b["carry"], pa.int64()).to_numpy(zero_copy_only=False)
-        db = pc.cast(b["deg_attached"], pa.int64()).to_numpy(zero_copy_only=False)
-        union = da + db - common
+        da = pc.cast(b["da"], pa.int64()).to_numpy(zero_copy_only=False)
+        db = pc.cast(b["db"], pa.int64()).to_numpy(zero_copy_only=False)
+        jac = common.astype(np.float64) / (da + db - common).astype(np.float64)
+        pa_ = pc.cast(b["pa"], pa.int64()).to_numpy(zero_copy_only=False)
+        pb_ = pc.cast(b["pb"], pa.int64()).to_numpy(zero_copy_only=False)
+        # partial top-k inside the block: lexsort on (jaccard desc,
+        # common desc, pa, pb) — keys reversed for np.lexsort
+        order = np.lexsort((pb_, pa_, -common, -jac))[: k]
         return pa.table(
             {
-                "node_a": pc.cast(b["other"], pa.string()),
-                "node_b": pc.cast(b["key"], pa.string()),
-                "common": pa.array(common, pa.int64()),
-                "jaccard": pa.array(
-                    common.astype(np.float64) / union.astype(np.float64),
-                    pa.float64(),
-                ),
+                "pa": pa.array(pa_[order], pa.int64()),
+                "pb": pa.array(pb_[order], pa.int64()),
+                "common": pa.array(common[order], pa.int64()),
+                "jaccard": pa.array(jac[order], pa.float64()),
             }
         )
 
-    return (
-        p2.map_batches(score, batch_format="pyarrow")
+    winners = (
+        counted.map_batches(block_topk, batch_format="pyarrow")
         .sort(
-            ["jaccard", "common", "node_a", "node_b"],
+            ["jaccard", "common", "pa", "pb"],
             descending=[True, True, False, False],
         )
         .limit(k)
+        .take_all()
+    )  # <= k rows on the driver — bounded
+    want_ids = sorted({r["pa"] for r in winners} | {r["pb"] for r in winners})
+    names = {
+        int(r["id"]): r["term"]
+        for r in ids.map_batches(
+            lambda b: pa.table(
+                {
+                    "term": pc.cast(b["term"], pa.string()),
+                    "id": pc.cast(b["id"], pa.int64()),
+                }
+            ).filter(
+                pc.is_in(
+                    pc.cast(b["id"], pa.int64()),
+                    value_set=pa.array(want_ids, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "node_a": pa.array(
+                    [names[int(r["pa"])] for r in winners], pa.string()
+                ),
+                "node_b": pa.array(
+                    [names[int(r["pb"])] for r in winners], pa.string()
+                ),
+                "common": pa.array(
+                    [int(r["common"]) for r in winners], pa.int64()
+                ),
+                "jaccard": pa.array(
+                    [float(r["jaccard"]) for r in winners], pa.float64()
+                ),
+            }
+        )
     )
 
 

@@ -360,6 +360,18 @@ def q_embeddings_knn_graph_ivf(sf_dir: str):
     )
 
 
+def q_embeddings_knn_label(sf_dir: str):
+    """kNN majority-vote label prediction (weak-supervision bootstrap):
+    each vector takes the modal label of its exact 10 nearest
+    neighbors, ties to the smallest label — the vote rides the scoring
+    actor, zero shuffles
+    (:func:`argo_ray.functions.ann.knn_label_predict`).  Full SQL
+    oracle."""
+    from ..functions.ann import knn_label_predict
+
+    return knn_label_predict(_embeddings(sf_dir), k=10)
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed top-k gate: the distributed result must
     equal an independent driver-side reference (same seeded hyperplanes,
@@ -2536,6 +2548,7 @@ DATA_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "embeddings_knn_graph": q_embeddings_knn_graph,
     "embeddings_knn_graph_ivf": q_embeddings_knn_graph_ivf,
+    "embeddings_knn_label": q_embeddings_knn_label,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_ahash": q_multimodal_ahash,
@@ -3455,6 +3468,23 @@ DATA_ORACLES["embeddings_knn_graph"] = """SELECT src_id, CAST(rank AS BIGINT) AS
 
 DATA_ORACLES["embeddings_knn_graph_ivf"] = """SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS recall_ok
 FROM embeddings"""
+
+
+DATA_ORACLES["embeddings_knn_label"] = """WITH nn AS (
+  SELECT a.vec_id AS src, b.label AS lab,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), votes AS (
+  SELECT src, lab, COUNT(*) AS c FROM nn WHERE rn <= 10 GROUP BY src, lab
+)
+SELECT src AS vec_id, CAST(lab AS BIGINT) AS pred_label FROM (
+  SELECT src, lab,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, lab) AS rn2
+  FROM votes
+) WHERE rn2 = 1"""
 
 
 DATA_ORACLES["events_transitions"] = """WITH o AS (
