@@ -1118,7 +1118,79 @@ def _count_corners(corner_rows):
     )
 
 
-def link_prediction_jaccard(edges_ds, k: int = 20):
+def _link_prediction_small(edges_ds, k: int, max_apex_degree: int | None):
+    """Single-task fast path for :func:`link_prediction_jaccard`:
+    identical semantics (undirected simple graph, hub cap over the
+    id-smallest neighbors, TRUE degrees in the denominator, same
+    tie-break), the whole computation vectorized inside one worker
+    task on the gate-bounded edge set.  Node ids are the sorted-unique
+    rank, so id order == lexicographic name order exactly as in the
+    distributed plan."""
+    out_schema = pa.schema(
+        [("node_a", pa.string()), ("node_b", pa.string()),
+         ("common", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def run(b: pa.Table) -> pa.Table:
+        src_v = np.asarray(b["src"].to_pylist(), dtype=object)
+        dst_v = np.asarray(b["dst"].to_pylist(), dtype=object)
+        if len(src_v) == 0:
+            return out_schema.empty_table()
+        nodes = np.unique(np.concatenate([src_v, dst_v]))  # sorted
+        n = len(nodes)
+        src = np.searchsorted(nodes, src_v).astype(np.int64)
+        dst = np.searchsorted(nodes, dst_v).astype(np.int64)
+        m = src != dst
+        # undirected distinct edges as combined int keys (n^2 < 2^63
+        # by the gate bound)
+        key = np.unique(
+            np.concatenate([src[m] * n + dst[m], dst[m] * n + src[m]])
+        )
+        a, bb = key // n, key % n  # a ascending; per-a neighbors ascending
+        deg = np.bincount(a, minlength=n).astype(np.int64)
+        bounds = np.searchsorted(a, np.arange(n + 1))
+        pair_keys = []
+        for z in range(n):
+            s, e = bounds[z], bounds[z + 1]
+            if e - s < 2:
+                continue
+            nb = bb[s:e]
+            if max_apex_degree is not None and len(nb) > max_apex_degree:
+                nb = nb[:max_apex_degree]
+            i, j = np.triu_indices(len(nb), 1)
+            pair_keys.append(nb[i] * n + nb[j])
+        if not pair_keys:
+            return out_schema.empty_table()
+        uk, counts = np.unique(np.concatenate(pair_keys), return_counts=True)
+        keep = ~np.isin(uk, key)  # drop already-adjacent pairs
+        uk, counts = uk[keep], counts[keep].astype(np.int64)
+        if len(uk) == 0:
+            return out_schema.empty_table()
+        pa_i, pb_i = uk // n, uk % n
+        jac = counts.astype(np.float64) / (
+            deg[pa_i] + deg[pb_i] - counts
+        ).astype(np.float64)
+        order = np.lexsort((pb_i, pa_i, -counts, -jac))[:k]
+        return pa.table(
+            {
+                "node_a": pa.array(nodes[pa_i[order]], pa.string()),
+                "node_b": pa.array(nodes[pb_i[order]], pa.string()),
+                "common": pa.array(counts[order], pa.int64()),
+                "jaccard": pa.array(jac[order], pa.float64()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
+def link_prediction_jaccard(
+    edges_ds,
+    k: int = 20,
+    max_apex_degree: int | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+):
     """Neighborhood-Jaccard link prediction over the UNDIRECTED simple
     graph (self-loops dropped, direction/multiplicity ignored): for
     every non-adjacent pair (a, b) sharing >=1 neighbor,
@@ -1138,16 +1210,35 @@ def link_prediction_jaccard(edges_ds, k: int = 20):
     that sums ``common``, drops adjacent pairs, and keeps the degrees
     via Min -> per-block partial top-k -> tiny global sort -> winner
     ids resolved back to names with one bounded filter.  Wedge volume
-    is still sum_z deg(z)^2 — unlike :func:`triangles` no degree
-    orientation can bound it (common-neighbor counts need every
-    wedge), so at web scale cap hub apexes upstream (deterministic
-    neighbor sampling above a degree threshold) before calling.
+    is sum_z deg(z)^2 — unlike :func:`triangles` no degree orientation
+    can bound it (common-neighbor counts need every wedge), so a web
+    link graph's hub (a page cited by every crawl page: degree ~= page
+    count) alone makes the wedge set quadratic in the corpus.
+    ``max_apex_degree`` is the standard hub-capping bound: an apex
+    with more than ``cap`` neighbors contributes wedges only among its
+    ``cap`` lexicographically-FIRST neighbors (id order == name order,
+    so the truncation is deterministic and the DuckDB oracle replays
+    it with ``ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) <= cap``).
+    Results are exact whenever every degree <= cap; above it, common
+    counts through capped hubs are undercounted (never invented) while
+    the Jaccard denominator keeps TRUE degrees — the usual trade in
+    web-graph link prediction, where hub co-citation carries no
+    signal.  With the cap, wedge volume is bounded by
+    ``n_nodes * cap^2 / 2`` regardless of skew.
+
+    Plan choice by statistics (same gate as :func:`pagerank`): at or
+    under ``small_graph_edges`` input edges the whole computation runs
+    vectorized in ONE worker task (:func:`_link_prediction_small`,
+    differentially pinned equal on random graphs); above it, the
+    distributed wedge plan below.
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from .kgembed import _lookup_join, dense_rank_ids
 
     edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_graph_edges:
+        return _link_prediction_small(edges_ds, k, max_apex_degree)
 
     def both(b: pa.Table) -> pa.Table:
         s = pc.cast(b["src"], pa.string())
@@ -1208,6 +1299,10 @@ def link_prediction_jaccard(edges_ds, k: int = 20):
             ds_ = g["deg_b"].to_numpy(dtype=np.int64)
             order = np.argsort(bs, kind="stable")
             bs, ds_ = bs[order], ds_[order]
+            if max_apex_degree is not None and len(bs) > max_apex_degree:
+                # hub cap: keep the id-smallest neighbors (id order ==
+                # name order -> deterministic, oracle-replayable)
+                bs, ds_ = bs[:max_apex_degree], ds_[:max_apex_degree]
             n = len(bs)
             if n < 2:
                 continue

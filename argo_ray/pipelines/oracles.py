@@ -14,6 +14,10 @@ DC = "http://purl.org/dc/elements/1.1/"
 XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 HUB = "https://hub.example.org/"
 
+# link-prediction hub cap: apexes contribute wedges only among their
+# LINKPRED_APEX_CAP lexicographically-first neighbors (both sides).
+LINKPRED_APEX_CAP = 128
+
 # Shared CTE: documents → expected extracted triples (multiset).
 EXP_CTE = f"""
 WITH docs AS (
@@ -334,9 +338,13 @@ e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst
                    FROM d WHERE obj_kind <> 2 AND subj_value <> obj_value),
 eu AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
 deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS dg FROM eu GROUP BY a),
+eu_cap AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn FROM eu)
+  WHERE rn <= {LINKPRED_APEX_CAP}),
 cn AS MATERIALIZED (
   SELECT x.b AS na, y.b AS nb, COUNT(*) AS common
-  FROM eu x JOIN eu y ON x.a = y.a AND x.b < y.b GROUP BY x.b, y.b),
+  FROM eu_cap x JOIN eu_cap y ON x.a = y.a AND x.b < y.b GROUP BY x.b, y.b),
 cand AS (
   SELECT cn.na, cn.nb, cn.common, da.dg + db.dg - cn.common AS u
   FROM cn JOIN deg da ON da.node = cn.na JOIN deg db ON db.node = cn.nb

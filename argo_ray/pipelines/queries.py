@@ -326,6 +326,8 @@ def q_kg_predicate_hist(sf_dir: str):
 
 PAGERANK_ITERS = 5
 
+from .oracles import LINKPRED_APEX_CAP  # noqa: E402 — single source for the hub cap
+
 
 def q_kg_pagerank(sf_dir: str):
     """KG analytics: top-20 nodes by PageRank over the distinct
@@ -498,11 +500,16 @@ def q_kg_link_predict(sf_dir: str):
     neighborhood Jaccard (common-neighbor count / union-degree) over
     the undirected link graph — the classic similarity-based missing-
     edge ranking; the score is one exact-integer division, so the
-    oracle is IEEE-identical
+    oracle is IEEE-identical.  Hub apexes are capped at 128
+    lexicographically-first neighbors (the web-graph hub — cited from
+    every page — would otherwise make the wedge set quadratic in the
+    corpus); the oracle replays the same cap with a ROW_NUMBER window
     (:func:`argo_ray.functions.graph.link_prediction_jaccard`)."""
     from ..functions.graph import link_prediction_jaccard
 
-    return link_prediction_jaccard(_kg_link_edges(sf_dir), k=20)
+    return link_prediction_jaccard(
+        _kg_link_edges(sf_dir), k=20, max_apex_degree=LINKPRED_APEX_CAP
+    )
 
 
 def q_kg_sameas_canon(sf_dir: str):

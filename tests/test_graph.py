@@ -695,9 +695,62 @@ def test_link_prediction_jaccard_matches_bruteforce(ray_session):
         want.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
         want = want[:10]
 
-        got = link_prediction_jaccard(ds, k=10).to_pandas()
+        # both plans: statistics-gated single-task fast path AND the
+        # forced distributed wedge plan must match the brute force
+        for gate in (None, 0):
+            kw = {} if gate is None else {"small_graph_edges": 0}
+            got = link_prediction_jaccard(ds, k=10, **kw).to_pandas()
+            got_rows = [
+                (r.node_a, r.node_b, int(r.common), float(r.jaccard))
+                for r in got.itertuples()
+            ]
+            assert got_rows == want, (seed, gate)
+
+
+def test_link_prediction_hub_cap_both_plans(ray_session):
+    """max_apex_degree truncates each apex's neighbor list to the
+    lexicographically-first cap entries in BOTH plans: hub h connects
+    to every spoke, so with cap=3 only spokes s00..s02 share h-wedges;
+    true degrees still feed the Jaccard denominator."""
+    import itertools
+
+    from argo_ray.functions.graph import link_prediction_jaccard
+
+    n_spokes = 6
+    spokes = [f"s{i:02d}" for i in range(n_spokes)]
+    edges = [("hub", s) for s in spokes] + [("s00", "s01"), ("s02", "s03")]
+    ds = rd.from_arrow(
+        pa.table({"src": [s for s, _ in edges], "dst": [t for _, t in edges]})
+    )
+
+    cap = 3
+    adj: dict[str, set[str]] = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    capped = {a: set(sorted(nb)[:cap]) for a, nb in adj.items()}
+    # wedge counts through capped neighbor lists only
+    from collections import Counter
+
+    commons: Counter = Counter()
+    for z, nb in capped.items():
+        for a, b in itertools.combinations(sorted(nb), 2):
+            commons[(a, b)] += 1
+    want = []
+    for (a, b), common in commons.items():
+        if b in adj[a]:
+            continue
+        union = len(adj[a]) + len(adj[b]) - common
+        want.append((a, b, common, common / union))
+    want.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    want = want[:10]
+
+    for gate_kw in ({}, {"small_graph_edges": 0}):
+        got = link_prediction_jaccard(
+            ds, k=10, max_apex_degree=cap, **gate_kw
+        ).to_pandas()
         got_rows = [
             (r.node_a, r.node_b, int(r.common), float(r.jaccard))
             for r in got.itertuples()
         ]
-        assert got_rows == want, seed
+        assert got_rows == want, gate_kw
