@@ -1,0 +1,121 @@
+"""Web link-graph construction from crawled HTML — the other half of
+KG construction over a web corpus (the RDFa extractor mines *facts*
+from pages; this mines the *hyperlink graph* the crawl itself induces,
+the input to PageRank-style authority scoring, crawl frontier
+expansion and host-level politeness quotas).
+
+Everything is vectorized Arrow: anchor extraction is ONE
+``split_pattern`` + ONE anchored ``extract_regex`` over the flattened
+segments (no per-row Python), host extraction is one more
+``extract_regex``.  The host-graph aggregation pre-combines per batch
+so the groupby exchange moves (src_host, dst_host) partials, never raw
+link rows — at crawl scale links outnumber pages ~50×, host pairs are
+thousands.
+
+Reference parity: the reference engine's extractor family stops at
+per-page triples (rdfaparser.go); the link graph is the web-scale
+companion the north-star pipeline needs (hub/authority skew handling
+feeds the same salted groupby machinery as the triple store).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# after splitting on "<a ", an anchor segment starts with the tag's
+# attributes: no '>' may appear before href (keeps matches inside the
+# tag), then the href value, the rest of the tag, and the anchor text
+# up to the closing tag
+_ANCHOR_RE = r'^[^>]*href="(?P<href>[^"]*)"[^>]*>(?P<anchor>[^<]*)<'
+_HOST_RE = r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]+)"
+
+LINKS_SCHEMA = pa.schema(
+    [
+        pa.field("src_url", pa.string()),
+        pa.field("dst_url", pa.string()),
+        pa.field("anchor", pa.string()),
+    ]
+)
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` UDF: pages ``(url, html, ...)`` → one row per
+    ``<a href=...>`` anchor: ``(src_url, dst_url, anchor)``.  Pages
+    with no anchors (or unparseable bytes) contribute nothing — the
+    quarantine contract every batch parser here follows."""
+    try:
+        html = pc.cast(batch["html"], pa.large_string())
+    except pa.ArrowInvalid:
+        # poison bytes: lenient per-row decode for THIS batch only —
+        # invalid sequences are replaced, pages yield whatever anchors
+        # survive (usually none); nothing raises
+        html = pa.array(
+            [
+                v.as_py().decode("utf-8", errors="replace") if v.is_valid else None
+                for v in batch["html"]
+            ],
+            pa.large_string(),
+        )
+    segs = pc.split_pattern(html, "<a ")
+    flat = pc.list_flatten(segs)
+    parents = pc.list_parent_indices(segs)
+    hit = pc.extract_regex(pc.cast(flat, pa.string()), _ANCHOR_RE)
+    ok = pc.is_valid(hit)
+    src = pc.take(pc.cast(batch["url"], pa.string()), pc.filter(parents, ok))
+    hit = pc.filter(hit, ok)
+    return pa.table(
+        {
+            "src_url": src,
+            "dst_url": pc.struct_field(hit, "href"),
+            "anchor": pc.struct_field(hit, "anchor"),
+        }
+    )
+
+
+def url_host(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized scheme://host[/...] → host; null when the value has
+    no absolute-URL shape (relative hrefs)."""
+    hit = pc.extract_regex(pc.cast(col, pa.string()), _HOST_RE)
+    return pc.struct_field(hit, "host")
+
+
+def link_graph(pages_ds):
+    """pages Dataset → streamed ``(src_url, dst_url, anchor)`` link
+    rows.  Pure zero-shuffle map stage."""
+    return pages_ds.map_batches(extract_links_batch, batch_format="pyarrow")
+
+
+def host_graph(pages_ds):
+    """pages Dataset → host-level link graph
+    ``(src_host, dst_host, n_links)``.  Per-batch partial counts
+    combine BEFORE the one groupby exchange, so shuffle volume is
+    distinct host pairs per batch (thousands) rather than raw links
+    (billions at crawl scale)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        links = extract_links_batch(batch)
+        t = pa.table(
+            {
+                "src_host": url_host(links["src_url"]),
+                "dst_host": url_host(links["dst_url"]),
+            }
+        )
+        t = t.filter(
+            pc.and_(pc.is_valid(t["src_host"]), pc.is_valid(t["dst_host"]))
+        )
+        g = t.group_by(["src_host", "dst_host"]).aggregate([("src_host", "count")])
+        return pa.table(
+            {
+                "src_host": pc.cast(g["src_host"], pa.string()),
+                "dst_host": pc.cast(g["dst_host"], pa.string()),
+                "n_part": pc.cast(g["src_host_count"], pa.int64()),
+            }
+        )
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_part", alias_name="n_links"))
+    )

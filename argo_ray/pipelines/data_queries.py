@@ -2491,6 +2491,153 @@ def q_pages_canon_dedup(sf_dir: str):
     )
 
 
+def q_pages_link_graph(sf_dir: str):
+    """Web link-graph construction: every ``<a href>`` anchor in the
+    crawled HTML becomes a ``(src_url, dst_url, anchor)`` edge — the
+    hyperlink companion to the RDFa fact extractor, zero-shuffle
+    vectorized split+regex (:mod:`argo_ray.functions.weblinks`).  The
+    oracle reconstructs the expected edges relationally from the same
+    ``documents`` view the pages derive from."""
+    from ..functions.weblinks import link_graph
+    from ..pages import pages_dataset
+
+    return link_graph(pages_dataset(sf_dir))
+
+
+def q_pages_host_graph(sf_dir: str):
+    """Host-level link graph ``(src_host, dst_host, n_links)``: anchor
+    edges aggregated to registrable hosts with per-batch partial
+    counts before the ONE groupby exchange — shuffle volume is
+    distinct host pairs, never raw links
+    (:func:`argo_ray.functions.weblinks.host_graph`)."""
+    from ..functions.weblinks import host_graph
+    from ..pages import pages_dataset
+
+    return host_graph(pages_dataset(sf_dir))
+
+
+def q_kg_fuse_majority(sf_dir: str):
+    """Truth discovery / multi-source KG fusion: every document claims
+    a value (its ``lang``) for its topic entity (``doc_id % 40``);
+    conflicting claims resolve by majority vote — the value with the
+    most supporting documents wins, ties to the smallest value.
+    Combiner shape: per-batch (entity, value) partial counts → ONE
+    groupby exchange → per-entity argmax in a sort-colocated block —
+    claim volume never reaches the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        t = pa.table(
+            {
+                "entity": pc.cast(
+                    pc.subtract(ids, pc.multiply(pc.divide(ids, 40), 40)),
+                    pa.int64(),
+                ),
+                "value": pc.cast(b["lang"], pa.string()),
+            }
+        )
+        g = t.group_by(["entity", "value"]).aggregate([("entity", "count")])
+        return pa.table(
+            {
+                "entity": pc.cast(g["entity"], pa.int64()),
+                "value": pc.cast(g["value"], pa.string()),
+                "n_part": pc.cast(g["entity_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ("doc_id", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["entity", "value"])
+        .aggregate(Sum("n_part", alias_name="support"))
+    )
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["entity", "support", "value"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("entity", sort=False).head(1)[
+            ["entity", "value", "support"]
+        ]
+
+    return grouped_map(counts, "entity", winner)
+
+
+_SVO_RELS = ("join", "merge", "sort")
+
+
+def q_docs_svo_triples(sf_dir: str):
+    """Open relation extraction (pattern-based open IE): every
+    ``w[i-1] REL w[i+1]`` token window with REL in a fixed verb set
+    becomes a candidate (subj, rel, obj) triple; aggregated counts
+    with min support 3 are the extracted relation table.  The window
+    scan is pure numpy over the flattened token array (parent-index
+    masks keep windows inside one document) — zero Python per row; the
+    ONE groupby exchange moves (subj, rel, obj) partials."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    rels = np.array(_SVO_RELS, dtype=object)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        f = pc.cast(flat, pa.string()).to_numpy(zero_copy_only=False)
+        if len(f) < 3:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "rel": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        mid = f[1:-1]
+        mask = (
+            np.isin(mid, rels)
+            & (par[1:-1] == par[:-2])
+            & (par[1:-1] == par[2:])
+        )
+        t = pa.table(
+            {
+                "subj": pa.array(f[:-2][mask], pa.string()),
+                "rel": pa.array(mid[mask], pa.string()),
+                "obj": pa.array(f[2:][mask], pa.string()),
+            }
+        )
+        g = t.group_by(["subj", "rel", "obj"]).aggregate([("subj", "count")])
+        return pa.table(
+            {
+                "subj": pc.cast(g["subj"], pa.string()),
+                "rel": pc.cast(g["rel"], pa.string()),
+                "obj": pc.cast(g["obj"], pa.string()),
+                "n_part": pc.cast(g["subj_count"], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj", "rel", "obj"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(pc.cast(b["n"], pa.int64()), 3)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -2525,6 +2672,10 @@ DATA_QUERIES = {
     "orders_monthly_trend": q_orders_monthly_trend,
     "events_peak_hour": q_events_peak_hour,
     "pages_canon_dedup": q_pages_canon_dedup,
+    "pages_link_graph": q_pages_link_graph,
+    "pages_host_graph": q_pages_host_graph,
+    "kg_fuse_majority": q_kg_fuse_majority,
+    "docs_svo_triples": q_docs_svo_triples,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3553,3 +3704,52 @@ DATA_ORACLES["events_peak_hour"] = """SELECT event_type, window_start, n_events 
            ORDER BY COUNT(*) DESC, date_trunc('hour', ts)) AS rn
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ) WHERE rn = 1"""
+
+
+DATA_ORACLES["pages_link_graph"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS src_url,
+  'https://site' || (doc_id % 5) || '.example.org/' AS dst_url,
+  'site' AS anchor
+FROM documents
+UNION ALL
+SELECT 'https://docs.example.org/' || source || '/' || doc_id,
+       'https://hub.example.org/', 'hub'
+FROM documents"""
+
+
+DATA_ORACLES["pages_host_graph"] = """SELECT
+  'docs.example.org' AS src_host, dst_host,
+  CAST(COUNT(*) AS BIGINT) AS n_links
+FROM (
+  SELECT 'site' || (doc_id % 5) || '.example.org' AS dst_host FROM documents
+  UNION ALL
+  SELECT 'hub.example.org' FROM documents
+)
+GROUP BY dst_host"""
+
+
+DATA_ORACLES["kg_fuse_majority"] = """SELECT entity, value, support FROM (
+  SELECT entity, value, support,
+         ROW_NUMBER() OVER (
+           PARTITION BY entity ORDER BY support DESC, value) AS rn
+  FROM (
+    SELECT CAST(doc_id % 40 AS BIGINT) AS entity, lang AS value,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM documents GROUP BY doc_id % 40, lang
+  )
+) WHERE rn = 1"""
+
+
+DATA_ORACLES["docs_svo_triples"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT a.w AS subj, b.w AS rel, c.w AS obj, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks a
+JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+WHERE b.w IN ('join', 'merge', 'sort')
+GROUP BY a.w, b.w, c.w
+HAVING COUNT(*) >= 3"""

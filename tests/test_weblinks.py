@@ -1,0 +1,106 @@
+"""Web link-graph extraction: anchor parsing, host aggregation,
+poison-byte quarantine (same contract as every batch parser)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from argo_ray.functions.weblinks import (
+    extract_links_batch,
+    host_graph,
+    link_graph,
+    url_host,
+)
+
+
+def _pages(urls, htmls):
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(
+                [h if h is None else h.encode() if isinstance(h, str) else h for h in htmls],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+def test_extract_links_basic():
+    b = _pages(
+        ["https://a.example/x"],
+        ['<html><a href="https://b.example/">B site</a>'
+         '<p>no link</p><a rel="x" href="/rel">rel</a></html>'],
+    )
+    out = extract_links_batch(b)
+    rows = list(zip(out["src_url"].to_pylist(), out["dst_url"].to_pylist(),
+                    out["anchor"].to_pylist()))
+    assert rows == [
+        ("https://a.example/x", "https://b.example/", "B site"),
+        ("https://a.example/x", "/rel", "rel"),
+    ]
+
+
+def test_extract_links_ignores_non_anchor_href():
+    # href inside <link> must not match (the anchored regex only sees
+    # text after "<a ")
+    b = _pages(
+        ["https://a.example/"],
+        ['<head><link href="https://css.example/x.css"></head><body></body>'],
+    )
+    assert extract_links_batch(b).num_rows == 0
+
+
+def test_poison_bytes_quarantine():
+    bad = b"\xff\xfe\x00garbage<a href=\"u\">t</a>"
+    b = _pages(
+        ["https://ok.example/", "https://bad.example/", "https://null.example/"],
+        ['<a href="https://d.example/">d</a>', bad, None],
+    )
+    out = extract_links_batch(b)  # must not raise
+    srcs = set(out["src_url"].to_pylist())
+    assert "https://ok.example/" in srcs
+    # the poisoned page may or may not yield its anchor after lenient
+    # decode, but nothing crashes and the null page yields nothing
+    assert "https://null.example/" not in srcs
+
+
+def test_url_host():
+    got = url_host(
+        pa.array(
+            ["https://x.example.org/a/b", "http://y.org", "/relative", None],
+            pa.string(),
+        )
+    )
+    assert got.to_pylist() == ["x.example.org", "y.org", None, None]
+
+
+def test_host_graph_counts(ray_session):
+    import ray.data as rd
+
+    b = _pages(
+        ["https://a.example/1", "https://a.example/2", "https://b.example/1"],
+        [
+            '<a href="https://t.example/">x</a><a href="https://t.example/p">y</a>',
+            '<a href="https://t.example/">z</a><a href="/rel">r</a>',
+            '<a href="https://u.example/">w</a>',
+        ],
+    )
+    out = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(rd.from_arrow(b)).take_all()
+    }
+    # relative href has no host -> dropped
+    assert out == {
+        ("a.example", "t.example"): 3,
+        ("b.example", "u.example"): 1,
+    }
+
+
+def test_link_graph_over_synth_pages(ray_session):
+    from argo_ray.pages import pages_dataset
+
+    links = link_graph(pages_dataset("/root/testdata/sf0.001"))
+    t = pa.Table.from_pandas(links.to_pandas())
+    # every page emits exactly its site + hub anchors
+    assert t.num_rows == 1000
+    anchors = pc.value_counts(t["anchor"]).to_pylist()
+    assert {d["values"]: d["counts"] for d in anchors} == {"site": 500, "hub": 500}
