@@ -663,6 +663,193 @@ def bfs_distances(
 _SEP = "\x1f"  # key separator for wedge-closure keys (not in IRIs)
 
 
+def _sssp_small(edges_ds, iters: int, seed_list: list[str] | None):
+    """Single-task weighted-SSSP fast path — same fixed-round
+    Bellman-Ford relaxation and sentinel as the distributed loop, with
+    the per-edge integer weight vectorized through ``np.minimum.at``."""
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        w = pc.cast(b["w"], pa.int64()).to_numpy(zero_copy_only=False)
+        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        src = nodes.get_indexer(src_v)
+        dst = nodes.get_indexer(dst_v)
+        n = len(nodes)
+        dist = np.full(n, BFS_UNREACHED, dtype=np.int64)
+        if seed_list is None:
+            dist[nodes.get_indexer([nodes.to_numpy().min()])] = 0
+        else:
+            si = nodes.get_indexer(pd.Index(seed_list))
+            dist[si[si >= 0]] = 0
+        for _ in range(iters):
+            relaxed = np.full(n, BFS_UNREACHED, dtype=np.int64)
+            np.minimum.at(relaxed, dst, dist[src] + w)
+            dist = np.minimum(dist, relaxed)
+            np.minimum(dist, BFS_UNREACHED, out=dist)
+        keep = dist < BFS_UNREACHED
+        return pa.table(
+            {
+                "node": pa.array(nodes.to_numpy()[keep], pa.string()),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _scatter_block_addmin(df):
+    """Weighted-relaxation scatter block: contribution = val + w (the
+    per-edge ADDITIVE weight rides the ``w`` column of the shared KV
+    schema instead of PageRank's divisor), min-combined per destination
+    before leaving the task."""
+    m = _split_merge(df, ["val"])
+    if m is None:
+        return _PART_SCHEMA.empty_table()
+    part = (m["val"] + m["w"]).to_numpy(dtype="float64")
+    g = (
+        m.assign(part=part)
+        .groupby("out", sort=False)["part"]
+        .min()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "node": pa.array(g["out"], pa.string()),
+            "part": pa.array(g["part"].to_numpy(dtype="float64"), pa.float64()),
+        }
+    )
+
+
+def sssp_weighted(
+    edges_ds,
+    iters: int = 4,
+    seed: str | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+):
+    """Fixed-round Bellman-Ford single-source shortest paths over a
+    DIRECTED weighted edge Dataset ``(src, dst, w)`` with non-negative
+    INTEGER weights: ``dist'(v) = min(dist(v), min_{u→v} dist(u) +
+    w(u,v))``, exact for every node whose shortest path uses at most
+    ``iters`` edges.  Integer arithmetic end-to-end (weights ride
+    float64 in transit; path sums ≤ 1e6+ stay exactly representable),
+    so the DuckDB recursive/nested-CTE oracle is bit-exact.  Returns
+    ``(node, dist)`` for REACHED nodes only.
+
+    Distributed plan = the BFS scatter with the per-edge weight as the
+    additive term: edges keyed once by src, per round ONE sort
+    exchange of the narrow dist vector, contributions min-combined
+    per block before the groupby (map-side combiner).  Same
+    statistics gate as :func:`pagerank` for the single-task fast path.
+    """
+    from ray.data.aggregate import Min
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return _empty_result(edges_ds, ["dist"])
+    seed_list = [seed] if seed is not None else None
+    if n_edges <= small_graph_edges:
+        return _sssp_small(edges_ds, iters, seed_list)
+
+    nodes = _distinct_nodes(edges_ds)
+    if seed_list is None:
+        seed_list = [nodes.min("node")]
+    seed_arr = pa.array(sorted(set(seed_list)), pa.large_string())
+
+    def keyed(df):
+        if len(df) == 0:
+            return _KV_SCHEMA.empty_table()
+        out = df.rename(columns={"src": "key", "dst": "out"}).copy()
+        out["w"] = out["w"].astype("float64")
+        out["val"] = float("nan")
+        return pa.Table.from_pandas(
+            out[["key", "out", "w", "val"]],
+            schema=_KV_SCHEMA,
+            preserve_index=False,
+        )
+
+    fwd = edges_ds.map_batches(
+        keyed, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    dists = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "dist": pc.if_else(
+                    pc.is_in(
+                        pc.cast(b["node"], pa.large_string()), value_set=seed_arr
+                    ),
+                    pa.scalar(0, pa.int64()),
+                    pa.scalar(BFS_UNREACHED, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_blocks = max(1, dists.num_blocks())
+
+    for _ in range(iters):
+        inc = dists.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "val": pc.cast(b["dist"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = (
+            fwd.union(_value_rows(inc, "val"))
+            .sort("key")
+            .map_batches(
+                _scatter_block_addmin, batch_format="pandas", batch_size=None
+            )
+        )
+        self_rows = dists.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "part": pc.cast(b["dist"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dists = (
+            contribs.union(self_rows)
+            .groupby("node")
+            .aggregate(Min("part", alias_name="dist"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.cast(b["node"], pa.string()),
+                        "dist": pc.cast(
+                            pc.min_element_wise(
+                                b["dist"],
+                                pa.scalar(float(BFS_UNREACHED), pa.float64()),
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_blocks)
+            .materialize()
+        )
+    return dists.map_batches(
+        lambda b: b.filter(
+            pc.less(pc.cast(b["dist"], pa.int64()), pa.scalar(BFS_UNREACHED, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # Below this many distinct canonical edges, the triangle closure test
 # broadcasts the edge set (a sorted 64-bit pair-hash array for the
 # vectorized filter + the exact pair set for hit verification) into a

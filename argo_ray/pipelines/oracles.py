@@ -225,6 +225,36 @@ d{i} AS MATERIALIZED (
 SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist < {unreached}"""
 
 
+def _sssp_sql(iters: int = 4, unreached: int = 1_000_000) -> str:
+    """Nested per-iteration CTEs mirroring the weighted Bellman-Ford
+    relaxation exactly over the DIRECTED edge set: d{i}(v) =
+    LEAST(d{i-1}(v), MIN over in-edges d{i-1}(u) + 1 + length(v) % 7),
+    seed = the hub page, integer sentinel — bit-exact, no floats."""
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node = '{HUB}' THEN 0 ELSE {unreached} END AS dist
+  FROM nodes
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT n.node,
+         LEAST(dp.dist,
+               COALESCE(MIN(de.dist + 1 + (length(n.node) % 7)), {unreached}),
+               {unreached}) AS dist
+  FROM nodes n
+  JOIN d{i - 1} dp ON dp.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d{i - 1} de ON de.node = e.src
+  GROUP BY n.node, dp.dist
+)"""
+    return sql + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist < {unreached}"""
+
+
 def _components_sql(iters: int = 8) -> str:
     """Fixed-round undirected min-label propagation, labels = node
     names: l{i}(v) = LEAST(l{i-1}(v), MIN over neighbors l{i-1}(u)) —
@@ -327,6 +357,7 @@ FROM d GROUP BY pred_value""",
     "kg_ppr": _pagerank_sql(5, seed_where="doc_id % 10 = 0"),
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
+    "kg_sssp": _sssp_sql(4),
     "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
     # link prediction: jaccard = common/(da+db-common) is ONE division

@@ -512,6 +512,36 @@ def q_kg_link_predict(sf_dir: str):
     )
 
 
+def q_kg_sssp(sf_dir: str):
+    """Weighted single-source shortest paths over the DIRECTED KG link
+    graph (fixed-round Bellman-Ford, 4 relaxations): edge weight is
+    the deterministic integer ``1 + length(dst) % 7``, seed is the hub
+    page, output is (node, dist) for reached nodes — the weighted
+    companion to kg_bfs, exercising the additive-min scatter
+    (:func:`argo_ray.functions.graph.sssp_weighted`).  Pure integer
+    arithmetic, bit-exact against the nested-CTE oracle."""
+    from ..functions.graph import sssp_weighted
+
+    def weigh(b: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(pc.cast(b["dst"], pa.string())), pa.int64())
+        w = pc.add(
+            pa.scalar(1, pa.int64()),
+            pc.subtract(
+                ln, pc.multiply(pc.divide(ln, 7), pa.scalar(7, pa.int64()))
+            ),
+        )
+        return pa.table(
+            {
+                "src": pc.cast(b["src"], pa.string()),
+                "dst": pc.cast(b["dst"], pa.string()),
+                "w": w,
+            }
+        )
+
+    edges = _kg_link_edges(sf_dir).map_batches(weigh, batch_format="pyarrow")
+    return sssp_weighted(edges, iters=4, seed="https://hub.example.org/")
+
+
 def q_kg_sameas_canon(sf_dir: str):
     """KG entity fusion: a second source asserts the same facts under
     an alias namespace (kb.example.org); owl:sameAs links connect the
@@ -2438,6 +2468,7 @@ KG_QUERIES = {
     "kg_components": q_kg_components,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
+    "kg_sssp": q_kg_sssp,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,

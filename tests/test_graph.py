@@ -754,3 +754,57 @@ def test_link_prediction_hub_cap_both_plans(ray_session):
             for r in got.itertuples()
         ]
         assert got_rows == want, gate_kw
+
+
+def test_sssp_weighted_matches_reference(ray_session):
+    """Differential check on seeded random weighted digraphs: both
+    plans (single-task fast path, forced-distributed additive-min
+    scatter) must match a dense Bellman-Ford reference, including the
+    reached-only output contract."""
+    from argo_ray.functions.graph import BFS_UNREACHED, sssp_weighted
+
+    for seed in (1, 4):
+        rng = np.random.RandomState(seed)
+        n = 12
+        names = [f"v{i:02d}" for i in range(n)]
+        rows = {
+            (names[a], names[b], int(w))
+            for a, b, w in zip(
+                rng.randint(0, n, 30), rng.randint(0, n, 30), rng.randint(1, 9, 30)
+            )
+            if a != b
+        }
+        # one weight per (src, dst): keep the smallest (deterministic)
+        best: dict[tuple, int] = {}
+        for s, t, w in sorted(rows):
+            best.setdefault((s, t), w)
+        edges = [(s, t, w) for (s, t), w in sorted(best.items())]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges],
+                    "w": pa.array([e[2] for e in edges], pa.int64()),
+                }
+            )
+        )
+        iters = 4
+        src0 = names[0]
+        dist = {v: BFS_UNREACHED for v in names}
+        dist[src0] = 0
+        for _ in range(iters):
+            nd = dict(dist)
+            for s, t, w in edges:
+                nd[t] = min(nd[t], dist[s] + w)
+            dist = {v: min(d, BFS_UNREACHED) for v, d in nd.items()}
+        want = {v: d for v, d in dist.items() if d < BFS_UNREACHED}
+        # nodes with no edges never appear in the Dataset's node set
+        seen = {e[0] for e in edges} | {e[1] for e in edges}
+        want = {v: d for v, d in want.items() if v in seen}
+
+        for kw in ({}, {"small_graph_edges": 0}):
+            got = {
+                r["node"]: r["dist"]
+                for r in sssp_weighted(ds, iters=iters, seed=src0, **kw).take_all()
+            }
+            assert got == want, (seed, kw)
