@@ -358,6 +358,22 @@ FROM d GROUP BY pred_value""",
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
+    "kg_predicate_align": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+sp AS MATERIALIZED (SELECT DISTINCT subj_value AS s, pred_value AS p FROM d),
+tot AS MATERIALIZED (SELECT p, COUNT(*) AS np FROM sp GROUP BY p),
+cm AS MATERIALIZED (
+  SELECT x.p AS pred_a, y.p AS pred_b, COUNT(*) AS common
+  FROM sp x JOIN sp y ON x.s = y.s AND x.p < y.p GROUP BY x.p, y.p)
+SELECT cm.pred_a, cm.pred_b, CAST(cm.common AS BIGINT) AS common,
+       CAST(cm.common AS DOUBLE) / (a.np + b.np - cm.common) AS jaccard
+FROM cm JOIN tot a ON a.p = cm.pred_a JOIN tot b ON b.p = cm.pred_b""",
+    "pages_crawl_frontier": """SELECT DISTINCT dst AS url FROM (
+  SELECT 'https://site' || (doc_id % 5) || '.example.org/' AS dst FROM documents
+  UNION ALL SELECT 'https://hub.example.org/' FROM documents
+) WHERE dst NOT IN (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id FROM documents
+)""",
     "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
     # link prediction: jaccard = common/(da+db-common) is ONE division

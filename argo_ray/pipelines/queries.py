@@ -324,6 +324,143 @@ def q_kg_predicate_hist(sf_dir: str):
     )
 
 
+def q_kg_predicate_align(sf_dir: str):
+    """Ontology/schema alignment signal: Jaccard similarity of the
+    SUBJECT sets of every predicate pair — predicates that describe
+    the same entities are merge candidates when fusing KGs from
+    independent sources.  Plan: ONE exchange builds the distinct
+    (subject, predicate) set sort-colocated by subject, per-block
+    pandas groupby emits predicate pairs (bounded by preds-per-subject
+    squared, never subjects squared), ONE pair groupby counts the
+    co-occurring subjects; per-predicate subject totals are
+    schema-bounded (tens of rows) so they finish the score as a
+    captured dict.  Jaccard = one exact-integer division → the oracle
+    is IEEE-identical."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.grouping import grouped_map
+
+    def sp_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": pc.cast(b["subj_value"], pa.string()),
+                "p": pc.cast(b["pred_value"], pa.string()),
+            }
+        )
+
+    sp = (
+        _deduped(sf_dir)
+        .map_batches(sp_rows, batch_format="pyarrow")
+        .groupby(["s", "p"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["s", "p"])
+        .materialize()
+    )
+
+    pair_schema = pa.schema(
+        [("pred_a", pa.string()), ("pred_b", pa.string()), ("part", pa.int64())]
+    )
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        if len(df) == 0:
+            return pair_schema.empty_table()
+        pas, pbs = [], []
+        for _, g in df.groupby("s", sort=False):
+            ps = np.sort(g["p"].to_numpy(dtype=object))
+            if len(ps) < 2:
+                continue
+            i, j = np.triu_indices(len(ps), 1)
+            pas.append(ps[i])
+            pbs.append(ps[j])
+        if not pas:
+            return pair_schema.empty_table()
+        a = np.concatenate(pas)
+        return pa.table(
+            {
+                "pred_a": pa.array(a, pa.string()),
+                "pred_b": pa.array(np.concatenate(pbs), pa.string()),
+                "part": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    common = grouped_map(sp, "s", pairs, batch_format="pandas").groupby(
+        ["pred_a", "pred_b"]
+    ).aggregate(Sum("part", alias_name="common"))
+
+    # per-predicate distinct-subject totals: schema-bounded, tiny
+    totals = {
+        r["p"]: int(r["n_subj"])
+        for r in sp.groupby("p").aggregate(Count(alias_name="n_subj")).take_all()
+    }
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        na = np.array([totals[v] for v in b["pred_a"].to_pylist()], np.int64)
+        nb = np.array([totals[v] for v in b["pred_b"].to_pylist()], np.int64)
+        cm = pc.cast(b["common"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pred_a": pc.cast(b["pred_a"], pa.string()),
+                "pred_b": pc.cast(b["pred_b"], pa.string()),
+                "common": pa.array(cm, pa.int64()),
+                "jaccard": pa.array(
+                    cm.astype(np.float64) / (na + nb - cm).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return common.map_batches(score, batch_format="pyarrow")
+
+
+def q_pages_crawl_frontier(sf_dir: str):
+    """Crawl frontier expansion: link targets discovered in this crawl
+    batch that are NOT already-crawled URLs — the next fetch list.
+    Marker anti-join shape: dst rows (m=0) union crawled-url rows
+    (m=1) into ONE groupby(url); url survives iff its marker sum is 0.
+    Shuffle volume is distinct URLs, never raw links."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weblinks import link_graph
+    from ..pages import pages_dataset
+
+    pages = pages_dataset(sf_dir)
+    dsts = link_graph(pages).map_batches(
+        lambda b: pa.table(
+            {
+                "url": pc.cast(b["dst_url"], pa.string()),
+                "m": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    crawled = pages.map_batches(
+        lambda b: pa.table(
+            {
+                "url": pc.cast(b["url"], pa.string()),
+                "m": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        dsts.union(crawled)
+        .groupby("url")
+        .aggregate(Sum("m", alias_name="_crawled"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(pc.cast(b["_crawled"], pa.int64()), 0)
+            ).select(["url"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 PAGERANK_ITERS = 5
 
 from .oracles import LINKPRED_APEX_CAP  # noqa: E402 — single source for the hub cap
@@ -2469,6 +2606,8 @@ KG_QUERIES = {
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
+    "kg_predicate_align": q_kg_predicate_align,
+    "pages_crawl_frontier": q_pages_crawl_frontier,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,
