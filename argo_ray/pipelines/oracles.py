@@ -255,6 +255,37 @@ d{i} AS MATERIALIZED (
 SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist < {unreached}"""
 
 
+def _host_pagerank_sql(iters: int = 5) -> str:
+    """PageRank over the reconstructed host-level link graph — the
+    same nested-CTE power iteration as :func:`_pagerank_sql`, with the
+    edge CTE swapped for the host pairs the pages synthesize."""
+    sql = """WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'docs.example.org' AS src, dst FROM (
+    SELECT 'site' || (doc_id % 5) || '.example.org' AS dst FROM documents
+    UNION ALL SELECT 'hub.example.org' FROM documents
+  )
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+odeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)
+         + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r{i - 1}.pr / odeg.odeg), 0) AS pr
+  FROM nodes
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN odeg ON odeg.src = e.src
+  LEFT JOIN r{i - 1} ON r{i - 1}.node = e.src
+  GROUP BY nodes.node
+)"""
+    return sql + f"""
+SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
+ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
+
+
 def _components_sql(iters: int = 8) -> str:
     """Fixed-round undirected min-label propagation, labels = node
     names: l{i}(v) = LEAST(l{i-1}(v), MIN over neighbors l{i-1}(u)) —
@@ -374,6 +405,17 @@ FROM cm JOIN tot a ON a.p = cm.pred_a JOIN tot b ON b.p = cm.pred_b""",
 ) WHERE dst NOT IN (
   SELECT 'https://docs.example.org/' || source || '/' || doc_id FROM documents
 )""",
+    # anchors to KG nodes survive; the planted nowhere-host noise drops
+    "pages_anchor_link": """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS src_url,
+  'https://site' || (doc_id % 5) || '.example.org/' AS entity,
+  'site' AS anchor
+FROM documents
+UNION ALL
+SELECT 'https://docs.example.org/' || source || '/' || doc_id,
+       'https://hub.example.org/', 'hub'
+FROM documents""",
+    "pages_host_pagerank": _host_pagerank_sql(5),
     "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
     # link prediction: jaccard = common/(da+db-common) is ONE division

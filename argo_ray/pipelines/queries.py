@@ -461,6 +461,109 @@ def q_pages_crawl_frontier(sf_dir: str):
     )
 
 
+def q_pages_anchor_link(sf_dir: str):
+    """Hyperlink entity linking: anchors whose target URL IS a KG node
+    become (page, entity, anchor) mention links — the hyperlink twin
+    of the dictionary entity linker.  Noise links to unknown hosts are
+    planted (every 3rd page) and must drop.  Co-located semi-join
+    shape: anchor rows (marker 0) union KG-node marker rows (marker 1)
+    into ONE key sort; a key group emits its anchors iff a node marker
+    is present — shuffle volume is anchors + nodes, no broadcast."""
+    import pandas as pd
+
+    from ..functions.graph import _distinct_nodes
+    from ..functions.weblinks import link_graph
+    from ..stages.grouping import grouped_map
+
+    pages = pages_dataset(sf_dir)
+
+    def plant_noise(b: pa.Table) -> pa.Table:
+        # derive doc_id back from the url tail; every 3rd page gets a
+        # link to a host the KG has never seen
+        import numpy as np
+
+        urls = b["url"].to_pylist()
+        ids = np.array([int(u.rsplit("/", 1)[1]) for u in urls], np.int64)
+        keep = ids % 3 == 0
+        return pa.table(
+            {
+                "src_url": pa.array(np.array(urls, object)[keep], pa.string()),
+                "dst_url": pa.array(
+                    [f"https://nowhere{i}.example.org/" for i in ids[keep]],
+                    pa.string(),
+                ),
+                "anchor": pa.array(["x"] * int(keep.sum()), pa.string()),
+            }
+        )
+
+    links = link_graph(pages).union(
+        pages.map_batches(plant_noise, batch_format="pyarrow")
+    )
+
+    tagged = links.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["dst_url"], pa.string()),
+                "src_url": pc.cast(b["src_url"], pa.string()),
+                "anchor": pc.cast(b["anchor"], pa.string()),
+                "_ent": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = _distinct_nodes(_kg_link_edges(sf_dir)).map_batches(
+        lambda b: pa.table(
+            {
+                "key": pc.cast(b["node"], pa.string()),
+                "src_url": pa.array([""] * b.num_rows, pa.string()),
+                "anchor": pa.array([""] * b.num_rows, pa.string()),
+                "_ent": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        if g["_ent"].max() == 0:  # no KG node under this key
+            return pd.DataFrame()
+        out = g.loc[g["_ent"] == 0, ["src_url", "key", "anchor"]]
+        return out.rename(columns={"key": "entity"})
+
+    return grouped_map(tagged.union(nodes), "key", gate)
+
+
+def q_pages_host_pagerank(sf_dir: str):
+    """Web authority at host granularity: the host-level link graph
+    (distinct host pairs) ranked by 5 PageRank iterations — the
+    composition pipeline a crawl scheduler runs (extract anchors →
+    aggregate hosts → rank).  Same rounding/tie-break contract as
+    kg_pagerank."""
+    from ..functions.graph import pagerank
+    from ..functions.weblinks import host_graph
+    from ..pages import pages_dataset
+
+    edges = host_graph(pages_dataset(sf_dir)).map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["src_host"], pa.string()),
+                "dst": pc.cast(b["dst_host"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(edges, iters=PAGERANK_ITERS, damping=0.85)
+    rounded = ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "pr": pc.round(pc.cast(b["rank"], pa.float64()), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
 PAGERANK_ITERS = 5
 
 from .oracles import LINKPRED_APEX_CAP  # noqa: E402 — single source for the hub cap
@@ -2608,6 +2711,8 @@ KG_QUERIES = {
     "kg_sssp": q_kg_sssp,
     "kg_predicate_align": q_kg_predicate_align,
     "pages_crawl_frontier": q_pages_crawl_frontier,
+    "pages_anchor_link": q_pages_anchor_link,
+    "pages_host_pagerank": q_pages_host_pagerank,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,
