@@ -144,6 +144,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("kg_owl_infer", _q_kg_owl_infer),
         ("embeddings_knn_graph", _q_embeddings_knn_graph),
         ("kg_link_predict", _q_kg_link_predict),
+        ("kg_sssp", _q_kg_sssp),
+        ("pages_anchor_link", _q_pages_anchor_link),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -175,6 +177,18 @@ def _q_kg_link_predict(sf_dir: str):
     from argo_ray.pipelines.queries import q_kg_link_predict
 
     return q_kg_link_predict(sf_dir)
+
+
+def _q_kg_sssp(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_sssp
+
+    return q_kg_sssp(sf_dir)
+
+
+def _q_pages_anchor_link(sf_dir: str):
+    from argo_ray.pipelines.queries import q_pages_anchor_link
+
+    return q_pages_anchor_link(sf_dir)
 
 
 def _kg_pagerank_forced_distributed(sf_dir: str):
