@@ -416,6 +416,20 @@ SELECT 'https://docs.example.org/' || source || '/' || doc_id,
        'https://hub.example.org/', 'hub'
 FROM documents""",
     "pages_host_pagerank": _host_pagerank_sql(5),
+    # recency fusion: the gen-2 crawl re-asserts dc:language='xx' for
+    # every 4th document one day later; functional newest-wins patches
+    # exactly those object values, nothing else
+    "kg_temporal_fuse": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT DISTINCT subj_kind, subj_value, subj_lang, subj_datatype,
+       pred_kind, pred_value, pred_lang, pred_datatype,
+       obj_kind,
+       CASE WHEN pred_value = 'http://purl.org/dc/elements/1.1/language'
+             AND subj_value LIKE 'https://kg.example.org/doc/%'
+             AND CAST(substr(subj_value, 28) AS BIGINT) % 4 = 0
+            THEN 'xx' ELSE obj_value END AS obj_value,
+       obj_lang, obj_datatype
+FROM d""",
     "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
     # link prediction: jaccard = common/(da+db-common) is ONE division

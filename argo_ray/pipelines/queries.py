@@ -532,6 +532,83 @@ def q_pages_anchor_link(sf_dir: str):
     return grouped_map(tagged.union(nodes), "key", gate)
 
 
+def q_kg_temporal_fuse(sf_dir: str):
+    """Temporal KG fusion (crawl-recency conflict resolution): a
+    second crawl generation re-asserts dc:language = 'xx' for every
+    4th document one day later; FUNCTIONAL properties (language,
+    title, chars) resolve newest-observation-wins per (subject,
+    predicate), while multi-valued properties (cites, site, type, …)
+    keep their full distinct set — the recrawl must update exactly the
+    changed values and nothing else
+    (:func:`argo_ray.stages.temporal.latest_functional_fusion`)."""
+    from ..pages import DC_NS, _TS_BASE_US
+    from ..stages.temporal import latest_functional_fusion
+    from ..terms import TRIPLE_COLUMNS
+
+    day_us = 86_400_000_000
+
+    def with_ts(b: pa.Table) -> pa.Table:
+        # observation time rides the page url (ts = base + doc_id s)
+        hit = pc.extract_regex(pc.cast(b["url"], pa.string()), r"/(?P<id>[0-9]+)$")
+        ids = pc.cast(pc.struct_field(hit, "id"), pa.int64())
+        ts = pc.add(
+            pa.scalar(_TS_BASE_US, pa.int64()),
+            pc.multiply(ids, pa.scalar(1_000_000, pa.int64())),
+        )
+        return b.select(TRIPLE_COLUMNS).append_column("_ts", ts)
+
+    gen0 = _extract(sf_dir).map_batches(with_ts, batch_format="pyarrow")
+
+    def gen1_claims(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 4), 4)),
+            pa.scalar(0, pa.int64()),
+        )
+        ids = ids.filter(keep)
+        n = len(ids)
+        ents = pc.binary_join_element_wise(
+            pa.array(["https://kg.example.org/doc/"] * n, pa.large_string()),
+            pc.cast(ids, pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        ts = pc.add(
+            pc.add(
+                pa.scalar(_TS_BASE_US + day_us, pa.int64()),
+                pc.multiply(pc.cast(ids, pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        cols = {
+            "subj_kind": pa.array([0] * n, pa.uint8()),
+            "subj_value": pc.cast(ents, pa.large_string()),
+            "subj_lang": pa.array([""] * n, pa.string()),
+            "subj_datatype": pa.array([""] * n, pa.string()),
+            "pred_kind": pa.array([0] * n, pa.uint8()),
+            "pred_value": pa.array([DC_NS + "language"] * n, pa.large_string()),
+            "pred_lang": pa.array([""] * n, pa.string()),
+            "pred_datatype": pa.array([""] * n, pa.string()),
+            "obj_kind": pa.array([2] * n, pa.uint8()),
+            "obj_value": pa.array(["xx"] * n, pa.large_string()),
+            "obj_lang": pa.array([""] * n, pa.string()),
+            "obj_datatype": pa.array([""] * n, pa.string()),
+        }
+        return pa.table(cols).append_column("_ts", pc.cast(ts, pa.int64()))
+
+    from ..io import read_table
+
+    gen1 = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        gen1_claims, batch_format="pyarrow"
+    )
+
+    fused = latest_functional_fusion(
+        gen0.union(gen1),
+        "_ts",
+        [DC_NS + "language", DC_NS + "title", EX_NS + "chars"],
+    )
+    return _finalize(fused)
+
+
 def q_pages_host_pagerank(sf_dir: str):
     """Web authority at host granularity: the host-level link graph
     (distinct host pairs) ranked by 5 PageRank iterations — the
@@ -2713,6 +2790,7 @@ KG_QUERIES = {
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_anchor_link": q_pages_anchor_link,
     "pages_host_pagerank": q_pages_host_pagerank,
+    "kg_temporal_fuse": q_kg_temporal_fuse,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,
