@@ -1066,6 +1066,16 @@ w{step} AS (
 
 ORACLES["kg_random_walks"] = _walks_sql(3)
 
+# DeepWalk skip-gram pairs: walk self-join within the ±2 step window.
+ORACLES["kg_walk_pairs"] = (
+    "WITH w AS (" + _walks_sql(3) + """)
+SELECT w1.node AS center, w2.node AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM w w1 JOIN w w2
+  ON w1.seed = w2.seed AND w1.walk = w2.walk
+ AND w1.step <> w2.step AND abs(w1.step - w2.step) <= 2
+GROUP BY w1.node, w2.node"""
+)
+
 # Property-graph edge export: distinct (src, label, dst).
 ORACLES["kg_edge_table"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp)
 SELECT DISTINCT subj_value AS src, pred_value AS label, obj_value AS dst

@@ -2427,6 +2427,71 @@ def q_kg_random_walks(sf_dir: str):
     )
 
 
+def q_kg_walk_pairs(sf_dir: str):
+    """DeepWalk training corpus: skip-gram (center, context) pairs
+    within a ±2 window over every random walk — the node-embedding
+    input that pairs with kg_random_walks exactly as docs_skipgrams
+    pairs with the token stream.  One exchange co-locates each walk's
+    steps, the in-block self-merge is bounded by walk_len², and the
+    pair counts combine per block before the final groupby."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    walks = q_kg_random_walks(sf_dir)
+
+    keyed = walks.map_batches(
+        lambda b: pa.table(
+            {
+                "_k": pc.cast(
+                    pc.binary_join_element_wise(
+                        pc.cast(b["seed"], pa.large_string()),
+                        pc.cast(b["walk"], pa.large_string()),
+                        pa.scalar("\x1f", pa.large_string()),
+                    ),
+                    pa.string(),
+                ),
+                "step": pc.cast(b["step"], pa.int64()),
+                "node": pc.cast(b["node"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    pair_schema = pa.schema(
+        [("center", pa.string()), ("context", pa.string()), ("part", pa.int64())]
+    )
+
+    def pair_block(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pair_schema.empty_table()
+        m = df.merge(df, on="_k", suffixes=("_a", "_b"))
+        d = (m["step_a"] - m["step_b"]).abs()
+        m = m[(d > 0) & (d <= 2)]
+        if len(m) == 0:
+            return pair_schema.empty_table()
+        g = (
+            m.groupby(["node_a", "node_b"], sort=False)
+            .size()
+            .reset_index(name="part")
+        )
+        return pa.table(
+            {
+                "center": pa.array(g["node_a"], pa.string()),
+                "context": pa.array(g["node_b"], pa.string()),
+                "part": pa.array(g["part"].to_numpy(dtype="int64"), pa.int64()),
+            }
+        )
+
+    return (
+        grouped_map(keyed, "_k", pair_block)
+        .groupby(["center", "context"])
+        .aggregate(Sum("part", alias_name="n_pairs"))
+    )
+
+
 def q_kg_adjacency(sf_dir: str):
     """CSR-style adjacency export for external graph engines: one row
     per source node with its sorted comma-joined neighbor list and
@@ -2849,6 +2914,7 @@ KG_QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "kg_build_pipeline": q_kg_build_pipeline,
     "kg_random_walks": q_kg_random_walks,
+    "kg_walk_pairs": q_kg_walk_pairs,
     "kg_edge_table": q_kg_edge_table,
     "kg_ppr": q_kg_ppr,
     "kg_bfs_seeded": q_kg_bfs_seeded,
