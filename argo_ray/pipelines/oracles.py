@@ -1066,6 +1066,24 @@ w{step} AS (
 
 ORACLES["kg_random_walks"] = _walks_sql(3)
 
+# Degree assortativity: exact-integer moments, one double division.
+ORACLES["kg_assortativity"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+e0 AS (SELECT DISTINCT subj_value AS src, obj_value AS dst
+       FROM d WHERE obj_kind <> 2 AND subj_value <> obj_value),
+eu AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT a AS node, COUNT(*) AS dg FROM eu GROUP BY a),
+j AS (SELECT d1.dg AS du, d2.dg AS dv
+      FROM eu JOIN deg d1 ON d1.node = eu.a JOIN deg d2 ON d2.node = eu.b),
+mo AS (SELECT COUNT(*) AS m, SUM(du) AS sdu, SUM(dv) AS sdv,
+              SUM(du * dv) AS sdudv, SUM(du * du) AS sdu2,
+              SUM(dv * dv) AS sdv2
+       FROM j)
+SELECT ROUND(
+  CAST(m * sdudv - sdu * sdv AS DOUBLE)
+  / (sqrt(CAST(m * sdu2 - sdu * sdu AS DOUBLE))
+     * sqrt(CAST(m * sdv2 - sdv * sdv AS DOUBLE))), 6) AS assortativity
+FROM mo"""
+
 # DeepWalk skip-gram pairs: walk self-join within the ±2 step window.
 ORACLES["kg_walk_pairs"] = (
     "WITH w AS (" + _walks_sql(3) + """)

@@ -2427,6 +2427,99 @@ def q_kg_random_walks(sf_dir: str):
     )
 
 
+def q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected KG link graph (Newman's
+    r): Pearson correlation of endpoint degrees over every directed
+    edge-pair — a one-scalar mixing diagnostic (hub-and-spoke web
+    graphs are strongly disassortative).  Every moment (Σdu, Σdv,
+    Σdudv, Σdu², Σdv², M) accumulates as EXACT integers — per-block
+    partial rows, block-count-bounded driver finish, ONE double
+    division at the end rounded to 6 — so the oracle is
+    IEEE-identical.  Degree attachment is two sort-colocation lookup
+    joins (edge-volume exchanges, no broadcast)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.kgembed import _lookup_join
+
+    edges = _kg_link_edges(sf_dir)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string())
+        d = pc.cast(b["dst"], pa.string())
+        t = pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [s.combine_chunks(), d.combine_chunks()]
+                    if isinstance(s, pa.ChunkedArray)
+                    else [s, d]
+                ),
+                "b": pa.concat_arrays(
+                    [d.combine_chunks(), s.combine_chunks()]
+                    if isinstance(d, pa.ChunkedArray)
+                    else [d, s]
+                ),
+            }
+        )
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    eu = (
+        edges.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    deg_as_ids = (
+        eu.groupby("a")
+        .aggregate(Count(alias_name="degv"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "term": pc.cast(b["a"], pa.string()),
+                    "id": pc.cast(b["degv"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    withdeg = _lookup_join(
+        _lookup_join(eu, "a", deg_as_ids, "du"), "b", deg_as_ids, "dv"
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        du = pc.cast(b["du"], pa.int64()).to_numpy(zero_copy_only=False)
+        dv = pc.cast(b["dv"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array([len(du)], pa.int64()),
+                "sdu": pa.array([int(du.sum())], pa.int64()),
+                "sdv": pa.array([int(dv.sum())], pa.int64()),
+                "sdudv": pa.array([int((du * dv).sum())], pa.int64()),
+                "sdu2": pa.array([int((du * du).sum())], pa.int64()),
+                "sdv2": pa.array([int((dv * dv).sum())], pa.int64()),
+            }
+        )
+
+    parts = withdeg.map_batches(moments, batch_format="pyarrow").take_all()
+    m = sum(p["m"] for p in parts)
+    sdu = sum(p["sdu"] for p in parts)
+    sdv = sum(p["sdv"] for p in parts)
+    sdudv = sum(p["sdudv"] for p in parts)
+    sdu2 = sum(p["sdu2"] for p in parts)
+    sdv2 = sum(p["sdv2"] for p in parts)
+    num = m * sdudv - sdu * sdv
+    import math
+
+    den = math.sqrt(float(m * sdu2 - sdu * sdu)) * math.sqrt(
+        float(m * sdv2 - sdv * sdv)
+    )
+    r = round(float(num) / den, 6) if den else 0.0
+    return pa.table({"assortativity": pa.array([r], pa.float64())})
+
+
 def q_kg_walk_pairs(sf_dir: str):
     """DeepWalk training corpus: skip-gram (center, context) pairs
     within a ±2 window over every random walk — the node-embedding
@@ -2915,6 +3008,7 @@ KG_QUERIES = {
     "kg_build_pipeline": q_kg_build_pipeline,
     "kg_random_walks": q_kg_random_walks,
     "kg_walk_pairs": q_kg_walk_pairs,
+    "kg_assortativity": q_kg_assortativity,
     "kg_edge_table": q_kg_edge_table,
     "kg_ppr": q_kg_ppr,
     "kg_bfs_seeded": q_kg_bfs_seeded,
