@@ -82,19 +82,34 @@ def _distinct_nodes(edges_ds):
     )
 
 
-def _keyed_edges(edges_ds, key_col: str, out_col: str, degree_weight: bool):
+def _keyed_edges(
+    edges_ds, key_col: str, out_col: str, degree_weight: bool,
+    weight_col: str | None = None,
+):
     """(key, out, w, val=null) edge table, materialized.  ``w`` is the
     contribution DIVISOR: the key node's edge count under this keying
-    when ``degree_weight`` (PageRank's outdeg), else 1.  Arrow blocks
-    with a pinned schema so the per-iteration union with the value rows
-    never mixes block types or nullability-inferred column types."""
+    when ``degree_weight`` (PageRank's outdeg); with ``weight_col``,
+    the WEIGHTED normalizer ``sum_w(key) / w(edge)`` (so ``val / w`` =
+    ``val * w(edge) / sum_w(key)`` — weighted PageRank's transition
+    probability, expressed as the same single division); else 1.
+    Arrow blocks with a pinned schema so the per-iteration union with
+    the value rows never mixes block types or nullability-inferred
+    column types."""
     from ..stages import grouping as _colocation_guard  # noqa: F401
 
     def build(df):
         if len(df) == 0:
             return _KV_SCHEMA.empty_table()
         out = df.rename(columns={key_col: "key", out_col: "out"}).copy()
-        if degree_weight:
+        if weight_col is not None:
+            w = out[weight_col].astype("float64")
+            out["w"] = (
+                out.groupby("key", sort=False)[weight_col]
+                .transform("sum")
+                .astype("float64")
+                / w
+            )
+        elif degree_weight:
             out["w"] = (
                 out.groupby("key", sort=False)["key"]
                 .transform("size")
@@ -110,8 +125,8 @@ def _keyed_edges(edges_ds, key_col: str, out_col: str, degree_weight: bool):
         )
 
     ds = edges_ds
-    if degree_weight:
-        # the degree transform needs whole key groups per block
+    if degree_weight or weight_col is not None:
+        # the degree/weight-sum transform needs whole key groups per block
         ds = ds.sort(key_col)
     return ds.map_batches(
         build, batch_format="pandas", batch_size=None
@@ -265,6 +280,41 @@ def _single_task_graph(edges_ds, kernel):
     )
 
 
+def _pagerank_small_weighted(edges_ds, iters: int, damping: float):
+    """Single-task fast path for WEIGHTED PageRank: per-edge transition
+    = rank(u) / (outw(u) / w(u,v)) — the identical two-division shape
+    the distributed KV plan (and the SQL oracle) computes, so all three
+    agree bit-for-bit before rounding."""
+
+    def run(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src_v = b["src"].to_pandas()
+        dst_v = b["dst"].to_pandas()
+        w = pc.cast(b["w"], pa.float64()).to_numpy(zero_copy_only=False)
+        nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
+        src = nodes.get_indexer(src_v)
+        dst = nodes.get_indexer(dst_v)
+        n = len(nodes)
+        outw = np.bincount(src, weights=w, minlength=n)
+        div = outw[src] / w  # per-edge divisor, matches the KV build
+        rank = np.full(n, 1.0 / n)
+        base = np.full(n, (1.0 - damping) / n)
+        for _ in range(iters):
+            contrib = rank[src] / div
+            rank = base + damping * np.bincount(dst, weights=contrib, minlength=n)
+        return pa.table(
+            {
+                "node": pa.array(nodes.to_numpy(), pa.string()),
+                "rank": pa.array(rank, pa.float64()),
+            }
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _pagerank_small(
     edges_ds, iters: int, damping: float,
     teleport_nodes: list[str] | None,
@@ -306,6 +356,7 @@ def pagerank(
     damping: float = 0.85,
     teleport_nodes: list[str] | None = None,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    weight_col: str | None = None,
 ):
     """PageRank over a directed edge Dataset with string columns
     ``(src, dst)`` (caller supplies DISTINCT edges).  Returns a
@@ -320,16 +371,22 @@ def pagerank(
     Plan choice by statistics: graphs at or under ``small_graph_edges``
     distinct edges run the single-task fast path (:func:`_pagerank_small`);
     larger graphs run the per-iteration exchange loop below."""
+    if weight_col is not None and teleport_nodes is not None:
+        raise ValueError("weighted personalized PageRank not supported")
     edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         return _empty_result(edges_ds, ["rank"])
     if n_edges <= small_graph_edges:
+        if weight_col is not None:
+            return _pagerank_small_weighted(edges_ds, iters, damping)
         return _pagerank_small(edges_ds, iters, damping, teleport_nodes)
     nodes = _distinct_nodes(edges_ds)
     n_nodes = nodes.count()
 
-    edges_kv = _keyed_edges(edges_ds, "src", "dst", degree_weight=True)
+    edges_kv = _keyed_edges(
+        edges_ds, "src", "dst", degree_weight=True, weight_col=weight_col
+    )
     zero_rows = _const_nodes(nodes, "part", 0.0)
     if teleport_nodes is None:
         ranks = _const_nodes(nodes, "rank", 1.0 / n_nodes)

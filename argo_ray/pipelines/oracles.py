@@ -286,6 +286,38 @@ SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
 ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
 
 
+def _host_pagerank_weighted_sql(iters: int = 5) -> str:
+    """Weighted host PageRank: contribution = r / (outw / w), the SAME
+    two-division shape the Ray KV plan and the single-task kernel
+    compute, so all three agree bit-for-bit before the final ROUND."""
+    sql = """WITH e AS MATERIALIZED (
+  SELECT 'docs.example.org' AS src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT 'site' || (doc_id % 5) || '.example.org' AS dst FROM documents
+    UNION ALL SELECT 'hub.example.org' FROM documents
+  ) GROUP BY dst
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+ow AS MATERIALIZED (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(r{i - 1}.pr / (ow.outw / e.w)), 0) AS pr
+  FROM nodes
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN ow ON ow.src = e.src
+  LEFT JOIN r{i - 1} ON r{i - 1}.node = e.src
+  GROUP BY nodes.node
+)"""
+    return sql + f"""
+SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
+ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
+
+
 def _components_sql(iters: int = 8) -> str:
     """Fixed-round undirected min-label propagation, labels = node
     names: l{i}(v) = LEAST(l{i-1}(v), MIN over neighbors l{i-1}(u)) —
@@ -416,6 +448,7 @@ SELECT 'https://docs.example.org/' || source || '/' || doc_id,
        'https://hub.example.org/', 'hub'
 FROM documents""",
     "pages_host_pagerank": _host_pagerank_sql(5),
+    "pages_host_pagerank_weighted": _host_pagerank_weighted_sql(5),
     # recency fusion: the gen-2 crawl re-asserts dc:language='xx' for
     # every 4th document one day later; functional newest-wins patches
     # exactly those object values, nothing else
@@ -432,6 +465,13 @@ SELECT DISTINCT subj_kind, subj_value, subj_lang, subj_datatype,
 FROM d""",
     "kg_bfs_seeded": _bfs_sql(4, seed_where="doc_id % 10 = 0"),
     "kg_components": _components_sql(8),
+    "kg_component_sizes": "WITH comp AS ("
+    + _components_sql(8)
+    + """),
+sizes AS (SELECT label, COUNT(*) AS size FROM comp GROUP BY label)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size""",
     # link prediction: jaccard = common/(da+db-common) is ONE division
     # of exact integers on both sides → IEEE-identical doubles; full
     # (jaccard, common, ids) tie-break makes the LIMIT 20 set unique

@@ -532,6 +532,40 @@ def q_pages_anchor_link(sf_dir: str):
     return grouped_map(tagged.union(nodes), "key", gate)
 
 
+def q_pages_host_pagerank_weighted(sf_dir: str):
+    """Link-count-weighted host authority: the host graph's n_links
+    drive the transition probabilities (w(u,v)/Σw(u,·)) — the ranking
+    a crawl scheduler actually wants, where a host linked 5× as often
+    receives 5× the mass.  Same rounding/tie-break contract as the
+    unweighted twin (:func:`argo_ray.functions.graph.pagerank` with
+    ``weight_col``)."""
+    from ..functions.graph import pagerank
+    from ..functions.weblinks import host_graph
+    from ..pages import pages_dataset
+
+    edges = host_graph(pages_dataset(sf_dir)).map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["src_host"], pa.string()),
+                "dst": pc.cast(b["dst_host"], pa.string()),
+                "w": pc.cast(b["n_links"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(edges, iters=PAGERANK_ITERS, damping=0.85, weight_col="w")
+    rounded = ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "pr": pc.round(pc.cast(b["rank"], pa.float64()), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
 def q_kg_temporal_fuse(sf_dir: str):
     """Temporal KG fusion (crawl-recency conflict resolution): a
     second crawl generation re-asserts dc:language = 'xx' for every
@@ -810,6 +844,32 @@ def q_kg_components(sf_dir: str):
     from ..functions.graph import label_propagation
 
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
+
+
+def q_kg_component_sizes(sf_dir: str):
+    """Component-size histogram (the KG fragmentation report): label
+    propagation → per-label count → count-of-counts.  Two small
+    exchanges past the labeling; the histogram is size-bounded by the
+    largest component."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import label_propagation
+
+    labels = label_propagation(_kg_link_edges(sf_dir), iters=8)
+    sizes = labels.groupby("label").aggregate(Count(alias_name="size"))
+    return (
+        sizes.groupby("size")
+        .aggregate(Count(alias_name="n_components"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "size": pc.cast(b["size"], pa.int64()),
+                    "n_components": pc.cast(b["n_components"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def q_kg_link_predict(sf_dir: str):
@@ -2941,6 +3001,7 @@ KG_QUERIES = {
     "kg_hits": q_kg_hits,
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
+    "kg_component_sizes": q_kg_component_sizes,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
@@ -2948,6 +3009,7 @@ KG_QUERIES = {
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_anchor_link": q_pages_anchor_link,
     "pages_host_pagerank": q_pages_host_pagerank,
+    "pages_host_pagerank_weighted": q_pages_host_pagerank_weighted,
     "kg_temporal_fuse": q_kg_temporal_fuse,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,

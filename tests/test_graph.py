@@ -808,3 +808,49 @@ def test_sssp_weighted_matches_reference(ray_session):
                 for r in sssp_weighted(ds, iters=iters, seed=src0, **kw).take_all()
             }
             assert got == want, (seed, kw)
+
+
+def test_pagerank_weighted_matches_reference(ray_session):
+    """Weighted PageRank: both plans (single-task weighted kernel,
+    forced-distributed KV loop) must match a dense reference computing
+    the identical two-division contribution rank(u) / (outw(u)/w)."""
+    from argo_ray.functions.graph import pagerank
+
+    for seed in (2, 5):
+        rng = np.random.RandomState(seed)
+        n = 10
+        names = [f"w{i:02d}" for i in range(n)]
+        best: dict[tuple, int] = {}
+        for a, b, w in zip(
+            rng.randint(0, n, 25), rng.randint(0, n, 25), rng.randint(1, 7, 25)
+        ):
+            if a != b:
+                best.setdefault((names[a], names[b]), int(w))
+        edges = [(s, t, w) for (s, t), w in sorted(best.items())]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges],
+                    "w": pa.array([e[2] for e in edges], pa.int64()),
+                }
+            )
+        )
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        outw = {}
+        for s, _, w in edges:
+            outw[s] = outw.get(s, 0.0) + float(w)
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(4):
+            nr = np.full(len(nodes), 0.15 / len(nodes))
+            for s, t, w in edges:
+                nr[idx[t]] += 0.85 * (r[idx[s]] / (outw[s] / w))
+            r = nr
+        for kw in ({}, {"small_graph_edges": 0}):
+            got = {
+                x["node"]: x["rank"]
+                for x in pagerank(ds, iters=4, weight_col="w", **kw).take_all()
+            }
+            for v in nodes:
+                assert abs(got[v] - r[idx[v]]) < 1e-9, (seed, kw, v)
