@@ -2638,6 +2638,48 @@ def q_docs_svo_triples(sf_dir: str):
     )
 
 
+def q_pages_url_templates(sf_dir: str):
+    """URL template mining (site-structure discovery): digit runs in
+    every crawled + discovered URL collapse to ``{n}`` and the
+    templates are counted — the pattern inventory a crawler uses to
+    recognize pagination/ID spaces.  Vectorized regex replace, partial
+    counts per batch, ONE template groupby (template count is
+    site-structure-bounded, a few thousand at web scale)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weblinks import link_graph
+    from ..pages import pages_dataset
+
+    pages = pages_dataset(sf_dir)
+    crawled = pages.map_batches(
+        lambda b: pa.table({"u": pc.cast(b["url"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    discovered = link_graph(pages).map_batches(
+        lambda b: pa.table({"u": pc.cast(b["dst_url"], pa.string())}),
+        batch_format="pyarrow",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        tmpl = pc.replace_substring_regex(b["u"], "[0-9]+", "{n}")
+        g = pa.table({"template": pc.cast(tmpl, pa.string())}).group_by(
+            "template"
+        ).aggregate([("template", "count")])
+        return pa.table(
+            {
+                "template": pc.cast(g["template"], pa.string()),
+                "part": pc.cast(g["template_count"], pa.int64()),
+            }
+        )
+
+    return (
+        crawled.union(discovered)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("template")
+        .aggregate(Sum("part", alias_name="n_urls"))
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -2676,6 +2718,7 @@ DATA_QUERIES = {
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
     "docs_svo_triples": q_docs_svo_triples,
+    "pages_url_templates": q_pages_url_templates,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3753,3 +3796,16 @@ JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
 WHERE b.w IN ('join', 'merge', 'sort')
 GROUP BY a.w, b.w, c.w
 HAVING COUNT(*) >= 3"""
+
+
+DATA_ORACLES["pages_url_templates"] = """SELECT
+  regexp_replace(u, '[0-9]+', '{n}', 'g') AS template,
+  CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS u FROM documents
+  UNION ALL
+  SELECT 'https://site' || (doc_id % 5) || '.example.org/' FROM documents
+  UNION ALL
+  SELECT 'https://hub.example.org/' FROM documents
+)
+GROUP BY regexp_replace(u, '[0-9]+', '{n}', 'g')"""

@@ -286,6 +286,43 @@ SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
 ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
 
 
+def _bowtie_sql(iters: int = 6, unreached: int = 1_000_000) -> str:
+    """Two fixed-round directed BFS chains (forward from the hub,
+    backward over reversed edges) + the SCC/IN/OUT/OTHER CASE."""
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+f0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = '{HUB}' THEN 0 ELSE {unreached} END AS dist FROM nodes),
+b0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = '{HUB}' THEN 0 ELSE {unreached} END AS dist FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+f{i} AS MATERIALIZED (
+  SELECT n.node, LEAST(dp.dist, COALESCE(MIN(de.dist + 1), {unreached})) AS dist
+  FROM nodes n
+  JOIN f{i - 1} dp ON dp.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN f{i - 1} de ON de.node = e.src
+  GROUP BY n.node, dp.dist
+),
+b{i} AS MATERIALIZED (
+  SELECT n.node, LEAST(dp.dist, COALESCE(MIN(de.dist + 1), {unreached})) AS dist
+  FROM nodes n
+  JOIN b{i - 1} dp ON dp.node = n.node
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN b{i - 1} de ON de.node = e.dst
+  GROUP BY n.node, dp.dist
+)"""
+    return sql + f"""
+SELECT f.node,
+       CASE WHEN f.dist < {unreached} AND b.dist < {unreached} THEN 'SCC'
+            WHEN f.dist < {unreached} THEN 'OUT'
+            WHEN b.dist < {unreached} THEN 'IN'
+            ELSE 'OTHER' END AS cls
+FROM f{iters} f JOIN b{iters} b ON b.node = f.node"""
+
+
 def _host_pagerank_weighted_sql(iters: int = 5) -> str:
     """Weighted host PageRank: contribution = r / (outw / w), the SAME
     two-division shape the Ray KV plan and the single-task kernel
@@ -421,6 +458,7 @@ FROM d GROUP BY pred_value""",
     "kg_hits": _hits_sql(5),
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
+    "kg_bowtie": _bowtie_sql(6),
     "kg_predicate_align": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
 sp AS MATERIALIZED (SELECT DISTINCT subj_value AS s, pred_value AS p FROM d),

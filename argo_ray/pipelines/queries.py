@@ -846,6 +846,83 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_kg_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition of the directed link graph
+    relative to the hub pivot: nodes reachable FROM the hub and able
+    to REACH it (within 6 hops) are SCC, forward-only is OUT,
+    backward-only is IN, neither is OTHER — the classic web-graph
+    macro-structure report.  Two fixed-round BFS passes (forward, and
+    backward over the reversed edge set) share ONE groupby(node) for
+    the classification — no joins."""
+    from ray.data.aggregate import Max
+
+    from ..functions.graph import BFS_UNREACHED, bfs_distances
+
+    HUB = "https://hub.example.org/"
+    edges = _kg_link_edges(sf_dir).materialize()
+    rev = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["dst"], pa.string()),
+                "dst": pc.cast(b["src"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def flags(reached_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            r = pc.cast(
+                pc.less(
+                    pc.cast(b["dist"], pa.int64()),
+                    pa.scalar(BFS_UNREACHED, pa.int64()),
+                ),
+                pa.int64(),
+            )
+            zero = pa.array([0] * b.num_rows, pa.int64())
+            return pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "f": r if reached_col == "f" else zero,
+                    "b": r if reached_col == "b" else zero,
+                }
+            )
+
+        return fn
+
+    fwd = bfs_distances(edges, iters=6, seed=HUB).map_batches(
+        flags("f"), batch_format="pyarrow"
+    )
+    bwd = bfs_distances(rev, iters=6, seed=HUB).map_batches(
+        flags("b"), batch_format="pyarrow"
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        f = pc.cast(b["fr"], pa.int64())
+        bb = pc.cast(b["br"], pa.int64())
+        cls = pc.if_else(
+            pc.and_(pc.equal(f, 1), pc.equal(bb, 1)),
+            pa.scalar("SCC", pa.string()),
+            pc.if_else(
+                pc.equal(f, 1),
+                pa.scalar("OUT", pa.string()),
+                pc.if_else(
+                    pc.equal(bb, 1),
+                    pa.scalar("IN", pa.string()),
+                    pa.scalar("OTHER", pa.string()),
+                ),
+            ),
+        )
+        return pa.table({"node": pc.cast(b["node"], pa.string()), "cls": cls})
+
+    return (
+        fwd.union(bwd)
+        .groupby("node")
+        .aggregate(Max("f", alias_name="fr"), Max("b", alias_name="br"))
+        .map_batches(classify, batch_format="pyarrow")
+    )
+
+
 def q_kg_component_sizes(sf_dir: str):
     """Component-size histogram (the KG fragmentation report): label
     propagation → per-label count → count-of-counts.  Two small
@@ -3002,6 +3079,7 @@ KG_QUERIES = {
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
     "kg_component_sizes": q_kg_component_sizes,
+    "kg_bowtie": q_kg_bowtie,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
