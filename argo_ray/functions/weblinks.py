@@ -86,6 +86,68 @@ def link_graph(pages_ds):
     return pages_ds.map_batches(extract_links_batch, batch_format="pyarrow")
 
 
+def resolve_redirects(mapping_ds, rounds: int = 2):
+    """Redirect-chain resolution by POINTER DOUBLING: ``mapping_ds``
+    is the raw (src, dst) redirect map; after ``rounds`` rounds every
+    chain of length ≤ 2^rounds is collapsed to its final target
+    (m'(u) = m(m(u)) where m(dst) exists, else m(u)).  Each round is
+    ONE sort-colocated exchange (data rows keyed by their current
+    target union map rows keyed by source — the same marker-join shape
+    as the anti-joins, no broadcast), so resolving billion-URL redirect
+    maps with bounded chain length costs log2(chain) exchanges.
+    Cycles never terminate chains — the fixed round count bounds them
+    deterministically (last writer wins at round cap)."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    m = mapping_ds
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        tgt = g.loc[g["_map"] == 1, "tgt"]
+        data = g.loc[g["_map"] == 0, ["src", "key"]]
+        if len(data) == 0:
+            return pd.DataFrame(columns=["src", "dst"])
+        data = data.rename(columns={"key": "dst"})
+        if len(tgt):
+            data["dst"] = tgt.iloc[0]
+        return data
+
+    for _ in range(rounds):
+        data = m.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["dst"], pa.string()),
+                    "src": pc.cast(b["src"], pa.string()),
+                    "tgt": pa.nulls(b.num_rows, pa.string()),
+                    "_map": pa.array([0] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        maps = m.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["src"], pa.string()),
+                    "src": pa.nulls(b.num_rows, pa.string()),
+                    "tgt": pc.cast(b["dst"], pa.string()),
+                    "_map": pa.array([1] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        m = grouped_map(data.union(maps), "key", gate).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b["src"], pa.string()),
+                    "dst": pc.cast(b["dst"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return m
+
+
 def host_graph(pages_ds):
     """pages Dataset → host-level link graph
     ``(src_host, dst_host, n_links)``.  Per-batch partial counts

@@ -459,6 +459,10 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    "pages_redirect_resolve": """SELECT
+  'https://kg.example.org/doc/' || doc_id AS src,
+  'https://kg.example.org/doc/' || (doc_id - (doc_id % 8)) AS dst
+FROM documents WHERE doc_id % 8 BETWEEN 1 AND 3""",
     "kg_predicate_align": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
 sp AS MATERIALIZED (SELECT DISTINCT subj_value AS s, pred_value AS p FROM d),

@@ -846,6 +846,37 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_pages_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution (canonical-URL discovery): planted
+    redirects doc(i) → doc(i-1) for i % 8 in {1,2,3} form chains up to
+    3 hops (3→2→1→0); 2 pointer-doubling rounds collapse every chain
+    to its final non-redirecting target
+    (:func:`argo_ray.functions.weblinks.resolve_redirects`) — log2 of
+    the chain bound in exchanges, never a broadcast.  Closed-form
+    oracle: dst = doc(i - i%8)."""
+    from ..functions.weblinks import resolve_redirects
+    from ..io import read_table
+
+    KG = "https://kg.example.org/doc/"
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = ids[(ids % 8 >= 1) & (ids % 8 <= 3)]
+        return pa.table(
+            {
+                "src": pa.array([f"{KG}{i}" for i in ids], pa.string()),
+                "dst": pa.array([f"{KG}{i - 1}" for i in ids], pa.string()),
+            }
+        )
+
+    mapping = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return resolve_redirects(mapping, rounds=2)
+
+
 def q_kg_bowtie(sf_dir: str):
     """Broder bow-tie decomposition of the directed link graph
     relative to the hub pivot: nodes reachable FROM the hub and able
@@ -3080,6 +3111,7 @@ KG_QUERIES = {
     "kg_components": q_kg_components,
     "kg_component_sizes": q_kg_component_sizes,
     "kg_bowtie": q_kg_bowtie,
+    "pages_redirect_resolve": q_pages_redirect_resolve,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,

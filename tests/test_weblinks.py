@@ -104,3 +104,30 @@ def test_link_graph_over_synth_pages(ray_session):
     assert t.num_rows == 1000
     anchors = pc.value_counts(t["anchor"]).to_pylist()
     assert {d["values"]: d["counts"] for d in anchors} == {"site": 500, "hub": 500}
+
+
+def test_resolve_redirects_pointer_doubling(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import resolve_redirects
+
+    # chain a->b->c->d (3 hops), singleton x->y
+    m = rd.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "b", "c", "x"],
+                "dst": ["b", "c", "d", "y"],
+            }
+        )
+    )
+    out = {r["src"]: r["dst"] for r in resolve_redirects(m, rounds=2).take_all()}
+    assert out == {"a": "d", "b": "d", "c": "d", "x": "y"}
+
+    # 1 round only doubles once: a reaches c (m(m(a))), not d
+    out1 = {r["src"]: r["dst"] for r in resolve_redirects(m, rounds=1).take_all()}
+    assert out1["a"] == "c" and out1["c"] == "d"
+
+    # a 2-cycle never diverges: bounded rounds terminate deterministically
+    cyc = rd.from_arrow(pa.table({"src": ["p", "q"], "dst": ["q", "p"]}))
+    outc = {r["src"]: r["dst"] for r in resolve_redirects(cyc, rounds=3).take_all()}
+    assert set(outc) == {"p", "q"} and set(outc.values()) <= {"p", "q"}
