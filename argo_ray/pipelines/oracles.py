@@ -459,6 +459,10 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # change detection: exactly the lang-mutated generation-2 pages
+    "pages_change_detect": """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url
+FROM documents WHERE doc_id % 4 = 0 AND lang <> 'xx'""",
     "pages_redirect_resolve": """SELECT
   'https://kg.example.org/doc/' || doc_id AS src,
   'https://kg.example.org/doc/' || (doc_id - (doc_id % 8)) AS dst

@@ -846,6 +846,91 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_pages_change_detect(sf_dir: str):
+    """Incremental-crawl change detection: two crawl generations hash
+    their page bytes (two independent 64-bit vectorized passes = a
+    128-bit content fingerprint, the exact-dedup fast-path trade) and
+    ONE groupby(url) over the narrow (url, h1, h2) rows flags the
+    pages whose content changed — the re-extraction work list of an
+    incremental KG build.  The second generation changes every 4th
+    document's language, so exactly those URLs must surface."""
+    from ray.data.aggregate import Max, Min
+
+    from ..io import read_table
+    from ..pages import synth_pages_batch
+    from ..terms import hash64
+
+    gen0 = pages_dataset(sf_dir)
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        changed = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 4), 4)),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.cast(b["text"], pa.string()),
+                "lang": pc.if_else(
+                    changed, pa.scalar("xx", pa.string()),
+                    pc.cast(b["lang"], pa.string()),
+                ),
+                "source": pc.cast(b["source"], pa.string()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    gen1 = (
+        read_table(sf_dir, "documents")
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(synth_pages_batch, batch_format="pyarrow")
+    )
+
+    def hrows(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        html_s = pc.cast(b["html"], pa.large_string())
+
+        def as_i64(arr):
+            # bit-reinterpret uint64 → int64: Ray's groupby aggregates
+            # round-trip values through Python ints and overflow on
+            # uint64 above 2^63
+            return pa.array(
+                np.asarray(arr, dtype=np.uint64).view(np.int64), pa.int64()
+            )
+
+        return pa.table(
+            {
+                "url": pc.cast(b["url"], pa.string()),
+                "h1": as_i64(hash64(html_s, seed=0)),
+                "h2": as_i64(hash64(html_s, seed=1)),
+            }
+        )
+
+    hashed = gen0.map_batches(hrows, batch_format="pyarrow").union(
+        gen1.map_batches(hrows, batch_format="pyarrow")
+    )
+    return (
+        hashed.groupby("url")
+        .aggregate(
+            Min("h1", alias_name="h1min"),
+            Max("h1", alias_name="h1max"),
+            Min("h2", alias_name="h2min"),
+            Max("h2", alias_name="h2max"),
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.or_(
+                    pc.not_equal(b["h1min"], b["h1max"]),
+                    pc.not_equal(b["h2min"], b["h2max"]),
+                )
+            ).select(["url"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_pages_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution (canonical-URL discovery): planted
     redirects doc(i) → doc(i-1) for i % 8 in {1,2,3} form chains up to
@@ -3112,6 +3197,7 @@ KG_QUERIES = {
     "kg_component_sizes": q_kg_component_sizes,
     "kg_bowtie": q_kg_bowtie,
     "pages_redirect_resolve": q_pages_redirect_resolve,
+    "pages_change_detect": q_pages_change_detect,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
