@@ -86,6 +86,45 @@ def link_graph(pages_ds):
     return pages_ds.map_batches(extract_links_batch, batch_format="pyarrow")
 
 
+def robots_filter(pages_ds, rules: dict):
+    """robots.txt URL gate with the standard LONGEST-MATCH semantics:
+    ``rules`` maps host → list of ("allow"|"disallow", path_prefix);
+    among the rules whose prefix matches the URL path, the longest
+    wins (allow beats disallow at equal length, per Google's
+    tie-break); no match = allowed.  The rule set is host-bounded
+    (broadcast by closure), the evaluation is vectorized
+    ``starts_with`` masks per rule — zero shuffles, streaming."""
+    import numpy as np
+
+    def gate(batch: pa.Table) -> pa.Table:
+        urls = pc.cast(batch["url"], pa.string())
+        hit = pc.extract_regex(urls, _HOST_RE + r"(?P<path>/[^?#]*)?")
+        host_arr = pc.struct_field(hit, "host")
+        path_arr = pc.struct_field(hit, "path")
+        n = len(urls)
+        best_len = np.zeros(n, np.int64)
+        allowed = np.ones(n, bool)
+        for host, host_rules in rules.items():
+            hmask = pc.fill_null(
+                pc.equal(host_arr, pa.scalar(host, pa.string())), False
+            ).to_numpy(zero_copy_only=False)
+            if not hmask.any():
+                continue
+            for kind, prefix in host_rules:
+                pmask = hmask & pc.fill_null(
+                    pc.starts_with(path_arr, prefix), False
+                ).to_numpy(zero_copy_only=False)
+                L = len(prefix)
+                win = pmask & (
+                    (L > best_len) | ((L == best_len) & (kind == "allow"))
+                )
+                best_len[win] = L
+                allowed[win] = kind == "allow"
+        return batch.filter(pa.array(allowed))
+
+    return pages_ds.map_batches(gate, batch_format="pyarrow")
+
+
 def resolve_redirects(mapping_ds, rounds: int = 2):
     """Redirect-chain resolution by POINTER DOUBLING: ``mapping_ds``
     is the raw (src, dst) redirect map; after ``rounds`` rounds every

@@ -459,6 +459,12 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # robots longest-match: /src1 blocks src1,src10..19; /src14 re-allows;
+    # /src3/ blocks src3 only
+    "pages_robots_filter": """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url
+FROM documents
+WHERE NOT ((source LIKE 'src1%' AND source <> 'src14') OR source = 'src3')""",
     # change detection: exactly the lang-mutated generation-2 pages
     "pages_change_detect": """SELECT
   'https://docs.example.org/' || source || '/' || doc_id AS url

@@ -846,6 +846,28 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_pages_robots_filter(sf_dir: str):
+    """robots.txt crawl gate with longest-match semantics: the
+    docs.example.org rules disallow /src1 (a PREFIX — it also blocks
+    src10..src19), re-allow /src14 (longer match wins) and disallow
+    /src3/ — the classic overlapping-prefix trap.  Vectorized
+    starts_with masks per rule, zero shuffles
+    (:func:`argo_ray.functions.weblinks.robots_filter`)."""
+    from ..functions.weblinks import robots_filter
+
+    rules = {
+        "docs.example.org": [
+            ("disallow", "/src1"),
+            ("allow", "/src14"),
+            ("disallow", "/src3/"),
+        ]
+    }
+    return robots_filter(pages_dataset(sf_dir), rules).map_batches(
+        lambda b: pa.table({"url": pc.cast(b["url"], pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_pages_change_detect(sf_dir: str):
     """Incremental-crawl change detection: two crawl generations hash
     their page bytes (two independent 64-bit vectorized passes = a
@@ -3198,6 +3220,7 @@ KG_QUERIES = {
     "kg_bowtie": q_kg_bowtie,
     "pages_redirect_resolve": q_pages_redirect_resolve,
     "pages_change_detect": q_pages_change_detect,
+    "pages_robots_filter": q_pages_robots_filter,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,

@@ -131,3 +131,39 @@ def test_resolve_redirects_pointer_doubling(ray_session):
     cyc = rd.from_arrow(pa.table({"src": ["p", "q"], "dst": ["q", "p"]}))
     outc = {r["src"]: r["dst"] for r in resolve_redirects(cyc, rounds=3).take_all()}
     assert set(outc) == {"p", "q"} and set(outc.values()) <= {"p", "q"}
+
+
+def test_robots_filter_longest_match(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import robots_filter
+
+    pages = pa.table(
+        {
+            "url": [
+                "https://h.example/a/1",      # disallow /a
+                "https://h.example/ab/2",     # /ab allow (longer than /a)
+                "https://h.example/b/3",      # no rule -> allowed
+                "https://other.example/a/4",  # other host -> allowed
+                "https://h.example/tie/5",    # equal-length tie -> allow wins
+            ],
+            "html": pa.array([b""] * 5, pa.binary()),
+        }
+    )
+    rules = {
+        "h.example": [
+            ("disallow", "/a"),
+            ("allow", "/ab"),
+            ("disallow", "/tie"),
+            ("allow", "/tie"),
+        ]
+    }
+    got = sorted(
+        r["url"] for r in robots_filter(rd.from_arrow(pages), rules).take_all()
+    )
+    assert got == [
+        "https://h.example/ab/2",
+        "https://h.example/b/3",
+        "https://h.example/tie/5",
+        "https://other.example/a/4",
+    ]
