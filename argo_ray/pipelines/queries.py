@@ -846,6 +846,58 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_microdata_extract(sf_dir: str):
+    """HTML5 microdata extraction (schema.org Article pages built
+    deterministically from the documents rows): itemscope/itemid
+    subjects, itemtype → rdf:type, content/href/text-node property
+    values, relative itemprop resolution against the item's type
+    namespace, nested anonymous item → skolemized blank node — the
+    second annotation syntax next to the RDFa flagship
+    (:mod:`argo_ray.sources.microdata`).  6 triples per page, all
+    reconstructed relationally by the oracle."""
+    from ..io import read_table
+    from ..sources.microdata import extract_microdata_batch
+
+    SCHEMA = "https://schema.org/"
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        langs = b["lang"].to_pylist()
+        sources = b["source"].to_pylist()
+        urls, htmls = [], []
+        for did, text, lang, source in zip(ids, texts, langs, sources):
+            url = f"https://md.example.org/{source}/{did}"
+            title = " ".join(text.split(" ")[:5])
+            page_url = f"https://docs.example.org/{source}/{did}"
+            html = (
+                "<html><body>"
+                f'<div itemscope itemtype="{SCHEMA}Article" '
+                f'itemid="https://kg.example.org/md/{did}">'
+                f'<span itemprop="{SCHEMA}inLanguage" content="{lang}"></span>'
+                f'<span itemprop="headline">{title}</span>'
+                f'<a itemprop="{SCHEMA}url" href="{page_url}">link</a>'
+                f'<div itemprop="author" itemscope>'
+                f'<span itemprop="{SCHEMA}name">a{did}</span></div>'
+                "</div></body></html>"
+            )
+            urls.append(url)
+            htmls.append(html.encode())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    pages = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return _finalize(
+        pages.map_batches(extract_microdata_batch, batch_format="pyarrow")
+    )
+
+
 def q_pages_robots_filter(sf_dir: str):
     """robots.txt crawl gate with longest-match semantics: the
     docs.example.org rules disallow /src1 (a PREFIX — it also blocks
@@ -3221,6 +3273,7 @@ KG_QUERIES = {
     "pages_redirect_resolve": q_pages_redirect_resolve,
     "pages_change_detect": q_pages_change_detect,
     "pages_robots_filter": q_pages_robots_filter,
+    "microdata_extract": q_microdata_extract,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
