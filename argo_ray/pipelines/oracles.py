@@ -459,6 +459,25 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # embedded JSON-LD: 3 triples per page; poison blocks contribute 0
+    "jsonld_extract": f"""WITH ld AS (
+  SELECT doc_id,
+         'https://kg.example.org/ld/' || doc_id AS ent,
+         'https://docs.example.org/' || source || '/' || doc_id AS page_url,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS title
+  FROM documents
+),
+exp AS (
+  SELECT CAST(0 AS BIGINT) AS subj_kind, ent AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{RDF_TYPE}' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(0 AS BIGINT) AS obj_kind, 'https://schema.org/Article' AS obj_value, '' AS obj_lang, '' AS obj_datatype
+  FROM ld
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/name', '', '', 2, title, '', '' FROM ld
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/about', '', '', 0, page_url, '', '' FROM ld
+)
+SELECT {TERM_COLS} FROM exp""",
     # microdata extraction: 6 triples per synthesized schema.org page
     "microdata_extract": f"""WITH md AS (
   SELECT doc_id,

@@ -898,6 +898,61 @@ def q_microdata_extract(sf_dir: str):
     )
 
 
+def q_jsonld_extract(sf_dir: str):
+    """Embedded JSON-LD extraction: pages carry
+    ``<script type="application/ld+json">`` blocks (one Article node
+    per page, plus a POISON block with truncated JSON on every 9th
+    page that must quarantine without dropping the good block) —
+    the dominant structured-data syntax on today's web
+    (:mod:`argo_ray.sources.jsonld_html`).  3 triples per page."""
+    from ..io import read_table
+    from ..sources.jsonld_html import extract_jsonld_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        import json
+
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        sources = b["source"].to_pylist()
+        urls, htmls = [], []
+        for did, text, source in zip(ids, texts, sources):
+            url = f"https://ld.example.org/{source}/{did}"
+            title = " ".join(text.split(" ")[:3])
+            node = {
+                "@id": f"https://kg.example.org/ld/{did}",
+                "@type": ["https://schema.org/Article"],
+                "https://schema.org/name": title,
+                "https://schema.org/about": {
+                    "@id": f"https://docs.example.org/{source}/{did}"
+                },
+            }
+            blocks = [
+                '<script type="application/ld+json">'
+                + json.dumps(node)
+                + "</script>"
+            ]
+            if did % 9 == 0:  # poison block: truncated JSON
+                blocks.append(
+                    '<script type="application/ld+json">{"@id": "htt</script>'
+                )
+            html = "<html><head>" + "".join(blocks) + "</head><body></body></html>"
+            urls.append(url)
+            htmls.append(html.encode())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    pages = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "source"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return _finalize(
+        pages.map_batches(extract_jsonld_batch, batch_format="pyarrow")
+    )
+
+
 def q_pages_robots_filter(sf_dir: str):
     """robots.txt crawl gate with longest-match semantics: the
     docs.example.org rules disallow /src1 (a PREFIX — it also blocks
@@ -3274,6 +3329,7 @@ KG_QUERIES = {
     "pages_change_detect": q_pages_change_detect,
     "pages_robots_filter": q_pages_robots_filter,
     "microdata_extract": q_microdata_extract,
+    "jsonld_extract": q_jsonld_extract,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,

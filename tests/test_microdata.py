@@ -93,3 +93,29 @@ def test_no_microdata_yields_nothing():
     assert extract_microdata("<html><body><p>plain</p></body></html>", "u") == []
     # itemprop outside any itemscope is ignored
     assert extract_microdata('<span itemprop="x">v</span>', "u") == []
+
+
+def test_jsonld_html_extraction_and_block_quarantine():
+    from argo_ray.sources.jsonld_html import extract_jsonld, extract_jsonld_batch
+
+    good = (
+        '<script type="application/ld+json">'
+        '{"@id": "https://x/e", "@type": ["https://s/T"],'
+        ' "https://s/name": "n"}</script>'
+    )
+    poison = '<script type="application/ld+json">{"@id": "tru</script>'
+    html = f"<html><head>{good}{poison}</head></html>"
+    triples = extract_jsonld(html)
+    got = _spo(triples)
+    assert (0, "https://x/e", RDF_TYPE, 0, "https://s/T") in got
+    assert (0, "https://x/e", "https://s/name", 2, "n") in got
+    assert len(got) == 2  # the poison block contributed nothing
+
+    b = pa.table(
+        {
+            "url": pa.array(["https://p/1", "https://p/2"], pa.string()),
+            "html": pa.array([html.encode(), b"\xff\xfenot html"], pa.binary()),
+        }
+    )
+    out = extract_jsonld_batch(b)
+    assert out.num_rows == 2
