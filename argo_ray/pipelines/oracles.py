@@ -459,6 +459,56 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # multi-syntax fan-in: RDFa ∪ microdata ∪ JSON-LD, distinct
+    "kg_multisyntax_build": EXP_CTE
+    + f""", md AS (
+  SELECT doc_id,
+         'https://kg.example.org/md/' || doc_id AS ent,
+         'https://docs.example.org/' || source || '/' || doc_id AS page_url,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
+         lang,
+         'mdanon' || substr(md5('https://md.example.org/' || source || '/'
+                                || doc_id || '#md0'), 1, 16) AS skolem
+  FROM documents
+),
+mdexp AS (
+  SELECT CAST(0 AS BIGINT) AS subj_kind, ent AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{RDF_TYPE}' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(0 AS BIGINT) AS obj_kind, 'https://schema.org/Article' AS obj_value, '' AS obj_lang, '' AS obj_datatype
+  FROM md
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/inLanguage', '', '', 2, lang, '', '' FROM md
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/headline', '', '', 2, title, '', '' FROM md
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/url', '', '', 0, page_url, '', '' FROM md
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/author', '', '', 1, skolem, '', '' FROM md
+  UNION ALL
+  SELECT 1, skolem, '', '', 0, 'https://schema.org/name', '', '', 2, 'a' || doc_id, '', '' FROM md
+),
+ldd AS (
+  SELECT doc_id,
+         'https://kg.example.org/ld/' || doc_id AS ent,
+         'https://docs.example.org/' || source || '/' || doc_id AS page_url,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS title
+  FROM documents
+),
+ldexp AS (
+  SELECT CAST(0 AS BIGINT) AS subj_kind, ent AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+         CAST(0 AS BIGINT) AS pred_kind, '{RDF_TYPE}' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+         CAST(0 AS BIGINT) AS obj_kind, 'https://schema.org/Article' AS obj_value, '' AS obj_lang, '' AS obj_datatype
+  FROM ldd
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/name', '', '', 2, title, '', '' FROM ldd
+  UNION ALL
+  SELECT 0, ent, '', '', 0, 'https://schema.org/about', '', '', 0, page_url, '', '' FROM ldd
+)
+SELECT DISTINCT {TERM_COLS} FROM (
+  SELECT {TERM_COLS} FROM exp
+  UNION ALL SELECT {TERM_COLS} FROM mdexp
+  UNION ALL SELECT {TERM_COLS} FROM ldexp
+)""",
     # embedded JSON-LD: 3 triples per page; poison blocks contribute 0
     "jsonld_extract": f"""WITH ld AS (
   SELECT doc_id,

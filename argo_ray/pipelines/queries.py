@@ -953,6 +953,44 @@ def q_jsonld_extract(sf_dir: str):
     )
 
 
+def q_kg_multisyntax_build(sf_dir: str):
+    """Multi-syntax KG construction fan-in — the capstone composition
+    of this tier: RDFa pages, microdata pages and embedded-JSON-LD
+    pages each stream through their own extractor, the three triple
+    streams union, and ONE skew-proof triple-hash dedup materializes
+    the merged graph.  Each syntax contributes a disjoint entity
+    namespace here, so the expected graph is the exact union of the
+    three per-syntax oracles — at real crawl scale the same plan fuses
+    overlapping assertions for free (dedup collapses them)."""
+    from ..stages.materialize import dedup_exact
+
+    rdfa = _extract(sf_dir).map_batches(
+        lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+    )
+    micro = q_microdata_extract(sf_dir)
+    ld = q_jsonld_extract(sf_dir)
+
+    def norm(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name in TRIPLE_COLUMNS:
+            col = b[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            elif name.endswith("_value"):
+                col = pc.cast(col, pa.large_string())
+            else:
+                col = pc.cast(col, pa.string())
+            cols[name] = col
+        return pa.table(cols)
+
+    unioned = (
+        rdfa.map_batches(norm, batch_format="pyarrow")
+        .union(micro.map_batches(norm, batch_format="pyarrow"))
+        .union(ld.map_batches(norm, batch_format="pyarrow"))
+    )
+    return _finalize(dedup_exact(unioned))
+
+
 def q_pages_robots_filter(sf_dir: str):
     """robots.txt crawl gate with longest-match semantics: the
     docs.example.org rules disallow /src1 (a PREFIX — it also blocks
@@ -3330,6 +3368,7 @@ KG_QUERIES = {
     "pages_robots_filter": q_pages_robots_filter,
     "microdata_extract": q_microdata_extract,
     "jsonld_extract": q_jsonld_extract,
+    "kg_multisyntax_build": q_kg_multisyntax_build,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
