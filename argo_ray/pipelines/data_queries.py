@@ -185,6 +185,39 @@ def q_docs_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+class _LangQa:
+    """Actor-pool stage: stopword profiles compile once per actor in
+    ``__init__`` (LangId), every batch is one vectorized predict +
+    mismatch filter."""
+
+    def __init__(self):
+        self.lid = LangId()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        pred = self.lid(b.select(["doc_id", "text"]))
+        t = pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "declared": pc.cast(b["lang"], pa.string()),
+                "detected": pc.cast(pred["lang_pred"], pa.string()),
+            }
+        )
+        return t.filter(pc.not_equal(t["declared"], t["detected"]))
+
+
+def q_docs_lang_qa(sf_dir: str):
+    """Metadata-vs-content QA: documents whose DECLARED language (the
+    lang the page asserts via dc:language) disagrees with the
+    stopword-profile DETECTION over the text — the classic crawl
+    quality report (mislabeled pages poison lang-filtered training
+    sets).  Declared lang rides the same batch as the text, so the
+    whole check is ONE streaming actor-pool pass + a vectorized
+    filter: zero shuffles, zero joins."""
+    return _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        _LangQa, batch_format="pyarrow", concurrency=2
+    )
+
+
 def q_minhash_lsh_neardup(sf_dir: str):
     """MinHash-LSH near-dup over the planted near-duplicate corpus.
     Oracle: brute-force 3-shingle Jaccard over all pairs at the same
@@ -2719,6 +2752,7 @@ DATA_QUERIES = {
     "kg_fuse_majority": q_kg_fuse_majority,
     "docs_svo_triples": q_docs_svo_triples,
     "pages_url_templates": q_pages_url_templates,
+    "docs_lang_qa": q_docs_lang_qa,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3809,3 +3843,13 @@ FROM (
   SELECT 'https://hub.example.org/' FROM documents
 )
 GROUP BY regexp_replace(u, '[0-9]+', '{n}', 'g')"""
+
+
+DATA_ORACLES["docs_lang_qa"] = (
+    "WITH pred AS ("
+    + _langid_oracle_sql()
+    + """)
+SELECT d.doc_id, d.lang AS declared, p.lang_pred AS detected
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+WHERE d.lang <> p.lang_pred"""
+)

@@ -146,6 +146,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("kg_link_predict", _q_kg_link_predict),
         ("kg_sssp", _q_kg_sssp),
         ("pages_anchor_link", _q_pages_anchor_link),
+        ("kg_multisyntax_build", _q_kg_multisyntax_build),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -189,6 +190,12 @@ def _q_pages_anchor_link(sf_dir: str):
     from argo_ray.pipelines.queries import q_pages_anchor_link
 
     return q_pages_anchor_link(sf_dir)
+
+
+def _q_kg_multisyntax_build(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_multisyntax_build
+
+    return q_kg_multisyntax_build(sf_dir)
 
 
 def _kg_pagerank_forced_distributed(sf_dir: str):
