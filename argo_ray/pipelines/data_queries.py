@@ -2713,6 +2713,57 @@ def q_pages_url_templates(sf_dir: str):
     )
 
 
+def q_orders_pushdown(sf_dir: str):
+    """Predicate pushdown at the read: the row filter
+    (o_totalprice > 150000) rides the parquet scan as a
+    ``pyarrow.dataset`` expression, so row groups whose statistics
+    exclude it never leave storage — the prune-at-the-read shape the
+    100 TB layout depends on.  Cents-exact revenue per priority over
+    the surviving rows."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter_expr=pds.field("o_totalprice") > 150000.0,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(pc.cast(b["o_totalprice"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        g = pa.table(
+            {
+                "o_orderpriority": pc.cast(b["o_orderpriority"], pa.string()),
+                "cents": cents,
+            }
+        ).group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pc.cast(g["o_orderpriority"], pa.string()),
+                "cents_part": pc.cast(g["cents_sum"], pa.int64()),
+                "n_part": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("cents_part", alias_name="revenue_cents"),
+            Sum("n_part", alias_name="n_orders"),
+        )
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -2753,6 +2804,7 @@ DATA_QUERIES = {
     "docs_svo_triples": q_docs_svo_triples,
     "pages_url_templates": q_pages_url_templates,
     "docs_lang_qa": q_docs_lang_qa,
+    "orders_pushdown": q_orders_pushdown,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3853,3 +3905,10 @@ SELECT d.doc_id, d.lang AS declared, p.lang_pred AS detected
 FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 WHERE d.lang <> p.lang_pred"""
 )
+
+
+DATA_ORACLES["orders_pushdown"] = """SELECT o_orderpriority,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_totalprice > 150000
+GROUP BY o_orderpriority"""
