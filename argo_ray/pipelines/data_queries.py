@@ -2713,6 +2713,64 @@ def q_pages_url_templates(sf_dir: str):
     )
 
 
+def q_docs_datasheet(sf_dir: str):
+    """Corpus datasheet (the per-source summary every dataset release
+    publishes): documents, total characters and distinct languages per
+    source — per-batch partials carry (source, lang) pairs so the ONE
+    exchange moves source×lang rows, then a tiny per-source reduce.
+    All-integer outputs, exact oracle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "source": pc.cast(b["source"], pa.string()),
+                "lang": pc.cast(b["lang"], pa.string()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        ).group_by(["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "source": pc.cast(g["source"], pa.string()),
+                "lang": pc.cast(g["lang"], pa.string()),
+                "chars_part": pc.cast(g["n_chars_sum"], pa.int64()),
+                "n_part": pc.cast(g["n_chars_count"], pa.int64()),
+            }
+        )
+
+    per_lang = (
+        _docs(sf_dir, ("source", "lang", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("chars_part", alias_name="chars"),
+            Sum("n_part", alias_name="n"),
+        )
+    )
+
+    def reduce_source(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("source", sort=False)
+            .agg(
+                n_docs=("n", "sum"),
+                chars_total=("chars", "sum"),
+                n_langs=("lang", "nunique"),
+            )
+            .reset_index()
+        )
+        for c in ("n_docs", "chars_total", "n_langs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return grouped_map(per_lang, "source", reduce_source)
+
+
 def q_orders_pushdown(sf_dir: str):
     """Predicate pushdown at the read: the row filter
     (o_totalprice > 150000) rides the parquet scan as a
@@ -2805,6 +2863,7 @@ DATA_QUERIES = {
     "pages_url_templates": q_pages_url_templates,
     "docs_lang_qa": q_docs_lang_qa,
     "orders_pushdown": q_orders_pushdown,
+    "docs_datasheet": q_docs_datasheet,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3912,3 +3971,10 @@ DATA_ORACLES["orders_pushdown"] = """SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders WHERE o_totalprice > 150000
 GROUP BY o_orderpriority"""
+
+
+DATA_ORACLES["docs_datasheet"] = """SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source"""

@@ -459,6 +459,17 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # anchor-text surrogate per link target
+    "pages_anchor_text_agg": """SELECT dst_url,
+  CAST(COUNT(*) AS BIGINT) AS n_anchors,
+  string_agg(DISTINCT anchor, ',' ORDER BY anchor) AS anchors
+FROM (
+  SELECT 'https://site' || (doc_id % 5) || '.example.org/' AS dst_url,
+         'site' AS anchor FROM documents
+  UNION ALL
+  SELECT 'https://hub.example.org/', 'hub' FROM documents
+)
+GROUP BY dst_url""",
     # multi-syntax fan-in: RDFa ∪ microdata ∪ JSON-LD, distinct
     "kg_multisyntax_build": EXP_CTE
     + f""", md AS (

@@ -953,6 +953,42 @@ def q_jsonld_extract(sf_dir: str):
     )
 
 
+def q_pages_anchor_text_agg(sf_dir: str):
+    """Anchor-text document expansion (classic web IR): all anchor
+    texts pointing at a target URL aggregate into its surrogate
+    description — per-batch DISTINCT partials, ONE groupby(dst), and a
+    sorted comma-join inside the reduce block.  Output:
+    (dst_url, n_anchors, anchors)."""
+    import pandas as pd
+
+    from ..functions.weblinks import link_graph
+    from ..stages.grouping import grouped_map
+
+    links = link_graph(pages_dataset(sf_dir)).map_batches(
+        lambda b: pa.table(
+            {
+                "dst_url": pc.cast(b["dst_url"], pa.string()),
+                "anchor": pc.cast(b["anchor"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("dst_url", sort=False)
+            .agg(
+                n_anchors=("anchor", "size"),
+                anchors=("anchor", lambda s: ",".join(sorted(set(s)))),
+            )
+            .reset_index()
+        )
+        out["n_anchors"] = out["n_anchors"].astype("int64")
+        return out
+
+    return grouped_map(links, "dst_url", agg)
+
+
 def q_kg_multisyntax_build(sf_dir: str):
     """Multi-syntax KG construction fan-in — the capstone composition
     of this tier: RDFa pages, microdata pages and embedded-JSON-LD
@@ -3369,6 +3405,7 @@ KG_QUERIES = {
     "microdata_extract": q_microdata_extract,
     "jsonld_extract": q_jsonld_extract,
     "kg_multisyntax_build": q_kg_multisyntax_build,
+    "pages_anchor_text_agg": q_pages_anchor_text_agg,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
