@@ -129,6 +129,82 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+SCHEMA_ORG = "https://schema.org/"
+
+
+def synth_microdata_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → schema.org microdata pages (deterministic —
+    the HTML5 itemscope/itemprop twin of :func:`synth_pages_batch`;
+    6 triples per page, oracle-reconstructable)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, htmls = [], []
+    for did, text, lang, source in zip(ids, texts, langs, sources):
+        url = f"https://md.example.org/{source}/{did}"
+        title = title_of(text)
+        page_url = f"https://docs.example.org/{source}/{did}"
+        html = (
+            "<html><body>"
+            f'<div itemscope itemtype="{SCHEMA_ORG}Article" '
+            f'itemid="https://kg.example.org/md/{did}">'
+            f'<span itemprop="{SCHEMA_ORG}inLanguage" content="{lang}"></span>'
+            f'<span itemprop="headline">{title}</span>'
+            f'<a itemprop="{SCHEMA_ORG}url" href="{page_url}">link</a>'
+            f'<div itemprop="author" itemscope>'
+            f'<span itemprop="{SCHEMA_ORG}name">a{did}</span></div>'
+            "</div></body></html>"
+        )
+        urls.append(url)
+        htmls.append(html.encode())
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+def synth_jsonld_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → pages embedding one expanded-form JSON-LD
+    Article block (3 triples), plus a POISON truncated block on every
+    9th page that must quarantine."""
+    import json
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, htmls = [], []
+    for did, text, source in zip(ids, texts, sources):
+        url = f"https://ld.example.org/{source}/{did}"
+        title = " ".join(text.split(" ")[:3])
+        node = {
+            "@id": f"https://kg.example.org/ld/{did}",
+            "@type": [f"{SCHEMA_ORG}Article"],
+            f"{SCHEMA_ORG}name": title,
+            f"{SCHEMA_ORG}about": {
+                "@id": f"https://docs.example.org/{source}/{did}"
+            },
+        }
+        blocks = [
+            '<script type="application/ld+json">' + json.dumps(node) + "</script>"
+        ]
+        if did % 9 == 0:  # poison block: truncated JSON
+            blocks.append(
+                '<script type="application/ld+json">{"@id": "htt</script>'
+            )
+        html = "<html><head>" + "".join(blocks) + "</head><body></body></html>"
+        urls.append(url)
+        htmls.append(html.encode())
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
 def pages_dataset(
     sf_dir: str,
     parallelism: int | None = None,

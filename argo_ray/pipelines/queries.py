@@ -856,43 +856,12 @@ def q_microdata_extract(sf_dir: str):
     (:mod:`argo_ray.sources.microdata`).  6 triples per page, all
     reconstructed relationally by the oracle."""
     from ..io import read_table
+    from ..pages import synth_microdata_batch
     from ..sources.microdata import extract_microdata_batch
-
-    SCHEMA = "https://schema.org/"
-
-    def synth(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        texts = b["text"].to_pylist()
-        langs = b["lang"].to_pylist()
-        sources = b["source"].to_pylist()
-        urls, htmls = [], []
-        for did, text, lang, source in zip(ids, texts, langs, sources):
-            url = f"https://md.example.org/{source}/{did}"
-            title = " ".join(text.split(" ")[:5])
-            page_url = f"https://docs.example.org/{source}/{did}"
-            html = (
-                "<html><body>"
-                f'<div itemscope itemtype="{SCHEMA}Article" '
-                f'itemid="https://kg.example.org/md/{did}">'
-                f'<span itemprop="{SCHEMA}inLanguage" content="{lang}"></span>'
-                f'<span itemprop="headline">{title}</span>'
-                f'<a itemprop="{SCHEMA}url" href="{page_url}">link</a>'
-                f'<div itemprop="author" itemscope>'
-                f'<span itemprop="{SCHEMA}name">a{did}</span></div>'
-                "</div></body></html>"
-            )
-            urls.append(url)
-            htmls.append(html.encode())
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "html": pa.array(htmls, pa.binary()),
-            }
-        )
 
     pages = read_table(
         sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
-    ).map_batches(synth, batch_format="pyarrow")
+    ).map_batches(synth_microdata_batch, batch_format="pyarrow")
     return _finalize(
         pages.map_batches(extract_microdata_batch, batch_format="pyarrow")
     )
@@ -906,48 +875,12 @@ def q_jsonld_extract(sf_dir: str):
     the dominant structured-data syntax on today's web
     (:mod:`argo_ray.sources.jsonld_html`).  3 triples per page."""
     from ..io import read_table
+    from ..pages import synth_jsonld_batch
     from ..sources.jsonld_html import extract_jsonld_batch
-
-    def synth(b: pa.Table) -> pa.Table:
-        import json
-
-        ids = b["doc_id"].to_pylist()
-        texts = b["text"].to_pylist()
-        sources = b["source"].to_pylist()
-        urls, htmls = [], []
-        for did, text, source in zip(ids, texts, sources):
-            url = f"https://ld.example.org/{source}/{did}"
-            title = " ".join(text.split(" ")[:3])
-            node = {
-                "@id": f"https://kg.example.org/ld/{did}",
-                "@type": ["https://schema.org/Article"],
-                "https://schema.org/name": title,
-                "https://schema.org/about": {
-                    "@id": f"https://docs.example.org/{source}/{did}"
-                },
-            }
-            blocks = [
-                '<script type="application/ld+json">'
-                + json.dumps(node)
-                + "</script>"
-            ]
-            if did % 9 == 0:  # poison block: truncated JSON
-                blocks.append(
-                    '<script type="application/ld+json">{"@id": "htt</script>'
-                )
-            html = "<html><head>" + "".join(blocks) + "</head><body></body></html>"
-            urls.append(url)
-            htmls.append(html.encode())
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "html": pa.array(htmls, pa.binary()),
-            }
-        )
 
     pages = read_table(
         sf_dir, "documents", columns=["doc_id", "text", "source"]
-    ).map_batches(synth, batch_format="pyarrow")
+    ).map_batches(synth_jsonld_batch, batch_format="pyarrow")
     return _finalize(
         pages.map_batches(extract_jsonld_batch, batch_format="pyarrow")
     )

@@ -24,9 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--salt", default="", help="skolemization salt")
     ap.add_argument(
-        "--pipeline", choices=("kg", "clean"), default="kg",
+        "--pipeline", choices=("kg", "clean", "multisyntax"), default="kg",
         help="kg: pages -> triples -> dedup (flagship); clean: quality "
-        "gate -> PII redact -> normalize -> fingerprint (corpus cleaning)",
+        "gate -> PII redact -> normalize -> fingerprint (corpus "
+        "cleaning); multisyntax: RDFa + microdata + JSON-LD fan-in -> "
+        "one deduped KG",
     )
     ap.add_argument(
         "--on-mismatch", choices=("error", "invalidate"), default="error",

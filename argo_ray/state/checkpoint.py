@@ -37,6 +37,15 @@ STAGE_VERSIONS = {
     "dedup_exact": 1,
 }
 
+# the multi-syntax KG build (--pipeline multisyntax) versions
+MULTI_STAGE_VERSIONS = {
+    "synth_pages": 1,
+    "rdfa_extract": 1,
+    "microdata_extract": 1,
+    "jsonld_extract": 1,
+    "dedup_exact": 1,
+}
+
 # the corpus-cleaning job (--pipeline clean) versions independently
 CLEAN_STAGE_VERSIONS = {
     "quality_gate": 1,
@@ -258,6 +267,96 @@ def run_partition(spec: dict, out_dir: str, salt: str = "") -> dict:
     }
 
 
+def run_partition_multisyntax(spec: dict, out_dir: str, salt: str = "") -> dict:
+    """One partition of the multi-syntax KG build: the documents slice
+    synthesizes its RDFa, microdata and embedded-JSON-LD page families,
+    each streams through its own extractor, the three triple streams
+    union under one pinned schema, and the skew-proof dedup commits one
+    parquet shard — the run-resumable form of kg_multisyntax_build."""
+    import ray.data as rd
+
+    from ..pages import synth_jsonld_batch, synth_microdata_batch, synth_pages_batch
+    from ..sources.jsonld_html import extract_jsonld_batch
+    from ..sources.microdata import extract_microdata_batch
+    from ..sources.rdfa import extract_rdfa_batch
+    from ..stages.materialize import dedup_exact
+    from ..terms import TRIPLE_COLUMNS
+
+    pid = spec["partition_id"]
+    pred = spec.get("predicate")
+    t0 = time.time()
+    counters = StageCounters.remote()
+
+    ds = rd.read_parquet(spec["input_fragments"])
+    if pred is not None:
+        import numpy as np
+
+        def part_filter(b: pa.Table) -> pa.Table:
+            vals = b[pred["column"]].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(vals % pred["mod"] == pred["rem"]))
+
+        ds = ds.map_batches(part_filter, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _counting(counters, "documents"), batch_format="pyarrow"
+    ).materialize()  # consumed by three branches
+
+    def norm(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for name in TRIPLE_COLUMNS:
+            col = b[name]
+            if name.endswith("_kind"):
+                col = pc.cast(col, pa.int64())
+            elif name.endswith("_value"):
+                col = pc.cast(col, pa.large_string())
+            else:
+                col = pc.cast(col, pa.string())
+            cols[name] = col
+        return pa.table(cols)
+
+    branches = []
+    for synth, extract, cname in (
+        (synth_pages_batch, lambda b: extract_rdfa_batch(b, salt=salt), "rdfa"),
+        (
+            synth_microdata_batch,
+            lambda b: extract_microdata_batch(b, salt=salt),
+            "microdata",
+        ),
+        (synth_jsonld_batch, extract_jsonld_batch, "jsonld"),
+    ):
+        branches.append(
+            ds.map_batches(synth, batch_format="pyarrow")
+            .map_batches(extract, batch_format="pyarrow")
+            .map_batches(_counting(counters, f"triples_{cname}"), batch_format="pyarrow")
+            .map_batches(norm, batch_format="pyarrow")
+        )
+    unioned = branches[0].union(branches[1]).union(branches[2])
+    deduped = dedup_exact(unioned)
+
+    n_deduped, output_files = _commit_shard(deduped, out_dir, pid)
+
+    counts = ray.get(counters.get.remote())
+    return {
+        "partition_id": pid,
+        "pipeline": "multisyntax",
+        "input_fragments": spec["input_fragments"],
+        "predicate": spec.get("predicate"),
+        "salt": salt,
+        "stage_versions": MULTI_STAGE_VERSIONS,
+        "row_counts": {
+            "documents": counts.get("documents", 0),
+            "triples_rdfa": counts.get("triples_rdfa", 0),
+            "triples_microdata": counts.get("triples_microdata", 0),
+            "triples_jsonld": counts.get("triples_jsonld", 0),
+            "triples_deduped": n_deduped,
+        },
+        "output_files": output_files,
+        "wall_sec": round(time.time() - t0, 3),
+        "committed_at_unix": int(time.time()),
+    }
+
+
 def run_partition_clean(spec: dict, out_dir: str) -> dict:
     """Run the corpus-cleaning pipeline for one partition and commit its
     shard atomically: quality gate (word count >= 20 AND >= 1 en
@@ -352,14 +451,18 @@ def _spec_mismatch(
         out.append("input_fragments")
     if rec.get("predicate") != spec.get("predicate"):
         out.append("predicate")
-    if pipeline == "kg" and rec.get("salt", "") != salt:
+    if pipeline in ("kg", "multisyntax") and rec.get("salt", "") != salt:
         # a different skolemization salt would mix two anon-id
         # namespaces over the same pages — incompatible outputs.
         # The clean pipeline has no skolemization (records carry
         # salt=""), so comparing against the CLI --salt there would
         # make every salted re-invocation unresumable.
         out.append("salt")
-    expected = STAGE_VERSIONS if pipeline == "kg" else CLEAN_STAGE_VERSIONS
+    expected = {
+        "kg": STAGE_VERSIONS,
+        "multisyntax": MULTI_STAGE_VERSIONS,
+        "clean": CLEAN_STAGE_VERSIONS,
+    }[pipeline]
     if rec.get("stage_versions") != expected:
         out.append("stage_versions")
     return out
@@ -429,6 +532,8 @@ def run_checkpointed(
                 shutil.rmtree(stale)
         if pipeline == "clean":
             record = run_partition_clean(spec, out_dir)
+        elif pipeline == "multisyntax":
+            record = run_partition_multisyntax(spec, out_dir, salt)
         else:
             record = run_partition(spec, out_dir, salt)
         manifest.commit(record)

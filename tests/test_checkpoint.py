@@ -236,3 +236,33 @@ def test_clean_salted_resume_and_stable_fingerprints(ray_session, out_dir):
     assert [int(v) for v in df.fingerprint2] == hash64_stable(
         texts, seed=1
     ).to_pylist()
+
+
+def test_multisyntax_pipeline_run_and_resume(ray_session, out_dir):
+    """--pipeline multisyntax: RDFa + microdata + JSON-LD fan-in,
+    committed per partition; resume skips everything; the shard union
+    equals the three per-syntax triple sets deduped (7644 at sf0.001)."""
+    import duckdb
+
+    first = run_checkpointed(
+        SF_DIR, out_dir, num_partitions=4, pipeline="multisyntax"
+    )
+    assert first["completed"] == [0, 1, 2, 3]
+    assert first["total_triples_deduped"] == 7644
+    second = run_checkpointed(
+        SF_DIR, out_dir, num_partitions=4, pipeline="multisyntax"
+    )
+    assert second["completed"] == [] and second["skipped"] == [0, 1, 2, 3]
+    df = duckdb.sql(
+        f"SELECT COUNT(*) AS n FROM "
+        f"read_parquet('{out_dir}/partitions/*/*.parquet')"
+    ).df()
+    assert int(df.n[0]) == 7644
+    # lineage records carry per-syntax raw counts
+    rec = json.load(
+        open(os.path.join(out_dir, "manifest", "part-0.json"))
+    )
+    rc = rec["row_counts"]
+    assert rc["triples_rdfa"] > 0
+    assert rc["triples_microdata"] == rc["documents"] * 6
+    assert rc["triples_jsonld"] == rc["documents"] * 3
