@@ -891,6 +891,8 @@ class _KnnLabelVote:
     break to the smallest label (``np.argmax`` returns the first
     maximum of the bincount)."""
 
+    _OUT_SCHEMA = pa.schema([("vec_id", pa.int64()), ("pred_label", pa.int64())])
+
     def __init__(self, corpus_ref, k: int = 10):
         import ray
 
@@ -899,7 +901,11 @@ class _KnnLabelVote:
         )
         self.ids = np.asarray(ids, dtype=np.int64)  # sorted ascending
         self.mat = _normalize(np.asarray(mat, dtype=np.float64))
-        self.labels = np.asarray(labels, dtype=np.int64)
+        # vote in DENSE label space: np.unique sorts ascending, so the
+        # first-max argmax still breaks ties to the SMALLEST label while
+        # negative or sparse (e.g. 10^9) label ids stay O(#classes)
+        raw = np.asarray(labels, dtype=np.int64)
+        self.classes, self.labels = np.unique(raw, return_inverse=True)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -908,16 +914,20 @@ class _KnnLabelVote:
         scores = m @ self.mat.T
         scores[src_ids[:, None] == self.ids[None, :]] = -np.inf
         k = min(self.k, scores.shape[1] - 1)
+        if k <= 0:
+            # no neighbor exists (single-vector corpus): no prediction,
+            # matching the oracle's empty self-join
+            return self._OUT_SCHEMA.empty_table()
         order = np.argsort(-scores, axis=1, kind="stable")[:, :k]  # (B, k)
-        neigh_labels = self.labels[order]  # (B, k)
-        nlab = int(self.labels.max()) + 1 if len(self.labels) else 1
+        neigh_labels = self.labels[order]  # (B, k) dense class ranks
+        nlab = len(self.classes)
         offs = neigh_labels + np.arange(len(src_ids))[:, None] * nlab
         counts = np.bincount(offs.ravel(), minlength=len(src_ids) * nlab)
         pred = counts.reshape(len(src_ids), nlab).argmax(axis=1)
         return pa.table(
             {
                 "vec_id": pa.array(src_ids, pa.int64()),
-                "pred_label": pa.array(pred.astype(np.int64), pa.int64()),
+                "pred_label": pa.array(self.classes[pred], pa.int64()),
             }
         )
 
@@ -931,6 +941,11 @@ def knn_label_predict(embeddings_ds, k: int = 10):
     import ray
 
     rows = embeddings_ds.select_columns(["vec_id", "embedding", "label"]).take_all()
+    # null labels can't vote: the corpus is the LABELED subset (every
+    # row is still predicted FOR — the weak-supervision shape)
+    rows = [r for r in rows if r["label"] is not None]
+    if not rows:
+        raise ValueError("knn_label_predict: no labeled rows in the corpus")
     rows.sort(key=lambda r: r["vec_id"])
     ids = [r["vec_id"] for r in rows]
     mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)

@@ -103,6 +103,12 @@ def _keyed_edges(
         out = df.rename(columns={key_col: "key", out_col: "out"}).copy()
         if weight_col is not None:
             w = out[weight_col].astype("float64")
+            if (w <= 0).any():
+                # a zero/negative weight makes the sum_w/w divisor NaN
+                # or flips contribution signs — NaN ranks with no error
+                raise ValueError(
+                    f"weight_col {weight_col!r} must be strictly positive"
+                )
             out["w"] = (
                 out.groupby("key", sort=False)[weight_col]
                 .transform("sum")
@@ -292,6 +298,8 @@ def _pagerank_small_weighted(edges_ds, iters: int, damping: float):
         src_v = b["src"].to_pandas()
         dst_v = b["dst"].to_pandas()
         w = pc.cast(b["w"], pa.float64()).to_numpy(zero_copy_only=False)
+        if (w <= 0).any():
+            raise ValueError("weight column must be strictly positive")
         nodes = pd.Index(pd.unique(pd.concat([src_v, dst_v], ignore_index=True)))
         src = nodes.get_indexer(src_v)
         dst = nodes.get_indexer(dst_v)
@@ -1476,7 +1484,7 @@ def link_prediction_jaccard(
     differentially pinned equal on random graphs); above it, the
     distributed wedge plan below.
     """
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Count, Min, Sum
 
     from .kgembed import _lookup_join, dense_rank_ids
 

@@ -58,6 +58,10 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
             pa.large_string(),
         )
     segs = pc.split_pattern(html, "<a ")
+    # drop each list's FIRST segment: it precedes any "<a " and could
+    # otherwise phantom-match when the page's first tag carries href
+    # before any '>' (e.g. a leading <link href=...> with no head tag)
+    segs = pc.list_slice(segs, 1)
     flat = pc.list_flatten(segs)
     parents = pc.list_parent_indices(segs)
     hit = pc.extract_regex(pc.cast(flat, pa.string()), _ANCHOR_RE)

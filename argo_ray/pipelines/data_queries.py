@@ -2591,14 +2591,11 @@ def q_kg_fuse_majority(sf_dir: str):
     )
 
     def winner(df: pd.DataFrame) -> pd.DataFrame:
+        # grouped_map hands ONE entity per call: argmax = sort + head
         df = df.sort_values(
-            ["entity", "support", "value"],
-            ascending=[True, False, True],
-            kind="mergesort",
+            ["support", "value"], ascending=[False, True], kind="mergesort"
         )
-        return df.groupby("entity", sort=False).head(1)[
-            ["entity", "value", "support"]
-        ]
+        return df.head(1)[["entity", "value", "support"]]
 
     return grouped_map(counts, "entity", winner)
 
@@ -2755,18 +2752,17 @@ def q_docs_datasheet(sf_dir: str):
     )
 
     def reduce_source(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby("source", sort=False)
-            .agg(
-                n_docs=("n", "sum"),
-                chars_total=("chars", "sum"),
-                n_langs=("lang", "nunique"),
-            )
-            .reset_index()
+        # one source per call
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [int(g["n"].sum())],
+                "chars_total": [int(g["chars"].sum())],
+                "n_langs": [int(g["lang"].nunique())],
+            }
         )
-        for c in ("n_docs", "chars_total", "n_langs"):
-            out[c] = out[c].astype("int64")
-        return out
 
     return grouped_map(per_lang, "source", reduce_source)
 

@@ -364,26 +364,18 @@ def q_kg_predicate_align(sf_dir: str):
     )
 
     def pairs(df: pd.DataFrame) -> pa.Table:
+        # one subject per call: its predicate set pairs directly
         import numpy as np
 
-        if len(df) == 0:
+        ps = np.sort(df["p"].to_numpy(dtype=object))
+        if len(ps) < 2:
             return pair_schema.empty_table()
-        pas, pbs = [], []
-        for _, g in df.groupby("s", sort=False):
-            ps = np.sort(g["p"].to_numpy(dtype=object))
-            if len(ps) < 2:
-                continue
-            i, j = np.triu_indices(len(ps), 1)
-            pas.append(ps[i])
-            pbs.append(ps[j])
-        if not pas:
-            return pair_schema.empty_table()
-        a = np.concatenate(pas)
+        i, j = np.triu_indices(len(ps), 1)
         return pa.table(
             {
-                "pred_a": pa.array(a, pa.string()),
-                "pred_b": pa.array(np.concatenate(pbs), pa.string()),
-                "part": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                "pred_a": pa.array(ps[i], pa.string()),
+                "pred_b": pa.array(ps[j], pa.string()),
+                "part": pa.array(np.ones(len(i), np.int64), pa.int64()),
             }
         )
 
@@ -539,31 +531,7 @@ def q_pages_host_pagerank_weighted(sf_dir: str):
     receives 5× the mass.  Same rounding/tie-break contract as the
     unweighted twin (:func:`argo_ray.functions.graph.pagerank` with
     ``weight_col``)."""
-    from ..functions.graph import pagerank
-    from ..functions.weblinks import host_graph
-    from ..pages import pages_dataset
-
-    edges = host_graph(pages_dataset(sf_dir)).map_batches(
-        lambda b: pa.table(
-            {
-                "src": pc.cast(b["src_host"], pa.string()),
-                "dst": pc.cast(b["dst_host"], pa.string()),
-                "w": pc.cast(b["n_links"], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    ranks = pagerank(edges, iters=PAGERANK_ITERS, damping=0.85, weight_col="w")
-    rounded = ranks.map_batches(
-        lambda b: pa.table(
-            {
-                "node": pc.cast(b["node"], pa.string()),
-                "pr": pc.round(pc.cast(b["rank"], pa.float64()), ndigits=6),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+    return _host_pagerank(sf_dir, weighted=True)
 
 
 def q_kg_temporal_fuse(sf_dir: str):
@@ -643,26 +611,29 @@ def q_kg_temporal_fuse(sf_dir: str):
     return _finalize(fused)
 
 
-def q_pages_host_pagerank(sf_dir: str):
-    """Web authority at host granularity: the host-level link graph
-    (distinct host pairs) ranked by 5 PageRank iterations — the
-    composition pipeline a crawl scheduler runs (extract anchors →
-    aggregate hosts → rank).  Same rounding/tie-break contract as
-    kg_pagerank."""
+def _host_pagerank(sf_dir: str, weighted: bool):
+    """Shared host-authority pipeline: extract anchors → aggregate
+    hosts → 5 PageRank iterations (link-count transition weights when
+    ``weighted``), same rounding/tie-break contract as kg_pagerank."""
     from ..functions.graph import pagerank
     from ..functions.weblinks import host_graph
-    from ..pages import pages_dataset
+
+    def project(b: pa.Table) -> pa.Table:
+        cols = {
+            "src": pc.cast(b["src_host"], pa.string()),
+            "dst": pc.cast(b["dst_host"], pa.string()),
+        }
+        if weighted:
+            cols["w"] = pc.cast(b["n_links"], pa.int64())
+        return pa.table(cols)
 
     edges = host_graph(pages_dataset(sf_dir)).map_batches(
-        lambda b: pa.table(
-            {
-                "src": pc.cast(b["src_host"], pa.string()),
-                "dst": pc.cast(b["dst_host"], pa.string()),
-            }
-        ),
-        batch_format="pyarrow",
+        project, batch_format="pyarrow"
     )
-    ranks = pagerank(edges, iters=PAGERANK_ITERS, damping=0.85)
+    ranks = pagerank(
+        edges, iters=PAGERANK_ITERS, damping=0.85,
+        weight_col="w" if weighted else None,
+    )
     rounded = ranks.map_batches(
         lambda b: pa.table(
             {
@@ -673,6 +644,14 @@ def q_pages_host_pagerank(sf_dir: str):
         batch_format="pyarrow",
     )
     return rounded.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
+def q_pages_host_pagerank(sf_dir: str):
+    """Web authority at host granularity: the host-level link graph
+    (distinct host pairs) ranked by 5 PageRank iterations — the
+    composition pipeline a crawl scheduler runs (extract anchors →
+    aggregate hosts → rank)."""
+    return _host_pagerank(sf_dir, weighted=False)
 
 
 PAGERANK_ITERS = 5
@@ -908,16 +887,14 @@ def q_pages_anchor_text_agg(sf_dir: str):
     )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby("dst_url", sort=False)
-            .agg(
-                n_anchors=("anchor", "size"),
-                anchors=("anchor", lambda s: ",".join(sorted(set(s)))),
-            )
-            .reset_index()
+        # one target URL per call
+        return pd.DataFrame(
+            {
+                "dst_url": [g["dst_url"].iloc[0]],
+                "n_anchors": [int(len(g))],
+                "anchors": [",".join(sorted(set(g["anchor"])))],
+            }
         )
-        out["n_anchors"] = out["n_anchors"].astype("int64")
-        return out
 
     return grouped_map(links, "dst_url", agg)
 
@@ -933,29 +910,18 @@ def q_kg_multisyntax_build(sf_dir: str):
     overlapping assertions for free (dedup collapses them)."""
     from ..stages.materialize import dedup_exact
 
+    from ..terms import cast_triple_schema
+
     rdfa = _extract(sf_dir).map_batches(
         lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
     )
     micro = q_microdata_extract(sf_dir)
     ld = q_jsonld_extract(sf_dir)
 
-    def norm(b: pa.Table) -> pa.Table:
-        cols = {}
-        for name in TRIPLE_COLUMNS:
-            col = b[name]
-            if name.endswith("_kind"):
-                col = pc.cast(col, pa.int64())
-            elif name.endswith("_value"):
-                col = pc.cast(col, pa.large_string())
-            else:
-                col = pc.cast(col, pa.string())
-            cols[name] = col
-        return pa.table(cols)
-
     unioned = (
-        rdfa.map_batches(norm, batch_format="pyarrow")
-        .union(micro.map_batches(norm, batch_format="pyarrow"))
-        .union(ld.map_batches(norm, batch_format="pyarrow"))
+        rdfa.map_batches(cast_triple_schema, batch_format="pyarrow")
+        .union(micro.map_batches(cast_triple_schema, batch_format="pyarrow"))
+        .union(ld.map_batches(cast_triple_schema, batch_format="pyarrow"))
     )
     return _finalize(dedup_exact(unioned))
 
@@ -2947,15 +2913,20 @@ def q_kg_walk_pairs(sf_dir: str):
     )
 
     def pair_block(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return pair_schema.empty_table()
-        m = df.merge(df, on="_k", suffixes=("_a", "_b"))
-        d = (m["step_a"] - m["step_b"]).abs()
-        m = m[(d > 0) & (d <= 2)]
-        if len(m) == 0:
+        # one walk per call: all ordered step pairs within the window
+        import numpy as np
+
+        steps = df["step"].to_numpy(dtype=np.int64)
+        nodes = df["node"].to_numpy(dtype=object)
+        i, j = np.nonzero(
+            (np.abs(steps[:, None] - steps[None, :]) <= 2)
+            & (steps[:, None] != steps[None, :])
+        )
+        if len(i) == 0:
             return pair_schema.empty_table()
         g = (
-            m.groupby(["node_a", "node_b"], sort=False)
+            pd.DataFrame({"node_a": nodes[i], "node_b": nodes[j]})
+            .groupby(["node_a", "node_b"], sort=False)
             .size()
             .reset_index(name="part")
         )

@@ -62,27 +62,19 @@ def latest_functional_fusion(triples_ds, ts_col: str, functional_preds):
         return b.append_column("_sp", pc.cast(key, pa.string()))
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
+        # grouped_map hands ONE (s, p) group per call; the tie-break
+        # covers EVERY object facet so equal-ts conflicts (e.g. "X"@en
+        # vs "X"@de) resolve identically regardless of block order
         g = g.sort_values(
-            ["_sp", ts_col, "obj_value"],
-            ascending=[True, False, False],
+            [ts_col, "obj_value", "obj_lang", "obj_datatype", "obj_kind"],
+            ascending=False,
             kind="mergesort",
         )
-        return g.groupby("_sp", sort=False).head(1)[TRIPLE_COLUMNS]
+        return g.head(1)[TRIPLE_COLUMNS]
 
-    def norm(b: pa.Table) -> pa.Table:
-        # pin one schema so the pandas-derived fused blocks and the
-        # Arrow-native multi-valued blocks union cleanly
-        cols = {}
-        for name in TRIPLE_COLUMNS:
-            col = b[name]
-            if name.endswith("_kind"):
-                col = pc.cast(col, pa.int64())
-            elif name.endswith("_value"):
-                col = pc.cast(col, pa.large_string())
-            else:
-                col = pc.cast(col, pa.string())
-            cols[name] = col
-        return pa.table(cols)
+    # pin one schema so the pandas-derived fused blocks and the
+    # Arrow-native multi-valued blocks union cleanly
+    from ..terms import cast_triple_schema as norm
 
     fused_func = grouped_map(
         func_rows.map_batches(key_rows, batch_format="pyarrow"), "_sp", newest

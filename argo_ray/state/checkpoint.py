@@ -280,7 +280,7 @@ def run_partition_multisyntax(spec: dict, out_dir: str, salt: str = "") -> dict:
     from ..sources.microdata import extract_microdata_batch
     from ..sources.rdfa import extract_rdfa_batch
     from ..stages.materialize import dedup_exact
-    from ..terms import TRIPLE_COLUMNS
+    from ..terms import cast_triple_schema as norm
 
     pid = spec["partition_id"]
     pred = spec.get("predicate")
@@ -299,21 +299,6 @@ def run_partition_multisyntax(spec: dict, out_dir: str, salt: str = "") -> dict:
     ds = ds.map_batches(
         _counting(counters, "documents"), batch_format="pyarrow"
     ).materialize()  # consumed by three branches
-
-    def norm(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        cols = {}
-        for name in TRIPLE_COLUMNS:
-            col = b[name]
-            if name.endswith("_kind"):
-                col = pc.cast(col, pa.int64())
-            elif name.endswith("_value"):
-                col = pc.cast(col, pa.large_string())
-            else:
-                col = pc.cast(col, pa.string())
-            cols[name] = col
-        return pa.table(cols)
 
     branches = []
     for synth, extract, cname in (

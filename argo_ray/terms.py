@@ -136,6 +136,26 @@ def triple_schema(with_url: bool = True, with_hash: bool = True) -> pa.Schema:
 TRIPLE_COLUMNS = [f"{p}_{s}" for p in POSITIONS for s in TERM_SUFFIXES]
 
 
+def cast_triple_schema(b: "pa.Table") -> "pa.Table":
+    """Pin the 12 term columns to ONE union-safe schema (kinds int64,
+    values large_string, lang/datatype string) — the single normalize
+    every multi-stream union must share so pandas-derived and
+    Arrow-native blocks never mix block types."""
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name in TRIPLE_COLUMNS:
+        col = b[name]
+        if name.endswith("_kind"):
+            col = pc.cast(col, pa.int64())
+        elif name.endswith("_value"):
+            col = pc.cast(col, pa.large_string())
+        else:
+            col = pc.cast(col, pa.string())
+        cols[name] = col
+    return pa.table(cols)
+
+
 def triples_to_table(
     rows: list[tuple[Term, Term, Term]],
     urls: list[str] | None = None,
