@@ -1569,3 +1569,72 @@ def test_knn_graph_ivf_recall(ray_session):
         assert len(a_sets[s] & e_sets[s]) / 10 >= 0.5, s
     ranks = approx[approx.src_id == int(e_sets.index[0])]["rank"].sort_values()
     assert list(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_knn_label_vote_edge_cases(ray_session):
+    """Review regressions: negative/sparse labels vote in dense class
+    space (no bincount crash, ties to the smallest label); null-label
+    rows are excluded from the corpus but still predicted for; a
+    single-vector corpus emits no prediction."""
+    import ray
+    import ray.data as rd
+
+    from argo_ray.functions.ann import _KnnLabelVote, knn_label_predict
+
+    # negative + sparse labels: 4 identical vectors, labels [-1,-1,5,10**9]
+    ids = [0, 1, 2, 3]
+    mat = np.ones((4, 4), dtype=np.float64)
+    stage = _KnnLabelVote((ids, mat, [-1, -1, 5, 10**9]), k=3)
+    batch = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([[1.0] * 4] * 4, pa.list_(pa.float64())),
+        }
+    )
+    out = stage(batch).to_pandas()
+    # every row's 3 neighbors carry labels {-1,-1,x} -> -1 wins
+    assert list(out.pred_label) == [-1, -1, -1, -1]
+
+    # null label excluded from corpus, still predicted for
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [1.0, 0.1], [0.9, 0.1]], pa.list_(pa.float64())
+                ),
+                "label": pa.array([7, None, 7], pa.int64()),
+            }
+        )
+    )
+    got = {r["vec_id"]: r["pred_label"] for r in knn_label_predict(ds, k=2).take_all()}
+    assert set(got) == {0, 1, 2} and set(got.values()) == {7}
+
+    # single-vector corpus: no neighbor -> no prediction row
+    one = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([42], pa.int64()),
+                "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float64())),
+                "label": pa.array([3], pa.int64()),
+            }
+        )
+    )
+    assert knn_label_predict(one, k=5).take_all() == []
+
+
+def test_extract_links_no_phantom_from_leading_href():
+    """A page whose FIRST tag carries href before any '>' must not
+    phantom-match (the pre-anchor segment is dropped per page)."""
+    from argo_ray.functions.weblinks import extract_links_batch
+
+    b = pa.table(
+        {
+            "url": pa.array(["https://p/1"], pa.string()),
+            "html": pa.array(
+                [b'<link href="/s.css">x<a href="https://t/">t</a>'], pa.binary()
+            ),
+        }
+    )
+    out = extract_links_batch(b)
+    assert out["dst_url"].to_pylist() == ["https://t/"]
