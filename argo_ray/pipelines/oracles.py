@@ -459,6 +459,17 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # VoID descriptor: five exact scalars over the deduped graph
+    "kg_void_stats": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj_value) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT CASE WHEN obj_kind <> 2 THEN obj_value END) AS BIGINT) AS n_objects,
+       CAST(COUNT(DISTINCT pred_value) AS BIGINT) AS n_properties,
+       CAST(COUNT(DISTINCT CASE WHEN pred_value =
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         THEN obj_value END) AS BIGINT) AS n_classes
+FROM d""",
     # anchor-text surrogate per link target
     "pages_anchor_text_agg": """SELECT dst_url,
   CAST(COUNT(*) AS BIGINT) AS n_anchors,

@@ -899,6 +899,64 @@ def q_pages_anchor_text_agg(sf_dir: str):
     return grouped_map(links, "dst_url", agg)
 
 
+def q_kg_void_stats(sf_dir: str):
+    """VoID dataset descriptor (the W3C self-description every
+    published KG ships): triple count plus exact distinct subjects /
+    objects / properties / classes over the deduped graph.  Each
+    distinct count is its own groupby exchange over ONE narrow column
+    (the per-batch partial-distinct combiner bounds shuffle volume by
+    per-batch uniques); the five scalars join driver-side."""
+    from ray.data.aggregate import Count
+
+    base = _deduped(sf_dir).materialize()
+    n_triples = base.count()
+
+    def distinct_count(col_fn, name: str) -> int:
+        def partial(b: pa.Table) -> pa.Table:
+            vals = col_fn(b)
+            g = pa.table({"v": pc.cast(vals, pa.string())}).group_by("v").aggregate(
+                [("v", "count")]
+            )
+            return pa.table({"v": pc.cast(g["v"], pa.string())})
+
+        return (
+            base.map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Count(alias_name="_n"))
+            .count()
+        )
+
+    n_subjects = distinct_count(lambda b: b["subj_value"], "subjects")
+    n_objects = distinct_count(
+        lambda b: b.filter(
+            pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), 2)
+        )["obj_value"],
+        "objects",
+    )
+    n_properties = distinct_count(lambda b: b["pred_value"], "properties")
+    n_classes = distinct_count(
+        lambda b: b.filter(
+            pc.equal(
+                pc.cast(b["pred_value"], pa.string()),
+                pa.scalar(
+                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                    pa.string(),
+                ),
+            )
+        )["obj_value"],
+        "classes",
+    )
+    return pa.table(
+        {
+            "n_triples": pa.array([n_triples], pa.int64()),
+            "n_subjects": pa.array([n_subjects], pa.int64()),
+            "n_objects": pa.array([n_objects], pa.int64()),
+            "n_properties": pa.array([n_properties], pa.int64()),
+            "n_classes": pa.array([n_classes], pa.int64()),
+        }
+    )
+
+
 def q_kg_multisyntax_build(sf_dir: str):
     """Multi-syntax KG construction fan-in — the capstone composition
     of this tier: RDFa pages, microdata pages and embedded-JSON-LD
@@ -3310,6 +3368,7 @@ KG_QUERIES = {
     "jsonld_extract": q_jsonld_extract,
     "kg_multisyntax_build": q_kg_multisyntax_build,
     "pages_anchor_text_agg": q_pages_anchor_text_agg,
+    "kg_void_stats": q_kg_void_stats,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
