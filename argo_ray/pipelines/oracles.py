@@ -459,6 +459,18 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # reciprocity: directed edges whose reverse exists / all edges
+    "kg_reciprocity": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst
+                   FROM d WHERE obj_kind <> 2 AND subj_value <> obj_value),
+mo AS (SELECT COUNT(*) AS n_edges,
+              SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS n_recip
+       FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_reciprocal,
+       ROUND(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
+FROM mo""",
     # VoID descriptor: five exact scalars over the deduped graph
     "kg_void_stats": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)

@@ -899,6 +899,66 @@ def q_pages_anchor_text_agg(sf_dir: str):
     return grouped_map(links, "dst_url", agg)
 
 
+def q_kg_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity (the mutual-link fraction — near 0
+    on citation-style web graphs, near 1 on social graphs): edges
+    whose reverse also exists / all distinct edges.  ONE pair-keyed
+    groupby over forward rows + reverse-marker rows (exact integers),
+    one double division rounded to 6."""
+    from ray.data.aggregate import Max
+
+    edges = _kg_link_edges(sf_dir)
+
+    def tagged(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string())
+        d = pc.cast(b["dst"], pa.string())
+        fwd = pa.table(
+            {
+                "a": s, "b": d,
+                "f": pa.array([1] * b.num_rows, pa.int64()),
+                "r": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        )
+        rev = pa.table(
+            {
+                "a": d, "b": s,
+                "f": pa.array([0] * b.num_rows, pa.int64()),
+                "r": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+        t = pa.concat_tables([fwd, rev])
+        return t.filter(pc.not_equal(t["a"], t["b"]))  # self-loops out
+
+    pairs = (
+        edges.map_batches(tagged, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("f", alias_name="fwd"), Max("r", alias_name="rev"))
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        f = pc.cast(b["fwd"], pa.int64())
+        r = pc.cast(b["rev"], pa.int64())
+        both = pc.cast(pc.and_(pc.equal(f, 1), pc.equal(r, 1)), pa.int64())
+        return pa.table(
+            {
+                "n_edges": pa.array([pc.sum(f).as_py() or 0], pa.int64()),
+                "n_recip": pa.array([pc.sum(both).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = pairs.map_batches(moments, batch_format="pyarrow").take_all()
+    n_edges = sum(p["n_edges"] for p in parts)
+    n_recip = sum(p["n_recip"] for p in parts)
+    ratio = round(n_recip / n_edges, 6) if n_edges else 0.0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array([ratio], pa.float64()),
+        }
+    )
+
+
 def q_kg_void_stats(sf_dir: str):
     """VoID dataset descriptor (the W3C self-description every
     published KG ships): triple count plus exact distinct subjects /
@@ -3369,6 +3429,7 @@ KG_QUERIES = {
     "kg_multisyntax_build": q_kg_multisyntax_build,
     "pages_anchor_text_agg": q_pages_anchor_text_agg,
     "kg_void_stats": q_kg_void_stats,
+    "kg_reciprocity": q_kg_reciprocity,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
