@@ -167,3 +167,35 @@ def test_robots_filter_longest_match(ray_session):
         "https://h.example/tie/5",
         "https://other.example/a/4",
     ]
+
+
+def test_resolve_redirects_random_forests(ray_session):
+    """Differential: on random acyclic pointer maps (every node points
+    to a smaller index), k pointer-doubling rounds must equal the same
+    recurrence computed in plain Python."""
+    import numpy as np
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import resolve_redirects
+
+    for seed in (0, 7):
+        rng = np.random.RandomState(seed)
+        n = 40
+        srcs = list(range(1, n))
+        dsts = [int(rng.randint(0, s)) for s in srcs]  # strictly smaller
+        names = [f"u{i:03d}" for i in range(n)]
+        m = {names[s]: names[d] for s, d in zip(srcs, dsts)}
+        ds = rd.from_arrow(
+            pa.table(
+                {"src": list(m.keys()), "dst": list(m.values())}
+            )
+        )
+        for rounds in (1, 2, 3):
+            ref = dict(m)
+            for _ in range(rounds):
+                ref = {u: ref.get(v, v) for u, v in ref.items()}
+            got = {
+                r["src"]: r["dst"]
+                for r in resolve_redirects(ds, rounds=rounds).take_all()
+            }
+            assert got == ref, (seed, rounds)
