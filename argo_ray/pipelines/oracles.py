@@ -459,6 +459,32 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # degree-distribution histogram over the undirected simple graph
+    "kg_degree_hist": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e0 AS (SELECT DISTINCT subj_value AS src, obj_value AS dst
+       FROM d WHERE obj_kind <> 2 AND subj_value <> obj_value),
+eu AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT a, COUNT(*) AS degree FROM eu GROUP BY a)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree""",
+    # Hamilton apportionment of a 10k crawl budget over weighted host
+    # PageRank (micro-unit fixed point of ROUND(pr,6))
+    "pages_crawl_budget": "WITH pr AS ("
+    + _host_pagerank_weighted_sql(5)
+    + """),
+u AS (SELECT node AS host, CAST(ROUND(pr * 1000000) AS BIGINT) AS units FROM pr),
+t AS (SELECT SUM(units) AS total FROM u),
+f AS (SELECT host, units,
+             (10000 * units) // (SELECT total FROM t) AS fl,
+             (10000 * units) % (SELECT total FROM t) AS rem
+      FROM u),
+lo AS (SELECT 10000 - SUM(fl) AS leftover FROM f),
+rk AS (SELECT host, fl, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rn FROM f)
+SELECT host,
+       CAST(fl + CASE WHEN rn <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM rk""",
     # reciprocity: directed edges whose reverse exists / all edges
     "kg_reciprocity": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),

@@ -899,6 +899,74 @@ def q_pages_anchor_text_agg(sf_dir: str):
     return grouped_map(links, "dst_url", agg)
 
 
+def q_kg_degree_hist(sf_dir: str):
+    """Degree-distribution histogram of the undirected link graph
+    (count of nodes per degree — THE power-law report every web-graph
+    paper opens with): degree groupby → count-of-counts, two small
+    exchanges, all integers."""
+    from ray.data.aggregate import Count
+
+    edges = _kg_link_edges(sf_dir)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string())
+        d = pc.cast(b["dst"], pa.string())
+        t = pa.concat_tables(
+            [pa.table({"a": s, "b": d}), pa.table({"a": d, "b": s})]
+        )
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    deg = (
+        edges.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("a")
+        .aggregate(Count(alias_name="degree"))
+    )
+    return (
+        deg.groupby("degree")
+        .aggregate(Count(alias_name="n_nodes"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "degree": pc.cast(b["degree"], pa.int64()),
+                    "n_nodes": pc.cast(b["n_nodes"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_pages_crawl_budget(sf_dir: str):
+    """Crawl-budget apportionment: a 10,000-fetch budget splits across
+    hosts proportionally to their (weighted) PageRank authority using
+    largest-remainder (Hamilton) rounding — quotas are integers, sum
+    EXACTLY to the budget, and every step (floor + remainder ranking)
+    is integer-or-single-division arithmetic the oracle replays.  The
+    rank table is host-bounded (the one driver-side step); everything
+    upstream is the distributed host-PageRank pipeline."""
+    BUDGET = 10_000
+    ranks = _host_pagerank(sf_dir, weighted=True).take_all()  # ≤ 20 rows
+    # fixed-point: micro-units of rounded pr (ROUND(pr,6) × 1e6 exact)
+    units = {r["node"]: int(round(r["pr"] * 1_000_000)) for r in ranks}
+    total = sum(units.values())
+    floors = {h: (BUDGET * u) // total for h, u in units.items()}
+    rem = {h: (BUDGET * u) % total for h, u in units.items()}
+    leftover = BUDGET - sum(floors.values())
+    order = sorted(units, key=lambda h: (-rem[h], h))
+    quotas = {
+        h: floors[h] + (1 if i < leftover else 0) for i, h in enumerate(order)
+    }
+    hosts = sorted(quotas)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "quota": pa.array([quotas[h] for h in hosts], pa.int64()),
+        }
+    )
+
+
 def q_kg_reciprocity(sf_dir: str):
     """Directed-graph reciprocity (the mutual-link fraction — near 0
     on citation-style web graphs, near 1 on social graphs): edges
@@ -3430,6 +3498,8 @@ KG_QUERIES = {
     "pages_anchor_text_agg": q_pages_anchor_text_agg,
     "kg_void_stats": q_kg_void_stats,
     "kg_reciprocity": q_kg_reciprocity,
+    "kg_degree_hist": q_kg_degree_hist,
+    "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
     "kg_sssp": q_kg_sssp,
