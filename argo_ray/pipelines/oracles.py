@@ -459,6 +459,15 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # cross-syntax ER: equal derived titles block rdfa-vs-microdata
+    # entities into sameAs candidates (collisions included)
+    "kg_cross_syntax_er": """WITH t AS (
+  SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS title
+  FROM documents
+)
+SELECT 'https://kg.example.org/doc/' || a.doc_id AS entity_a,
+       'https://kg.example.org/md/' || b.doc_id AS entity_b
+FROM t a JOIN t b ON a.title = b.title""",
     # degree-distribution histogram over the undirected simple graph
     "kg_degree_hist": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),

@@ -1027,6 +1027,60 @@ def q_kg_reciprocity(sf_dir: str):
     )
 
 
+def q_kg_cross_syntax_er(sf_dir: str):
+    """Cross-source entity resolution over the multi-syntax graph: the
+    RDFa extraction names a document entity via dc:title and the
+    microdata extraction names ITS entity via schema:headline — both
+    literals derive from the same text, so equal titles are the
+    blocking key and every cross-namespace pair in a block is a
+    sameAs candidate (feeding canonicalize_sameas downstream).  ONE
+    title-keyed sort exchange; per-block pair volume is bounded by the
+    title-collision rate.  The oracle replays the exact join,
+    collisions included."""
+    import pandas as pd
+
+    from ..pages import DC_NS
+    from ..stages.grouping import grouped_map
+
+    SCHEMA = "https://schema.org/"
+    preds = pa.array(
+        [DC_NS + "title", SCHEMA + "headline"], pa.large_string()
+    )
+
+    def titled(b: pa.Table) -> pa.Table:
+        m = b.filter(
+            pc.is_in(pc.cast(b["pred_value"], pa.large_string()), value_set=preds)
+        )
+        return pa.table(
+            {
+                "title": pc.cast(m["obj_value"], pa.string()),
+                "is_md": pc.cast(
+                    pc.equal(
+                        pc.cast(m["pred_value"], pa.large_string()),
+                        pa.scalar(SCHEMA + "headline", pa.large_string()),
+                    ),
+                    pa.int64(),
+                ),
+                "entity": pc.cast(m["subj_value"], pa.string()),
+            }
+        )
+
+    rows = q_kg_multisyntax_build(sf_dir).map_batches(
+        titled, batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = sorted(g.loc[g["is_md"] == 0, "entity"])
+        b = sorted(g.loc[g["is_md"] == 1, "entity"])
+        if not a or not b:
+            return pd.DataFrame()
+        return pd.DataFrame(
+            [(x, y) for x in a for y in b], columns=["entity_a", "entity_b"]
+        )
+
+    return grouped_map(rows, "title", pairs)
+
+
 def q_kg_void_stats(sf_dir: str):
     """VoID dataset descriptor (the W3C self-description every
     published KG ships): triple count plus exact distinct subjects /
@@ -3499,6 +3553,7 @@ KG_QUERIES = {
     "kg_void_stats": q_kg_void_stats,
     "kg_reciprocity": q_kg_reciprocity,
     "kg_degree_hist": q_kg_degree_hist,
+    "kg_cross_syntax_er": q_kg_cross_syntax_er,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
