@@ -459,6 +459,14 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # per-property cardinality profile over the deduped graph
+    "kg_property_profile": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT pred_value AS predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj_value) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT obj_value) AS BIGINT) AS n_objects
+FROM d GROUP BY pred_value""",
     # cross-syntax ER: equal derived titles block rdfa-vs-microdata
     # entities into sameAs candidates (collisions included)
     "kg_cross_syntax_er": """WITH t AS (

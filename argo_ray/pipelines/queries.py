@@ -1081,6 +1081,76 @@ def q_kg_cross_syntax_er(sf_dir: str):
     return grouped_map(rows, "title", pairs)
 
 
+def q_kg_property_profile(sf_dir: str):
+    """Per-property cardinality profile (VoID's partition-level
+    companion; drives functional-property detection and index
+    choices): per predicate — triple count, distinct subjects,
+    distinct objects.  ONE (pred, subj)-distinct pass and ONE
+    (pred, obj)-distinct pass, each pre-combined per batch, then tiny
+    per-predicate reduces — all integers."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.grouping import grouped_map
+
+    base = _deduped(sf_dir).materialize()
+
+    def counted(col: str, out: str):
+        def partial(b: pa.Table) -> pa.Table:
+            g = pa.table(
+                {
+                    "p": pc.cast(b["pred_value"], pa.string()),
+                    "v": pc.cast(b[col], pa.string()),
+                }
+            ).group_by(["p", "v"]).aggregate([("v", "count")])
+            return pa.table(
+                {
+                    "p": pc.cast(g["p"], pa.string()),
+                    "v": pc.cast(g["v"], pa.string()),
+                    "n_part": pc.cast(g["v_count"], pa.int64()),
+                }
+            )
+
+        pv = (
+            base.map_batches(partial, batch_format="pyarrow")
+            .groupby(["p", "v"])
+            .aggregate(Sum("n_part", alias_name="n"))
+        )
+
+        def reduce_p(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "predicate": [g["p"].iloc[0]],
+                    out: [int(len(g))],
+                    f"_t_{out}": [int(g["n"].sum())],
+                }
+            )
+
+        return grouped_map(pv, "p", reduce_p)
+
+    subj = counted("subj_value", "n_subjects")
+    obj = counted("obj_value", "n_objects")
+    # both sides are predicate-bounded (tens of rows): merge driver-side
+    s = {r["predicate"]: r for r in subj.take_all()}
+    o = {r["predicate"]: r for r in obj.take_all()}
+    preds = sorted(s)
+    return pa.table(
+        {
+            "predicate": pa.array(preds, pa.string()),
+            "n_triples": pa.array(
+                [int(s[p]["_t_n_subjects"]) for p in preds], pa.int64()
+            ),
+            "n_subjects": pa.array(
+                [int(s[p]["n_subjects"]) for p in preds], pa.int64()
+            ),
+            "n_objects": pa.array(
+                [int(o[p]["n_objects"]) for p in preds], pa.int64()
+            ),
+        }
+    )
+
+
 def q_kg_void_stats(sf_dir: str):
     """VoID dataset descriptor (the W3C self-description every
     published KG ships): triple count plus exact distinct subjects /
@@ -3554,6 +3624,7 @@ KG_QUERIES = {
     "kg_reciprocity": q_kg_reciprocity,
     "kg_degree_hist": q_kg_degree_hist,
     "kg_cross_syntax_er": q_kg_cross_syntax_er,
+    "kg_property_profile": q_kg_property_profile,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
