@@ -459,6 +459,20 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # dangling references: IRI objects never seen as a subject
+    "kg_dangling_refs": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT obj_value AS node, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM d
+WHERE obj_kind = 0
+  AND obj_value NOT IN (SELECT DISTINCT subj_value FROM d)
+GROUP BY obj_value""",
+    # log2-bucket document-length histogram (binary digit count = the
+    # exact floor(log2) the Ray side computes via the float exponent)
+    "docs_length_hist": """SELECT
+  CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1 ELSE -1 END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
     # per-property cardinality profile over the deduped graph
     "kg_property_profile": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)

@@ -1081,6 +1081,88 @@ def q_kg_cross_syntax_er(sf_dir: str):
     return grouped_map(rows, "title", pairs)
 
 
+def q_kg_dangling_refs(sf_dir: str):
+    """Dangling-reference report (KG QA / crawl-frontier seed): IRI
+    objects that never appear as a subject — entities the graph points
+    at but says nothing about, i.e. the next extraction targets.
+    Marker anti-join shape: object rows (m=0) union subject rows (m=1)
+    into ONE groupby(node); survivors have no subject marker.  Output
+    (node, n_refs) with the reference count."""
+    from ray.data.aggregate import Sum
+
+    base = _deduped(sf_dir)
+
+    def rows(b: pa.Table) -> pa.Table:
+        objs = b.filter(
+            pc.equal(pc.cast(b["obj_kind"], pa.int64()), 0)  # IRI objects
+        )
+        o = pa.table(
+            {
+                "node": pc.cast(objs["obj_value"], pa.string()),
+                "n": pa.array([1] * objs.num_rows, pa.int64()),
+                "m": pa.array([0] * objs.num_rows, pa.int64()),
+            }
+        )
+        s = pa.table(
+            {
+                "node": pc.cast(b["subj_value"], pa.string()),
+                "n": pa.array([0] * b.num_rows, pa.int64()),
+                "m": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+        return pa.concat_tables([o, s])
+
+    return (
+        base.map_batches(rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="n_refs"), Sum("m", alias_name="_subj"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.equal(pc.cast(b["_subj"], pa.int64()), 0),
+                    pc.greater(pc.cast(b["n_refs"], pa.int64()), 0),
+                )
+            ).select(["node", "n_refs"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_docs_length_hist(sf_dir: str):
+    """Document-length histogram in log2 buckets (the datasheet's
+    length plot): bucket = floor(log2(n_chars)) computed EXACTLY via
+    the float64 exponent (``np.frexp``; the oracle uses the binary
+    digit count — both are integer-exact, unlike a raw ``log2`` whose
+    libm rounding can disagree at power-of-two boundaries).  Per-batch
+    partials before ONE bucket groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = pc.cast(b["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        _, exp = np.frexp(np.maximum(n, 1).astype(np.float64))
+        bucket = np.where(n > 0, (exp - 1).astype(np.int64), -1)
+        g = pa.table({"bucket": pa.array(bucket, pa.int64())}).group_by(
+            "bucket"
+        ).aggregate([("bucket", "count")])
+        return pa.table(
+            {
+                "bucket": pc.cast(g["bucket"], pa.int64()),
+                "n_part": pc.cast(g["bucket_count"], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+
 def q_kg_property_profile(sf_dir: str):
     """Per-property cardinality profile (VoID's partition-level
     companion; drives functional-property detection and index
@@ -3625,6 +3707,8 @@ KG_QUERIES = {
     "kg_degree_hist": q_kg_degree_hist,
     "kg_cross_syntax_er": q_kg_cross_syntax_er,
     "kg_property_profile": q_kg_property_profile,
+    "kg_dangling_refs": q_kg_dangling_refs,
+    "docs_length_hist": q_docs_length_hist,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
     "kg_sameas_canon": q_kg_sameas_canon,
