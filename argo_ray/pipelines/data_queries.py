@@ -2767,6 +2767,71 @@ def q_docs_datasheet(sf_dir: str):
     return grouped_map(per_lang, "source", reduce_source)
 
 
+def q_docs_source_signature(sf_dir: str):
+    """Per-source distinctive vocabulary (corpus drift / contamination
+    lens): for each source, the top-3 words by LIFT — p(word|source) /
+    p(word) = n_sw·N / (n_s·n_w) — with min in-source support 5.  The
+    lift is ONE double division of exact integer products, rounded to
+    6 BEFORE the tie-break (lift desc, word asc), so the oracle is
+    hash-identical.  Plan: one (source, word) count exchange; the
+    word-total and source-total tables are vocab-/source-bounded and
+    broadcast as dicts; per-source top-k in sort-colocated blocks."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        src = pc.take(pc.cast(b["source"], pa.string()), par)
+        g = pa.table(
+            {"source": src, "word": pc.cast(flat, pa.string())}
+        ).group_by(["source", "word"]).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "source": pc.cast(g["source"], pa.string()),
+                "word": pc.cast(g["word"], pa.string()),
+                "n_part": pc.cast(g["word_count"], pa.int64()),
+            }
+        )
+
+    sw = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("n_part", alias_name="n_sw"))
+        .materialize()  # reused: totals + the top-k pass
+    )
+
+    # vocab- and source-bounded totals → plain dicts in the closure
+    n_w = {
+        r["word"]: int(r["n"])
+        for r in sw.groupby("word").aggregate(Sum("n_sw", alias_name="n")).take_all()
+    }
+    n_s = {
+        r["source"]: int(r["n"])
+        for r in sw.groupby("source").aggregate(Sum("n_sw", alias_name="n")).take_all()
+    }
+    N = sum(n_s.values())
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].iloc[0]
+        g = g[g["n_sw"] >= 5].copy()
+        if len(g) == 0:
+            return pd.DataFrame()
+        g["lift"] = [
+            round((int(c) * N) / (n_s[src] * n_w[w]), 6)
+            for c, w in zip(g["n_sw"], g["word"])
+        ]
+        g = g.sort_values(["lift", "word"], ascending=[False, True], kind="mergesort")
+        return g.head(3)[["source", "word", "n_sw", "lift"]]
+
+    return grouped_map(sw, "source", topk)
+
+
 def q_orders_pushdown(sf_dir: str):
     """Predicate pushdown at the read: the row filter
     (o_totalprice > 150000) rides the parquet scan as a
@@ -2860,6 +2925,7 @@ DATA_QUERIES = {
     "docs_lang_qa": q_docs_lang_qa,
     "orders_pushdown": q_orders_pushdown,
     "docs_datasheet": q_docs_datasheet,
+    "docs_source_signature": q_docs_source_signature,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3974,3 +4040,25 @@ DATA_ORACLES["docs_datasheet"] = """SELECT source,
   CAST(SUM(n_chars) AS BIGINT) AS chars_total,
   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents GROUP BY source"""
+
+
+DATA_ORACLES["docs_source_signature"] = """WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_sw
+       FROM toks GROUP BY source, word),
+nw AS (SELECT word, SUM(n_sw) AS n_w FROM sw GROUP BY word),
+ns AS (SELECT source, SUM(n_sw) AS n_s FROM sw GROUP BY source),
+tot AS (SELECT SUM(n_sw) AS N FROM sw),
+scored AS (
+  SELECT sw.source, sw.word, sw.n_sw,
+         ROUND(CAST(sw.n_sw * (SELECT N FROM tot) AS DOUBLE)
+               / (ns.n_s * nw.n_w), 6) AS lift
+  FROM sw JOIN nw ON nw.word = sw.word JOIN ns ON ns.source = sw.source
+  WHERE sw.n_sw >= 5
+)
+SELECT source, word, n_sw, lift FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY lift DESC, word) AS rn
+  FROM scored
+) WHERE rn <= 3"""
