@@ -2767,6 +2767,54 @@ def q_docs_datasheet(sf_dir: str):
     return grouped_map(per_lang, "source", reduce_source)
 
 
+def q_docs_winnowing(sf_dir: str):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    selection rule): md5 hashes of 3-token grams, windows of 4
+    consecutive hashes, each window selects its MINIMUM hash
+    (rightmost occurrence on ties), output = DISTINCT (doc_id,
+    fingerprint).  Guarantees every ≥6-token shared run between
+    documents shares a fingerprint while storing ~1/4 of the grams —
+    the storage-tuned local dedup sketch between exact spans
+    (docs_dup_spans) and MinHash.  Hashes compare as full md5 hex
+    strings on BOTH sides, so selection is bit-identical; zero
+    shuffles (per-document work, documents are the parallel unit)."""
+    import hashlib
+
+    def fps(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out_ids, out_fps = [], []
+        W = 4
+        for did, text in zip(ids, texts):
+            toks = text.split(" ")
+            if len(toks) < 3:
+                continue
+            hs = [
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+                for i in range(len(toks) - 2)
+            ]
+            sel = set()
+            if len(hs) < W:
+                continue
+            for s in range(len(hs) - W + 1):
+                win = hs[s : s + W]
+                m = min(win)
+                sel.add(m)  # rightmost-on-tie picks the same VALUE
+            for fp in sorted(sel):
+                out_ids.append(did)
+                out_fps.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "fingerprint": pa.array(out_fps, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        fps, batch_format="pyarrow"
+    )
+
+
 def q_docs_source_signature(sf_dir: str):
     """Per-source distinctive vocabulary (corpus drift / contamination
     lens): for each source, the top-3 words by LIFT — p(word|source) /
@@ -2926,6 +2974,7 @@ DATA_QUERIES = {
     "orders_pushdown": q_orders_pushdown,
     "docs_datasheet": q_docs_datasheet,
     "docs_source_signature": q_docs_source_signature,
+    "docs_winnowing": q_docs_winnowing,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4062,3 +4111,30 @@ SELECT source, word, n_sw, lift FROM (
     PARTITION BY source ORDER BY lift DESC, word) AS rn
   FROM scored
 ) WHERE rn <= 3"""
+
+
+DATA_ORACLES["docs_winnowing"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT a.doc_id, a.pos, md5(a.w || ' ' || b.w || ' ' || c.w) AS h
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+wins AS (
+  SELECT g.doc_id, g.pos AS wstart FROM grams g
+  WHERE EXISTS (SELECT 1 FROM grams x
+                WHERE x.doc_id = g.doc_id AND x.pos = g.pos + 3)
+),
+sel AS (
+  SELECT w.doc_id,
+         (SELECT MIN(x.h) FROM grams x
+          WHERE x.doc_id = w.doc_id
+            AND x.pos BETWEEN w.wstart AND w.wstart + 3) AS fingerprint
+  FROM wins w
+)
+SELECT DISTINCT doc_id, fingerprint FROM sel"""
