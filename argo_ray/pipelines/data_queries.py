@@ -2778,6 +2778,52 @@ def q_docs_winnowing(sf_dir: str):
     (docs_dup_spans) and MinHash.  Hashes compare as full md5 hex
     strings on BOTH sides, so selection is bit-identical; zero
     shuffles (per-document work, documents are the parallel unit)."""
+    return _winnow_fps(_docs(sf_dir, ("doc_id", "text")))
+
+
+def q_docs_winnowing_neardup(sf_dir: str):
+    """Winnowing-based near-dup candidates over the planted
+    near-duplicate corpus: documents sharing ≥3 selected fingerprints
+    pair up — the MOSS match step.  Fingerprint buckets with more than
+    20 documents are skipped (the stop-fingerprint cap every
+    plagiarism detector applies; the oracle replays it with HAVING),
+    so pair volume per bucket is bounded.  One fingerprint groupby +
+    one pair groupby, exact integers."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    fps = _winnow_fps(_planted_docs(sf_dir, near=True))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        if len(ids) < 2 or len(ids) > 20:  # stop-fingerprint cap
+            return pd.DataFrame()
+        rows = [
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        ]
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        out["n_part"] = 1
+        return out
+
+    return (
+        grouped_map(fps, "fingerprint", pairs)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n_part", alias_name="n_shared"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(pc.cast(b["n_shared"], pa.int64()), 3)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _winnow_fps(docs_ds):
+    """Winnowing fingerprint stage over any (doc_id, text) Dataset —
+    shared by docs_winnowing and the near-dup matcher."""
     import hashlib
 
     def fps(b: pa.Table) -> pa.Table:
@@ -2793,13 +2839,11 @@ def q_docs_winnowing(sf_dir: str):
                 hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
                 for i in range(len(toks) - 2)
             ]
-            sel = set()
             if len(hs) < W:
                 continue
+            sel = set()
             for s in range(len(hs) - W + 1):
-                win = hs[s : s + W]
-                m = min(win)
-                sel.add(m)  # rightmost-on-tie picks the same VALUE
+                sel.add(min(hs[s : s + W]))
             for fp in sorted(sel):
                 out_ids.append(did)
                 out_fps.append(fp)
@@ -2810,9 +2854,7 @@ def q_docs_winnowing(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        fps, batch_format="pyarrow"
-    )
+    return docs_ds.map_batches(fps, batch_format="pyarrow")
 
 
 def q_docs_source_signature(sf_dir: str):
@@ -2975,6 +3017,7 @@ DATA_QUERIES = {
     "docs_datasheet": q_docs_datasheet,
     "docs_source_signature": q_docs_source_signature,
     "docs_winnowing": q_docs_winnowing,
+    "docs_winnowing_neardup": q_docs_winnowing_neardup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4138,3 +4181,49 @@ sel AS (
   FROM wins w
 )
 SELECT DISTINCT doc_id, fingerprint FROM sel"""
+
+
+DATA_ORACLES["docs_winnowing_neardup"] = """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                         len(string_split(text, ' ')) - 1), ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+),
+grams AS (
+  SELECT a.doc_id, a.pos, md5(a.w || ' ' || b.w || ' ' || c.w) AS h
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+wins AS (
+  SELECT g.doc_id, g.pos AS wstart FROM grams g
+  WHERE EXISTS (SELECT 1 FROM grams x
+                WHERE x.doc_id = g.doc_id AND x.pos = g.pos + 3)
+),
+sel AS (
+  SELECT w.doc_id,
+         (SELECT MIN(x.h) FROM grams x
+          WHERE x.doc_id = w.doc_id
+            AND x.pos BETWEEN w.wstart AND w.wstart + 3) AS fingerprint
+  FROM wins w
+),
+fp AS (SELECT DISTINCT doc_id, fingerprint FROM sel),
+ok_buckets AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint
+  HAVING COUNT(*) BETWEEN 2 AND 20
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a
+JOIN fp b ON b.fingerprint = a.fingerprint AND a.doc_id < b.doc_id
+WHERE a.fingerprint IN (SELECT fingerprint FROM ok_buckets)
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3"""
