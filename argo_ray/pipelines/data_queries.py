@@ -2781,6 +2781,58 @@ def q_docs_winnowing(sf_dir: str):
     return _winnow_fps(_docs(sf_dir, ("doc_id", "text")))
 
 
+def q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (the FastCDC idea at token
+    granularity): a chunk boundary falls AFTER every token whose md5
+    starts with '0' (expected chunk ≈ 16 tokens), so an insertion
+    early in a document shifts only its own chunk — unlike fixed-size
+    chunking where every downstream chunk changes.  Output (doc_id,
+    chunk_id, n_tokens, chunk_fp) with the md5 chunk fingerprint;
+    per-document work, zero shuffles, fully relational oracle (window
+    cumsum of cut flags)."""
+    import hashlib
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        o_id, o_ck, o_n, o_fp = [], [], [], []
+        cut_cache: dict[str, bool] = {}
+        for did, text in zip(ids, texts):
+            toks = text.split(" ")
+            cid = 0
+            cur: list[str] = []
+            for t in toks:
+                cur.append(t)
+                cut = cut_cache.get(t)
+                if cut is None:
+                    cut = hashlib.md5(t.encode()).hexdigest()[0] == "0"
+                    cut_cache[t] = cut
+                if cut:
+                    o_id.append(did)
+                    o_ck.append(cid)
+                    o_n.append(len(cur))
+                    o_fp.append(hashlib.md5(" ".join(cur).encode()).hexdigest())
+                    cid += 1
+                    cur = []
+            if cur:
+                o_id.append(did)
+                o_ck.append(cid)
+                o_n.append(len(cur))
+                o_fp.append(hashlib.md5(" ".join(cur).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_id": pa.array(o_ck, pa.int64()),
+                "n_tokens": pa.array(o_n, pa.int64()),
+                "chunk_fp": pa.array(o_fp, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 def q_docs_winnowing_neardup(sf_dir: str):
     """Winnowing-based near-dup candidates over the planted
     near-duplicate corpus: documents sharing ≥3 selected fingerprints
@@ -3018,6 +3070,7 @@ DATA_QUERIES = {
     "docs_source_signature": q_docs_source_signature,
     "docs_winnowing": q_docs_winnowing,
     "docs_winnowing_neardup": q_docs_winnowing_neardup,
+    "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4227,3 +4280,22 @@ JOIN fp b ON b.fingerprint = a.fingerprint AND a.doc_id < b.doc_id
 WHERE a.fingerprint IN (SELECT fingerprint FROM ok_buckets)
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 3"""
+
+
+DATA_ORACLES["docs_cdc_chunks"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         COALESCE(SUM(CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
+FROM marked GROUP BY doc_id, chunk_id"""
