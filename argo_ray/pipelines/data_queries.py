@@ -2833,6 +2833,78 @@ def q_docs_cdc_chunks(sf_dir: str):
     )
 
 
+def q_docs_cdc_dedup(sf_dir: str):
+    """Cross-document CDC storage dedup: identical chunks (same
+    fingerprint) stored once — the content-addressable-store report
+    (total vs distinct chunks and tokens).  ONE chunk_fp groupby with
+    per-batch partials; four exact integers out."""
+    from ray.data.aggregate import Min, Sum
+
+    chunks = q_docs_cdc_chunks(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "chunk_fp": pc.cast(b["chunk_fp"], pa.string()),
+                "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            }
+        ).group_by("chunk_fp").aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count"), ("n_tokens", "min")]
+        )
+        return pa.table(
+            {
+                "chunk_fp": pc.cast(g["chunk_fp"], pa.string()),
+                "tok_part": pc.cast(g["n_tokens_sum"], pa.int64()),
+                "n_part": pc.cast(g["n_tokens_count"], pa.int64()),
+                "tok_one": pc.cast(g["n_tokens_min"], pa.int64()),
+            }
+        )
+
+    per_fp = (
+        chunks.map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_fp")
+        .aggregate(
+            Sum("tok_part", alias_name="tokens"),
+            Sum("n_part", alias_name="n"),
+            Min("tok_one", alias_name="tok_distinct"),
+        )
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_chunks": pa.array(
+                    [pc.sum(pc.cast(b["n"], pa.int64())).as_py() or 0], pa.int64()
+                ),
+                "n_distinct": pa.array([b.num_rows], pa.int64()),
+                "tokens_total": pa.array(
+                    [pc.sum(pc.cast(b["tokens"], pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "tokens_distinct": pa.array(
+                    [pc.sum(pc.cast(b["tok_distinct"], pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = per_fp.map_batches(moments, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "n_chunks": pa.array([sum(p["n_chunks"] for p in parts)], pa.int64()),
+            "n_distinct": pa.array(
+                [sum(p["n_distinct"] for p in parts)], pa.int64()
+            ),
+            "tokens_total": pa.array(
+                [sum(p["tokens_total"] for p in parts)], pa.int64()
+            ),
+            "tokens_distinct": pa.array(
+                [sum(p["tokens_distinct"] for p in parts)], pa.int64()
+            ),
+        }
+    )
+
+
 def q_docs_winnowing_neardup(sf_dir: str):
     """Winnowing-based near-dup candidates over the planted
     near-duplicate corpus: documents sharing ≥3 selected fingerprints
@@ -3071,6 +3143,7 @@ DATA_QUERIES = {
     "docs_winnowing": q_docs_winnowing,
     "docs_winnowing_neardup": q_docs_winnowing_neardup,
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "docs_cdc_dedup": q_docs_cdc_dedup,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4299,3 +4372,30 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
 FROM marked GROUP BY doc_id, chunk_id"""
+
+
+DATA_ORACLES["docs_cdc_dedup"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         COALESCE(SUM(CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
+  FROM marked GROUP BY doc_id, chunk_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_fp) AS BIGINT) AS n_distinct,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST((SELECT SUM(n_tokens) FROM (
+          SELECT MIN(n_tokens) AS n_tokens FROM chunks GROUP BY chunk_fp
+       )) AS BIGINT) AS tokens_distinct
+FROM chunks"""
