@@ -459,6 +459,23 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # schema induction: modal subject type per non-type predicate
+    "kg_schema_induce": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+ty AS (SELECT DISTINCT subj_value AS node, obj_value AS t FROM d
+       WHERE pred_value = '{RDF_TYPE}'),
+cnt AS (
+  SELECT f.pred_value AS pred, ty.t, COUNT(*) AS n
+  FROM d f JOIN ty ON ty.node = f.subj_value
+  WHERE f.pred_value <> '{RDF_TYPE}'
+  GROUP BY f.pred_value, ty.t
+)
+SELECT pred AS predicate, t AS domain_type, CAST(n AS BIGINT) AS support
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY pred ORDER BY n DESC, t) AS rn
+  FROM cnt
+) WHERE rn = 1""",
     # dangling references: IRI objects never seen as a subject
     "kg_dangling_refs": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)

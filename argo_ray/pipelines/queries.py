@@ -1081,6 +1081,89 @@ def q_kg_cross_syntax_er(sf_dir: str):
     return grouped_map(rows, "title", pairs)
 
 
+def q_kg_schema_induce(sf_dir: str):
+    """Schema induction (the TBox-mining step when a crawl has no
+    ontology): for every non-type predicate, the MODAL rdf:type of its
+    subjects — the empirical domain an engineer would declare.  Plan:
+    the (entity → type) map rides a sort-colocation join onto the
+    triple stream keyed by subject (marker-join shape, no broadcast),
+    then (pred, type) counts → per-predicate argmax (count desc, type
+    asc).  All integers until the final pick."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    base = _deduped(sf_dir).materialize()
+
+    types = base.map_batches(
+        lambda b: (
+            lambda m: pa.table(
+                {
+                    "key": pc.cast(m["subj_value"], pa.string()),
+                    "ty": pc.cast(m["obj_value"], pa.string()),
+                    "pred": pa.nulls(m.num_rows, pa.string()),
+                    "_m": pa.array([1] * m.num_rows, pa.int64()),
+                }
+            )
+        )(
+            b.filter(
+                pc.equal(pc.cast(b["pred_value"], pa.string()), RDF_TYPE)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    facts = base.map_batches(
+        lambda b: (
+            lambda m: pa.table(
+                {
+                    "key": pc.cast(m["subj_value"], pa.string()),
+                    "ty": pa.nulls(m.num_rows, pa.string()),
+                    "pred": pc.cast(m["pred_value"], pa.string()),
+                    "_m": pa.array([0] * m.num_rows, pa.int64()),
+                }
+            )
+        )(
+            b.filter(
+                pc.not_equal(pc.cast(b["pred_value"], pa.string()), RDF_TYPE)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        tys = sorted(g.loc[g["_m"] == 1, "ty"].dropna())
+        preds = g.loc[g["_m"] == 0, "pred"].dropna()
+        if not tys or len(preds) == 0:
+            return pd.DataFrame()
+        # multi-typed subjects contribute one count per type
+        out = [
+            {"pred": p, "ty": t, "n_part": 1} for p in preds for t in tys
+        ]
+        return pd.DataFrame(out)
+
+    counts = (
+        grouped_map(types.union(facts), "key", attach)
+        .groupby(["pred", "ty"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def modal(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "ty"], ascending=[False, True], kind="mergesort")
+        top = g.head(1)
+        return pd.DataFrame(
+            {
+                "predicate": [top["pred"].iloc[0]],
+                "domain_type": [top["ty"].iloc[0]],
+                "support": [int(top["n"].iloc[0])],
+            }
+        )
+
+    return grouped_map(counts, "pred", modal)
+
+
 def q_kg_dangling_refs(sf_dir: str):
     """Dangling-reference report (KG QA / crawl-frontier seed): IRI
     objects that never appear as a subject — entities the graph points
@@ -3708,6 +3791,7 @@ KG_QUERIES = {
     "kg_cross_syntax_er": q_kg_cross_syntax_er,
     "kg_property_profile": q_kg_property_profile,
     "kg_dangling_refs": q_kg_dangling_refs,
+    "kg_schema_induce": q_kg_schema_induce,
     "docs_length_hist": q_docs_length_hist,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
