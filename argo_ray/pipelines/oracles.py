@@ -1423,3 +1423,17 @@ ORACLES["repl_prefix_trim"] = """SELECT doc_id,
        'https://docs.example.org/' || source || '/' || doc_id AS page_uri,
        'https://kg.example.org/doc/' || doc_id AS entity_uri
 FROM documents"""
+
+
+# type co-occurrence over the RDFS-INFERRED graph (reuses its oracle
+# as a CTE so the two can never drift)
+ORACLES["kg_type_cooccur"] = (
+    "WITH inf AS ("
+    + ORACLES["kg_rdfs_infer"]
+    + f"""),
+ty AS (SELECT DISTINCT subj_value AS s, obj_value AS t FROM inf
+       WHERE pred_value = '{RDF_TYPE}')
+SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM ty a JOIN ty b ON a.s = b.s AND a.t < b.t
+GROUP BY a.t, b.t"""
+)

@@ -1081,6 +1081,62 @@ def q_kg_cross_syntax_er(sf_dir: str):
     return grouped_map(rows, "title", pairs)
 
 
+def q_kg_type_cooccur(sf_dir: str):
+    """Type co-occurrence over the RDFS-INFERRED graph (ontology
+    overlap report: which classes share instances once subclass /
+    domain / range entailments materialize): distinct (entity, type)
+    pairs → per-entity type-pair generation in sort-colocated blocks
+    (bounded by types-per-entity squared) → ONE pair groupby.  The
+    oracle reuses the rdfs-inference oracle as a CTE, so the two can
+    never drift."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.grouping import grouped_map
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    types = (
+        q_kg_rdfs_infer(sf_dir)
+        .map_batches(
+            lambda b: (
+                lambda m: pa.table(
+                    {
+                        "s": pc.cast(m["subj_value"], pa.string()),
+                        "t": pc.cast(m["obj_value"], pa.string()),
+                    }
+                )
+            )(
+                b.filter(
+                    pc.equal(pc.cast(b["pred_value"], pa.string()), RDF_TYPE)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["s", "t"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["s", "t"])
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g["t"])
+        if len(ts) < 2:
+            return pd.DataFrame()
+        rows = [
+            {"type_a": a, "type_b": b, "n_part": 1}
+            for i, a in enumerate(ts)
+            for b in ts[i + 1 :]
+        ]
+        return pd.DataFrame(rows)
+
+    return (
+        grouped_map(types, "s", pairs)
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_part", alias_name="n_entities"))
+    )
+
+
 def q_kg_schema_induce(sf_dir: str):
     """Schema induction (the TBox-mining step when a crawl has no
     ontology): for every non-type predicate, the MODAL rdf:type of its
@@ -3792,6 +3848,7 @@ KG_QUERIES = {
     "kg_property_profile": q_kg_property_profile,
     "kg_dangling_refs": q_kg_dangling_refs,
     "kg_schema_induce": q_kg_schema_induce,
+    "kg_type_cooccur": q_kg_type_cooccur,
     "docs_length_hist": q_docs_length_hist,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
