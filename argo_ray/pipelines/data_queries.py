@@ -2781,6 +2781,56 @@ def q_docs_winnowing(sf_dir: str):
     return _winnow_fps(_docs(sf_dir, ("doc_id", "text")))
 
 
+def q_docs_dup_by_source(sf_dir: str):
+    """Per-source duplication datasheet over the planted exact-dup
+    corpus: documents vs distinct texts per source — the per-shard
+    dedup-rate table a release publishes.  Per-batch (source, md5)
+    partials, ONE groupby, per-source reduce; md5 keying keeps the
+    distinct count oracle-identical to COUNT(DISTINCT text)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        fps = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        g = pa.table(
+            {
+                "source": pc.cast(b["source"], pa.string()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        ).group_by(["source", "fp"]).aggregate([("fp", "count")])
+        return pa.table(
+            {
+                "source": pc.cast(g["source"], pa.string()),
+                "fp": pc.cast(g["fp"], pa.string()),
+                "n_part": pc.cast(g["fp_count"], pa.int64()),
+            }
+        )
+
+    per_fp = (
+        _planted_docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "fp"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def reduce_src(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [int(g["n"].sum())],
+                "n_distinct": [int(len(g))],
+            }
+        )
+
+    return grouped_map(per_fp, "source", reduce_src)
+
+
 def q_docs_cdc_chunks(sf_dir: str):
     """Content-defined chunking (the FastCDC idea at token
     granularity): a chunk boundary falls AFTER every token whose md5
@@ -3144,6 +3194,7 @@ DATA_QUERIES = {
     "docs_winnowing_neardup": q_docs_winnowing_neardup,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_dedup": q_docs_cdc_dedup,
+    "docs_dup_by_source": q_docs_dup_by_source,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4399,3 +4450,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
           SELECT MIN(n_tokens) AS n_tokens FROM chunks GROUP BY chunk_fp
        )) AS BIGINT) AS tokens_distinct
 FROM chunks"""
+
+
+DATA_ORACLES["docs_dup_by_source"] = """WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 10 = 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+FROM corpus GROUP BY source"""
