@@ -459,6 +459,17 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # inverse-functional (merge-key) property detection
+    "kg_key_detect": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+po AS (SELECT pred_value AS p, obj_value AS o,
+              COUNT(DISTINCT subj_value) AS n_subj
+       FROM d GROUP BY pred_value, obj_value)
+SELECT p AS predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(MAX(n_subj) AS BIGINT) AS max_subj_per_obj,
+       CAST(CASE WHEN MAX(n_subj) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_key
+FROM po GROUP BY p""",
     # schema induction: modal subject type per non-type predicate
     "kg_schema_induce": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),

@@ -1081,6 +1081,63 @@ def q_kg_cross_syntax_er(sf_dir: str):
     return grouped_map(rows, "title", pairs)
 
 
+def q_kg_key_detect(sf_dir: str):
+    """Inverse-functional-property detection (the KEY-discovery step
+    that powers entity resolution: a property whose every value
+    identifies at most one subject is a merge key): per predicate —
+    distinct objects, the MAX subjects sharing one object, and the
+    is_key flag.  One (pred, obj) distinct-subject exchange with
+    per-batch partials, then a per-predicate max — all integers."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    base = _deduped(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "p": pc.cast(b["pred_value"], pa.string()),
+                "o": pc.cast(b["obj_value"], pa.string()),
+                "s": pc.cast(b["subj_value"], pa.string()),
+            }
+        ).group_by(["p", "o", "s"]).aggregate([("s", "count")])
+        return pa.table(
+            {
+                "p": pc.cast(g["p"], pa.string()),
+                "o": pc.cast(g["o"], pa.string()),
+                "s": pc.cast(g["s"], pa.string()),
+                "one": pa.array([1] * g.num_rows, pa.int64()),
+            }
+        )
+
+    pos = (
+        base.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p", "o", "s"])
+        .aggregate(Sum("one", alias_name="_n"))
+        .select_columns(["p", "o"])
+    )
+    # distinct subjects per (pred, obj)
+    from ray.data.aggregate import Count
+
+    per_obj = pos.groupby(["p", "o"]).aggregate(Count(alias_name="n_subj"))
+
+    def reduce_pred(g: pd.DataFrame) -> pd.DataFrame:
+        mx = int(g["n_subj"].max())
+        return pd.DataFrame(
+            {
+                "predicate": [g["p"].iloc[0]],
+                "n_objects": [int(len(g))],
+                "max_subj_per_obj": [mx],
+                "is_key": [int(mx == 1)],
+            }
+        )
+
+    return grouped_map(per_obj, "p", reduce_pred)
+
+
 def q_kg_type_cooccur(sf_dir: str):
     """Type co-occurrence over the RDFS-INFERRED graph (ontology
     overlap report: which classes share instances once subclass /
@@ -3849,6 +3906,7 @@ KG_QUERIES = {
     "kg_dangling_refs": q_kg_dangling_refs,
     "kg_schema_induce": q_kg_schema_induce,
     "kg_type_cooccur": q_kg_type_cooccur,
+    "kg_key_detect": q_kg_key_detect,
     "docs_length_hist": q_docs_length_hist,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
