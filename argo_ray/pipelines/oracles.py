@@ -459,6 +459,12 @@ FROM d GROUP BY pred_value""",
     "kg_bfs": _bfs_sql(6),
     "kg_sssp": _sssp_sql(4),
     "kg_bowtie": _bowtie_sql(6),
+    # literal datatype/lang histogram
+    "kg_literal_hist": EXP_CTE
+    + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp)
+SELECT obj_datatype AS datatype, obj_lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_literals
+FROM d WHERE obj_kind = 2 GROUP BY obj_datatype, obj_lang""",
     # inverse-functional (merge-key) property detection
     "kg_key_detect": EXP_CTE
     + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),

@@ -1081,6 +1081,36 @@ def q_kg_cross_syntax_er(sf_dir: str):
     return grouped_map(rows, "title", pairs)
 
 
+def q_kg_literal_hist(sf_dir: str):
+    """Literal-shape histogram (the VoID-style datatype/lang report):
+    count of literal objects per (datatype, lang) over the deduped
+    graph — per-batch partials, ONE small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(pc.cast(b["obj_kind"], pa.int64()), 2))
+        g = pa.table(
+            {
+                "datatype": pc.cast(m["obj_datatype"], pa.string()),
+                "lang": pc.cast(m["obj_lang"], pa.string()),
+            }
+        ).group_by(["datatype", "lang"]).aggregate([("datatype", "count")])
+        return pa.table(
+            {
+                "datatype": pc.cast(g["datatype"], pa.string()),
+                "lang": pc.cast(g["lang"], pa.string()),
+                "n_part": pc.cast(g["datatype_count"], pa.int64()),
+            }
+        )
+
+    return (
+        _deduped(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["datatype", "lang"])
+        .aggregate(Sum("n_part", alias_name="n_literals"))
+    )
+
+
 def q_kg_key_detect(sf_dir: str):
     """Inverse-functional-property detection (the KEY-discovery step
     that powers entity resolution: a property whose every value
@@ -3907,6 +3937,7 @@ KG_QUERIES = {
     "kg_schema_induce": q_kg_schema_induce,
     "kg_type_cooccur": q_kg_type_cooccur,
     "kg_key_detect": q_kg_key_detect,
+    "kg_literal_hist": q_kg_literal_hist,
     "docs_length_hist": q_docs_length_hist,
     "pages_crawl_budget": q_pages_crawl_budget,
     "kg_link_predict": q_kg_link_predict,
