@@ -147,6 +147,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("kg_sssp", _q_kg_sssp),
         ("pages_anchor_link", _q_pages_anchor_link),
         ("kg_multisyntax_build", _q_kg_multisyntax_build),
+        ("microdata_extract", _q_microdata_extract),
+        ("jsonld_extract", _q_jsonld_extract),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -196,6 +198,18 @@ def _q_kg_multisyntax_build(sf_dir: str):
     from argo_ray.pipelines.queries import q_kg_multisyntax_build
 
     return q_kg_multisyntax_build(sf_dir)
+
+
+def _q_microdata_extract(sf_dir: str):
+    from argo_ray.pipelines.queries import q_microdata_extract
+
+    return q_microdata_extract(sf_dir)
+
+
+def _q_jsonld_extract(sf_dir: str):
+    from argo_ray.pipelines.queries import q_jsonld_extract
+
+    return q_jsonld_extract(sf_dir)
 
 
 def _kg_pagerank_forced_distributed(sf_dir: str):
