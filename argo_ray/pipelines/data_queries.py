@@ -2781,6 +2781,41 @@ def q_docs_winnowing(sf_dir: str):
     return _winnow_fps(_docs(sf_dir, ("doc_id", "text")))
 
 
+_BOOL_QUERY = ("join", "merge", "sort")
+
+
+def q_docs_bool_and_query(sf_dir: str):
+    """Boolean AND retrieval (the conjunctive query an inverted index
+    serves): documents containing ALL query terms, with per-term
+    occurrence counts.  Zero-shuffle: the term set is query-bounded
+    (closure-captured), each batch computes per-doc term counts
+    vectorized and keeps rows where every count is positive."""
+
+    def match(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        flat = pc.cast(pc.list_flatten(toks), pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        counts = []
+        for term in _BOOL_QUERY:
+            hit = flat == term
+            counts.append(np.bincount(par[hit], minlength=n).astype(np.int64))
+        keep = np.logical_and.reduce([c > 0 for c in counts])
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {"doc_id": pa.array(ids[keep], pa.int64())}
+        for term, c in zip(_BOOL_QUERY, counts):
+            cols[f"n_{term}"] = pa.array(c[keep], pa.int64())
+        return pa.table(cols)
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+
 def q_docs_dup_by_source(sf_dir: str):
     """Per-source duplication datasheet over the planted exact-dup
     corpus: documents vs distinct texts per source — the per-shard
@@ -3195,6 +3230,7 @@ DATA_QUERIES = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_dedup": q_docs_cdc_dedup,
     "docs_dup_by_source": q_docs_dup_by_source,
+    "docs_bool_and_query": q_docs_bool_and_query,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4460,3 +4496,19 @@ DATA_ORACLES["docs_dup_by_source"] = """WITH corpus AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
 FROM corpus GROUP BY source"""
+
+
+DATA_ORACLES["docs_bool_and_query"] = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+c AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS n_join,
+         SUM(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS n_merge,
+         SUM(CASE WHEN w = 'sort' THEN 1 ELSE 0 END) AS n_sort
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_join AS BIGINT) AS n_join,
+       CAST(n_merge AS BIGINT) AS n_merge,
+       CAST(n_sort AS BIGINT) AS n_sort
+FROM c WHERE n_join > 0 AND n_merge > 0 AND n_sort > 0"""
