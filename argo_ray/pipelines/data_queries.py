@@ -2816,6 +2816,45 @@ def q_docs_bool_and_query(sf_dir: str):
     )
 
 
+def q_docs_phrase_query(sf_dir: str):
+    """Exact-phrase retrieval ("join merge" as ADJACENT tokens — what
+    a positional inverted index answers): per-doc occurrence counts of
+    the phrase, matched vectorized on the flattened token stream with
+    a parent-index mask keeping windows inside one document; docs with
+    ≥1 hit survive.  Zero shuffles."""
+
+    def match(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        flat = pc.cast(pc.list_flatten(toks), pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        if len(flat) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+        hit = (flat[:-1] == "join") & (flat[1:] == "merge") & (
+            par[:-1] == par[1:]
+        )
+        counts = np.bincount(par[:-1][hit], minlength=n).astype(np.int64)
+        keep = counts > 0
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_hits": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+
 def q_docs_dup_by_source(sf_dir: str):
     """Per-source duplication datasheet over the planted exact-dup
     corpus: documents vs distinct texts per source — the per-shard
@@ -3231,6 +3270,7 @@ DATA_QUERIES = {
     "docs_cdc_dedup": q_docs_cdc_dedup,
     "docs_dup_by_source": q_docs_dup_by_source,
     "docs_bool_and_query": q_docs_bool_and_query,
+    "docs_phrase_query": q_docs_phrase_query,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4512,3 +4552,16 @@ SELECT doc_id, CAST(n_join AS BIGINT) AS n_join,
        CAST(n_merge AS BIGINT) AS n_merge,
        CAST(n_sort AS BIGINT) AS n_sort
 FROM c WHERE n_join > 0 AND n_merge > 0 AND n_sort > 0"""
+
+
+DATA_ORACLES["docs_phrase_query"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.w = 'join' AND b.w = 'merge'
+GROUP BY a.doc_id"""
