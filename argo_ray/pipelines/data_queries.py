@@ -2855,6 +2855,48 @@ def q_docs_phrase_query(sf_dir: str):
     )
 
 
+def q_docs_near_query(sf_dir: str):
+    """Proximity retrieval ("join NEAR/3 merge"): per-doc count of
+    (join, merge) position pairs at distance ≤ 3 in either order —
+    the third member of the retrieval trio (boolean AND, phrase,
+    proximity).  Vectorized: per batch, the two terms' position lists
+    compare via broadcasting inside each document (bounded by
+    per-doc term frequency, a handful); zero shuffles."""
+
+    def match(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        flat = pc.cast(pc.list_flatten(toks), pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        offsets = np.searchsorted(par, np.arange(b.num_rows + 1))
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        out_id, out_n = [], []
+        for d in range(b.num_rows):
+            s, e = offsets[d], offsets[d + 1]
+            seg = flat[s:e]
+            pj = np.nonzero(seg == "join")[0]
+            pm = np.nonzero(seg == "merge")[0]
+            if len(pj) == 0 or len(pm) == 0:
+                continue
+            n = int((np.abs(pj[:, None] - pm[None, :]) <= 3).sum())
+            if n:
+                out_id.append(int(ids[d]))
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_pairs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+
 def q_docs_dup_by_source(sf_dir: str):
     """Per-source duplication datasheet over the planted exact-dup
     corpus: documents vs distinct texts per source — the per-shard
@@ -3271,6 +3313,7 @@ DATA_QUERIES = {
     "docs_dup_by_source": q_docs_dup_by_source,
     "docs_bool_and_query": q_docs_bool_and_query,
     "docs_phrase_query": q_docs_phrase_query,
+    "docs_near_query": q_docs_near_query,
     "docs_hash_split": q_docs_hash_split,
     "docs_clean_pipeline": q_docs_clean_pipeline,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -4563,5 +4606,18 @@ DATA_ORACLES["docs_phrase_query"] = """WITH toks AS (
 SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM toks a JOIN toks b
   ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.w = 'join' AND b.w = 'merge'
+GROUP BY a.doc_id"""
+
+
+DATA_ORACLES["docs_near_query"] = """WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 3
 WHERE a.w = 'join' AND b.w = 'merge'
 GROUP BY a.doc_id"""
