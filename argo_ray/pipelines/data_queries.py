@@ -2524,6 +2524,24 @@ def q_pages_canon_dedup(sf_dir: str):
     )
 
 
+def q_pages_surt(sf_dir: str):
+    """SURT keys (the web-archive sort-friendly URL form,
+    ``c,b,a)/path``) over the canonicalized crawl URLs — host-label
+    reversal makes a site's pages lexicographic neighbours, so the
+    downstream per-site range partitioning is a plain sort on this
+    key.  Pure streaming map, label reversal amortized per DISTINCT
+    host via dictionary_encode (:func:`argo_ray.functions.urlnorm.
+    surt_key_batch`)."""
+    from ..functions.urlnorm import surt_key_batch
+
+    return _noisy_urls(sf_dir).map_batches(
+        lambda b: surt_key_batch(b, url_column="url_canon").select(
+            ["doc_id", "url_canon", "surt"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_pages_link_graph(sf_dir: str):
     """Web link-graph construction: every ``<a href>`` anchor in the
     crawled HTML becomes a ``(src_url, dst_url, anchor)`` edge — the
@@ -3297,6 +3315,7 @@ DATA_QUERIES = {
     "orders_monthly_trend": q_orders_monthly_trend,
     "events_peak_hour": q_events_peak_hour,
     "pages_canon_dedup": q_pages_canon_dedup,
+    "pages_surt": q_pages_surt,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4087,6 +4106,22 @@ DATA_ORACLES["pages_canon_dedup"] = (
 SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
+)
+# SQL mirror of functions/urlnorm.py::surt_key_array over the canonical
+# URLs: strip scheme, reverse the '.'-split host labels with ',', then
+# ')' + path+query verbatim.
+DATA_ORACLES["pages_surt"] = (
+    _URL_CANON_CTE
+    + r"""
+SELECT doc_id, url_canon,
+       array_to_string(list_reverse(string_split(
+           regexp_extract(regexp_replace(url_canon,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^/?]*)', 1),
+           '.')), ',')
+       || ')'
+       || regexp_replace(regexp_replace(url_canon,
+              '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^[^/?]*', '') AS surt
+FROM canon"""
 )
 
 

@@ -1433,6 +1433,34 @@ def test_url_canonicalization_hand_cases():
     assert got == list(cases.values())
 
 
+def test_surt_key_hand_cases():
+    import duckdb
+    import pyarrow as pa
+
+    from argo_ray.functions.urlnorm import surt_key_array
+
+    cases = {
+        "https://docs.example.org/crawl/42": "org,example,docs)/crawl/42",
+        "https://example.org": "org,example)",
+        "http://a.b.c.example.org/p?q=1": "org,example,c,b,a)/p?q=1",
+        "https://localhost/x": "localhost)/x",
+        # schemeless input: host is still the leading [^/?]* run
+        "example.com/path": "com,example)/path",
+    }
+    got = surt_key_array(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+    # parity with the DuckDB oracle expression on the same inputs
+    con = duckdb.connect()
+    sql = r"""SELECT array_to_string(list_reverse(string_split(
+        regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                       '^([^/?]*)', 1), '.')), ',')
+      || ')' || regexp_replace(regexp_replace(u,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^[^/?]*', '')
+      FROM (SELECT unnest(?) AS u)"""
+    oracle = [r[0] for r in con.execute(sql, [list(cases)]).fetchall()]
+    assert got == oracle
+
+
 def test_blocklist_threshold_exact_cross_multiply():
     import pyarrow as pa
 
