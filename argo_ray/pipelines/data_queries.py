@@ -2542,6 +2542,33 @@ def q_pages_surt(sf_dir: str):
     )
 
 
+def _hreflang_edges(sf_dir: str):
+    from ..functions.hreflang import alternates_pages, hreflang_edges
+
+    return hreflang_edges(
+        alternates_pages(_docs(sf_dir, ("doc_id", "lang", "source")))
+    )
+
+
+def q_pages_hreflang_extract(sf_dir: str):
+    """i18n alternate mining: the synthesized multilingual site heads
+    (one grouped_map co-group per translation cluster) parsed back
+    into ``(src_url, hreflang, href)`` edges by the vectorized
+    ``<link rel=alternate>`` extractor — the crawl pass that feeds
+    per-language dedup and aligned-pair mining
+    (:mod:`argo_ray.functions.hreflang`)."""
+    return _hreflang_edges(sf_dir)
+
+
+def q_pages_hreflang_clusters(sf_dir: str):
+    """Translation clusters from the hreflang edges: one row per
+    cluster ``(cluster_url, n_pages, n_langs)`` — per-src rollup in
+    the batch partial, ONE dedup groupby on the cluster key."""
+    from ..functions.hreflang import cluster_stats
+
+    return cluster_stats(_hreflang_edges(sf_dir))
+
+
 def q_pages_link_graph(sf_dir: str):
     """Web link-graph construction: every ``<a href>`` anchor in the
     crawled HTML becomes a ``(src_url, dst_url, anchor)`` edge — the
@@ -3316,6 +3343,8 @@ DATA_QUERIES = {
     "events_peak_hour": q_events_peak_hour,
     "pages_canon_dedup": q_pages_canon_dedup,
     "pages_surt": q_pages_surt,
+    "pages_hreflang_extract": q_pages_hreflang_extract,
+    "pages_hreflang_clusters": q_pages_hreflang_clusters,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4107,6 +4136,33 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+# hreflang fixture mirror: cluster = doc_id - doc_id % 4; every member
+# page's head declares ALL members (self included), so the expected
+# edge multiset is exactly the cluster self-join.
+_HREFLANG_CTE = """WITH d AS (
+  SELECT doc_id, lang,
+         'https://docs.example.org/' || source || '/' || doc_id AS url,
+         doc_id - doc_id % 4 AS cluster
+  FROM documents
+)"""
+
+DATA_ORACLES["pages_hreflang_extract"] = (
+    _HREFLANG_CTE
+    + """
+SELECT a.url AS src_url, b.lang AS hreflang, b.url AS href
+FROM d a JOIN d b ON a.cluster = b.cluster"""
+)
+
+DATA_ORACLES["pages_hreflang_clusters"] = (
+    _HREFLANG_CTE
+    + """
+SELECT MIN(url) AS cluster_url,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM d GROUP BY cluster"""
+)
+
+
 # SQL mirror of functions/urlnorm.py::surt_key_array over the canonical
 # URLs: strip scheme, reverse the '.'-split host labels with ',', then
 # ')' + path+query verbatim.

@@ -199,3 +199,43 @@ def test_resolve_redirects_random_forests(ray_session):
                 for r in resolve_redirects(ds, rounds=rounds).take_all()
             }
             assert got == ref, (seed, rounds)
+
+
+def test_extract_hreflang_basic_and_poison():
+    from argo_ray.functions.hreflang import extract_hreflang_batch
+
+    head = (
+        '<head><link rel="alternate" hreflang="en" href="https://x/en"/>'
+        '<link rel="alternate" hreflang="de" href="https://x/de"/>'
+        '<link rel="stylesheet" href="https://x/css"/></head>'
+    )
+    b = pa.table(
+        {
+            "url": ["https://x/en", "https://y/", "https://z/"],
+            "html": [head.encode(), b"no links here", b"\xff\xfe garbage <link "],
+        }
+    )
+    out = extract_hreflang_batch(b)
+    assert out["src_url"].to_pylist() == ["https://x/en", "https://x/en"]
+    assert out["hreflang"].to_pylist() == ["en", "de"]
+    assert out["href"].to_pylist() == ["https://x/en", "https://x/de"]
+
+
+def test_hreflang_cluster_stats(ray_session):
+    """Two clusters of 2 and 1 pages; stats come out exact."""
+    import ray.data as rd
+
+    from argo_ray.functions.hreflang import cluster_stats
+
+    edges = pa.table(
+        {
+            "src_url": ["a", "a", "b", "b", "c"],
+            "hreflang": ["en", "de", "en", "de", "fr"],
+            "href": ["a", "b", "a", "b", "c"],
+        }
+    )
+    got = {
+        r["cluster_url"]: (r["n_pages"], r["n_langs"])
+        for r in cluster_stats(rd.from_arrow(edges)).take_all()
+    }
+    assert got == {"a": (2, 2), "c": (1, 1)}
