@@ -453,6 +453,51 @@ def normalize_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("norm_text", pc.cast(t, pa.string()))
 
 
+def main_content_batch(
+    batch: pa.Table,
+    text_column: str = "body",
+    min_words: int = 8,
+) -> pa.Table:
+    """Line-density main-content extraction (the Boilerpipe/trafilatura
+    idea reduced to its published core heuristic): split the page body
+    into lines, keep lines with ``>= min_words`` whitespace words —
+    navigation chrome, footers and button labels are short; prose is
+    long.  Emits per page ``(n_lines, n_kept, main_chars, main_fp)``
+    with the md5 fingerprint of the retained text (joined by ``\\n``).
+
+    Vectorization: line split / word count / filter are Arrow list
+    kernels; the per-page reassembly is one pandas groupby-join over
+    the block (lines of a page never cross blocks — they come from one
+    input row), and the md5 is one digest per PAGE, not per line.
+    Zero shuffle."""
+    import pandas as pd
+
+    lines = pc.split_pattern(pc.cast(batch[text_column], pa.large_string()), "\n")
+    n_lines = pc.cast(pc.list_value_length(lines), pa.int64())
+    flat = pc.list_flatten(lines)
+    parents = pc.list_parent_indices(lines)
+    nw = pc.list_value_length(pc.split_pattern(flat, " "))
+    keep = pc.greater_equal(nw, min_words)
+    kept_parents = pc.filter(parents, keep).to_numpy(zero_copy_only=False)
+    kept_lines = pc.filter(flat, keep).to_pylist()
+
+    n = len(batch)
+    n_kept = np.bincount(kept_parents, minlength=n).astype(np.int64)
+    joined = [""] * n
+    if len(kept_parents):
+        s = pd.Series(kept_lines).groupby(kept_parents).agg("\n".join)
+        for idx, text in s.items():
+            joined[int(idx)] = text
+    fps = [hashlib.md5(t.encode()).hexdigest() for t in joined]
+    out = batch.drop_columns([text_column])
+    out = out.append_column("n_lines", n_lines)
+    out = out.append_column("n_kept", pa.array(n_kept, pa.int64()))
+    out = out.append_column(
+        "main_chars", pa.array([len(t) for t in joined], pa.int64())
+    )
+    return out.append_column("main_fp", pa.array(fps, pa.string()))
+
+
 NORMALIZE_ORACLE_SQL = f"""SELECT doc_id,
        lower(trim(regexp_replace(regexp_replace(text,
              '{NORMALIZE_STRIP_PATTERN}', ' ', 'g'),

@@ -2542,6 +2542,47 @@ def q_pages_surt(sf_dir: str):
     )
 
 
+_NAV_LINE = "Home About Contact Login"  # 4 words — below every density bar
+_FOOTER_LINE = "Copyright 2024 example dot org"  # 5 words
+
+
+def _boiler_pages(sf_dir: str):
+    """Deterministic boilerplated page bodies: nav line + the doc text
+    wrapped to 12-word lines + footer line — the fixture the
+    line-density filter has to clean (SQL-reproducible: the content
+    lines are token groups of 12 in order)."""
+
+    def body(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        bodies = []
+        for t in texts:
+            toks = t.split(" ")
+            lines = [" ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)]
+            bodies.append("\n".join([_NAV_LINE, *lines, _FOOTER_LINE]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "body": pa.array(bodies, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
+
+
+def q_pages_main_content(sf_dir: str):
+    """Boilerplate removal: line-density main-content extraction over
+    the synthesized chrome-wrapped bodies — nav/footer lines (4-5
+    words) fall below the 8-word density bar, 12-word prose lines
+    survive, a short tail line is correctly sacrificed.  Per page:
+    (n_lines, n_kept, main_chars, main_fp).  Pure streaming map
+    (:func:`argo_ray.functions.text.main_content_batch`)."""
+    from ..functions.text import main_content_batch
+
+    return _boiler_pages(sf_dir).map_batches(
+        main_content_batch, batch_format="pyarrow"
+    )
+
+
 def _hreflang_edges(sf_dir: str):
     from ..functions.hreflang import alternates_pages, hreflang_edges
 
@@ -3345,6 +3386,7 @@ DATA_QUERIES = {
     "pages_surt": q_pages_surt,
     "pages_hreflang_extract": q_pages_hreflang_extract,
     "pages_hreflang_clusters": q_pages_hreflang_clusters,
+    "pages_main_content": q_pages_main_content,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4136,6 +4178,32 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+# main-content fixture mirror: the body is nav(4w) + 12-word content
+# lines + footer(5w); with min_words=8 the chrome never survives, so
+# the oracle reconstructs kept lines directly from the token groups.
+DATA_ORACLES["pages_main_content"] = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+content AS (
+  SELECT doc_id, CAST((pos - 1) // 12 AS BIGINT) AS line_id,
+         string_agg(w, ' ' ORDER BY pos) AS line, COUNT(*) AS nw
+  FROM toks GROUP BY doc_id, (pos - 1) // 12
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_id) AS main
+  FROM content WHERE nw >= 8 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(2 + (len(string_split(d.text, ' ')) + 11) // 12 AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(length(a.main), 0) AS BIGINT) AS main_chars,
+       md5(COALESCE(a.main, '')) AS main_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 # hreflang fixture mirror: cluster = doc_id - doc_id % 4; every member
 # page's head declares ALL members (self included), so the expected
 # edge multiset is exactly the cluster self-join.

@@ -1461,6 +1461,27 @@ def test_surt_key_hand_cases():
     assert got == oracle
 
 
+def test_main_content_line_density():
+    import hashlib
+
+    import pyarrow as pa
+
+    from argo_ray.functions.text import main_content_batch
+
+    prose = "one two three four five six seven eight"  # exactly 8 words
+    body = "\n".join(["Nav Bar", prose, "short line", prose, "© footer"])
+    b = pa.table({"doc_id": [1, 2], "body": [body, "all short\nhere"]})
+    out = main_content_batch(b, min_words=8)
+    assert out["n_lines"].to_pylist() == [5, 2]
+    assert out["n_kept"].to_pylist() == [2, 0]
+    expected = prose + "\n" + prose
+    assert out["main_chars"].to_pylist() == [len(expected), 0]
+    assert out["main_fp"].to_pylist() == [
+        hashlib.md5(expected.encode()).hexdigest(),
+        hashlib.md5(b"").hexdigest(),
+    ]
+
+
 def test_blocklist_threshold_exact_cross_multiply():
     import pyarrow as pa
 
