@@ -453,6 +453,45 @@ def normalize_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("norm_text", pc.cast(t, pa.string()))
 
 
+def nfc_audit_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Unicode NFC normalization audit — the corpus-hygiene pass every
+    multilingual web pipeline runs before hashing/dedup (decomposed
+    sequences like ``a + U+0300`` and precomposed ``à`` are distinct
+    byte strings but the same text; normalizing first keeps exact-dedup
+    honest).  Emits ``(n_before, n_after, changed)`` in code points
+    (matches DuckDB ``length``/``nfc_normalize`` exactly) plus the
+    normalized text.  ``unicodedata.normalize`` is the C-implemented
+    stdlib kernel; the loop is one call per string, no per-char
+    Python."""
+    import unicodedata
+
+    texts = batch[text_column].to_pylist()
+    norm = [
+        unicodedata.normalize("NFC", t) if t is not None else None for t in texts
+    ]
+    out = batch.append_column(
+        "nfc_text", pa.array(norm, pa.string())
+    )
+    out = out.append_column(
+        "n_before",
+        pa.array([len(t) if t is not None else None for t in texts], pa.int64()),
+    )
+    out = out.append_column(
+        "n_after",
+        pa.array([len(t) if t is not None else None for t in norm], pa.int64()),
+    )
+    return out.append_column(
+        "changed",
+        pa.array(
+            [
+                (a != b) if a is not None and b is not None else None
+                for a, b in zip(texts, norm)
+            ],
+            pa.bool_(),
+        ),
+    )
+
+
 def main_content_batch(
     batch: pa.Table,
     text_column: str = "body",

@@ -2569,6 +2569,36 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_docs_nfc_norm(sf_dir: str):
+    """Unicode NFC normalization audit: the fixture decomposes every
+    ``a`` into ``a + U+0300`` (combining grave — SQL: ``replace(text,
+    'a', 'a' || chr(768))``), the operator recomposes via NFC, and the
+    audit reports code-point lengths before/after plus whether the doc
+    changed.  Streaming map, no shuffle; DuckDB mirrors with
+    ``nfc_normalize`` (:func:`argo_ray.functions.text.nfc_audit_batch`)."""
+    from ..functions.text import nfc_audit_batch
+
+    def decompose(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring(
+            pc.cast(b["text"], pa.large_string()), pattern="a", replacement="à"
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "text": pc.cast(t, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(decompose, batch_format="pyarrow")
+        .map_batches(
+            lambda b: nfc_audit_batch(b).drop_columns(["text", "nfc_text"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_pages_main_content(sf_dir: str):
     """Boilerplate removal: line-density main-content extraction over
     the synthesized chrome-wrapped bodies — nav/footer lines (4-5
@@ -3387,6 +3417,7 @@ DATA_QUERIES = {
     "pages_hreflang_extract": q_pages_hreflang_extract,
     "pages_hreflang_clusters": q_pages_hreflang_clusters,
     "pages_main_content": q_pages_main_content,
+    "docs_nfc_norm": q_docs_nfc_norm,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4178,6 +4209,19 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+# NFC fixture mirror: decompose every 'a' into a + combining grave
+# (chr(768)), then nfc_normalize recomposes to 'à'; lengths are code
+# points on both sides.
+DATA_ORACLES["docs_nfc_norm"] = """WITH dec AS (
+  SELECT doc_id, replace(text, 'a', 'a' || chr(768)) AS t FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_before,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+       nfc_normalize(t) <> t AS changed
+FROM dec"""
+
+
 # main-content fixture mirror: the body is nav(4w) + 12-word content
 # lines + footer(5w); with min_words=8 the chrome never survives, so
 # the oracle reconstructs kept lines directly from the token groups.

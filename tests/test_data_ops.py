@@ -1461,6 +1461,20 @@ def test_surt_key_hand_cases():
     assert got == oracle
 
 
+def test_nfc_audit_recomposition():
+    import pyarrow as pa
+
+    from argo_ray.functions.text import nfc_audit_batch
+
+    decomposed = "cafe\u0301"  # e + combining acute
+    b = pa.table({"doc_id": [1, 2], "text": [decomposed, "plain"]})
+    out = nfc_audit_batch(b)
+    assert out["nfc_text"].to_pylist() == ["caf\u00e9", "plain"]
+    assert out["n_before"].to_pylist() == [5, 5]
+    assert out["n_after"].to_pylist() == [4, 5]
+    assert out["changed"].to_pylist() == [True, False]
+
+
 def test_main_content_line_density():
     import hashlib
 
