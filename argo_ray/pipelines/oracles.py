@@ -1146,6 +1146,22 @@ SELECT 'add' AS op, * FROM (SELECT * FROM d_new EXCEPT SELECT * FROM d_old)"""
     )
 
 
+# Fixture blanks touch no other blanks, so the canonical label is the
+# hash of the sorted DISTINCT ground features (direction | predicate |
+# NT-rendered neighbour) — the same formula stages/canon.py hashes.
+ORACLES["kg_blank_canon"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+feats AS (
+  SELECT subj_value AS blank,
+         'o|' || pred_value || '|' || {_nt_term("obj")} AS feat
+  FROM d WHERE subj_kind = 1 AND obj_kind <> 1
+  UNION
+  SELECT obj_value,
+         'i|' || pred_value || '|' || {_nt_term("subj")}
+  FROM d WHERE obj_kind = 1 AND subj_kind <> 1
+)
+SELECT blank, md5(string_agg(feat, chr(10) ORDER BY feat)) AS canon
+FROM feats GROUP BY blank"""
+
 ORACLES["kg_delta"] = _delta_sql()
 
 

@@ -1898,6 +1898,19 @@ def _kg_schema() -> pa.Table:
     )
 
 
+def q_kg_blank_canon(sf_dir: str):
+    """Structural canonical labels for the KG's blank nodes (color
+    refinement; the graph-equality semantics of the reference's
+    bijection search at /root/reference/graph.go:231-253, made
+    scalable).  Fixture blanks carry only ground features so the
+    oracle is the ground-feature hash; blank-blank refinement is
+    exercised by the differential unit test
+    (tests/test_stages.py)."""
+    from ..stages.canon import blank_canonical_labels
+
+    return blank_canonical_labels(_deduped(sf_dir))
+
+
 def q_kg_rdfs_infer(sf_dir: str):
     """RDFS forward chaining over the extracted KG under the inline
     TBox (:mod:`argo_ray.stages.reason`): one broadcast-LUT entailment
@@ -3949,6 +3962,7 @@ KG_QUERIES = {
     "pages_host_pagerank": q_pages_host_pagerank,
     "pages_host_pagerank_weighted": q_pages_host_pagerank_weighted,
     "kg_temporal_fuse": q_kg_temporal_fuse,
+    "kg_blank_canon": q_kg_blank_canon,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,

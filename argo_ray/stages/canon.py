@@ -348,3 +348,204 @@ def canonicalize_sameas(
         for pos in ("subj", "obj"):
             rewritten = _rewrite_one_side_join(rewritten, mapping, pos, triple_fields)
     return dedup_exact(rewritten)
+
+
+# ---------------------------------------------------------------------------
+# Blank-node canonical labeling (graph-equality semantics)
+# ---------------------------------------------------------------------------
+
+
+def _color_hash(feats) -> str:
+    import hashlib
+
+    return hashlib.md5("\n".join(feats).encode()).hexdigest()
+
+
+def blank_canonical_labels(triples_ds, iters: int = 2):
+    """Deterministic canonical labels for blank nodes via color
+    refinement (the 1-WL idea behind the public RDF dataset
+    canonicalization algorithms, cf. URDNA2015 / Hogan's iso-canonical
+    labeling): a blank's label depends only on its STRUCTURE — the
+    multiset of (direction, predicate, ground-term) edges it touches,
+    refined ``iters`` rounds through blank-blank edges — never on the
+    arbitrary input label.  Two isomorphic graphs therefore canonicalize
+    to the same label multiset (the reference's graph-equality contract,
+    ``/root/reference/graph.go:231-253``, decided there by exhaustive
+    bijection search; color refinement is the scalable route).
+
+    Returns ``(blank, canon)`` — one row per distinct blank label.
+
+    Distributed shape: feature extraction is one vectorized pass
+    (NT-rendered ground neighbours), the per-blank hash is a
+    ``grouped_map`` (one sort exchange keyed by blank), and each
+    refinement round is one sort-colocation attach of neighbour colors
+    to the blank-blank edge list + one more grouped hash — all
+    exchanges carry ONE ROW PER EDGE TOUCHING A BLANK, never the full
+    graph.  Rounds short-circuit when the graph has no blank-blank
+    edges (colors are already stable).  Twin: the fixture oracle in
+    pipelines/oracles.py mirrors the ground-feature hash in SQL.
+    """
+    import pandas as pd
+
+    from ..terms import nt_render_position
+    from .grouping import grouped_map
+
+    one = pa.scalar(1, pa.int64())
+    ls = pa.scalar("|", pa.large_string())
+
+    def feats(b: pa.Table) -> pa.Table:
+        cols = {"blank": [], "feat": [], "dir": [], "pred": [], "nbr": []}
+        parts = []
+        for pos, other, d in (("subj", "obj", "o"), ("obj", "subj", "i")):
+            side = b.filter(pc.equal(pc.cast(b[f"{pos}_kind"], pa.int64()), one))
+            if not side.num_rows:
+                continue
+            other_blank = pc.equal(
+                pc.cast(side[f"{other}_kind"], pa.int64()), one
+            )
+            ground = side.filter(pc.invert(other_blank))
+            if ground.num_rows:
+                rend = nt_render_position(ground, other)
+                feat = pc.binary_join_element_wise(
+                    pa.array([d] * ground.num_rows, pa.large_string()),
+                    pc.cast(ground["pred_value"], pa.large_string()),
+                    rend,
+                    ls,
+                )
+                n = ground.num_rows
+                parts.append(
+                    pa.table(
+                        {
+                            "blank": pc.cast(
+                                ground[f"{pos}_value"], pa.string()
+                            ),
+                            "feat": pc.cast(feat, pa.string()),
+                            "dir": pa.nulls(n, pa.string()),
+                            "pred": pa.nulls(n, pa.string()),
+                            "nbr": pa.nulls(n, pa.string()),
+                        }
+                    )
+                )
+            bb = side.filter(other_blank)
+            if bb.num_rows:
+                n = bb.num_rows
+                parts.append(
+                    pa.table(
+                        {
+                            "blank": pc.cast(bb[f"{pos}_value"], pa.string()),
+                            "feat": pa.nulls(n, pa.string()),
+                            "dir": pa.array([d] * n, pa.string()),
+                            "pred": pc.cast(bb["pred_value"], pa.string()),
+                            "nbr": pc.cast(bb[f"{other}_value"], pa.string()),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {
+                    "blank": pa.array([], pa.string()),
+                    "feat": pa.array([], pa.string()),
+                    "dir": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "nbr": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    allf = triples_ds.map_batches(feats, batch_format="pyarrow").materialize()
+    bb = allf.map_batches(
+        lambda b: b.filter(pc.is_null(b["feat"])), batch_format="pyarrow"
+    )
+    # seed rows keep bb-only blanks in the color table (empty feature set)
+    base = allf.map_batches(
+        lambda b: b.select(["blank", "feat"]), batch_format="pyarrow"
+    )
+
+    def hash_group(g: pd.DataFrame) -> pd.DataFrame:
+        feats_set = sorted({f for f in g["feat"] if f is not None and not pd.isna(f)})
+        return pd.DataFrame(
+            {"blank": [g["blank"].iloc[0]], "canon": [_color_hash(feats_set)]}
+        )
+
+    color = grouped_map(base, "blank", hash_group)
+
+    n_bb = bb.count()
+    if n_bb == 0 or iters <= 0:
+        return color
+
+    bb = bb.materialize()
+
+    def tag_color(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(b["blank"], pa.string()),
+                "label": pc.cast(b["canon"], pa.string()),
+                "blank": pa.nulls(n, pa.string()),
+                "dir": pa.nulls(n, pa.string()),
+                "pred": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(b["nbr"], pa.string()),
+                "label": pa.nulls(n, pa.string()),
+                "blank": pc.cast(b["blank"], pa.string()),
+                "dir": pc.cast(b["dir"], pa.string()),
+                "pred": pc.cast(b["pred"], pa.string()),
+            }
+        )
+
+    def attach_block(t: pa.Table) -> pa.Table:
+        is_map = pc.is_valid(t["label"])
+        maps = t.filter(is_map)
+        rows = t.filter(pc.invert(is_map))
+        if not rows.num_rows:
+            return pa.table(
+                {"blank": pa.array([], pa.string()), "feat": pa.array([], pa.string())}
+            )
+        idx = pc.index_in(rows["key"], value_set=maps["key"])
+        nbr_color = pc.take(maps["label"], idx)
+        feat = pc.binary_join_element_wise(
+            pc.cast(rows["dir"], pa.large_string()),
+            pc.cast(rows["pred"], pa.large_string()),
+            pc.cast(nbr_color, pa.large_string()),
+            pa.scalar("|", pa.large_string()),
+        )
+        return pa.table(
+            {
+                "blank": pc.cast(rows["blank"], pa.string()),
+                "feat": pc.cast(feat, pa.string()),
+            }
+        )
+
+    for _ in range(iters):
+        color = color.materialize()  # consumed by attach AND the self term
+        edge_feats = (
+            color.map_batches(tag_color, batch_format="pyarrow")
+            .union(bb.map_batches(tag_edge, batch_format="pyarrow"))
+            .sort("key")
+            .map_batches(attach_block, batch_format="pyarrow", batch_size=None)
+        )
+        self_feats = color.map_batches(
+            lambda b: pa.table(
+                {
+                    "blank": pc.cast(b["blank"], pa.string()),
+                    "feat": pc.cast(
+                        pc.binary_join_element_wise(
+                            pa.scalar("c", pa.large_string()),
+                            pc.cast(b["canon"], pa.large_string()),
+                            pa.scalar("|", pa.large_string()),
+                        ),
+                        pa.string(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        color = grouped_map(self_feats.union(edge_feats), "blank", hash_group)
+
+    return color

@@ -456,3 +456,96 @@ def test_grouped_map_verify_flag(ray_session):
     reg2 = ray.remote(num_cpus=0)(_BoundaryRegistry).remote(limit=1)
     assert ray.get(reg2.register.remote(["a"], "t1")) == []
     assert ray.get(reg2.register.remote(["a"], "t2")) == []  # past limit
+
+
+def _ref_blank_labels(triples, iters=2):
+    """Pure-Python mirror of stages/canon.py::blank_canonical_labels:
+    (kind, value) terms; render matches NT rendering for the fixture's
+    escape-free values."""
+    import hashlib
+
+    def render(t):
+        k, v, lang, dt = t
+        if k == 0:
+            return f"<{v}>"
+        if k == 1:
+            return f"_:{v}"
+        if lang:
+            return f'"{v}"@{lang}'
+        if dt:
+            return f'"{v}"^^<{dt}>'
+        return f'"{v}"'
+
+    ground, bb, blanks = {}, {}, set()
+    for s, p, o in triples:
+        if s[0] == 1:
+            blanks.add(s[1])
+            if o[0] == 1:
+                bb.setdefault(s[1], []).append(("o", p[1], o[1]))
+            else:
+                ground.setdefault(s[1], set()).add(f"o|{p[1]}|{render(o)}")
+        if o[0] == 1:
+            blanks.add(o[1])
+            if s[0] == 1:
+                bb.setdefault(o[1], []).append(("i", p[1], s[1]))
+            else:
+                ground.setdefault(o[1], set()).add(f"i|{p[1]}|{render(s)}")
+
+    def h(feats):
+        return hashlib.md5("\n".join(sorted(feats)).encode()).hexdigest()
+
+    color = {b: h(ground.get(b, set())) for b in blanks}
+    if not any(bb.values()):
+        return color
+    for _ in range(iters):
+        new = {}
+        for b in blanks:
+            feats = {f"c|{color[b]}"} | {
+                f"{d}|{p}|{color[n]}" for d, p, n in bb.get(b, [])
+            }
+            new[b] = h(feats)
+        color = new
+    return color
+
+
+def test_blank_canonical_labels_differential(ray_session):
+    """Ray color refinement == the pure-Python recurrence, and
+    isomorphic blank structures canonicalize identically."""
+    import ray.data as rd
+
+    from argo_ray.stages.canon import blank_canonical_labels
+    from argo_ray.terms import IRI, Blank, Literal, triples_to_table
+
+    P = IRI("http://a.org/p")
+    Q = IRI("http://a.org/q")
+    G = IRI("http://a.org/ground")
+
+    # two isomorphic chains (b1->b2->G, x1->x2->G) + a distinct shape
+    triples = [
+        (Blank("b1"), P, Blank("b2")),
+        (Blank("b2"), Q, G),
+        (Blank("x1"), P, Blank("x2")),
+        (Blank("x2"), Q, G),
+        (Blank("y1"), P, Literal("leaf")),
+    ]
+    tbl = triples_to_table(triples, with_hash=False)
+    ds = rd.from_arrow(tbl)
+    for iters in (0, 1, 2, 3):
+        got = {
+            r["blank"]: r["canon"]
+            for r in blank_canonical_labels(ds, iters=iters).take_all()
+        }
+        def term(t):
+            return (t.kind, t.value, t.lang or "", t.datatype or "")
+
+        ref_triples = [(term(s), term(p), term(o)) for s, p, o in triples]
+        ref = _ref_blank_labels(ref_triples, iters=iters)
+        assert got == ref, iters
+        # isomorphism: the two chains agree position-wise
+        assert got["b1"] == got["x1"]
+        assert got["b2"] == got["x2"]
+        if iters >= 1:
+            # refinement separates the chain head from the leaf-shaped y1
+            assert got["b1"] != got["y1"]
+    # chain positions must be distinguished
+    assert got["b1"] != got["b2"]
