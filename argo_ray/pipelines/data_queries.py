@@ -2569,6 +2569,144 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_kg_er_fs_score(sf_dir: str):
+    """Fellegi–Sunter probabilistic record linkage (the public 1969
+    model) over title-blocked candidate pairs: two record sources (the
+    KG side and a deterministically-noised KB side — lang corrupted on
+    doc_id%5, site on %3, the chars bucket on %2), agreement vector
+    per pair on (lang, site, chars), per-field u-probabilities
+    estimated EXACTLY from the candidate population (integer agree
+    counts, ONE double division — bit-identical to the oracle's
+    SUM/COUNT), fixed m=0.9, and the standard log-likelihood match
+    weight ``agree ? ln(m/u) : ln((1-m)/(1-u))`` summed in fixed field
+    order and rounded to 6 decimals before the >0 match decision.
+
+    Distributed shape: blocking is ONE sort exchange on the title key
+    (per-block cross of the two sides, fields carried through so no
+    second join); the u-estimate is one Sum/Count aggregate over the
+    materialized pair table; scoring is a zero-shuffle vectorized map
+    with the three u floats captured in the closure (broadcast by
+    value — 24 bytes)."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    def records(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        title = pc.binary_join(
+            pc.list_slice(toks, 0, 5), pa.scalar(" ", pa.large_string())
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "title": pc.cast(title, pa.string()),
+                "lang": pc.cast(b["lang"], pa.string()),
+                "site": pc.subtract(
+                    ids, pc.multiply(pc.divide(ids, 5), pa.scalar(5, pa.int64()))
+                ),
+                "chars": pc.divide(pc.cast(b["n_chars"], pa.int64()), 100),
+            }
+        )
+
+    left = _docs(sf_dir, ("doc_id", "text", "lang", "n_chars")).map_batches(
+        records, batch_format="pyarrow"
+    )
+
+    def noise(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        mod = lambda k: pc.subtract(  # noqa: E731
+            ids, pc.multiply(pc.divide(ids, k), pa.scalar(k, pa.int64()))
+        )
+        z = pa.scalar(0, pa.int64())
+        lang = pc.if_else(
+            pc.equal(mod(5), z), pa.scalar("xx", pa.string()), b["lang"]
+        )
+        site1 = pc.add(b["site"], pa.scalar(1, pa.int64()))
+        site1 = pc.subtract(
+            site1, pc.multiply(pc.divide(site1, 5), pa.scalar(5, pa.int64()))
+        )
+        site = pc.if_else(pc.equal(mod(3), z), site1, b["site"])
+        chars = pc.if_else(
+            pc.equal(mod(2), z),
+            pc.add(b["chars"], pa.scalar(1, pa.int64())),
+            b["chars"],
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "title": b["title"],
+                "lang": lang,
+                "site": site,
+                "chars": chars,
+            }
+        )
+
+    right = left.map_batches(noise, batch_format="pyarrow")
+
+    def tag(ds, side: int):
+        return ds.map_batches(
+            lambda b, s=side: b.append_column(
+                "side", pa.array([s] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    both = tag(left, 0).union(tag(right, 1))
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype=str),
+                    "dst": pd.Series([], dtype=str),
+                    "agree_lang": pd.Series([], dtype="int64"),
+                    "agree_site": pd.Series([], dtype="int64"),
+                    "agree_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        m = a.merge(b, how="cross", suffixes=("_a", "_b"))
+        return pd.DataFrame(
+            {
+                "src": "https://kg.example.org/doc/" + m["doc_id_a"].astype(str),
+                "dst": "https://kb.example.org/entity/"
+                + m["doc_id_b"].astype(str),
+                "agree_lang": (m["lang_a"] == m["lang_b"]).astype("int64"),
+                "agree_site": (m["site_a"] == m["site_b"]).astype("int64"),
+                "agree_chars": (m["chars_a"] == m["chars_b"]).astype("int64"),
+            }
+        )
+
+    pairs = grouped_map(both, "title", block_pairs).materialize()
+    n = pairs.count()
+    agg = pairs.sum(["agree_lang", "agree_site", "agree_chars"])
+    us = {
+        f: agg[f"sum({f})"] / n
+        for f in ("agree_lang", "agree_site", "agree_chars")
+    }
+    M = 0.9
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        total = np.zeros(b.num_rows, dtype=np.float64)
+        for f in ("agree_lang", "agree_site", "agree_chars"):
+            agree = b[f].to_numpy(zero_copy_only=False).astype(bool)
+            u = us[f]
+            total = total + np.where(
+                agree, np.log(M / u), np.log((1.0 - M) / (1.0 - u))
+            )
+        rounded = np.round(total, 6)
+        out = b.append_column("score", pa.array(rounded, pa.float64()))
+        return out.append_column(
+            "is_match", pa.array(rounded > 0.0, pa.bool_())
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def q_docs_nfc_norm(sf_dir: str):
     """Unicode NFC normalization audit: the fixture decomposes every
     ``a`` into ``a + U+0300`` (combining grave — SQL: ``replace(text,
@@ -3418,6 +3556,7 @@ DATA_QUERIES = {
     "pages_hreflang_clusters": q_pages_hreflang_clusters,
     "pages_main_content": q_pages_main_content,
     "docs_nfc_norm": q_docs_nfc_norm,
+    "kg_er_fs_score": q_kg_er_fs_score,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4209,6 +4348,54 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+# Fellegi–Sunter mirror: u per field = exact SUM/COUNT over the blocked
+# pairs (single double division on both sides), m=0.9 fixed, weights
+# summed lang+site+chars then ROUND 6 before the >0 decision.
+DATA_ORACLES["kg_er_fs_score"] = """WITH l AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
+         lang, doc_id % 5 AS site, n_chars // 100 AS chars
+  FROM documents
+),
+r AS (
+  SELECT doc_id, title,
+         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+         CASE WHEN doc_id % 3 = 0 THEN (site + 1) % 5 ELSE site END AS site,
+         CASE WHEN doc_id % 2 = 0 THEN chars + 1 ELSE chars END AS chars
+  FROM l
+),
+pairs AS (
+  SELECT 'https://kg.example.org/doc/' || a.doc_id AS src,
+         'https://kb.example.org/entity/' || b.doc_id AS dst,
+         CAST(a.lang = b.lang AS BIGINT) AS agree_lang,
+         CAST(a.site = b.site AS BIGINT) AS agree_site,
+         CAST(a.chars = b.chars AS BIGINT) AS agree_chars
+  FROM l a JOIN r b USING (title)
+),
+u AS (
+  SELECT CAST(SUM(agree_lang) AS DOUBLE) / COUNT(*) AS ul,
+         CAST(SUM(agree_site) AS DOUBLE) / COUNT(*) AS us,
+         CAST(SUM(agree_chars) AS DOUBLE) / COUNT(*) AS uc
+  FROM pairs
+)
+SELECT src, dst, agree_lang, agree_site, agree_chars,
+       ROUND(
+         (CASE WHEN agree_lang = 1 THEN ln(0.9 / ul)
+               ELSE ln(0.1 / (1 - ul)) END)
+       + (CASE WHEN agree_site = 1 THEN ln(0.9 / us)
+               ELSE ln(0.1 / (1 - us)) END)
+       + (CASE WHEN agree_chars = 1 THEN ln(0.9 / uc)
+               ELSE ln(0.1 / (1 - uc)) END), 6) AS score,
+       ROUND(
+         (CASE WHEN agree_lang = 1 THEN ln(0.9 / ul)
+               ELSE ln(0.1 / (1 - ul)) END)
+       + (CASE WHEN agree_site = 1 THEN ln(0.9 / us)
+               ELSE ln(0.1 / (1 - us)) END)
+       + (CASE WHEN agree_chars = 1 THEN ln(0.9 / uc)
+               ELSE ln(0.1 / (1 - uc)) END), 6) > 0 AS is_match
+FROM pairs, u"""
+
+
 # NFC fixture mirror: decompose every 'a' into a + combining grave
 # (chr(768)), then nfc_normalize recomposes to 'à'; lengths are code
 # points on both sides.
