@@ -1146,6 +1146,8 @@ SELECT 'add' AS op, * FROM (SELECT * FROM d_new EXCEPT SELECT * FROM d_old)"""
     )
 
 
+ORACLES["warc_roundtrip"] = ORACLES["dedup_exact"]
+
 # Fixture blanks touch no other blanks, so the canonical label is the
 # hash of the sorted DISTINCT ground features (direction | predicate |
 # NT-rendered neighbour) — the same formula stages/canon.py hashes.

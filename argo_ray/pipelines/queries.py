@@ -1898,6 +1898,23 @@ def _kg_schema() -> pa.Table:
     )
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC 1.0 container round-trip (the Common-Crawl shard format):
+    pages → one WARC file per block (warcinfo + response records,
+    Content-Length framing) → offset-based parse back → RDFa extract →
+    dedup.  A lossless container means the distinct-triple multiset is
+    exactly ``dedup_exact``'s (:mod:`argo_ray.sources.warc`)."""
+    from ..sources.warc import parse_warc_batch, warc_serialize_batch
+
+    pages = pages_dataset(sf_dir)
+    back = pages.map_batches(
+        warc_serialize_batch, batch_format="pyarrow"
+    ).map_batches(parse_warc_batch, batch_format="pyarrow")
+    return _finalize(
+        dedup_exact(back.map_batches(extract_rdfa_batch, batch_format="pyarrow"))
+    )
+
+
 def q_kg_blank_canon(sf_dir: str):
     """Structural canonical labels for the KG's blank nodes (color
     refinement; the graph-equality semantics of the reference's
@@ -3962,6 +3979,7 @@ KG_QUERIES = {
     "pages_host_pagerank": q_pages_host_pagerank,
     "pages_host_pagerank_weighted": q_pages_host_pagerank_weighted,
     "kg_temporal_fuse": q_kg_temporal_fuse,
+    "warc_roundtrip": q_warc_roundtrip,
     "kg_blank_canon": q_kg_blank_canon,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,

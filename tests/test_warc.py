@@ -1,0 +1,76 @@
+"""WARC container: offset-based parsing, embedded-marker safety,
+poison quarantine."""
+
+import pyarrow as pa
+
+from argo_ray.sources.warc import (
+    parse_warc_batch,
+    warc_serialize_batch,
+)
+
+
+def _pages(rows):
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+
+
+def test_warc_roundtrip_exact():
+    rows = [
+        ("https://a.org/1", 1_704_067_200_000_000, b"<html>one</html>"),
+        ("https://a.org/2", 1_704_067_201_000_000, b"<html>two</html>"),
+    ]
+    warc = warc_serialize_batch(_pages(rows))
+    assert warc.num_rows == 1  # one file per block
+    back = parse_warc_batch(warc)
+    got = list(
+        zip(
+            back["url"].to_pylist(),
+            back["warc_ts"].cast(pa.int64()).to_pylist(),
+            back["html"].to_pylist(),
+        )
+    )
+    assert got == rows
+
+
+def test_warc_payload_containing_warc_marker():
+    """Content-Length framing must survive a page that QUOTES the
+    record header — the case a split-on-delimiter parser corrupts."""
+    evil = b"<html>WARC/1.0\r\nWARC-Type: response\r\n\r\nfake</html>"
+    rows = [
+        ("https://a.org/evil", 1_704_067_200_000_000, evil),
+        ("https://a.org/after", 1_704_067_202_000_000, b"<html>ok</html>"),
+    ]
+    back = parse_warc_batch(warc_serialize_batch(_pages(rows)))
+    assert back["url"].to_pylist() == ["https://a.org/evil", "https://a.org/after"]
+    assert back["html"].to_pylist()[0] == evil
+
+
+def test_warc_truncated_and_garbage_quarantine():
+    rows = [("https://a.org/1", 1_704_067_200_000_000, b"<html>x</html>")]
+    blob = warc_serialize_batch(_pages(rows))["warc"][0].as_py()
+    batch = pa.table(
+        {
+            "warc": pa.array(
+                [b"\xff\xfe not warc at all", blob[: len(blob) - 10], None, blob],
+                pa.binary(),
+            )
+        }
+    )
+    back = parse_warc_batch(batch)
+    # garbage row: 0 records; truncated row: payload end past EOF -> 0;
+    # null row skipped; intact row: 1
+    assert back["url"].to_pylist() == ["https://a.org/1"]
+
+
+def test_warc_skips_non_response_records():
+    rows = [("https://a.org/1", 1_704_067_200_000_000, b"<html>x</html>")]
+    blob = warc_serialize_batch(_pages(rows))["warc"][0].as_py()
+    # the serializer already prepends a warcinfo record; parsing must
+    # yield only the response
+    back = parse_warc_batch(pa.table({"warc": pa.array([blob], pa.binary())}))
+    assert back.num_rows == 1
