@@ -2569,6 +2569,140 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_docs_mixture_weights(sf_dir: str):
+    """Training-mix reweighting (the domain-mixing step a pretraining
+    pipeline runs after DSIR-style scoring; cf. the public DoReMi /
+    Pile mixture discussions): per-source token shares and the
+    resampling weight that moves the mix to the UNIFORM target —
+    weight = target_share / current_share, >1 means upsample.  One
+    per-batch partial wordcount + ONE tiny groupby(source) exchange;
+    shares need the corpus total, a single scalar aggregate.  Floats
+    round to 6 decimals after one division each (oracle-stable)."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        )
+        g = pa.table(
+            {"source": b["source"], "n_tok": pc.cast(toks, pa.int64())}
+        ).group_by("source").aggregate([("n_tok", "sum"), ("n_tok", "count")])
+        return pa.table(
+            {
+                "source": pc.cast(g["source"], pa.string()),
+                "tok_part": pc.cast(g["n_tok_sum"], pa.int64()),
+                "doc_part": pc.cast(g["n_tok_count"], pa.int64()),
+            }
+        )
+
+    per_source = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("tok_part", alias_name="n_tokens"),
+            Sum("doc_part", alias_name="n_docs"),
+        )
+        .materialize()  # tiny: one row per source; reused for the totals
+    )
+    total_tokens = per_source.sum("n_tokens")
+    n_sources = per_source.count()
+    target = 1.0 / n_sources
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        share = toks / total_tokens
+        weight = target / share
+        out = b.append_column(
+            "share", pa.array(np.round(share, 6), pa.float64())
+        )
+        return out.append_column(
+            "weight", pa.array(np.round(weight, 6), pa.float64())
+        )
+
+    return per_source.map_batches(finish, batch_format="pyarrow")
+
+
+def q_pages_cdx_index(sf_dir: str):
+    """CDX capture index (the web-archive lookup table OpenWayback
+    queries): one row per capture ``(surt, ts14, url, digest)`` — the
+    SURT key range-partitions an archive so one site's captures are
+    one contiguous scan, ts14 is the 14-digit capture timestamp, and
+    the digest dedups identical captures.  Digest here is md5 of the
+    page's extracted text (the content-addressable key the revisit
+    records use).  Pure streaming map: SURT via the per-distinct-host
+    dictionary kernel, ts14 via vectorized strftime, one md5 per
+    page."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.urlnorm import surt_key_array
+    from ..pages import pages_dataset
+
+    def cdx(b: pa.Table) -> pa.Table:
+        urls = b["url"]
+        ts = pd.to_datetime(
+            pa.table({"t": b["warc_ts"]}).to_pandas()["t"]
+        )
+        ts14 = ts.dt.strftime("%Y%m%d%H%M%S")
+        digests = [
+            hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "surt": pc.cast(surt_key_array(urls), pa.string()),
+                "ts14": pa.array(list(ts14), pa.string()),
+                "url": pc.cast(urls, pa.string()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    return pages_dataset(sf_dir).map_batches(cdx, batch_format="pyarrow")
+
+
+def q_pages_crawl_schedule(sf_dir: str):
+    """Per-source politeness scheduling: each crawl source's pages are
+    fetched one per 5-second slot in timestamp order — slot = the
+    page's rank within its source queue (ordered by warc_ts, url
+    tiebreak), fetch_offset_s = (slot−1)×5.  The queue key is the
+    URL's source path segment (the per-site quota key the crawler's
+    politeness budget hangs on).  ONE sort exchange on the key
+    co-locates each queue (the grouped_map contract); ranking inside a
+    block is a vectorized pandas sort + index."""
+    import pandas as pd
+
+    from ..pages import pages_dataset
+    from ..stages.grouping import grouped_map
+
+    def keyed(b: pa.Table) -> pa.Table:
+        urls = pc.cast(b["url"], pa.large_string())
+        ext = pc.extract_regex(urls, pattern=r"/(?P<site>src\d+)/(?P<id>\d+)$")
+        site = pc.struct_field(ext, "site")
+        return pa.table(
+            {
+                "url": pc.cast(urls, pa.string()),
+                "host": pc.cast(site, pa.string()),
+                "ts": b["warc_ts"].cast(pa.int64()) if "warc_ts" in b.column_names else b["warc_ts"],
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "url"]).reset_index(drop=True)
+        g["slot"] = g.index.astype("int64") + 1
+        g["fetch_offset_s"] = (g["slot"] - 1) * 5
+        return g[["url", "host", "slot", "fetch_offset_s"]]
+
+    pages = pages_dataset(sf_dir).map_batches(
+        lambda b: b.select(["url", "warc_ts"]), batch_format="pyarrow"
+    )
+    return grouped_map(
+        pages.map_batches(keyed, batch_format="pyarrow"), "host", rank
+    )
+
+
 def q_kg_er_fs_score(sf_dir: str):
     """Fellegi–Sunter probabilistic record linkage (the public 1969
     model) over title-blocked candidate pairs: two record sources (the
@@ -3557,6 +3691,9 @@ DATA_QUERIES = {
     "pages_main_content": q_pages_main_content,
     "docs_nfc_norm": q_docs_nfc_norm,
     "kg_er_fs_score": q_kg_er_fs_score,
+    "pages_crawl_schedule": q_pages_crawl_schedule,
+    "pages_cdx_index": q_pages_cdx_index,
+    "docs_mixture_weights": q_docs_mixture_weights,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4348,6 +4485,59 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+DATA_ORACLES["docs_mixture_weights"] = """WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS ns
+  FROM s
+)
+SELECT source, n_tokens, n_docs,
+       ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+       ROUND((1.0 / ns) / (CAST(n_tokens AS DOUBLE) / total), 6) AS weight
+FROM s, t"""
+
+
+# CDX mirror: page url/ts/text are strict functions of the documents
+# row (pages.py): ts = 2024-01-01 + doc_id seconds; text = title
+# twice + the two anchor texts.
+DATA_ORACLES["pages_cdx_index"] = """WITH p AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS title
+  FROM documents
+)
+SELECT array_to_string(list_reverse(string_split(
+           regexp_extract(regexp_replace(url,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1),
+           '.')), ',')
+       || ')'
+       || regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/?]*', '') AS surt,
+       strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+       url,
+       md5(title || ' ' || title || ' site hub') AS digest
+FROM p"""
+
+
+# Politeness-schedule mirror: warc_ts is a strict function of doc_id
+# (base + doc_id s), so the per-source timestamp order is doc_id order.
+DATA_ORACLES["pages_crawl_schedule"] = """WITH p AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         source AS host, doc_id
+  FROM documents
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT)
+         AS slot,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1) * 5
+         AS BIGINT) AS fetch_offset_s
+FROM p"""
+
+
 # Fellegi–Sunter mirror: u per field = exact SUM/COUNT over the blocked
 # pairs (single double division on both sides), m=0.9 fixed, weights
 # summed lang+site+chars then ROUND 6 before the >0 decision.
