@@ -2569,6 +2569,84 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_pages_sitemap_extract(sf_dir: str):
+    """Crawl-frontier seeding from sitemaps (sitemaps.org protocol):
+    synthesize one sitemap XML per block, parse it back with the
+    vectorized ``<url>`` extractor → ``(loc, lastmod, priority)``
+    entries ready for recency×priority frontier ordering.  Both stages
+    are zero-shuffle streaming maps
+    (:mod:`argo_ray.sources.sitemap`)."""
+    from ..sources.sitemap import parse_sitemap_batch, synth_sitemap_batch
+
+    return (
+        _docs(sf_dir, ("doc_id", "source"))
+        .map_batches(synth_sitemap_batch, batch_format="pyarrow")
+        .map_batches(parse_sitemap_batch, batch_format="pyarrow")
+    )
+
+
+def q_pages_cdx_revisits(sf_dir: str):
+    """Revisit detection over the CDX index (the WARC ``revisit``
+    record rule: a capture whose payload digest was already archived
+    stores a pointer, not the bytes): group captures by digest, first
+    capture (min ts14, url tiebreak) is the original, the rest are
+    revisits.  Emits digests with >1 capture:
+    ``(digest, n_captures, original_url)``.  Per-batch partials
+    (digest groups within a block) then ONE groupby(digest) exchange —
+    shuffle volume is distinct digests."""
+    from ray.data.aggregate import Min, Sum
+
+    cdx = q_pages_cdx_index(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b["ts14"], pa.large_string()),
+            pc.cast(b["url"], pa.large_string()),
+            pa.scalar("|", pa.large_string()),
+        )
+        g = (
+            pa.table(
+                {"digest": b["digest"], "cap": pc.cast(key, pa.string())}
+            )
+            .group_by("digest")
+            .aggregate([("cap", "min"), ("cap", "count")])
+        )
+        return pa.table(
+            {
+                "digest": pc.cast(g["digest"], pa.string()),
+                "first_part": pc.cast(g["cap_min"], pa.string()),
+                "n_part": pc.cast(g["cap_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        cdx.map_batches(partial, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(
+            Min("first_part", alias_name="first_cap"),
+            Sum("n_part", alias_name="n_captures"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        more = pc.greater(b["n_captures"], pa.scalar(1, pa.int64()))
+        f = b.filter(more)
+        url = pc.replace_substring_regex(
+            pc.cast(f["first_cap"], pa.large_string()),
+            pattern=r"^[^|]*\|",
+            replacement="",
+        )
+        return pa.table(
+            {
+                "digest": f["digest"],
+                "n_captures": f["n_captures"],
+                "original_url": pc.cast(url, pa.string()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_docs_mixture_weights(sf_dir: str):
     """Training-mix reweighting (the domain-mixing step a pretraining
     pipeline runs after DSIR-style scoring; cf. the public DoReMi /
@@ -3694,6 +3772,8 @@ DATA_QUERIES = {
     "pages_crawl_schedule": q_pages_crawl_schedule,
     "pages_cdx_index": q_pages_cdx_index,
     "docs_mixture_weights": q_docs_mixture_weights,
+    "pages_cdx_revisits": q_pages_cdx_revisits,
+    "pages_sitemap_extract": q_pages_sitemap_extract,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4485,6 +4565,27 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+DATA_ORACLES["pages_sitemap_extract"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS loc,
+  strftime(DATE '2024-01-01' + doc_id * INTERVAL 1 DAY, '%Y-%m-%d') AS lastmod,
+  CAST('0.' || (5 + doc_id % 5) AS DOUBLE) AS priority
+FROM documents"""
+
+
+DATA_ORACLES["pages_cdx_revisits"] = r"""WITH p AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         strftime(TIMESTAMP '2024-01-01 00:00:00'
+                  + doc_id * INTERVAL 1 SECOND, '%Y%m%d%H%M%S') AS ts14,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ') || ' '
+             || array_to_string(string_split(text, ' ')[1:5], ' ')
+             || ' site hub') AS digest
+  FROM documents
+)
+SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_captures,
+       regexp_replace(MIN(ts14 || '|' || url), '^[^|]*\|', '') AS original_url
+FROM p GROUP BY digest HAVING COUNT(*) > 1"""
+
+
 DATA_ORACLES["docs_mixture_weights"] = """WITH s AS (
   SELECT source,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
