@@ -453,6 +453,39 @@ def normalize_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("norm_text", pc.cast(t, pa.string()))
 
 
+def quality_gate_batch(
+    batch: pa.Table, blocklist_terms=("slow", "dup", "hash")
+) -> pa.Table:
+    """The composite C4-style keep/drop gate as a reusable kernel
+    (shared by ``docs_quality_gate`` and the dedup-cascade funnel):
+    reason bitmask over four integer-exact rules — bit0 too short
+    (<20 words), bit1 blocked-term density (≥1 hit per 50 words),
+    bit2 too few en stopwords (<2), bit3 punctuation-heavy
+    (n_punct·10 > n_chars).  kept ⇔ mask == 0.  One vectorized pass,
+    zero shuffle; input columns are preserved."""
+    q = quality_batch(batch)
+    bl = blocklist_batch(batch, blocklist_terms)
+    n_words = pc.cast(q["n_words"], pa.int64())
+    mask = pc.cast(pc.less(n_words, pa.scalar(20, pa.int64())), pa.int64())
+    blocked = pc.cast(pc.invert(pc.cast(bl["kept"], pa.bool_())), pa.int64())
+    mask = pc.add(mask, pc.multiply(blocked, pa.scalar(2, pa.int64())))
+    low_stop = pc.cast(
+        pc.less(pc.cast(q["n_stopwords"], pa.int64()), pa.scalar(2, pa.int64())),
+        pa.int64(),
+    )
+    mask = pc.add(mask, pc.multiply(low_stop, pa.scalar(4, pa.int64())))
+    punct_heavy = pc.cast(
+        pc.greater(
+            pc.multiply(pc.cast(q["n_punct"], pa.int64()), pa.scalar(10, pa.int64())),
+            pc.cast(q["n_chars_text"], pa.int64()),
+        ),
+        pa.int64(),
+    )
+    mask = pc.add(mask, pc.multiply(punct_heavy, pa.scalar(8, pa.int64())))
+    out = batch.append_column("reason_mask", mask)
+    return out.append_column("kept", pc.equal(mask, pa.scalar(0, pa.int64())))
+
+
 def nfc_audit_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Unicode NFC normalization audit — the corpus-hygiene pass every
     multilingual web pipeline runs before hashing/dedup (decomposed

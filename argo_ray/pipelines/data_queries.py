@@ -2099,46 +2099,14 @@ def q_docs_quality_gate(sf_dir: str):
     bitmask over four integer-exact rules — bit0 too short (<20 words),
     bit1 blocked-term density (≥1 hit per 50 words), bit2 too few en
     stopwords (<2), bit3 punctuation-heavy (n_punct·10 > n_chars).
-    kept ⇔ mask == 0.  Composes quality_batch + blocklist_batch
-    signals without a second scan; zero shuffle."""
-    from ..functions.text import blocklist_batch, quality_batch
-
-    terms = ("slow", "dup", "hash")
-
-    def gate(b: pa.Table) -> pa.Table:
-        q = quality_batch(b)
-        bl = blocklist_batch(b, terms)
-        n_words = pc.cast(q["n_words"], pa.int64())
-        mask = pc.cast(
-            pc.less(n_words, pa.scalar(20, pa.int64())), pa.int64()
-        )
-        blocked = pc.cast(
-            pc.invert(pc.cast(bl["kept"], pa.bool_())), pa.int64()
-        )
-        mask = pc.add(mask, pc.multiply(blocked, pa.scalar(2, pa.int64())))
-        low_stop = pc.cast(
-            pc.less(pc.cast(q["n_stopwords"], pa.int64()), pa.scalar(2, pa.int64())),
-            pa.int64(),
-        )
-        mask = pc.add(mask, pc.multiply(low_stop, pa.scalar(4, pa.int64())))
-        punct_heavy = pc.cast(
-            pc.greater(
-                pc.multiply(pc.cast(q["n_punct"], pa.int64()), pa.scalar(10, pa.int64())),
-                pc.cast(q["n_chars_text"], pa.int64()),
-            ),
-            pa.int64(),
-        )
-        mask = pc.add(mask, pc.multiply(punct_heavy, pa.scalar(8, pa.int64())))
-        return pa.table(
-            {
-                "doc_id": pc.cast(b["doc_id"], pa.int64()),
-                "reason_mask": mask,
-                "kept": pc.equal(mask, pa.scalar(0, pa.int64())),
-            }
-        )
+    kept ⇔ mask == 0.  Kernel shared with the dedup-cascade funnel
+    (:func:`argo_ray.functions.text.quality_gate_batch`); zero
+    shuffle."""
+    from ..functions.text import quality_gate_batch
 
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        gate, batch_format="pyarrow"
+        lambda b: quality_gate_batch(b).select(["doc_id", "reason_mask", "kept"]),
+        batch_format="pyarrow",
     )
 
 
@@ -2567,6 +2535,108 @@ def _boiler_pages(sf_dir: str):
         )
 
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
+
+
+def q_docs_dedup_cascade(sf_dir: str):
+    """The full corpus-hygiene funnel as ONE composed pipeline — the
+    shape every public pretraining-data recipe shares (C4, Gopher,
+    RefinedWeb): exact dedup → quality gate → benchmark
+    decontamination, reported as tier survivor counts
+    ``(n_docs, n_exact, n_quality, n_clean)``.
+
+    Stage shapes: exact dedup is ONE grouped_map on the text
+    fingerprint (representative = min doc_id, text carried through so
+    the gate needs no re-join); the gate is the shared zero-shuffle
+    ``quality_gate_batch`` kernel; decontamination broadcasts the
+    eval-split 3-gram set once (``ray.put``) and streams survivors
+    through the actor-pool filter.  Only counts cross tiers, so the
+    funnel is one pass per tier plus the tiny gram collect."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from ..functions.decontam import DecontaminationFilter, collect_eval_grams
+    from ..functions.text import quality_gate_batch
+    from ..stages.grouping import grouped_map
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    n_docs = docs.count()
+
+    def with_fp(b: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()
+        ]
+        return b.append_column("fp", pa.array(fps, pa.string()))
+
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.loc[g["doc_id"].idxmin()]
+        return pd.DataFrame({"doc_id": [r["doc_id"]], "text": [r["text"]]})
+
+    reps = grouped_map(
+        docs.map_batches(with_fp, batch_format="pyarrow"), "fp", rep
+    ).materialize()
+    n_exact = reps.count()
+
+    kept = reps.map_batches(
+        lambda b: (lambda t: t.filter(pc.cast(t["kept"], pa.bool_())))(
+            quality_gate_batch(b)
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_quality = kept.count()
+
+    grams = collect_eval_grams(
+        docs.map_batches(
+            lambda b: b.filter(
+                pc.equal(
+                    pc.subtract(
+                        pc.cast(b["doc_id"], pa.int64()),
+                        pc.multiply(
+                            pc.divide(pc.cast(b["doc_id"], pa.int64()), 23),
+                            pa.scalar(23, pa.int64()),
+                        ),
+                    ),
+                    pa.scalar(0, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        3,
+        "text",
+        "fast",
+    )
+    grams_ref = ray.put(grams)
+    clean = kept.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(
+                pc.subtract(
+                    pc.cast(b["doc_id"], pa.int64()),
+                    pc.multiply(
+                        pc.divide(pc.cast(b["doc_id"], pa.int64()), 23),
+                        pa.scalar(23, pa.int64()),
+                    ),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        DecontaminationFilter,
+        fn_constructor_args=(grams_ref, 3, "text", "fast"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    n_clean = clean.count()
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "n_quality": pa.array([n_quality], pa.int64()),
+            "n_clean": pa.array([n_clean], pa.int64()),
+        }
+    )
 
 
 def q_pages_sitemap_extract(sf_dir: str):
@@ -3774,6 +3844,7 @@ DATA_QUERIES = {
     "docs_mixture_weights": q_docs_mixture_weights,
     "pages_cdx_revisits": q_pages_cdx_revisits,
     "pages_sitemap_extract": q_pages_sitemap_extract,
+    "docs_dedup_cascade": q_docs_dedup_cascade,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4565,6 +4636,43 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+# Cascade mirror: reps = min doc_id per distinct text; gate rules are
+# the docs_quality_gate four; decontamination is the string-gram join
+# of docs_decontaminate restricted to gate survivors (docs shorter
+# than one 3-gram are trivially clean and pass).
+DATA_ORACLES["docs_dedup_cascade"] = r"""WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+), q AS (
+  SELECT doc_id, text,
+         (CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END)
+       + (CASE WHEN len(regexp_extract_all(text, '\b(slow|dup|hash)\b')) * 50
+               >= len(string_split(text, ' ')) THEN 2 ELSE 0 END)
+       + (CASE WHEN len(list_filter(string_split(text, ' '),
+             w -> w IN ('a','and','for','in','is','it','of','that','the','to')))
+               < 2 THEN 4 ELSE 0 END)
+       + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) * 10
+               > length(text) THEN 8 ELSE 0 END) = 0 AS kept
+  FROM reps
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0
+), contaminated AS (
+  SELECT DISTINCT gr.doc_id
+  FROM grams gr JOIN ev ON gr.g = ev.g
+  WHERE gr.doc_id % 23 <> 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM reps) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q WHERE kept) AS n_quality,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q
+         WHERE kept AND doc_id % 23 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)) AS n_clean"""
+
+
 DATA_ORACLES["pages_sitemap_extract"] = """SELECT
   'https://docs.example.org/' || source || '/' || doc_id AS loc,
   strftime(DATE '2024-01-01' + doc_id * INTERVAL 1 DAY, '%Y-%m-%d') AS lastmod,
