@@ -1147,6 +1147,7 @@ SELECT 'add' AS op, * FROM (SELECT * FROM d_new EXCEPT SELECT * FROM d_old)"""
 
 
 ORACLES["warc_roundtrip"] = ORACLES["dedup_exact"]
+ORACLES["sparql_results_tsv_roundtrip"] = ORACLES["sparql_results_roundtrip"]
 
 # Fixture blanks touch no other blanks, so the canonical label is the
 # hash of the sorted DISTINCT ground features (direction | predicate |

@@ -2788,6 +2788,37 @@ def q_sparql_results_roundtrip(sf_dir: str):
     )
 
 
+def q_sparql_results_tsv_roundtrip(sf_dir: str):
+    """TSV result-format loop (W3C sparql11-results-csv-tsv, the
+    lossless text sibling of the XML family): evaluate SELECT →
+    vectorized tab-join per batch → re-parse with the vectorized
+    inverse renderer → rendered rows.  Same expected table as the XML
+    round-trip."""
+    import pyarrow as pa
+
+    from ..sinks.sparql_results import select_dataset_to_tsv
+    from ..sources.sparql_results import parse_select_results_tsv
+    from ..sparql import evaluate_select
+    from ..terms import render_term
+
+    q = f"""
+    PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?l WHERE {{ ?doc dc:language ?l }}
+    """
+    out = evaluate_select(_deduped(sf_dir).materialize(), q)
+    doc = select_dataset_to_tsv(out, ["doc", "l"])
+    variables, rows = parse_select_results_tsv(doc)
+    return pa.table(
+        {
+            v: pa.array(
+                [render_term(r[v]) if v in r else "" for r in rows],
+                pa.large_string(),
+            )
+            for v in variables
+        }
+    )
+
+
 def q_sparql_path_zero_or_one_eval(sf_dir: str):
     """``ex:cites?`` from the hub: the zero-length solution (the hub
     itself) plus every cited doc — one edge scan, no fixpoint."""
@@ -4018,6 +4049,7 @@ KG_QUERIES = {
     "sparql_numeric_hash_eval": q_sparql_numeric_hash_eval,
     "sparql_select_expr_eval": q_sparql_select_expr_eval,
     "sparql_results_roundtrip": q_sparql_results_roundtrip,
+    "sparql_results_tsv_roundtrip": q_sparql_results_tsv_roundtrip,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,

@@ -189,3 +189,24 @@ def serialize_select_results_tsv(variables: list[str], rows) -> str:
             "\t".join(_tsv_term(row[v]) if v in row else "" for v in variables)
         )
     return "\n".join(lines) + "\n"
+
+
+def select_dataset_to_tsv(ds, variables: list[str]) -> str:
+    """``evaluate_select`` output Dataset → SPARQL 1.1 TSV results
+    document (text/tab-separated-values).  The engine's canonical
+    rendering IS the TSV term syntax, so each row is ONE vectorized
+    tab-join per batch; unbound ('') stays an empty cell per spec."""
+    header = "\t".join("?" + v for v in variables)
+    chunks: list[str] = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        cols = [pc.cast(batch[v], pa.large_string()) for v in variables]
+        if len(cols) == 1:
+            joined = cols[0]
+        else:
+            joined = pc.binary_join_element_wise(
+                *cols, pa.scalar("\t", pa.large_string())
+            )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        chunks.extend(joined.to_pylist())
+    return "\n".join([header, *chunks]) + "\n"

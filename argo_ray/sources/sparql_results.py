@@ -163,3 +163,53 @@ def parse_ask_result_json(doc: str) -> bool:
     if "boolean" not in d:
         raise ValueError("not an ASK result document")
     return bool(d["boolean"])
+
+
+# -- SPARQL 1.1 results TSV (text/tab-separated-values; spec:
+# https://www.w3.org/TR/sparql11-results-csv-tsv/) -------------------------
+# TSV carries full SPARQL term syntax, so it is the LOSSLESS text
+# sibling (CSV is spreadsheet-bound by spec §3 — serializer only).
+
+
+def parse_select_results_tsv(doc: str) -> tuple[list[str], list[dict[str, Term]]]:
+    """TSV results document → (variables, binding rows) — the same
+    shape the XML/JSON parsers return.  Cell parsing is the vectorized
+    inverse renderer over ALL cells at once (one arrow array), not a
+    per-cell Python parse."""
+    import pyarrow as pa
+
+    from ..terms import nt_parse_term_arrays
+
+    lines = doc.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    if not lines:
+        return [], []
+    variables = [v.lstrip("?") for v in lines[0].split("\t")]
+    grid = [line.split("\t") for line in lines[1:]]
+    flat = [
+        (cell if cell != "" else None)
+        for row in grid
+        for cell in (row + [""] * (len(variables) - len(row)))
+    ]
+    parsed = nt_parse_term_arrays(pa.array(flat, pa.large_string()))
+    flatten = {
+        k: (a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+        for k, a in parsed.items()
+    }
+    rows: list[dict[str, Term]] = []
+    nv = len(variables)
+    for i in range(len(grid)):
+        row: dict[str, Term] = {}
+        for j, v in enumerate(variables):
+            k = flatten["kind"][i * nv + j].as_py()
+            if k is None:
+                continue
+            row[v] = Term(
+                k,
+                flatten["value"][i * nv + j].as_py(),
+                flatten["lang"][i * nv + j].as_py() or "",
+                flatten["datatype"][i * nv + j].as_py() or "",
+            )
+        rows.append(row)
+    return variables, rows

@@ -183,3 +183,26 @@ def test_results_csv_tsv():
         '<http://e.org/a>\t"v,\\"x\\""',
         "<http://e.org/b>\t",
     ]
+
+
+def test_tsv_serialize_parse_roundtrip_terms():
+    """TSV is the lossless text format: every term kind (IRI, blank,
+    plain/lang/typed literal) and an unbound cell survive the loop."""
+    from argo_ray.sinks.sparql_results import serialize_select_results_tsv
+    from argo_ray.sources.sparql_results import parse_select_results_tsv
+    from argo_ray.terms import Term
+
+    rows = [
+        {"a": Term(0, "http://x.org/1", "", ""), "b": Term(2, "plain", "", "")},
+        {"a": Term(1, "bn1", "", ""), "b": Term(2, "chat", "fr", "")},
+        {
+            "a": Term(0, "http://x.org/2", "", ""),
+            "b": Term(2, "4", "", "http://www.w3.org/2001/XMLSchema#integer"),
+        },
+        {"b": Term(2, "only b", "", "")},  # a unbound
+    ]
+    doc = serialize_select_results_tsv(["a", "b"], rows)
+    assert doc.startswith("?a\t?b\n")
+    variables, back = parse_select_results_tsv(doc)
+    assert variables == ["a", "b"]
+    assert back == rows
