@@ -2537,6 +2537,66 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_pages_crawl_plan(sf_dir: str):
+    """Composed crawl planning — the frontier stack end-to-end in ONE
+    pipeline: sitemap seeds (loc/lastmod/priority) → robots.txt
+    longest-match gate → per-source politeness schedule ordered by
+    priority DESC then lastmod then url.  Every stage is the same
+    kernel its standalone query uses (sitemap parse, robots_filter,
+    grouped_map rank); only the politeness rank shuffles (ONE sort
+    exchange on the source key)."""
+    import pandas as pd
+
+    from ..functions.weblinks import robots_filter
+    from ..sources.sitemap import parse_sitemap_batch, synth_sitemap_batch
+    from ..stages.grouping import grouped_map
+
+    seeds = (
+        _docs(sf_dir, ("doc_id", "source"))
+        .map_batches(synth_sitemap_batch, batch_format="pyarrow")
+        .map_batches(parse_sitemap_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "url": pc.cast(b["loc"], pa.string()),
+                    "lastmod": b["lastmod"],
+                    "priority": b["priority"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    rules = {
+        "docs.example.org": [
+            ("disallow", "/src1"),
+            ("allow", "/src14"),
+            ("disallow", "/src3/"),
+        ]
+    }
+    allowed = robots_filter(seeds, rules)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            pc.cast(b["url"], pa.large_string()),
+            pattern=r"/(?P<site>src\d+)/\d+$",
+        )
+        return b.append_column(
+            "host", pc.cast(pc.struct_field(ext, "site"), pa.string())
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["priority", "lastmod", "url"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        g["slot"] = g.index.astype("int64") + 1
+        g["fetch_offset_s"] = (g["slot"] - 1) * 5
+        return g[["url", "host", "slot", "fetch_offset_s"]]
+
+    return grouped_map(
+        allowed.map_batches(keyed, batch_format="pyarrow"), "host", rank
+    )
+
+
 def q_docs_dedup_cascade(sf_dir: str):
     """The full corpus-hygiene funnel as ONE composed pipeline — the
     shape every public pretraining-data recipe shares (C4, Gopher,
@@ -3845,6 +3905,7 @@ DATA_QUERIES = {
     "pages_cdx_revisits": q_pages_cdx_revisits,
     "pages_sitemap_extract": q_pages_sitemap_extract,
     "docs_dedup_cascade": q_docs_dedup_cascade,
+    "pages_crawl_plan": q_pages_crawl_plan,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4636,6 +4697,27 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+# Crawl-plan mirror: sitemap fields from the sitemap oracle, robots
+# rule from the pages_robots_filter oracle, rank per source by
+# priority DESC, lastmod, url.
+DATA_ORACLES["pages_crawl_plan"] = """WITH seeds AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         source AS host,
+         strftime(DATE '2024-01-01' + doc_id * INTERVAL 1 DAY, '%Y-%m-%d')
+           AS lastmod,
+         CAST('0.' || (5 + doc_id % 5) AS DOUBLE) AS priority
+  FROM documents
+  WHERE NOT ((source LIKE 'src1%' AND source <> 'src14') OR source = 'src3')
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, lastmod, url) AS BIGINT) AS slot,
+       CAST((row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, lastmod, url) - 1) * 5 AS BIGINT)
+         AS fetch_offset_s
+FROM seeds"""
+
+
 # Cascade mirror: reps = min doc_id per distinct text; gate rules are
 # the docs_quality_gate four; decontamination is the string-gram join
 # of docs_decontaminate restricted to gate survivors (docs shorter
