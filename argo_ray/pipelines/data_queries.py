@@ -2537,6 +2537,55 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_pages_partition_plan(sf_dir: str, parts: int = 8):
+    """Equi-depth range-partition planner over the SURT keyspace — the
+    sharding step a 100 TB archive runs before writing range-
+    partitioned CDX/store files: boundary i = the key at exact rank
+    ``i·n//parts`` of the sorted key stream, so every shard holds the
+    same row count regardless of host skew.  Exact distributed ranks
+    via the block-offset prefix sum (ONE sort exchange + a per-block
+    count table, :func:`argo_ray.functions.packing.running_total`);
+    only the ``parts-1`` boundary rows leave the stream."""
+    from ..functions.packing import running_total
+    from ..functions.urlnorm import surt_key_array
+    from ..pages import pages_dataset
+
+    def to_surt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "surt": pc.cast(surt_key_array(b["url"]), pa.string()),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    keys = pages_dataset(sf_dir).map_batches(to_surt, batch_format="pyarrow")
+    n = keys.count()
+    targets = {(i * n) // parts: i for i in range(1, parts)}
+    ranked = running_total(keys, order_col="surt", value_col="one", out_col="rank")
+
+    def pick(b: pa.Table) -> pa.Table:
+        ranks = b["rank"].to_pylist()
+        keep = [j for j, r in enumerate(ranks) if r in targets]
+        if not keep:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "boundary": pa.array([], pa.string()),
+                }
+            )
+        t = b.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "part": pa.array(
+                    [targets[r] for r in t["rank"].to_pylist()], pa.int64()
+                ),
+                "boundary": pc.cast(t["surt"], pa.string()),
+            }
+        )
+
+    return ranked.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
 def q_pages_crawl_plan(sf_dir: str):
     """Composed crawl planning — the frontier stack end-to-end in ONE
     pipeline: sitemap seeds (loc/lastmod/priority) → robots.txt
@@ -3906,6 +3955,7 @@ DATA_QUERIES = {
     "pages_sitemap_extract": q_pages_sitemap_extract,
     "docs_dedup_cascade": q_docs_dedup_cascade,
     "pages_crawl_plan": q_pages_crawl_plan,
+    "pages_partition_plan": q_pages_partition_plan,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4697,6 +4747,26 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+DATA_ORACLES["pages_partition_plan"] = r"""WITH p AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url
+  FROM documents
+), s AS (
+  SELECT array_to_string(list_reverse(string_split(
+             regexp_extract(regexp_replace(url,
+                 '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^([^/?]*)', 1),
+             '.')), ',')
+         || ')'
+         || regexp_replace(regexp_replace(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '^[^/?]*', '') AS surt
+  FROM p
+), r AS (
+  SELECT surt, row_number() OVER (ORDER BY surt) AS rn FROM s
+)
+SELECT CAST(t.i AS BIGINT) AS part, r.surt AS boundary
+FROM r JOIN (SELECT UNNEST(generate_series(1, 7)) AS i) t
+  ON r.rn = (t.i * (SELECT COUNT(*) FROM s)) // 8"""
+
+
 # Crawl-plan mirror: sitemap fields from the sitemap oracle, robots
 # rule from the pages_robots_filter oracle, rank per source by
 # priority DESC, lastmod, url.
