@@ -2537,6 +2537,22 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_og_extract(sf_dir: str):
+    """Open Graph self-description mining (ogp.me): synthesize OG head
+    fixtures per page (plus a decoy non-OG meta the extractor must
+    skip), parse back with the vectorized ``<meta property=og:*>``
+    extractor → ``(src_url, property, content)``.  Completes the HTML
+    metadata family (RDFa / microdata / JSON-LD / OG); zero-shuffle
+    streaming maps (:mod:`argo_ray.sources.opengraph`)."""
+    from ..sources.opengraph import extract_og_batch, synth_og_batch
+
+    return (
+        _docs(sf_dir, ("doc_id", "text", "lang", "source"))
+        .map_batches(synth_og_batch, batch_format="pyarrow")
+        .map_batches(extract_og_batch, batch_format="pyarrow")
+    )
+
+
 def q_pages_partition_plan(sf_dir: str, parts: int = 8):
     """Equi-depth range-partition planner over the SURT keyspace — the
     sharding step a 100 TB archive runs before writing range-
@@ -3956,6 +3972,7 @@ DATA_QUERIES = {
     "docs_dedup_cascade": q_docs_dedup_cascade,
     "pages_crawl_plan": q_pages_crawl_plan,
     "pages_partition_plan": q_pages_partition_plan,
+    "og_extract": q_og_extract,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4747,6 +4764,18 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+DATA_ORACLES["og_extract"] = """WITH d AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
+         lang
+  FROM documents
+)
+SELECT url AS src_url, 'og:title' AS property, title AS content FROM d
+UNION ALL SELECT url, 'og:type', 'article' FROM d
+UNION ALL SELECT url, 'og:url', url FROM d
+UNION ALL SELECT url, 'og:locale', lang FROM d"""
+
+
 DATA_ORACLES["pages_partition_plan"] = r"""WITH p AS (
   SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url
   FROM documents

@@ -93,3 +93,19 @@ def test_sitemap_parse_and_poison():
     assert out["loc"].to_pylist() == ["https://a.org/1", "https://a.org/2"]
     assert out["lastmod"].to_pylist() == ["2024-03-01", "2024-03-02"]
     assert out["priority"].to_pylist() == [0.8, 0.5]
+
+
+def test_og_extract_skips_non_og_meta_and_poison():
+    from argo_ray.sources.opengraph import extract_og_batch
+
+    head = (
+        '<head><meta property="og:title" content="A Title"/>'
+        '<meta name="viewport" content="width=device-width"/>'
+        '<meta property="article:author" content="x"/>'
+        '<meta property="og:locale" content="en"/></head>'
+    )
+    b = pa.table({"url": ["https://a/1", "https://a/2"], "html": [head, "junk"]})
+    out = extract_og_batch(b)
+    assert out["property"].to_pylist() == ["og:title", "og:locale"]
+    assert out["content"].to_pylist() == ["A Title", "en"]
+    assert out["src_url"].to_pylist() == ["https://a/1", "https://a/1"]
