@@ -2537,6 +2537,119 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_pages_feed_extract(sf_dir: str):
+    """Incremental-crawl discovery via Atom feeds (RFC 4287): one
+    synthesized feed per block parsed back to
+    ``(entry_id, title, updated, href)`` — the poll-don't-rewalk leg
+    of the discovery trio (sitemaps, robots, feeds).  Zero-shuffle
+    streaming maps (:mod:`argo_ray.sources.feeds`)."""
+    from ..sources.feeds import parse_feed_batch, synth_feed_batch
+
+    return (
+        _docs(sf_dir, ("doc_id", "text", "source"))
+        .map_batches(synth_feed_batch, batch_format="pyarrow")
+        .map_batches(parse_feed_batch, batch_format="pyarrow")
+    )
+
+
+def q_docs_ttr(sf_dir: str):
+    """Type-token ratio — the classic lexical-diversity quality signal
+    (template/boilerplate pages repeat words; prose doesn't): per doc
+    ``(n_tokens, n_types, ttr)`` with ttr = distinct/total rounded to
+    6 after ONE double division.  Per-batch pandas nunique over the
+    exploded token list, zero shuffle."""
+    import numpy as np
+
+    def ttr(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+        # distinct per list: flatten + parent indices + pandas nunique
+        import pandas as pd
+
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = pd.Series(flat.to_pylist())
+        types = s.groupby(parents).nunique()
+        n_types = np.zeros(b.num_rows, dtype=np.int64)
+        n_types[types.index.to_numpy()] = types.to_numpy()
+        nt = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = np.round(n_types / nt, 6)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_tokens": n_tok,
+                "n_types": pa.array(n_types, pa.int64()),
+                "ttr": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        ttr, batch_format="pyarrow"
+    )
+
+
+def q_docs_contamination_rate(sf_dir: str):
+    """Graded decontamination (the boolean flag's precision sibling):
+    per train doc the FRACTION of its word 3-grams found in the eval
+    split — exact integer hit/total counts, ONE double division,
+    round 6.  Same broadcast shape as ``docs_decontaminate``: eval
+    grams shipped once via ``ray.put``, train side streams."""
+    import numpy as np
+    import ray
+
+    from ..functions.decontam import _gram_hashes, collect_eval_grams
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def is_eval(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(did % 23 == 0, pa.bool_()))
+
+    grams_ref = ray.put(
+        collect_eval_grams(
+            docs.map_batches(is_eval, batch_format="pyarrow"), 3, "text", "fast"
+        )
+    )
+
+    class Rate:
+        def __init__(self, ref):
+            self.grams = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            did = np.asarray(batch["doc_id"], dtype=np.int64)
+            train = batch.filter(pa.array(did % 23 != 0, pa.bool_()))
+            doc_of, g = _gram_hashes(train, 3, "text", "fast")
+            n = len(train)
+            total = np.bincount(doc_of, minlength=n).astype(np.int64)
+            hits = np.zeros(n, dtype=np.int64)
+            if len(g) and len(self.grams):
+                pos = np.searchsorted(self.grams, g)
+                pos[pos == len(self.grams)] = 0
+                member = (self.grams[pos] == g).astype(np.int64)
+                np.add.at(hits, doc_of, member)
+            keep = total > 0
+            rate = np.round(
+                hits[keep] / total[keep].astype(np.float64), 6
+            )
+            return pa.table(
+                {
+                    "doc_id": pc.cast(train["doc_id"], pa.int64()).filter(
+                        pa.array(keep, pa.bool_())
+                    ),
+                    "n_grams": pa.array(total[keep], pa.int64()),
+                    "n_hits": pa.array(hits[keep], pa.int64()),
+                    "rate": pa.array(rate, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        Rate,
+        fn_constructor_args=(grams_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 def q_og_extract(sf_dir: str):
     """Open Graph self-description mining (ogp.me): synthesize OG head
     fixtures per page (plus a decoy non-OG meta the extractor must
@@ -3973,6 +4086,9 @@ DATA_QUERIES = {
     "pages_crawl_plan": q_pages_crawl_plan,
     "pages_partition_plan": q_pages_partition_plan,
     "og_extract": q_og_extract,
+    "pages_feed_extract": q_pages_feed_extract,
+    "docs_ttr": q_docs_ttr,
+    "docs_contamination_rate": q_docs_contamination_rate,
     "pages_link_graph": q_pages_link_graph,
     "pages_host_graph": q_pages_host_graph,
     "kg_fuse_majority": q_kg_fuse_majority,
@@ -4764,6 +4880,50 @@ SELECT url_canon, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_aliases
 FROM canon GROUP BY url_canon"""
 )
+DATA_ORACLES["pages_feed_extract"] = """SELECT
+  'urn:doc:' || doc_id AS entry_id,
+  array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
+  strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR,
+           '%Y-%m-%dT%H:%M:%SZ') AS updated,
+  'https://docs.example.org/' || source || '/' || doc_id AS href
+FROM documents"""
+
+
+DATA_ORACLES["docs_ttr"] = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+FROM agg"""
+
+
+# graded decontamination: fraction of a train doc's 3-grams present in
+# the eval split (docs with <3 words have no grams and are excluded,
+# matching the boolean variant's convention)
+DATA_ORACLES["docs_contamination_rate"] = """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0
+), tr AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 23 <> 0
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS rate
+FROM agg"""
+
+
 DATA_ORACLES["og_extract"] = """WITH d AS (
   SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
          array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
