@@ -2537,6 +2537,37 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_pages_aligned_pairs(sf_dir: str):
+    """Aligned-document pair mining for MT corpora: from the hreflang
+    alternate edges, emit every ordered CROSS-LANGUAGE pair inside a
+    translation cluster ``(src_url, dst_url, src_lang, dst_lang)`` —
+    the candidate set a bitext miner scores.  Each page's edge rows
+    carry the full cluster, so pair expansion is per-src within the
+    block (vectorized pandas self-merge), zero additional shuffle on
+    top of the extractor."""
+    import pandas as pd
+
+    edges = _hreflang_edges(sf_dir)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        # the self row of each src carries its own lang
+        self_rows = df[df["src_url"] == df["href"]][["src_url", "hreflang"]]
+        self_rows = self_rows.rename(columns={"hreflang": "src_lang"})
+        m = df.merge(self_rows, on="src_url")
+        m = m[(m["hreflang"] != m["src_lang"]) & (m["href"] != m["src_url"])]
+        return pa.table(
+            {
+                "src_url": pa.array(m["src_url"], pa.string()),
+                "dst_url": pa.array(m["href"], pa.string()),
+                "src_lang": pa.array(m["src_lang"], pa.string()),
+                "dst_lang": pa.array(m["hreflang"], pa.string()),
+            }
+        )
+
+    return edges.map_batches(pairs, batch_format="pyarrow")
+
+
 def q_pages_feed_extract(sf_dir: str):
     """Incremental-crawl discovery via Atom feeds (RFC 4287): one
     synthesized feed per block parsed back to
@@ -4087,6 +4118,7 @@ DATA_QUERIES = {
     "pages_partition_plan": q_pages_partition_plan,
     "og_extract": q_og_extract,
     "pages_feed_extract": q_pages_feed_extract,
+    "pages_aligned_pairs": q_pages_aligned_pairs,
     "docs_ttr": q_docs_ttr,
     "docs_contamination_rate": q_docs_contamination_rate,
     "pages_link_graph": q_pages_link_graph,
@@ -5190,6 +5222,15 @@ DATA_ORACLES["pages_hreflang_extract"] = (
     + """
 SELECT a.url AS src_url, b.lang AS hreflang, b.url AS href
 FROM d a JOIN d b ON a.cluster = b.cluster"""
+)
+
+DATA_ORACLES["pages_aligned_pairs"] = (
+    _HREFLANG_CTE
+    + """
+SELECT a.url AS src_url, b.url AS dst_url,
+       a.lang AS src_lang, b.lang AS dst_lang
+FROM d a JOIN d b ON a.cluster = b.cluster
+WHERE b.lang <> a.lang AND b.url <> a.url"""
 )
 
 DATA_ORACLES["pages_hreflang_clusters"] = (

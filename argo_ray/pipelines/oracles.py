@@ -1165,6 +1165,22 @@ feats AS (
 SELECT blank, md5(string_agg(feat, chr(10) ORDER BY feat)) AS canon
 FROM feats GROUP BY blank"""
 
+ORACLES["kg_fill_rates"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+typed AS (
+  SELECT DISTINCT subj_value AS s, obj_value AS typ FROM d
+  WHERE pred_value = \'{RDF_TYPE}\' AND obj_kind = 0
+), props AS (
+  SELECT DISTINCT subj_value AS s, pred_value AS p FROM d
+), den AS (
+  SELECT typ, CAST(COUNT(*) AS BIGINT) AS n_entities FROM typed GROUP BY typ
+), pairs AS (
+  SELECT t.typ, pr.p, CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_with
+  FROM typed t JOIN props pr ON t.s = pr.s GROUP BY t.typ, pr.p
+)
+SELECT pairs.typ AS type, pairs.p AS pred, den.n_entities, pairs.n_with,
+       ROUND(CAST(pairs.n_with AS DOUBLE) / den.n_entities, 6) AS fill_rate
+FROM pairs JOIN den USING (typ)"""
+
 ORACLES["kg_delta"] = _delta_sql()
 
 

@@ -1915,6 +1915,90 @@ def q_warc_roundtrip(sf_dir: str):
     )
 
 
+def q_kg_fill_rates(sf_dir: str):
+    """Per-class property fill rates — the KG-completeness datasheet
+    (for each (type, predicate): what fraction of that class's
+    entities carry the predicate; the number a KG curator reads before
+    trusting a property for downstream features).  ONE sort exchange
+    co-groups each subject's type rows with its predicate rows
+    (grouped_map), per-subject distinct pairs emit unit partials, one
+    tiny (type, pred) groupby sums them; the final rate division runs
+    over the schema-bounded result (|types|x|preds| rows)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def tag(b: pa.Table) -> pa.Table:
+        is_type = pc.and_(
+            pc.equal(
+                pc.cast(b["pred_value"], pa.large_string()),
+                pa.scalar(RDF_TYPE, pa.large_string()),
+            ),
+            pc.equal(pc.cast(b["obj_kind"], pa.int64()), pa.scalar(0, pa.int64())),
+        )
+        t = b.filter(is_type)
+        typ_rows = pa.table(
+            {
+                "s": pc.cast(t["subj_value"], pa.string()),
+                "kind": pa.array(["t"] * t.num_rows, pa.string()),
+                "val": pc.cast(t["obj_value"], pa.string()),
+            }
+        )
+        p_rows = pa.table(
+            {
+                "s": pc.cast(b["subj_value"], pa.string()),
+                "kind": pa.array(["p"] * b.num_rows, pa.string()),
+                "val": pc.cast(b["pred_value"], pa.string()),
+            }
+        )
+        return pa.concat_tables([typ_rows, p_rows])
+
+    def per_subject(g: pd.DataFrame) -> pd.DataFrame:
+        typs = sorted(set(g.loc[g["kind"] == "t", "val"]))
+        preds = sorted(set(g.loc[g["kind"] == "p", "val"]))
+        if not typs:
+            return pd.DataFrame({"type": [], "pred": [], "one": []})
+        out_t, out_p = [], []
+        for typ in typs:
+            out_t.append(typ)
+            out_p.append("")  # denominator marker: one per (type, subject)
+            for p in preds:
+                out_t.append(typ)
+                out_p.append(p)
+        return pd.DataFrame(
+            {"type": out_t, "pred": out_p, "one": [1] * len(out_t)}
+        )
+
+    tagged = _deduped(sf_dir).map_batches(tag, batch_format="pyarrow")
+    agg = (
+        grouped_map(tagged, "s", per_subject)
+        .groupby(["type", "pred"])
+        .aggregate(Sum("one", alias_name="n"))
+    )
+    rows = agg.take_all()  # schema-bounded: |types| x (|preds|+1) rows
+    den = {r["type"]: r["n"] for r in rows if r["pred"] == ""}
+    out_rows = [r for r in rows if r["pred"] != ""]
+    out_rows.sort(key=lambda r: (r["type"], r["pred"]))
+    return pa.table(
+        {
+            "type": pa.array([r["type"] for r in out_rows], pa.string()),
+            "pred": pa.array([r["pred"] for r in out_rows], pa.string()),
+            "n_entities": pa.array(
+                [int(den[r["type"]]) for r in out_rows], pa.int64()
+            ),
+            "n_with": pa.array([int(r["n"]) for r in out_rows], pa.int64()),
+            "fill_rate": pa.array(
+                [round(int(r["n"]) / int(den[r["type"]]), 6) for r in out_rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_kg_blank_canon(sf_dir: str):
     """Structural canonical labels for the KG's blank nodes (color
     refinement; the graph-equality semantics of the reference's
@@ -4012,6 +4096,7 @@ KG_QUERIES = {
     "kg_temporal_fuse": q_kg_temporal_fuse,
     "warc_roundtrip": q_warc_roundtrip,
     "kg_blank_canon": q_kg_blank_canon,
+    "kg_fill_rates": q_kg_fill_rates,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,
