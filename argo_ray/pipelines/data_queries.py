@@ -2537,6 +2537,121 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_docs_gopher_gate(sf_dir: str):
+    """Gopher repetition-free quality rules (Rae et al. 2021, the
+    published MassiveText filter set reduced to its word-shape core):
+    keep docs with 50–100 000 words, mean word length in [3, 10]
+    (exact via cross-multiplication: 3·w ≤ chars-in-words ≤ 10·w) and
+    ≥80% alphabetic-bearing words (5·n_alpha ≥ 4·n_words).  All
+    integer-exact, one vectorized pass, zero shuffle.  Emits the rule
+    bitmask (bit0 length, bit1 mean word len, bit2 alpha ratio) and
+    kept ⇔ mask == 0."""
+    import numpy as np
+
+    def gate(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        n_words = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        text_len = pc.utf8_length(
+            pc.cast(b["text"], pa.large_string())
+        ).to_numpy(zero_copy_only=False)
+        # chars inside words = total chars - separators (words-1)
+        word_chars = text_len - (n_words - 1)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        has_alpha = pc.match_substring_regex(
+            pc.cast(flat, pa.string()), "[A-Za-z]"
+        ).to_numpy(zero_copy_only=False)
+        n_alpha = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(n_alpha, parents, has_alpha.astype(np.int64))
+
+        mask = ((n_words < 50) | (n_words > 100_000)).astype(np.int64)
+        mask += 2 * (
+            (3 * n_words > word_chars) | (word_chars > 10 * n_words)
+        ).astype(np.int64)
+        mask += 4 * (5 * n_alpha < 4 * n_words).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "word_chars": pa.array(word_chars, pa.int64()),
+                "n_alpha_words": pa.array(n_alpha, pa.int64()),
+                "reason_mask": pa.array(mask, pa.int64()),
+                "kept": pa.array(mask == 0, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+def q_kg_namespace_stats(sf_dir: str):
+    """VoID-style vocabulary usage report: per predicate NAMESPACE
+    (prefix split at the last #/ boundary) — distinct predicates and
+    triple count.  Vectorized prefix split + per-batch partials + ONE
+    tiny namespace groupby (namespaces are schema-bounded)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canon import split_prefix_arrays
+
+    def partial(b: pa.Table) -> pa.Table:
+        base, _ = split_prefix_arrays(b["pred_value"])
+        t = pa.table(
+            {
+                "namespace": pc.cast(base, pa.string()),
+                "pred": pc.cast(b["pred_value"], pa.string()),
+            }
+        )
+        g = t.group_by(["namespace", "pred"]).aggregate([("pred", "count")])
+        return pa.table(
+            {
+                "namespace": pc.cast(g["namespace"], pa.string()),
+                "pred": pc.cast(g["pred"], pa.string()),
+                "n_part": pc.cast(g["pred_count"], pa.int64()),
+            }
+        )
+
+    from ..pipelines.queries import _deduped  # registry-shared triples
+
+    per_pred = (
+        _deduped(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["namespace", "pred"])
+        .aggregate(Sum("n_part", alias_name="n_triples"))
+    )
+
+    def roll(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "namespace": b["namespace"],
+                    "one": pa.array([1] * b.num_rows, pa.int64()),
+                    "n_triples": b["n_triples"],
+                }
+            )
+            .group_by("namespace")
+            .aggregate([("one", "sum"), ("n_triples", "sum")])
+        )
+        return pa.table(
+            {
+                "namespace": pc.cast(g["namespace"], pa.string()),
+                "np_part": pc.cast(g["one_sum"], pa.int64()),
+                "nt_part": pc.cast(g["n_triples_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        per_pred.map_batches(roll, batch_format="pyarrow")
+        .groupby("namespace")
+        .aggregate(
+            Sum("np_part", alias_name="n_preds"),
+            Sum("nt_part", alias_name="n_triples"),
+        )
+    )
+
+
 def q_pages_aligned_pairs(sf_dir: str):
     """Aligned-document pair mining for MT corpora: from the hreflang
     alternate edges, emit every ordered CROSS-LANGUAGE pair inside a
@@ -4119,6 +4234,8 @@ DATA_QUERIES = {
     "og_extract": q_og_extract,
     "pages_feed_extract": q_pages_feed_extract,
     "pages_aligned_pairs": q_pages_aligned_pairs,
+    "docs_gopher_gate": q_docs_gopher_gate,
+    "kg_namespace_stats": q_kg_namespace_stats,
     "docs_ttr": q_docs_ttr,
     "docs_contamination_rate": q_docs_contamination_rate,
     "pages_link_graph": q_pages_link_graph,
@@ -4919,6 +5036,53 @@ DATA_ORACLES["pages_feed_extract"] = """SELECT
            '%Y-%m-%dT%H:%M:%SZ') AS updated,
   'https://docs.example.org/' || source || '/' || doc_id AS href
 FROM documents"""
+
+
+from .oracles import EXP_CTE as _EXP_CTE
+from .oracles import TERM_COLS as _TERM_COLS
+
+DATA_ORACLES["kg_namespace_stats"] = (
+    _EXP_CTE
+    + f""", d AS (SELECT DISTINCT {_TERM_COLS} FROM exp),
+pn AS (
+  SELECT CASE WHEN pred_value LIKE '%#%'
+              THEN regexp_extract(pred_value, '^(.*#)[^#]*$', 1)
+              WHEN pred_value LIKE '%/%'
+              THEN regexp_extract(pred_value, '^(.*/)[^/]*$', 1)
+              ELSE '' END AS namespace,
+         pred_value
+  FROM d
+)
+SELECT namespace,
+       CAST(COUNT(DISTINCT pred_value) AS BIGINT) AS n_preds,
+       CAST(COUNT(*) AS BIGINT) AS n_triples
+FROM pn GROUP BY namespace"""
+)
+
+
+DATA_ORACLES["docs_gopher_gate"] = """WITH q AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) - (len(string_split(text, ' ')) - 1) AS word_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(n_alpha AS BIGINT) AS n_alpha_words,
+       CAST((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+          + (CASE WHEN 3 * n_words > word_chars
+                    OR word_chars > 10 * n_words THEN 2 ELSE 0 END)
+          + (CASE WHEN 5 * n_alpha < 4 * n_words THEN 4 ELSE 0 END)
+         AS BIGINT) AS reason_mask,
+       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+          + (CASE WHEN 3 * n_words > word_chars
+                    OR word_chars > 10 * n_words THEN 2 ELSE 0 END)
+          + (CASE WHEN 5 * n_alpha < 4 * n_words THEN 4 ELSE 0 END) = 0
+         AS kept
+FROM q"""
 
 
 DATA_ORACLES["docs_ttr"] = """WITH toks AS (
