@@ -2537,6 +2537,149 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_orders_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the classic 3-table join: BUILDING-segment
+    customers ⋈ their pre-1995-06 orders ⋈ post-cutoff lineitems →
+    top-10 orders by discounted revenue (cents-exact).  Join plan for
+    scale: customer keys broadcast into orders (dimension side), the
+    surviving ORDER rows broadcast into the streamed lineitem fact —
+    the fact table never shuffles; revenue partials pre-combine per
+    batch before the tiny per-order groupby."""
+    import datetime as dt
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.broadcast import broadcast_join
+
+    cutoff = dt.date(1995, 6, 1)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pc.cast(
+                    b.filter(
+                        pc.equal(
+                            pc.cast(b["c_mktsegment"], pa.string()), "BUILDING"
+                        )
+                    )["c_custkey"],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_join(orders, cust, on="o_custkey").map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(li, orders, on="l_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(b["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(b["l_discount"], pa.float64())),
+        )
+        cents = pc.cast(pc.floor(pc.multiply(rev, 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "o_orderdate": pc.cast(
+                    pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+                    pa.string(),
+                ),
+                "cents": cents,
+            }
+        )
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(g["l_orderkey"], pa.int64()),
+                "o_orderdate": pc.cast(g["o_orderdate"], pa.string()),
+                "p_cents": pc.cast(g["cents_sum"], pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("p_cents", alias_name="revenue_cents"))
+    )
+    return out.sort(
+        ["revenue_cents", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_embeddings_sq_calibrate(sf_dir: str):
+    """Scalar-quantization calibration (the SQ8 prep every
+    ANN-at-scale store runs): per DIMENSION min / max over the corpus
+    and the uint8 step ``(max-min)/255`` — broadcastable as 3 floats
+    per dim.  Vectorized per-batch column-wise min/max partials (one
+    numpy reshape per batch), ONE tiny groupby(dim) reduce; values are
+    exact float32→float64 widenings so the oracle hashes bit-for-bit
+    (only the step divides, rounded to 6)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from ..io import read_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["embedding"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(arr[0])
+        m = flat.reshape(-1, d)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "lo_part": pa.array(m.min(axis=0).astype(np.float64)),
+                "hi_part": pa.array(m.max(axis=0).astype(np.float64)),
+            }
+        )
+
+    agg = (
+        read_table(sf_dir, "embeddings", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("lo_part", alias_name="lo"), Max("hi_part", alias_name="hi"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "step", pa.array(np.round((hi - lo) / 255.0, 6), pa.float64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_docs_gopher_gate(sf_dir: str):
     """Gopher repetition-free quality rules (Rae et al. 2021, the
     published MassiveText filter set reduced to its word-shape core):
@@ -4236,6 +4379,8 @@ DATA_QUERIES = {
     "pages_aligned_pairs": q_pages_aligned_pairs,
     "docs_gopher_gate": q_docs_gopher_gate,
     "kg_namespace_stats": q_kg_namespace_stats,
+    "orders_shipping_priority": q_orders_shipping_priority,
+    "embeddings_sq_calibrate": q_embeddings_sq_calibrate,
     "docs_ttr": q_docs_ttr,
     "docs_contamination_rate": q_docs_contamination_rate,
     "pages_link_graph": q_pages_link_graph,
@@ -5036,6 +5181,35 @@ DATA_ORACLES["pages_feed_extract"] = """SELECT
            '%Y-%m-%dT%H:%M:%SZ') AS updated,
   'https://docs.example.org/' || source || '/' || doc_id AS href
 FROM documents"""
+
+
+DATA_ORACLES["orders_shipping_priority"] = """WITH j AS (
+  SELECT l.l_orderkey AS o_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < DATE '1995-06-01'
+    AND l.l_shipdate > DATE '1995-06-01'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+SELECT o_orderkey, o_orderdate, revenue_cents
+FROM j ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""
+
+
+DATA_ORACLES["embeddings_sq_calibrate"] = """WITH e AS (
+  SELECT unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), agg AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+  FROM e GROUP BY dim
+)
+SELECT dim, lo, hi, ROUND((hi - lo) / 255.0, 6) AS step FROM agg"""
 
 
 from .oracles import EXP_CTE as _EXP_CTE
