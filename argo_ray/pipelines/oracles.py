@@ -1181,6 +1181,18 @@ SELECT pairs.typ AS type, pairs.p AS pred, den.n_entities, pairs.n_with,
        ROUND(CAST(pairs.n_with AS DOUBLE) / den.n_entities, 6) AS fill_rate
 FROM pairs JOIN den USING (typ)"""
 
+ORACLES["kg_entity_cards"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+pc AS (SELECT pred_value AS p, COUNT(*) AS rarity FROM d GROUP BY pred_value),
+ranked AS (
+  SELECT d.subj_value AS subj, d.pred_value AS pred, d.obj_value AS obj,
+         row_number() OVER (PARTITION BY d.subj_value
+                            ORDER BY pc.rarity, d.pred_value, d.obj_value)
+           AS rank
+  FROM d JOIN pc ON pc.p = d.pred_value
+)
+SELECT subj, CAST(rank AS BIGINT) AS rank, pred, obj
+FROM ranked WHERE rank <= 3"""
+
 ORACLES["kg_delta"] = _delta_sql()
 
 

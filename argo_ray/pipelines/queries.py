@@ -1915,6 +1915,69 @@ def q_warc_roundtrip(sf_dir: str):
     )
 
 
+def q_kg_entity_cards(sf_dir: str):
+    """Entity summarization (the "entity card" top-facts problem,
+    cf. the public RELIN/FACES line of work reduced to its core
+    ranking): for each subject keep its 3 most INFORMATIVE facts,
+    informativeness = global predicate rarity (ascending triple count,
+    i.e. rare predicates first), ties by predicate IRI then object
+    value.  Global predicate counts are schema-bounded → broadcast by
+    closure; the per-subject top-3 rides ONE sort exchange
+    (grouped_map) with a vectorized in-block sort."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    deduped = _deduped(sf_dir).materialize()  # counts pass + ranking pass
+
+    def pred_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"p": pc.cast(b["pred_value"], pa.string())})
+            .group_by("p")
+            .aggregate([("p", "count")])
+        )
+        return pa.table(
+            {
+                "p": pc.cast(g["p"], pa.string()),
+                "n_part": pc.cast(g["p_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = {
+        r["p"]: int(r["n"])
+        for r in deduped.map_batches(pred_partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .take_all()  # schema-bounded: one row per predicate
+    }
+
+    def slim(b: pa.Table) -> pa.Table:
+        rarity = pa.array(
+            [counts[p] for p in pc.cast(b["pred_value"], pa.string()).to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "subj": pc.cast(b["subj_value"], pa.string()),
+                "pred": pc.cast(b["pred_value"], pa.string()),
+                "obj": pc.cast(b["obj_value"], pa.string()),
+                "rarity": rarity,
+            }
+        )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rarity", "pred", "obj"]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.astype("int64") + 1
+        return g[["subj", "rank", "pred", "obj"]]
+
+    return grouped_map(
+        deduped.map_batches(slim, batch_format="pyarrow"), "subj", top3
+    )
+
+
 def q_kg_fill_rates(sf_dir: str):
     """Per-class property fill rates — the KG-completeness datasheet
     (for each (type, predicate): what fraction of that class's
@@ -4097,6 +4160,7 @@ KG_QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "kg_blank_canon": q_kg_blank_canon,
     "kg_fill_rates": q_kg_fill_rates,
+    "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,
     "kg_owl_infer": q_kg_owl_infer,
     "graph_kcore": q_graph_kcore,
