@@ -1193,6 +1193,17 @@ ranked AS (
 SELECT subj, CAST(rank AS BIGINT) AS rank, pred, obj
 FROM ranked WHERE rank <= 3"""
 
+# DESCRIBE ?doc (typed Document AND lang "fr"): all distinct triples
+# whose subject is a matched doc entity
+ORACLES["sparql_describe_eval"] = EXP_CTE + f""", d AS (SELECT DISTINCT {TERM_COLS} FROM exp),
+m AS (
+  SELECT DISTINCT t.subj_value AS s
+  FROM d t JOIN d l ON l.subj_value = t.subj_value
+  WHERE t.pred_value = \'{RDF_TYPE}\' AND t.obj_value = \'{EX}Document\'
+    AND l.pred_value = \'{DC}language\' AND l.obj_kind = 2 AND l.obj_value = \'fr\'
+)
+SELECT {TERM_COLS} FROM d JOIN m ON d.subj_value = m.s"""
+
 ORACLES["kg_delta"] = _delta_sql()
 
 

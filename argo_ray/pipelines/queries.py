@@ -2592,6 +2592,20 @@ def q_sparql_construct_eval(sf_dir: str):
     return _finalize(evaluate_construct(_deduped(sf_dir), q))
 
 
+def q_sparql_describe_eval(sf_dir: str):
+    """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
+    verb, evaluated engine-side): every distinct triple whose subject
+    matched — the entity-dossier query a REPL user issues."""
+    from ..sparql import evaluate_describe
+
+    q = f"""
+    PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    DESCRIBE ?doc WHERE {{ ?doc a ex:Document . ?doc dc:language "fr" }}
+    """
+    return _finalize(evaluate_describe(_deduped(sf_dir).materialize(), q))
+
+
 def q_sparql_optional_eval(sf_dir: str):
     """OPTIONAL (left-join) over the KG: every typed subject, with its
     language when one is asserted — mentions have none, so the unbound
@@ -4199,6 +4213,7 @@ KG_QUERIES = {
     "sparql_select_expr_eval": q_sparql_select_expr_eval,
     "sparql_results_roundtrip": q_sparql_results_roundtrip,
     "sparql_results_tsv_roundtrip": q_sparql_results_tsv_roundtrip,
+    "sparql_describe_eval": q_sparql_describe_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,
