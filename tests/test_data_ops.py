@@ -1701,3 +1701,64 @@ def test_extract_links_no_phantom_from_leading_href():
     )
     out = extract_links_batch(b)
     assert out["dst_url"].to_pylist() == ["https://t/"]
+
+
+def test_gopher_gate_mean_word_length_boundaries(ray_session):
+    """Cross-multiplied mean-word-length rule is EXACT at the [3,10]
+    boundaries: mean exactly 3 or exactly 10 is kept, one char either
+    side flips bit1."""
+    import ray.data as rd
+
+    from argo_ray.pipelines.data_queries import q_docs_gopher_gate  # noqa: F401
+    import pyarrow as pa
+
+    # build via the registered query's gate by calling the module fn on
+    # a tiny in-memory dataset: reuse the same code path through a stub
+    from argo_ray.pipelines import data_queries as dq
+
+    def run(text):
+        b = pa.table({"doc_id": [1], "text": [text]})
+        # call the inner gate through the public query machinery:
+        # emulate _docs with a one-row dataset
+        ds = rd.from_arrow(b)
+        orig = dq._docs
+        try:
+            dq._docs = lambda sf, columns=None: ds
+            out = dq.q_docs_gopher_gate("ignored").take_all()[0]
+        finally:
+            dq._docs = orig
+        return out
+
+    word3 = "abc " * 59 + "abc"  # 60 words, mean exactly 3
+    r = run(word3)
+    assert r["reason_mask"] & 2 == 0
+    word10 = "abcdefghij " * 59 + "abcdefghij"  # mean exactly 10
+    r = run(word10)
+    assert r["reason_mask"] & 2 == 0
+    # 59 ten-char words + one eleven-char word -> mean > 10 -> bit1
+    over = "abcdefghij " * 59 + "abcdefghijk"
+    r = run(over)
+    assert r["reason_mask"] & 2 == 2
+
+
+def test_partition_plan_matches_local_ranks(ray_session):
+    """Distributed equi-depth boundaries == the locally computed exact
+    ranks on the same key set."""
+    from argo_ray.functions.urlnorm import surt_key_array
+    from argo_ray.pages import pages_dataset
+    from argo_ray.pipelines.data_queries import q_pages_partition_plan
+
+    got = {
+        r["part"]: r["boundary"]
+        for r in q_pages_partition_plan("/root/testdata/sf0.001").take_all()
+    }
+    urls = [
+        r["url"]
+        for r in pages_dataset("/root/testdata/sf0.001")
+        .select_columns(["url"])
+        .take_all()
+    ]
+    keys = sorted(surt_key_array(pa.array(urls)).to_pylist())
+    n = len(keys)
+    want = {i: keys[(i * n) // 8 - 1] for i in range(1, 8)}
+    assert got == want
