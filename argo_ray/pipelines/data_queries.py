@@ -2537,6 +2537,54 @@ def _boiler_pages(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(body, batch_format="pyarrow")
 
 
+def q_pages_recrawl_priority(sf_dir: str):
+    """Freshness-driven recrawl scheduling (the Cho & Garcia-Molina
+    change-rate idea): observe 4 synthetic crawl generations of every
+    page (generation g appends a marker iff ``doc_id % (g+2) == 0``,
+    cumulative — so content CHANGES at g exactly on that condition),
+    estimate the change rate λ̂ = changes/observations from the
+    generation-over-generation content FINGERPRINTS, and emit
+    ``(url, n_obs, n_changes, change_rate)`` — the recrawl queue sorts
+    by this rate.  All four generations of a page are hashed and
+    compared within its input row: pure streaming map, zero shuffle;
+    the md5 fingerprinting is the honest re-fetch-and-hash work."""
+    import hashlib
+
+    def rates(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        sources = b["source"].to_pylist()
+        urls, n_changes = [], []
+        for did, text, src in zip(ids, texts, sources):
+            urls.append(f"https://docs.example.org/{src}/{did}")
+            content = text
+            prev = hashlib.md5(content.encode()).hexdigest()
+            changed = 0
+            for g in (1, 2, 3):
+                if did % (g + 2) == 0:
+                    content = content + "!"
+                fp = hashlib.md5(content.encode()).hexdigest()
+                if fp != prev:
+                    changed += 1
+                prev = fp
+            n_changes.append(changed)
+        import numpy as np
+
+        ch = np.array(n_changes, dtype=np.int64)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_obs": pa.array([3] * len(urls), pa.int64()),
+                "n_changes": pa.array(ch, pa.int64()),
+                "change_rate": pa.array(np.round(ch / 3.0, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+        rates, batch_format="pyarrow"
+    )
+
+
 def q_orders_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape — the classic 3-table join: BUILDING-segment
     customers ⋈ their pre-1995-06 orders ⋈ post-cutoff lineitems →
@@ -4380,6 +4428,7 @@ DATA_QUERIES = {
     "docs_gopher_gate": q_docs_gopher_gate,
     "kg_namespace_stats": q_kg_namespace_stats,
     "orders_shipping_priority": q_orders_shipping_priority,
+    "pages_recrawl_priority": q_pages_recrawl_priority,
     "embeddings_sq_calibrate": q_embeddings_sq_calibrate,
     "docs_ttr": q_docs_ttr,
     "docs_contamination_rate": q_docs_contamination_rate,
@@ -5180,6 +5229,19 @@ DATA_ORACLES["pages_feed_extract"] = """SELECT
   strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR,
            '%Y-%m-%dT%H:%M:%SZ') AS updated,
   'https://docs.example.org/' || source || '/' || doc_id AS href
+FROM documents"""
+
+
+DATA_ORACLES["pages_recrawl_priority"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url,
+  CAST(3 AS BIGINT) AS n_obs,
+  CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+  ROUND(CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0, 6)
+    AS change_rate
 FROM documents"""
 
 
