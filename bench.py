@@ -149,6 +149,11 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("kg_multisyntax_build", _q_kg_multisyntax_build),
         ("microdata_extract", _q_microdata_extract),
         ("jsonld_extract", _q_jsonld_extract),
+        ("warc_roundtrip", _q_warc_roundtrip),
+        ("pages_crawl_plan", _q_pages_crawl_plan),
+        ("docs_dedup_cascade", _q_docs_dedup_cascade),
+        ("kg_entity_cards", _q_kg_entity_cards),
+        ("pages_partition_plan", _q_pages_partition_plan),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -156,6 +161,36 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
             res.count()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def _q_warc_roundtrip(sf_dir: str):
+    from argo_ray.pipelines.queries import q_warc_roundtrip
+
+    return q_warc_roundtrip(sf_dir)
+
+
+def _q_pages_crawl_plan(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_pages_crawl_plan
+
+    return q_pages_crawl_plan(sf_dir)
+
+
+def _q_docs_dedup_cascade(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_docs_dedup_cascade
+
+    return q_docs_dedup_cascade(sf_dir)
+
+
+def _q_kg_entity_cards(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_entity_cards
+
+    return q_kg_entity_cards(sf_dir)
+
+
+def _q_pages_partition_plan(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_pages_partition_plan
+
+    return q_pages_partition_plan(sf_dir)
 
 
 def _q_graph_kcore(sf_dir: str):
