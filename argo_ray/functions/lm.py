@@ -349,3 +349,80 @@ SELECT d.doc_id,
        CAST(COALESCE(SUM(s.s), 0) AS BIGINT) AS bigram_bits
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 GROUP BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets: rank every document by its per-token
+# surprisal and cut the ranking into k equal tiles (CCNet's
+# head/middle/tail thirds) — the standard way LLM pipelines stratify a
+# crawl by LM quality before mixing.  Exact NTILE semantics with a
+# deterministic (surprisal, doc_id) tiebreak so the DuckDB oracle
+# (NTILE(k) OVER (ORDER BY s, doc_id)) matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# rank key packs (surprisal_bits, doc_id) into one sortable int64;
+# doc_id must fit below the shift (2^33 ≈ 8.6e9 docs — raise for a
+# larger id space, total key must stay under 2^63)
+_BUCKET_KEY_SHIFT = 33
+
+
+def surprisal_buckets(
+    docs_ds,
+    k: int = 3,
+    ref_lang: str = "en",
+    text_column: str = "text",
+):
+    """(doc_id, bucket) with bucket ∈ 1..k by ascending per-doc
+    surprisal — bucket 1 is CCNet's "head" (most reference-like).
+
+    Ranking at scale: ONE distributed sort on the packed
+    (surprisal, doc_id) key, then the block-offset prefix-sum trick
+    (:func:`argo_ray.functions.packing.running_total`) assigns exact
+    global ranks — driver state is one row per BLOCK, never per doc.
+    The tile formula is NTILE's: the first ``n % k`` tiles get
+    ``n // k + 1`` rows."""
+    from .packing import running_total
+
+    scored = lm_surprisal(docs_ds, ref_lang=ref_lang, text_column=text_column)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["surprisal_bits"], pa.int64())
+        did = pc.cast(b["doc_id"], pa.int64())
+        key = pc.add(
+            pc.shift_left(s, pa.scalar(_BUCKET_KEY_SHIFT, pa.int64())), did
+        )
+        return pa.table(
+            {"rank_key": key, "doc_id": did, "one": pa.array([1] * b.num_rows, pa.int64())}
+        )
+
+    ranked = running_total(
+        scored.map_batches(keyed, batch_format="pyarrow"),
+        order_col="rank_key",
+        value_col="one",
+        out_col="rank",  # inclusive cumsum → 1-based rank
+    )
+    n = ranked.count()
+    q, r = divmod(n, k)
+
+    def tile(b: pa.Table) -> pa.Table:
+        r0 = np.asarray(pc.cast(b["rank"], pa.int64()), dtype=np.int64) - 1
+        cut = r * (q + 1)
+        bucket = np.where(r0 < cut, r0 // (q + 1), r + (r0 - cut) // max(q, 1))
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "bucket": pa.array(bucket + 1, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def surprisal_buckets_oracle_sql(k: int = 3, ref_lang: str = "en") -> str:
+    """NTILE over the unigram-surprisal CTE with the same
+    (surprisal, doc_id) tiebreak."""
+    inner = lm_surprisal_oracle_sql(ref_lang)
+    return f"""WITH s AS ({inner})
+SELECT doc_id,
+       CAST(NTILE({k}) OVER (ORDER BY surprisal_bits, doc_id) AS BIGINT) AS bucket
+FROM s"""

@@ -191,6 +191,125 @@ def resolve_redirects(mapping_ds, rounds: int = 2):
     return m
 
 
+# <link rel="canonical" href="..."> — attribute order fixed by our
+# synthesizer; real-crawl HTML would route through the same
+# extract_regex with an alternation for the swapped order
+_CANONICAL_RE = r'<link rel="canonical" href="(?P<canonical>[^"]*)"'
+_META_ROBOTS_RE = r'<meta name="robots" content="(?P<directives>[^"]*)"'
+
+
+def extract_canonical_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` UDF: pages → ``(url, canonical)`` where
+    ``canonical`` is the declared rel=canonical target, or the page's
+    own URL when the page declares none (every page is its own
+    canonical by default — the consolidation identity).  ONE vectorized
+    ``extract_regex`` over the page bytes, zero shuffles."""
+    html = pc.cast(batch["html"], pa.large_string())
+    hit = pc.extract_regex(pc.cast(html, pa.string()), _CANONICAL_RE)
+    url = pc.cast(batch["url"], pa.string())
+    return pa.table(
+        {
+            "url": url,
+            "canonical": pc.coalesce(pc.struct_field(hit, "canonical"), url),
+        }
+    )
+
+
+def canonical_clusters(pages_ds):
+    """rel=canonical consolidation — the crawl-side twin of sameAs
+    fusion: pages naming the same canonical URL are one logical
+    document (CMS print views, tracking-parameter mirrors, AMP twins).
+    Per-batch partial ``group_by`` BEFORE the one groupby exchange
+    (the host_graph combiner shape): shuffle volume is distinct
+    canonicals per batch, never raw page rows.  Returns
+    ``(canonical, n_pages, rep_url)`` with the lexicographic-min
+    member as the deterministic cluster representative."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = extract_canonical_batch(batch)
+        g = t.group_by("canonical").aggregate(
+            [("url", "count"), ("url", "min")]
+        )
+        return pa.table(
+            {
+                "canonical": pc.cast(g["canonical"], pa.string()),
+                "n_part": pc.cast(g["url_count"], pa.int64()),
+                "rep_part": pc.cast(g["url_min"], pa.string()),
+            }
+        )
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("canonical")
+        .aggregate(
+            Sum("n_part", alias_name="n_pages"),
+            Min("rep_part", alias_name="rep_url"),
+        )
+    )
+
+
+def meta_robots_flags(pages_ds):
+    """Per-page index/follow gate from ``<meta name="robots">``
+    (robots.txt's in-page sibling): ``indexable`` = no ``noindex``
+    directive, ``followable`` = no ``nofollow`` — both default TRUE
+    when the tag is absent, per the HTML spec.  Directive parsing is
+    a vectorized regex per directive over the extracted content
+    attribute (handles ``noindex,nofollow`` and spaced variants);
+    zero shuffles, streaming."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch["html"], pa.large_string())
+        hit = pc.extract_regex(pc.cast(html, pa.string()), _META_ROBOTS_RE)
+        content = pc.fill_null(pc.struct_field(hit, "directives"), "")
+        # directive = comma/space-delimited token; anchor both sides so
+        # "noindex" never matches inside a hypothetical "xnoindexy"
+        def has(directive: str):
+            return pc.match_substring_regex(
+                content, rf"(^|[, ]){directive}($|[, ])"
+            )
+
+        return pa.table(
+            {
+                "url": pc.cast(batch["url"], pa.string()),
+                "indexable": pc.invert(has("noindex")),
+                "followable": pc.invert(has("nofollow")),
+            }
+        )
+
+    return pages_ds.map_batches(gate, batch_format="pyarrow")
+
+
+# soft-404 phrase signature: the standard error-page n-grams (lowercased
+# match).  A page is a soft 404 when it BOTH carries a signature phrase
+# AND is short — phrase alone would misfire on pages *about* 404s,
+# length alone on every stub page.
+SOFT404_PHRASES = r"(page not found|error 404|does not exist|no longer available)"
+SOFT404_MAX_TOKENS = 20
+
+
+def soft404_flags(pages_ds, max_tokens: int = SOFT404_MAX_TOKENS):
+    """Soft-404 detection over the pages table's extracted ``text``:
+    servers that answer missing URLs with HTTP 200 + an error page
+    poison both the KG (garbage triples) and dedup (one error template
+    = a mega-cluster).  Vectorized lowercase regex + token count per
+    batch, zero shuffles; returns the flagged ``(url)`` work list for
+    the crawl's drop/recheck queue."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        phrased = pc.match_substring_regex(
+            pc.utf8_lower(text), SOFT404_PHRASES
+        )
+        n_tok = pc.list_value_length(pc.split_pattern(text, " "))
+        short = pc.less_equal(pc.cast(n_tok, pa.int64()), max_tokens)
+        return pa.table(
+            {"url": pc.cast(batch["url"], pa.string())}
+        ).filter(pc.and_(phrased, short))
+
+    return pages_ds.map_batches(gate, batch_format="pyarrow")
+
+
 def host_graph(pages_ds):
     """pages Dataset → host-level link graph
     ``(src_host, dst_host, n_links)``.  Per-batch partial counts

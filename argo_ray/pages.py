@@ -129,6 +129,60 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+SOFT404_TEXT = "Page not found error 404"
+
+
+def synth_head_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → pages exercising the crawl-hygiene head
+    metadata (deterministic, oracle-reconstructable):
+
+    - ``doc_id % 6 in (1, 2)``: ``<link rel="canonical">`` pointing at
+      ``https://kg.example.org/page/{doc_id - doc_id%6}`` — clusters of
+      up to 3 pages share one canonical target.
+    - ``doc_id % 5 == 2``: ``<meta name="robots" content="noindex,
+      nofollow">``; ``% 5 == 3``: ``nofollow`` only; ``% 5 == 4``: the
+      explicit ``index, follow`` no-op (parser must not trip on it).
+    - ``doc_id % 9 == 4``: the body/text is the soft-404 signature
+      (:data:`SOFT404_TEXT`) — an HTTP-200 error page.
+    """
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, htmls, out_texts = [], [], []
+    for did, text, source in zip(ids, texts, sources):
+        url = page_url(source, did)
+        title = title_of(text)
+        head = ["<title>" + title + "</title>"]
+        if did % 6 in (1, 2):
+            head.append(
+                f'<link rel="canonical" href="https://kg.example.org/page/{did - did % 6}"/>'
+            )
+        if did % 5 == 2:
+            head.append('<meta name="robots" content="noindex, nofollow"/>')
+        elif did % 5 == 3:
+            head.append('<meta name="robots" content="nofollow"/>')
+        elif did % 5 == 4:
+            head.append('<meta name="robots" content="index, follow"/>')
+        body_text = SOFT404_TEXT if did % 9 == 4 else f"{title} {title} site hub"
+        html = (
+            "<html><head>"
+            + "".join(head)
+            + "</head><body>"
+            + body_text
+            + "</body></html>"
+        )
+        urls.append(url)
+        htmls.append(html.encode("utf-8"))
+        out_texts.append(body_text)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )
+
+
 SCHEMA_ORG = "https://schema.org/"
 
 

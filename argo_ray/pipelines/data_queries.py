@@ -4374,6 +4374,94 @@ def q_orders_pushdown(sf_dir: str):
     )
 
 
+def _head_pages(sf_dir: str):
+    from ..pages import synth_head_pages_batch
+
+    return _docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+        synth_head_pages_batch, batch_format="pyarrow"
+    )
+
+
+def q_pages_canonical_cluster(sf_dir: str):
+    """rel=canonical consolidation: pages declaring the same
+    ``<link rel="canonical">`` target collapse into one logical
+    document (CMS mirrors, AMP twins, tracking-parameter variants) —
+    the crawl-side sibling of sameAs fusion.  Vectorized regex
+    extraction + per-batch partial group_by before ONE groupby
+    exchange (:func:`argo_ray.functions.weblinks.canonical_clusters`);
+    reference parity: the reference stops at per-page triples, this is
+    the crawl-hygiene stage the north rule's 10^12-page corpus needs
+    before extraction fan-out."""
+    from ..functions.weblinks import canonical_clusters
+
+    return canonical_clusters(_head_pages(sf_dir))
+
+
+def q_pages_meta_robots(sf_dir: str):
+    """Per-page ``<meta name="robots">`` index/follow gate — the
+    in-page sibling of the robots.txt filter; noindex pages must not
+    enter the KG, nofollow pages contribute no link-graph edges.
+    Zero-shuffle vectorized directive parse
+    (:func:`argo_ray.functions.weblinks.meta_robots_flags`)."""
+    from ..functions.weblinks import meta_robots_flags
+
+    return meta_robots_flags(_head_pages(sf_dir))
+
+
+def q_pages_soft404(sf_dir: str):
+    """Soft-404 detection: HTTP-200 error pages (phrase signature AND
+    short body) flagged for the crawl's drop queue — left in, one
+    error template becomes a dedup mega-cluster and a garbage-triple
+    source.  Zero-shuffle vectorized regex + token count
+    (:func:`argo_ray.functions.weblinks.soft404_flags`)."""
+    from ..functions.weblinks import soft404_flags
+
+    return soft404_flags(_head_pages(sf_dir))
+
+
+def q_docs_mojibake_repair(sf_dir: str):
+    """Encoding hygiene: planted UTF-8-as-Latin-1 mojibake (every 7th
+    doc, non-ASCII marker appended to all) detected and repaired by
+    the strict round-trip check — output must equal the clean corpus
+    exactly, which the oracle reconstructs directly.  Vectorized
+    lead-byte prefilter, per-row codec round-trip on hits only, zero
+    shuffles (:mod:`argo_ray.functions.encoding`)."""
+    from ..functions.encoding import repair_mojibake
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        clean = pc.binary_join_element_wise(
+            pc.cast(b["text"], pa.string()), "café №", " "
+        )
+        corrupted = pa.array(
+            [
+                s.encode("utf-8").decode("latin-1") if i % 7 == 5 else s
+                for i, s in zip(ids.to_pylist(), clean.to_pylist())
+            ],
+            pa.string(),
+        )
+        return pa.table({"doc_id": ids, "text": corrupted})
+
+    return repair_mojibake(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            plant, batch_format="pyarrow"
+        )
+    )
+
+
+def q_docs_surprisal_buckets(sf_dir: str):
+    """CCNet head/middle/tail stratification: every doc ranked by
+    unigram-LM surprisal, ranking cut into 3 exact NTILE tiles.
+    ONE distributed sort on the packed (surprisal, doc_id) key + the
+    block-offset prefix sum assigns global ranks — driver state is one
+    row per block (:func:`argo_ray.functions.lm.surprisal_buckets`)."""
+    from ..functions.lm import surprisal_buckets
+
+    return surprisal_buckets(
+        _docs(sf_dir, ("doc_id", "text", "lang")), k=3, ref_lang="en"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4510,6 +4598,11 @@ DATA_QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_nation": q_orders_by_nation,
     "parts_revenue_topk": q_parts_revenue_topk,
+    "pages_canonical_cluster": q_pages_canonical_cluster,
+    "pages_meta_robots": q_pages_meta_robots,
+    "pages_soft404": q_pages_soft404,
+    "docs_mojibake_repair": q_docs_mojibake_repair,
+    "docs_surprisal_buckets": q_docs_surprisal_buckets,
 }
 
 
@@ -6192,3 +6285,55 @@ FROM toks a JOIN toks b
   ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 3
 WHERE a.w = 'join' AND b.w = 'merge'
 GROUP BY a.doc_id"""
+
+
+# crawl-hygiene head metadata (synth_head_pages_batch): canonical
+# clusters, meta-robots gate, soft-404 — all closed-form in doc_id
+DATA_ORACLES["pages_canonical_cluster"] = """WITH c AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         CASE WHEN doc_id % 6 IN (1, 2)
+              THEN 'https://kg.example.org/page/' || (doc_id - doc_id % 6)
+              ELSE 'https://docs.example.org/' || source || '/' || doc_id
+         END AS canonical
+  FROM documents)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_pages, MIN(url) AS rep_url
+FROM c GROUP BY canonical"""
+
+DATA_ORACLES["pages_meta_robots"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url,
+  (doc_id % 5 <> 2) AS indexable,
+  (doc_id % 5 NOT IN (2, 3)) AS followable
+FROM documents"""
+
+# the oracle re-applies the classifier RULE (phrase AND short) to the
+# reconstructed page text, not the planting modulus — an honest check
+# that rule and plant agree
+DATA_ORACLES["pages_soft404"] = """WITH p AS (
+  SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+         CASE WHEN doc_id % 9 = 4 THEN 'Page not found error 404'
+              ELSE array_to_string(string_split(text, ' ')[1:5], ' ')
+                   || ' ' || array_to_string(string_split(text, ' ')[1:5], ' ')
+                   || ' site hub'
+         END AS text
+  FROM documents)
+SELECT url FROM p
+WHERE regexp_matches(lower(text),
+        '(page not found|error 404|does not exist|no longer available)')
+  AND len(string_split(text, ' ')) <= 20"""
+
+# repaired output must equal the clean corpus byte-for-byte; the
+# mojibake plant (utf8→latin1 on every 7th doc) happens Ray-side
+DATA_ORACLES["docs_mojibake_repair"] = """SELECT
+  doc_id,
+  text || ' café №' AS text,
+  (doc_id % 7 = 5) AS was_mojibake
+FROM documents"""
+
+
+def _surprisal_buckets_oracle() -> str:
+    from ..functions.lm import surprisal_buckets_oracle_sql
+
+    return surprisal_buckets_oracle_sql(k=3, ref_lang="en")
+
+
+DATA_ORACLES["docs_surprisal_buckets"] = _surprisal_buckets_oracle()

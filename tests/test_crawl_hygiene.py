@@ -1,0 +1,179 @@
+"""Crawl-hygiene operators: rel=canonical clustering, meta-robots
+gate, soft-404 detection, mojibake repair, CCNet surprisal buckets."""
+
+import pyarrow as pa
+import pytest
+
+from argo_ray.functions.encoding import repair_mojibake_batch, repair_text
+from argo_ray.functions.weblinks import extract_canonical_batch
+
+
+def _pages(urls, htmls, texts=None):
+    cols = {
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array([h.encode() for h in htmls], pa.binary()),
+    }
+    if texts is not None:
+        cols["text"] = pa.array(texts, pa.string())
+    return pa.table(cols)
+
+
+def test_extract_canonical_declared_and_default():
+    b = _pages(
+        ["https://a.example/1", "https://a.example/2"],
+        [
+            '<html><head><link rel="canonical" href="https://a.example/c"/></head></html>',
+            "<html><head><title>no link</title></head></html>",
+        ],
+    )
+    out = extract_canonical_batch(b)
+    assert out["canonical"].to_pylist() == [
+        "https://a.example/c",  # declared
+        "https://a.example/2",  # self-canonical default
+    ]
+
+
+def test_canonical_clusters_groups(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import canonical_clusters
+
+    b = _pages(
+        [f"https://a.example/{i}" for i in range(4)],
+        [
+            '<link rel="canonical" href="https://a.example/c"/>',
+            '<link rel="canonical" href="https://a.example/c"/>',
+            '<link rel="canonical" href="https://a.example/c"/>',
+            "<html>self</html>",
+        ],
+    )
+    out = canonical_clusters(rd.from_arrow(b)).to_pandas()
+    out = out.sort_values("canonical").reset_index(drop=True)
+    assert out["canonical"].tolist() == [
+        "https://a.example/3",
+        "https://a.example/c",
+    ]
+    assert out["n_pages"].tolist() == [1, 3]
+    # representative = lexicographic min member
+    assert out["rep_url"].tolist() == [
+        "https://a.example/3",
+        "https://a.example/0",
+    ]
+
+
+def test_meta_robots_directive_parsing(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import meta_robots_flags
+
+    b = _pages(
+        [f"u{i}" for i in range(4)],
+        [
+            '<meta name="robots" content="noindex, nofollow"/>',
+            '<meta name="robots" content="nofollow"/>',
+            '<meta name="robots" content="index, follow"/>',
+            "<html>no meta tag</html>",
+        ],
+    )
+    out = meta_robots_flags(rd.from_arrow(b)).to_pandas().set_index("url")
+    assert not out.loc["u0", "indexable"] and not out.loc["u0", "followable"]
+    assert out.loc["u1", "indexable"] and not out.loc["u1", "followable"]
+    assert out.loc["u2", "indexable"] and out.loc["u2", "followable"]
+    assert out.loc["u3", "indexable"] and out.loc["u3", "followable"]
+
+
+def test_soft404_needs_phrase_and_short(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import soft404_flags
+
+    filler = " ".join(["word"] * 30)
+    b = _pages(
+        ["hit", "long", "nophrase"],
+        ["<html/>"] * 3,
+        [
+            "Page not found error 404",
+            f"this essay about error 404 pages goes on {filler}",
+            "short but perfectly fine page",
+        ],
+    )
+    out = soft404_flags(rd.from_arrow(b)).to_pandas()
+    assert out["url"].tolist() == ["hit"]
+
+
+@pytest.mark.parametrize(
+    "s,fixed,flag",
+    [
+        ("cafÃ©", "café", True),  # classic utf8-as-latin1
+        ("café №", "café №", False),  # genuine unicode: encode fails
+        ("plain ascii", "plain ascii", False),  # roundtrip is identity
+        ("", "", False),
+    ],
+)
+def test_repair_text_roundtrip(s, fixed, flag):
+    assert repair_text(s) == (fixed, flag)
+
+
+def test_repair_mojibake_batch_idempotent():
+    corrupted = "cafÃ© early"
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([corrupted, "clean café №"], pa.string()),
+        }
+    )
+    out = repair_mojibake_batch(b)
+    assert out["text"].to_pylist() == ["café early", "clean café №"]
+    assert out["was_mojibake"].to_pylist() == [True, False]
+    # repairing the repaired output changes nothing
+    again = repair_mojibake_batch(out.select(["doc_id", "text"]))
+    assert again["text"].to_pylist() == out["text"].to_pylist()
+    assert again["was_mojibake"].to_pylist() == [False, False]
+
+
+def test_surprisal_buckets_ntile_exact(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.lm import surprisal_buckets
+
+    # 5 docs, one 'en' reference slice; rare words score higher.
+    rows = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array(
+                [
+                    "common common common",
+                    "common common",
+                    "common rare",
+                    "rare rare rare",
+                    "oovword oovword oovword oovword",
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 5, pa.string()),
+        }
+    )
+    out = (
+        surprisal_buckets(rd.from_arrow(rows), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # NTILE(3) over 5 rows: tiles of 2, 2, 1 in ascending surprisal
+    assert out.set_index("doc_id")["bucket"].tolist() == [2, 1, 1, 2, 3]
+
+
+def test_surprisal_buckets_fewer_rows_than_tiles(ray_session):
+    import ray.data as rd
+
+    from argo_ray.functions.lm import surprisal_buckets
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a", "a"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    out = surprisal_buckets(rd.from_arrow(rows), k=3).to_pandas()
+    # n=2 < k=3 → each row its own tile, NTILE semantics
+    assert sorted(out["bucket"].tolist()) == [1, 2]
