@@ -4462,6 +4462,76 @@ def q_docs_surprisal_buckets(sf_dir: str):
     )
 
 
+def q_docs_line_dedup(sf_dir: str):
+    """C4-style corpus-wide LINE dedup with document REBUILD — the
+    step beyond ``docs_paragraph_dedup`` (which stops at winner
+    selection): every 8-token line keeps only its first occurrence
+    (min (doc_id, chunk_idx) corpus-wide), then each document's text
+    is rebuilt from its surviving lines in order.  The planted exact
+    duplicates lose every line to their originals and drop out of the
+    corpus entirely.
+
+    Two exchanges, zero joins: groupby(line) with a Min aggregate on
+    the packed (doc_id, chunk_idx) key — the winner row already
+    carries everything the rebuild needs — then ONE sort-colocated
+    grouped_map(doc_id) for the ordered concat.  Shuffle 1 moves each
+    distinct line once (at 100 TB you'd ship the md5 + packed key and
+    re-join text in a second colocation pass; at this width carrying
+    the line is the same exchange)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from ..functions.text import chunk_documents_batch
+    from ..stages.grouping import grouped_map
+
+    PACK = 1 << 20  # chunk_idx < 2^20 by construction
+
+    def lines(b: pa.Table) -> pa.Table:
+        chunks = chunk_documents_batch(b, size=8, stride=8)
+        packed = pc.add(
+            pc.multiply(pc.cast(chunks["doc_id"], pa.int64()), PACK),
+            pc.cast(chunks["chunk_idx"], pa.int64()),
+        )
+        return pa.table(
+            {
+                "line": pc.cast(chunks["chunk_text"], pa.string()),
+                "packed": packed,
+            }
+        )
+
+    wins = (
+        _planted_docs(sf_dir)
+        .map_batches(lines, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Min("packed", alias_name="k"))
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["k"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.divide(k, PACK),
+                "chunk_idx": pc.subtract(
+                    k, pc.multiply(pc.divide(k, PACK), PACK)
+                ),
+                "line": pc.cast(b["line"], pa.string()),
+            }
+        )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_idx")
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "text": [" ".join(g["line"])],
+            }
+        )
+
+    return grouped_map(
+        wins.map_batches(decode, batch_format="pyarrow"), "doc_id", rebuild
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4603,6 +4673,7 @@ DATA_QUERIES = {
     "pages_soft404": q_pages_soft404,
     "docs_mojibake_repair": q_docs_mojibake_repair,
     "docs_surprisal_buckets": q_docs_surprisal_buckets,
+    "docs_line_dedup": q_docs_line_dedup,
 }
 
 
@@ -6337,3 +6408,23 @@ def _surprisal_buckets_oracle() -> str:
 
 
 DATA_ORACLES["docs_surprisal_buckets"] = _surprisal_buckets_oracle()
+
+
+# corpus-wide line dedup + rebuild: lines = non-overlapping 8-token
+# chunks; winner = min packed (doc_id, chunk_idx); docs rebuilt from
+# surviving lines in order (planted exact dups vanish entirely)
+DATA_ORACLES["docs_line_dedup"] = _PLANTED_DOCS_CTE + """, toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+), lines AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+  FROM toks, UNNEST(generate_series(0,
+        CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS t(i)
+  WHERE NOT (len(w) = 1 AND w[1] = '')
+), wins AS (
+  SELECT line, MIN(doc_id * 1048576 + chunk_idx) AS k FROM lines GROUP BY line
+), kept AS (
+  SELECT k // 1048576 AS doc_id, k % 1048576 AS chunk_idx, line FROM wins
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY chunk_idx) AS text
+FROM kept GROUP BY doc_id"""

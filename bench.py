@@ -154,6 +154,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_dedup_cascade", _q_docs_dedup_cascade),
         ("kg_entity_cards", _q_kg_entity_cards),
         ("pages_partition_plan", _q_pages_partition_plan),
+        ("pages_canonical_cluster", _q_pages_canonical_cluster),
+        ("docs_mojibake_repair", _q_docs_mojibake_repair),
+        ("docs_surprisal_buckets", _q_docs_surprisal_buckets),
+        ("docs_line_dedup", _q_docs_line_dedup),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -161,6 +165,30 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
             res.count()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def _q_pages_canonical_cluster(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_pages_canonical_cluster
+
+    return q_pages_canonical_cluster(sf_dir)
+
+
+def _q_docs_mojibake_repair(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_docs_mojibake_repair
+
+    return q_docs_mojibake_repair(sf_dir)
+
+
+def _q_docs_surprisal_buckets(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_docs_surprisal_buckets
+
+    return q_docs_surprisal_buckets(sf_dir)
+
+
+def _q_docs_line_dedup(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_docs_line_dedup
+
+    return q_docs_line_dedup(sf_dir)
 
 
 def _q_warc_roundtrip(sf_dir: str):

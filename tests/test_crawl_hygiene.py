@@ -177,3 +177,76 @@ def test_surprisal_buckets_fewer_rows_than_tiles(ray_session):
     out = surprisal_buckets(rd.from_arrow(rows), k=3).to_pandas()
     # n=2 < k=3 → each row its own tile, NTILE semantics
     assert sorted(out["bucket"].tolist()) == [1, 2]
+
+
+def test_line_dedup_rebuild_keep_first(ray_session):
+    import ray.data as rd
+
+    from argo_ray.pipelines.data_queries import q_docs_line_dedup  # noqa: F401 (registry)
+    from argo_ray.pipelines.data_queries import DATA_QUERIES
+
+    # direct kernel test of the same plan on a tiny corpus: doc 1
+    # repeats doc 0's first line (8 tokens) then adds its own line
+    line_a = " ".join(f"a{i}" for i in range(8))
+    line_b = " ".join(f"b{i}" for i in range(8))
+    line_c = " ".join(f"c{i}" for i in range(8))
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    from argo_ray.functions.text import chunk_documents_batch
+    from argo_ray.stages.grouping import grouped_map
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [f"{line_a} {line_b}", f"{line_a} {line_c}"], pa.string()
+                ),
+            }
+        )
+    )
+    PACK = 1 << 20
+
+    def lines(b):
+        import pyarrow.compute as pc
+
+        chunks = chunk_documents_batch(b, size=8, stride=8)
+        packed = pc.add(
+            pc.multiply(pc.cast(chunks["doc_id"], pa.int64()), PACK),
+            pc.cast(chunks["chunk_idx"], pa.int64()),
+        )
+        return pa.table(
+            {"line": pc.cast(chunks["chunk_text"], pa.string()), "packed": packed}
+        )
+
+    wins = docs.map_batches(lines, batch_format="pyarrow").groupby(
+        "line"
+    ).aggregate(Min("packed", alias_name="k"))
+
+    def decode(b):
+        import pyarrow.compute as pc
+
+        k = pc.cast(b["k"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.divide(k, PACK),
+                "chunk_idx": pc.subtract(k, pc.multiply(pc.divide(k, PACK), PACK)),
+                "line": pc.cast(b["line"], pa.string()),
+            }
+        )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_idx")
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].iloc[0])], "text": [" ".join(g["line"])]}
+        )
+
+    out = (
+        grouped_map(wins.map_batches(decode, batch_format="pyarrow"), "doc_id", rebuild)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc 0 keeps both lines; doc 1 keeps only its unique second line
+    assert out["text"].tolist() == [f"{line_a} {line_b}", line_c]
