@@ -280,6 +280,104 @@ def meta_robots_flags(pages_ds):
     return pages_ds.map_batches(gate, batch_format="pyarrow")
 
 
+def parse_robots_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` UDF: ``(host, body)`` robots.txt documents →
+    one row per rule: ``(host, agent, kind, prefix, rule_order)``.
+
+    Implements the de-facto grammar: ``field: value`` lines,
+    ``#`` comments stripped, field names case-insensitive, a blank
+    line OR a new ``User-agent`` after rules closes the group;
+    consecutive ``User-agent`` lines share the following rules.
+    Empty ``Disallow:`` (allow-all idiom) yields no rule.  Per-FILE
+    Python is fine here — robots.txt is one small doc per host, never
+    the per-record hot path; the rule table is host-bounded and meant
+    for broadcast (``ray.put`` at cluster scale)."""
+    hosts = batch["host"].to_pylist()
+    bodies = batch["body"].to_pylist()
+    out_h, out_a, out_k, out_p, out_o = [], [], [], [], []
+    for host, body in zip(hosts, bodies):
+        if body is None:
+            continue
+        agents: list[str] = []
+        in_rules = False
+        order = 0
+        for raw in str(body).splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                agents, in_rules = [], False
+                continue
+            if ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if in_rules:  # new group starts
+                    agents, in_rules = [], False
+                agents.append(value)
+            elif field in ("allow", "disallow"):
+                in_rules = True
+                if not value:  # empty Disallow: = allow everything
+                    continue
+                for a in agents or ["*"]:
+                    out_h.append(host)
+                    out_a.append(a)
+                    out_k.append(field)
+                    out_p.append(value)
+                    out_o.append(order)
+                order += 1
+    return pa.table(
+        {
+            "host": pa.array(out_h, pa.string()),
+            "agent": pa.array(out_a, pa.string()),
+            "kind": pa.array(out_k, pa.string()),
+            "prefix": pa.array(out_p, pa.string()),
+            "rule_order": pa.array(out_o, pa.int64()),
+        }
+    )
+
+
+def rules_from_dataset(rules_ds, agent: str = "*") -> dict:
+    """Collect a parsed-rules Dataset into the ``robots_filter`` rules
+    dict for one user-agent.  The rule table is host-bounded (a few
+    rules per host) — at cluster scale ``ray.put`` the dict once and
+    read it inside the filter actors; collecting it on the driver is
+    the intended shape, not a leak."""
+    rows = rules_ds.filter(
+        lambda r: r["agent"] == agent  # tiny table; row filter is fine
+    ).take_all()
+    rows.sort(key=lambda r: (r["host"], r["rule_order"]))
+    rules: dict[str, list[tuple[str, str]]] = {}
+    for r in rows:
+        rules.setdefault(r["host"], []).append((r["kind"], r["prefix"]))
+    return rules
+
+
+_META_REFRESH_RE = (
+    r'<meta http-equiv="refresh" content="(?P<delay>[0-9]+); ?url=(?P<target>[^"]*)"'
+)
+
+
+def extract_meta_refresh_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` UDF: pages → ``(url, delay_s, refresh_url)``
+    for pages carrying a ``<meta http-equiv="refresh">`` client-side
+    redirect — the fourth redirect source (after 3xx, rel=canonical
+    and JS) feeding :func:`resolve_redirects`.  ONE vectorized
+    ``extract_regex``; pages without the tag contribute nothing."""
+    html = pc.cast(batch["html"], pa.large_string())
+    hit = pc.extract_regex(pc.cast(html, pa.string()), _META_REFRESH_RE)
+    ok = pc.is_valid(hit)
+    return pa.table(
+        {
+            "url": pc.filter(pc.cast(batch["url"], pa.string()), ok),
+            "delay_s": pc.cast(
+                pc.struct_field(pc.filter(hit, ok), "delay"), pa.int64()
+            ),
+            "refresh_url": pc.struct_field(pc.filter(hit, ok), "target"),
+        }
+    )
+
+
 # soft-404 phrase signature: the standard error-page n-grams (lowercased
 # match).  A page is a soft 404 when it BOTH carries a signature phrase
 # AND is short — phrase alone would misfire on pages *about* 404s,

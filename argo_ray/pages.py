@@ -163,6 +163,10 @@ def synth_head_pages_batch(batch: pa.Table) -> pa.Table:
             head.append('<meta name="robots" content="nofollow"/>')
         elif did % 5 == 4:
             head.append('<meta name="robots" content="index, follow"/>')
+        if did % 10 == 6:  # client-side redirect (meta refresh)
+            head.append(
+                f'<meta http-equiv="refresh" content="{did % 3}; url={url}?fresh=1"/>'
+            )
         body_text = SOFT404_TEXT if did % 9 == 4 else f"{title} {title} site hub"
         html = (
             "<html><head>"

@@ -4532,6 +4532,114 @@ def q_docs_line_dedup(sf_dir: str):
     )
 
 
+def q_pages_robots_parse(sf_dir: str):
+    """robots.txt PARSING (the gate's missing front half — the rules
+    dict was previously literal): one synthesized robots.txt per site
+    host (comments, multi-group files, shared-agent groups, the empty-
+    Disallow allow-all idiom) parsed to ``(host, agent, kind, prefix,
+    rule_order)`` rule rows.  Per-FILE parse inside ``map_batches`` —
+    robots.txt is one small doc per host, host-bounded output meant
+    for broadcast (:func:`argo_ray.functions.weblinks.parse_robots_batch`)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.weblinks import parse_robots_batch
+
+    def to_k(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {"k": pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5))}
+        )
+
+    hosts = (
+        _docs(sf_dir, ("doc_id",))
+        .map_batches(to_k, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def synth(b: pa.Table) -> pa.Table:
+        ks = pc.cast(b["k"], pa.int64()).to_pylist()
+        bodies = [
+            (
+                f"# robots for site{k}\n"
+                "User-agent: *\n"
+                f"Disallow: /p{k}\n"
+                f"Allow: /p{k}4\n"
+                "Disallow:\n"  # empty = allow-all idiom, yields no rule
+                "\n"
+                "User-agent: badbot\n"
+                "Disallow: /\n"
+            )
+            for k in ks
+        ]
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{k}.example.org" for k in ks], pa.string()
+                ),
+                "body": pa.array(bodies, pa.string()),
+            }
+        )
+
+    return hosts.map_batches(synth, batch_format="pyarrow").map_batches(
+        parse_robots_batch, batch_format="pyarrow"
+    )
+
+
+def q_pages_robots_pipeline(sf_dir: str):
+    """Composed crawl gate: robots.txt TEXT → distributed parse →
+    agent='*' rule dict (host-bounded collect, the broadcast shape) →
+    longest-match URL filter over the pages corpus.  Same expected
+    output as ``pages_robots_filter`` but the rules now come from a
+    parsed file that also carries a badbot group the '*' selection
+    must ignore — parse + select + gate verified end-to-end."""
+    import ray.data as rd
+
+    from ..functions.weblinks import (
+        parse_robots_batch,
+        robots_filter,
+        rules_from_dataset,
+    )
+    from ..pages import pages_dataset
+
+    body = (
+        "# docs.example.org crawl policy\n"
+        "User-agent: *\n"
+        "Disallow: /src1\n"
+        "Allow: /src14\n"
+        "Disallow: /src3/\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+    )
+    robots = rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(["docs.example.org"], pa.string()),
+                "body": pa.array([body], pa.string()),
+            }
+        )
+    ).map_batches(parse_robots_batch, batch_format="pyarrow")
+    rules = rules_from_dataset(robots, agent="*")
+    return robots_filter(pages_dataset(sf_dir), rules).map_batches(
+        lambda b: pa.table({"url": pc.cast(b["url"], pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_pages_meta_refresh(sf_dir: str):
+    """Client-side redirect extraction: ``<meta http-equiv="refresh">``
+    targets + delays — the fourth redirect source (after 3xx,
+    rel=canonical, JS) feeding ``resolve_redirects``.  ONE vectorized
+    ``extract_regex``, zero shuffles
+    (:func:`argo_ray.functions.weblinks.extract_meta_refresh_batch`)."""
+    from ..functions.weblinks import extract_meta_refresh_batch
+
+    return _head_pages(sf_dir).map_batches(
+        extract_meta_refresh_batch, batch_format="pyarrow"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4674,6 +4782,9 @@ DATA_QUERIES = {
     "docs_mojibake_repair": q_docs_mojibake_repair,
     "docs_surprisal_buckets": q_docs_surprisal_buckets,
     "docs_line_dedup": q_docs_line_dedup,
+    "pages_robots_parse": q_pages_robots_parse,
+    "pages_robots_pipeline": q_pages_robots_pipeline,
+    "pages_meta_refresh": q_pages_meta_refresh,
 }
 
 
@@ -6428,3 +6539,29 @@ DATA_ORACLES["docs_line_dedup"] = _PLANTED_DOCS_CTE + """, toks AS (
 )
 SELECT doc_id, string_agg(line, ' ' ORDER BY chunk_idx) AS text
 FROM kept GROUP BY doc_id"""
+
+
+# robots.txt parse: closed-form rule rows per site host (empty
+# Disallow yields no rule; badbot group carried with order 2)
+DATA_ORACLES["pages_robots_parse"] = """WITH k AS (
+  SELECT DISTINCT doc_id % 5 AS k FROM documents)
+SELECT 'site' || k || '.example.org' AS host, '*' AS agent,
+       'disallow' AS kind, '/p' || k AS prefix,
+       CAST(0 AS BIGINT) AS rule_order FROM k
+UNION ALL
+SELECT 'site' || k || '.example.org', '*', 'allow', '/p' || k || '4', 1 FROM k
+UNION ALL
+SELECT 'site' || k || '.example.org', 'badbot', 'disallow', '/', 2 FROM k"""
+
+# parse -> select agent='*' -> longest-match gate == the literal-rules
+# robots filter's closed form
+DATA_ORACLES["pages_robots_pipeline"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url
+FROM documents
+WHERE NOT ((source LIKE 'src1%' AND source <> 'src14') OR source = 'src3')"""
+
+DATA_ORACLES["pages_meta_refresh"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url,
+  CAST(doc_id % 3 AS BIGINT) AS delay_s,
+  'https://docs.example.org/' || source || '/' || doc_id || '?fresh=1' AS refresh_url
+FROM documents WHERE doc_id % 10 = 6"""

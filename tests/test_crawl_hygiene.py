@@ -250,3 +250,62 @@ def test_line_dedup_rebuild_keep_first(ray_session):
     )
     # doc 0 keeps both lines; doc 1 keeps only its unique second line
     assert out["text"].tolist() == [f"{line_a} {line_b}", line_c]
+
+
+def test_parse_robots_grammar():
+    from argo_ray.functions.weblinks import parse_robots_batch
+
+    body = (
+        "# comment line\n"
+        "User-agent: a\n"
+        "User-agent: b\n"        # consecutive agents share the group
+        "Disallow: /x # trailing comment\n"
+        "Allow:\n"               # empty Allow: no rule
+        "\n"
+        "User-agent: c\n"
+        "DISALLOW: /y\n"         # field names case-insensitive
+        "User-agent: d\n"        # agent AFTER rules opens a NEW group
+        "Disallow: /z\n"
+    )
+    b = pa.table(
+        {
+            "host": pa.array(["h"], pa.string()),
+            "body": pa.array([body], pa.string()),
+        }
+    )
+    out = parse_robots_batch(b)
+    rows = list(
+        zip(
+            out["agent"].to_pylist(),
+            out["kind"].to_pylist(),
+            out["prefix"].to_pylist(),
+            out["rule_order"].to_pylist(),
+        )
+    )
+    assert rows == [
+        ("a", "disallow", "/x", 0),
+        ("b", "disallow", "/x", 0),
+        ("c", "disallow", "/y", 1),
+        ("d", "disallow", "/z", 2),
+    ]
+
+
+def test_meta_refresh_extract():
+    from argo_ray.functions.weblinks import extract_meta_refresh_batch
+
+    b = pa.table(
+        {
+            "url": pa.array(["u1", "u2"], pa.string()),
+            "html": pa.array(
+                [
+                    b'<html><head><meta http-equiv="refresh" content="5; url=https://t/x"/></head></html>',
+                    b"<html>no refresh</html>",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = extract_meta_refresh_batch(b)
+    assert out["url"].to_pylist() == ["u1"]
+    assert out["delay_s"].to_pylist() == [5]
+    assert out["refresh_url"].to_pylist() == ["https://t/x"]
