@@ -29,21 +29,27 @@ import pyarrow.compute as pc
 MOJIBAKE_HINT_RE = "[Â-ô]"
 
 
-def repair_text(s: str) -> tuple[str, bool]:
+def repair_text(s: str, max_layers: int = 4) -> tuple[str, bool]:
     """Round-trip repair of one string: returns ``(fixed,
     was_mojibake)``.  Strict codecs both ways — any failure means
-    "not mojibake, keep as-is"."""
-    try:
-        raw = s.encode("latin-1")
-    except UnicodeEncodeError:
-        return s, False
-    try:
-        fixed = raw.decode("utf-8")
-    except UnicodeDecodeError:
-        return s, False
-    if fixed == s:
-        return s, False
-    return fixed, True
+    "not mojibake, keep as-is".  Loops to a fixpoint (doubly-encoded
+    text — a real crawl phenomenon — peels one layer per pass), with
+    ``max_layers`` bounding adversarial inputs; the fixpoint makes the
+    whole stage idempotent."""
+    flagged = False
+    for _ in range(max_layers):
+        try:
+            raw = s.encode("latin-1")
+        except UnicodeEncodeError:
+            return s, flagged
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return s, flagged
+        if fixed == s:
+            return s, flagged
+        s, flagged = fixed, True
+    return s, flagged
 
 
 def repair_mojibake_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:

@@ -105,6 +105,7 @@ def test_soft404_needs_phrase_and_short(ray_session):
     "s,fixed,flag",
     [
         ("cafÃ©", "café", True),  # classic utf8-as-latin1
+        ("cafÃ\x83Â©", "café", True),  # DOUBLY encoded: fixpoint peels both
         ("café №", "café №", False),  # genuine unicode: encode fails
         ("plain ascii", "plain ascii", False),  # roundtrip is identity
         ("", "", False),
@@ -309,3 +310,46 @@ def test_meta_refresh_extract():
     assert out["url"].to_pylist() == ["u1"]
     assert out["delay_s"].to_pylist() == [5]
     assert out["refresh_url"].to_pylist() == ["https://t/x"]
+
+
+# --- property tests (hypothesis) -------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_repair_text_total_and_idempotent(s):
+    """repair_text never raises, and repairing its output is identity
+    (idempotence — safe to run on every batch of every generation)."""
+    fixed, flag = repair_text(s)
+    again, flag2 = repair_text(fixed)
+    assert again == fixed
+    if not flag:
+        assert fixed == s
+
+
+@given(st.text(alphabet=st.characters(max_codepoint=127), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_repair_text_ascii_never_flagged(s):
+    """Pure-ASCII text is never 'repaired' (utf-8 == latin-1 there)."""
+    assert repair_text(s) == (s, False)
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_parse_robots_never_raises(body):
+    """The robots parser is total over arbitrary text: garbage in,
+    zero-or-more rules out, never an exception (crawl inputs are
+    hostile by default)."""
+    from argo_ray.functions.weblinks import parse_robots_batch
+
+    b = pa.table(
+        {
+            "host": pa.array(["h"], pa.string()),
+            "body": pa.array([body], pa.string()),
+        }
+    )
+    out = parse_robots_batch(b)
+    assert set(out.column_names) == {"host", "agent", "kind", "prefix", "rule_order"}
