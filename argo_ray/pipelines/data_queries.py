@@ -4640,6 +4640,73 @@ def q_pages_meta_refresh(sf_dir: str):
     )
 
 
+def q_pages_charset_detect(sf_dir: str):
+    """Declared-vs-actual encoding audit (the transcode work-list a
+    real crawl runs before text extraction): per page the ``<meta
+    charset>`` declaration ('none' when absent) and whether the bytes
+    actually validate as UTF-8.  Planted: every 8th+7 page LIES
+    (declares utf-8, bytes are Latin-1) and every 8th+3 page honestly
+    declares iso-8859-1 — both carry a non-UTF-8 0xE9 byte.
+
+    The regex runs vectorized over a replace-decoded view (the meta
+    tag is ASCII and survives lossy decode); the UTF-8 validity check
+    is a per-row strict decode on the batch — at crawl scale you'd
+    swap in a SIMD validator (simdutf et al.); the per-row cost here
+    is one decode attempt per page, not per record."""
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        sources = b["source"].to_pylist()
+        urls, htmls = [], []
+        for did, source in zip(ids, sources):
+            urls.append(f"https://docs.example.org/{source}/{did}")
+            if did % 8 == 7:  # lying page: declares utf-8, bytes latin-1
+                html = f'<html><head><meta charset="utf-8"/></head><body>café {did}</body></html>'.encode(
+                    "latin-1"
+                )
+            elif did % 8 == 3:  # honest legacy page
+                html = f'<html><head><meta charset="iso-8859-1"/></head><body>café {did}</body></html>'.encode(
+                    "latin-1"
+                )
+            else:
+                html = f"<html><body>page {did}</body></html>".encode("utf-8")
+            htmls.append(html)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    def detect(b: pa.Table) -> pa.Table:
+        raws = b["html"].to_pylist()
+        valid = []
+        lossy = []
+        for r in raws:
+            try:
+                lossy.append(r.decode("utf-8"))
+                valid.append(True)
+            except UnicodeDecodeError:
+                lossy.append(r.decode("utf-8", errors="replace"))
+                valid.append(False)
+        hit = pc.extract_regex(
+            pa.array(lossy, pa.string()), r'<meta charset="(?P<cs>[^"]*)"'
+        )
+        return pa.table(
+            {
+                "url": pc.cast(b["url"], pa.string()),
+                "declared": pc.fill_null(pc.struct_field(hit, "cs"), "none"),
+                "valid_utf8": pa.array(valid, pa.bool_()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "source"))
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(detect, batch_format="pyarrow")
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4785,6 +4852,7 @@ DATA_QUERIES = {
     "pages_robots_parse": q_pages_robots_parse,
     "pages_robots_pipeline": q_pages_robots_pipeline,
     "pages_meta_refresh": q_pages_meta_refresh,
+    "pages_charset_detect": q_pages_charset_detect,
 }
 
 
@@ -6565,3 +6633,12 @@ DATA_ORACLES["pages_meta_refresh"] = """SELECT
   CAST(doc_id % 3 AS BIGINT) AS delay_s,
   'https://docs.example.org/' || source || '/' || doc_id || '?fresh=1' AS refresh_url
 FROM documents WHERE doc_id % 10 = 6"""
+
+
+DATA_ORACLES["pages_charset_detect"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url,
+  CASE WHEN doc_id % 8 = 7 THEN 'utf-8'
+       WHEN doc_id % 8 = 3 THEN 'iso-8859-1'
+       ELSE 'none' END AS declared,
+  (doc_id % 8 NOT IN (3, 7)) AS valid_utf8
+FROM documents"""

@@ -1512,3 +1512,7 @@ SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_entities
 FROM ty a JOIN ty b ON a.s = b.s AND a.t < b.t
 GROUP BY a.t, b.t"""
 )
+
+
+# reification encode->decode is the identity on the deduped graph
+ORACLES["kg_reify_roundtrip"] = ORACLES["dedup_exact"]

@@ -4119,6 +4119,104 @@ def q_repl_prefix_trim(sf_dir: str):
     )
 
 
+def q_kg_reify_roundtrip(sf_dir: str):
+    """RDF reification round-trip — the provenance-attachment encoding
+    (rdf:Statement + rdf:subject/predicate/object, W3C RDF 1.1 §5.3):
+    every deduped triple encodes to 4 reification triples under a
+    deterministic statement IRI (md5 of its canonical N-Triples line),
+    then the statements reassemble to the original triples.  Encode is
+    a zero-shuffle flat map (4× fan-out); decode is ONE sort-colocated
+    ``grouped_map`` on the statement IRI (all 4 rows of a statement
+    colocate by construction).  Output must equal ``dedup_exact``."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def reify(b: pa.Table) -> pa.Table:
+        b = b.select(TRIPLE_COLUMNS)
+        lines = to_nt_lines_batch(b)["line"].to_pylist()
+        stmts = pa.array(
+            [
+                "https://kg.example.org/stmt/" + hashlib.md5(ln.encode()).hexdigest()
+                for ln in lines
+            ],
+            pa.string(),
+        )
+        n = b.num_rows
+        zeros = pa.array([0] * n, pa.int64())
+        empty = pa.array([""] * n, pa.string())
+
+        def rows(pred: str, okind, oval, olang, odt) -> pa.Table:
+            return pa.table(
+                {
+                    "subj_kind": zeros,
+                    "subj_value": stmts,
+                    "subj_lang": empty,
+                    "subj_datatype": empty,
+                    "pred_kind": zeros,
+                    "pred_value": pa.array([pred] * n, pa.string()),
+                    "pred_lang": empty,
+                    "pred_datatype": empty,
+                    "obj_kind": pc.cast(okind, pa.int64()),
+                    "obj_value": pc.cast(oval, pa.string()),
+                    "obj_lang": pc.cast(olang, pa.string()),
+                    "obj_datatype": pc.cast(odt, pa.string()),
+                }
+            )
+
+        parts = [
+            rows(
+                RDF + "type",
+                zeros,
+                pa.array([RDF + "Statement"] * n, pa.string()),
+                empty,
+                empty,
+            )
+        ]
+        for role, src in (
+            ("subject", "subj"),
+            ("predicate", "pred"),
+            ("object", "obj"),
+        ):
+            parts.append(
+                rows(
+                    RDF + role,
+                    b[f"{src}_kind"],
+                    b[f"{src}_value"],
+                    b[f"{src}_lang"],
+                    b[f"{src}_datatype"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    reified = _deduped(sf_dir).map_batches(reify, batch_format="pyarrow")
+
+    RDF_ = RDF  # close over for the worker fn
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        by_pred = g.set_index("pred_value")
+        out = {}
+        for role, dst in (
+            ("subject", "subj"),
+            ("predicate", "pred"),
+            ("object", "obj"),
+        ):
+            row = by_pred.loc[RDF_ + role]
+            for part in ("kind", "value", "lang", "datatype"):
+                out[f"{dst}_{part}"] = [row[f"obj_{part}"]]
+        return pd.DataFrame(out)
+
+    return _finalize(
+        grouped_map(reified, "subj_value", rebuild).map_batches(
+            lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+        )
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4173,6 +4271,7 @@ KG_QUERIES = {
     "kg_temporal_fuse": q_kg_temporal_fuse,
     "warc_roundtrip": q_warc_roundtrip,
     "kg_blank_canon": q_kg_blank_canon,
+    "kg_reify_roundtrip": q_kg_reify_roundtrip,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

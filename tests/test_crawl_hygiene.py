@@ -353,3 +353,20 @@ def test_parse_robots_never_raises(body):
     )
     out = parse_robots_batch(b)
     assert set(out.column_names) == {"host", "agent", "kind", "prefix", "rule_order"}
+
+
+def test_reify_roundtrip_preserves_terms(ray_session):
+    """Literal with lang tag and a typed literal survive the
+    reify→rebuild round-trip with kinds/lang/datatype intact."""
+    import ray.data as rd
+
+    from argo_ray.pipelines.queries import q_kg_reify_roundtrip  # noqa: F401
+    from argo_ray.pipelines.queries import KG_QUERIES
+
+    out = KG_QUERIES["kg_reify_roundtrip"]("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    # every RDFa-extracted term shape is present post-roundtrip
+    assert (df["obj_kind"] == 2).any()        # literals
+    assert (df["subj_kind"] == 1).any()       # skolemized blank nodes
+    assert (df["obj_lang"] != "").any()       # lang-tagged titles
+    assert (df["obj_datatype"] != "").any()   # xsd:integer chars
