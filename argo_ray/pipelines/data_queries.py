@@ -4707,6 +4707,61 @@ def q_pages_charset_detect(sf_dir: str):
     )
 
 
+def q_docs_epoch_order(sf_dir: str, epochs: int = 3):
+    """Deterministic multi-epoch training order: each epoch is an
+    independent md5-keyed permutation of the corpus (the standard
+    seeded-shuffle data loader contract — reproducible across runs,
+    resumable mid-epoch, no RNG state to ship).  ONE distributed sort
+    on the (epoch, md5) key + the block-offset prefix-sum rank; the
+    per-epoch position is the global rank minus epoch·n (each epoch
+    holds exactly n docs).  Driver state: one row per block + one
+    count scalar."""
+    from ..functions.packing import running_total
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        ep, did, key, one = [], [], [], []
+        for e in range(epochs):
+            for i in ids:
+                ep.append(e)
+                did.append(i)
+                key.append(f"{e}-" + hashlib.md5(f"{e}:{i}".encode()).hexdigest())
+                one.append(1)
+        return pa.table(
+            {
+                "order_key": pa.array(key, pa.string()),
+                "epoch": pa.array(ep, pa.int64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "one": pa.array(one, pa.int64()),
+            }
+        )
+
+    ranked = running_total(
+        _docs(sf_dir, ("doc_id",)).map_batches(keyed, batch_format="pyarrow"),
+        order_col="order_key",
+        value_col="one",
+        out_col="rank",
+    )
+    n = ranked.count() // epochs
+
+    def finish(b: pa.Table) -> pa.Table:
+        pos = pc.subtract(
+            pc.cast(b["rank"], pa.int64()),
+            pc.multiply(pc.cast(b["epoch"], pa.int64()), pa.scalar(n, pa.int64())),
+        )
+        return pa.table(
+            {
+                "epoch": pc.cast(b["epoch"], pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "position": pos,
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4853,6 +4908,7 @@ DATA_QUERIES = {
     "pages_robots_pipeline": q_pages_robots_pipeline,
     "pages_meta_refresh": q_pages_meta_refresh,
     "pages_charset_detect": q_pages_charset_detect,
+    "docs_epoch_order": q_docs_epoch_order,
 }
 
 
@@ -6642,3 +6698,15 @@ DATA_ORACLES["pages_charset_detect"] = """SELECT
        ELSE 'none' END AS declared,
   (doc_id % 8 NOT IN (3, 7)) AS valid_utf8
 FROM documents"""
+
+
+DATA_ORACLES["docs_epoch_order"] = """WITH e AS (
+  SELECT unnest(generate_series(0, 2)) AS epoch
+), x AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM e, documents d
+)
+SELECT epoch, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k) AS BIGINT) AS position
+FROM x"""

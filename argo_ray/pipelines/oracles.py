@@ -1516,3 +1516,12 @@ GROUP BY a.t, b.t"""
 
 # reification encode->decode is the identity on the deduped graph
 ORACLES["kg_reify_roundtrip"] = ORACLES["dedup_exact"]
+
+# WET conversion records round-trip to the pages projection exactly
+ORACLES["wet_roundtrip"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url,
+  TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000) AS warc_ts,
+  array_to_string(string_split(text, ' ')[1:5], ' ')
+    || ' ' || array_to_string(string_split(text, ' ')[1:5], ' ')
+    || ' site hub' AS text
+FROM documents"""

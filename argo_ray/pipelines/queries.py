@@ -4217,6 +4217,22 @@ def q_kg_reify_roundtrip(sf_dir: str):
     )
 
 
+def q_wet_roundtrip(sf_dir: str):
+    """WET container round-trip (Common Crawl's extracted-text shard —
+    what LLM-pretraining pipelines actually ingest): pages → one WET
+    file per block (warcinfo + text/plain ``conversion`` records) →
+    parse back to ``(url, warc_ts, text)``.  Lossless container ⇒
+    output equals the pages table's own projection, which the oracle
+    rebuilds relationally (:mod:`argo_ray.sources.warc`)."""
+    from ..sources.warc import parse_wet_batch, wet_serialize_batch
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(wet_serialize_batch, batch_format="pyarrow")
+        .map_batches(parse_wet_batch, batch_format="pyarrow")
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4272,6 +4288,7 @@ KG_QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "kg_blank_canon": q_kg_blank_canon,
     "kg_reify_roundtrip": q_kg_reify_roundtrip,
+    "wet_roundtrip": q_wet_roundtrip,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

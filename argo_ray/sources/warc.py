@@ -152,3 +152,111 @@ def parse_warc_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text "conversion" records) — the Common-Crawl artifact
+# LLM-pretraining pipelines actually consume.  Same container grammar
+# as WARC above, but records are ``WARC-Type: conversion`` with a
+# text/plain payload and NO embedded HTTP message.
+# ---------------------------------------------------------------------------
+
+
+def wet_serialize_batch(batch: pa.Table) -> pa.Table:
+    """pages ``(url, warc_ts, text, ...)`` → ONE WET file (binary) per
+    block, led by the same ``warcinfo`` record the parser must skip."""
+    urls = batch["url"].to_pylist()
+    tss = batch["warc_ts"].cast(pa.int64()).to_pylist()
+    texts = batch["text"].to_pylist()
+
+    info_payload = b"software: argo_ray\r\nformat: WARC File Format 1.0 (WET)\r\n"
+    recs = [
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        + f"Content-Length: {len(info_payload)}\r\n\r\n".encode()
+        + info_payload
+        + b"\r\n\r\n"
+    ]
+    for url, ts, text in zip(urls, tss, texts):
+        payload = (text or "").encode("utf-8")
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {_iso(int(ts))}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode()
+        recs.append(head + payload + b"\r\n\r\n")
+    return pa.table({"wet": pa.array([b"".join(recs)], pa.binary())})
+
+
+def _parse_wet_file(blob: bytes) -> list[tuple[str, int, str]]:
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        start = blob.find(b"WARC/1.0\r\n", pos)
+        if start < 0:
+            break
+        head_end = blob.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[start + 10 : head_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("ascii", "replace")
+                )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            break  # malformed header block: cannot resync safely
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            break  # truncated payload
+        if headers.get("warc-type") == "conversion":
+            uri = headers.get("warc-target-uri")
+            date = headers.get("warc-date")
+            if uri is not None and date is not None:
+                try:
+                    ts = _parse_iso(date)
+                except ValueError:
+                    ts = None
+                if ts is not None:
+                    out.append(
+                        (uri, ts, blob[body_start:body_end].decode("utf-8", "replace"))
+                    )
+        pos = body_end + 4
+    return out
+
+
+def parse_wet_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
+    """WET files (``wet`` binary column) → ``(url, warc_ts, text)``;
+    one output row per conversion record; warcinfo and any response
+    records are skipped; poison bytes quarantine silently."""
+    urls: list[str] = []
+    tss: list[int] = []
+    texts: list[str] = []
+    for v in batch["wet"]:
+        if not v.is_valid:
+            continue
+        try:
+            for uri, ts, text in _parse_wet_file(v.as_py()):
+                urls.append(uri)
+                tss.append(ts)
+                texts.append(text)
+        except Exception:
+            if on_error != "skip":
+                raise
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+        }
+    )

@@ -109,3 +109,40 @@ def test_og_extract_skips_non_og_meta_and_poison():
     assert out["property"].to_pylist() == ["og:title", "og:locale"]
     assert out["content"].to_pylist() == ["A Title", "en"]
     assert out["src_url"].to_pylist() == ["https://a/1", "https://a/1"]
+
+
+def test_wet_roundtrip_and_poison():
+    import pyarrow as pa
+
+    from argo_ray.sources.warc import parse_wet_batch, wet_serialize_batch
+
+    pages = pa.table(
+        {
+            "url": pa.array(["https://a/1", "https://a/2"], pa.string()),
+            "warc_ts": pa.array([0, 1_000_000], pa.timestamp("us")),
+            "text": pa.array(["hello world", "café text"], pa.string()),
+        }
+    )
+    wet = wet_serialize_batch(pages)
+    back = parse_wet_batch(wet)
+    assert back["url"].to_pylist() == ["https://a/1", "https://a/2"]
+    assert back["text"].to_pylist() == ["hello world", "café text"]
+    assert back["warc_ts"].cast(pa.int64()).to_pylist() == [0, 1_000_000]
+
+    # poison: garbage bytes, truncated payload, null — all quarantine
+    poison = pa.table(
+        {
+            "wet": pa.array(
+                [
+                    b"\xff\xfenot a wet file",
+                    wet["wet"][0].as_py()[: len(wet["wet"][0].as_py()) // 2],
+                    None,
+                ],
+                pa.binary(),
+            )
+        }
+    )
+    out = parse_wet_batch(poison)
+    # the truncated file may still yield its first intact record; it
+    # must never raise and never emit a partial-payload record
+    assert out.num_rows <= 1
