@@ -4762,6 +4762,51 @@ def q_docs_epoch_order(sf_dir: str, epochs: int = 3):
     return ranked.map_batches(finish, batch_format="pyarrow")
 
 
+def q_pages_hygiene_pipeline(sf_dir: str):
+    """The session-4 crawl-hygiene stages composed into ONE streaming
+    plan (the pre-extraction gauntlet a real crawl runs): meta-robots
+    gate (noindex pages out) → soft-404 drop (rule re-applied, not the
+    plant) → rel=canonical consolidation keeping the min-URL
+    representative per cluster.  One vectorized gate pass over the
+    page bytes + ONE groupby(canonical) exchange — the three member
+    ops are also registry-checked in isolation."""
+    from ray.data.aggregate import Min
+
+    from ..functions.weblinks import (
+        _META_ROBOTS_RE,
+        SOFT404_MAX_TOKENS,
+        SOFT404_PHRASES,
+        extract_canonical_batch,
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        html = pc.cast(pc.cast(b["html"], pa.large_string()), pa.string())
+        content = pc.fill_null(
+            pc.struct_field(pc.extract_regex(html, _META_ROBOTS_RE), "directives"),
+            "",
+        )
+        noindex = pc.match_substring_regex(content, r"(^|[, ])noindex($|[, ])")
+        text = pc.cast(b["text"], pa.large_string())
+        soft404 = pc.and_(
+            pc.match_substring_regex(pc.utf8_lower(text), SOFT404_PHRASES),
+            pc.less_equal(
+                pc.cast(
+                    pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                ),
+                SOFT404_MAX_TOKENS,
+            ),
+        )
+        kept = b.filter(pc.and_(pc.invert(noindex), pc.invert(soft404)))
+        return extract_canonical_batch(kept)
+
+    return (
+        _head_pages(sf_dir)
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("canonical")
+        .aggregate(Min("url", alias_name="url"))
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4909,6 +4954,7 @@ DATA_QUERIES = {
     "pages_meta_refresh": q_pages_meta_refresh,
     "pages_charset_detect": q_pages_charset_detect,
     "docs_epoch_order": q_docs_epoch_order,
+    "pages_hygiene_pipeline": q_pages_hygiene_pipeline,
 }
 
 
@@ -6710,3 +6756,28 @@ DATA_ORACLES["docs_epoch_order"] = """WITH e AS (
 SELECT epoch, doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k) AS BIGINT) AS position
 FROM x"""
+
+
+DATA_ORACLES["pages_hygiene_pipeline"] = """WITH p AS (
+  SELECT doc_id,
+         'https://docs.example.org/' || source || '/' || doc_id AS url,
+         CASE WHEN doc_id % 9 = 4 THEN 'Page not found error 404'
+              ELSE array_to_string(string_split(text, ' ')[1:5], ' ')
+                   || ' ' || array_to_string(string_split(text, ' ')[1:5], ' ')
+                   || ' site hub'
+         END AS text
+  FROM documents
+), kept AS (
+  SELECT doc_id, url FROM p
+  WHERE doc_id % 5 <> 2
+    AND NOT (regexp_matches(lower(text),
+               '(page not found|error 404|does not exist|no longer available)')
+             AND len(string_split(text, ' ')) <= 20)
+), c AS (
+  SELECT CASE WHEN doc_id % 6 IN (1, 2)
+              THEN 'https://kg.example.org/page/' || (doc_id - doc_id % 6)
+              ELSE url END AS canonical,
+         url
+  FROM kept
+)
+SELECT canonical, MIN(url) AS url FROM c GROUP BY canonical"""
