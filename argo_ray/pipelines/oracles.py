@@ -1525,3 +1525,22 @@ ORACLES["wet_roundtrip"] = """SELECT
     || ' ' || array_to_string(string_split(text, ' ')[1:5], ' ')
     || ' site hub' AS text
 FROM documents"""
+
+# CONSTRUCT template-bnode mint: md5 skolemization over the solution's
+# bound terms in sorted-variable order ((doc, l) here), 8 fields
+# joined by chr(31), label-prefixed with chr(30)
+ORACLES["sparql_construct_bnode_eval"] = EXP_CTE + f"""
+, sol AS (
+  SELECT DISTINCT entity, lang,
+         'tplm' || substr(md5('m' || chr(30) ||
+           '0' || chr(31) || entity || chr(31) || chr(31) || chr(31) ||
+           '2' || chr(31) || lang || chr(31) || chr(31)), 1, 16) AS mint
+  FROM docs
+)
+SELECT CAST(1 AS BIGINT) AS subj_kind, mint AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+       CAST(0 AS BIGINT) AS pred_kind, '{EX}mentionOf' AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+       CAST(0 AS BIGINT) AS obj_kind, entity AS obj_value, '' AS obj_lang, '' AS obj_datatype
+FROM sol
+UNION ALL
+SELECT 1, mint, '', '', 0, '{EX}inLang', '', '', 2, lang, '', ''
+FROM sol"""

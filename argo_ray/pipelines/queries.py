@@ -2592,6 +2592,21 @@ def q_sparql_construct_eval(sf_dir: str):
     return _finalize(evaluate_construct(_deduped(sf_dir), q))
 
 
+def q_sparql_construct_bnode_eval(sf_dir: str):
+    """CONSTRUCT with a TEMPLATE BLANK NODE (SPARQL 1.1 §16.2.1): one
+    fresh ``_:m`` mention node minted per solution, shared across the
+    template's two triples.  The engine's deterministic salted-md5
+    skolemization over the solution's bound terms makes the mint
+    oracle-reproducible (new r4 s4 — previously a parse error)."""
+    from ..sparql import evaluate_construct
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    CONSTRUCT {{ _:m ex:mentionOf ?doc . _:m ex:inLang ?l }}
+    WHERE {{ ?doc dc:language ?l }}"""
+    return _finalize(evaluate_construct(_deduped(sf_dir), q))
+
+
 def q_sparql_describe_eval(sf_dir: str):
     """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
     verb, evaluated engine-side): every distinct triple whose subject
@@ -4289,6 +4304,7 @@ KG_QUERIES = {
     "kg_blank_canon": q_kg_blank_canon,
     "kg_reify_roundtrip": q_kg_reify_roundtrip,
     "wet_roundtrip": q_wet_roundtrip,
+    "sparql_construct_bnode_eval": q_sparql_construct_bnode_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

@@ -2341,10 +2341,6 @@ def evaluate_construct(ds, query: str | ConstructQuery):
         for x in t:
             if not isinstance(x, (Var, Term)):
                 raise SparqlSyntaxError("bad template term")
-            if isinstance(x, Term) and x.kind == 1:
-                raise SparqlSyntaxError(
-                    "blank nodes in CONSTRUCT templates not supported"
-                )
     ds = _apply_dataset_clause(ds, q)
     bindings, bound, leftover = _bgp(ds, q.patterns, q.filters)
     bindings, bound = _finish_group(
@@ -2362,6 +2358,53 @@ def evaluate_construct(ds, query: str | ConstructQuery):
     def instantiate(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         tables = []
+        # Template blank nodes (``_:label``) mint a FRESH bnode per
+        # SOLUTION (W3C SPARQL 1.1 §16.2.1): deterministic salted-hash
+        # skolemization — md5 over the solution's bound term columns in
+        # sorted-variable order (the engine's skolemization story, same
+        # as the RDFa anon-subject minting) — so identical solutions
+        # collapse to isomorphic output and the result is partition- and
+        # run-independent.  One mint per distinct template label.
+        bnode_vals: dict[str, pa.Array] = {}
+        tpl_labels = {
+            x.value
+            for t in template
+            for x in t
+            if isinstance(x, Term) and x.kind == 1
+        }
+        if tpl_labels:
+            import hashlib
+
+            var_cols = sorted(
+                c
+                for c in batch.column_names
+                if c.endswith("__value") and "$" not in c and not c.startswith("_match")
+            )
+            base = [c[: -len("__value")] for c in var_cols]
+            rows_sig = []
+            rendered = [
+                [
+                    "" if v is None else str(v)
+                    for v in pc.cast(
+                        pc.fill_null(batch[f"{b}__{f}"], "" if f != "kind" else -1),
+                        pa.string(),
+                    ).to_pylist()
+                ]
+                for b in base
+                for f in _FIELDS
+            ]
+            for i in range(n):
+                rows_sig.append("\x1f".join(col[i] for col in rendered))
+            for label in tpl_labels:
+                bnode_vals[label] = pa.array(
+                    [
+                        "tpl"
+                        + label
+                        + hashlib.md5((label + "\x1e" + s).encode()).hexdigest()[:16]
+                        for s in rows_sig
+                    ],
+                    pa.string(),
+                )
         for s, p, o in template:
             cols = {}
             valid = None  # rows where every template var is bound
@@ -2378,7 +2421,10 @@ def evaluate_construct(ds, query: str | ConstructQuery):
                         cols[f"{pos}_{f}"] = col
                 else:
                     cols[f"{pos}_kind"] = pa.array([x.kind] * n, pa.uint8())
-                    cols[f"{pos}_value"] = pa.array([x.value] * n, pa.string())
+                    if x.kind == 1:  # template bnode: per-solution mint
+                        cols[f"{pos}_value"] = bnode_vals[x.value]
+                    else:
+                        cols[f"{pos}_value"] = pa.array([x.value] * n, pa.string())
                     cols[f"{pos}_lang"] = pa.array([x.lang] * n, pa.string())
                     cols[f"{pos}_datatype"] = pa.array([x.datatype] * n, pa.string())
             t = pa.table({c: cols[c] for c in TRIPLE_COLUMNS})

@@ -2202,3 +2202,40 @@ def test_describe_with_from(ray_session):
         ds, f"PREFIX ex: <{EX}> DESCRIBE ex:a FROM <{g2}>"
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_construct_template_bnodes(ray_session):
+    """_:label in a CONSTRUCT template mints ONE fresh bnode per
+    solution, shared across the template's triples (SPARQL 1.1
+    §16.2.1), deterministic across runs."""
+    out = evaluate_construct(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ _:m ex:mentionOf ?s . _:m ex:withLang ?l }}
+        WHERE {{ ?s ex:lang ?l . ?s a ex:Doc }}""",
+    ).to_pandas()
+    assert len(out) == 4  # 2 solutions x 2 template triples
+    assert (out["subj_kind"] == 1).all()
+    assert out["subj_value"].nunique() == 2  # one bnode per solution
+    # the two triples of one solution share the bnode
+    assert sorted(out.groupby("subj_value").size().tolist()) == [2, 2]
+    again = evaluate_construct(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ _:m ex:mentionOf ?s . _:m ex:withLang ?l }}
+        WHERE {{ ?s ex:lang ?l . ?s a ex:Doc }}""",
+    ).to_pandas()
+    assert sorted(out["subj_value"]) == sorted(again["subj_value"])  # deterministic
+
+
+def test_construct_two_template_bnode_labels(ray_session):
+    """Distinct labels mint distinct bnodes within one solution."""
+    out = evaluate_construct(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{ _:a ex:p ?s . _:b ex:q ?s }}
+        WHERE {{ ?s a ex:Doc }}""",
+    ).to_pandas()
+    pa_ = out[out["pred_value"] == EX + "p"]
+    pb_ = out[out["pred_value"] == EX + "q"]
+    assert set(pa_["subj_value"]).isdisjoint(set(pb_["subj_value"]))
