@@ -1544,3 +1544,7 @@ FROM sol
 UNION ALL
 SELECT 1, mint, '', '', 0, '{EX}inLang', '', '', 2, lang, '', ''
 FROM sol"""
+
+ORACLES["warc_status_gate"] = """SELECT
+  'https://docs.example.org/' || source || '/' || doc_id AS url
+FROM documents WHERE doc_id % 13 NOT IN (1, 2, 3)"""

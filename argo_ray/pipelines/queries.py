@@ -4248,6 +4248,48 @@ def q_wet_roundtrip(sf_dir: str):
     )
 
 
+def q_warc_status_gate(sf_dir: str):
+    """Status-gated ingest (what Common Crawl's fetch layer does before
+    any extraction compute is spent): pages serialized into WARC with
+    planted HTTP statuses (301 for doc_id%13==1, 404 for %13==2, 503
+    for %13==3, else 200), the HTTP envelope parsed back per response
+    record, and only ``200 text/html`` URLs survive.  Container scan +
+    envelope parse stream per block; zero shuffles
+    (:func:`argo_ray.sources.warc.parse_warc_http_batch`)."""
+    from ..sources.warc import parse_warc_http_batch, warc_serialize_status_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.extract_regex(
+            pc.cast(b["url"], pa.string()), r"/(?P<id>[0-9]+)$"
+        )
+        did = np.asarray(
+            pc.cast(pc.struct_field(ids, "id"), pa.int64()), dtype=np.int64
+        )
+        m = did % 13
+        status = np.where(m == 1, 301, np.where(m == 2, 404, np.where(m == 3, 503, 200)))
+        return b.append_column("status", pa.array(status, pa.int64()))
+
+    gated = (
+        pages_dataset(sf_dir)
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(warc_serialize_status_batch, batch_format="pyarrow")
+        .map_batches(parse_warc_http_batch, batch_format="pyarrow")
+    )
+    return gated.map_batches(
+        lambda b: pa.table(
+            {"url": pc.cast(b["url"], pa.string())}
+        ).filter(
+            pc.and_(
+                pc.equal(b["status"], pa.scalar(200, pa.int64())),
+                pc.equal(b["content_type"], pa.scalar("text/html", pa.string())),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4305,6 +4347,7 @@ KG_QUERIES = {
     "kg_reify_roundtrip": q_kg_reify_roundtrip,
     "wet_roundtrip": q_wet_roundtrip,
     "sparql_construct_bnode_eval": q_sparql_construct_bnode_eval,
+    "warc_status_gate": q_warc_status_gate,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

@@ -260,3 +260,113 @@ def parse_wet_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
             "text": pa.array(texts, pa.string()),
         }
     )
+
+
+def warc_serialize_status_batch(batch: pa.Table) -> pa.Table:
+    """``warc_serialize_batch`` twin for corpora that carry an HTTP
+    ``status`` column (and optional ``content_type``): response records
+    embed the given status line instead of a constant 200 — the input
+    for status-gated ingest."""
+    urls = batch["url"].to_pylist()
+    tss = batch["warc_ts"].cast(pa.int64()).to_pylist()
+    htmls = batch["html"].to_pylist()
+    statuses = batch["status"].to_pylist()
+    ctypes = (
+        batch["content_type"].to_pylist()
+        if "content_type" in batch.column_names
+        else ["text/html"] * len(urls)
+    )
+    _REASON = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+               500: "Internal Server Error", 503: "Service Unavailable"}
+    recs = []
+    for url, ts, html, status, ctype in zip(urls, tss, htmls, statuses, ctypes):
+        html = html or b""
+        reason = _REASON.get(int(status), "Unknown")
+        http = (
+            f"HTTP/1.1 {int(status)} {reason}\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n"
+        ).encode()
+        payload = http + html
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {_iso(int(ts))}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode()
+        recs.append(head + payload + b"\r\n\r\n")
+    return pa.table({"warc": pa.array([b"".join(recs)], pa.binary())})
+
+
+def parse_warc_http_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
+    """WARC files → per-response HTTP envelope rows ``(url, status,
+    content_type, n_bytes)`` — the status/type gate every ingest runs
+    before spending extraction compute (CC keeps 200 text/* only).
+    Shares the container scan with :func:`parse_warc_batch`; the HTTP
+    status line and headers are parsed here instead of stripped."""
+    import re as _re
+
+    status_re = _re.compile(rb"^HTTP/1\.[01] (\d{3})")
+    ct_re = _re.compile(rb"(?im)^content-type:\s*([^\r\n;]+)")
+    urls: list[str] = []
+    statuses: list[int] = []
+    ctypes: list[str] = []
+    sizes: list[int] = []
+    for v in batch["warc"]:
+        if not v.is_valid:
+            continue
+        try:
+            blob = v.as_py()
+            pos = 0
+            n = len(blob)
+            while pos < n:
+                start = blob.find(b"WARC/1.0\r\n", pos)
+                if start < 0:
+                    break
+                head_end = blob.find(b"\r\n\r\n", start)
+                if head_end < 0:
+                    break
+                headers: dict[str, str] = {}
+                for line in blob[start + 10 : head_end].split(b"\r\n"):
+                    k, _, val = line.partition(b":")
+                    if val:
+                        headers[k.strip().decode("ascii", "replace").lower()] = (
+                            val.strip().decode("ascii", "replace")
+                        )
+                try:
+                    length = int(headers["content-length"])
+                except (KeyError, ValueError):
+                    break
+                body_start = head_end + 4
+                body_end = body_start + length
+                if body_end > n:
+                    break
+                if headers.get("warc-type") == "response":
+                    uri = headers.get("warc-target-uri")
+                    payload = blob[body_start:body_end]
+                    http_end = payload.find(b"\r\n\r\n")
+                    m = status_re.match(payload)
+                    if uri is not None and http_end >= 0 and m:
+                        cm = ct_re.search(payload[:http_end])
+                        urls.append(uri)
+                        statuses.append(int(m.group(1)))
+                        ctypes.append(
+                            cm.group(1).strip().decode("ascii", "replace")
+                            if cm
+                            else ""
+                        )
+                        sizes.append(length - http_end - 4)
+                pos = body_end + 4
+        except Exception:
+            if on_error != "skip":
+                raise
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array(statuses, pa.int64()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+        }
+    )

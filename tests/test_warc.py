@@ -146,3 +146,29 @@ def test_wet_roundtrip_and_poison():
     # the truncated file may still yield its first intact record; it
     # must never raise and never emit a partial-payload record
     assert out.num_rows <= 1
+
+
+def test_warc_http_envelope_parse():
+    import pyarrow as pa
+
+    from argo_ray.sources.warc import (
+        parse_warc_http_batch,
+        warc_serialize_status_batch,
+    )
+
+    pages = pa.table(
+        {
+            "url": pa.array(["https://a/1", "https://a/2"], pa.string()),
+            "warc_ts": pa.array([0, 1_000_000], pa.timestamp("us")),
+            "html": pa.array([b"<html>x</html>", b"gone"], pa.binary()),
+            "status": pa.array([200, 404], pa.int64()),
+        }
+    )
+    out = parse_warc_http_batch(warc_serialize_status_batch(pages))
+    assert out["url"].to_pylist() == ["https://a/1", "https://a/2"]
+    assert out["status"].to_pylist() == [200, 404]
+    assert out["content_type"].to_pylist() == ["text/html", "text/html"]
+    assert out["n_bytes"].to_pylist() == [14, 4]
+    # poison never raises
+    bad = pa.table({"warc": pa.array([b"\x00garbage", None], pa.binary())})
+    assert parse_warc_http_batch(bad).num_rows == 0
