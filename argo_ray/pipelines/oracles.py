@@ -1548,3 +1548,14 @@ FROM sol"""
 ORACLES["warc_status_gate"] = """SELECT
   'https://docs.example.org/' || source || '/' || doc_id AS url
 FROM documents WHERE doc_id % 13 NOT IN (1, 2, 3)"""
+
+# OPTIONAL-scoped BIND: tag bound only where the optional matched
+ORACLES["sparql_optional_bind_eval"] = EXP_CTE + f"""SELECT
+  CASE tt.subj_kind WHEN 0 THEN '<' || tt.subj_value || '>'
+       ELSE '_:' || tt.subj_value END AS s,
+  COALESCE('"lang-' || l.lang || '"', '') AS tag
+FROM (SELECT DISTINCT subj_kind, subj_value FROM exp
+      WHERE pred_value = '{RDF_TYPE}') tt
+LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
+           WHERE pred_value = '{DC}language') l
+  ON tt.subj_value = l.subj_value"""

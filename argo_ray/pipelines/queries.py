@@ -2607,6 +2607,22 @@ def q_sparql_construct_bnode_eval(sf_dir: str):
     return _finalize(evaluate_construct(_deduped(sf_dir), q))
 
 
+def q_sparql_optional_bind_eval(sf_dir: str):
+    """BIND scoped inside an OPTIONAL body (new r4 s4): the alias
+    binds only where the optional matched — typed docs get a derived
+    ``lang-…`` tag, mention blank nodes (no dc:language) leave it
+    unbound ('')."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?s ?tag WHERE {{
+      ?s a ?t .
+      OPTIONAL {{ ?s dc:language ?l BIND(CONCAT("lang-", ?l) AS ?tag) }}
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_describe_eval(sf_dir: str):
     """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
     verb, evaluated engine-side): every distinct triple whose subject
@@ -4348,6 +4364,7 @@ KG_QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "sparql_construct_bnode_eval": q_sparql_construct_bnode_eval,
     "warc_status_gate": q_warc_status_gate,
+    "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

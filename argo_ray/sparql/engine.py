@@ -1068,6 +1068,12 @@ def _attach_optionals(result, bound: set, ds, optionals):
         ob, ovs, leftover = _bgp(ds, opt.patterns, opt.filters)
         _check_filter_vars(leftover, ovs)
         ob = _apply_filters(ob, leftover)
+        opt_binds = getattr(opt, "binds", []) or []
+        if opt_binds:
+            # BINDs scoped to the optional group: evaluated on ITS
+            # bindings before the left join, so aliases stay unbound
+            # (null → '') on rows the optional did not match
+            ob, ovs = _apply_binds(ob, opt_binds, ovs)
         shared = sorted(bound & ovs)
         if not shared:
             raise SparqlSyntaxError(

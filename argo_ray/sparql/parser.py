@@ -263,11 +263,14 @@ class ValuesBlock(NamedTuple):
 
 
 class OptionalBlock(NamedTuple):
-    """``OPTIONAL { BGP [FILTER …] }`` — left-joined onto the required
-    bindings."""
+    """``OPTIONAL { BGP [FILTER …] [BIND …] }`` — left-joined onto the
+    required bindings; BINDs evaluate on the optional side before the
+    join (their aliases stay unbound on unmatched rows, per spec
+    group scoping)."""
 
     patterns: list
     filters: list
+    binds: list = []
 
 
 class GraphBlock(NamedTuple):
@@ -972,6 +975,32 @@ class _Parser:
         self.expect("op", "}")
         return patterns, filters
 
+    def parse_optional_group(self):
+        """``{ TriplesBlock | FILTER … | BIND … }`` for OPTIONAL bodies
+        — ``parse_simple_group`` plus BIND (r4 s4; nested
+        OPTIONAL/UNION and MINUS/VALUES stay unsupported here)."""
+        self.expect("op", "{")
+        patterns: list[Pattern] = []
+        filters: list[Filter] = []
+        binds: list[BindBlock] = []
+        while self.peek() != ("op", "}"):
+            if self.eat_word("filter"):
+                filters.extend(self.parse_filter())
+            elif self.eat_word("bind"):
+                binds.append(self.parse_bind())
+            elif self.at_word("optional") or self.peek() == ("op", "{"):
+                raise SparqlSyntaxError(
+                    "nested OPTIONAL/UNION groups are not supported"
+                )
+            elif self.at_word("minus", "values"):
+                raise SparqlSyntaxError(
+                    "MINUS/VALUES inside OPTIONAL groups are not supported"
+                )
+            else:
+                patterns.extend(self.parse_triples_block())
+        self.expect("op", "}")
+        return patterns, filters, binds
+
     def parse_values(self) -> ValuesBlock:
         """``VALUES ?v { t… }`` or ``VALUES (?a ?b) { (t t) … }``."""
         variables: list[str] = []
@@ -1020,8 +1049,8 @@ class _Parser:
             elif self.eat_word("bind"):
                 binds.append(self.parse_bind())
             elif self.eat_word("optional"):
-                p, f = self.parse_simple_group()
-                optionals.append(OptionalBlock(p, f))
+                p, f, ob = self.parse_optional_group()
+                optionals.append(OptionalBlock(p, f, ob))
             elif self.eat_word("minus"):
                 p, f = self.parse_simple_group()
                 filters.append(MinusBlock(p, f))

@@ -895,12 +895,21 @@ def test_bind_division_unsupported():
         )
 
 
-def test_bind_inside_optional_raises():
-    with pytest.raises(SparqlSyntaxError, match="BIND"):
+def test_bind_inside_optional_parses():
+    # supported since r4 s4 (BIND scoped to the optional group); the
+    # still-unsupported MINUS/VALUES forms keep raising
+    q = parse_query(
+        """SELECT ?s WHERE {
+          ?s <http://e/p> ?c .
+          OPTIONAL { ?s <http://e/q> ?d . BIND(?d AS ?x) }
+        }"""
+    )
+    assert len(q.optionals) == 1 and len(q.optionals[0].binds) == 1
+    with pytest.raises(SparqlSyntaxError, match="MINUS/VALUES"):
         parse_query(
             """SELECT ?s WHERE {
               ?s <http://e/p> ?c .
-              OPTIONAL { ?s <http://e/q> ?d . BIND(?d AS ?x) }
+              OPTIONAL { ?s <http://e/q> ?d . VALUES ?d { "x" } }
             }"""
         )
 
@@ -2239,3 +2248,34 @@ def test_construct_two_template_bnode_labels(ray_session):
     pa_ = out[out["pred_value"] == EX + "p"]
     pb_ = out[out["pred_value"] == EX + "q"]
     assert set(pa_["subj_value"]).isdisjoint(set(pb_["subj_value"]))
+
+
+def test_optional_with_bind(ray_session):
+    """BIND inside an OPTIONAL body (r4 s4): the alias binds only on
+    matched rows; unmatched required rows leave it unbound ('')."""
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?tag WHERE {{
+          ?s a ex:Doc .
+          OPTIONAL {{ ?s ex:lang ?l BIND(CONCAT("lang-", ?l) AS ?tag) }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    got = [(r["s"], r["tag"]) for r in out]
+    assert got == [
+        (f"<{EX}d1>", '"lang-en"'),
+        (f"<{EX}d2>", '"lang-de"'),
+    ]
+
+
+def test_optional_bind_unmatched_rows_stay_unbound(ray_session):
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?n WHERE {{
+          ?s a ex:Doc .
+          OPTIONAL {{ ?s ex:cites ?t BIND(CONCAT("c:", ?t) AS ?n) }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    # no ex:cites assertions on typed docs in this fixture -> all unbound
+    assert all(r["n"] == "" for r in out)
