@@ -337,6 +337,62 @@ def parse_robots_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def parse_robots_discovery_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` UDF: ``(host, body)`` robots.txt documents →
+    discovery rows ``(host, sitemap_url, crawl_delay_s)``: the
+    ``Sitemap:`` lines (file-global per the de-facto spec — one output
+    row each) and the ``*`` group's ``Crawl-delay`` (repeated on every
+    row; -1 when absent).  Hosts with no sitemap lines still emit one
+    row (sitemap_url = '') so the politeness side is never lost."""
+    hosts = batch["host"].to_pylist()
+    bodies = batch["body"].to_pylist()
+    out_h, out_s, out_d = [], [], []
+    for host, body in zip(hosts, bodies):
+        if body is None:
+            continue
+        sitemaps: list[str] = []
+        delay = -1
+        agents: list[str] = []
+        in_rules = False
+        for raw in str(body).splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                agents, in_rules = [], False
+                continue
+            if ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if in_rules:
+                    agents, in_rules = [], False
+                agents.append(value)
+            elif field in ("allow", "disallow"):
+                in_rules = True
+            elif field == "sitemap" and value:
+                # Sitemap: is file-global; value holds the rest of the
+                # URL (partition split only the first ':')
+                sitemaps.append(value)
+            elif field == "crawl-delay" and "*" in (agents or ["*"]):
+                in_rules = True
+                try:
+                    delay = int(value)
+                except ValueError:
+                    pass
+        for s in sitemaps or [""]:
+            out_h.append(host)
+            out_s.append(s)
+            out_d.append(delay)
+    return pa.table(
+        {
+            "host": pa.array(out_h, pa.string()),
+            "sitemap_url": pa.array(out_s, pa.string()),
+            "crawl_delay_s": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def rules_from_dataset(rules_ds, agent: str = "*") -> dict:
     """Collect a parsed-rules Dataset into the ``robots_filter`` rules
     dict for one user-agent.  The rule table is host-bounded (a few

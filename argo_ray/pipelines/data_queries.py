@@ -4807,6 +4807,59 @@ def q_pages_hygiene_pipeline(sf_dir: str):
     )
 
 
+def q_pages_robots_discovery(sf_dir: str):
+    """robots.txt DISCOVERY fields (the third leg after allow/disallow
+    rules): file-global ``Sitemap:`` lines (URLs keep their colons —
+    the first-colon split trap) and the ``*`` group's ``Crawl-delay``
+    — the inputs the frontier's politeness scheduler and sitemap
+    fetcher consume
+    (:func:`argo_ray.functions.weblinks.parse_robots_discovery_batch`)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.weblinks import parse_robots_discovery_batch
+
+    def to_k(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {"k": pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5))}
+        )
+
+    hosts = (
+        _docs(sf_dir, ("doc_id",))
+        .map_batches(to_k, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def synth(b: pa.Table) -> pa.Table:
+        ks = pc.cast(b["k"], pa.int64()).to_pylist()
+        hosts_, bodies = [], []
+        for k in ks:
+            lines = [
+                "User-agent: *",
+                f"Crawl-delay: {k + 1}",
+                f"Disallow: /tmp{k}",
+                "",
+                f"Sitemap: https://site{k}.example.org/sitemap.xml",
+            ]
+            if k % 2 == 0:
+                lines.append(
+                    f"Sitemap: https://site{k}.example.org/sitemap-news.xml"
+                )
+            hosts_.append(f"site{k}.example.org")
+            bodies.append("\n".join(lines) + "\n")
+        return pa.table(
+            {
+                "host": pa.array(hosts_, pa.string()),
+                "body": pa.array(bodies, pa.string()),
+            }
+        )
+
+    return hosts.map_batches(synth, batch_format="pyarrow").map_batches(
+        parse_robots_discovery_batch, batch_format="pyarrow"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -4955,6 +5008,7 @@ DATA_QUERIES = {
     "pages_charset_detect": q_pages_charset_detect,
     "docs_epoch_order": q_docs_epoch_order,
     "pages_hygiene_pipeline": q_pages_hygiene_pipeline,
+    "pages_robots_discovery": q_pages_robots_discovery,
 }
 
 
@@ -6781,3 +6835,16 @@ DATA_ORACLES["pages_hygiene_pipeline"] = """WITH p AS (
   FROM kept
 )
 SELECT canonical, MIN(url) AS url FROM c GROUP BY canonical"""
+
+
+DATA_ORACLES["pages_robots_discovery"] = """WITH k AS (
+  SELECT DISTINCT doc_id % 5 AS k FROM documents)
+SELECT 'site' || k || '.example.org' AS host,
+       'https://site' || k || '.example.org/sitemap.xml' AS sitemap_url,
+       CAST(k + 1 AS BIGINT) AS crawl_delay_s
+FROM k
+UNION ALL
+SELECT 'site' || k || '.example.org',
+       'https://site' || k || '.example.org/sitemap-news.xml',
+       CAST(k + 1 AS BIGINT)
+FROM k WHERE k % 2 = 0"""

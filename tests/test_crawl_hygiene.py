@@ -370,3 +370,37 @@ def test_reify_roundtrip_preserves_terms(ray_session):
     assert (df["subj_kind"] == 1).any()       # skolemized blank nodes
     assert (df["obj_lang"] != "").any()       # lang-tagged titles
     assert (df["obj_datatype"] != "").any()   # xsd:integer chars
+
+
+def test_parse_robots_discovery():
+    from argo_ray.functions.weblinks import parse_robots_discovery_batch
+
+    body = (
+        "User-agent: *\n"
+        "Crawl-delay: 7\n"
+        "Disallow: /x\n"
+        "\n"
+        "Sitemap: https://h/s1.xml\n"   # URL keeps its colons
+        "User-agent: bot\n"
+        "Crawl-delay: 99\n"             # non-* group: ignored
+        "Sitemap: https://h/s2.xml\n"   # Sitemap is file-global
+    )
+    b = pa.table(
+        {
+            "host": pa.array(["h", "empty"], pa.string()),
+            "body": pa.array([body, "User-agent: *\nDisallow: /q\n"], pa.string()),
+        }
+    )
+    out = parse_robots_discovery_batch(b)
+    rows = list(
+        zip(
+            out["host"].to_pylist(),
+            out["sitemap_url"].to_pylist(),
+            out["crawl_delay_s"].to_pylist(),
+        )
+    )
+    assert rows == [
+        ("h", "https://h/s1.xml", 7),
+        ("h", "https://h/s2.xml", 7),
+        ("empty", "", -1),  # no sitemap: politeness row still emitted
+    ]
