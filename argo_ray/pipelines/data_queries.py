@@ -4860,6 +4860,46 @@ def q_pages_robots_discovery(sf_dir: str):
     )
 
 
+def q_docs_readability(sf_dir: str):
+    """Flesch-style readability signals per document: word count,
+    vowel-run "syllable" estimate (the standard no-dictionary
+    heuristic) and the composite score — another axis of the quality
+    family (length/stopword/repetition gates miss run-on academic
+    prose; readability catches it).  ONE vectorized
+    ``count_substring_regex`` + a split-length kernel per batch, zero
+    shuffles.
+
+    Determinism: the float Flesch (206.835 − 1.015·w − 84.6·s/w)
+    differs between numpy and DuckDB in the last ulp, so the contract
+    is the EXACT integer numerator of F·1000·w instead:
+    ``flesch_num = 206835·w − 1015·w² − 84600·s`` (BIGINT both sides;
+    the consumer divides by 1000·w) — the same integer-bits trade the
+    LM-surprisal family makes."""
+    import numpy as np
+
+    def score(b: pa.Table) -> pa.Table:
+        text = pc.cast(b["text"], pa.large_string())
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_syll = pc.cast(
+            pc.count_substring_regex(text, "[aeiouyAEIOUY]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        num = 206835 * n_words - 1015 * n_words * n_words - 84600 * n_syll
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_syllables": pa.array(n_syll, pa.int64()),
+                "flesch_num": pa.array(num, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5009,6 +5049,7 @@ DATA_QUERIES = {
     "docs_epoch_order": q_docs_epoch_order,
     "pages_hygiene_pipeline": q_pages_hygiene_pipeline,
     "pages_robots_discovery": q_pages_robots_discovery,
+    "docs_readability": q_docs_readability,
 }
 
 
@@ -6848,3 +6889,14 @@ SELECT 'site' || k || '.example.org',
        'https://site' || k || '.example.org/sitemap-news.xml',
        CAST(k + 1 AS BIGINT)
 FROM k WHERE k % 2 = 0"""
+
+
+DATA_ORACLES["docs_readability"] = """SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables,
+  CAST(206835 * len(string_split(text, ' '))
+       - 1015 * len(string_split(text, ' ')) * len(string_split(text, ' '))
+       - 84600 * len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+    AS flesch_num
+FROM documents"""
