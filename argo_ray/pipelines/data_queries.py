@@ -4900,6 +4900,150 @@ def q_docs_readability(sf_dir: str):
     )
 
 
+def q_orders_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the join-heaviest relational query in the
+    registry: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
+    supplier with the local-supplier condition (customer and supplier
+    in the SAME nation), revenue per nation for one region and year.
+
+    Join strategy by side size: region/nation/supplier/customer are
+    broadcast lookups merged map-side (at 100 TB customer graduates to
+    a co-partitioned hash join — same plan as the orderkey join below);
+    the two FACT tables meet in ONE sort-colocated ``grouped_map`` on
+    orderkey (never a broadcast).  Money = exact integer centi-cents:
+    floor(price·100)·(100 − floor(discount·100))."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    con_tables = {}
+    for t, cols in (
+        ("region", ["r_regionkey", "r_name"]),
+        ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        ("supplier", ["s_suppkey", "s_nationkey"]),
+        ("customer", ["c_custkey", "c_nationkey"]),
+    ):
+        con_tables[t] = pa.concat_tables(
+            ray.get(read_table(sf_dir, t, columns=cols).to_arrow_refs())
+        ).combine_chunks()
+
+    region = con_tables["region"].filter(
+        pc.equal(con_tables["region"]["r_name"], "ASIA")
+    )
+    rkeys = set(region["r_regionkey"].to_pylist())
+    nat = con_tables["nation"].filter(
+        pc.is_in(con_tables["nation"]["n_regionkey"],
+                 value_set=pa.array(sorted(rkeys), pa.int32()))
+    )
+    nation_name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    supp_nat = {
+        int(k): int(v)
+        for k, v in zip(
+            con_tables["supplier"]["s_suppkey"].to_pylist(),
+            con_tables["supplier"]["s_nationkey"].to_pylist(),
+        )
+        if int(v) in nation_name
+    }
+    cust_nat = {
+        int(k): int(v)
+        for k, v in zip(
+            con_tables["customer"]["c_custkey"].to_pylist(),
+            con_tables["customer"]["c_nationkey"].to_pylist(),
+        )
+        if int(v) in nation_name
+    }
+    supp_ref, cust_ref = ray.put(supp_nat), ray.put(cust_nat)
+
+    T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
+    T1 = 852_076_800_000_000  # 1997-01-01
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        cn = ray.get(cust_ref)
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(T0, pa.int64())),
+            pc.less(ts, pa.scalar(T1, pa.int64())),
+        )
+        kept = b.filter(keep)
+        nats = pd.Series(kept["o_custkey"].to_pylist()).map(cn)
+        ok = nats.notna().to_numpy()
+        return pa.table(
+            {
+                "orderkey": pc.filter(
+                    pc.cast(kept["o_orderkey"], pa.int64()), pa.array(ok)
+                ),
+                "cust_nat": pa.array(
+                    nats[ok].astype(np.int64).to_numpy(), pa.int64()
+                ),
+                "supp_nat": pa.nulls(int(ok.sum()), pa.int64()),
+                "rev": pa.nulls(int(ok.sum()), pa.int64()),
+                "_side": pa.array([0] * int(ok.sum()), pa.int64()),
+            }
+        )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        nats = pd.Series(b["l_suppkey"].to_pylist()).map(sn)
+        ok = nats.notna().to_numpy()
+        kept = b.filter(pa.array(ok))
+        price = np.floor(
+            kept["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.floor(
+            kept["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pc.cast(kept["l_orderkey"], pa.int64()),
+                "cust_nat": pa.nulls(kept.num_rows, pa.int64()),
+                "supp_nat": pa.array(nats[ok].astype(np.int64).to_numpy(), pa.int64()),
+                "rev": pa.array(price * (100 - disc), pa.int64()),
+                "_side": pa.array([1] * kept.num_rows, pa.int64()),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]
+        if len(o) == 0:
+            return pd.DataFrame({"nat": [], "part": []})
+        cn = int(o["cust_nat"].iloc[0])
+        li = g[(g["_side"] == 1) & (g["supp_nat"] == cn)]
+        if len(li) == 0:
+            return pd.DataFrame({"nat": [], "part": []})
+        return pd.DataFrame({"nat": [cn], "part": [int(li["rev"].sum())]})
+
+    per_order = grouped_map(orders.union(lines), "orderkey", join)
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        names = [nation_name[int(v)] for v in b["nat"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "part": pc.cast(b["part"], pa.int64()),
+            }
+        )
+
+    return (
+        per_order.map_batches(name_rows, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("part", alias_name="revenue_centicents"))
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5050,6 +5194,7 @@ DATA_QUERIES = {
     "pages_hygiene_pipeline": q_pages_hygiene_pipeline,
     "pages_robots_discovery": q_pages_robots_discovery,
     "docs_readability": q_docs_readability,
+    "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
 
@@ -6900,3 +7045,21 @@ DATA_ORACLES["docs_readability"] = """SELECT
        - 84600 * len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
     AS flesch_num
 FROM documents"""
+
+
+DATA_ORACLES["orders_local_supplier_volume"] = """SELECT
+  n_name,
+  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+    AS revenue_centicents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
