@@ -1559,3 +1559,5 @@ FROM (SELECT DISTINCT subj_kind, subj_value FROM exp
 LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
            WHERE pred_value = '{DC}language') l
   ON tt.subj_value = l.subj_value"""
+
+ORACLES["nt_gz_roundtrip"] = ORACLES["dedup_exact"]

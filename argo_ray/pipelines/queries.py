@@ -4306,6 +4306,26 @@ def q_warc_status_gate(sf_dir: str):
     )
 
 
+def q_nt_gz_roundtrip(sf_dir: str):
+    """Gzipped N-Triples round-trip (Common-Crawl dumps ship
+    ``.nt.gz``): deduped graph → ``.nt.gz`` part files (deterministic
+    mtime=0 bytes) → ``read_binary_files`` + per-task gunzip+parse
+    back.  Compression stays inside workers on both legs; output is
+    the identity on the deduped graph."""
+    import tempfile
+
+    from ..sinks.ntriples import write_ntriples_gz
+    from ..sources.ntriples import read_ntriples_gz
+
+    out_dir = tempfile.mkdtemp(prefix="ntgz_", dir="/tmp")
+    write_ntriples_gz(_deduped(sf_dir), out_dir)
+    return _finalize(
+        read_ntriples_gz(out_dir).map_batches(
+            lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+        )
+    )
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4364,6 +4384,7 @@ KG_QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "sparql_construct_bnode_eval": q_sparql_construct_bnode_eval,
     "warc_status_gate": q_warc_status_gate,
+    "nt_gz_roundtrip": q_nt_gz_roundtrip,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,

@@ -67,3 +67,37 @@ def write_ntriples(ds, out_dir: str):
         .materialize()
         .to_pandas()
     )
+
+
+class _NTGzFileWriter(_NTFileWriter):
+    """Gzipped twin of the ``.nt`` part writer — Common-Crawl-style
+    dumps ship ``.nt.gz``; ``mtime=0`` keeps the bytes (and the
+    md5-derived part name) deterministic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import gzip
+        import hashlib
+        import os
+
+        lines = nt_render_lines(batch).to_pylist()
+        payload = "".join(line + "\n" for line in lines).encode()
+        name = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"part-{name}.nt.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                gz.write(payload)
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": pa.array([path]), "rows": pa.array([len(lines)], pa.int64())}
+        )
+
+
+def write_ntriples_gz(ds, out_dir: str):
+    """Dataset of flattened triples → directory of ``.nt.gz`` part
+    files.  Returns the manifest (path, rows)."""
+    return (
+        ds.map_batches(_NTGzFileWriter(out_dir), batch_format="pyarrow")
+        .materialize()
+        .to_pandas()
+    )

@@ -312,3 +312,41 @@ def parse_ntriples_batch(
         row_urls.extend([url] * len(triples))
     table = triples_to_table(rows, urls=row_urls, with_hash=False)
     return append_subject_hash(table)
+
+
+def read_ntriples_gz(paths, parallelism: int | None = None):
+    """Directory / list of ``.nt.gz`` part files → flattened triples
+    Dataset: ``read_binary_files`` streams the compressed bytes, each
+    task gunzips + parses its own files (decompression stays inside
+    the workers — the driver never touches payload bytes)."""
+    import gzip
+
+    import ray.data as rd
+
+    from ..io import configure_context
+
+    configure_context()
+    ds = rd.read_binary_files(paths)
+
+    def parse(b: pa.Table) -> pa.Table:
+        # Ray's read_binary_files already gunzips by file extension;
+        # the magic-byte check keeps this correct for payloads that
+        # arrive still-compressed (e.g. a custom datasource)
+        texts = [
+            (
+                gzip.decompress(v.as_py())
+                if v.as_py()[:2] == b"\x1f\x8b"
+                else v.as_py()
+            ).decode("utf-8")
+            for v in b["bytes"]
+            if v.is_valid
+        ]
+        doc = pa.table(
+            {
+                "url": pa.array([""] * len(texts), pa.string()),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+        return parse_ntriples_batch(doc)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

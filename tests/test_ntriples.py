@@ -167,3 +167,36 @@ def test_parse_batch():
 def test_crlf_folding():
     doc = "<http://e.org/s> <http://e.org/p> <http://e.org/o> .\r\n<http://e.org/s2> <http://e.org/p> <http://e.org/o> .\r\n"
     assert len(parse_ntriples(doc)) == 2
+
+
+def test_nt_gz_roundtrip_files(tmp_path, ray_session):
+    """write_ntriples_gz emits deterministic .nt.gz parts;
+    read_ntriples_gz parses them back to the same triple multiset."""
+    import gzip
+    import os
+
+    import pyarrow as pa
+
+    from argo_ray.sinks.ntriples import write_ntriples_gz
+    from argo_ray.sources.ntriples import read_ntriples_gz
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    t = triples_to_table(
+        [
+            (IRI("http://e/s"), IRI("http://e/p"), Literal("x", lang="en")),
+            (IRI("http://e/s"), IRI("http://e/q"), IRI("http://e/o")),
+        ],
+        with_hash=False,
+    )
+    import ray.data as rd
+
+    out = str(tmp_path / "gz")
+    manifest = write_ntriples_gz(rd.from_arrow(t), out)
+    assert manifest["rows"].sum() == 2
+    paths = [p for p in os.listdir(out) if p.endswith(".nt.gz")]
+    assert paths
+    with gzip.open(os.path.join(out, paths[0]), "rt") as f:
+        assert f.read().count("\n") >= 1  # really gzipped on disk
+    back = read_ntriples_gz(out).to_pandas()
+    assert len(back) == 2
+    assert set(back["pred_value"]) == {"http://e/p", "http://e/q"}
