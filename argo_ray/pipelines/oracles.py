@@ -1561,3 +1561,42 @@ LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
   ON tt.subj_value = l.subj_value"""
 
 ORACLES["nt_gz_roundtrip"] = ORACLES["dedup_exact"]
+
+
+def _closeness_sql(iters: int = 4, unreached: int = 1_000_000, n_landmarks: int = 3) -> str:
+    """Landmark closeness: one BFS pyramid per landmark (docs 0..L-1),
+    distances capped at iters+1, summed per node — integer-exact."""
+    cap = iters + 1
+    sql = EXP_CTE + f""", d AS MATERIALIZED (SELECT DISTINCT {TERM_COLS} FROM exp),
+e AS MATERIALIZED (SELECT DISTINCT subj_value AS src, obj_value AS dst FROM d WHERE obj_kind <> 2),
+eu AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+    for li in range(n_landmarks):
+        seed = f"'https://kg.example.org/doc/{li}'"
+        sql += f""",
+l{li}d0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = {seed} THEN 0 ELSE {unreached} END AS dist
+  FROM nodes
+)"""
+        for i in range(1, iters + 1):
+            sql += f""",
+l{li}d{i} AS MATERIALIZED (
+  SELECT n.node,
+         LEAST(dp.dist, COALESCE(MIN(de.dist + 1), {unreached})) AS dist
+  FROM nodes n
+  JOIN l{li}d{i - 1} dp ON dp.node = n.node
+  LEFT JOIN eu ON eu.dst = n.node
+  LEFT JOIN l{li}d{i - 1} de ON de.node = eu.src
+  GROUP BY n.node, dp.dist
+)"""
+    total = " + ".join(f"LEAST(l{li}.dist, {cap})" for li in range(n_landmarks))
+    joins = " ".join(
+        f"JOIN l{li}d{iters} l{li} ON l{li}.node = n.node"
+        for li in range(n_landmarks)
+    )
+    return sql + f"""
+SELECT n.node, CAST({total} AS BIGINT) AS total_dist
+FROM nodes n {joins}"""
+
+
+ORACLES["kg_landmark_closeness"] = _closeness_sql(4)

@@ -4326,6 +4326,51 @@ def q_nt_gz_roundtrip(sf_dir: str):
     )
 
 
+def q_kg_landmark_closeness(sf_dir: str):
+    """Landmark-based closeness centrality (the scalable stand-in for
+    exact closeness — all-pairs BFS is infeasible at KG scale, so pick
+    L landmarks and sum capped hop distances to them, Potamias et al.'s
+    classic sketch): 3 deterministic landmark entities (docs 0-2),
+    one undirected 4-round BFS each, per-landmark distances capped at
+    iters+1 (unreached = cap, keeps the contract integer-exact), ONE
+    groupby(node) sum.  3×4 relaxation exchanges + one aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.graph import bfs_distances
+
+    ITERS, CAP = 4, 5
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                b.select(["src", "dst"]),
+                pa.table({"src": b["dst"], "dst": b["src"]}),
+            ]
+        )
+
+    undirected = _kg_link_edges(sf_dir).map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
+
+    def capped(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "part": pc.min_element_wise(
+                    pc.cast(b["dist"], pa.int64()), pa.scalar(CAP, pa.int64())
+                ),
+            }
+        )
+
+    parts = None
+    for k in range(3):
+        d = bfs_distances(
+            undirected, iters=ITERS, seed=f"https://kg.example.org/doc/{k}"
+        ).map_batches(capped, batch_format="pyarrow")
+        parts = d if parts is None else parts.union(d)
+    return parts.groupby("node").aggregate(Sum("part", alias_name="total_dist"))
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4385,6 +4430,7 @@ KG_QUERIES = {
     "sparql_construct_bnode_eval": q_sparql_construct_bnode_eval,
     "warc_status_gate": q_warc_status_gate,
     "nt_gz_roundtrip": q_nt_gz_roundtrip,
+    "kg_landmark_closeness": q_kg_landmark_closeness,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
