@@ -1600,3 +1600,30 @@ FROM nodes n {joins}"""
 
 
 ORACLES["kg_landmark_closeness"] = _closeness_sql(4)
+
+ORACLES["kg_prov_export"] = """WITH p AS (
+  SELECT doc_id % 4 AS pid, COUNT(*) AS n FROM documents GROUP BY doc_id % 4
+), t AS (
+  SELECT 'https://kg.example.org/run/part/' || pid AS s,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pr,
+         CAST(0 AS BIGINT) AS ok, 'http://www.w3.org/ns/prov#Activity' AS o,
+         '' AS ol, '' AS od
+  FROM p
+  UNION ALL
+  SELECT 'https://kg.example.org/run/shard/' || pid,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 0,
+         'http://www.w3.org/ns/prov#Entity', '', '' FROM p
+  UNION ALL
+  SELECT 'https://kg.example.org/run/shard/' || pid,
+         'http://www.w3.org/ns/prov#wasGeneratedBy', 0,
+         'https://kg.example.org/run/part/' || pid, '', '' FROM p
+  UNION ALL
+  SELECT 'https://kg.example.org/run/part/' || pid,
+         'https://kg.example.org/run/documents', 2,
+         CAST(n AS VARCHAR), '', 'http://www.w3.org/2001/XMLSchema#integer'
+  FROM p
+)
+SELECT CAST(0 AS BIGINT) AS subj_kind, s AS subj_value, '' AS subj_lang, '' AS subj_datatype,
+       CAST(0 AS BIGINT) AS pred_kind, pr AS pred_value, '' AS pred_lang, '' AS pred_datatype,
+       ok AS obj_kind, o AS obj_value, ol AS obj_lang, od AS obj_datatype
+FROM t"""

@@ -4371,6 +4371,38 @@ def q_kg_landmark_closeness(sf_dir: str):
     return parts.groupby("node").aggregate(Sum("part", alias_name="total_dist"))
 
 
+def q_kg_prov_export(sf_dir: str):
+    """Checkpoint lineage as PROV-O triples: the 4-partition plan's
+    per-partition document counts (ONE distributed count, the same
+    doc_id%4 predicate the job CLI plans with) rendered as
+    prov:Activity / prov:Entity / prov:wasGeneratedBy + an
+    xsd:integer count literal — lineage queryable by the same SPARQL
+    engine as the KG it describes
+    (:func:`argo_ray.state.checkpoint.prov_triples_batch`)."""
+    from ray.data.aggregate import Count
+
+    from ..io import read_table
+    from ..state.checkpoint import prov_triples_batch
+
+    def to_pid(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "partition_id": pc.subtract(
+                    ids, pc.multiply(pc.divide(ids, 4), 4)
+                )
+            }
+        )
+
+    counts = (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(to_pid, batch_format="pyarrow")
+        .groupby("partition_id")
+        .aggregate(Count(alias_name="n_documents"))
+    )
+    return counts.map_batches(prov_triples_batch, batch_format="pyarrow")
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4431,6 +4463,7 @@ KG_QUERIES = {
     "warc_status_gate": q_warc_status_gate,
     "nt_gz_roundtrip": q_nt_gz_roundtrip,
     "kg_landmark_closeness": q_kg_landmark_closeness,
+    "kg_prov_export": q_kg_prov_export,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,

@@ -537,3 +537,50 @@ def run_checkpointed(
         total
     )
     return summary
+
+
+PROV_NS = "http://www.w3.org/ns/prov#"
+RUN_NS = "https://kg.example.org/run/"
+
+
+def prov_triples_batch(batch: pa.Table) -> pa.Table:
+    """Lineage records ``(partition_id, n_documents)`` → PROV-O triples
+    (flattened 12-column layout): one ``prov:Activity`` per partition
+    run, one ``prov:Entity`` per output shard, ``prov:wasGeneratedBy``
+    linking them, and the document count as an ``xsd:integer`` literal
+    — the KG-native rendering of the checkpoint manifest, so lineage
+    is queryable with the same SPARQL engine as the data it describes.
+    (Nondeterministic manifest fields — wall_sec, committed_at — are
+    deliberately NOT exported; provenance must be re-derivable.)"""
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    pids = batch["partition_id"].to_pylist()
+    ndocs = batch["n_documents"].to_pylist()
+    rows = []
+    for pid, n in zip(pids, ndocs):
+        act = f"{RUN_NS}part/{pid}"
+        ent = f"{RUN_NS}shard/{pid}"
+        rows.extend(
+            [
+                (act, RDF_TYPE, 0, f"{PROV_NS}Activity", "", ""),
+                (ent, RDF_TYPE, 0, f"{PROV_NS}Entity", "", ""),
+                (ent, f"{PROV_NS}wasGeneratedBy", 0, act, "", ""),
+                (act, f"{RUN_NS}documents", 2, str(n), "", XSD_INT),
+            ]
+        )
+    return pa.table(
+        {
+            "subj_kind": pa.array([0] * len(rows), pa.int64()),
+            "subj_value": pa.array([r[0] for r in rows], pa.string()),
+            "subj_lang": pa.array([""] * len(rows), pa.string()),
+            "subj_datatype": pa.array([""] * len(rows), pa.string()),
+            "pred_kind": pa.array([0] * len(rows), pa.int64()),
+            "pred_value": pa.array([r[1] for r in rows], pa.string()),
+            "pred_lang": pa.array([""] * len(rows), pa.string()),
+            "pred_datatype": pa.array([""] * len(rows), pa.string()),
+            "obj_kind": pa.array([r[2] for r in rows], pa.int64()),
+            "obj_value": pa.array([r[3] for r in rows], pa.string()),
+            "obj_lang": pa.array([r[4] for r in rows], pa.string()),
+            "obj_datatype": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )

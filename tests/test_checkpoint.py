@@ -266,3 +266,27 @@ def test_multisyntax_pipeline_run_and_resume(ray_session, out_dir):
     assert rc["triples_rdfa"] > 0
     assert rc["triples_microdata"] == rc["documents"] * 6
     assert rc["triples_jsonld"] == rc["documents"] * 3
+
+
+def test_prov_triples_batch():
+    import pyarrow as pa
+
+    from argo_ray.state.checkpoint import prov_triples_batch
+
+    b = pa.table(
+        {
+            "partition_id": pa.array([0, 3], pa.int64()),
+            "n_documents": pa.array([125, 130], pa.int64()),
+        }
+    )
+    out = prov_triples_batch(b)
+    assert out.num_rows == 8  # 4 triples per partition
+    preds = set(out["pred_value"].to_pylist())
+    assert "http://www.w3.org/ns/prov#wasGeneratedBy" in preds
+    counts = out.filter(
+        (pa.compute.equal(out["pred_value"], "https://kg.example.org/run/documents"))
+    )
+    assert counts["obj_value"].to_pylist() == ["125", "130"]
+    assert set(counts["obj_datatype"].to_pylist()) == {
+        "http://www.w3.org/2001/XMLSchema#integer"
+    }
