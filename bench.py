@@ -158,6 +158,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("docs_mojibake_repair", _q_docs_mojibake_repair),
         ("docs_surprisal_buckets", _q_docs_surprisal_buckets),
         ("docs_line_dedup", _q_docs_line_dedup),
+        ("pages_hygiene_pipeline", _q_pages_hygiene_pipeline),
+        ("orders_local_supplier_volume", _q_orders_q5),
+        ("kg_landmark_closeness", _q_kg_landmark_closeness),
+        ("kg_reify_roundtrip", _q_kg_reify_roundtrip),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -189,6 +193,30 @@ def _q_docs_line_dedup(sf_dir: str):
     from argo_ray.pipelines.data_queries import q_docs_line_dedup
 
     return q_docs_line_dedup(sf_dir)
+
+
+def _q_pages_hygiene_pipeline(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_pages_hygiene_pipeline
+
+    return q_pages_hygiene_pipeline(sf_dir)
+
+
+def _q_orders_q5(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_orders_local_supplier_volume
+
+    return q_orders_local_supplier_volume(sf_dir)
+
+
+def _q_kg_landmark_closeness(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_landmark_closeness
+
+    return q_kg_landmark_closeness(sf_dir)
+
+
+def _q_kg_reify_roundtrip(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_reify_roundtrip
+
+    return q_kg_reify_roundtrip(sf_dir)
 
 
 def _q_warc_roundtrip(sf_dir: str):
