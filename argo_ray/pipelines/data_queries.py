@@ -5044,6 +5044,66 @@ def q_orders_local_supplier_volume(sf_dir: str):
     )
 
 
+def q_events_hll_hourly(sf_dir: str):
+    """WINDOWED sketching — the composition streaming dashboards run:
+    distinct users per (event_type, hour-of-day) via mergeable HLL
+    partials, gated against the exact two-exchange distinct count
+    (events_hll_users's contract with the window dimension added).
+    Register exchange stays bounded by windows × groups × 2^p."""
+    import pandas as pd
+
+    from ..functions.sketch import hll_distinct_per_group
+    from ..stages.windows import distinct_users_per_type
+
+    SEP = "\x1f"
+
+    def keyed(b: pa.Table) -> pa.Table:
+        hour = pc.hour(b["ts"])
+        g = pc.binary_join_element_wise(
+            pc.cast(b["event_type"], pa.large_string()),
+            pc.cast(pc.cast(hour, pa.int64()), pa.large_string()),
+            pa.scalar(SEP, pa.large_string()),
+        )
+        return pa.table(
+            {
+                "g": pc.cast(g, pa.string()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+
+    ev = _events(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    est = {
+        r["g"]: int(r["estimate"])
+        for r in hll_distinct_per_group(ev, "user_id", "g").to_pylist()
+    }
+    # exact: reuse the two-exchange distinct plan on the composite key
+    exact = {
+        r["event_type"]: int(r["n_users"])
+        for r in distinct_users_per_type(
+            ev.map_batches(
+                lambda b: pa.table(
+                    {"event_type": b["g"], "user_id": b["user_id"]}
+                ),
+                batch_format="pyarrow",
+            )
+        ).take_all()
+    }
+    keys = sorted(exact)
+    types = [k.split(SEP)[0] for k in keys]
+    hours = [int(k.split(SEP)[1]) for k in keys]
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "hour": pa.array(hours, pa.int64()),
+            "n_users_exact": pa.array([exact[k] for k in keys], pa.int64()),
+            "sketch_within_bound": pa.array(
+                [abs(est[k] - exact[k]) / exact[k] <= 0.2 for k in keys],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5194,6 +5254,7 @@ DATA_QUERIES = {
     "pages_hygiene_pipeline": q_pages_hygiene_pipeline,
     "pages_robots_discovery": q_pages_robots_discovery,
     "docs_readability": q_docs_readability,
+    "events_hll_hourly": q_events_hll_hourly,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7063,3 +7124,14 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name"""
+
+
+# exact distinct per (type, hour) + a sketch-accuracy gate the Ray side
+# must satisfy (rel err <= 0.2 at p=8 on the md5-deterministic hash)
+DATA_ORACLES["events_hll_hourly"] = """SELECT
+  event_type,
+  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+  TRUE AS sketch_within_bound
+FROM events
+GROUP BY event_type, EXTRACT(hour FROM ts)"""
