@@ -5104,6 +5104,51 @@ def q_events_hll_hourly(sf_dir: str):
     )
 
 
+def q_docs_license_propagate(sf_dir: str):
+    """Data-governance: license propagation across duplicate clusters —
+    when the same content appears under several licenses, the cluster's
+    EFFECTIVE license is the most restrictive member (the conservative
+    rule trainers must apply before mixing).  Planted licenses by
+    doc_id%3 (cc-by < cc-by-sa < proprietary); planted exact dups put
+    multiple licenses in one content cluster.  ONE
+    grouped_map(fingerprint) exchange — each group emits its members
+    with the group max restrictiveness; no join."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    LICENSES = ["cc-by", "cc-by-sa", "proprietary"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        texts = b["text"].to_pylist()
+        return pa.table(
+            {
+                "fingerprint": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "rank": pa.array([i % 3 for i in ids], pa.int64()),
+            }
+        )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        eff = int(g["rank"].max())
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "license": [LICENSES[int(r)] for r in g["rank"]],
+                "effective_license": [LICENSES[eff]] * len(g),
+            }
+        )
+
+    planted = _planted_docs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return grouped_map(planted, "fingerprint", propagate)
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5255,6 +5300,7 @@ DATA_QUERIES = {
     "pages_robots_discovery": q_pages_robots_discovery,
     "docs_readability": q_docs_readability,
     "events_hll_hourly": q_events_hll_hourly,
+    "docs_license_propagate": q_docs_license_propagate,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7135,3 +7181,14 @@ DATA_ORACLES["events_hll_hourly"] = """SELECT
   TRUE AS sketch_within_bound
 FROM events
 GROUP BY event_type, EXTRACT(hour FROM ts)"""
+
+
+DATA_ORACLES["docs_license_propagate"] = _PLANTED_DOCS_CTE + """, r AS (
+  SELECT doc_id, md5(text) AS fp, doc_id % 3 AS rank FROM corpus
+), eff AS (SELECT fp, MAX(rank) AS er FROM r GROUP BY fp)
+SELECT r.doc_id,
+  CASE r.rank WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+       ELSE 'proprietary' END AS license,
+  CASE eff.er WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+       ELSE 'proprietary' END AS effective_license
+FROM r JOIN eff ON eff.fp = r.fp"""
