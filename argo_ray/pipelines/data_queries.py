@@ -5149,6 +5149,58 @@ def q_docs_license_propagate(sf_dir: str):
     return grouped_map(planted, "fingerprint", propagate)
 
 
+def q_docs_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language — the cost model for
+    multilingual token budgeting (languages the tokenizer fragments
+    cost more tokens per word): per lang the exact BPE-ish-regex token
+    total, whitespace word total, and their ratio (ONE double
+    division, round 6).  Per-batch partial sums → tiny groupby(lang)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import BPE_TOKEN_PATTERN
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.cast(b["text"], pa.large_string())
+        bpe = pc.cast(
+            pc.count_substring_regex(text, BPE_TOKEN_PATTERN), pa.int64()
+        )
+        words = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+        )
+        t = pa.table(
+            {"lang": pc.cast(b["lang"], pa.string()), "bpe": bpe, "w": words}
+        )
+        g = t.group_by("lang").aggregate([("bpe", "sum"), ("w", "sum")])
+        return pa.table(
+            {
+                "lang": pc.cast(g["lang"], pa.string()),
+                "bpe_part": pc.cast(g["bpe_sum"], pa.int64()),
+                "w_part": pc.cast(g["w_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("bpe_part", alias_name="n_bpe_tokens"),
+            Sum("w_part", alias_name="n_words"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bpe = np.asarray(pc.cast(b["n_bpe_tokens"], pa.int64()), dtype=np.float64)
+        w = np.asarray(pc.cast(b["n_words"], pa.int64()), dtype=np.float64)
+        return b.append_column(
+            "fertility", pa.array(np.round(bpe / w, 6), pa.float64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5301,6 +5353,7 @@ DATA_QUERIES = {
     "docs_readability": q_docs_readability,
     "events_hll_hourly": q_events_hll_hourly,
     "docs_license_propagate": q_docs_license_propagate,
+    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7192,3 +7245,13 @@ SELECT r.doc_id,
   CASE eff.er WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
        ELSE 'proprietary' END AS effective_license
 FROM r JOIN eff ON eff.fp = r.fp"""
+
+
+DATA_ORACLES["docs_tokenizer_fertility"] = """SELECT
+  lang,
+  CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+  round(CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS DOUBLE)
+        / SUM(len(string_split(text, ' '))), 6) AS fertility
+FROM documents GROUP BY lang"""
