@@ -1627,3 +1627,11 @@ SELECT CAST(0 AS BIGINT) AS subj_kind, s AS subj_value, '' AS subj_lang, '' AS s
        CAST(0 AS BIGINT) AS pred_kind, pr AS pred_value, '' AS pred_lang, '' AS pred_datatype,
        ok AS obj_kind, o AS obj_value, ol AS obj_lang, od AS obj_datatype
 FROM t"""
+
+ORACLES["sparql_over_prov"] = """WITH p AS (
+  SELECT doc_id % 4 AS pid, COUNT(*) AS n FROM documents GROUP BY doc_id % 4
+)
+SELECT '<https://kg.example.org/run/shard/' || pid || '>' AS shard,
+       '<https://kg.example.org/run/part/' || pid || '>' AS activity,
+       '"' || n || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+FROM p"""

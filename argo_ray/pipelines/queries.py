@@ -4403,6 +4403,22 @@ def q_kg_prov_export(sf_dir: str):
     return counts.map_batches(prov_triples_batch, batch_format="pyarrow")
 
 
+def q_sparql_over_prov(sf_dir: str):
+    """Composition: the SPARQL engine querying the PROV lineage graph
+    the checkpoint system exports — "which activity generated each
+    shard, and how many documents did it process" — proving run
+    provenance is first-class KG data, not a side file."""
+    from ..sparql import evaluate_select
+
+    q = """PREFIX prov: <http://www.w3.org/ns/prov#>
+    PREFIX run: <https://kg.example.org/run/>
+    SELECT ?shard ?activity ?n WHERE {
+      ?shard prov:wasGeneratedBy ?activity .
+      ?activity run:documents ?n .
+    }"""
+    return evaluate_select(q_kg_prov_export(sf_dir).materialize(), q)
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4464,6 +4480,7 @@ KG_QUERIES = {
     "nt_gz_roundtrip": q_nt_gz_roundtrip,
     "kg_landmark_closeness": q_kg_landmark_closeness,
     "kg_prov_export": q_kg_prov_export,
+    "sparql_over_prov": q_sparql_over_prov,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
