@@ -5201,6 +5201,78 @@ def q_docs_tokenizer_fertility(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_parts_assoc_rules(sf_dir: str):
+    """Association rules over order baskets (the counts sibling of the
+    co-occurrence/triangle family): directed rules a→b ranked by
+    confidence = c(ab)/c(a), integer supports, round 6, top-20 with a
+    deterministic (conf desc, a, b) tie-break.  Per-block in-group
+    pair expansion (orders hold ≤ ~11 distinct parts — bounded
+    fan-out), pair counts combine per batch before ONE groupby;
+    antecedent totals are part-bounded and broadcast into the
+    confidence map."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs_in = (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        ps = np.sort(g["l_partkey"].to_numpy(dtype=np.int64))
+        if len(ps) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(ps), k=1)
+        # both directions: a→b and b→a are distinct rules
+        return pd.DataFrame(
+            {
+                "a": np.concatenate([ps[i], ps[j]]),
+                "b": np.concatenate([ps[j], ps[i]]),
+            }
+        )
+
+    pair_counts = (
+        grouped_map(pairs_in, "l_orderkey", expand)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_ab"))
+    )
+    # antecedent totals: distinct (order, part) rows per part — bounded
+    # by |parts|, collected once and broadcast
+    totals = {
+        int(r["l_partkey"]): int(r["n_a"])
+        for r in pairs_in.groupby("l_partkey")
+        .aggregate(Count(alias_name="n_a"))
+        .to_pandas()
+        .to_dict("records")
+    }
+    tot_ref = ray.put(totals)
+
+    def conf(b: pa.Table) -> pa.Table:
+        t = ray.get(tot_ref)
+        a = pc.cast(b["a"], pa.int64()).to_pylist()
+        nab = pc.cast(b["n_ab"], pa.int64()).to_pylist()
+        c = [round(n / t[x], 6) for x, n in zip(a, nab)]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pc.cast(b["b"], pa.int64()),
+                "n_ab": pa.array(nab, pa.int64()),
+                "confidence": pa.array(c, pa.float64()),
+            }
+        )
+
+    scored = pair_counts.map_batches(conf, batch_format="pyarrow")
+    out = scored.sort(["confidence", "a", "b"], descending=[True, False, False]).limit(20)
+    return out
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5354,6 +5426,7 @@ DATA_QUERIES = {
     "events_hll_hourly": q_events_hll_hourly,
     "docs_license_propagate": q_docs_license_propagate,
     "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
+    "parts_assoc_rules": q_parts_assoc_rules,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7255,3 +7328,19 @@ DATA_ORACLES["docs_tokenizer_fertility"] = """SELECT
   round(CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS DOUBLE)
         / SUM(len(string_split(text, ' '))), 6) AS fertility
 FROM documents GROUP BY lang"""
+
+
+DATA_ORACLES["parts_assoc_rules"] = """WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pr AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+  FROM op x JOIN op y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+), ta AS (
+  SELECT l_partkey AS a, COUNT(*) AS n_a FROM op GROUP BY l_partkey
+)
+SELECT pr.a, pr.b, CAST(pr.n_ab AS BIGINT) AS n_ab,
+       round(CAST(pr.n_ab AS DOUBLE) / ta.n_a, 6) AS confidence
+FROM pr JOIN ta ON ta.a = pr.a
+ORDER BY confidence DESC, pr.a, pr.b LIMIT 20"""
