@@ -1635,3 +1635,18 @@ SELECT '<https://kg.example.org/run/shard/' || pid || '>' AS shard,
        '<https://kg.example.org/run/part/' || pid || '>' AS activity,
        '"' || n || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
 FROM p"""
+
+# nested OPTIONAL: title joins inside the language group
+ORACLES["sparql_nested_optional_eval"] = EXP_CTE + f"""SELECT
+  CASE tt.subj_kind WHEN 0 THEN '<' || tt.subj_value || '>'
+       ELSE '_:' || tt.subj_value END AS s,
+  COALESCE('"' || l.lang || '"', '') AS l,
+  COALESCE('"' || t.title || '"@' || t.tl, '') AS ttl
+FROM (SELECT DISTINCT subj_kind, subj_value FROM exp
+      WHERE pred_value = '{RDF_TYPE}') tt
+LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
+           WHERE pred_value = '{DC}language') l
+  ON tt.subj_value = l.subj_value
+LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS title, obj_lang AS tl
+           FROM exp WHERE pred_value = '{DC}title') t
+  ON tt.subj_value = t.subj_value AND l.subj_value IS NOT NULL"""

@@ -2623,6 +2623,21 @@ def q_sparql_optional_bind_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_nested_optional_eval(sf_dir: str):
+    """Nested OPTIONAL (new r4 s4): LeftJoin(A, LeftJoin(B, C)) — the
+    title attaches inside the language group, so mention blank nodes
+    (no dc:language) leave BOTH unbound while typed docs carry both."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?s ?l ?ttl WHERE {{
+      ?s a ?t .
+      OPTIONAL {{ ?s dc:language ?l OPTIONAL {{ ?s dc:title ?ttl }} }}
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_describe_eval(sf_dir: str):
     """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
     verb, evaluated engine-side): every distinct triple whose subject
@@ -4482,6 +4497,7 @@ KG_QUERIES = {
     "kg_prov_export": q_kg_prov_export,
     "sparql_over_prov": q_sparql_over_prov,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
+    "sparql_nested_optional_eval": q_sparql_nested_optional_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

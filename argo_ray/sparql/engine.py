@@ -1066,6 +1066,11 @@ def _attach_optionals(result, bound: set, ds, optionals):
     binding)."""
     for opt in optionals:
         ob, ovs, leftover = _bgp(ds, opt.patterns, opt.filters)
+        inner = getattr(opt, "optionals", []) or []
+        if inner:
+            # nested OPTIONAL: LeftJoin(A, LeftJoin(B, C)) — the inner
+            # group left-joins onto THIS group's bindings first (r4 s4)
+            ob, ovs = _attach_optionals(ob, ovs, ds, inner)
         _check_filter_vars(leftover, ovs)
         ob = _apply_filters(ob, leftover)
         opt_binds = getattr(opt, "binds", []) or []

@@ -263,14 +263,16 @@ class ValuesBlock(NamedTuple):
 
 
 class OptionalBlock(NamedTuple):
-    """``OPTIONAL { BGP [FILTER …] [BIND …] }`` — left-joined onto the
-    required bindings; BINDs evaluate on the optional side before the
-    join (their aliases stay unbound on unmatched rows, per spec
-    group scoping)."""
+    """``OPTIONAL { BGP [FILTER …] [BIND …] [OPTIONAL {…}] }`` —
+    left-joined onto the required bindings; BINDs evaluate on the
+    optional side before the join (aliases stay unbound on unmatched
+    rows, per spec group scoping); nested OPTIONALs left-join onto
+    THIS group's bindings first (LeftJoin(A, LeftJoin(B, C)))."""
 
     patterns: list
     filters: list
     binds: list = []
+    optionals: list = []
 
 
 class GraphBlock(NamedTuple):
@@ -976,21 +978,26 @@ class _Parser:
         return patterns, filters
 
     def parse_optional_group(self):
-        """``{ TriplesBlock | FILTER … | BIND … }`` for OPTIONAL bodies
-        — ``parse_simple_group`` plus BIND (r4 s4; nested
-        OPTIONAL/UNION and MINUS/VALUES stay unsupported here)."""
+        """``{ TriplesBlock | FILTER … | BIND … | OPTIONAL {…} }`` for
+        OPTIONAL bodies — ``parse_simple_group`` plus BIND and nested
+        OPTIONAL (r4 s4; UNION and MINUS/VALUES stay unsupported
+        here)."""
         self.expect("op", "{")
         patterns: list[Pattern] = []
         filters: list[Filter] = []
         binds: list[BindBlock] = []
+        optionals: list[OptionalBlock] = []
         while self.peek() != ("op", "}"):
             if self.eat_word("filter"):
                 filters.extend(self.parse_filter())
             elif self.eat_word("bind"):
                 binds.append(self.parse_bind())
-            elif self.at_word("optional") or self.peek() == ("op", "{"):
+            elif self.eat_word("optional"):
+                p, f, b, o = self.parse_optional_group()
+                optionals.append(OptionalBlock(p, f, b, o))
+            elif self.peek() == ("op", "{"):
                 raise SparqlSyntaxError(
-                    "nested OPTIONAL/UNION groups are not supported"
+                    "nested UNION groups are not supported"
                 )
             elif self.at_word("minus", "values"):
                 raise SparqlSyntaxError(
@@ -999,7 +1006,7 @@ class _Parser:
             else:
                 patterns.extend(self.parse_triples_block())
         self.expect("op", "}")
-        return patterns, filters, binds
+        return patterns, filters, binds, optionals
 
     def parse_values(self) -> ValuesBlock:
         """``VALUES ?v { t… }`` or ``VALUES (?a ?b) { (t t) … }``."""
@@ -1049,8 +1056,8 @@ class _Parser:
             elif self.eat_word("bind"):
                 binds.append(self.parse_bind())
             elif self.eat_word("optional"):
-                p, f, ob = self.parse_optional_group()
-                optionals.append(OptionalBlock(p, f, ob))
+                p, f, ob, oo = self.parse_optional_group()
+                optionals.append(OptionalBlock(p, f, ob, oo))
             elif self.eat_word("minus"):
                 p, f = self.parse_simple_group()
                 filters.append(MinusBlock(p, f))

@@ -512,10 +512,16 @@ def test_union_mismatched_vars_raises(ray_session):
         )
 
 
-def test_nested_optional_rejected():
+def test_nested_optional_parses_union_rejected():
+    # nested OPTIONAL supported since r4 s4; bare nested groups (UNION
+    # branches) still raise
+    q = parse_query(
+        "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { ?s ?q ?r OPTIONAL { ?s ?t ?u } } }"
+    )
+    assert len(q.optionals) == 1 and len(q.optionals[0].optionals) == 1
     with pytest.raises(SparqlSyntaxError):
         parse_query(
-            "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { OPTIONAL { ?s ?q ?r } } }"
+            "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { { ?s ?q ?r } UNION { ?s ?t ?u } } }"
         )
 
 
@@ -2279,3 +2285,27 @@ def test_optional_bind_unmatched_rows_stay_unbound(ray_session):
     ).take_all()
     # no ex:cites assertions on typed docs in this fixture -> all unbound
     assert all(r["n"] == "" for r in out)
+
+
+def test_nested_optional(ray_session):
+    """OPTIONAL inside OPTIONAL: LeftJoin(A, LeftJoin(B, C)) — the
+    chars assertion only attaches where the language matched first."""
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l ?c WHERE {{
+          ?s a ex:Doc .
+          OPTIONAL {{
+            ?s ex:lang ?l
+            OPTIONAL {{ ?s ex:chars ?c }}
+          }}
+        }} ORDER BY ?s""",
+    ).take_all()
+    rows = [(r["s"], r["l"], r["c"]) for r in out]
+    # d1 has lang+chars, d2 has lang only (fixture: chars on d1 only)
+    assert rows[0][0] == f"<{EX}d1>" and rows[0][1] == '"en"'
+    assert rows[1][0] == f"<{EX}d2>" and rows[1][1] == '"de"'
+    # every ?c that is bound implies its ?l is bound (nested scoping)
+    for _, l, c in rows:
+        if c != "":
+            assert l != ""
