@@ -808,3 +808,78 @@ def image_ahash_oracle_sql() -> str:
 )
 SELECT item_id, ahash, MIN(item_id) OVER (PARTITION BY ahash) AS keep_id
 FROM hashed"""
+
+
+def image_patches(sf_dir: str, patch: int = 4):
+    """ViT-style patch extraction: the real-decoded 8×8 BMP corpus cut
+    into non-overlapping ``patch×patch`` tiles, one row per tile with
+    its integer gray-sum — the patch-embedding prep stage of a
+    vision-training pipeline (sums stay integer-exact so the DuckDB
+    oracle reconstructs them from ``md5(text)`` digest bytes).
+    Actor-pool decode (payload bytes never leave the workers), one
+    vectorized reshape+sum per batch, zero shuffles."""
+    ds = documents_as_bmp(sf_dir)
+    decoded = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=128
+    )
+
+    def tiles(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "item_id": pa.array([], pa.int64()),
+                    "patch_row": pa.array([], pa.int64()),
+                    "patch_col": pa.array([], pa.int64()),
+                    "patch_sum": pa.array([], pa.int64()),
+                }
+            )
+        h = int(b["height"][0].as_py())
+        w = int(b["width"][0].as_py())
+        px = np.frombuffer(
+            b"".join(p.as_py() for p in b["pixels"]), dtype=np.uint8
+        ).reshape(n, h, w, 3)
+        gray = px[:, :, :, 0].astype(np.int64)  # R=G=B for this corpus
+        ph, pw = h // patch, w // patch
+        # (n, ph, patch, pw, patch) → sum the two patch axes
+        sums = gray.reshape(n, ph, patch, pw, patch).sum(axis=(2, 4))
+        ids = np.repeat(
+            np.asarray(b["item_id"].to_pylist(), dtype=np.int64), ph * pw
+        )
+        pr = np.tile(np.repeat(np.arange(ph, dtype=np.int64), pw), n)
+        pcn = np.tile(np.tile(np.arange(pw, dtype=np.int64), ph), n)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "patch_row": pa.array(pr, pa.int64()),
+                "patch_col": pa.array(pcn, pa.int64()),
+                "patch_sum": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(tiles, batch_format="pyarrow")
+
+
+def image_patches_oracle_sql(patch: int = 4, h: int = 8, w: int = 8) -> str:
+    """Per-tile gray sums rebuilt from md5 digest bytes (pixel (y,x) =
+    digest byte ``(y*w+x) % 16``), hex pairs decoded with strpos."""
+
+    def byte_expr(j: int) -> str:
+        hi = f"(strpos('0123456789abcdef', substr(md5(text), {2 * j + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substr(md5(text), {2 * j + 2}, 1)) - 1)"
+        return f"({hi} * 16 + {lo})"
+
+    selects = []
+    for pr in range(h // patch):
+        for pc_ in range(w // patch):
+            terms = []
+            for dy in range(patch):
+                for dx in range(patch):
+                    y, x = pr * patch + dy, pc_ * patch + dx
+                    terms.append(byte_expr((y * w + x) % 16))
+            selects.append(
+                f"SELECT doc_id AS item_id, CAST({pr} AS BIGINT) AS patch_row, "
+                f"CAST({pc_} AS BIGINT) AS patch_col, "
+                f"CAST({' + '.join(terms)} AS BIGINT) AS patch_sum FROM documents"
+            )
+    return "\nUNION ALL\n".join(selects)

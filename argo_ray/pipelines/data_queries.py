@@ -82,6 +82,15 @@ def _planted_embeddings(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_image_patches(sf_dir: str):
+    """ViT patch prep over the real-decoded BMP corpus: one row per
+    non-overlapping 4x4 tile with its integer gray-sum
+    (:func:`argo_ray.functions.multimodal.image_patches`)."""
+    from ..functions.multimodal import image_patches
+
+    return image_patches(sf_dir)
+
+
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup over the planted corpus (hash-partitioned, partial
     min/count combiner)."""
@@ -5427,6 +5436,7 @@ DATA_QUERIES = {
     "docs_license_propagate": q_docs_license_propagate,
     "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
     "parts_assoc_rules": q_parts_assoc_rules,
+    "image_patches": q_image_patches,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7344,3 +7354,12 @@ SELECT pr.a, pr.b, CAST(pr.n_ab AS BIGINT) AS n_ab,
        round(CAST(pr.n_ab AS DOUBLE) / ta.n_a, 6) AS confidence
 FROM pr JOIN ta ON ta.a = pr.a
 ORDER BY confidence DESC, pr.a, pr.b LIMIT 20"""
+
+
+def _image_patches_oracle() -> str:
+    from ..functions.multimodal import image_patches_oracle_sql
+
+    return image_patches_oracle_sql()
+
+
+DATA_ORACLES["image_patches"] = _image_patches_oracle()
