@@ -883,3 +883,62 @@ def image_patches_oracle_sql(patch: int = 4, h: int = 8, w: int = 8) -> str:
                 f"CAST({' + '.join(terms)} AS BIGINT) AS patch_sum FROM documents"
             )
     return "\nUNION ALL\n".join(selects)
+
+
+def audio_frame_energy(sf_dir: str, frame: int = 10, repeats: int = 8):
+    """Frame-level audio features (the VAD/energy-gate prep stage of a
+    speech pipeline): the real WAV corpus decoded in an actor pool,
+    samples cut into non-overlapping ``frame``-sample windows (full
+    frames only — the tail is dropped, n_frames = n_samples // frame),
+    one row per frame with its integer energy (sum of absolute PCM16
+    values — exact, oracle-reconstructable from md5 digest bytes).
+    Frame length 10 is deliberately coprime to the 16-byte digest tile
+    so consecutive frames differ."""
+
+    class FrameEnergy:
+        def __init__(self):
+            pass
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, frames, energies = [], [], []
+            for item, payload in zip(
+                b["item_id"].to_pylist(), b["payload"].to_pylist()
+            ):
+                rate, n, samples = decode_wav(payload)
+                s = np.abs(samples.astype(np.int64))
+                nf = len(s) // frame
+                sums = s[: nf * frame].reshape(nf, frame).sum(axis=1)
+                ids.extend([item] * nf)
+                frames.extend(range(nf))
+                energies.extend(sums.tolist())
+            return pa.table(
+                {
+                    "item_id": pa.array(ids, pa.int64()),
+                    "frame_idx": pa.array(frames, pa.int64()),
+                    "energy": pa.array(energies, pa.int64()),
+                }
+            )
+
+    return documents_as_wav(sf_dir, repeats).map_batches(
+        FrameEnergy, batch_format="pyarrow", concurrency=2, batch_size=128
+    )
+
+
+def audio_frame_energy_oracle_sql(frame: int = 10, repeats: int = 8) -> str:
+    """Per-frame energies from digest bytes: sample i = 16·b(i%16)."""
+    n_samples = 16 * repeats
+    nf = n_samples // frame
+
+    def byte_expr(j: int) -> str:
+        return f"CAST(concat('0x', substr(md5(text), {2 * j + 1}, 2)) AS INTEGER)"
+
+    selects = []
+    for f in range(nf):
+        terms = [
+            f"16 * {byte_expr((f * frame + k) % 16)}" for k in range(frame)
+        ]
+        selects.append(
+            f"SELECT doc_id AS item_id, CAST({f} AS BIGINT) AS frame_idx, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS energy FROM documents"
+        )
+    return "\nUNION ALL\n".join(selects)

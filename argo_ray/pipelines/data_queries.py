@@ -91,6 +91,14 @@ def q_image_patches(sf_dir: str):
     return image_patches(sf_dir)
 
 
+def q_audio_frame_energy(sf_dir: str):
+    """Frame-level audio energy over the real WAV corpus (VAD prep;
+    :func:`argo_ray.functions.multimodal.audio_frame_energy`)."""
+    from ..functions.multimodal import audio_frame_energy
+
+    return audio_frame_energy(sf_dir)
+
+
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup over the planted corpus (hash-partitioned, partial
     min/count combiner)."""
@@ -5437,6 +5445,7 @@ DATA_QUERIES = {
     "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
     "parts_assoc_rules": q_parts_assoc_rules,
     "image_patches": q_image_patches,
+    "audio_frame_energy": q_audio_frame_energy,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7363,3 +7372,12 @@ def _image_patches_oracle() -> str:
 
 
 DATA_ORACLES["image_patches"] = _image_patches_oracle()
+
+
+def _audio_frame_energy_oracle() -> str:
+    from ..functions.multimodal import audio_frame_energy_oracle_sql
+
+    return audio_frame_energy_oracle_sql()
+
+
+DATA_ORACLES["audio_frame_energy"] = _audio_frame_energy_oracle()
