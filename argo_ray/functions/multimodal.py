@@ -942,3 +942,65 @@ def audio_frame_energy_oracle_sql(frame: int = 10, repeats: int = 8) -> str:
             f"CAST({' + '.join(terms)} AS BIGINT) AS energy FROM documents"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def video_frame_diff(sf_dir: str, total_frames: int = 10):
+    """Scene-cut / keyframe prep: per consecutive frame pair the
+    integer sum of absolute luma differences (the shot-boundary signal
+    video-training pipelines threshold before sampling).  Real Y4M
+    parse in an actor pool, one vectorized diff per video, zero
+    shuffles; exact integers → oracle-reconstructable from the
+    per-frame md5 digests."""
+
+    class FrameDiff:
+        def __init__(self):
+            pass
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, pairs, diffs = [], [], []
+            for item, payload in zip(
+                b["item_id"].to_pylist(), b["payload"].to_pylist()
+            ):
+                w, h, frames = decode_y4m(payload)
+                arr = np.stack(
+                    [np.frombuffer(f, dtype=np.uint8) for f in frames]
+                ).astype(np.int64)
+                d = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                ids.extend([item] * len(d))
+                pairs.extend(range(len(d)))
+                diffs.extend(d.tolist())
+            return pa.table(
+                {
+                    "item_id": pa.array(ids, pa.int64()),
+                    "pair_idx": pa.array(pairs, pa.int64()),
+                    "abs_diff": pa.array(diffs, pa.int64()),
+                }
+            )
+
+    return documents_as_y4m(sf_dir, total_frames).map_batches(
+        FrameDiff, batch_format="pyarrow", concurrency=2, batch_size=64
+    )
+
+
+def video_frame_diff_oracle_sql(total_frames: int = 10) -> str:
+    """Pair diffs from digest bytes: each 64-byte frame is the 16-byte
+    digest ×4, so the pair diff is 4 × Σ|b_f(j) − b_{f+1}(j)|."""
+
+    def byte_expr(frame: str, j: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(text || '#' || {frame}), "
+            f"{2 * j + 1}, 2)) AS INTEGER)"
+        )
+
+    selects = []
+    for f in range(total_frames - 1):
+        terms = [
+            f"abs({byte_expr(str(f), j)} - {byte_expr(str(f + 1), j)})"
+            for j in range(16)
+        ]
+        selects.append(
+            f"SELECT doc_id AS item_id, CAST({f} AS BIGINT) AS pair_idx, "
+            f"CAST(4 * ({' + '.join(terms)}) AS BIGINT) AS abs_diff "
+            f"FROM documents"
+        )
+    return "\nUNION ALL\n".join(selects)

@@ -99,6 +99,14 @@ def q_audio_frame_energy(sf_dir: str):
     return audio_frame_energy(sf_dir)
 
 
+def q_video_frame_diff(sf_dir: str):
+    """Consecutive-frame luma diffs over the real Y4M corpus (shot-
+    boundary signal; :func:`argo_ray.functions.multimodal.video_frame_diff`)."""
+    from ..functions.multimodal import video_frame_diff
+
+    return video_frame_diff(sf_dir)
+
+
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup over the planted corpus (hash-partitioned, partial
     min/count combiner)."""
@@ -5446,6 +5454,7 @@ DATA_QUERIES = {
     "parts_assoc_rules": q_parts_assoc_rules,
     "image_patches": q_image_patches,
     "audio_frame_energy": q_audio_frame_energy,
+    "video_frame_diff": q_video_frame_diff,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7381,3 +7390,12 @@ def _audio_frame_energy_oracle() -> str:
 
 
 DATA_ORACLES["audio_frame_energy"] = _audio_frame_energy_oracle()
+
+
+def _video_frame_diff_oracle() -> str:
+    from ..functions.multimodal import video_frame_diff_oracle_sql
+
+    return video_frame_diff_oracle_sql()
+
+
+DATA_ORACLES["video_frame_diff"] = _video_frame_diff_oracle()
