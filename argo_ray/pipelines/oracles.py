@@ -1650,3 +1650,17 @@ LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
 LEFT JOIN (SELECT DISTINCT subj_value, obj_value AS title, obj_lang AS tl
            FROM exp WHERE pred_value = '{DC}title') t
   ON tt.subj_value = t.subj_value AND l.subj_value IS NOT NULL"""
+
+
+# incremental update must equal the full gen-1 graph: EXP with the
+# recrawl's language mutation
+_MUT_EXP_CTE = EXP_CTE.replace(
+    "SELECT doc_id, text, lang, source, n_chars,",
+    "SELECT doc_id, text, "
+    "CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS lang, "
+    "source, n_chars,",
+)
+assert _MUT_EXP_CTE != EXP_CTE
+ORACLES["kg_incremental_update"] = (
+    _MUT_EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp"
+)

@@ -4434,6 +4434,141 @@ def q_sparql_over_prov(sf_dir: str):
     return evaluate_select(q_kg_prov_export(sf_dir).materialize(), q)
 
 
+def q_kg_incremental_update(sf_dir: str):
+    """The full incremental-crawl loop in ONE composition — change
+    detection → selective re-extraction → subject-scoped delta →
+    merge — proving a recrawl re-extracts only CHANGED pages, not the
+    corpus:
+
+    1. gen-0 graph = full extract (the standing KG).
+    2. gen-1 mutates every 4th doc's language (the recrawl).
+    3. content-hash change detection (the ``pages_change_detect``
+       plan) finds exactly the changed URLs — ONE narrow groupby(url)
+       over (url, h1, h2) rows.
+    4. ONLY those gen-1 pages re-extract; the standing graph drops the
+       changed pages' entity-subject rows (churn-bounded broadcast set
+       — at a real crawl's churn rate this is the small side by
+       construction; the co-located marker anti-join is the fallback
+       when it is not); union + ONE triple-hash dedup merges (hub/
+       mention rows the re-extraction re-asserts collapse).
+
+    Output must equal the full gen-1 graph exactly — the oracle is the
+    EXP reconstruction with the mutated language."""
+    from ray.data.aggregate import Max, Min
+
+    import ray
+
+    from ..io import read_table
+    from ..pages import synth_pages_batch
+    from ..stages.materialize import dedup_exact
+    from ..terms import hash64
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        four = pa.scalar(4, pa.int64())
+        changed = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, four), four)),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.cast(b["text"], pa.string()),
+                "lang": pc.if_else(
+                    changed, pa.scalar("xx", pa.string()),
+                    pc.cast(b["lang"], pa.string()),
+                ),
+                "source": pc.cast(b["source"], pa.string()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    gen0 = pages_dataset(sf_dir).materialize()
+    gen1 = (
+        read_table(sf_dir, "documents")
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(synth_pages_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def hrows(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        html_s = pc.cast(b["html"], pa.large_string())
+
+        def as_i64(arr):
+            return pa.array(
+                np.asarray(arr, dtype=np.uint64).view(np.int64), pa.int64()
+            )
+
+        return pa.table(
+            {
+                "url": pc.cast(b["url"], pa.string()),
+                "h1": as_i64(hash64(html_s, seed=0)),
+                "h2": as_i64(hash64(html_s, seed=1)),
+            }
+        )
+
+    changed_urls = set(
+        gen0.map_batches(hrows, batch_format="pyarrow")
+        .union(gen1.map_batches(hrows, batch_format="pyarrow"))
+        .groupby("url")
+        .aggregate(
+            Min("h1", alias_name="h1min"), Max("h1", alias_name="h1max"),
+            Min("h2", alias_name="h2min"), Max("h2", alias_name="h2max"),
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.or_(
+                    pc.not_equal(b["h1min"], b["h1max"]),
+                    pc.not_equal(b["h2min"], b["h2max"]),
+                )
+            ).select(["url"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["url"]
+    )
+    # url https://docs.example.org/{source}/{id} → entity IRI per page
+    changed_entities = {
+        "https://kg.example.org/doc/" + u.rsplit("/", 1)[1]
+        for u in changed_urls
+    }
+    url_ref = ray.put(changed_urls)
+    ent_ref = ray.put(changed_entities)
+
+    old_graph = dedup_exact(
+        gen0.map_batches(extract_rdfa_batch, batch_format="pyarrow")
+    )
+
+    def drop_changed_subjects(b: pa.Table) -> pa.Table:
+        ents = ray.get(ent_ref)
+        keep = [v not in ents for v in b["subj_value"].to_pylist()]
+        return b.filter(pa.array(keep))
+
+    def only_changed_pages(b: pa.Table) -> pa.Table:
+        urls = ray.get(url_ref)
+        return b.filter(
+            pa.array([u in urls for u in b["url"].to_pylist()])
+        )
+
+    fresh = gen1.map_batches(
+        only_changed_pages, batch_format="pyarrow"
+    ).map_batches(extract_rdfa_batch, batch_format="pyarrow")
+    kept = old_graph.map_batches(
+        drop_changed_subjects, batch_format="pyarrow"
+    )
+    merged = dedup_exact(
+        kept.map_batches(
+            lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+        ).union(
+            fresh.map_batches(
+                lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow"
+            )
+        )
+    )
+    return _finalize(merged)
+
+
 KG_QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "dedup_exact": q_dedup_exact,
@@ -4495,6 +4630,7 @@ KG_QUERIES = {
     "nt_gz_roundtrip": q_nt_gz_roundtrip,
     "kg_landmark_closeness": q_kg_landmark_closeness,
     "kg_prov_export": q_kg_prov_export,
+    "kg_incremental_update": q_kg_incremental_update,
     "sparql_over_prov": q_sparql_over_prov,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "sparql_nested_optional_eval": q_sparql_nested_optional_eval,
