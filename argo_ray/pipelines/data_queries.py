@@ -5298,6 +5298,51 @@ def q_parts_assoc_rules(sf_dir: str):
     return out
 
 
+def q_events_funnel_windowed(sf_dir: str, window_hours: int = 24):
+    """CEP-style time-bounded funnel: the greedy-anchored funnel
+    (earliest step-i event strictly after step i-1) truncated at the
+    FIRST step whose gap exceeds the window — "converted within 24 h
+    of the previous step", the product-analytics default.  Semantics
+    note: anchors are NOT retried after a window violation (greedy,
+    deterministic, SQL-reproducible); one extra zero-shuffle map over
+    the funnel plan."""
+    import numpy as np
+
+    from ..stages.windows import funnel
+
+    W_US = window_hours * 3_600 * 1_000_000
+
+    def truncate(b: pa.Table) -> pa.Table:
+        ts = [
+            pc.cast(b[c], pa.int64()).to_numpy(zero_copy_only=False)
+            for c in ("t1", "t2", "t3")
+        ]
+        n = b.num_rows
+        done = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        prev = None
+        for i, t in enumerate(ts):
+            bound = np.asarray(pc.is_valid(b[f"t{i + 1}"]).to_pylist())
+            if prev is None:
+                ok = alive & bound
+            else:
+                gap = t - prev
+                ok = alive & bound & (gap <= W_US)
+            done[ok] = i + 1
+            alive = ok
+            prev = t
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "steps_within_window": pa.array(done, pa.int64()),
+            }
+        )
+
+    return funnel(_events(sf_dir)).map_batches(
+        truncate, batch_format="pyarrow"
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5455,6 +5500,7 @@ DATA_QUERIES = {
     "image_patches": q_image_patches,
     "audio_frame_energy": q_audio_frame_energy,
     "video_frame_diff": q_video_frame_diff,
+    "events_funnel_windowed": q_events_funnel_windowed,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7399,3 +7445,25 @@ def _video_frame_diff_oracle() -> str:
 
 
 DATA_ORACLES["video_frame_diff"] = _video_frame_diff_oracle()
+
+
+DATA_ORACLES["events_funnel_windowed"] = """WITH u AS (
+  SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'signup' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE
+         WHEN s1.t1 IS NULL THEN 0
+         WHEN s2.t2 IS NULL OR s2.t2 - s1.t1 > INTERVAL 24 HOUR THEN 1
+         WHEN s3.t3 IS NULL OR s3.t3 - s2.t2 > INTERVAL 24 HOUR THEN 2
+         ELSE 3 END AS BIGINT) AS steps_within_window
+FROM u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id"""
