@@ -5343,6 +5343,94 @@ def q_events_funnel_windowed(sf_dir: str, window_hours: int = 24):
     )
 
 
+def q_docs_quality_matrix(sf_dir: str):
+    """Cross-signal quality audit: CCNet surprisal bucket × Gopher
+    word-shape gate — the 2-D table a data team reads before choosing
+    cut lines (a high-perplexity bucket that still passes the shape
+    gate is prose worth keeping; a head bucket failing it is template
+    spam).  The two per-doc signals merge in ONE uniform-keyed
+    grouped_map(doc_id) (no broadcast — both sides are corpus-sized),
+    then per-batch partial counts → a 6-row groupby."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.lm import surprisal_buckets
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    buckets = surprisal_buckets(docs, k=3, ref_lang="en").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "bucket": pc.cast(b["bucket"], pa.int64()),
+                "kept": pa.nulls(b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(b["text"], pa.large_string()), " ")
+        n_words = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        text_len = pc.utf8_length(
+            pc.cast(b["text"], pa.large_string())
+        ).to_numpy(zero_copy_only=False)
+        word_chars = text_len - (n_words - 1)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        has_alpha = pc.match_substring_regex(
+            pc.cast(flat, pa.string()), "[A-Za-z]"
+        ).to_numpy(zero_copy_only=False)
+        n_alpha = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(n_alpha, parents, has_alpha.astype(np.int64))
+        kept = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (3 * n_words <= word_chars)
+            & (word_chars <= 10 * n_words)
+            & (5 * n_alpha >= 4 * n_words)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "bucket": pa.nulls(b.num_rows, pa.int64()),
+                "kept": pa.array(kept.astype(np.int64), pa.int64()),
+            }
+        )
+
+    gates = docs.map_batches(gate, batch_format="pyarrow")
+
+    from ..stages.grouping import grouped_map
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].dropna().iloc[0])],
+                "kept": [bool(g["kept"].dropna().iloc[0])],
+            }
+        )
+
+    merged = grouped_map(buckets.union(gates), "doc_id", merge)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bucket", "kept"]).aggregate([("bucket", "count")])
+        return pa.table(
+            {
+                "bucket": pc.cast(g["bucket"], pa.int64()),
+                "kept": pc.cast(g["kept"], pa.bool_()),
+                "n_part": pc.cast(g["bucket_count"], pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "kept"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+
 DATA_QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_lm_surprisal": q_docs_lm_surprisal,
@@ -5501,6 +5589,7 @@ DATA_QUERIES = {
     "audio_frame_energy": q_audio_frame_energy,
     "video_frame_diff": q_video_frame_diff,
     "events_funnel_windowed": q_events_funnel_windowed,
+    "docs_quality_matrix": q_docs_quality_matrix,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7467,3 +7556,31 @@ FROM u
 LEFT JOIN s1 ON s1.user_id = u.user_id
 LEFT JOIN s2 ON s2.user_id = u.user_id
 LEFT JOIN s3 ON s3.user_id = u.user_id"""
+
+
+def _quality_matrix_oracle() -> str:
+    from ..functions.lm import lm_surprisal_oracle_sql
+
+    inner = lm_surprisal_oracle_sql("en")
+    return f"""WITH s AS ({inner}),
+b AS (SELECT doc_id,
+             CAST(NTILE(3) OVER (ORDER BY surprisal_bits, doc_id) AS BIGINT)
+               AS bucket
+      FROM s),
+q AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) - (len(string_split(text, ' ')) - 1) AS word_chars,
+             len(list_filter(string_split(text, ' '),
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
+      FROM documents),
+g AS (SELECT doc_id,
+             (n_words >= 50 AND n_words <= 100000
+              AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+              AND 5 * n_alpha >= 4 * n_words) AS kept
+      FROM q)
+SELECT b.bucket, g.kept, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b JOIN g ON g.doc_id = b.doc_id
+GROUP BY b.bucket, g.kept"""
+
+
+DATA_ORACLES["docs_quality_matrix"] = _quality_matrix_oracle()
