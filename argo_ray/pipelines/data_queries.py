@@ -107,6 +107,27 @@ def q_video_frame_diff(sf_dir: str):
     return video_frame_diff(sf_dir)
 
 
+def q_pages_sitemap_index(sf_dir: str):
+    """Two-level sitemap discovery (sitemaps.org 50k-entry cap forces
+    real sites to shard + publish an index): one synthesized
+    <sitemapindex> per distinct source, parsed back to the member-
+    sitemap fetch list (:mod:`argo_ray.sources.sitemap`)."""
+    from ray.data.aggregate import Count
+
+    from ..sources.sitemap import (
+        parse_sitemap_index_batch,
+        synth_sitemap_index_batch,
+    )
+
+    return (
+        _docs(sf_dir, ("doc_id", "source"))
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(synth_sitemap_index_batch, batch_format="pyarrow")
+        .map_batches(parse_sitemap_index_batch, batch_format="pyarrow")
+    )
+
+
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup over the planted corpus (hash-partitioned, partial
     min/count combiner)."""
@@ -5590,6 +5611,7 @@ DATA_QUERIES = {
     "video_frame_diff": q_video_frame_diff,
     "events_funnel_windowed": q_events_funnel_windowed,
     "docs_quality_matrix": q_docs_quality_matrix,
+    "pages_sitemap_index": q_pages_sitemap_index,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
 }
 
@@ -7584,3 +7606,13 @@ GROUP BY b.bucket, g.kept"""
 
 
 DATA_ORACLES["docs_quality_matrix"] = _quality_matrix_oracle()
+
+
+DATA_ORACLES["pages_sitemap_index"] = """WITH s AS (
+  SELECT DISTINCT source FROM documents
+), sh AS (SELECT unnest(generate_series(0, 1)) AS shard)
+SELECT 'docs.example.org/' || source AS host,
+       'https://docs.example.org/' || source || '/sitemap-' || shard || '.xml'
+         AS sitemap_url,
+       '2024-01-01' AS lastmod
+FROM s, sh"""
