@@ -1664,3 +1664,12 @@ assert _MUT_EXP_CTE != EXP_CTE
 ORACLES["kg_incremental_update"] = (
     _MUT_EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp"
 )
+
+ORACLES["sparql_count_distinct_star_eval"] = EXP_CTE + """SELECT
+  '"' || l.lang || '"' AS l, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT subj_value, obj_value AS lang FROM exp
+      WHERE pred_value = 'http://purl.org/dc/elements/1.1/language') l
+JOIN (SELECT DISTINCT subj_value, obj_value AS site FROM exp
+      WHERE pred_value = 'http://example.org/ns#site') s
+  ON s.subj_value = l.subj_value
+GROUP BY l.lang"""

@@ -2638,6 +2638,20 @@ def q_sparql_nested_optional_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_count_distinct_star_eval(sf_dir: str):
+    """COUNT(DISTINCT *) per group (new r4 s4): distinct complete
+    (doc, site) solutions per language — rendered-solution distinct
+    (the SELECT DISTINCT plan) + one partial-count groupby."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?l (COUNT(DISTINCT *) AS ?n)
+    WHERE {{ ?doc dc:language ?l . ?doc ex:site ?site }}
+    GROUP BY ?l"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_describe_eval(sf_dir: str):
     """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
     verb, evaluated engine-side): every distinct triple whose subject
@@ -4634,6 +4648,7 @@ KG_QUERIES = {
     "sparql_over_prov": q_sparql_over_prov,
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "sparql_nested_optional_eval": q_sparql_nested_optional_eval,
+    "sparql_count_distinct_star_eval": q_sparql_count_distinct_star_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

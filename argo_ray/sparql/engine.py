@@ -2173,12 +2173,94 @@ def _apply_having(out, q: SelectQuery):
     return out.map_batches(having_filter, batch_format="pyarrow")
 
 
+def _count_distinct_star(bindings, group_vars: list[str], agg, cols):
+    """``COUNT(DISTINCT *)``: distinct complete solutions per group.
+    Renders every variable into its canonical N-Triples string, runs
+    the hash-keyed sort distinct (the SELECT DISTINCT plan), then ONE
+    partial-count groupby — fully distributed, group-bounded output."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    names = sorted(
+        c[: -len("__kind")]
+        for c in (bindings.columns() or [])
+        if c.endswith("__kind")
+        and "$" not in c
+        and not c.startswith("_match")
+    )
+    if not names:
+        raise SparqlSyntaxError("COUNT(DISTINCT *) over no variables")
+
+    def render_all(batch: pa.Table) -> pa.Table:
+        out = {}
+        for v in names:
+            out[v] = pc.fill_null(
+                nt_render_term_arrays(
+                    batch[f"{v}__kind"], batch[f"{v}__value"],
+                    batch[f"{v}__lang"], batch[f"{v}__datatype"],
+                ),
+                "",
+            )
+        return pa.table(out)
+
+    deduped = _distinct(
+        bindings.map_batches(render_all, batch_format="pyarrow"), names
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if group_vars:
+            return (
+                df.groupby(group_vars, sort=False)
+                .size()
+                .rename("_p")
+                .reset_index()
+            )
+        return pd.DataFrame({"_p": [len(df)]})
+
+    parts = deduped.map_batches(partial, batch_format="pandas")
+    if group_vars:
+        out = parts.groupby(
+            group_vars if len(group_vars) > 1 else group_vars[0]
+        ).aggregate(Sum("_p", alias_name=agg.alias))
+    else:
+        res = parts.aggregate(Sum("_p", alias_name=agg.alias))
+        out = ray.data.from_arrow(
+            pa.table({agg.alias: [int(res[agg.alias] or 0)]})
+        )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                c: pc.cast(b[c], pa.int64()) if c == agg.alias else b[c]
+                for c in cols
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _aggregate_query(bindings, q: SelectQuery, cols: list[str]):
     """Dispatch the aggregate clause: the plain partial-agg path, the
     distributed COUNT(DISTINCT) path, or (for a mix) both — merged on
     the group keys driver-side, which is safe because aggregate OUTPUT
     is one row per group (the small end of the pipeline by design)."""
     group_vars = list(q.group_by)
+    star_distinct = [
+        a for a in q.aggregates if a.distinct and a.var is None
+    ]
+    if star_distinct:
+        # COUNT(DISTINCT *): count distinct complete solutions per
+        # group — render every variable column, global distinct (the
+        # SELECT DISTINCT machinery), then a per-group row count.
+        # Mixing with other aggregates would need a second pass over
+        # the pre-dedup bindings; rejected explicitly.
+        if len(q.aggregates) != 1:
+            raise SparqlSyntaxError(
+                "COUNT(DISTINCT *) cannot combine with other aggregates"
+            )
+        return _count_distinct_star(
+            bindings, group_vars, star_distinct[0], cols
+        )
     concat = [a for a in q.aggregates if a.func == "group_concat"]
     plain = [
         a for a in q.aggregates

@@ -1220,8 +1220,8 @@ def _parse_select(p: _Parser) -> SelectQuery:
                     p.next()
                     if func != "count":
                         raise SparqlSyntaxError(f"{func.upper()}(*) not allowed")
-                    if agg_distinct:
-                        raise SparqlSyntaxError("COUNT(DISTINCT *) not supported")
+                    # COUNT(DISTINCT *) supported (r4 s4): distinct
+                    # complete solutions, engine._count_distinct_star
                     var = None
                 else:
                     t = p.parse_term()

@@ -2309,3 +2309,29 @@ def test_nested_optional(ray_session):
     for _, l, c in rows:
         if c != "":
             assert l != ""
+
+
+def test_count_distinct_star(ray_session):
+    """COUNT(DISTINCT *) counts distinct complete solutions (r4 s4)."""
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT (COUNT(DISTINCT *) AS ?n) WHERE {{ ?s ex:lang ?l }}""",
+    ).take_all()
+    assert out[0]["n"] == 3  # d1/en d2/de d3/fr — already distinct
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?l (COUNT(DISTINCT *) AS ?n)
+        WHERE {{ ?s ex:lang ?l }} GROUP BY ?l""",
+    ).take_all()
+    assert sorted((r["l"], r["n"]) for r in out) == [
+        ('"Guten Tag"@de', 1), ('"de"', 1), ('"en"', 1),
+    ]
+    with pytest.raises(SparqlSyntaxError, match="combine"):
+        evaluate_select(
+            _ds(),
+            f"""PREFIX ex: <{EX}>
+            SELECT (COUNT(DISTINCT *) AS ?n) (COUNT(?s) AS ?m)
+            WHERE {{ ?s ex:lang ?l }}""",
+        )
