@@ -1673,3 +1673,9 @@ JOIN (SELECT DISTINCT subj_value, obj_value AS site FROM exp
       WHERE pred_value = 'http://example.org/ns#site') s
   ON s.subj_value = l.subj_value
 GROUP BY l.lang"""
+
+# reverse-member negated set: each typed entity reaches its citing hub
+ORACLES["sparql_neg_rev_path_eval"] = """SELECT
+  '<https://kg.example.org/doc/' || doc_id || '>' AS e,
+  '<https://hub.example.org/>' AS x
+FROM documents"""

@@ -2652,6 +2652,23 @@ def q_sparql_count_distinct_star_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_neg_rev_path_eval(sf_dir: str):
+    """Negated property set with a ^ member (new r4 s4, SPARQL 1.1
+    §18.4): every forward predicate excluded, the reverse component
+    open — so each entity reaches exactly its citing hub through the
+    inverse edge."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?e ?x WHERE {{
+      ?e rdf:type ex:Document .
+      ?e !(rdf:type|dc:language|ex:chars|dc:title|ex:site|^ex:nothing) ?x .
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_describe_eval(sf_dir: str):
     """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
     verb, evaluated engine-side): every distinct triple whose subject
@@ -4649,6 +4666,7 @@ KG_QUERIES = {
     "sparql_optional_bind_eval": q_sparql_optional_bind_eval,
     "sparql_nested_optional_eval": q_sparql_nested_optional_eval,
     "sparql_count_distinct_star_eval": q_sparql_count_distinct_star_eval,
+    "sparql_neg_rev_path_eval": q_sparql_neg_rev_path_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

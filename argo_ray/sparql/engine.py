@@ -976,6 +976,10 @@ def _bgp(ds, patterns, filters=(), graph_var=None):
             b, vs = _graph_bindings(ds, pattern)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
+        elif isinstance(pattern[1], NegPath) and pattern[1].rev_preds:
+            b, vs = _negset_bindings(
+                ds, pattern, witness=f"_match{pat_i}", graph_var=graph_var
+            )
         elif isinstance(pattern[1], TransPath) and pattern[1].max_one:
             b, vs = _zero_or_one_bindings(ds, pattern, witness=f"_match{pat_i}")
         elif isinstance(pattern[1], TransPath):
@@ -1785,6 +1789,44 @@ def _render_vars(ds, variables):
         return pa.table(cols)
 
     return ds.map_batches(render, batch_format="pyarrow")
+
+
+def _negset_bindings(ds, pattern, witness, graph_var=None):
+    """NegatedPropertySet with reverse members (SPARQL 1.1 §18.4):
+    the forward component (edges with pred ∉ preds, present iff
+    ``preds`` nonempty) unions with the REVERSED component (inverted
+    edges with pred ∉ rev_preds) — one scan each, schemas normalized
+    to sorted column order for the union."""
+    s, np_, o = pattern
+    pieces = []
+    if np_.preds:
+        pieces.append(
+            _pattern_bindings(
+                ds, (s, NegPath(list(np_.preds), []), o),
+                witness=witness, graph_var=graph_var,
+            )
+        )
+    pieces.append(
+        _pattern_bindings(
+            ds, (o, NegPath(list(np_.rev_preds), []), s),
+            witness=witness, graph_var=graph_var,
+        )
+    )
+    b, vs = pieces[0]
+    if len(pieces) == 1:
+        return b, vs
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.select(sorted(t.column_names))
+
+    out = b.map_batches(norm, batch_format="pyarrow")
+    for b2, v2 in pieces[1:]:
+        if v2 != vs:
+            raise SparqlSyntaxError(
+                "negated-set components bind different variables"
+            )
+        out = out.union(b2.map_batches(norm, batch_format="pyarrow"))
+    return out, vs
 
 
 def _distinct(ds, columns):

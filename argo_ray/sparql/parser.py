@@ -239,12 +239,16 @@ class TransPath(NamedTuple):
 
 
 class NegPath(NamedTuple):
-    """``!p`` / ``!(p1|p2|…)`` in the predicate slot — any predicate
-    NOT in the set (SPARQL 1.1 NegatedPropertySet, forward IRIs only —
-    no ``^`` members).  One scan with an inverted OR-of-term-predicates
-    mask."""
+    """``!p`` / ``!(p1|^p2|…)`` in the predicate slot — SPARQL 1.1
+    NegatedPropertySet with the spec's forward/reverse split
+    (§18.4): the forward component matches edges whose predicate is
+    not in ``preds`` (present iff ``preds`` is nonempty), the reverse
+    component matches INVERTED edges whose predicate is not in
+    ``rev_preds`` (iff nonempty); a mixed set is their union.  One
+    scan per component."""
 
-    preds: list  # list[Term]
+    preds: list  # list[Term] — forward members
+    rev_preds: list = []  # list[Term] — ^-prefixed members
 
 
 class UnionBlock(NamedTuple):
@@ -534,28 +538,36 @@ class _Parser:
                     if inv:
                         self.next()
                     if self.peek() == ("op", "!"):
-                        # negated property set: !p or !(p1|p2|…)
-                        if inv:
-                            raise SparqlSyntaxError(
-                                "'^' inside a negated property set not supported"
-                            )
+                        # negated property set: !p / !(p1|^p2|…)
                         self.next()
+
+                        def member():
+                            rev = self.peek() == ("op", "^")
+                            if rev:
+                                self.next()
+                            return rev, self.parse_term(allow_var, verb=True)
+
+                        members = []
                         if self.peek() == ("op", "("):
                             self.next()
-                            npreds = [self.parse_term(allow_var, verb=True)]
+                            members.append(member())
                             while self.peek() == ("op", "|"):
                                 self.next()
-                                npreds.append(
-                                    self.parse_term(allow_var, verb=True)
-                                )
+                                members.append(member())
                             self.expect("op", ")")
                         else:
-                            npreds = [self.parse_term(allow_var, verb=True)]
-                        if not all(isinstance(p, Term) for p in npreds):
+                            members.append(member())
+                        if not all(isinstance(p, Term) for _, p in members):
                             raise SparqlSyntaxError(
                                 "negated property set members must be IRIs"
                             )
-                        return (NegPath(npreds), False)
+                        fwd = [p for rev, p in members if not rev]
+                        bwd = [p for rev, p in members if rev]
+                        if inv:
+                            # ^(!(p|^q)) ≡ !(^p|q): outer inverse swaps
+                            # the component sets
+                            fwd, bwd = bwd, fwd
+                        return (NegPath(fwd, bwd), False)
                     pred = self.parse_term(allow_var, verb=True)
                     if self.peek() == ("op", "|"):
                         # alternatives: p1|p2|… (constant IRIs only)

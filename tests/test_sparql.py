@@ -1403,8 +1403,12 @@ def test_negated_property_set(ray_session):
         SELECT ?o WHERE {{ ex:d1 !(rdf:type|ex:chars) ?o }}""",
     ).take_all()
     assert [r["o"] for r in out] == ['"en"']
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(f"PREFIX ex: <{EX}> SELECT ?o WHERE {{ ex:d1 !(^ex:p) ?o }}")
+    # ^-members supported since r4 s4: parses into the reverse set
+    q = parse_query(
+        f"PREFIX ex: <{EX}> SELECT ?o WHERE {{ ex:d1 !(^ex:p) ?o }}"
+    )
+    np_ = q.patterns[0][1]
+    assert np_.preds == [] and len(np_.rev_preds) == 1
 
 
 # -- IF() expressions ------------------------------------------------------
@@ -2335,3 +2339,31 @@ def test_count_distinct_star(ray_session):
             SELECT (COUNT(DISTINCT *) AS ?n) (COUNT(?s) AS ?m)
             WHERE {{ ?s ex:lang ?l }}""",
         )
+
+
+def test_negated_property_set_reverse_members(ray_session):
+    """!(p|^q) — SPARQL 1.1 §18.4 forward/reverse split (r4 s4)."""
+    # fixture edges: d1/d2 -a-> Doc (rdf:type); no inverse ex:lang edges
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ex:d1 !(ex:lang|ex:chars) ?x }}""",
+    ).take_all()
+    # forward component: only the rdf:type edge survives the negation
+    assert sorted(r["x"] for r in out) == [f"<{EX}Doc>"]
+    # reverse-only: edges INTO ex:Doc not via rdf:type — none exist
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?x WHERE {{ ex:Doc !(^rdf:type) ?x }}""",
+    ).take_all()
+    assert out == []
+    # mixed: d1's forward non-lang edges ∪ inverse non-type edges
+    out = evaluate_select(
+        _ds(),
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?x WHERE {{ ex:d1 !(ex:lang|ex:chars|^rdf:type) ?x }}""",
+    ).take_all()
+    assert sorted(r["x"] for r in out) == [f"<{EX}Doc>"]
