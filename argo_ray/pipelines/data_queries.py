@@ -5090,6 +5090,310 @@ def q_orders_local_supplier_volume(sf_dir: str):
     )
 
 
+def q_orders_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape — the EXISTS semi-join: orders placed in H1-1996
+    counted per priority class, kept only when at least one of their
+    lineitems was returned (``l_returnflag = 'R'``).  Semi-join plan
+    for scale: BOTH sides are fact tables, so neither broadcasts — the
+    returned-lineitem markers and the order rows meet in ONE
+    sort-colocated ``grouped_map`` on orderkey (the Q5 fact-fact
+    idiom); the group kernel emits the order's priority iff a marker
+    row is present, and a tiny 5-row groupby counts."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
+    T1 = 836_179_200_000_000  # 1996-07-01
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        kept = b.filter(
+            pc.and_(
+                pc.greater_equal(ts, pa.scalar(T0, pa.int64())),
+                pc.less(ts, pa.scalar(T1, pa.int64())),
+            )
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(kept["o_orderkey"], pa.int64()),
+                "priority": pc.cast(kept["o_orderpriority"], pa.string()),
+                "_side": pa.array([0] * kept.num_rows, pa.int64()),
+            }
+        )
+
+    def marker_rows(b: pa.Table) -> pa.Table:
+        kept = b.filter(
+            pc.equal(pc.cast(b["l_returnflag"], pa.string()), "R")
+        )
+        # per-batch distinct orderkeys: shrink the marker side before
+        # the exchange (a returned order ships the key once per batch)
+        keys = pc.unique(pc.cast(kept["l_orderkey"], pa.int64()))
+        return pa.table(
+            {
+                "orderkey": keys,
+                "priority": pa.nulls(len(keys), pa.string()),
+                "_side": pa.array([1] * len(keys), pa.int64()),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    marks = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(marker_rows, batch_format="pyarrow")
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]
+        if len(o) == 0 or not (g["_side"] == 1).any():
+            return pd.DataFrame({"o_orderpriority": [], "part": []})
+        return pd.DataFrame(
+            {"o_orderpriority": [o["priority"].iloc[0]], "part": [1]}
+        )
+
+    per_order = grouped_map(orders.union(marks), "orderkey", semi)
+    return (
+        per_order.groupby("o_orderpriority")
+        .aggregate(Sum("part", alias_name="n_orders"))
+    )
+
+
+def q_customer_returns_topk(sf_dir: str):
+    """TPC-H Q10 shape — returned-revenue top-k: lineitems with
+    ``l_returnflag = 'R'`` shipped in 1996, revenue attributed to the
+    ordering customer, nation name attached, top-20 customers.  Plan:
+    per-batch revenue partials pre-combine on orderkey, fact-fact
+    orderkey join via ONE sort-colocated ``grouped_map`` (orders never
+    broadcast), customer→(name, nation) and nation→name ride as
+    broadcast dicts (dimension-sized), final groupby(custkey) +
+    ``sort desc`` + ``limit 20``.  Money is exact integer centi-cents:
+    floor(price·100)·(100 − floor(disc·100))."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
+    T1 = 852_076_800_000_000  # 1997-01-01
+
+    cust_tbl = pa.concat_tables(
+        ray.get(
+            read_table(
+                sf_dir, "customer",
+                columns=["c_custkey", "c_name", "c_nationkey"],
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    nat_tbl = pa.concat_tables(
+        ray.get(
+            read_table(
+                sf_dir, "nation", columns=["n_nationkey", "n_name"]
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    nation_name = dict(
+        zip(
+            (int(k) for k in nat_tbl["n_nationkey"].to_pylist()),
+            nat_tbl["n_name"].to_pylist(),
+        )
+    )
+    cust_info = {
+        int(k): (str(nm), nation_name[int(nk)])
+        for k, nm, nk in zip(
+            cust_tbl["c_custkey"].to_pylist(),
+            cust_tbl["c_name"].to_pylist(),
+            cust_tbl["c_nationkey"].to_pylist(),
+        )
+    }
+    cust_ref = ray.put(cust_info)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "cents": pa.nulls(b.num_rows, pa.int64()),
+                "_side": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        kept = b.filter(
+            pc.and_(
+                pc.equal(pc.cast(b["l_returnflag"], pa.string()), "R"),
+                pc.and_(
+                    pc.greater_equal(ts, pa.scalar(T0, pa.int64())),
+                    pc.less(ts, pa.scalar(T1, pa.int64())),
+                ),
+            )
+        )
+        price = np.floor(
+            kept["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.floor(
+            kept["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "orderkey": pc.cast(kept["l_orderkey"], pa.int64()),
+                "cents": pa.array(price * (100 - disc), pa.int64()),
+            }
+        )
+        # pre-combine per orderkey before the exchange
+        g = t.group_by("orderkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "orderkey": pc.cast(g["orderkey"], pa.int64()),
+                "custkey": pa.nulls(g.num_rows, pa.int64()),
+                "cents": pc.cast(g["cents_sum"], pa.int64()),
+                "_side": pa.array([1] * g.num_rows, pa.int64()),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_table(
+        sf_dir, "lineitem",
+        columns=[
+            "l_orderkey", "l_returnflag", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]
+        li = g[g["_side"] == 1]
+        if len(o) == 0 or len(li) == 0:
+            return pd.DataFrame({"custkey": [], "part": []})
+        return pd.DataFrame(
+            {
+                "custkey": [int(o["custkey"].iloc[0])],
+                "part": [int(li["cents"].sum())],
+            }
+        )
+
+    per_cust = (
+        grouped_map(orders.union(lines), "orderkey", join)
+        .groupby("custkey")
+        .aggregate(Sum("part", alias_name="revenue_centicents"))
+    )
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        info = ray.get(cust_ref)
+        keys = [int(v) for v in b["custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([info[k][0] for k in keys], pa.string()),
+                "n_name": pa.array([info[k][1] for k in keys], pa.string()),
+                "revenue_centicents": pc.cast(
+                    b["revenue_centicents"], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        per_cust.map_batches(name_rows, batch_format="pyarrow")
+        .sort(
+            ["revenue_centicents", "c_custkey"], descending=[True, False]
+        )
+        .limit(20)
+    )
+
+
+def q_lineitem_priority_classes(sf_dir: str):
+    """TPC-H Q12 shape — the two-class conditional count: lineitems
+    shipped in 1996, grouped by ``l_linestatus``, split into
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority order counts.
+    The order-priority flag reaches the fact rows through the same
+    sort-colocated orderkey ``grouped_map`` as Q4/Q5/Q10 (no
+    broadcast of the orders fact), and the CASE-sum happens in the
+    group kernel so only (linestatus, hi, lo) partials reach the
+    final 2-row groupby."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
+    T1 = 852_076_800_000_000  # 1997-01-01
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        pri = pc.cast(b["o_orderpriority"], pa.string())
+        hi = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        return pa.table(
+            {
+                "orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "hi": pc.cast(hi, pa.int64()),
+                "status": pa.nulls(b.num_rows, pa.string()),
+                "_side": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        kept = b.filter(
+            pc.and_(
+                pc.greater_equal(ts, pa.scalar(T0, pa.int64())),
+                pc.less(ts, pa.scalar(T1, pa.int64())),
+            )
+        )
+        return pa.table(
+            {
+                "orderkey": pc.cast(kept["l_orderkey"], pa.int64()),
+                "hi": pa.nulls(kept.num_rows, pa.int64()),
+                "status": pc.cast(kept["l_linestatus"], pa.string()),
+                "_side": pa.array([1] * kept.num_rows, pa.int64()),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_linestatus"]
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]
+        li = g[g["_side"] == 1]
+        if len(o) == 0 or len(li) == 0:
+            return pd.DataFrame(
+                {"l_linestatus": [], "hi_part": [], "lo_part": []}
+            )
+        hi = int(o["hi"].iloc[0])
+        agg = li.groupby("status", sort=False).size()
+        return pd.DataFrame(
+            {
+                "l_linestatus": agg.index.astype(str),
+                "hi_part": (agg.values * hi).astype("int64"),
+                "lo_part": (agg.values * (1 - hi)).astype("int64"),
+            }
+        )
+
+    per_order = grouped_map(orders.union(lines), "orderkey", join)
+    return (
+        per_order.groupby("l_linestatus")
+        .aggregate(
+            Sum("hi_part", alias_name="high_line_count"),
+            Sum("lo_part", alias_name="low_line_count"),
+        )
+    )
+
+
 def q_events_hll_hourly(sf_dir: str):
     """WINDOWED sketching — the composition streaming dashboards run:
     distinct users per (event_type, hour-of-day) via mergeable HLL
@@ -5613,6 +5917,9 @@ DATA_QUERIES = {
     "docs_quality_matrix": q_docs_quality_matrix,
     "pages_sitemap_index": q_pages_sitemap_index,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
+    "orders_priority_exists": q_orders_priority_exists,
+    "customer_returns_topk": q_customer_returns_topk,
+    "lineitem_priority_classes": q_lineitem_priority_classes,
 }
 
 
@@ -7481,6 +7788,48 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name"""
+
+
+# Q4 shape: EXISTS semi-join — orders with >=1 returned lineitem
+DATA_ORACLES["orders_priority_exists"] = """SELECT
+  o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+# Q10 shape: returned-revenue top-20 customers (exact centi-cents)
+DATA_ORACLES["customer_returns_topk"] = """SELECT
+  c_custkey, c_name, n_name,
+  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+    AS revenue_centicents
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey
+  AND l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_centicents DESC, c_custkey LIMIT 20"""
+
+
+# Q12 shape: high/low order-priority line counts per linestatus
+DATA_ORACLES["lineitem_priority_classes"] = """SELECT
+  l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus"""
 
 
 # exact distinct per (type, hour) + a sketch-accuracy gate the Ray side

@@ -1679,3 +1679,34 @@ ORACLES["sparql_neg_rev_path_eval"] = """SELECT
   '<https://kg.example.org/doc/' || doc_id || '>' AS e,
   '<https://hub.example.org/>' AS x
 FROM documents"""
+
+# VALUES joined against the language BGP: data-driven filter rows
+ORACLES["sparql_values_eval"] = """SELECT
+  '<https://kg.example.org/doc/' || doc_id || '>' AS doc,
+  '"' || lang || '"' AS l
+FROM documents WHERE lang IN ('en', 'fr')"""
+
+# MINUS removes everything with a language — Mention bnodes survive
+ORACLES["sparql_minus_eval"] = """SELECT
+  '_:anon' || substr(md5('https://docs.example.org/' || source || '/'
+      || doc_id || '#0'), 1, 16) AS s,
+  '<http://example.org/ns#Mention>' AS t
+FROM documents WHERE doc_id % 7 = 0"""
+
+# HAVING: languages asserted on more than 75 (deduped) documents
+ORACLES["sparql_having_eval"] = """SELECT
+  '"' || lang || '"' AS l, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang HAVING COUNT(*) > 75"""
+
+# sequence path hub→doc→site keeps per-doc multiplicity
+ORACLES["sparql_seq_path_eval"] = """SELECT
+  '<https://site' || (doc_id % 5) || '.example.org/>' AS site
+FROM documents"""
+
+# ORDER BY DESC(numeric literal) + LIMIT: ten longest docs, numeric
+# value order (not lexicographic), doc IRI rendering as tie-break
+ORACLES["sparql_orderby_eval"] = """SELECT
+  '<https://kg.example.org/doc/' || doc_id || '>' AS doc,
+  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS c
+FROM documents
+ORDER BY n_chars DESC, doc ASC LIMIT 10"""

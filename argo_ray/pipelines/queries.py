@@ -2683,6 +2683,77 @@ def q_sparql_describe_eval(sf_dir: str):
     return _finalize(evaluate_describe(_deduped(sf_dir).materialize(), q))
 
 
+def q_sparql_values_eval(sf_dir: str):
+    """VALUES inline data (SPARQL 1.1 §10.2) joined against a BGP: the
+    language filter arrives as data rows, not a FILTER expression —
+    the REPL idiom for parameterised queries."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX dc: <{DC_NS}>
+    SELECT ?doc ?l WHERE {{
+      ?doc dc:language ?l .
+      VALUES ?l {{ "en" "fr" }}
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_minus_eval(sf_dir: str):
+    """MINUS (SPARQL 1.1 §8.3): typed subjects with any dc:language
+    solution removed — exactly the Mention blank nodes survive (the
+    set-difference twin of the NOT EXISTS filter query)."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?s ?t WHERE {{
+      ?s a ?t .
+      MINUS {{ ?s dc:language ?l }}
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_having_eval(sf_dir: str):
+    """GROUP BY + HAVING (SPARQL 1.1 §11.1): languages asserted on
+    more than 75 documents — the post-aggregate filter runs after the
+    distributed partial-count groupby, splitting kept/dropped groups
+    at both test scales (en≈200 vs the 60–82 band)."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX dc: <{DC_NS}>
+    SELECT ?l (COUNT(?doc) AS ?n)
+    WHERE {{ ?doc dc:language ?l }}
+    GROUP BY ?l
+    HAVING (COUNT(?doc) > 75)"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_seq_path_eval(sf_dir: str):
+    """Sequence property path ``ex:cites/ex:site`` (SPARQL 1.1 §9.1):
+    hub → cited doc → hosting site, desugared to a BGP with a fresh
+    mid variable — solution MULTIPLICITY preserved (one row per cited
+    doc, not per distinct site)."""
+    from ..sparql import evaluate_select
+    from ..pages import HUB_IRI
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    SELECT ?site WHERE {{ <{HUB_IRI}> ex:cites/ex:site ?site }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
+def q_sparql_orderby_eval(sf_dir: str):
+    """ORDER BY DESC over a NUMERIC literal + LIMIT (SPARQL 1.1
+    §15.1/§15.5): ten longest documents by ``ex:chars``.  Exercises
+    the engine's value-order sort keys — ``"99"^^xsd:integer`` must
+    sort below ``"100"^^xsd:integer`` (numeric), not above it
+    (lexicographic) — with ?doc as the deterministic tie-break."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    SELECT ?doc ?c WHERE {{ ?doc ex:chars ?c }}
+    ORDER BY DESC(?c) ?doc LIMIT 10"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_optional_eval(sf_dir: str):
     """OPTIONAL (left-join) over the KG: every typed subject, with its
     language when one is asserted — mentions have none, so the unbound
@@ -4708,6 +4779,11 @@ KG_QUERIES = {
     "sparql_results_roundtrip": q_sparql_results_roundtrip,
     "sparql_results_tsv_roundtrip": q_sparql_results_tsv_roundtrip,
     "sparql_describe_eval": q_sparql_describe_eval,
+    "sparql_values_eval": q_sparql_values_eval,
+    "sparql_minus_eval": q_sparql_minus_eval,
+    "sparql_having_eval": q_sparql_having_eval,
+    "sparql_seq_path_eval": q_sparql_seq_path_eval,
+    "sparql_orderby_eval": q_sparql_orderby_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,

@@ -796,11 +796,17 @@ def _subselect_bindings(ds, q):
                     "",
                 )
                 batch = batch.append_column(f"_ord{i}", rendered)
-            return batch
+            # §15.1 value order for numeric literals rides the same
+            # derived-key scheme as the top-level sort
+            return _append_order_keys(
+                batch, [(f"_ord{i}", d) for i, (_, d) in enumerate(q.order_by)]
+            )
 
+        keys, desc = _order_sort_spec(
+            [(f"_ord{i}", d) for i, (_, d) in enumerate(q.order_by)]
+        )
         out = out.map_batches(add_keys, batch_format="pyarrow").sort(
-            [f"_ord{i}" for i in range(len(q.order_by))],
-            descending=[d for _, d in q.order_by],
+            keys, descending=desc
         )
         out = _apply_slice(out, q.limit, q.offset)
         out = out.map_batches(
@@ -1850,6 +1856,55 @@ def _distinct(ds, columns):
     )
 
 
+# rendered numeric literal: "lexical"^^<xsd numeric type> — the forms
+# ORDER BY must compare by VALUE, not lexically (SPARQL 1.1 §15.1)
+_NUMERIC_LITERAL_RE = (
+    r'^"(?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"'
+    r"\^\^<http://www\.w3\.org/2001/XMLSchema#"
+    r"(?:integer|decimal|double|float|int|long|short|byte|"
+    r"nonNegativeInteger|positiveInteger|unsignedInt|unsignedLong)>$"
+)
+
+
+def _append_order_keys(batch: pa.Table, order_by) -> pa.Table:
+    """Per order-var derived sort keys implementing the §15.1 value
+    order for numeric literals: ``_ordrank{i}`` (0 = numeric, 1 =
+    everything else) and ``_ordnum{i}`` (the parsed value, 0.0 when
+    non-numeric).  Sorting ``[rank, num, rendered]`` with one shared
+    descending flag yields numerics in value order before (asc) /
+    after (desc) the lexically-ordered remainder — DESC is the exact
+    reverse of ASC, as the spec requires."""
+    for i, (v, _) in enumerate(order_by):
+        s = pc.cast(batch[v], pa.large_string())
+        ex = pc.extract_regex(s, _NUMERIC_LITERAL_RE)
+        num = pc.cast(pc.struct_field(ex, "num"), pa.float64())
+        batch = batch.append_column(
+            f"_ordrank{i}", pc.cast(pc.is_null(num), pa.int8())
+        )
+        batch = batch.append_column(f"_ordnum{i}", pc.fill_null(num, 0.0))
+    return batch
+
+
+def _order_sort_spec(order_by, tail_cols=()):
+    """(keys, descending) for a Dataset.sort over `_append_order_keys`
+    output: three keys per order var, then any tie-break tail."""
+    keys: list[str] = []
+    desc: list[bool] = []
+    for i, (v, d) in enumerate(order_by):
+        keys += [f"_ordrank{i}", f"_ordnum{i}", v]
+        desc += [d, d, d]
+    for c in tail_cols:
+        if c not in keys:
+            keys.append(c)
+            desc.append(False)
+    return keys, desc
+
+
+def _drop_order_keys(batch: pa.Table) -> pa.Table:
+    drop = [c for c in batch.column_names if c.startswith(("_ordrank", "_ordnum"))]
+    return batch.drop_columns(drop) if drop else batch
+
+
 def _adjacent_dedup(batch: pa.Table) -> pa.Table:
     """Drop rows equal to their predecessor across ALL columns (valid
     only on blocks of a Dataset sorted by all columns)."""
@@ -2434,20 +2489,36 @@ def evaluate_select(ds, query: str | SelectQuery):
     if q.distinct and q.order_by:
         # fused: ONE sort keyed order-vars-first over all columns, then
         # vectorized adjacent-row dedup per block (equal rows share every
-        # sort key, so they co-locate — grouping.py contract); ties
-        # beyond ORDER BY are broken by the remaining columns, which
-        # SPARQL leaves unspecified
-        order_vars = [v for v, _ in q.order_by]
-        cols = order_vars + [v for v in variables if v not in order_vars]
-        desc = [d for _, d in q.order_by] + [False] * (len(cols) - len(order_vars))
-        out = out.sort(cols, descending=desc).map_batches(
+        # sort key — the derived numeric keys are functions of the
+        # rendered columns — so they co-locate, grouping.py contract);
+        # ties beyond ORDER BY are broken by the remaining columns,
+        # which SPARQL leaves unspecified
+        out = out.map_batches(
+            lambda b: _append_order_keys(b, q.order_by),
+            batch_format="pyarrow",
+        )
+        keys, desc = _order_sort_spec(q.order_by, tail_cols=variables)
+        out = out.sort(keys, descending=desc).map_batches(
             _adjacent_dedup, batch_format="pyarrow", batch_size=None
+        )
+        out = _apply_slice(out, q.limit, q.offset)
+        return out.map_batches(
+            lambda b: _drop_order_keys(b).select(variables),
+            batch_format="pyarrow",
         )
     elif q.distinct:
         out = _distinct(out, variables)
     elif q.order_by:
-        out = out.sort(
-            [v for v, _ in q.order_by], descending=[d for _, d in q.order_by]
+        out = out.map_batches(
+            lambda b: _append_order_keys(b, q.order_by),
+            batch_format="pyarrow",
+        )
+        keys, desc = _order_sort_spec(q.order_by)
+        out = out.sort(keys, descending=desc)
+        out = _apply_slice(out, q.limit, q.offset)
+        return out.map_batches(
+            lambda b: _drop_order_keys(b).select(variables),
+            batch_format="pyarrow",
         )
     return _apply_slice(out, q.limit, q.offset)
 
