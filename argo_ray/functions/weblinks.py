@@ -191,6 +191,111 @@ def resolve_redirects(mapping_ds, rounds: int = 2):
     return m
 
 
+_NEXT_RE = r'<link rel="next" href="(?P<next>[^"]*)"'
+
+
+def extract_next_links_batch(batch: pa.Table) -> pa.Table:
+    """pages → (src, dst) rel-next edges (pages without one drop out).
+    One vectorized ``extract_regex`` over the RAW page bytes — no
+    utf-8 decode, so poison bytes quarantine as non-matches instead of
+    raising."""
+    ex = pc.extract_regex(batch["html"], _NEXT_RE)
+    nxt = pc.cast(pc.struct_field(ex, "next"), pa.string())
+    t = pa.table(
+        {
+            "src": pc.cast(batch["url"], pa.string()),
+            "dst": pc.cast(nxt, pa.string()),
+        }
+    )
+    return t.filter(pc.is_valid(t["dst"]))
+
+
+def rank_chains(next_ds, rounds: int = 2):
+    """Distributed LIST RANKING over a successor graph (Wyllie-style
+    pointer doubling with distance accumulation): ``next_ds`` is the
+    (src, dst) rel-next edge set — each node has at most one
+    successor, chains end at a node with none.  After ``rounds``
+    doubling rounds (chains of length ≤ 2^rounds + 1 fully collapse;
+    longer chains or cycles stop at the round cap, documented
+    partitioning assumption) every non-tail node knows its chain TAIL
+    and its hop distance to it; one ``grouped_map`` per tail then
+    emits the whole chain with ``(url, chain_root, pos, chain_len)``.
+    Cost: log2(chain length) sort-colocated exchanges of the
+    node-sized state + one tail groupby — never a broadcast, never a
+    driver collect; the classic PRAM list-ranking recipe expressed as
+    Ray Data exchanges."""
+    import pandas as pd
+
+    from ..stages.grouping import grouped_map
+
+    m = next_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["src"], pa.string()),
+                "dst": pc.cast(b["dst"], pa.string()),
+                "d": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def jump(g: pd.DataFrame) -> pd.DataFrame:
+        tgt = g.loc[g["_map"] == 1]
+        data = g.loc[g["_map"] == 0, ["src", "key", "d"]].rename(
+            columns={"key": "dst"}
+        )
+        if len(data) == 0:
+            return pd.DataFrame(columns=["src", "dst", "d"])
+        if len(tgt):  # ≤1 row: successors are unique in a list
+            data["dst"] = tgt["tgt"].iloc[0]
+            data["d"] = data["d"] + int(tgt["d"].iloc[0])
+        return data
+
+    for _ in range(rounds):
+        data = m.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["dst"], pa.string()),
+                    "src": pc.cast(b["src"], pa.string()),
+                    "tgt": pa.nulls(b.num_rows, pa.string()),
+                    "d": pc.cast(b["d"], pa.int64()),
+                    "_map": pa.array([0] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        maps = m.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["src"], pa.string()),
+                    "src": pa.nulls(b.num_rows, pa.string()),
+                    "tgt": pc.cast(b["dst"], pa.string()),
+                    "d": pc.cast(b["d"], pa.int64()),
+                    "_map": pa.array([1] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        m = grouped_map(data.union(maps), "key", jump)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ln = int(g["d"].max()) + 1
+        root = g.loc[g["d"] == ln - 1, "src"].iloc[0]
+        tail = g["dst"].iloc[0]
+        urls = list(g["src"]) + [tail]
+        dists = list(g["d"]) + [0]
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "chain_root": root,
+                "pos": [ln - 1 - dd for dd in dists],
+                "chain_len": ln,
+            }
+        )
+
+    return grouped_map(m, "dst", finish)
+
+
 # <link rel="canonical" href="..."> — attribute order fixed by our
 # synthesizer; real-crawl HTML would route through the same
 # extract_regex with an alternation for the swapped order

@@ -187,6 +187,46 @@ def synth_head_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def synth_pagination_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → paginated-series pages (deterministic):
+    ``doc_id // 4`` is the series, members ordered by doc_id, each
+    page at ``https://series.example.org/p/{doc_id}`` carrying
+    ``<link rel="next">`` to its successor (``doc_id % 4 < 3``) and
+    ``<link rel="prev">`` back (``doc_id % 4 > 0``) — the rel-next
+    chain fixture for distributed list ranking.  Contract: the
+    documents table's doc_ids are contiguous from 0 in multiples of 4
+    (all shipped sfs are), so every emitted next-target exists."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    urls, htmls, out_texts = [], [], []
+    for did, text in zip(ids, texts):
+        url = f"https://series.example.org/p/{did}"
+        title = title_of(text)
+        head = ["<title>" + title + "</title>"]
+        if did % 4 < 3:
+            head.append(
+                f'<link rel="next" href="https://series.example.org/p/{did + 1}"/>'
+            )
+        if did % 4 > 0:
+            head.append(
+                f'<link rel="prev" href="https://series.example.org/p/{did - 1}"/>'
+            )
+        html = (
+            "<html><head>" + "".join(head) + "</head><body>"
+            + title + "</body></html>"
+        )
+        urls.append(url)
+        htmls.append(html.encode("utf-8"))
+        out_texts.append(title)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )
+
+
 SCHEMA_ORG = "https://schema.org/"
 
 

@@ -4428,6 +4428,35 @@ def _head_pages(sf_dir: str):
     )
 
 
+def q_pages_pagination_chains(sf_dir: str):
+    """Pagination-chain assembly (rel=next series reconstruction —
+    multi-page articles must be reassembled in order before extraction
+    or training-data packing): parse ``<link rel="next">`` edges, then
+    DISTRIBUTED LIST RANKING by pointer doubling with distance
+    accumulation (:func:`argo_ray.functions.weblinks.rank_chains`) →
+    every page's series root, 0-based position and chain length in
+    log2(chain) sort-colocated exchanges.  Closed-form oracle: series
+    = doc_id // 4 over the contiguous id space."""
+    from ..functions.weblinks import extract_next_links_batch, rank_chains
+    from ..pages import synth_pagination_batch
+
+    pages = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        synth_pagination_batch, batch_format="pyarrow"
+    )
+    edges = pages.map_batches(extract_next_links_batch, batch_format="pyarrow")
+    return rank_chains(edges, rounds=2).map_batches(
+        lambda b: pa.table(
+            {
+                "url": pc.cast(b["url"], pa.string()),
+                "chain_root": pc.cast(b["chain_root"], pa.string()),
+                "pos": pc.cast(b["pos"], pa.int64()),
+                "chain_len": pc.cast(b["chain_len"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_pages_canonical_cluster(sf_dir: str):
     """rel=canonical consolidation: pages declaring the same
     ``<link rel="canonical">`` target collapse into one logical
@@ -5918,6 +5947,7 @@ DATA_QUERIES = {
     "pages_sitemap_index": q_pages_sitemap_index,
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
     "orders_priority_exists": q_orders_priority_exists,
+    "pages_pagination_chains": q_pages_pagination_chains,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -7816,6 +7846,20 @@ WHERE c_custkey = o_custkey
   AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue_centicents DESC, c_custkey LIMIT 20"""
+
+
+# pagination: series of 4 consecutive doc_ids over the contiguous id
+# space (all shipped sfs have N % 4 == 0; LEAST guards a short tail)
+DATA_ORACLES["pages_pagination_chains"] = """WITH n AS (
+  SELECT COUNT(*) AS cnt FROM documents
+)
+SELECT 'https://series.example.org/p/' || doc_id AS url,
+       'https://series.example.org/p/' || (doc_id - doc_id % 4)
+         AS chain_root,
+       CAST(doc_id % 4 AS BIGINT) AS pos,
+       CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
+            AS BIGINT) AS chain_len
+FROM documents"""
 
 
 # Q12 shape: high/low order-priority line counts per linestatus

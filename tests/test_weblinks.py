@@ -239,3 +239,50 @@ def test_hreflang_cluster_stats(ray_session):
         for r in cluster_stats(rd.from_arrow(edges)).take_all()
     }
     assert got == {"a": (2, 2), "c": (1, 1)}
+
+
+def test_rank_chains_mixed_lengths(ray_session):
+    """Chains of length 4, 2 and a lone pair; positions and roots
+    exact after 2 doubling rounds (2^2 >= 3 hops)."""
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import rank_chains
+
+    edges = pa.table(
+        {
+            "src": ["a0", "a1", "a2", "b0", "c0"],
+            "dst": ["a1", "a2", "a3", "b1", "c1"],
+        }
+    )
+    rows = {
+        r["url"]: (r["chain_root"], r["pos"], r["chain_len"])
+        for r in rank_chains(rd.from_arrow(edges), rounds=2).take_all()
+    }
+    assert rows == {
+        "a0": ("a0", 0, 4),
+        "a1": ("a0", 1, 4),
+        "a2": ("a0", 2, 4),
+        "a3": ("a0", 3, 4),
+        "b0": ("b0", 0, 2),
+        "b1": ("b0", 1, 2),
+        "c0": ("c0", 0, 2),
+        "c1": ("c0", 1, 2),
+    }
+
+
+def test_extract_next_links():
+    from argo_ray.functions.weblinks import extract_next_links_batch
+
+    b = pa.table(
+        {
+            "url": ["https://s/p/0", "https://s/p/3", "https://z/"],
+            "html": [
+                b'<head><link rel="next" href="https://s/p/1"/></head>',
+                b"<head>no next</head>",
+                b"\xff\xfe garbage",
+            ],
+        }
+    )
+    out = extract_next_links_batch(b)
+    assert out["src"].to_pylist() == ["https://s/p/0"]
+    assert out["dst"].to_pylist() == ["https://s/p/1"]
