@@ -824,3 +824,45 @@ def blocklist_batch(
         .append_column("n_words", n_words)
         .append_column("kept", kept)
     )
+
+
+def span_corruption_batch(
+    batch: pa.Table,
+    text_column: str = "text",
+    period: int = 10,
+    span_start: int = 3,
+    span_len: int = 2,
+) -> pa.Table:
+    """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) with a
+    DETERMINISTIC mask schedule, oracle-reproducible in SQL: within
+    every ``period``-token window, the ``span_len`` tokens starting at
+    offset ``span_start`` are masked.  The k-th window's span is
+    replaced by ``<extra_id_k>`` in ``inputs``; ``targets`` is the
+    sentinel-prefixed concatenation of the masked tokens (~span_len /
+    period corruption rate, mean span = span_len — the T5 defaults'
+    neighborhood).  Zero-shuffle streaming map; tokens are the
+    whitespace split (``text.split(' ')``, matching the SQL
+    ``string_split``), strings assembled per row over the already-
+    split token lists."""
+    texts = pc.cast(batch[text_column], pa.large_string()).to_pylist()
+    inputs, targets = [], []
+    for text in texts:
+        toks = (text or "").split(" ")
+        inp, tgt = [], []
+        for p, tok in enumerate(toks):
+            off = p % period
+            if off == span_start:
+                k = p // period
+                inp.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}>")
+                tgt.append(tok)
+            elif span_start < off < span_start + span_len:
+                tgt.append(tok)
+            else:
+                inp.append(tok)
+        inputs.append(" ".join(inp))
+        targets.append(" ".join(tgt) if tgt else None)
+    out = batch.select(["doc_id"])
+    return out.append_column(
+        "inputs", pa.array(inputs, pa.string())
+    ).append_column("targets", pa.array(targets, pa.string()))

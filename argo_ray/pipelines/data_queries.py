@@ -2111,6 +2111,20 @@ def q_docs_pmi_topk(sf_dir: str):
     ).limit(20)
 
 
+def q_docs_span_corruption(sf_dir: str):
+    """T5-style span-corruption pretraining pairs (Raffel et al. 2020)
+    with a deterministic mask schedule (tokens 3–4 of every 10-token
+    window → ``<extra_id_k>`` sentinels; ~20% corruption, mean span
+    2): (doc_id, inputs, targets) ready for seq2seq packing.  Pure
+    streaming map over the corpus — zero shuffles
+    (:func:`argo_ray.functions.text.span_corruption_batch`)."""
+    from ..functions.text import span_corruption_batch
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        span_corruption_batch, batch_format="pyarrow"
+    )
+
+
 def q_docs_lang_confusion(sf_dir: str):
     """Corpus-health confusion matrix: stated ``lang`` column vs the
     LangId prediction, counted per (lang, lang_pred) cell — per-batch
@@ -5948,6 +5962,7 @@ DATA_QUERIES = {
     "orders_local_supplier_volume": q_orders_local_supplier_volume,
     "orders_priority_exists": q_orders_priority_exists,
     "pages_pagination_chains": q_pages_pagination_chains,
+    "docs_span_corruption": q_docs_span_corruption,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -7860,6 +7875,24 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# T5 span corruption: deterministic mask schedule (tokens 3-4 of each
+# 10-token window), sentinel-joined via position-ordered string_agg
+DATA_ORACLES["docs_span_corruption"] = """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), toks AS (
+  SELECT doc_id, toks[pos + 1] AS tok, CAST(pos AS BIGINT) AS pos
+  FROM t, UNNEST(range(len(toks))) AS u(pos)
+)
+SELECT doc_id,
+  string_agg(CASE WHEN pos % 10 = 3 THEN '<extra_id_' || (pos // 10) || '>'
+                  WHEN pos % 10 = 4 THEN NULL ELSE tok END,
+             ' ' ORDER BY pos) AS inputs,
+  string_agg(CASE WHEN pos % 10 = 3 THEN '<extra_id_' || (pos // 10) || '> ' || tok
+                  WHEN pos % 10 = 4 THEN tok END,
+             ' ' ORDER BY pos) AS targets
+FROM toks GROUP BY doc_id"""
 
 
 # Q12 shape: high/low order-priority line counts per linestatus
