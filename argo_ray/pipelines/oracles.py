@@ -1680,6 +1680,20 @@ ORACLES["sparql_neg_rev_path_eval"] = """SELECT
   '<https://hub.example.org/>' AS x
 FROM documents"""
 
+# planted 4-cycles: scc = lexicographic min member; tails singleton
+ORACLES["kg_scc"] = """WITH g AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS grp FROM documents
+), m AS (
+  SELECT grp, MIN('https://kg.example.org/doc/' || doc_id) AS scc
+  FROM g GROUP BY grp
+)
+SELECT 'https://kg.example.org/doc/' || g.doc_id AS node, m.scc AS scc_id
+FROM g JOIN m ON g.grp = m.grp
+UNION ALL
+SELECT 'https://kg.example.org/x/' || doc_id,
+       'https://kg.example.org/x/' || doc_id
+FROM documents WHERE doc_id % 32 = 0"""
+
 # VALUES joined against the language BGP: data-driven filter rows
 ORACLES["sparql_values_eval"] = """SELECT
   '<https://kg.example.org/doc/' || doc_id || '>' AS doc,

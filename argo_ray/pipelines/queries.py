@@ -825,6 +825,50 @@ def q_kg_components(sf_dir: str):
     return label_propagation(_kg_link_edges(sf_dir), iters=8)
 
 
+def q_kg_scc(sf_dir: str):
+    """Strongly connected components over a planted DIRECTED cycle
+    graph (doc i → i+1 within each 4-group, closing back edge, plus a
+    dangling tail node per 32nd group): one forward-backward min-label
+    coloring round (:func:`argo_ray.functions.graph.scc_min_label`) —
+    cycle members share their lexicographically-minimal member as
+    ``scc_id``, the acyclic tails come out as singletons.  The
+    redirect-loop / circular-citation detector the crawl graph needs;
+    fixture satisfies the documented coloring exactness contract."""
+    from ..functions.graph import scc_min_label
+    from ..io import read_table
+
+    KG = "https://kg.example.org/doc/"
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        fwd = ids[ids % 4 < 3]  # i -> i+1 within the 4-group
+        back = ids[ids % 4 == 3]  # closing edge i -> i-3
+        tails = ids[ids % 32 == 0]  # group root -> dangling tail
+        src = (
+            [f"{KG}{i}" for i in fwd]
+            + [f"{KG}{i}" for i in back]
+            + [f"{KG}{i}" for i in tails]
+        )
+        dst = (
+            [f"{KG}{i + 1}" for i in fwd]
+            + [f"{KG}{i - 3}" for i in back]
+            + [f"https://kg.example.org/x/{i}" for i in tails]
+        )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+            }
+        )
+
+    edges = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return scc_min_label(edges, iters=5)
+
+
 def q_microdata_extract(sf_dir: str):
     """HTML5 microdata extraction (schema.org Article pages built
     deterministically from the documents rows): itemscope/itemid
@@ -4693,6 +4737,7 @@ KG_QUERIES = {
     "kg_hits": q_kg_hits,
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
+    "kg_scc": q_kg_scc,
     "kg_component_sizes": q_kg_component_sizes,
     "kg_bowtie": q_kg_bowtie,
     "pages_redirect_resolve": q_pages_redirect_resolve,

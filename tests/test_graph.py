@@ -854,3 +854,30 @@ def test_pagerank_weighted_matches_reference(ray_session):
             }
             for v in nodes:
                 assert abs(got[v] - r[idx[v]]) < 1e-9, (seed, kw, v)
+
+
+def test_scc_min_label_cycles_and_tails(ray_session):
+    """Two disjoint cycles (sizes 3 and 2), one dangling tail and one
+    pure chain — cycle members share the lexicographic min, everything
+    acyclic comes out a singleton."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.functions.graph import scc_min_label
+
+    edges = pa.table(
+        {
+            "src": ["a", "b", "c", "p", "q", "c", "x"],
+            "dst": ["b", "c", "a", "q", "p", "t", "y"],
+        }
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in scc_min_label(rd.from_arrow(edges), iters=4).take_all()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "p": "p", "q": "p",
+        "t": "t",          # dangling off cycle "a": singleton
+        "x": "x", "y": "y",  # pure chain: two singletons
+    }
