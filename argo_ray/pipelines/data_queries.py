@@ -1686,6 +1686,73 @@ def q_docs_hash_split(sf_dir: str):
     )
 
 
+def q_docs_split_leakage(sf_dir: str):
+    """Split-leakage audit (training-data governance): duplicate
+    clusters whose members land in DIFFERENT train/val/test splits —
+    the eval-contamination mode dedup-after-split creates.  Composes
+    the md5 hash-split with content-hash clustering over the
+    planted-duplicate corpus: per-batch (fp, split) count partials →
+    one uniform content-hash groupby → per-cluster second groupby
+    (n_docs, n_splits); only multi-member clusters report.  Both
+    exchanges are keyed by the content hash, so hot URLs/domains
+    cannot skew them."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.sampling import _md5_hex, hash_split
+
+    docs = hash_split(
+        _planted_docs(sf_dir),
+        "doc_id",
+        splits=[("train", "cd"), ("val", "e6"), ("test", "g")],
+        hasher="md5",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "fp": pc.cast(
+                    _md5_hex(pc.cast(b["text"], pa.large_string())),
+                    pa.string(),
+                ),
+                "split": pc.cast(b["split"], pa.string()),
+            }
+        )
+        g = t.group_by(["fp", "split"]).aggregate([("split", "count")])
+        return pa.table(
+            {
+                "fp": pc.cast(g["fp"], pa.string()),
+                "split": pc.cast(g["split"], pa.string()),
+                "n_part": pc.cast(g["split_count"], pa.int64()),
+            }
+        )
+
+    per_split = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["fp", "split"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    clusters = (
+        per_split.groupby("fp")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Count(alias_name="n_splits"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_docs"], pa.scalar(1, pa.int64())))
+        return pa.table(
+            {
+                "fp": pc.cast(b["fp"], pa.string()),
+                "n_docs": pc.cast(b["n_docs"], pa.int64()),
+                "n_splits": pc.cast(b["n_splits"], pa.int64()),
+                "leaked": pc.greater(b["n_splits"], pa.scalar(1, pa.int64())),
+            }
+        )
+
+    return clusters.map_batches(finish, batch_format="pyarrow")
+
+
 def q_docs_stratified_sample(sf_dir: str):
     """10 docs per source, chosen by smallest md5(doc_id) — per-batch
     top-n partials cap the stratum exchange at n × batches rows."""
@@ -5963,6 +6030,7 @@ DATA_QUERIES = {
     "orders_priority_exists": q_orders_priority_exists,
     "pages_pagination_chains": q_pages_pagination_chains,
     "docs_span_corruption": q_docs_span_corruption,
+    "docs_split_leakage": q_docs_split_leakage,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -7875,6 +7943,19 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+DATA_ORACLES["docs_split_leakage"] = _PLANTED_DOCS_CTE + """, s AS (
+  SELECT doc_id, md5(text) AS fp,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       COUNT(DISTINCT split) > 1 AS leaked
+FROM s GROUP BY fp HAVING COUNT(*) > 1"""
 
 
 # T5 span corruption: deterministic mask schedule (tokens 3-4 of each
