@@ -5504,6 +5504,58 @@ def q_lineitem_priority_classes(sf_dir: str):
     )
 
 
+def q_events_decayed_counts(sf_dir: str):
+    """Feature-store half-life decay, BIT-EXACT: per event_type the
+    time-decayed event count with a 1-day half-life, computed in
+    SCALED INTEGERS — weight(age_days) = 2^(40 − age_days) — so the
+    sum is exact int64 arithmetic on both sides (no libm pow, no
+    float summation order).  Reference time 2024-02-01T00:00Z (> max
+    ts at every sf); ages > 40 days contribute 0; overflow bound:
+    2^63 / 2^40 ≈ 8.4M same-day events per type.  Per-batch numpy
+    partials → one tiny groupby(event_type)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    REF_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z epoch micros
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        age = (REF_US - ts) // DAY_US
+        w = np.where(
+            (age >= 0) & (age <= 40),
+            np.left_shift(np.int64(1), np.maximum(40 - age, 0)),
+            0,
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("w", "sum"), ("w", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": pc.cast(g["event_type"], pa.string()),
+                "w_part": pc.cast(g["w_sum"], pa.int64()),
+                "n_part": pc.cast(g["w_count"], pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("w_part", alias_name="decayed_scaled"),
+            Sum("n_part", alias_name="n_events"),
+        )
+    )
+
+
 def q_events_hll_hourly(sf_dir: str):
     """WINDOWED sketching — the composition streaming dashboards run:
     distinct users per (event_type, hour-of-day) via mergeable HLL
@@ -6031,6 +6083,7 @@ DATA_QUERIES = {
     "pages_pagination_chains": q_pages_pagination_chains,
     "docs_span_corruption": q_docs_span_corruption,
     "docs_split_leakage": q_docs_split_leakage,
+    "events_decayed_counts": q_events_decayed_counts,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -7943,6 +7996,22 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# half-life decay in scaled integers: weight = 2^(40 - age_days),
+# pure int64 arithmetic on both sides (bit-exact, no float pow)
+DATA_ORACLES["events_decayed_counts"] = """SELECT
+  event_type,
+  CAST(SUM(CASE WHEN age BETWEEN 0 AND 40
+                THEN CAST(1 AS BIGINT) << CAST(40 - age AS INT)
+                ELSE 0 END) AS BIGINT) AS decayed_scaled,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type,
+         (epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts)) // 86400000000
+           AS age
+  FROM events
+) GROUP BY event_type"""
 
 
 DATA_ORACLES["docs_split_leakage"] = _PLANTED_DOCS_CTE + """, s AS (

@@ -1717,6 +1717,12 @@ ORACLES["sparql_seq_path_eval"] = """SELECT
   '<https://site' || (doc_id % 5) || '.example.org/>' AS site
 FROM documents"""
 
+# positive FILTER EXISTS: Documents survive, Mentions drop
+ORACLES["sparql_exists_eval"] = """SELECT
+  '<https://kg.example.org/doc/' || doc_id || '>' AS s,
+  '<http://example.org/ns#Document>' AS t
+FROM documents"""
+
 # ORDER BY DESC(numeric literal) + LIMIT: ten longest docs, numeric
 # value order (not lexicographic), doc IRI rendering as tie-break
 ORACLES["sparql_orderby_eval"] = """SELECT

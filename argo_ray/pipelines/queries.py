@@ -2784,6 +2784,22 @@ def q_sparql_seq_path_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_exists_eval(sf_dir: str):
+    """Positive ``FILTER EXISTS`` (SPARQL 1.1 §8.1.1) — the semi-join
+    twin of the NOT EXISTS query: typed subjects kept only when a
+    dc:language assertion exists for them, so exactly the Document
+    entities survive (Mention blank nodes drop)."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    SELECT ?s ?t WHERE {{
+      ?s a ?t .
+      FILTER EXISTS {{ ?s dc:language ?l }}
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_orderby_eval(sf_dir: str):
     """ORDER BY DESC over a NUMERIC literal + LIMIT (SPARQL 1.1
     §15.1/§15.5): ten longest documents by ``ex:chars``.  Exercises
@@ -4829,6 +4845,7 @@ KG_QUERIES = {
     "sparql_having_eval": q_sparql_having_eval,
     "sparql_seq_path_eval": q_sparql_seq_path_eval,
     "sparql_orderby_eval": q_sparql_orderby_eval,
+    "sparql_exists_eval": q_sparql_exists_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,
