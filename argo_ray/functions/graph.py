@@ -1977,6 +1977,127 @@ def directed_min_label(edges_ds, iters: int = 5, reverse: bool = False):
     return labels
 
 
+def wl_colors(edges_ds, rounds: int = 1):
+    """1-WL (Weisfeiler-Lehman) color refinement over the UNDIRECTED
+    simple graph — the graph-fingerprinting / GNN-expressivity
+    primitive: labels start as degree strings, and each round every
+    node's new color is ``md5(own_label + '|' + comma-join(sorted
+    neighbor labels))``.  Deterministic and oracle-reproducible
+    (DuckDB ``md5`` + ``string_agg ORDER BY``).  Per round: ONE
+    sort-colocated label gather (the label_propagation scatter shape)
+    + one node groupby; neighbor multisets never leave their group
+    block.  Returns ``(node, wl_color)``."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.grouping import grouped_map
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["src"], pa.string())
+        d = pc.cast(b["dst"], pa.string())
+        return pa.concat_tables(
+            [pa.table({"u": s, "v": d}), pa.table({"u": d, "v": s})]
+        )
+
+    und = (
+        edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    labels = (
+        und.groupby("u")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["u"], pa.string()),
+                    "label": pc.cast(pc.cast(b["deg"], pa.int64()), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def gather_block(df):
+        schema = pa.schema(
+            [("node", pa.string()), ("nlab", pa.string()), ("own", pa.string())]
+        )
+        m = _split_merge(df, ["lab"])
+        if m is None:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "node": pa.array(m["out"], pa.string()),
+                "nlab": pa.array(m["lab"], pa.string()),
+                "own": pa.array([None] * len(m), pa.string()),
+            }
+        )
+
+    def color(g: pd.DataFrame) -> pd.DataFrame:
+        own = g["own"].dropna()
+        if len(own) == 0:  # colocation contract violated / orphan rows
+            return pd.DataFrame({"node": [], "label": []})
+        ns = sorted(g["nlab"].dropna())
+        h = hashlib.md5(
+            (own.iloc[0] + "|" + ",".join(ns)).encode()
+        ).hexdigest()
+        return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [h]})
+
+    for _ in range(rounds):
+        e_rows = und.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["v"], pa.string()),
+                    "out": pc.cast(b["u"], pa.string()),
+                    "lab": pa.nulls(b.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        v_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pc.cast(b["node"], pa.string()),
+                    "out": pa.nulls(b.num_rows, pa.string()),
+                    "lab": pc.cast(b["label"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        nlabs = (
+            e_rows.union(v_rows)
+            .sort("key")
+            .map_batches(gather_block, batch_format="pandas", batch_size=None)
+        )
+        own_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.string()),
+                    "nlab": pa.nulls(b.num_rows, pa.string()),
+                    "own": pc.cast(b["label"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = grouped_map(nlabs.union(own_rows), "node", color).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.string()),
+                "wl_color": pc.cast(b["label"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def scc_min_label(edges_ds, iters: int = 5):
     """Strongly connected components by ONE forward-backward min-label
     coloring round (the FW-BW-MIN / Orzan coloring step): ``fwd(v)`` =

@@ -1010,6 +1010,93 @@ def q_parts_pair_lift(sf_dir: str):
     )
 
 
+def q_parts_butterflies(sf_dir: str):
+    """Butterfly (bipartite 4-cycle) census over the order–part
+    incidence graph (Sanei-Mehri et al. 2018): two orders sharing two
+    parts close a butterfly — the co-citation density signal web-spam
+    and collusion detectors run on bipartite click/link graphs.
+    B = Σ over distinct part-pairs C(n_orders_sharing_pair, 2),
+    computed from the same per-order in-block pair generation as
+    :func:`q_parts_pair_lift` (sort co-location + numpy triu — wedge
+    volume bounded by per-order basket size, no all-pairs) → ONE pair
+    groupby → three global integer sums.  Returns one row
+    (n_butterflies, n_pair_occurrences, n_distinct_pairs)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..io import read_table
+
+    li = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()
+    )
+
+    pair_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    def pair_block(df):
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pair_schema.empty_table()
+        xs, ys = [], []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            items = np.sort(g["l_partkey"].to_numpy(dtype=np.int64))
+            k = len(items)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            xs.append(items[i])
+            ys.append(items[j])
+        if not xs:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(xs), pa.int64()),
+                "y": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
+
+    pairs = (
+        li.sort("l_orderkey")
+        .map_batches(pair_block, batch_format="pandas", batch_size=None)
+        .materialize()
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bf": pa.array([int((n * (n - 1) // 2).sum())], pa.int64()),
+                "occ": pa.array([int(n.sum())], pa.int64()),
+                "dp": pa.array([len(n)], pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("bf", alias_name="n_butterflies"),
+            Sum("occ", alias_name="n_pair_occurrences"),
+            Sum("dp", alias_name="n_distinct_pairs"),
+        )
+    )
+    return pa.table(
+        {
+            "n_butterflies": pa.array([int(agg["n_butterflies"])], pa.int64()),
+            "n_pair_occurrences": pa.array(
+                [int(agg["n_pair_occurrences"])], pa.int64()
+            ),
+            "n_distinct_pairs": pa.array(
+                [int(agg["n_distinct_pairs"])], pa.int64()
+            ),
+        }
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem (generic relational
     capability): partial per-batch combine → small groupby.  Money as
@@ -6084,6 +6171,7 @@ DATA_QUERIES = {
     "docs_span_corruption": q_docs_span_corruption,
     "docs_split_leakage": q_docs_split_leakage,
     "events_decayed_counts": q_events_decayed_counts,
+    "parts_butterflies": q_parts_butterflies,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -7996,6 +8084,21 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# butterflies: sum over distinct part-pairs of C(n_sharing_orders, 2)
+DATA_ORACLES["parts_butterflies"] = """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS n
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_butterflies,
+       CAST(SUM(n) AS BIGINT) AS n_pair_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs
+FROM p"""
 
 
 # half-life decay in scaled integers: weight = 2^(40 - age_days),

@@ -1717,6 +1717,22 @@ ORACLES["sparql_seq_path_eval"] = """SELECT
   '<https://site' || (doc_id % 5) || '.example.org/>' AS site
 FROM documents"""
 
+# 1-WL refinement: color = md5(deg || '|' || sorted neighbor degs)
+ORACLES["kg_wl_colors"] = EXP_CTE + f""", d AS MATERIALIZED (
+  SELECT DISTINCT {TERM_COLS} FROM exp
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT subj_value AS src, obj_value AS dst
+  FROM d WHERE obj_kind <> 2
+), e AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0
+), deg AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS VARCHAR) AS lab FROM e GROUP BY u
+)
+SELECT n.node, md5(n.lab || '|' || string_agg(dn.lab, ',' ORDER BY dn.lab))
+         AS wl_color
+FROM deg n JOIN e ON e.u = n.node JOIN deg dn ON dn.node = e.v
+GROUP BY n.node, n.lab"""
+
 # positive FILTER EXISTS: Documents survive, Mentions drop
 ORACLES["sparql_exists_eval"] = """SELECT
   '<https://kg.example.org/doc/' || doc_id || '>' AS s,

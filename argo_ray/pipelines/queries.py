@@ -869,6 +869,20 @@ def q_kg_scc(sf_dir: str):
     return scc_min_label(edges, iters=5)
 
 
+def q_kg_wl_colors(sf_dir: str):
+    """Weisfeiler-Lehman color refinement (round 1) over the KG link
+    graph — the structural fingerprint graph-ML pipelines hash nodes
+    by before pooling (1-WL = GIN expressivity bound): color =
+    md5(own degree + '|' + sorted neighbor degrees)
+    (:func:`argo_ray.functions.graph.wl_colors`).  Every site node,
+    the hub, and each entity get colors determined purely by local
+    structure; the DuckDB oracle reproduces the md5 bit-for-bit via
+    ``string_agg ORDER BY``."""
+    from ..functions.graph import wl_colors
+
+    return wl_colors(_kg_link_edges(sf_dir), rounds=1)
+
+
 def q_microdata_extract(sf_dir: str):
     """HTML5 microdata extraction (schema.org Article pages built
     deterministically from the documents rows): itemscope/itemid
@@ -4754,6 +4768,7 @@ KG_QUERIES = {
     "kg_bfs": q_kg_bfs,
     "kg_components": q_kg_components,
     "kg_scc": q_kg_scc,
+    "kg_wl_colors": q_kg_wl_colors,
     "kg_component_sizes": q_kg_component_sizes,
     "kg_bowtie": q_kg_bowtie,
     "pages_redirect_resolve": q_pages_redirect_resolve,

@@ -881,3 +881,32 @@ def test_scc_min_label_cycles_and_tails(ray_session):
         "t": "t",          # dangling off cycle "a": singleton
         "x": "x", "y": "y",  # pure chain: two singletons
     }
+
+
+def test_wl_colors_distinguishes_structure(ray_session):
+    """Path a-b-c vs triangle x-y-z: the two degree-2 path ends and
+    the middle differ; all triangle corners share one color; 2-round
+    refinement keeps the partition stable."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.functions.graph import wl_colors
+
+    edges = pa.table(
+        {
+            "src": ["a", "b", "x", "y", "z"],
+            "dst": ["b", "c", "y", "z", "x"],
+        }
+    )
+    got = {
+        r["node"]: r["wl_color"]
+        for r in wl_colors(rd.from_arrow(edges), rounds=1).take_all()
+    }
+    # path ends: deg 1, one deg-2 neighbor; middle: deg 2, two deg-1
+    assert got["a"] == got["c"] != got["b"]
+    # triangle corners: deg 2, neighbors deg 2,2 — all alike
+    assert got["x"] == got["y"] == got["z"]
+    assert got["x"] == hashlib.md5(b"2|2,2").hexdigest()
+    assert got["b"] != got["x"]
