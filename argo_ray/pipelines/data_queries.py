@@ -845,6 +845,44 @@ def q_parts_cooccur_triangles(sf_dir: str):
     )
 
 
+def q_parts_truss_support(sf_dir: str):
+    """k-truss support over the co-purchase graph: per EDGE the count
+    of triangles it closes (|N(u) ∩ N(v)|) — the cohesion signal truss
+    decomposition peels on (an edge survives the k-truss iff support ≥
+    k−2).  Unoriented wedge enumeration + one wedge-key sort with edge
+    markers (:func:`argo_ray.functions.graph.edge_triangle_support`);
+    bounded basket sizes keep the wedge volume linear-ish — the
+    documented assumption."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import cooccurrence_edges, edge_triangle_support
+    from ..io import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+    edges = cooccurrence_edges(pairs, "l_orderkey", "l_partkey")
+    out = edge_triangle_support(edges)
+
+    def finish(b: pa.Table) -> pa.Table:
+        # graph core orders endpoints lexicographically ("10" < "8");
+        # re-order numerically for the integer-keyed oracle compare
+        u = pc.cast(pc.cast(b["u"], pa.string()), pa.int64())
+        v = pc.cast(pc.cast(b["v"], pa.string()), pa.int64())
+        return pa.table(
+            {
+                "x": pc.min_element_wise(u, v),
+                "y": pc.max_element_wise(u, v),
+                "n_triangles": pc.cast(b["n_triangles"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_parts_clustering(sf_dir: str):
     """Local clustering signal, integer-exact: per part in ≥1 triangle,
     its triangle count AND degree over the co-purchase graph — the
@@ -1838,6 +1876,49 @@ def q_docs_split_leakage(sf_dir: str):
         )
 
     return clusters.map_batches(finish, batch_format="pyarrow")
+
+
+def q_docs_hrw_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) sharding — the consistent
+    partitioning scheme that loses only 1/K of assignments when a
+    shard joins or leaves (Thaler & Ravishankar 1998): every doc goes
+    to ``argmax over shards of md5(doc_id + '#' + shard)``.  The
+    assignment is a pure function of the row (zero-shuffle map), so
+    repartitioning 10^12 docs onto new shard counts needs no global
+    state; md5 keying keeps the oracle exact."""
+    import numpy as np
+
+    K = 8
+
+    def assign(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        hexes = np.array(
+            [
+                [
+                    hashlib.md5(f"{i}#{s}".encode()).hexdigest()
+                    for s in range(K)
+                ]
+                for i in ids
+            ],
+            dtype=object,
+        )
+        shard = (
+            np.argmax(hexes, axis=1)
+            if len(ids)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array(shard.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id",)).map_batches(
+        assign, batch_format="pyarrow"
+    )
 
 
 def q_docs_stratified_sample(sf_dir: str):
@@ -6172,6 +6253,8 @@ DATA_QUERIES = {
     "docs_split_leakage": q_docs_split_leakage,
     "events_decayed_counts": q_events_decayed_counts,
     "parts_butterflies": q_parts_butterflies,
+    "docs_hrw_shards": q_docs_hrw_shards,
+    "parts_truss_support": q_parts_truss_support,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8084,6 +8167,33 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# truss support: per co-purchase edge, |N(u) ∩ N(v)| common neighbors
+DATA_ORACLES["parts_truss_support"] = """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e
+)
+SELECT e.x, e.y, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e
+JOIN adj a1 ON a1.v = e.x
+JOIN adj a2 ON a2.v = e.y AND a2.u = a1.u
+GROUP BY e.x, e.y"""
+
+
+# rendezvous hashing: winner = arg_max over shards of md5(doc#shard)
+DATA_ORACLES["docs_hrw_shards"] = """WITH s AS (
+  SELECT doc_id, u.s AS s,
+         md5(CAST(doc_id AS VARCHAR) || '#' || u.s) AS h
+  FROM documents, UNNEST(range(8)) AS u(s)
+)
+SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard
+FROM s GROUP BY doc_id"""
 
 
 # butterflies: sum over distinct part-pairs of C(n_sharing_orders, 2)
