@@ -14,9 +14,11 @@ atomic replace on write.  The semantics per verb match the reference:
 - ``post``   → merge: stored ∪ new, distinct triples (HTTP POST's
   "add to graph" semantics, :117-144);
 - ``delete`` / ``head`` → remove / existence probe (:97-115, :146-160);
-- ``patch``  → raises: the reference only forwards a SPARQL-update
-  string to the server (:162-181); there is no server here and a local
-  SPARQL-update engine is out of scope.
+- ``patch``  → applies a SPARQL-Update request to one graph via the
+  local engine (the reference forwards the string to a server,
+  :162-181; this store IS the server);
+- ``manage`` → SPARQL 1.1 Update §3.2 graph management
+  (CLEAR/DROP/CREATE/COPY/MOVE/ADD) across the store's named graphs.
 
 Dataset-level fan-out/fan-in (the cluster-scale surface):
 ``write_graphstore`` partitions a triples Dataset by a graph column and
@@ -99,6 +101,81 @@ class FileGraphStore:
             else triples_to_table([], with_hash=False)
         )
         self.put(graph_uri, apply_update(base, update_query))
+
+    def manage(self, update_query: str) -> None:
+        """SPARQL 1.1 Update GRAPH MANAGEMENT (§3.2) at store level:
+        ``CLEAR / DROP / CREATE [SILENT] GRAPH <g>`` (CLEAR/DROP also
+        ``NAMED`` / ``ALL``) and ``COPY / MOVE / ADD [SILENT] <g1> TO
+        <g2>``, ';'-chained, applied in order through the same verb
+        surface as the HTTP protocol (put/get/post/delete/head).
+        This store has no default graph, so ``DEFAULT`` errors unless
+        SILENT.  Triple-level ops in the request raise — those target
+        one graph and belong to :meth:`patch`."""
+        from ..sparql.parser import GraphMgmtOp, parse_update
+
+        ops = parse_update(update_query)
+        for op in ops:
+            if not isinstance(op, GraphMgmtOp):
+                raise ValueError(
+                    "manage() takes graph-management operations only; "
+                    "use patch(graph_uri, query) for triple updates"
+                )
+            self._apply_mgmt(op)
+
+    def _empty_graph(self) -> pa.Table:
+        return triples_to_table([], with_hash=False)
+
+    def _apply_mgmt(self, op) -> None:
+        verb, src, dst, silent = op
+
+        def exists_or_raise(uri: str) -> bool:
+            if self.head(uri):
+                return True
+            if silent:
+                return False
+            raise FileNotFoundError(f"graph <{uri}> does not exist")
+
+        def no_default(ref: str | None) -> bool:
+            if ref == "DEFAULT":
+                if silent:
+                    return True
+                raise ValueError("this store has no default graph")
+            return False
+
+        if verb == "create":
+            if self.head(src):
+                if not silent:
+                    raise FileExistsError(f"graph <{src}> already exists")
+                return
+            self.put(src, self._empty_graph())
+        elif verb in ("clear", "drop"):
+            if src in ("ALL", "NAMED"):  # no default graph: NAMED == ALL
+                for g in self.graphs():
+                    if verb == "clear":
+                        self.put(g, self._empty_graph())
+                    else:
+                        self.delete(g)
+            elif no_default(src):
+                return
+            elif exists_or_raise(src):
+                if verb == "clear":
+                    self.put(src, self._empty_graph())
+                else:
+                    self.delete(src)
+        else:  # copy | move | add
+            if no_default(src) or no_default(dst):
+                return
+            if src == dst:
+                return  # §3.2: same-graph COPY/MOVE/ADD is a no-op
+            if not exists_or_raise(src):
+                return
+            data = self.get(src).select(TRIPLE_COLUMNS)
+            if verb == "add":
+                self.post(dst, data)  # union, distinct
+            else:
+                self.put(dst, data)
+                if verb == "move":
+                    self.delete(src)
 
 
 def write_graphstore(triples_ds, root_dir: str, graph_column: str = "url"):

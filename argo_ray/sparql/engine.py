@@ -53,6 +53,7 @@ from ..terms import (
 from .parser import (
     AltPath,
     GraphBlock,
+    GraphMgmtOp,
     ModifyOp,
     NegPath,
     AskQuery,
@@ -2771,6 +2772,11 @@ def apply_update(table: pa.Table, query: str) -> pa.Table:
     )
     have = set(current)
     for op in ops:
+        if isinstance(op, GraphMgmtOp):
+            raise SparqlSyntaxError(
+                f"{op.verb.upper()} is a graph-management operation — "
+                "apply it at store level via FileGraphStore.manage()"
+            )
         if isinstance(op, ModifyOp):
             sols = _match_bgp_local(current, op.where)
             if op.delete_tmpl:

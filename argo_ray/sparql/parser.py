@@ -374,6 +374,19 @@ class UpdateOp(NamedTuple):
     triples: list[tuple[Term, Term, Term]]
 
 
+class GraphMgmtOp(NamedTuple):
+    """SPARQL 1.1 Update graph management (§3.2): ``CLEAR/DROP/CREATE
+    [SILENT] GRAPH <g>`` (CLEAR/DROP also take ``DEFAULT``/``NAMED``/
+    ``ALL``) and ``COPY/MOVE/ADD [SILENT] src TO dst``.  ``src``/
+    ``dst`` hold the graph IRI, or the markers ``"DEFAULT"`` /
+    ``"NAMED"`` / ``"ALL"``."""
+
+    verb: str  # clear | drop | create | copy | move | add
+    src: str | None
+    dst: str | None = None
+    silent: bool = False
+
+
 class ModifyOp(NamedTuple):
     """Pattern-based update: ``DELETE WHERE { p }`` (delete template =
     the patterns), ``DELETE { t } [INSERT { t }] WHERE { p }``,
@@ -1478,9 +1491,12 @@ def parse_update(text: str) -> list[UpdateOp | ModifyOp]:
                 p.expect("word", "where")
                 where = _update_patterns(p, "an update WHERE")
                 ops.append(ModifyOp(dtmpl, itmpl, where))
+        elif p.at_word("clear", "drop", "create", "copy", "move", "add"):
+            ops.append(_parse_graph_mgmt(p))
         else:
             raise SparqlSyntaxError(
-                f"expected INSERT/DELETE, got {p.peek()[1]!r}"
+                f"expected INSERT/DELETE or a graph-management verb, "
+                f"got {p.peek()[1]!r}"
             )
         if p.peek() == ("op", ";"):
             p.next()
@@ -1488,3 +1504,36 @@ def parse_update(text: str) -> list[UpdateOp | ModifyOp]:
     if not ops:
         raise SparqlSyntaxError("empty update request")
     return ops
+
+
+def _mgmt_graph_ref(p: _Parser, allow_scopes: bool = True) -> str:
+    """GRAPH <iri> | <iri> | DEFAULT (| NAMED | ALL for CLEAR/DROP)."""
+    if p.eat_word("default"):
+        return "DEFAULT"
+    if allow_scopes and p.eat_word("named"):
+        return "NAMED"
+    if allow_scopes and p.eat_word("all"):
+        return "ALL"
+    p.eat_word("graph")  # optional in COPY/MOVE/ADD, required after CLEAR
+    t = p.parse_term()
+    if isinstance(t, Var) or t.kind != KIND_IRI:
+        raise SparqlSyntaxError("graph management needs a graph IRI")
+    return t.value
+
+
+def _parse_graph_mgmt(p: _Parser) -> GraphMgmtOp:
+    """One §3.2 graph-management operation (verb already peeked)."""
+    verb = p.next()[1].lower()
+    silent = bool(p.eat_word("silent"))
+    if verb in ("clear", "drop"):
+        return GraphMgmtOp(verb, _mgmt_graph_ref(p), None, silent)
+    if verb == "create":
+        p.expect("word", "graph")
+        t = p.parse_term()
+        if isinstance(t, Var) or t.kind != KIND_IRI:
+            raise SparqlSyntaxError("CREATE needs a graph IRI")
+        return GraphMgmtOp(verb, t.value, None, silent)
+    src = _mgmt_graph_ref(p, allow_scopes=False)
+    p.expect("word", "to")
+    dst = _mgmt_graph_ref(p, allow_scopes=False)
+    return GraphMgmtOp(verb, src, dst, silent)

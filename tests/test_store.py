@@ -76,3 +76,64 @@ def test_file_graphstore_verbs(tmp_path):
     assert store.get(uri).num_rows == 0
     store.delete(uri)
     assert not store.head(uri) and store.graphs() == []
+
+
+def test_graphstore_manage_verbs(tmp_path):
+    """SPARQL 1.1 Update §3.2 graph management over the file store:
+    CREATE / COPY / ADD / MOVE / CLEAR / DROP, SILENT behavior, and
+    the store-level vs graph-level routing guards."""
+    import pytest
+
+    from argo_ray.sinks.graphstore import FileGraphStore
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    store = FileGraphStore(str(tmp_path / "gs"))
+    a, b, c = (f"http://graphs.example.org/{n}" for n in "abc")
+    ta = triples_to_table(
+        [(IRI("http://s/1"), IRI("http://p/one"), Literal("v1"))],
+        with_hash=False,
+    )
+    tb = triples_to_table(
+        [(IRI("http://s/2"), IRI("http://p/two"), Literal("v2"))],
+        with_hash=False,
+    )
+
+    store.manage(f"CREATE GRAPH <{a}>")
+    assert store.head(a) and store.get(a).num_rows == 0
+    with pytest.raises(FileExistsError):
+        store.manage(f"CREATE GRAPH <{a}>")
+    store.manage(f"CREATE SILENT GRAPH <{a}>")  # no-op
+
+    store.put(a, ta)
+    store.put(b, tb)
+    # COPY replaces the target wholesale
+    store.manage(f"COPY <{a}> TO <{b}>")
+    assert store.get(b).equals(store.get(a))
+    # ADD unions (distinct)
+    store.put(b, tb)
+    store.manage(f"ADD <{a}> TO <{b}>; ADD SILENT <{a}> TO <{b}>")
+    assert store.get(b).num_rows == 2
+    # MOVE = copy + drop source
+    store.manage(f"MOVE <{b}> TO <{c}>")
+    assert not store.head(b) and store.get(c).num_rows == 2
+    # CLEAR empties but keeps the graph; DROP removes it
+    store.manage(f"CLEAR GRAPH <{c}>")
+    assert store.head(c) and store.get(c).num_rows == 0
+    store.manage(f"DROP GRAPH <{c}>")
+    assert not store.head(c)
+    with pytest.raises(FileNotFoundError):
+        store.manage(f"DROP GRAPH <{c}>")
+    store.manage(f"DROP SILENT GRAPH <{c}>")  # no-op
+    # DEFAULT: no default graph in this store
+    with pytest.raises(ValueError):
+        store.manage("CLEAR DEFAULT")
+    store.manage("CLEAR SILENT DEFAULT")  # no-op
+    # scope forms
+    store.manage("DROP ALL")
+    assert store.graphs() == []
+    # routing guards: triple ops don't belong in manage(), mgmt ops
+    # don't belong in a single-graph patch
+    with pytest.raises(ValueError):
+        store.manage('INSERT DATA { <http://s/1> <http://p/one> "x" }')
+    with pytest.raises(Exception):
+        store.patch(a, f"DROP GRAPH <{a}>")
