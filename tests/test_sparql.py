@@ -85,8 +85,19 @@ def test_parse_rejects_unsupported():
         parse_query('SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o, "a", "b") AS ?x) }')
     with pytest.raises(SparqlSyntaxError):  # empty IN list
         parse_query("SELECT ?s WHERE { ?s ?p ?o . FILTER (?o IN ()) }")
+    # graph management parses since r4 s6 (store-level manage());
+    # the single-graph applier must still refuse it
+    from argo_ray.sparql.parser import GraphMgmtOp
+
+    (op,) = parse_update("CLEAR GRAPH <http://x/>")
+    assert op == GraphMgmtOp("clear", "http://x/", None, False)
+    from argo_ray.sparql.engine import apply_update
+    from argo_ray.terms import triples_to_table
+
     with pytest.raises(SparqlSyntaxError):
-        parse_update("CLEAR GRAPH <http://x/>")
+        apply_update(
+            triples_to_table([], with_hash=False), "CLEAR GRAPH <http://x/>"
+        )
 
 
 def test_parse_update_ops():
