@@ -1680,6 +1680,14 @@ ORACLES["sparql_neg_rev_path_eval"] = """SELECT
   '<https://hub.example.org/>' AS x
 FROM documents"""
 
+# graph management end-state: C = en ∪ fr, D = fr (A dropped, B moved)
+ORACLES["graphstore_manage"] = """SELECT 'C' AS g,
+  'https://kg.example.org/doc/' || doc_id AS s
+FROM documents WHERE lang IN ('en', 'fr')
+UNION ALL
+SELECT 'D', 'https://kg.example.org/doc/' || doc_id
+FROM documents WHERE lang = 'fr'"""
+
 # planted 4-cycles: scc = lexicographic min member; tails singleton
 ORACLES["kg_scc"] = """WITH g AS (
   SELECT doc_id, doc_id - doc_id % 4 AS grp FROM documents

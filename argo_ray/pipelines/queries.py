@@ -3394,6 +3394,64 @@ def q_graphstore_patch(sf_dir: str):
     return _finalize(ray.data.from_arrow(store.get(graph_uri)))
 
 
+def q_graphstore_manage(sf_dir: str):
+    """K6+ graph management (SPARQL 1.1 Update §3.2 — beyond the
+    reference's verb surface): seed graphs A (en docs) and B (fr
+    docs), then ``COPY A TO C; ADD B TO C; DROP A; MOVE B TO D`` in
+    one ';'-chained request through
+    :meth:`FileGraphStore.manage`.  Final state checked relationally:
+    C = en ∪ fr typed entities, D = fr, A and B gone."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..io import read_table
+    from ..sinks.graphstore import FileGraphStore
+    from ..terms import RDF_TYPE, triples_to_table
+
+    out = (
+        "/tmp/argo_gs_manage/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    store = FileGraphStore(out)
+    # documents is the dimension table — driver-side read is bounded
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"]).take_all()
+
+    def typed(lang: str):
+        return triples_to_table(
+            [
+                (
+                    IRI(f"https://kg.example.org/doc/{r['doc_id']}"),
+                    IRI(RDF_TYPE),
+                    IRI(EX_NS + "Document"),
+                )
+                for r in docs
+                if r["lang"] == lang
+            ],
+            with_hash=False,
+        )
+
+    G = "https://graphs.example.org/"
+    store.put(G + "A", typed("en"))
+    store.put(G + "B", typed("fr"))
+    store.manage(
+        f"COPY <{G}A> TO <{G}C>; ADD <{G}B> TO <{G}C>; "
+        f"DROP GRAPH <{G}A>; MOVE <{G}B> TO <{G}D>"
+    )
+    assert store.graphs() == [G + "C", G + "D"]
+    gs, ss = [], []
+    for uri, label in ((G + "C", "C"), (G + "D", "D")):
+        t = store.get(uri)
+        vals = t["subj_value"].to_pylist()
+        gs += [label] * len(vals)
+        ss += vals
+    return pa.table(
+        {"g": pa.array(gs, pa.string()), "s": pa.array(ss, pa.string())}
+    )
+
+
 def _crawl_snapshot(sf_dir: str, drop_mod: int):
     """Extracted triples of one synthetic crawl generation: the pages
     of every doc with doc_id % 3 != drop_mod (each generation drops a
@@ -4870,6 +4928,7 @@ KG_QUERIES = {
     "sparql_bind_eval": q_sparql_bind_eval,
     "sparql_bound_filter_eval": q_sparql_bound_filter_eval,
     "graphstore_patch": q_graphstore_patch,
+    "graphstore_manage": q_graphstore_manage,
     "kg_delta": q_kg_delta,
     "kg_qa_report": q_kg_qa_report,
     "kg_delta_apply": q_kg_delta_apply,
