@@ -552,6 +552,52 @@ def run_docs_scale() -> dict:
     return out
 
 
+def run_stats() -> dict:
+    """``--stats``: execute the flagship at the scale-input replicate
+    and report Ray Data's own per-stage execution stats (``ds.stats()``)
+    — the wall-time breakdown that shows which operator dominates.  The
+    full stats text goes to stderr; the JSON line carries its tail."""
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "160"))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from argo_ray.io import configure_context
+
+    configure_context()
+    from argo_ray.pipelines.flagship import flagship
+    from argo_ray.sinks.ntriples import to_nt_lines_batch
+
+    t0 = time.time()
+    ds = flagship(sf_dir, replicate=replicate).map_batches(
+        to_nt_lines_batch, batch_format="pyarrow"
+    )
+    # materialize so the executed plan's stats attach to THIS dataset
+    # (count() alone executes a derived AggregateNumRows plan)
+    mat = ds.materialize()
+    n = mat.count()
+    sec = time.time() - t0
+    stats = mat.stats()
+    print(stats, file=sys.stderr)
+    ray.shutdown()
+    return {
+        "metric": "flagship per-stage execution stats",
+        "rows": n,
+        "sec": round(sec, 3),
+        "replicate": replicate,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "stats_tail": stats[-3000:],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -559,5 +605,7 @@ if __name__ == "__main__":
         print(json.dumps(run_skew()))
     elif "--docs-scale" in sys.argv:
         print(json.dumps(run_docs_scale()))
+    elif "--stats" in sys.argv:
+        print(json.dumps(run_stats()))
     else:
         print(json.dumps(run_once()))
