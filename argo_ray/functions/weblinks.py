@@ -210,6 +210,67 @@ def extract_next_links_batch(batch: pa.Table) -> pa.Table:
     return t.filter(pc.is_valid(t["dst"]))
 
 
+_CELL_RE = r"^(?P<cell>[^<]*)</td>"
+
+
+def extract_table_cells_batch(batch: pa.Table) -> pa.Table:
+    """pages → one row per HTML table cell ``(url, row, col, cell)``:
+    TWO vectorized ``split_pattern`` levels (``<tr>`` then ``<td>``)
+    with numpy offset bookkeeping for the (row, col) indices, one
+    anchored ``extract_regex`` for the cell text — no per-row Python,
+    and poison bytes simply produce zero matching cells (all ops run
+    on the raw binary)."""
+    import numpy as np
+
+    n_pages = batch.num_rows
+    if n_pages == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "cell": pa.array([], pa.string()),
+            }
+        )
+    # level 1: rows.  segment 0 is the pre-<table> prefix → row = idx-1
+    segs = pc.split_pattern(batch["html"], pattern="<tr>")
+    seg_lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+    page_of_seg = np.repeat(np.arange(n_pages, dtype=np.int64), seg_lens)
+    seg_starts = np.repeat(
+        np.cumsum(seg_lens) - seg_lens, seg_lens
+    )
+    row_idx = np.arange(len(page_of_seg), dtype=np.int64) - seg_starts - 1
+    flat_rows = pc.list_flatten(segs)
+    # level 2: cells within each row segment (cell 0 is the pre-<td>
+    # prefix of the segment → col = idx-1)
+    cells = pc.split_pattern(flat_rows, pattern="<td>")
+    cell_lens = pc.list_value_length(cells).to_numpy(zero_copy_only=False)
+    seg_of_cell = np.repeat(
+        np.arange(len(page_of_seg), dtype=np.int64), cell_lens
+    )
+    cell_starts = np.repeat(np.cumsum(cell_lens) - cell_lens, cell_lens)
+    col_idx = np.arange(len(seg_of_cell), dtype=np.int64) - cell_starts - 1
+    flat_cells = pc.list_flatten(cells)
+    ex = pc.extract_regex(flat_cells, _CELL_RE)
+    text = pc.struct_field(ex, "cell")
+    keep = pc.and_(
+        pc.is_valid(text),
+        pc.and_(
+            pa.array(col_idx >= 0), pa.array(row_idx[seg_of_cell] >= 0)
+        ),
+    )
+    urls = pc.cast(batch["url"], pa.string()).to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "url": pa.array(urls[page_of_seg[seg_of_cell]], pa.string()),
+            "row": pa.array(row_idx[seg_of_cell], pa.int64()),
+            "col": pa.array(col_idx, pa.int64()),
+            "cell": pc.cast(text, pa.string()),
+        }
+    )
+    return t.filter(keep)
+
+
 def rank_chains(next_ds, rounds: int = 2):
     """Distributed LIST RANKING over a successor graph (Wyllie-style
     pointer doubling with distance accumulation): ``next_ds`` is the

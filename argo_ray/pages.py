@@ -227,6 +227,34 @@ def synth_pagination_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def synth_table_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → pages embedding an HTML ``<table>`` grid
+    (deterministic): ``2 + doc_id % 3`` rows × ``2 + doc_id % 2``
+    columns, cell (r, c) = ``v{doc_id}-{r}-{c}`` — the web-table
+    corpus fixture (TURL/WikiTables-style extraction)."""
+    ids = batch["doc_id"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, htmls = [], []
+    for did, source in zip(ids, sources):
+        nr, nc = 2 + did % 3, 2 + did % 2
+        body = "".join(
+            "<tr>"
+            + "".join(f"<td>v{did}-{r}-{c}</td>" for c in range(nc))
+            + "</tr>"
+            for r in range(nr)
+        )
+        urls.append(page_url(source, did))
+        htmls.append(
+            ("<html><body><table>" + body + "</table></body></html>").encode()
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
 SCHEMA_ORG = "https://schema.org/"
 
 

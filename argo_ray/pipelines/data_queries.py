@@ -4706,6 +4706,22 @@ def q_pages_pagination_chains(sf_dir: str):
     )
 
 
+def q_pages_table_extract(sf_dir: str):
+    """Web-TABLE extraction (the TURL/WikiTables corpus op): every
+    page's ``<table>`` grid → one (url, row, col, cell) record per
+    cell, via two vectorized ``split_pattern`` levels + numpy offset
+    bookkeeping + one anchored ``extract_regex`` — no per-row Python,
+    poison bytes yield zero cells
+    (:func:`argo_ray.functions.weblinks.extract_table_cells_batch`)."""
+    from ..functions.weblinks import extract_table_cells_batch
+    from ..pages import synth_table_pages_batch
+
+    pages = _docs(sf_dir, ("doc_id", "source")).map_batches(
+        synth_table_pages_batch, batch_format="pyarrow"
+    )
+    return pages.map_batches(extract_table_cells_batch, batch_format="pyarrow")
+
+
 def q_pages_canonical_cluster(sf_dir: str):
     """rel=canonical consolidation: pages declaring the same
     ``<link rel="canonical">`` target collapse into one logical
@@ -6255,6 +6271,7 @@ DATA_QUERIES = {
     "parts_butterflies": q_parts_butterflies,
     "docs_hrw_shards": q_docs_hrw_shards,
     "parts_truss_support": q_parts_truss_support,
+    "pages_table_extract": q_pages_table_extract,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8167,6 +8184,20 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# web tables: (2 + doc%3) rows x (2 + doc%2) cols, closed-form cells
+DATA_ORACLES["pages_table_extract"] = """WITH r AS (
+  SELECT doc_id, source, u.r AS r
+  FROM documents, UNNEST(range(2 + doc_id % 3)) AS u(r)
+), c AS (
+  SELECT doc_id, source, r, u.c AS c
+  FROM r, UNNEST(range(2 + doc_id % 2)) AS u(c)
+)
+SELECT 'https://docs.example.org/' || source || '/' || doc_id AS url,
+       CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+       'v' || doc_id || '-' || r || '-' || c AS cell
+FROM c"""
 
 
 # truss support: per co-purchase edge, |N(u) ∩ N(v)| common neighbors

@@ -286,3 +286,22 @@ def test_extract_next_links():
     out = extract_next_links_batch(b)
     assert out["src"].to_pylist() == ["https://s/p/0"]
     assert out["dst"].to_pylist() == ["https://s/p/1"]
+
+
+def test_extract_table_cells_poison_and_grid():
+    from argo_ray.functions.weblinks import extract_table_cells_batch
+    from argo_ray.pages import synth_table_pages_batch
+
+    pages = synth_table_pages_batch(
+        pa.table({"doc_id": [0, 1], "source": ["web", "web"]})
+    )
+    out = extract_table_cells_batch(pages)
+    assert out.num_rows == 2 * 2 + 3 * 3  # doc0 2x2, doc1 3x3
+    assert out.to_pylist()[0] == {
+        "url": "https://docs.example.org/web/0",
+        "row": 0, "col": 0, "cell": "v0-0-0",
+    }
+    pois = pa.table(
+        {"url": ["x", "y"], "html": [b"\xff\xfe<td> junk", b"no table"]}
+    )
+    assert extract_table_cells_batch(pois).num_rows == 0
