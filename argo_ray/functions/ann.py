@@ -932,6 +932,94 @@ class _KnnLabelVote:
         )
 
 
+class _TripletMiner:
+    """Actor-pool stage: per labeled anchor, the HARDEST positive
+    (same label, minimum cosine — the farthest in-class vector) and
+    HARDEST negative (different label, maximum cosine — the closest
+    impostor), the metric-learning pair selection (FaceNet-style
+    batch-hard, globalized).  One matmul per batch against the
+    broadcast corpus; ties break to the smallest vec_id on both
+    sides."""
+
+    _OUT_SCHEMA = pa.schema(
+        [("vec_id", pa.int64()), ("pos_id", pa.int64()), ("neg_id", pa.int64())]
+    )
+
+    def __init__(self, corpus_ref):
+        import ray
+
+        ids, mat, labels = (
+            ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
+        )
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.mat = _normalize(np.asarray(mat, dtype=np.float64))
+        self.labels = np.asarray(labels, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["label"]))
+        if batch.num_rows == 0:
+            return self._OUT_SCHEMA.empty_table()
+        src_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        src_lab = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        scores = m @ self.mat.T  # (B, N)
+        same = src_lab[:, None] == self.labels[None, :]
+        self_m = src_ids[:, None] == self.ids[None, :]
+        big = np.iinfo(np.int64).max
+
+        # hardest positive: min score among same-label non-self
+        pmask = same & ~self_m
+        ps = np.where(pmask, scores, np.inf)
+        p_best = ps.min(axis=1)
+        pos_id = np.where(
+            ps == p_best[:, None], self.ids[None, :], big
+        ).min(axis=1)
+
+        # hardest negative: max score among different-label
+        ns = np.where(~same, scores, -np.inf)
+        n_best = ns.max(axis=1)
+        neg_id = np.where(
+            ns == n_best[:, None], self.ids[None, :], big
+        ).min(axis=1)
+
+        ok = np.isfinite(p_best) & np.isfinite(n_best)
+        return pa.table(
+            {
+                "vec_id": pa.array(src_ids[ok], pa.int64()),
+                "pos_id": pa.array(pos_id[ok], pa.int64()),
+                "neg_id": pa.array(neg_id[ok], pa.int64()),
+            }
+        )
+
+
+def triplet_mining(embeddings_ds):
+    """Global hardest-positive / hardest-negative triplet mining over
+    the labeled corpus → ``(vec_id, pos_id, neg_id)``.  Same broadcast
+    gate as :func:`knn_graph` (labeled corpus in the object store,
+    fetched once per actor); the streamed pass is one matmul + two
+    masked argmin/argmax per batch, zero shuffles."""
+    import ray
+
+    rows = embeddings_ds.select_columns(["vec_id", "embedding", "label"]).take_all()
+    rows = [r for r in rows if r["label"] is not None]
+    if not rows:
+        raise ValueError("triplet_mining: no labeled rows in the corpus")
+    rows.sort(key=lambda r: r["vec_id"])
+    ref = ray.put(
+        (
+            [r["vec_id"] for r in rows],
+            np.asarray([r["embedding"] for r in rows], dtype=np.float64),
+            [int(r["label"]) for r in rows],
+        )
+    )
+    return embeddings_ds.map_batches(
+        _TripletMiner,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"corpus_ref": ref},
+    )
+
+
 def knn_label_predict(embeddings_ds, k: int = 10):
     """kNN majority-vote label prediction over the corpus → Dataset of
     ``(vec_id, pred_label)`` — the weak-supervision bootstrap (label a

@@ -451,6 +451,19 @@ def q_embeddings_knn_label(sf_dir: str):
     return knn_label_predict(_embeddings(sf_dir), k=10)
 
 
+def q_embeddings_triplet_mining(sf_dir: str):
+    """Metric-learning triplet mining (FaceNet-style batch-hard,
+    globalized): per labeled vector its HARDEST positive (farthest
+    same-label) and HARDEST negative (closest other-label) — the
+    contrastive-training pair selection.  Broadcast corpus + one
+    matmul per batch, zero shuffles
+    (:func:`argo_ray.functions.ann.triplet_mining`); full SQL oracle
+    via two ROW_NUMBER windows."""
+    from ..functions.ann import triplet_mining
+
+    return triplet_mining(_embeddings(sf_dir))
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed top-k gate: the distributed result must
     equal an independent driver-side reference (same seeded hyperplanes,
@@ -6272,6 +6285,7 @@ DATA_QUERIES = {
     "docs_hrw_shards": q_docs_hrw_shards,
     "parts_truss_support": q_parts_truss_support,
     "pages_table_extract": q_pages_table_extract,
+    "embeddings_triplet_mining": q_embeddings_triplet_mining,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8184,6 +8198,32 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# hardest positive = min same-label cosine, hardest negative = max
+# other-label cosine; ties to the smallest vec_id on both sides
+DATA_ORACLES["embeddings_triplet_mining"] = """WITH lab AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL
+), pos AS (
+  SELECT a.vec_id, p.vec_id AS pos_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, p.embedding) ASC,
+                    p.vec_id
+         ) AS rn
+  FROM lab a JOIN lab p ON p.label = a.label AND p.vec_id <> a.vec_id
+), neg AS (
+  SELECT a.vec_id, n.vec_id AS neg_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, n.embedding) DESC,
+                    n.vec_id
+         ) AS rn
+  FROM lab a JOIN lab n ON n.label <> a.label
+)
+SELECT p.vec_id, p.pos_id, g.neg_id
+FROM (SELECT vec_id, pos_id FROM pos WHERE rn = 1) p
+JOIN (SELECT vec_id, neg_id FROM neg WHERE rn = 1) g USING (vec_id)"""
 
 
 # web tables: (2 + doc%3) rows x (2 + doc%2) cols, closed-form cells
