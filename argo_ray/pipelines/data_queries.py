@@ -5060,6 +5060,72 @@ def q_pages_charset_detect(sf_dir: str):
     )
 
 
+def q_docs_gini_length(sf_dir: str):
+    """Corpus-inequality report: the GINI COEFFICIENT of document
+    token counts — the one-number skew summary dataset cards quote
+    (G = 2·Σ rank·x / (n·Σx) − (n+1)/n over ascending-sorted x).
+    Ranks come from ONE distributed sort on a zero-padded (len,
+    doc_id) key + the block-offset prefix sum (``running_total``);
+    the three surviving scalars (Σ rank·x, Σx, n) are exact integers,
+    so the final float expression is bit-identical to the oracle's."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.packing import running_total
+
+    def keyed(b: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(pc.cast(b["text"], pa.large_string()), pattern=" ")
+        )
+        n_tok = pc.cast(toks, pa.int64()).to_pylist()
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        return pa.table(
+            {
+                "order_key": pa.array(
+                    [f"{t:010d}-{i:010d}" for t, i in zip(n_tok, ids)],
+                    pa.string(),
+                ),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "one": pa.array([1] * len(ids), pa.int64()),
+            }
+        )
+
+    ranked = running_total(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        order_col="order_key",
+        value_col="one",
+        out_col="rank",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s1": pa.array([int((r * x).sum())], pa.int64()),
+                "s": pa.array([int(x.sum())], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s1", alias_name="s1"),
+        Sum("s", alias_name="s"),
+        Sum("n", alias_name="n"),
+    )
+    s1, s, n = int(agg["s1"]), int(agg["s"]), int(agg["n"])
+    gini = round(2.0 * s1 / (n * s) - (n + 1.0) / n, 6)
+    return pa.table(
+        {
+            "gini": pa.array([gini], pa.float64()),
+            "n_docs": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def q_docs_epoch_order(sf_dir: str, epochs: int = 3):
     """Deterministic multi-epoch training order: each epoch is an
     independent md5-keyed permutation of the corpus (the standard
@@ -6286,6 +6352,7 @@ DATA_QUERIES = {
     "parts_truss_support": q_parts_truss_support,
     "pages_table_extract": q_pages_table_extract,
     "embeddings_triplet_mining": q_embeddings_triplet_mining,
+    "docs_gini_length": q_docs_gini_length,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8198,6 +8265,19 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# Gini over token counts: exact integer sums, shared float expression
+DATA_ORACLES["docs_gini_length"] = """WITH l AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rnk FROM l
+)
+SELECT ROUND(2.0 * SUM(rnk * n_tok) / (COUNT(*) * SUM(n_tok))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM r"""
 
 
 # hardest positive = min same-label cosine, hardest negative = max
