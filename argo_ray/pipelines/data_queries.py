@@ -822,6 +822,71 @@ def q_top_users(sf_dir: str):
     )
 
 
+def q_events_top_users_per_type(sf_dir: str):
+    """GROUPED top-N (the per-key leaderboard shape): the 3 busiest
+    users per event_type with rank.  Per-batch (type, user) count
+    partials → one groupby exchange → one sort co-locating each type's
+    rows → in-block head(3) per group — the grouped top-N never
+    collects a full group on the driver, and the per-type cap bounds
+    the output at groups × N rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": pc.cast(g["event_type"], pa.string()),
+                "user_id": pc.cast(g["user_id"], pa.int64()),
+                "n_part": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        _events(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n_part", alias_name="n_events"))
+    )
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(
+            ["n_events", "user_id"], ascending=[False, True]
+        ).head(3)
+        return pd.DataFrame(
+            {
+                "event_type": top["event_type"],
+                "user_id": top["user_id"].astype("int64"),
+                "n_events": top["n_events"].astype("int64"),
+                "rank": range(1, len(top) + 1),
+            }
+        )
+
+    out = grouped_map(counts, "event_type", head3)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "rank": pc.cast(b["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_parts_cooccur_triangles(sf_dir: str):
     """Per-part triangle counts over the CO-PURCHASE graph (two parts
     connected when some order contains both) — the classic
@@ -6353,6 +6418,7 @@ DATA_QUERIES = {
     "pages_table_extract": q_pages_table_extract,
     "embeddings_triplet_mining": q_embeddings_triplet_mining,
     "docs_gini_length": q_docs_gini_length,
+    "events_top_users_per_type": q_events_top_users_per_type,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8265,6 +8331,19 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# grouped top-N leaderboard: 3 busiest users per type, ranked
+DATA_ORACLES["events_top_users_per_type"] = """SELECT
+  event_type, user_id, n_events, rank FROM (
+  SELECT event_type, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY COUNT(*) DESC, user_id
+         ) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 3"""
 
 
 # Gini over token counts: exact integer sums, shared float expression
