@@ -1741,6 +1741,14 @@ SELECT n.node, md5(n.lab || '|' || string_agg(dn.lab, ',' ORDER BY dn.lab))
 FROM deg n JOIN e ON e.u = n.node JOIN deg dn ON dn.node = e.v
 GROUP BY n.node, n.lab"""
 
+# SERVICE federation: local languages joined with endpoint token counts
+ORACLES["sparql_service_eval"] = """SELECT
+  '<https://kg.example.org/doc/' || doc_id || '>' AS doc,
+  '"' || lang || '"' AS l,
+  '"' || len(string_split(text, ' '))
+      || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+FROM documents"""
+
 # positive FILTER EXISTS: Documents survive, Mentions drop
 ORACLES["sparql_exists_eval"] = """SELECT
   '<https://kg.example.org/doc/' || doc_id || '>' AS s,

@@ -2814,6 +2814,54 @@ def q_sparql_exists_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_service_eval(sf_dir: str):
+    """SPARQL 1.1 FEDERATED QUERY (SERVICE): the language assertions
+    live in the local KG, the token counts behind a registered
+    endpoint (a second extraction pipeline's output standing in for a
+    remote SPARQL server — no network in this engine by design).  The
+    SERVICE block evaluates against the endpoint dataset and joins
+    ?doc like any group element."""
+    from ..sparql import evaluate_select
+    from ..sparql.engine import register_service, unregister_service
+
+    def to_tokens(b: pa.Table) -> pa.Table:
+        from ..terms import IRI, Literal, triples_to_table
+
+        XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+        trips = [
+            (
+                IRI(f"https://kg.example.org/doc/{did}"),
+                IRI(EX_NS + "tokens"),
+                Literal(str(len(text.split(" "))), datatype=XSD_INT),
+            )
+            for did, text in zip(
+                b["doc_id"].to_pylist(), b["text"].to_pylist()
+            )
+        ]
+        return triples_to_table(trips, with_hash=False)
+
+    from ..io import read_table
+
+    endpoint = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(to_tokens, batch_format="pyarrow")
+
+    svc = "https://svc.example.org/tokens"
+    register_service(svc, endpoint)
+    try:
+        q = f"""PREFIX ex: <{EX_NS}>
+        PREFIX dc: <{DC_NS}>
+        SELECT ?doc ?l ?n WHERE {{
+          ?doc dc:language ?l .
+          SERVICE <{svc}> {{ ?doc ex:tokens ?n }}
+        }}"""
+        # the endpoint dataset is resolved into the plan at evaluate
+        # time, so unregistering afterwards is safe
+        return evaluate_select(_deduped(sf_dir).materialize(), q)
+    finally:
+        unregister_service(svc)
+
+
 def q_sparql_orderby_eval(sf_dir: str):
     """ORDER BY DESC over a NUMERIC literal + LIMIT (SPARQL 1.1
     §15.1/§15.5): ten longest documents by ``ex:chars``.  Exercises
@@ -4919,6 +4967,7 @@ KG_QUERIES = {
     "sparql_seq_path_eval": q_sparql_seq_path_eval,
     "sparql_orderby_eval": q_sparql_orderby_eval,
     "sparql_exists_eval": q_sparql_exists_eval,
+    "sparql_service_eval": q_sparql_service_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,

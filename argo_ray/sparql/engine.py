@@ -55,6 +55,7 @@ from .parser import (
     GraphBlock,
     GraphMgmtOp,
     ModifyOp,
+    ServiceBlock,
     NegPath,
     AskQuery,
     BindBlock,
@@ -915,6 +916,46 @@ def _subselect_aggregate(bindings, q, bound: set):
     return out.map_batches(to_terms, batch_format="pyarrow"), set(cols)
 
 
+# SPARQL 1.1 Federated Query endpoints: IRI → triples Dataset.  A
+# cluster engine can't do per-task HTTP, so "remote endpoint" means a
+# registered Dataset (file-backed store, another pipeline's output) —
+# the same substitution the file-backed GraphStore makes for the
+# protocol verbs.  Driver-side registry; register before evaluating.
+_SERVICE_REGISTRY: dict[str, object] = {}
+
+
+def register_service(iri: str, ds) -> None:
+    """Register the dataset behind ``SERVICE <iri>`` blocks."""
+    _SERVICE_REGISTRY[iri] = ds
+
+
+def unregister_service(iri: str) -> None:
+    _SERVICE_REGISTRY.pop(iri, None)
+
+
+def _service_bindings(block):
+    """``SERVICE [SILENT] <iri> { … }`` → (bindings, vars): the inner
+    group evaluates with the full engine against the registered
+    endpoint dataset, then joins like any other group element.
+    Unknown endpoint: error, or with SILENT the identity solution
+    (one empty row — §2.2 failure semantics)."""
+    import ray.data as _rd
+
+    target = _SERVICE_REGISTRY.get(block.iri)
+    if target is None:
+        if not block.silent:
+            raise SparqlSyntaxError(
+                f"no dataset registered for SERVICE <{block.iri}> "
+                "(engine.register_service)"
+            )
+        return _rd.from_arrow(pa.table({"_svc": pa.array([1], pa.int64())})), set()
+    bindings, bound, leftover = _bgp(target, block.patterns, block.filters)
+    if leftover:
+        _check_filter_vars(leftover, bound)
+        bindings = _apply_filters(bindings, leftover)
+    return bindings, bound
+
+
 def _graph_bindings(ds, block):
     """``GRAPH <iri>|?g { … }`` → (bindings, vars) over a quads dataset
     (triples + ``url`` graph column, the ``read_graphstore`` layout).
@@ -981,6 +1022,8 @@ def _bgp(ds, patterns, filters=(), graph_var=None):
             b, vs = _subselect_bindings(ds, pattern.query)
         elif isinstance(pattern, GraphBlock):
             b, vs = _graph_bindings(ds, pattern)
+        elif isinstance(pattern, ServiceBlock):
+            b, vs = _service_bindings(pattern)
         elif isinstance(pattern, ValuesBlock):
             b, vs = _values_bindings(pattern)
         elif isinstance(pattern[1], NegPath) and pattern[1].rev_preds:

@@ -292,6 +292,21 @@ class GraphBlock(NamedTuple):
     filters: list
 
 
+class ServiceBlock(NamedTuple):
+    """``SERVICE [SILENT] <iri> { BGP [FILTER …] }`` — SPARQL 1.1
+    Federated Query: the inner patterns evaluate against the dataset
+    REGISTERED for the endpoint IRI
+    (:func:`argo_ray.sparql.engine.register_service` — file/Dataset-
+    backed; no network in this engine), then join the outer bindings
+    like any group element.  SILENT + unknown endpoint degrades to
+    the identity solution (spec §2.2 failure behavior)."""
+
+    iri: str
+    patterns: list
+    filters: list
+    silent: bool = False
+
+
 class Aggregate(NamedTuple):
     """``(FUNC([DISTINCT] ?v) AS ?alias)`` in a SELECT clause.
     DISTINCT is meaningful for COUNT/SUM/AVG (distinct RDF terms of
@@ -539,6 +554,7 @@ class _Parser:
                 break
             if allow_var and k == "word" and v.lower() in (
                 "filter", "optional", "values", "minus", "bind", "graph",
+                "service",
             ):
                 break
             subj = self.parse_term(allow_var)
@@ -1088,6 +1104,15 @@ class _Parser:
                 filters.append(MinusBlock(p, f))
             elif self.eat_word("values"):
                 patterns.append(self.parse_values())
+            elif self.eat_word("service"):
+                silent = bool(self.eat_word("silent"))
+                svc = self.parse_term()
+                if not (isinstance(svc, Term) and svc.kind == KIND_IRI):
+                    raise SparqlSyntaxError(
+                        "SERVICE needs a constant endpoint IRI"
+                    )
+                p, f = self.parse_simple_group()
+                patterns.append(ServiceBlock(svc.value, p, f, silent))
             elif self.eat_word("graph"):
                 g = self.parse_term()
                 if not (isinstance(g, Var) or (

@@ -2378,3 +2378,58 @@ def test_negated_property_set_reverse_members(ray_session):
         SELECT ?x WHERE {{ ex:d1 !(ex:lang|ex:chars|^rdf:type) ?x }}""",
     ).take_all()
     assert sorted(r["x"] for r in out) == [f"<{EX}Doc>"]
+
+
+def test_service_federation(ray_session):
+    """SERVICE joins outer bindings against a registered endpoint
+    dataset; SILENT + unknown endpoint = identity; non-silent unknown
+    raises."""
+    import ray.data as rd
+
+    from argo_ray.sparql import evaluate_select
+    from argo_ray.sparql.engine import register_service, unregister_service
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    EX = "http://example.org/ns#"
+    local = rd.from_arrow(
+        triples_to_table(
+            [
+                (IRI("http://d/1"), IRI(EX + "name"), Literal("a")),
+                (IRI("http://d/2"), IRI(EX + "name"), Literal("b")),
+            ],
+            with_hash=False,
+        )
+    )
+    remote = rd.from_arrow(
+        triples_to_table(
+            [(IRI("http://d/1"), IRI(EX + "score"), Literal("9"))],
+            with_hash=False,
+        )
+    )
+    register_service("http://svc.example.org/sparql", remote)
+    try:
+        q = f"""PREFIX ex: <{EX}>
+        SELECT ?d ?n ?s WHERE {{
+          ?d ex:name ?n .
+          SERVICE <http://svc.example.org/sparql> {{ ?d ex:score ?s }}
+        }}"""
+        rows = evaluate_select(local, q).take_all()
+        assert rows == [{"d": "<http://d/1>", "n": '"a"', "s": '"9"'}]
+        # SILENT unknown endpoint: identity — outer bindings survive
+        q2 = f"""PREFIX ex: <{EX}>
+        SELECT ?d WHERE {{
+          ?d ex:name ?n .
+          SERVICE SILENT <http://nosuch.example.org/> {{ ?d ex:score ?s }}
+        }}"""
+        assert sorted(r["d"] for r in evaluate_select(local, q2).take_all()) == [
+            "<http://d/1>", "<http://d/2>",
+        ]
+        import pytest
+
+        from argo_ray.sparql.parser import SparqlSyntaxError
+
+        q3 = q2.replace("SERVICE SILENT", "SERVICE")
+        with pytest.raises(SparqlSyntaxError):
+            evaluate_select(local, q3).take_all()
+    finally:
+        unregister_service("http://svc.example.org/sparql")
