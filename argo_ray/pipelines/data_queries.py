@@ -1213,6 +1213,79 @@ def q_parts_butterflies(sf_dir: str):
     )
 
 
+def q_parts_itemsets3(sf_dir: str):
+    """Frequent 3-ITEMSETS (the Apriori L3 layer): part triples
+    co-purchased in ≥2 distinct orders.  Per-order in-block
+    combination generation (sort co-location; basket sizes bound the
+    C(k,3) fan-out — the same assumption as the pair layer) → ONE
+    triple groupby → support filter.  Output (x < y < z, support)."""
+    import itertools
+
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from ..io import read_table
+
+    li = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()
+    )
+
+    t_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("z", pa.int64())]
+    )
+
+    def triple_block(df):
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return t_schema.empty_table()
+        xs, ys, zs = [], [], []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            items = np.sort(g["l_partkey"].to_numpy(dtype=np.int64))
+            if len(items) < 3:
+                continue
+            for a, b, c in itertools.combinations(items.tolist(), 3):
+                xs.append(a)
+                ys.append(b)
+                zs.append(c)
+        if not xs:
+            return t_schema.empty_table()
+        return pa.table(
+            {
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+                "z": pa.array(zs, pa.int64()),
+            }
+        )
+
+    trips = (
+        li.sort("l_orderkey")
+        .map_batches(triple_block, batch_format="pandas", batch_size=None)
+        .materialize()
+        .groupby(["x", "y", "z"])
+        .aggregate(Count(alias_name="support"))
+    )
+    return trips.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["support"], pa.scalar(2, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "x": pc.cast(b["x"], pa.int64()),
+                "y": pc.cast(b["y"], pa.int64()),
+                "z": pc.cast(b["z"], pa.int64()),
+                "support": pc.cast(b["support"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem (generic relational
     capability): partial per-batch combine → small groupby.  Money as
@@ -5125,6 +5198,41 @@ def q_pages_charset_detect(sf_dir: str):
     )
 
 
+def q_docs_canary_insert(sf_dir: str):
+    """Secret-sharer CANARY insertion (Carlini et al. 2019): every
+    50th document gets a unique out-of-distribution marker appended
+    (``CANARY-<md5(doc_id)[:12]>``), and the (doc_id → canary) map is
+    emitted alongside so a post-training extraction probe can grep
+    for leaked canaries and compute exposure.  Deterministic md5
+    keying keeps reinserted corpora byte-identical across runs;
+    zero-shuffle streaming map."""
+    import hashlib
+
+    def insert(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        texts = pc.cast(b["text"], pa.large_string()).to_pylist()
+        out_t, canaries = [], []
+        for i, t in zip(ids, texts):
+            if i % 50 == 0:
+                c = "CANARY-" + hashlib.md5(str(i).encode()).hexdigest()[:12]
+                out_t.append(t + " " + c)
+                canaries.append(c)
+            else:
+                out_t.append(t)
+                canaries.append(None)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+                "canary": pa.array(canaries, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        insert, batch_format="pyarrow"
+    )
+
+
 def q_docs_gini_length(sf_dir: str):
     """Corpus-inequality report: the GINI COEFFICIENT of document
     token counts — the one-number skew summary dataset cards quote
@@ -6419,6 +6527,8 @@ DATA_QUERIES = {
     "embeddings_triplet_mining": q_embeddings_triplet_mining,
     "docs_gini_length": q_docs_gini_length,
     "events_top_users_per_type": q_events_top_users_per_type,
+    "docs_canary_insert": q_docs_canary_insert,
+    "parts_itemsets3": q_parts_itemsets3,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8330,6 +8440,29 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(doc_id % 4 AS BIGINT) AS pos,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
+FROM documents"""
+
+
+# Apriori L3: part triples co-purchased in >= 2 distinct orders
+DATA_ORACLES["parts_itemsets3"] = """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM li a
+JOIN li b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+JOIN li c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2"""
+
+
+# canaries: every 50th doc gains a unique md5-keyed marker token
+DATA_ORACLES["docs_canary_insert"] = """SELECT doc_id,
+  CASE WHEN doc_id % 50 = 0
+       THEN text || ' CANARY-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       ELSE text END AS text,
+  CASE WHEN doc_id % 50 = 0
+       THEN 'CANARY-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       END AS canary
 FROM documents"""
 
 
