@@ -5940,6 +5940,53 @@ def q_lineitem_priority_classes(sf_dir: str):
     )
 
 
+def q_events_k_anonymity(sf_dir: str):
+    """k-ANONYMITY audit over the (event_type, hour-of-day)
+    quasi-identifier (privacy governance: a release is k-anonymous
+    iff every QI combination covers ≥ k users): per QI cell the
+    distinct-user count and the k=5 verdict.  Distinct users per cell
+    via per-batch (cell, user) dedup partials → one cell+user groupby
+    → one cell groupby — both keyed by the QI cell, uniform by
+    construction."""
+    from ray.data.aggregate import Count
+
+    def keyed(b: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(b["ts"]), pa.int64())
+        t = pa.table(
+            {
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "hour": hour,
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "hour", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return g.select(["event_type", "hour", "user_id"])
+
+    cells = (
+        _events(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "hour", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return cells.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "hour": pc.cast(b["hour"], pa.int64()),
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+                "k_anonymous": pc.greater_equal(
+                    b["n_users"], pa.scalar(5, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_decayed_counts(sf_dir: str):
     """Feature-store half-life decay, BIT-EXACT: per event_type the
     time-decayed event count with a 1-day half-life, computed in
@@ -6529,6 +6576,7 @@ DATA_QUERIES = {
     "events_top_users_per_type": q_events_top_users_per_type,
     "docs_canary_insert": q_docs_canary_insert,
     "parts_itemsets3": q_parts_itemsets3,
+    "events_k_anonymity": q_events_k_anonymity,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8441,6 +8489,14 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+# k-anonymity: distinct users per (event_type, hour) QI cell, k=5
+DATA_ORACLES["events_k_anonymity"] = """SELECT
+  event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  COUNT(DISTINCT user_id) >= 5 AS k_anonymous
+FROM events GROUP BY event_type, EXTRACT(hour FROM ts)"""
 
 
 # Apriori L3: part triples co-purchased in >= 2 distinct orders
