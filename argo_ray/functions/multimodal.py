@@ -1004,3 +1004,63 @@ def video_frame_diff_oracle_sql(total_frames: int = 10) -> str:
             f"FROM documents"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def image_norm_stats(sf_dir: str):
+    """Dataset NORMALIZATION statistics over the real-decoded BMP
+    corpus — the torchvision-style mean/std every vision-training
+    pipeline precomputes: per-batch exact integer Σpx and Σpx² over
+    the gray channel (R=G=B here), ONE global aggregate, float finish
+    computed from the three exact integers with the same expression
+    the oracle uses (IEEE sqrt is correctly rounded, so both sides
+    are bit-identical).  Actor-pool decode, zero shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = documents_as_bmp(sf_dir)
+    decoded = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=128
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        h = int(b["height"][0].as_py())
+        w = int(b["width"][0].as_py())
+        px = np.frombuffer(
+            b"".join(p.as_py() for p in b["pixels"]), dtype=np.uint8
+        ).reshape(n, h, w, 3)
+        gray = px[:, :, :, 0].astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(gray.sum())], pa.int64()),
+                "s2": pa.array([int((gray * gray).sum())], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    agg = decoded.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"),
+        Sum("s2", alias_name="s2"),
+        Sum("n", alias_name="n"),
+    )
+    import math
+
+    s, s2, n = int(agg["s"]), int(agg["s2"]), int(agg["n"])
+    mean = s / (64.0 * n)
+    std = math.sqrt(s2 / (64.0 * n) - mean * mean)
+    return pa.table(
+        {
+            "n_images": pa.array([n], pa.int64()),
+            "sum_px": pa.array([s], pa.int64()),
+            "sum_px2": pa.array([s2], pa.int64()),
+            "mean_px": pa.array([round(mean, 6)], pa.float64()),
+            "std_px": pa.array([round(std, 6)], pa.float64()),
+        }
+    )

@@ -107,6 +107,15 @@ def q_video_frame_diff(sf_dir: str):
     return video_frame_diff(sf_dir)
 
 
+def q_image_norm_stats(sf_dir: str):
+    """Dataset normalization mean/std over the real BMP corpus
+    (torchvision-prep; exact integer Σpx/Σpx² + shared IEEE float
+    finish — :func:`argo_ray.functions.multimodal.image_norm_stats`)."""
+    from ..functions.multimodal import image_norm_stats
+
+    return image_norm_stats(sf_dir)
+
+
 def q_pages_sitemap_index(sf_dir: str):
     """Two-level sitemap discovery (sitemaps.org 50k-entry cap forces
     real sites to shard + publish an index): one synthesized
@@ -6577,6 +6586,7 @@ DATA_QUERIES = {
     "docs_canary_insert": q_docs_canary_insert,
     "parts_itemsets3": q_parts_itemsets3,
     "events_k_anonymity": q_events_k_anonymity,
+    "image_norm_stats": q_image_norm_stats,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8489,6 +8499,35 @@ SELECT 'https://series.example.org/p/' || doc_id AS url,
        CAST(LEAST(4, (SELECT cnt FROM n) - (doc_id - doc_id % 4))
             AS BIGINT) AS chain_len
 FROM documents"""
+
+
+def _image_norm_stats_oracle_sql() -> str:
+    """Σpx / Σpx² rebuilt from md5 digest bytes (each of the 16 bytes
+    appears 4× per 8×8 image); float finish shares the engine's exact
+    expression (IEEE sqrt is correctly rounded)."""
+
+    def byte_expr(j: int) -> str:
+        hi = f"(strpos('0123456789abcdef', substr(md5(text), {2 * j + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substr(md5(text), {2 * j + 2}, 1)) - 1)"
+        return f"({hi} * 16 + {lo})"
+
+    s_terms = " + ".join(byte_expr(j) for j in range(16))
+    s2_terms = " + ".join(f"{byte_expr(j)} * {byte_expr(j)}" for j in range(16))
+    return f"""WITH img AS (
+  SELECT doc_id, 4 * ({s_terms}) AS s_img, 4 * ({s2_terms}) AS s2_img
+  FROM documents
+), tot AS (
+  SELECT SUM(s_img) AS s, SUM(s2_img) AS s2, COUNT(*) AS n FROM img
+), m AS (
+  SELECT s, s2, n, s / (64.0 * n) AS mean FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_images, CAST(s AS BIGINT) AS sum_px,
+       CAST(s2 AS BIGINT) AS sum_px2, ROUND(mean, 6) AS mean_px,
+       ROUND(sqrt(s2 / (64.0 * n) - mean * mean), 6) AS std_px
+FROM m"""
+
+
+DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
 
 
 # k-anonymity: distinct users per (event_type, hour) QI cell, k=5
