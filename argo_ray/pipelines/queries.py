@@ -2824,15 +2824,19 @@ def q_sparql_service_eval(sf_dir: str):
     from ..sparql import evaluate_select
     from ..sparql.engine import register_service, unregister_service
 
-    def to_tokens(b: pa.Table) -> pa.Table:
-        from ..terms import IRI, Literal, triples_to_table
+    from ..terms import Literal  # resolved at QUERY build time; the
+    # UDF below must only touch module globals / closure values (a
+    # lazy relative import inside a worker function raises
+    # ModuleNotFoundError when the driver cwd is not the repo)
+    _Literal = Literal
 
+    def to_tokens(b: pa.Table) -> pa.Table:
         XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
         trips = [
             (
                 IRI(f"https://kg.example.org/doc/{did}"),
                 IRI(EX_NS + "tokens"),
-                Literal(str(len(text.split(" "))), datatype=XSD_INT),
+                _Literal(str(len(text.split(" "))), datatype=XSD_INT),
             )
             for did, text in zip(
                 b["doc_id"].to_pylist(), b["text"].to_pylist()
