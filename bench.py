@@ -162,6 +162,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("orders_local_supplier_volume", _q_orders_q5),
         ("kg_landmark_closeness", _q_kg_landmark_closeness),
         ("kg_reify_roundtrip", _q_kg_reify_roundtrip),
+        ("pages_pagination_chains", _q_pages_pagination_chains),
+        ("parts_truss_support", _q_parts_truss_support),
+        ("kg_wl_colors", _q_kg_wl_colors),
+        ("sparql_service_eval", _q_sparql_service_eval),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -169,6 +173,30 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
             res.count()
         out[name] = round(time.time() - t0, 3)
     return out
+
+
+def _q_pages_pagination_chains(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_pages_pagination_chains
+
+    return q_pages_pagination_chains(sf_dir)
+
+
+def _q_parts_truss_support(sf_dir: str):
+    from argo_ray.pipelines.data_queries import q_parts_truss_support
+
+    return q_parts_truss_support(sf_dir)
+
+
+def _q_kg_wl_colors(sf_dir: str):
+    from argo_ray.pipelines.queries import q_kg_wl_colors
+
+    return q_kg_wl_colors(sf_dir)
+
+
+def _q_sparql_service_eval(sf_dir: str):
+    from argo_ray.pipelines.queries import q_sparql_service_eval
+
+    return q_sparql_service_eval(sf_dir)
 
 
 def _q_pages_canonical_cluster(sf_dir: str):
