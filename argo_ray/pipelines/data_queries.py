@@ -6048,6 +6048,93 @@ def q_events_decayed_counts(sf_dir: str):
     )
 
 
+def q_orders_large_volume(sf_dir: str):
+    """TPC-H Q18 shape — the HAVING-gated fact aggregate: orders whose
+    total lineitem quantity exceeds 150, with customer name attached.
+    Plan: per-batch quantity partials pre-combine on orderkey → ONE
+    orderkey groupby → quantity gate (post-aggregate filter) → the
+    small surviving set takes customer/order attributes from broadcast
+    dicts.  Quantities are integer-cents-free (whole numbers in the
+    fixture) so the sum is exact."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+
+    cust_tbl = pa.concat_tables(
+        ray.get(
+            read_table(
+                sf_dir, "customer", columns=["c_custkey", "c_name"]
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    cust_name = dict(
+        zip(
+            (int(k) for k in cust_tbl["c_custkey"].to_pylist()),
+            cust_tbl["c_name"].to_pylist(),
+        )
+    )
+    ord_tbl = pa.concat_tables(
+        ray.get(
+            read_table(
+                sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    ord_cust = dict(
+        zip(
+            (int(k) for k in ord_tbl["o_orderkey"].to_pylist()),
+            (int(v) for v in ord_tbl["o_custkey"].to_pylist()),
+        )
+    )
+    cust_ref, ord_ref = ray.put(cust_name), ray.put(ord_cust)
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+            }
+        )
+        g = t.group_by("o_orderkey").aggregate([("qty", "sum")])
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(g["o_orderkey"], pa.int64()),
+                "q_part": pc.cast(g["qty_sum"], pa.int64()),
+            }
+        )
+
+    totals = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("q_part", alias_name="total_qty"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.greater(b["total_qty"], pa.scalar(150, pa.int64()))
+        )
+        oc = ray.get(ord_ref)
+        cn = ray.get(cust_ref)
+        keys = [int(v) for v in b["o_orderkey"].to_pylist()]
+        names = [cn[oc[k]] for k in keys]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+                "total_qty": pc.cast(b["total_qty"], pa.int64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_hll_hourly(sf_dir: str):
     """WINDOWED sketching — the composition streaming dashboards run:
     distinct users per (event_type, hour-of-day) via mergeable HLL
@@ -6587,6 +6674,7 @@ DATA_QUERIES = {
     "parts_itemsets3": q_parts_itemsets3,
     "events_k_anonymity": q_events_k_anonymity,
     "image_norm_stats": q_image_norm_stats,
+    "orders_large_volume": q_orders_large_volume,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8528,6 +8616,16 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+
+# Q18 shape: orders with total quantity > 150, customer name attached
+DATA_ORACLES["orders_large_volume"] = """SELECT
+  o_orderkey, c_name,
+  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+GROUP BY o_orderkey, c_name
+HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > 150"""
 
 
 # k-anonymity: distinct users per (event_type, hour) QI cell, k=5
