@@ -5718,6 +5718,110 @@ def q_orders_priority_exists(sf_dir: str):
     )
 
 
+def q_orders_priority_exists_bloom(sf_dir: str):
+    """The Q4 semi-join with a BLOOM-PRUNED build side — the classic
+    shuffle-reduction technique (runtime filter pushdown): a mergeable
+    Bloom filter of the returned-order keys broadcasts once, the
+    orders fact pre-filters map-side (false positives pass, misses
+    drop), and the exact marker join then verifies the survivors — so
+    the result is IDENTICAL to the unpruned Q4 while the exchange
+    carries only the Bloom-positive orders.  At 100 TB this is the
+    difference between shuffling every order row and shuffling the
+    ~qualifying fraction + ε false positives."""
+    import pandas as pd
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import _bloom_positions, bloom_build
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
+    T1 = 836_179_200_000_000  # 1996-07-01
+    LOG2_M = 14
+
+    def marker_rows(b: pa.Table) -> pa.Table:
+        kept = b.filter(
+            pc.equal(pc.cast(b["l_returnflag"], pa.string()), "R")
+        )
+        keys = pc.unique(pc.cast(kept["l_orderkey"], pa.int64()))
+        return pa.table(
+            {
+                "orderkey": keys,
+                "key": pc.cast(keys, pa.string()),
+                "priority": pa.nulls(len(keys), pa.string()),
+                "_side": pa.array([1] * len(keys), pa.int64()),
+            }
+        )
+
+    marks = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(marker_rows, batch_format="pyarrow").materialize()
+
+    bits = bloom_build(marks, key_col="key", log2_m=LOG2_M)
+    bits_ref = ray.put(bits)
+
+    class _PrunedOrderRows:
+        """Actor-pool stage: Bloom bits land ONCE per actor, every
+        batch filters vectorized against the local array."""
+
+        def __init__(self, ref, log2_m):
+            import numpy as np
+
+            pos = ray.get(ref)
+            self.arr = np.zeros(1 << log2_m, dtype=bool)
+            self.arr[pos] = True
+            self.log2_m = log2_m
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ts = pc.cast(b["o_orderdate"], pa.int64())
+            kept = b.filter(
+                pc.and_(
+                    pc.greater_equal(ts, pa.scalar(T0, pa.int64())),
+                    pc.less(ts, pa.scalar(T1, pa.int64())),
+                )
+            )
+            keys = [str(int(k)) for k in kept["o_orderkey"].to_pylist()]
+            if keys:
+                p1, p2 = _bloom_positions(keys, self.log2_m)
+                kept = kept.filter(pa.array(self.arr[p1] & self.arr[p2]))
+            return pa.table(
+                {
+                    "orderkey": pc.cast(kept["o_orderkey"], pa.int64()),
+                    "key": pc.cast(
+                        pc.cast(kept["o_orderkey"], pa.int64()), pa.string()
+                    ),
+                    "priority": pc.cast(kept["o_orderpriority"], pa.string()),
+                    "_side": pa.array([0] * kept.num_rows, pa.int64()),
+                }
+            )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        _PrunedOrderRows,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"ref": bits_ref, "log2_m": LOG2_M},
+    )
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]
+        if len(o) == 0 or not (g["_side"] == 1).any():
+            return pd.DataFrame({"o_orderpriority": [], "part": []})
+        return pd.DataFrame(
+            {"o_orderpriority": [o["priority"].iloc[0]], "part": [1]}
+        )
+
+    per_order = grouped_map(orders.union(marks), "orderkey", semi)
+    return (
+        per_order.groupby("o_orderpriority")
+        .aggregate(Sum("part", alias_name="n_orders"))
+    )
+
+
 def q_customer_returns_topk(sf_dir: str):
     """TPC-H Q10 shape — returned-revenue top-k: lineitems with
     ``l_returnflag = 'R'`` shipped in 1996, revenue attributed to the
@@ -6675,6 +6779,7 @@ DATA_QUERIES = {
     "events_k_anonymity": q_events_k_anonymity,
     "image_norm_stats": q_image_norm_stats,
     "orders_large_volume": q_orders_large_volume,
+    "orders_priority_exists_bloom": q_orders_priority_exists_bloom,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8616,6 +8721,17 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+
+# bloom-pruned Q4: identical result to the unpruned semi-join
+DATA_ORACLES["orders_priority_exists_bloom"] = """SELECT
+  o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority"""
 
 
 # Q18 shape: orders with total quantity > 150, customer name attached
