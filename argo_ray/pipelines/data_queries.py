@@ -6239,6 +6239,103 @@ def q_orders_large_volume(sf_dir: str):
     return totals.map_batches(finish, batch_format="pyarrow")
 
 
+def q_orders_rollup(sf_dir: str):
+    """OLAP ROLLUP — hierarchical subtotals in one pass: order counts
+    and exact total-price cents by (year, priority), plus per-year
+    subtotals and the grand total, subtotal levels marked 'ALL'.
+    The detail aggregate runs distributed ONCE; the coarser levels
+    re-aggregate the (years × priorities)-sized detail rows — never
+    the fact table — so the rollup adds two tiny exchanges, not two
+    more scans."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        year = pc.year(b["o_orderdate"])
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "year": pc.cast(year, pa.int64()),
+                "o_orderpriority": pc.cast(b["o_orderpriority"], pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["year", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return pa.table(
+            {
+                "year": pc.cast(g["year"], pa.int64()),
+                "o_orderpriority": pc.cast(g["o_orderpriority"], pa.string()),
+                "c_part": pc.cast(g["cents_sum"], pa.int64()),
+                "n_part": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+
+    detail = (
+        read_table(
+            sf_dir, "orders",
+            columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "o_orderpriority"])
+        .aggregate(
+            Sum("c_part", alias_name="cents"),
+            Sum("n_part", alias_name="n_orders"),
+        )
+        .materialize()
+    )
+
+    def as_level(b: pa.Table, pri_all: bool, year_all: bool) -> pa.Table:
+        year = (
+            pa.array(["ALL"] * b.num_rows, pa.string())
+            if year_all
+            else pc.cast(pc.cast(b["year"], pa.int64()), pa.string())
+        )
+        pri = (
+            pa.array(["ALL"] * b.num_rows, pa.string())
+            if pri_all
+            else pc.cast(b["o_orderpriority"], pa.string())
+        )
+        return pa.table(
+            {
+                "year": year,
+                "o_orderpriority": pri,
+                "c_part": pc.cast(b["cents"], pa.int64()),
+                "n_part": pc.cast(b["n_orders"], pa.int64()),
+            }
+        )
+
+    levels = (
+        detail.map_batches(
+            lambda b: as_level(b, False, False), batch_format="pyarrow"
+        )
+        .union(
+            detail.map_batches(
+                lambda b: as_level(b, True, False), batch_format="pyarrow"
+            )
+        )
+        .union(
+            detail.map_batches(
+                lambda b: as_level(b, True, True), batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        levels.groupby(["year", "o_orderpriority"])
+        .aggregate(
+            Sum("c_part", alias_name="total_cents"),
+            Sum("n_part", alias_name="n_orders"),
+        )
+    )
+
+
 def q_events_hll_hourly(sf_dir: str):
     """WINDOWED sketching — the composition streaming dashboards run:
     distinct users per (event_type, hour-of-day) via mergeable HLL
@@ -6780,6 +6877,7 @@ DATA_QUERIES = {
     "image_norm_stats": q_image_norm_stats,
     "orders_large_volume": q_orders_large_volume,
     "orders_priority_exists_bloom": q_orders_priority_exists_bloom,
+    "orders_rollup": q_orders_rollup,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8721,6 +8819,19 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+
+# ROLLUP: detail + per-year + grand total, 'ALL' subtotal markers
+DATA_ORACLES["orders_rollup"] = """SELECT
+  COALESCE(CAST(year AS VARCHAR), 'ALL') AS year,
+  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+  CAST(SUM(cents) AS BIGINT) AS total_cents,
+  CAST(SUM(n) AS BIGINT) AS n_orders
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS year, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, 1 AS n
+  FROM orders
+) GROUP BY ROLLUP (year, o_orderpriority)"""
 
 
 # bloom-pruned Q4: identical result to the unpruned semi-join
