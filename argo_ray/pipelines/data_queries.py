@@ -6336,6 +6336,56 @@ def q_orders_rollup(sf_dir: str):
     )
 
 
+def q_events_pivot(sf_dir: str):
+    """WIDE PIVOT — long (hour, event_type) counts turned into one row
+    per hour with a column per event type (the dashboard/feature-table
+    layout).  The long aggregate runs distributed; the pivot is a
+    vectorized per-block reshape after one hour-keyed exchange (event
+    types are a bounded vocabulary — the wide schema is knowable
+    up front, which is what makes pivot scale-safe)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import grouped_map
+
+    TYPES = ("click", "error", "purchase", "signup", "view")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": pc.cast(pc.hour(b["ts"]), pa.int64()),
+                "event_type": pc.cast(b["event_type"], pa.string()),
+            }
+        )
+        g = t.group_by(["hour", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return pa.table(
+            {
+                "hour": pc.cast(g["hour"], pa.int64()),
+                "event_type": pc.cast(g["event_type"], pa.string()),
+                "n_part": pc.cast(g["event_type_count"], pa.int64()),
+            }
+        )
+
+    long = (
+        _events(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        counts = dict(zip(g["event_type"], g["n"]))
+        row = {"hour": [int(g["hour"].iloc[0])]}
+        for t in TYPES:
+            row[f"n_{t}"] = [int(counts.get(t, 0))]
+        return pd.DataFrame(row)
+
+    return grouped_map(long, "hour", widen)
+
+
 def q_events_hll_hourly(sf_dir: str):
     """WINDOWED sketching — the composition streaming dashboards run:
     distinct users per (event_type, hour-of-day) via mergeable HLL
@@ -6878,6 +6928,7 @@ DATA_QUERIES = {
     "orders_large_volume": q_orders_large_volume,
     "orders_priority_exists_bloom": q_orders_priority_exists_bloom,
     "orders_rollup": q_orders_rollup,
+    "events_pivot": q_events_pivot,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8819,6 +8870,17 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+
+# pivot: one row per hour, a count column per (bounded) event type
+DATA_ORACLES["events_pivot"] = """SELECT
+  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY EXTRACT(hour FROM ts)"""
 
 
 # ROLLUP: detail + per-year + grand total, 'ALL' subtotal markers
