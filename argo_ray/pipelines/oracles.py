@@ -1680,6 +1680,21 @@ ORACLES["sparql_neg_rev_path_eval"] = """SELECT
   '<https://hub.example.org/>' AS x
 FROM documents"""
 
+# pattern-based patch: site facts kept, hostedOn derived, languages
+# deleted — flattened distinct triples
+ORACLES["graphstore_patch_where"] = """SELECT
+  CAST(0 AS BIGINT) AS subj_kind,
+  'https://kg.example.org/doc/' || doc_id AS subj_value,
+  '' AS subj_lang, '' AS subj_datatype,
+  CAST(0 AS BIGINT) AS pred_kind, p AS pred_value,
+  '' AS pred_lang, '' AS pred_datatype,
+  CAST(0 AS BIGINT) AS obj_kind,
+  'https://site' || (doc_id % 5) || '.example.org/' AS obj_value,
+  '' AS obj_lang, '' AS obj_datatype
+FROM documents,
+     (SELECT 'http://example.org/ns#site' AS p
+      UNION ALL SELECT 'http://example.org/ns#hostedOn')"""
+
 # graph management end-state: C = en ∪ fr, D = fr (A dropped, B moved)
 ORACLES["graphstore_manage"] = """SELECT 'C' AS g,
   'https://kg.example.org/doc/' || doc_id AS s

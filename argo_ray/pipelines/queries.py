@@ -3504,6 +3504,47 @@ def q_graphstore_manage(sf_dir: str):
     )
 
 
+def q_graphstore_patch_where(sf_dir: str):
+    """K6 ``patch`` with the PATTERN-BASED update forms (SPARQL 1.1
+    Update §3.1.3): one request chaining ``INSERT { } WHERE { }``
+    (derive a page IRI per site assertion) and ``DELETE { } WHERE { }``
+    (drop every dc:language fact) against a stored graph — the modify
+    ops the DATA-only patch query doesn't reach.  Read back through
+    the RDF/XML round-trip."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..sinks.graphstore import FileGraphStore
+    from ..stages.filter import filter_triples
+
+    out = (
+        "/tmp/argo_gs_patchw/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"-{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    store = FileGraphStore(out)
+    graph_uri = "https://graphs.example.org/patched-where"
+    # seed: every ex:site and dc:language assertion of the deduped KG
+    site = filter_triples(_deduped(sf_dir), p=IRI(EX_NS + "site"))
+    lang = filter_triples(_deduped(sf_dir), p=IRI(DC_NS + "language"))
+    rows = (
+        site.union(lang)
+        .map_batches(lambda b: b.select(TRIPLE_COLUMNS), batch_format="pyarrow")
+        .take_all()
+    )
+    store.put(graph_uri, pa.Table.from_pylist(rows))
+    upd = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    INSERT {{ ?doc ex:hostedOn ?site }} WHERE {{ ?doc ex:site ?site }} ;
+    DELETE {{ ?doc dc:language ?l }} WHERE {{ ?doc dc:language ?l }}"""
+    store.patch(graph_uri, upd)
+    return _finalize(ray.data.from_arrow(store.get(graph_uri)))
+
+
 def _crawl_snapshot(sf_dir: str, drop_mod: int):
     """Extracted triples of one synthetic crawl generation: the pages
     of every doc with doc_id % 3 != drop_mod (each generation drops a
@@ -4982,6 +5023,7 @@ KG_QUERIES = {
     "sparql_bound_filter_eval": q_sparql_bound_filter_eval,
     "graphstore_patch": q_graphstore_patch,
     "graphstore_manage": q_graphstore_manage,
+    "graphstore_patch_where": q_graphstore_patch_where,
     "kg_delta": q_kg_delta,
     "kg_qa_report": q_kg_qa_report,
     "kg_delta_apply": q_kg_delta_apply,
