@@ -6336,6 +6336,37 @@ def q_orders_rollup(sf_dir: str):
     )
 
 
+def q_events_zorder_key(sf_dir: str):
+    """Z-ORDER (Morton) partition keys — the lakehouse layout trick
+    that keeps multi-dimensional range queries local: interleave the
+    bits of (hour-of-day, user_id % 32) into one 10-bit key, so rows
+    close in BOTH dimensions land in the same key range (sort by zkey
+    → data files prune on either predicate).  Pure vectorized bit
+    arithmetic, zero shuffles; the sort itself is the caller's
+    repartition step."""
+    import numpy as np
+
+    def zkey(b: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(b["ts"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        user = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) % 32
+        z = np.zeros(len(hour), dtype=np.int64)
+        for i in range(5):
+            z |= ((hour >> i) & 1) << (2 * i)
+            z |= ((user >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "zkey": pa.array(z, pa.int64()),
+            }
+        )
+
+    return _events(sf_dir).map_batches(zkey, batch_format="pyarrow")
+
+
 def q_events_pivot(sf_dir: str):
     """WIDE PIVOT — long (hour, event_type) counts turned into one row
     per hour with a column per event type (the dashboard/feature-table
@@ -6929,6 +6960,7 @@ DATA_QUERIES = {
     "orders_priority_exists_bloom": q_orders_priority_exists_bloom,
     "orders_rollup": q_orders_rollup,
     "events_pivot": q_events_pivot,
+    "events_zorder_key": q_events_zorder_key,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8870,6 +8902,22 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+
+# Morton interleave of (hour 5 bits, user_id%32 5 bits)
+DATA_ORACLES["events_zorder_key"] = """SELECT event_id,
+  CAST(
+    ((h)       & 1) * 1    + ((u)       & 1) * 2 +
+    ((h >> 1)  & 1) * 4    + ((u >> 1)  & 1) * 8 +
+    ((h >> 2)  & 1) * 16   + ((u >> 2)  & 1) * 32 +
+    ((h >> 3)  & 1) * 64   + ((u >> 3)  & 1) * 128 +
+    ((h >> 4)  & 1) * 256  + ((u >> 4)  & 1) * 512
+  AS BIGINT) AS zkey
+FROM (
+  SELECT event_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         user_id % 32 AS u
+  FROM events
+)"""
 
 
 # pivot: one row per hour, a count column per (bounded) event type
