@@ -6336,6 +6336,117 @@ def q_orders_rollup(sf_dir: str):
     )
 
 
+def q_lineitem_running_revenue(sf_dir: str):
+    """Per-PARTITION running aggregate (the window-function shape
+    ``SUM() OVER (PARTITION BY order ORDER BY linenumber)``): each
+    lineitem's cumulative order revenue in exact cents.  One orderkey
+    sort exchange co-locates each order's lines; the cumulative sum is
+    a vectorized in-group cumsum — no per-row window state leaves the
+    block."""
+    import numpy as np
+    import pandas as pd
+
+    from ..io import read_table
+    from ..stages.grouping import grouped_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    rows = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        # RANGE (peer-group) frame semantics, matching SQL's default:
+        # tied line numbers all carry the whole tie group's sum — also
+        # the only deterministic contract when line numbers repeat
+        g = g.sort_values("l_linenumber")
+        peer = g.groupby("l_linenumber", sort=True)["cents"].sum().cumsum()
+        running = g["l_linenumber"].map(peer)
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"].astype("int64"),
+                "l_linenumber": g["l_linenumber"].astype("int64"),
+                "running_cents": running.astype("int64"),
+            }
+        )
+
+    return grouped_map(rows, "l_orderkey", cum)
+
+
+def q_events_ab_arms(sf_dir: str):
+    """Deterministic A/B assignment + arm metrics: users split into
+    two arms by md5 parity (the stateless bucketing every experiment
+    platform uses), per arm the user count, purchasing-user count and
+    the exact conversion fraction as a ratio of integers (no float
+    division ambiguity).  Per-batch (arm, user, purchased) partials →
+    one user-level groupby → one 2-row arm groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        users = pc.cast(b["user_id"], pa.int64()).to_pylist()
+        arms = [
+            "A" if hashlib.md5(str(u).encode()).hexdigest() < "8" else "B"
+            for u in users
+        ]
+        purchased = pc.cast(
+            pc.equal(pc.cast(b["event_type"], pa.string()), "purchase"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "arm": pa.array(arms, pa.string()),
+                "user_id": pa.array(users, pa.int64()),
+                "purch": purchased,
+            }
+        )
+
+    per_user = (
+        _events(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby(["arm", "user_id"])
+        .aggregate(Max("purch", alias_name="purchased"))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "arm": pc.cast(b["arm"], pa.string()),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+                "purch": pc.cast(b["purchased"], pa.int64()),
+            }
+        )
+        g = t.group_by("arm").aggregate([("one", "sum"), ("purch", "sum")])
+        return pa.table(
+            {
+                "arm": pc.cast(g["arm"], pa.string()),
+                "u_part": pc.cast(g["one_sum"], pa.int64()),
+                "p_part": pc.cast(g["purch_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        per_user.map_batches(partial, batch_format="pyarrow")
+        .groupby("arm")
+        .aggregate(
+            Sum("u_part", alias_name="n_users"),
+            Sum("p_part", alias_name="n_purchasers"),
+        )
+    )
+
+
 def q_events_zorder_key(sf_dir: str):
     """Z-ORDER (Morton) partition keys — the lakehouse layout trick
     that keeps multi-dimensional range queries local: interleave the
@@ -6961,6 +7072,8 @@ DATA_QUERIES = {
     "orders_rollup": q_orders_rollup,
     "events_pivot": q_events_pivot,
     "events_zorder_key": q_events_zorder_key,
+    "lineitem_running_revenue": q_lineitem_running_revenue,
+    "events_ab_arms": q_events_ab_arms,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -8902,6 +9015,28 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+
+# per-order running revenue: SUM() OVER (PARTITION BY ... ORDER BY)
+DATA_ORACLES["lineitem_running_revenue"] = """SELECT
+  l_orderkey, l_linenumber,
+  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber
+  ) AS BIGINT) AS running_cents
+FROM lineitem"""
+
+# md5-parity arm split, per-arm user and purchasing-user counts
+DATA_ORACLES["events_ab_arms"] = """SELECT
+  arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(purchased) AS BIGINT) AS n_purchasers
+FROM (
+  SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+         user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS purchased
+  FROM events GROUP BY 1, 2
+) GROUP BY arm"""
 
 
 # Morton interleave of (hour 5 bits, user_id%32 5 bits)
