@@ -279,15 +279,17 @@ def rank_chains(next_ds, rounds: int = 2):
     doubling rounds (chains of length ≤ 2^rounds + 1 fully collapse;
     longer chains or cycles stop at the round cap, documented
     partitioning assumption) every non-tail node knows its chain TAIL
-    and its hop distance to it; one ``grouped_map`` per tail then
-    emits the whole chain with ``(url, chain_root, pos, chain_len)``.
+    and its hop distance to it; one tail-sorted pass then emits the
+    whole chain with ``(url, chain_root, pos, chain_len)``.
     Cost: log2(chain length) sort-colocated exchanges of the
-    node-sized state + one tail groupby — never a broadcast, never a
-    driver collect; the classic PRAM list-ranking recipe expressed as
-    Ray Data exchanges."""
+    node-sized state + one tail sort — never a broadcast, never a
+    driver collect, and every per-block kernel is ONE vectorized
+    pandas merge / groupby-aggregate (no per-key Python dispatch);
+    the classic PRAM list-ranking recipe expressed as Ray Data
+    exchanges."""
+    import numpy as np
     import pandas as pd
-
-    from ..stages.grouping import grouped_map
+    from ..stages import grouping as _colocation_guard  # noqa: F401
 
     m = next_ds.map_batches(
         lambda b: pa.table(
@@ -298,19 +300,35 @@ def rank_chains(next_ds, rounds: int = 2):
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    n_blocks = max(1, m.num_blocks())
 
-    def jump(g: pd.DataFrame) -> pd.DataFrame:
-        tgt = g.loc[g["_map"] == 1]
-        data = g.loc[g["_map"] == 0, ["src", "key", "d"]].rename(
-            columns={"key": "dst"}
+    def jump_block(df: pd.DataFrame):
+        # whole key groups per sorted block (grouping.py contract);
+        # ONE vectorized pandas merge per block, never a per-key
+        # Python dispatch — the first cut used grouped_map's per-group
+        # kernel here and spent minutes on 1M-node inputs
+        schema = pa.schema(
+            [("src", pa.string()), ("dst", pa.string()), ("d", pa.int64())]
         )
+        if len(df) == 0 or "key" not in df.columns:
+            return schema.empty_table()
+        is_map = df["_map"] == 1
+        maps = df.loc[is_map, ["key", "tgt", "d"]].rename(columns={"d": "d2"})
+        data = df.loc[~is_map, ["key", "src", "d"]]
         if len(data) == 0:
-            return pd.DataFrame(columns=["src", "dst", "d"])
-        if len(tgt):  # ≤1 row: successors are unique in a list
-            data["dst"] = tgt["tgt"].iloc[0]
-            data["d"] = data["d"] + int(tgt["d"].iloc[0])
-        return data
+            return schema.empty_table()
+        j = data.merge(maps, on="key", how="left")
+        hit = j["tgt"].notna()
+        dst = j["tgt"].where(hit, j["key"])
+        d = j["d"] + j["d2"].fillna(0).astype("int64")
+        return pa.table(
+            {
+                "src": pa.array(j["src"].to_numpy(dtype=object), pa.string()),
+                "dst": pa.array(dst.to_numpy(dtype=object), pa.string()),
+                "d": pa.array(d.to_numpy(dtype="int64"), pa.int64()),
+            }
+        )
 
     for _ in range(rounds):
         data = m.map_batches(
@@ -337,24 +355,65 @@ def rank_chains(next_ds, rounds: int = 2):
             ),
             batch_format="pyarrow",
         )
-        m = grouped_map(data.union(maps), "key", jump)
+        m = (
+            data.union(maps)
+            .sort("key")
+            .map_batches(jump_block, batch_format="pandas", batch_size=None)
+            .repartition(n_blocks)
+            .materialize()
+        )
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        ln = int(g["d"].max()) + 1
-        root = g.loc[g["d"] == ln - 1, "src"].iloc[0]
-        tail = g["dst"].iloc[0]
-        urls = list(g["src"]) + [tail]
-        dists = list(g["d"]) + [0]
-        return pd.DataFrame(
+    def finish_block(df: pd.DataFrame):
+        # vectorized per-tail stats: in-block groupby AGGREGATES (max,
+        # idxmax, merge) — no per-chain Python apply
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("chain_root", pa.string()),
+                ("pos", pa.int64()),
+                ("chain_len", pa.int64()),
+            ]
+        )
+        if len(df) == 0 or "dst" not in df.columns:
+            return schema.empty_table()
+        g = df.groupby("dst", sort=False)["d"]
+        maxd = g.max().rename("maxd")
+        roots = df.loc[g.idxmax(), ["dst", "src"]].rename(
+            columns={"src": "root"}
+        )
+        stats = roots.merge(maxd, on="dst")
+        j = df.merge(stats, on="dst")
+        urls = np.concatenate(
+            [j["src"].to_numpy(dtype=object), stats["dst"].to_numpy(dtype=object)]
+        )
+        root_col = np.concatenate(
+            [j["root"].to_numpy(dtype=object), stats["root"].to_numpy(dtype=object)]
+        )
+        pos = np.concatenate(
+            [
+                (j["maxd"] - j["d"]).to_numpy(dtype="int64"),
+                stats["maxd"].to_numpy(dtype="int64"),
+            ]
+        )
+        ln = np.concatenate(
+            [
+                (j["maxd"] + 1).to_numpy(dtype="int64"),
+                (stats["maxd"] + 1).to_numpy(dtype="int64"),
+            ]
+        )
+        return pa.table(
             {
-                "url": urls,
-                "chain_root": root,
-                "pos": [ln - 1 - dd for dd in dists],
-                "chain_len": ln,
+                "url": pa.array(urls, pa.string()),
+                "chain_root": pa.array(root_col, pa.string()),
+                "pos": pa.array(pos, pa.int64()),
+                "chain_len": pa.array(ln, pa.int64()),
             }
         )
 
-    return grouped_map(m, "dst", finish)
+    return (
+        m.sort("dst")
+        .map_batches(finish_block, batch_format="pandas", batch_size=None)
+    )
 
 
 # <link rel="canonical" href="..."> — attribute order fixed by our
