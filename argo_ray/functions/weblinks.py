@@ -142,19 +142,30 @@ def resolve_redirects(mapping_ds, rounds: int = 2):
     deterministically (last writer wins at round cap)."""
     import pandas as pd
 
-    from ..stages.grouping import grouped_map
+    from ..stages import grouping as _colocation_guard  # noqa: F401
 
     m = mapping_ds
 
-    def gate(g: pd.DataFrame) -> pd.DataFrame:
-        tgt = g.loc[g["_map"] == 1, "tgt"]
-        data = g.loc[g["_map"] == 0, ["src", "key"]]
+    def gate(df: pd.DataFrame):
+        # whole key groups per sorted block (grouping.py contract);
+        # ONE vectorized merge per block — the per-key grouped_map
+        # kernel cost minutes at 1M-chain scale (see rank_chains)
+        schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+        if len(df) == 0 or "key" not in df.columns:
+            return schema.empty_table()
+        is_map = df["_map"] == 1
+        maps = df.loc[is_map, ["key", "tgt"]]
+        data = df.loc[~is_map, ["key", "src"]]
         if len(data) == 0:
-            return pd.DataFrame(columns=["src", "dst"])
-        data = data.rename(columns={"key": "dst"})
-        if len(tgt):
-            data["dst"] = tgt.iloc[0]
-        return data
+            return schema.empty_table()
+        j = data.merge(maps, on="key", how="left")
+        dst = j["tgt"].where(j["tgt"].notna(), j["key"])
+        return pa.table(
+            {
+                "src": pa.array(j["src"].to_numpy(dtype=object), pa.string()),
+                "dst": pa.array(dst.to_numpy(dtype=object), pa.string()),
+            }
+        )
 
     for _ in range(rounds):
         data = m.map_batches(
@@ -179,14 +190,10 @@ def resolve_redirects(mapping_ds, rounds: int = 2):
             ),
             batch_format="pyarrow",
         )
-        m = grouped_map(data.union(maps), "key", gate).map_batches(
-            lambda b: pa.table(
-                {
-                    "src": pc.cast(b["src"], pa.string()),
-                    "dst": pc.cast(b["dst"], pa.string()),
-                }
-            ),
-            batch_format="pyarrow",
+        m = (
+            data.union(maps)
+            .sort("key")
+            .map_batches(gate, batch_format="pandas", batch_size=None)
         )
     return m
 
