@@ -5617,17 +5617,40 @@ def q_orders_local_supplier_volume(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_rows, batch_format="pyarrow")
 
-    def join(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["_side"] == 0]
-        if len(o) == 0:
-            return pd.DataFrame({"nat": [], "part": []})
-        cn = int(o["cust_nat"].iloc[0])
-        li = g[(g["_side"] == 1) & (g["supp_nat"] == cn)]
-        if len(li) == 0:
-            return pd.DataFrame({"nat": [], "part": []})
-        return pd.DataFrame({"nat": [cn], "part": [int(li["rev"].sum())]})
+    def join_block(df):
+        # vectorized per sorted block: merge each line row with its
+        # order's customer nation, keep local-supplier lines, and
+        # PRE-COMBINE per nation before the exchange — strictly more
+        # combining than the old per-order kernel, with no per-order
+        # Python dispatch
+        import numpy as np
 
-    per_order = grouped_map(orders.union(lines), "orderkey", join)
+        schema = pa.schema([("nat", pa.int64()), ("part", pa.int64())])
+        if len(df) == 0 or "_side" not in df.columns:
+            return schema.empty_table()
+        o = df.loc[df["_side"] == 0, ["orderkey", "cust_nat"]]
+        li = df.loc[df["_side"] == 1, ["orderkey", "supp_nat", "rev"]]
+        if len(o) == 0 or len(li) == 0:
+            return schema.empty_table()
+        j = li.merge(o, on="orderkey", how="inner")
+        j = j[j["supp_nat"] == j["cust_nat"]]
+        if len(j) == 0:
+            return schema.empty_table()
+        g = j.groupby("cust_nat", sort=False)["rev"].sum()
+        return pa.table(
+            {
+                "nat": pa.array(
+                    g.index.to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "part": pa.array(g.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per_order = (
+        orders.union(lines)
+        .sort("orderkey")
+        .map_batches(join_block, batch_format="pandas", batch_size=None)
+    )
 
     def name_rows(b: pa.Table) -> pa.Table:
         names = [nation_name[int(v)] for v in b["nat"].to_pylist()]
@@ -5651,15 +5674,13 @@ def q_orders_priority_exists(sf_dir: str):
     lineitems was returned (``l_returnflag = 'R'``).  Semi-join plan
     for scale: BOTH sides are fact tables, so neither broadcasts — the
     returned-lineitem markers and the order rows meet in ONE
-    sort-colocated ``grouped_map`` on orderkey (the Q5 fact-fact
-    idiom); the group kernel emits the order's priority iff a marker
-    row is present, and a tiny 5-row groupby counts."""
-    import pandas as pd
-
+    sort-colocated orderkey exchange (the Q5 fact-fact idiom); the
+    in-block semi-join is one vectorized merge (``_semi_block``), and
+    a tiny 5-row groupby counts."""
     from ray.data.aggregate import Sum
 
     from ..io import read_table
-    from ..stages.grouping import grouped_map
+    from ..stages import grouping as _colocation_guard  # noqa: F401
 
     T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
     T1 = 836_179_200_000_000  # 1996-07-01
@@ -5703,15 +5724,11 @@ def q_orders_priority_exists(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]
     ).map_batches(marker_rows, batch_format="pyarrow")
 
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["_side"] == 0]
-        if len(o) == 0 or not (g["_side"] == 1).any():
-            return pd.DataFrame({"o_orderpriority": [], "part": []})
-        return pd.DataFrame(
-            {"o_orderpriority": [o["priority"].iloc[0]], "part": [1]}
-        )
-
-    per_order = grouped_map(orders.union(marks), "orderkey", semi)
+    per_order = (
+        orders.union(marks)
+        .sort("orderkey")
+        .map_batches(_semi_block, batch_format="pandas", batch_size=None)
+    )
     return (
         per_order.groupby("o_orderpriority")
         .aggregate(Sum("part", alias_name="n_orders"))
@@ -5728,14 +5745,13 @@ def q_orders_priority_exists_bloom(sf_dir: str):
     carries only the Bloom-positive orders.  At 100 TB this is the
     difference between shuffling every order row and shuffling the
     ~qualifying fraction + ε false positives."""
-    import pandas as pd
     import ray
 
     from ray.data.aggregate import Sum
 
     from ..functions.sketch import _bloom_positions, bloom_build
     from ..io import read_table
-    from ..stages.grouping import grouped_map
+    from ..stages import grouping as _colocation_guard  # noqa: F401
 
     T0 = 820_454_400_000_000  # 1996-01-01 epoch micros
     T1 = 836_179_200_000_000  # 1996-07-01
@@ -5807,18 +5823,44 @@ def q_orders_priority_exists_bloom(sf_dir: str):
         fn_constructor_kwargs={"ref": bits_ref, "log2_m": LOG2_M},
     )
 
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["_side"] == 0]
-        if len(o) == 0 or not (g["_side"] == 1).any():
-            return pd.DataFrame({"o_orderpriority": [], "part": []})
-        return pd.DataFrame(
-            {"o_orderpriority": [o["priority"].iloc[0]], "part": [1]}
-        )
-
-    per_order = grouped_map(orders.union(marks), "orderkey", semi)
+    per_order = (
+        orders.union(marks)
+        .sort("orderkey")
+        .map_batches(_semi_block, batch_format="pandas", batch_size=None)
+    )
     return (
         per_order.groupby("o_orderpriority")
         .aggregate(Sum("part", alias_name="n_orders"))
+    )
+
+
+_SEMI_SCHEMA = pa.schema(
+    [("o_orderpriority", pa.string()), ("part", pa.int64())]
+)
+
+
+def _semi_block(df):
+    """Vectorized semi-join per sorted block (whole orderkey groups —
+    grouping.py contract): orders keep their priority iff a marker row
+    shares the key.  ONE pandas merge, no per-order Python dispatch
+    (the per-group grouped_map kernel costs ~30µs × |orders| at
+    scale)."""
+    import numpy as np
+
+    if len(df) == 0 or "_side" not in df.columns:
+        return _SEMI_SCHEMA.empty_table()
+    orders = df[df["_side"] == 0]
+    marked = df.loc[df["_side"] == 1, ["orderkey"]].drop_duplicates()
+    if len(orders) == 0 or len(marked) == 0:
+        return _SEMI_SCHEMA.empty_table()
+    j = orders.merge(marked, on="orderkey", how="inner")
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                j["priority"].to_numpy(dtype=object), pa.string()
+            ),
+            "part": pa.array(np.ones(len(j), np.int64), pa.int64()),
+        }
     )
 
 
@@ -5930,20 +5972,33 @@ def q_customer_returns_topk(sf_dir: str):
         ],
     ).map_batches(line_rows, batch_format="pyarrow")
 
-    def join(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["_side"] == 0]
-        li = g[g["_side"] == 1]
+    def join_block(df):
+        # whole orderkey groups per sorted block: vectorized merge of
+        # the per-order lineitem partial sums onto the order rows —
+        # no per-order Python dispatch
+        import numpy as np
+
+        schema = pa.schema([("custkey", pa.int64()), ("part", pa.int64())])
+        if len(df) == 0 or "_side" not in df.columns:
+            return schema.empty_table()
+        o = df.loc[df["_side"] == 0, ["orderkey", "custkey"]]
+        li = df[df["_side"] == 1].groupby("orderkey", sort=False)["cents"].sum()
         if len(o) == 0 or len(li) == 0:
-            return pd.DataFrame({"custkey": [], "part": []})
-        return pd.DataFrame(
+            return schema.empty_table()
+        j = o.merge(li.rename("part"), on="orderkey", how="inner")
+        return pa.table(
             {
-                "custkey": [int(o["custkey"].iloc[0])],
-                "part": [int(li["cents"].sum())],
+                "custkey": pa.array(
+                    j["custkey"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "part": pa.array(j["part"].to_numpy(dtype=np.int64), pa.int64()),
             }
         )
 
     per_cust = (
-        grouped_map(orders.union(lines), "orderkey", join)
+        orders.union(lines)
+        .sort("orderkey")
+        .map_batches(join_block, batch_format="pandas", batch_size=None)
         .groupby("custkey")
         .aggregate(Sum("part", alias_name="revenue_centicents"))
     )
@@ -6026,24 +6081,48 @@ def q_lineitem_priority_classes(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_linestatus"]
     ).map_batches(line_rows, batch_format="pyarrow")
 
-    def join(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["_side"] == 0]
-        li = g[g["_side"] == 1]
+    def join_block(df):
+        # vectorized per block: count (orderkey, status) line groups,
+        # merge each order's hi flag on, emit CASE-style partials
+        import numpy as np
+
+        schema = pa.schema(
+            [
+                ("l_linestatus", pa.string()),
+                ("hi_part", pa.int64()),
+                ("lo_part", pa.int64()),
+            ]
+        )
+        if len(df) == 0 or "_side" not in df.columns:
+            return schema.empty_table()
+        o = df.loc[df["_side"] == 0, ["orderkey", "hi"]]
+        li = (
+            df[df["_side"] == 1]
+            .groupby(["orderkey", "status"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
         if len(o) == 0 or len(li) == 0:
-            return pd.DataFrame(
-                {"l_linestatus": [], "hi_part": [], "lo_part": []}
-            )
-        hi = int(o["hi"].iloc[0])
-        agg = li.groupby("status", sort=False).size()
-        return pd.DataFrame(
+            return schema.empty_table()
+        j = li.merge(o, on="orderkey", how="inner")
+        n = j["n"].to_numpy(dtype=np.int64)
+        hi = j["hi"].to_numpy(dtype=np.int64)
+        return pa.table(
             {
-                "l_linestatus": agg.index.astype(str),
-                "hi_part": (agg.values * hi).astype("int64"),
-                "lo_part": (agg.values * (1 - hi)).astype("int64"),
+                "l_linestatus": pa.array(
+                    j["status"].to_numpy(dtype=object), pa.string()
+                ),
+                "hi_part": pa.array(n * hi, pa.int64()),
+                "lo_part": pa.array(n * (1 - hi), pa.int64()),
             }
         )
 
-    per_order = grouped_map(orders.union(lines), "orderkey", join)
+    per_order = (
+        orders.union(lines)
+        .sort("orderkey")
+        .map_batches(join_block, batch_format="pandas", batch_size=None)
+    )
     return (
         per_order.groupby("l_linestatus")
         .aggregate(
