@@ -1064,3 +1064,83 @@ def image_norm_stats(sf_dir: str):
             "std_px": pa.array([round(std, 6)], pa.float64()),
         }
     )
+
+
+def audio_norm_stats(sf_dir: str, repeats: int = 8):
+    """Audio dataset normalization stats — the per-corpus mean/std a
+    speech pipeline standardizes PCM input with: exact integer Σs and
+    Σs² over every decoded sample (samples are non-negative 16·byte
+    values in this corpus), one global aggregate, the same shared
+    IEEE float finish as :func:`image_norm_stats`."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    class Partial:
+        def __init__(self):
+            pass
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s_tot, s2_tot, n_tot = 0, 0, 0
+            for payload in b["payload"].to_pylist():
+                rate, n, samples = decode_wav(payload)
+                s = samples.astype(np.int64)
+                s_tot += int(s.sum())
+                s2_tot += int((s * s).sum())
+                n_tot += len(s)
+            return pa.table(
+                {
+                    "s": pa.array([s_tot], pa.int64()),
+                    "s2": pa.array([s2_tot], pa.int64()),
+                    "n": pa.array([n_tot], pa.int64()),
+                }
+            )
+
+    agg = (
+        documents_as_wav(sf_dir, repeats)
+        .map_batches(Partial, batch_format="pyarrow", concurrency=2, batch_size=128)
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    s, s2, n = int(agg["s"]), int(agg["s2"]), int(agg["n"])
+    mean = s / (1.0 * n)
+    std = math.sqrt(s2 / (1.0 * n) - mean * mean)
+    return pa.table(
+        {
+            "n_samples": pa.array([n], pa.int64()),
+            "sum_s": pa.array([s], pa.int64()),
+            "sum_s2": pa.array([s2], pa.int64()),
+            "mean_s": pa.array([round(mean, 6)], pa.float64()),
+            "std_s": pa.array([round(std, 6)], pa.float64()),
+        }
+    )
+
+
+def audio_norm_stats_oracle_sql(repeats: int = 8) -> str:
+    """Σs / Σs² from digest bytes: each of the 16 bytes appears
+    ``repeats``× per doc as sample value 16·byte."""
+
+    def byte_expr(j: int) -> str:
+        return f"CAST(concat('0x', substr(md5(text), {2 * j + 1}, 2)) AS INTEGER)"
+
+    s_terms = " + ".join(f"16 * {byte_expr(j)}" for j in range(16))
+    s2_terms = " + ".join(
+        f"(16 * {byte_expr(j)}) * (16 * {byte_expr(j)})" for j in range(16)
+    )
+    return f"""WITH per AS (
+  SELECT doc_id, {repeats} * ({s_terms}) AS s_doc,
+         {repeats} * ({s2_terms}) AS s2_doc
+  FROM documents
+), tot AS (
+  SELECT SUM(s_doc) AS s, SUM(s2_doc) AS s2,
+         16 * {repeats} * COUNT(*) AS n FROM per
+), m AS (
+  SELECT s, s2, n, s / (1.0 * n) AS mean FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_samples, CAST(s AS BIGINT) AS sum_s,
+       CAST(s2 AS BIGINT) AS sum_s2, ROUND(mean, 6) AS mean_s,
+       ROUND(sqrt(s2 / (1.0 * n) - mean * mean), 6) AS std_s
+FROM m"""

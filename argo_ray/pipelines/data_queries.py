@@ -116,6 +116,15 @@ def q_image_norm_stats(sf_dir: str):
     return image_norm_stats(sf_dir)
 
 
+def q_audio_norm_stats(sf_dir: str):
+    """Audio normalization mean/std over the real WAV corpus (exact
+    integer Σs/Σs², shared IEEE float finish —
+    :func:`argo_ray.functions.multimodal.audio_norm_stats`)."""
+    from ..functions.multimodal import audio_norm_stats
+
+    return audio_norm_stats(sf_dir)
+
+
 def q_pages_sitemap_index(sf_dir: str):
     """Two-level sitemap discovery (sitemaps.org 50k-entry cap forces
     real sites to shard + publish an index): one synthesized
@@ -7153,6 +7162,7 @@ DATA_QUERIES = {
     "events_zorder_key": q_events_zorder_key,
     "lineitem_running_revenue": q_lineitem_running_revenue,
     "events_ab_arms": q_events_ab_arms,
+    "audio_norm_stats": q_audio_norm_stats,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9094,6 +9104,10 @@ FROM m"""
 
 
 DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
+
+from ..functions.multimodal import audio_norm_stats_oracle_sql as _audio_norm_sql  # noqa: E402
+
+DATA_ORACLES["audio_norm_stats"] = _audio_norm_sql()
 
 
 # per-order running revenue: SUM() OVER (PARTITION BY ... ORDER BY)

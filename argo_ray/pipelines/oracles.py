@@ -1756,6 +1756,15 @@ SELECT n.node, md5(n.lab || '|' || string_agg(dn.lab, ',' ORDER BY dn.lab))
 FROM deg n JOIN e ON e.u = n.node JOIN deg dn ON dn.node = e.v
 GROUP BY n.node, n.lab"""
 
+# top-3 sites by doc count through the aggregate ORDER BY path
+ORACLES["sparql_orderby_agg_eval"] = """SELECT
+  '<https://site' || s || '.example.org/>' AS site,
+  CAST(n AS BIGINT) AS n
+FROM (
+  SELECT doc_id % 5 AS s, COUNT(*) AS n FROM documents GROUP BY doc_id % 5
+  ORDER BY n DESC, s ASC LIMIT 3
+)"""
+
 # SERVICE federation: local languages joined with endpoint token counts
 ORACLES["sparql_service_eval"] = """SELECT
   '<https://kg.example.org/doc/' || doc_id || '>' AS doc,

@@ -2798,6 +2798,22 @@ def q_sparql_seq_path_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_orderby_agg_eval(sf_dir: str):
+    """ORDER BY over an AGGREGATE + LIMIT (top-k groups through the
+    engine): the three busiest sites by distinct hosted documents,
+    ?site as tie-break — the grouped-leaderboard shape issued as
+    SPARQL."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    SELECT ?site (COUNT(?doc) AS ?n)
+    WHERE {{ ?doc ex:site ?site }}
+    GROUP BY ?site
+    ORDER BY DESC(COUNT(?doc)) ?site
+    LIMIT 3"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_exists_eval(sf_dir: str):
     """Positive ``FILTER EXISTS`` (SPARQL 1.1 §8.1.1) — the semi-join
     twin of the NOT EXISTS query: typed subjects kept only when a
@@ -5013,6 +5029,7 @@ KG_QUERIES = {
     "sparql_orderby_eval": q_sparql_orderby_eval,
     "sparql_exists_eval": q_sparql_exists_eval,
     "sparql_service_eval": q_sparql_service_eval,
+    "sparql_orderby_agg_eval": q_sparql_orderby_agg_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,
