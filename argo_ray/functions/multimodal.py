@@ -1144,3 +1144,86 @@ SELECT CAST(n AS BIGINT) AS n_samples, CAST(s AS BIGINT) AS sum_s,
        CAST(s2 AS BIGINT) AS sum_s2, ROUND(mean, 6) AS mean_s,
        ROUND(sqrt(s2 / (1.0 * n) - mean * mean), 6) AS std_s
 FROM m"""
+
+
+def video_norm_stats(sf_dir: str, total_frames: int = 10):
+    """Video (luma) normalization stats — the per-corpus pixel mean/std
+    completing the image/audio/video trio: exact integer Σy and Σy²
+    over every decoded luma byte of every frame, one global aggregate,
+    shared IEEE float finish."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    class Partial:
+        def __init__(self):
+            pass
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s_tot, s2_tot, n_tot = 0, 0, 0
+            for payload in b["payload"].to_pylist():
+                w, h, frames = decode_y4m(payload)
+                y = np.frombuffer(b"".join(frames), dtype=np.uint8).astype(
+                    np.int64
+                )
+                s_tot += int(y.sum())
+                s2_tot += int((y * y).sum())
+                n_tot += len(y)
+            return pa.table(
+                {
+                    "s": pa.array([s_tot], pa.int64()),
+                    "s2": pa.array([s2_tot], pa.int64()),
+                    "n": pa.array([n_tot], pa.int64()),
+                }
+            )
+
+    agg = (
+        documents_as_y4m(sf_dir, total_frames)
+        .map_batches(Partial, batch_format="pyarrow", concurrency=2, batch_size=128)
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    s, s2, n = int(agg["s"]), int(agg["s2"]), int(agg["n"])
+    mean = s / (1.0 * n)
+    std = math.sqrt(s2 / (1.0 * n) - mean * mean)
+    return pa.table(
+        {
+            "n_luma": pa.array([n], pa.int64()),
+            "sum_y": pa.array([s], pa.int64()),
+            "sum_y2": pa.array([s2], pa.int64()),
+            "mean_y": pa.array([round(mean, 6)], pa.float64()),
+            "std_y": pa.array([round(std, 6)], pa.float64()),
+        }
+    )
+
+
+def video_norm_stats_oracle_sql(total_frames: int = 10) -> str:
+    """Σy / Σy² from the per-frame digests (each of a frame's 16 bytes
+    appears 4× in the 64 luma bytes).  One UNNEST row per (doc, frame)
+    keeps each sum at 16 terms — a flat 160-term chain trips DuckDB's
+    binder recursion cap (128)."""
+
+    def byte_expr(j: int) -> str:
+        return f"CAST(concat('0x', substr(h, {2 * j + 1}, 2)) AS INTEGER)"
+
+    s_terms = " + ".join(byte_expr(j) for j in range(16))
+    s2_terms = " + ".join(f"{byte_expr(j)} * {byte_expr(j)}" for j in range(16))
+    n_per_doc = 64 * total_frames
+    return f"""WITH fr AS (
+  SELECT doc_id, md5(text || '#' || u.i) AS h
+  FROM documents, UNNEST(range({total_frames})) AS u(i)
+), per AS (
+  SELECT doc_id, 4 * ({s_terms}) AS s_f, 4 * ({s2_terms}) AS s2_f FROM fr
+), tot AS (
+  SELECT SUM(s_f) AS s, SUM(s2_f) AS s2,
+         {n_per_doc} * COUNT(DISTINCT doc_id) AS n FROM per
+), m AS (
+  SELECT s, s2, n, s / (1.0 * n) AS mean FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_luma, CAST(s AS BIGINT) AS sum_y,
+       CAST(s2 AS BIGINT) AS sum_y2, ROUND(mean, 6) AS mean_y,
+       ROUND(sqrt(s2 / (1.0 * n) - mean * mean), 6) AS std_y
+FROM m"""

@@ -125,6 +125,14 @@ def q_audio_norm_stats(sf_dir: str):
     return audio_norm_stats(sf_dir)
 
 
+def q_video_norm_stats(sf_dir: str):
+    """Video luma normalization mean/std over the real Y4M corpus
+    (:func:`argo_ray.functions.multimodal.video_norm_stats`)."""
+    from ..functions.multimodal import video_norm_stats
+
+    return video_norm_stats(sf_dir)
+
+
 def q_pages_sitemap_index(sf_dir: str):
     """Two-level sitemap discovery (sitemaps.org 50k-entry cap forces
     real sites to shard + publish an index): one synthesized
@@ -7163,6 +7171,7 @@ DATA_QUERIES = {
     "lineitem_running_revenue": q_lineitem_running_revenue,
     "events_ab_arms": q_events_ab_arms,
     "audio_norm_stats": q_audio_norm_stats,
+    "video_norm_stats": q_video_norm_stats,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9108,6 +9117,10 @@ DATA_ORACLES["image_norm_stats"] = _image_norm_stats_oracle_sql()
 from ..functions.multimodal import audio_norm_stats_oracle_sql as _audio_norm_sql  # noqa: E402
 
 DATA_ORACLES["audio_norm_stats"] = _audio_norm_sql()
+
+from ..functions.multimodal import video_norm_stats_oracle_sql as _video_norm_sql  # noqa: E402
+
+DATA_ORACLES["video_norm_stats"] = _video_norm_sql()
 
 
 # per-order running revenue: SUM() OVER (PARTITION BY ... ORDER BY)
