@@ -6543,6 +6543,42 @@ def q_events_ab_arms(sf_dir: str):
     )
 
 
+def q_events_value_winsorize(sf_dir: str):
+    """WINSORIZATION — the outlier-robust feature-engineering clip:
+    event values clamped to the exact [P05, P95] integer-cents
+    quantiles (computed by the mergeable-histogram quantile pass, then
+    broadcast as two scalars into a zero-shuffle clip map).  Output:
+    per event the original and winsorized cents plus a clipped flag —
+    exact integers end to end."""
+    from ..stages.windows import value_quantiles_cents
+
+    qt = {
+        r["q"]: int(r["cents"])
+        for r in value_quantiles_cents(
+            _events(sf_dir), qs=(0.05, 0.95)
+        ).to_pylist()
+    }
+    lo, hi = qt["0.05"], qt["0.95"]
+
+    def clip(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        w = np.clip(cents, lo, hi)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "winsorized_cents": pa.array(w, pa.int64()),
+                "clipped": pa.array(w != cents, pa.bool_()),
+            }
+        )
+
+    return _events(sf_dir).map_batches(clip, batch_format="pyarrow")
+
+
 def q_events_zorder_key(sf_dir: str):
     """Z-ORDER (Morton) partition keys — the lakehouse layout trick
     that keeps multi-dimensional range queries local: interleave the
@@ -7172,6 +7208,7 @@ DATA_QUERIES = {
     "events_ab_arms": q_events_ab_arms,
     "audio_norm_stats": q_audio_norm_stats,
     "video_norm_stats": q_video_norm_stats,
+    "events_value_winsorize": q_events_value_winsorize,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9143,6 +9180,21 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# winsorize to the exact P05/P95 integer-cents quantiles
+DATA_ORACLES["events_value_winsorize"] = """WITH b AS (
+  SELECT quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.05) AS lo,
+         quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.95) AS hi
+  FROM events
+)
+SELECT e.event_id,
+       CAST(FLOOR(e.value * 100) AS BIGINT) AS cents,
+       CAST(LEAST(GREATEST(FLOOR(e.value * 100), b.lo), b.hi) AS BIGINT)
+         AS winsorized_cents,
+       FLOOR(e.value * 100) < b.lo OR FLOOR(e.value * 100) > b.hi
+         AS clipped
+FROM events e, b"""
 
 
 # Morton interleave of (hour 5 bits, user_id%32 5 bits)
