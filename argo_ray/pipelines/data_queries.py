@@ -6543,6 +6543,97 @@ def q_events_ab_arms(sf_dir: str):
     )
 
 
+def q_pages_boilerplate_lines(sf_dir: str):
+    """Per-SITE boilerplate mining (the jusText/Arc90-style cleaning
+    signal a CC pipeline needs before extraction): 8-token lines
+    appearing in ≥ half of a site's documents are template chrome, not
+    content.  Fixture plants a deterministic per-site footer on every
+    page; the op must recover exactly those.  Plan: explode lines
+    keyed (site, line) with per-batch count partials → ONE (site,
+    line) groupby → broadcast per-site doc totals (5 sites) → ratio
+    gate; the heavy exchange is keyed by content, not by site, so one
+    giant site cannot skew it."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    FOOTER = "footer site {s} terms privacy contact about copyright"
+
+    def with_footer(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        texts = pc.cast(b["text"], pa.large_string()).to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "site": pa.array([i % 5 for i in ids], pa.int64()),
+                # PREPENDED so the template occupies chunk 0 exactly
+                # (8-token chunking is position-aligned from 0)
+                "text": pa.array(
+                    [
+                        FOOTER.format(s=i % 5) + " " + t
+                        for i, t in zip(ids, texts)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    docs = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        with_footer, batch_format="pyarrow"
+    )
+    # per-site doc totals: 5 rows — broadcast side
+    totals = {
+        int(r["site"]): int(r["n"])
+        for r in docs.groupby("site")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    tot_ref = ray.put(totals)
+
+    def lines_partial(b: pa.Table) -> pa.Table:
+        rows_site, rows_line, rows_n = [], [], []
+        for site, text in zip(
+            b["site"].to_pylist(), b["text"].to_pylist()
+        ):
+            toks = text.split(" ")
+            seen = set()
+            for i in range(0, len(toks) - 7, 8):
+                seen.add(" ".join(toks[i : i + 8]))
+            for ln in seen:
+                rows_site.append(site)
+                rows_line.append(ln)
+                rows_n.append(1)
+        return pa.table(
+            {
+                "site": pa.array(rows_site, pa.int64()),
+                "line": pa.array(rows_line, pa.string()),
+                "n_part": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(lines_partial, batch_format="pyarrow")
+        .groupby(["site", "line"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        sites = [int(v) for v in b["site"].to_pylist()]
+        n = [int(v) for v in b["n_docs"].to_pylist()]
+        keep = [2 * nn >= tot[s] for s, nn in zip(sites, n)]
+        t = pa.table(
+            {
+                "site": pa.array(sites, pa.int64()),
+                "line": pc.cast(b["line"], pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return counts.map_batches(gate, batch_format="pyarrow")
+
+
 def q_events_value_winsorize(sf_dir: str):
     """WINSORIZATION — the outlier-robust feature-engineering clip:
     event values clamped to the exact [P05, P95] integer-cents
@@ -7209,6 +7300,7 @@ DATA_QUERIES = {
     "audio_norm_stats": q_audio_norm_stats,
     "video_norm_stats": q_video_norm_stats,
     "events_value_winsorize": q_events_value_winsorize,
+    "pages_boilerplate_lines": q_pages_boilerplate_lines,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9180,6 +9272,27 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# per-site template lines: chunk-0 footer planted on every page
+DATA_ORACLES["pages_boilerplate_lines"] = """WITH d AS (
+  SELECT doc_id, doc_id % 5 AS site,
+         string_split('footer site ' || (doc_id % 5) ||
+           ' terms privacy contact about copyright ' || text, ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id, site,
+         array_to_string(toks[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS line
+  FROM d, UNNEST(range(len(toks) // 8)) AS u(i)
+), cnt AS (
+  SELECT site, line, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT site, COUNT(*) AS n FROM d GROUP BY site
+)
+SELECT c.site, c.line, c.n_docs
+FROM cnt c JOIN tot t ON t.site = c.site
+WHERE 2 * c.n_docs >= t.n"""
 
 
 # winsorize to the exact P05/P95 integer-cents quantiles
