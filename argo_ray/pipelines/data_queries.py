@@ -6634,6 +6634,85 @@ def q_pages_boilerplate_lines(sf_dir: str):
     return counts.map_batches(gate, batch_format="pyarrow")
 
 
+def q_events_conversion_latency(sf_dir: str):
+    """Conversion-latency quantiles — the activation metric every
+    product dashboard tracks: per user converting after signup, the
+    whole-second delay between FIRST signup and FIRST later purchase;
+    reported as exact P50/P90 via the same mergeable integer-histogram
+    quantile pass as the value quantiles (no sorting the deltas, no
+    driver row collection beyond the bounded histogram)."""
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+
+    def typed_ts(b: pa.Table) -> pa.Table:
+        et = pc.cast(b["event_type"], pa.string())
+        ts = pc.cast(b["ts"], pa.int64())
+        big = pa.scalar(np.iinfo(np.int64).max, pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "signup_ts": pc.if_else(pc.equal(et, "signup"), ts, big),
+                "purchase_ts": pc.if_else(pc.equal(et, "purchase"), ts, big),
+            }
+        )
+
+    firsts = (
+        _events(sf_dir)
+        .map_batches(typed_ts, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("signup_ts", alias_name="first_signup"),
+            Min("purchase_ts", alias_name="first_purchase"),
+        )
+    )
+
+    BIG = np.iinfo(np.int64).max
+
+    def delta_hist(b: pa.Table) -> pa.Table:
+        s = b["first_signup"].to_numpy(zero_copy_only=False)
+        p = b["first_purchase"].to_numpy(zero_copy_only=False)
+        ok = (s != BIG) & (p != BIG) & (p >= s)
+        secs = (p[ok] - s[ok]) // 1_000_000
+        vals, counts = np.unique(secs, return_counts=True)
+        return pa.table(
+            {
+                "secs": pa.array(vals, pa.int64()),
+                "part": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = (
+        firsts.map_batches(delta_hist, batch_format="pyarrow")
+        .groupby("secs")
+        .aggregate(Sum("part", alias_name="n"))
+        .sort("secs")
+        .take_all()
+    )
+    total = sum(r["n"] for r in hist)
+    out_q, out_s = [], []
+    for q in (0.5, 0.9):
+        rank = max(1, math.ceil(q * total))
+        run = 0
+        val = hist[-1]["secs"] if hist else 0
+        for r in hist:
+            run += r["n"]
+            if run >= rank:
+                val = r["secs"]
+                break
+        out_q.append(str(q))
+        out_s.append(int(val))
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.string()),
+            "latency_secs": pa.array(out_s, pa.int64()),
+            "n_converting": pa.array([total] * len(out_q), pa.int64()),
+        }
+    )
+
+
 def q_events_value_winsorize(sf_dir: str):
     """WINSORIZATION — the outlier-robust feature-engineering clip:
     event values clamped to the exact [P05, P95] integer-cents
@@ -7301,6 +7380,7 @@ DATA_QUERIES = {
     "video_norm_stats": q_video_norm_stats,
     "events_value_winsorize": q_events_value_winsorize,
     "pages_boilerplate_lines": q_pages_boilerplate_lines,
+    "events_conversion_latency": q_events_conversion_latency,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9272,6 +9352,28 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# first-signup -> first-later-purchase whole-second delay quantiles
+DATA_ORACLES["events_conversion_latency"] = """WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT (epoch_us(p) - epoch_us(s)) // 1000000 AS secs
+  FROM f WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+)
+SELECT q, latency_secs, n_converting FROM (
+  SELECT '0.5' AS q,
+         CAST(quantile_disc(secs, 0.5) AS BIGINT) AS latency_secs,
+         CAST(COUNT(*) AS BIGINT) AS n_converting
+  FROM d
+  UNION ALL
+  SELECT '0.9', CAST(quantile_disc(secs, 0.9) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM d
+)"""
 
 
 # per-site template lines: chunk-0 footer planted on every page
