@@ -6634,6 +6634,55 @@ def q_pages_boilerplate_lines(sf_dir: str):
     return counts.map_batches(gate, batch_format="pyarrow")
 
 
+def q_events_session_paths(sf_dir: str):
+    """Session PATH ANALYSIS — the top-5 most common event-type
+    journeys (the funnel-discovery view product analytics starts
+    from): 30-minute-gap sessions per user, each rendered as the
+    '>'-joined type sequence ordered by (ts, event_id), counted
+    globally.  One user sort co-locates each user's rows; paths
+    assemble in-block; one path-keyed groupby + top-5 sort finish."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    gap = pd.Timedelta(minutes=30)
+
+    def paths_block(df: pd.DataFrame):
+        schema = pa.schema([("path", pa.string()), ("n_part", pa.int64())])
+        if len(df) == 0:
+            return schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        over_gap = df["ts"].diff() > gap
+        sess = (new_user | over_gap).cumsum()
+        p = (
+            df.assign(_sess=sess)
+            .groupby("_sess", sort=False)["event_type"]
+            .agg(">".join)
+        )
+        counts = p.value_counts()
+        return pa.table(
+            {
+                "path": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+                "n_part": pa.array(
+                    counts.to_numpy(dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    paths = (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id", "event_type"])
+        .sort("user_id")
+        .map_batches(paths_block, batch_format="pandas", batch_size=None)
+        .groupby("path")
+        .aggregate(Sum("n_part", alias_name="n_sessions"))
+    )
+    return paths.sort(
+        ["n_sessions", "path"], descending=[True, False]
+    ).limit(5)
+
+
 def q_events_conversion_latency(sf_dir: str):
     """Conversion-latency quantiles — the activation metric every
     product dashboard tracks: per user converting after signup, the
@@ -7381,6 +7430,7 @@ DATA_QUERIES = {
     "events_value_winsorize": q_events_value_winsorize,
     "pages_boilerplate_lines": q_pages_boilerplate_lines,
     "events_conversion_latency": q_events_conversion_latency,
+    "events_session_paths": q_events_session_paths,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9352,6 +9402,26 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# top-5 session event-type journeys (30-min gap sessions)
+DATA_ORACLES["events_session_paths"] = """WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS st
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM s
+), p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sid GROUP BY user_id, sess
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 5"""
 
 
 # first-signup -> first-later-purchase whole-second delay quantiles
