@@ -6634,6 +6634,117 @@ def q_pages_boilerplate_lines(sf_dir: str):
     return counts.map_batches(gate, batch_format="pyarrow")
 
 
+def q_parts_revenue_pareto(sf_dir: str):
+    """PARETO / ABC analysis — how concentrated is revenue?  The
+    number of top parts whose cumulative revenue first reaches half
+    the total (the 80/20 diagnostic every assortment review runs).
+    Per-part exact cents via one groupby; ranks from ONE distributed
+    sort on an INVERTED zero-padded (revenue, partkey) key + the
+    block-offset prefix sum over revenue; the threshold test
+    ``2·cum ≥ total`` stays in integers.  Output one row
+    (n_parts_half, n_parts, total_cents)."""
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.packing import running_total
+    from ..io import read_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "partkey": pc.cast(b["l_partkey"], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("partkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "partkey": pc.cast(g["partkey"], pa.int64()),
+                "c_part": pc.cast(g["cents_sum"], pa.int64()),
+            }
+        )
+
+    per_part = (
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("c_part", alias_name="cents"))
+        .materialize()
+    )
+    total = int(per_part.sum("cents"))
+    n_parts = per_part.count()
+
+    BIG = 10**15
+
+    def keyed(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        keys = [
+            f"{BIG - int(c):016d}-{int(k):010d}"
+            for c, k in zip(cents, b["partkey"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "order_key": pa.array(keys, pa.string()),
+                "cents": pc.cast(b["cents"], pa.int64()),
+            }
+        )
+
+    ranked = running_total(
+        per_part.map_batches(keyed, batch_format="pyarrow"),
+        order_col="order_key",
+        value_col="cents",
+        out_col="cum",
+    )
+
+    def first_half(b: pa.Table) -> pa.Table:
+        cum = b["cum"].to_numpy(zero_copy_only=False)
+        ok = 2 * cum >= total
+        if not ok.any():
+            return pa.table({"rank_hit": pa.array([], pa.int64())})
+        # rank of the first qualifying part = cum's row index + 1 —
+        # recover it from the running total: it is the COUNT of parts
+        # with key <= this one, i.e. emit candidate ranks and Min them
+        idx = np.flatnonzero(ok)
+        # rank within corpus = position of this row in the global
+        # order; running_total gives cum over cents, not row counts —
+        # emit the count of qualifying candidates' minimal cum instead
+        return pa.table(
+            {"rank_hit": pa.array([int(cum[idx[0]])], pa.int64())}
+        )
+
+    # n_parts_half = number of parts with cum <= cum_first_qualifying
+    hit = ranked.map_batches(first_half, batch_format="pyarrow").aggregate(
+        Min("rank_hit", alias_name="cum_hit")
+    )
+    cum_hit = int(hit["cum_hit"])
+    n_half = (
+        ranked.map_batches(
+            lambda b: pa.table(
+                {
+                    "one": pc.cast(
+                        pc.less_equal(
+                            b["cum"], pa.scalar(cum_hit, pa.int64())
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("one")
+    )
+    return pa.table(
+        {
+            "n_parts_half": pa.array([int(n_half)], pa.int64()),
+            "n_parts": pa.array([int(n_parts)], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+        }
+    )
+
+
 def q_events_session_paths(sf_dir: str):
     """Session PATH ANALYSIS — the top-5 most common event-type
     journeys (the funnel-discovery view product analytics starts
@@ -7431,6 +7542,7 @@ DATA_QUERIES = {
     "pages_boilerplate_lines": q_pages_boilerplate_lines,
     "events_conversion_latency": q_events_conversion_latency,
     "events_session_paths": q_events_session_paths,
+    "parts_revenue_pareto": q_parts_revenue_pareto,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9402,6 +9514,26 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# Pareto: #top parts whose cumulative revenue first covers half
+DATA_ORACLES["parts_revenue_pareto"] = """WITH p AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), t AS (
+  SELECT SUM(cents) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM p
+), r AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum
+  FROM p
+)
+SELECT CAST((SELECT COUNT(*) FROM r
+             WHERE cum <= (SELECT MIN(cum) FROM r, t
+                           WHERE 2 * r.cum >= t.total)) AS BIGINT)
+         AS n_parts_half,
+       t.n AS n_parts, CAST(t.total AS BIGINT) AS total_cents
+FROM t"""
 
 
 # top-5 session event-type journeys (30-min gap sessions)
