@@ -6745,6 +6745,149 @@ def q_parts_revenue_pareto(sf_dir: str):
     )
 
 
+def q_docs_corpus_drift(sf_dir: str):
+    """Corpus DRIFT report between two crawl generations (dataset
+    monitoring: is tomorrow's crawl still the distribution the model
+    trained on?): content fingerprints bucketed by their first md5
+    nibble, per-bucket counts for generation A (as-is) vs generation
+    B (every 4th doc mutated) and the exact total-variation numerator
+    ``|n_a − n_b|``.  Two streamed passes + ONE 16-row bucket groupby;
+    md5 keying keeps both sides oracle-exact."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def gen(b: pa.Table, mutate: bool) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        texts = pc.cast(b["text"], pa.large_string()).to_pylist()
+        buckets = []
+        for i, t in zip(ids, texts):
+            body = t + " drift" if (mutate and i % 4 == 0) else t
+            buckets.append(int(hashlib.md5(body.encode()).hexdigest()[0], 16))
+        t2 = pa.table({"bucket": pa.array(buckets, pa.int64())})
+        g = t2.group_by("bucket").aggregate([("bucket", "count")])
+        n = pc.cast(g["bucket_count"], pa.int64())
+        zero = pa.nulls(g.num_rows, pa.int64())
+        if mutate:
+            a_col, b_col = pc.fill_null(zero, 0), n
+        else:
+            a_col, b_col = n, pc.fill_null(zero, 0)
+        return pa.table(
+            {
+                "bucket": pc.cast(g["bucket"], pa.int64()),
+                "a_part": a_col,
+                "b_part": b_col,
+            }
+        )
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    gen_a = docs.map_batches(
+        lambda b: gen(b, False), batch_format="pyarrow"
+    )
+    gen_b = docs.map_batches(
+        lambda b: gen(b, True), batch_format="pyarrow"
+    )
+    out = (
+        gen_a.union(gen_b)
+        .groupby("bucket")
+        .aggregate(
+            Sum("a_part", alias_name="n_a"),
+            Sum("b_part", alias_name="n_b"),
+        )
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "bucket": pc.cast(b["bucket"], pa.int64()),
+                "n_a": pc.cast(b["n_a"], pa.int64()),
+                "n_b": pc.cast(b["n_b"], pa.int64()),
+                "abs_delta": pc.abs(
+                    pc.subtract(
+                        pc.cast(b["n_a"], pa.int64()),
+                        pc.cast(b["n_b"], pa.int64()),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_stickiness(sf_dir: str):
+    """DAU / WAU STICKINESS — exact ROLLING DISTINCT users (no
+    sketch): for every calendar day, the distinct actives that day and
+    over the trailing 7 days.  Plan: per-(day, user) dedup partials →
+    each surviving pair fans out to its ≤7 window days → one
+    (window_day, user) dedup exchange → per-day count; the fan-out is
+    bounded by 7×, and every exchange is keyed by (day, user) — no
+    driver state, no per-day scans."""
+    from ray.data.aggregate import Count
+
+    DAY_US = 86_400_000_000
+
+    def day_user(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["ts"], pa.int64()), DAY_US)
+        t = pa.table(
+            {
+                "day": pc.cast(day, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["day", "user_id"]).aggregate([("user_id", "count")])
+        return g.select(["day", "user_id"])
+
+    pairs = (
+        _events(sf_dir)
+        .map_batches(day_user, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["day", "user_id"])
+        .materialize()
+    )
+    # the set of OBSERVED days bounds the fan-out targets (a window
+    # day with no events of its own still counts trailing actives —
+    # but the report is per observed day, matching the oracle)
+    days = sorted(r["day"] for r in pairs.groupby("day").count().take_all())
+    days_arr = pa.array(days, pa.int64())
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b["day"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        obs = np.asarray(days, dtype=np.int64)
+        out_d, out_u = [], []
+        for off in range(7):
+            w = d + off  # this pair is "trailing-active" on day d+off
+            keep = np.isin(w, obs)
+            out_d.append(w[keep])
+            out_u.append(u[keep])
+        return pa.table(
+            {
+                "wday": pa.array(np.concatenate(out_d), pa.int64()),
+                "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            }
+        )
+
+    wau = (
+        pairs.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["wday", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("wday")
+        .aggregate(Count(alias_name="wau"))
+    )
+    dau = pairs.groupby("day").aggregate(Count(alias_name="dau"))
+    d_map = {int(r["day"]): int(r["dau"]) for r in dau.take_all()}
+    w_map = {int(r["wday"]): int(r["wau"]) for r in wau.take_all()}
+    return pa.table(
+        {
+            "day": days_arr,
+            "dau": pa.array([d_map[d] for d in days], pa.int64()),
+            "wau": pa.array([w_map[d] for d in days], pa.int64()),
+        }
+    )
+
+
 def q_events_session_paths(sf_dir: str):
     """Session PATH ANALYSIS — the top-5 most common event-type
     journeys (the funnel-discovery view product analytics starts
@@ -7543,6 +7686,8 @@ DATA_QUERIES = {
     "events_conversion_latency": q_events_conversion_latency,
     "events_session_paths": q_events_session_paths,
     "parts_revenue_pareto": q_parts_revenue_pareto,
+    "docs_corpus_drift": q_docs_corpus_drift,
+    "events_stickiness": q_events_stickiness,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9514,6 +9659,39 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# drift: md5-nibble bucket histograms, gen A vs mutated gen B
+DATA_ORACLES["docs_corpus_drift"] = """WITH a AS (
+  SELECT CAST(concat('0x', substr(md5(text), 1, 1)) AS INTEGER) AS bucket
+  FROM documents
+), b AS (
+  SELECT CAST(concat('0x', substr(md5(
+           CASE WHEN doc_id % 4 = 0 THEN text || ' drift' ELSE text END
+         ), 1, 1)) AS INTEGER) AS bucket
+  FROM documents
+), ca AS (SELECT bucket, COUNT(*) AS n_a FROM a GROUP BY 1),
+   cb AS (SELECT bucket, COUNT(*) AS n_b FROM b GROUP BY 1)
+SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       CAST(ABS(COALESCE(n_a, 0) - COALESCE(n_b, 0)) AS BIGINT)
+         AS abs_delta
+FROM ca FULL JOIN cb ON ca.bucket = cb.bucket"""
+
+# exact rolling 7-day distinct actives per observed day
+DATA_ORACLES["events_stickiness"] = """WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM du),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+), wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT d.day, dau.dau, wau.wau
+FROM days d JOIN dau USING (day) JOIN wau USING (day)"""
 
 
 # Pareto: #top parts whose cumulative revenue first covers half
