@@ -6745,6 +6745,76 @@ def q_parts_revenue_pareto(sf_dir: str):
     )
 
 
+def q_embeddings_top_pc(sf_dir: str):
+    """Top PRINCIPAL COMPONENT by distributed POWER ITERATION — the
+    matvec-at-scale primitive (spectral embeddings, PCA whitening,
+    spectral clustering all reduce to it): each iteration computes
+    ``X^T (X v)`` as per-batch dim-sized partials (ONE matvec pair per
+    batch, the n×dim matrix never concentrates anywhere), summed into
+    the next dim-vector on the driver (64 floats of state).  15
+    iterations from a deterministic start; the PARITY GATE compares
+    against a LOCAL run of the same iteration (same start, same
+    count) — |cos| ≥ 1 − 1e−6 must hold, i.e. the distributed matvec
+    partials reproduce the local linear algebra (the same
+    distributed-equals-local contract as the k-means gate; this
+    corpus's eigengap is too small for 15 rounds to pin the true top
+    eigenvector, so convergence itself is not the claim)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    dim = 64
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).materialize()
+
+    def matvec_partial(b: pa.Table, v: np.ndarray) -> pa.Table:
+        from ..functions.ann import _to_matrix
+
+        m = _to_matrix(b["embedding"]).astype(np.float64)
+        part = m.T @ (m @ v)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "val": pa.array(part, pa.float64()),
+            }
+        )
+
+    v = np.ones(dim, dtype=np.float64) / np.sqrt(dim)
+    for _ in range(15):
+        rows = (
+            emb.map_batches(
+                lambda b, v=v: matvec_partial(b, v), batch_format="pyarrow"
+            )
+            .groupby("i")
+            .aggregate(Sum("val", alias_name="s"))
+            .take_all()
+        )
+        nxt = np.zeros(dim)
+        for r in rows:
+            nxt[int(r["i"])] = float(r["s"])
+        v = nxt / np.linalg.norm(nxt)
+
+    # local reference: the SAME power iteration on the locally
+    # accumulated Gram matrix (same start vector, same 15 rounds)
+    from ..functions.ann import _to_matrix
+
+    gram = np.zeros((dim, dim))
+    for b in emb.iter_batches(batch_format="pyarrow"):
+        m = _to_matrix(b["embedding"]).astype(np.float64)
+        gram += m.T @ m
+    ref = np.ones(dim, dtype=np.float64) / np.sqrt(dim)
+    for _ in range(15):
+        nxt = gram @ ref
+        ref = nxt / np.linalg.norm(nxt)
+    cos = abs(float(ref @ v))
+    return pa.table(
+        {
+            "dim": pa.array([dim], pa.int64()),
+            "iters": pa.array([15], pa.int64()),
+            "top_pc_ok": pa.array([cos >= 1.0 - 1e-6], pa.bool_()),
+        }
+    )
+
+
 def q_docs_corpus_drift(sf_dir: str):
     """Corpus DRIFT report between two crawl generations (dataset
     monitoring: is tomorrow's crawl still the distribution the model
@@ -7688,6 +7758,7 @@ DATA_QUERIES = {
     "parts_revenue_pareto": q_parts_revenue_pareto,
     "docs_corpus_drift": q_docs_corpus_drift,
     "events_stickiness": q_events_stickiness,
+    "embeddings_top_pc": q_embeddings_top_pc,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9659,6 +9730,14 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# power-iteration gate: the distributed matvec must align with the
+# local Gram eigendecomposition (|cos| >= 0.999) — accuracy-gate
+# contract like the LSH query
+DATA_ORACLES["embeddings_top_pc"] = """SELECT
+  CAST(64 AS BIGINT) AS dim, CAST(15 AS BIGINT) AS iters,
+  TRUE AS top_pc_ok"""
 
 
 # drift: md5-nibble bucket histograms, gen A vs mutated gen B
