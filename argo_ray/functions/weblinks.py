@@ -314,9 +314,16 @@ def rank_chains(next_ds, rounds: int = 2):
         # whole key groups per sorted block (grouping.py contract);
         # ONE vectorized pandas merge per block, never a per-key
         # Python dispatch — the first cut used grouped_map's per-group
-        # kernel here and spent minutes on 1M-node inputs
+        # kernel here and spent minutes on 1M-node inputs.  ``fin``
+        # marks rows whose target had NO successor: they point at
+        # their chain tail and are FINAL.
         schema = pa.schema(
-            [("src", pa.string()), ("dst", pa.string()), ("d", pa.int64())]
+            [
+                ("src", pa.string()),
+                ("dst", pa.string()),
+                ("d", pa.int64()),
+                ("fin", pa.int8()),
+            ]
         )
         if len(df) == 0 or "key" not in df.columns:
             return schema.empty_table()
@@ -334,9 +341,26 @@ def rank_chains(next_ds, rounds: int = 2):
                 "src": pa.array(j["src"].to_numpy(dtype=object), pa.string()),
                 "dst": pa.array(dst.to_numpy(dtype=object), pa.string()),
                 "d": pa.array(d.to_numpy(dtype="int64"), pa.int64()),
+                "fin": pa.array(
+                    (~hit).to_numpy(dtype="int8"), pa.int8()
+                ),
             }
         )
 
+    # rows RETIRE from the doubling loop the round their target turns
+    # out to be a tail: without retirement a long single chain
+    # degenerates — every converged row keys to the ONE tail, the
+    # sort piles them into a single block and re-processes them every
+    # round (measured 113 s for a 16k single chain pre-fix).  Retired
+    # rows stay in m (fin=1): they skip the DATA side but still serve
+    # the MAP side — upstream rows jump through their final src→tail
+    # mapping.  ONE materialize per round, same as the plain loop.
+    m = m.map_batches(
+        lambda b: b.append_column(
+            "fin", pa.array([0] * b.num_rows, pa.int8())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     for _ in range(rounds):
         data = m.map_batches(
             lambda b: pa.table(
@@ -347,7 +371,7 @@ def rank_chains(next_ds, rounds: int = 2):
                     "d": pc.cast(b["d"], pa.int64()),
                     "_map": pa.array([0] * b.num_rows, pa.int64()),
                 }
-            ),
+            ).filter(pc.equal(b["fin"], pa.scalar(0, pa.int8()))),
             batch_format="pyarrow",
         )
         maps = m.map_batches(
@@ -362,13 +386,48 @@ def rank_chains(next_ds, rounds: int = 2):
             ),
             batch_format="pyarrow",
         )
-        m = (
+        jumped = (
             data.union(maps)
             .sort("key")
             .map_batches(jump_block, batch_format="pandas", batch_size=None)
+        )
+        kept = m.map_batches(
+            lambda b: b.filter(pc.equal(b["fin"], pa.scalar(1, pa.int8()))),
+            batch_format="pyarrow",
+        )
+        m = (
+            jumped.union(kept)
             .repartition(n_blocks)
             .materialize()
         )
+        moving = m.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.equal(
+                                            b["fin"], pa.scalar(0, pa.int8())
+                                        ),
+                                        pa.int64(),
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        if not moving:
+            break
+    m = m.map_batches(
+        lambda b: b.select(["src", "dst", "d"]), batch_format="pyarrow"
+    )
 
     def finish_block(df: pd.DataFrame):
         # vectorized per-tail stats: in-block groupby AGGREGATES (max,
