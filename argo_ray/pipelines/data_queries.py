@@ -6766,9 +6766,12 @@ def q_embeddings_top_pc(sf_dir: str):
     dim = 64
     emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).materialize()
 
-    def matvec_partial(b: pa.Table, v: np.ndarray) -> pa.Table:
-        from ..functions.ann import _to_matrix
+    # resolved at query build time: the UDF must not execute a
+    # relative import on a worker (driver cwd ≠ repo → silent
+    # ModuleNotFoundError; caught by the /tmp driver drive)
+    from ..functions.ann import _to_matrix
 
+    def matvec_partial(b: pa.Table, v: np.ndarray, _to_matrix=_to_matrix) -> pa.Table:
         m = _to_matrix(b["embedding"]).astype(np.float64)
         part = m.T @ (m @ v)
         return pa.table(
@@ -6795,8 +6798,6 @@ def q_embeddings_top_pc(sf_dir: str):
 
     # local reference: the SAME power iteration on the locally
     # accumulated Gram matrix (same start vector, same 15 rounds)
-    from ..functions.ann import _to_matrix
-
     gram = np.zeros((dim, dim))
     for b in emb.iter_batches(batch_format="pyarrow"):
         m = _to_matrix(b["embedding"]).astype(np.float64)
