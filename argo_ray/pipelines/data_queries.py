@@ -6745,6 +6745,55 @@ def q_parts_revenue_pareto(sf_dir: str):
     )
 
 
+def q_embeddings_knn_accuracy(sf_dir: str):
+    """Leave-one-out kNN ACCURACY — the label-quality eval metric
+    (how separable are the classes under the embedding?): per label
+    the count of vectors whose 10-NN majority vote recovers their own
+    label, plus totals.  Rides the existing zero-shuffle kNN vote
+    stage; the comparison joins predictions to true labels through a
+    broadcast dict (labels are dimension-sized)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.ann import knn_label_predict
+
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in _embeddings(sf_dir)
+        .select_columns(["vec_id", "label"])
+        .take_all()
+        if r["label"] is not None
+    }
+    lab_ref = ray.put(labels)
+
+    preds = knn_label_predict(_embeddings(sf_dir), k=10)
+
+    def score(b: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = [int(v) for v in b["vec_id"].to_pylist()]
+        pred = [int(v) for v in b["pred_label"].to_pylist()]
+        true = [lab[i] for i in ids]
+        return pa.table(
+            {
+                "label": pa.array(true, pa.int64()),
+                "n_part": pa.array([1] * len(ids), pa.int64()),
+                "correct_part": pa.array(
+                    [int(p == t) for p, t in zip(pred, true)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        preds.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("correct_part", alias_name="n_correct"),
+        )
+    )
+
+
 def q_embeddings_top_pc(sf_dir: str):
     """Top PRINCIPAL COMPONENT by distributed POWER ITERATION — the
     matvec-at-scale primitive (spectral embeddings, PCA whitening,
@@ -7760,6 +7809,7 @@ DATA_QUERIES = {
     "docs_corpus_drift": q_docs_corpus_drift,
     "events_stickiness": q_events_stickiness,
     "embeddings_top_pc": q_embeddings_top_pc,
+    "embeddings_knn_accuracy": q_embeddings_knn_accuracy,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9731,6 +9781,32 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# per-label leave-one-out 10-NN accuracy counts
+DATA_ORACLES["embeddings_knn_accuracy"] = """WITH nn AS (
+  SELECT a.vec_id AS src, a.label AS true_lab, b.label AS lab,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), votes AS (
+  SELECT src, true_lab, lab, COUNT(*) AS c
+  FROM nn WHERE rn <= 10 GROUP BY src, true_lab, lab
+), pred AS (
+  SELECT src, true_lab, lab AS pred_lab FROM (
+    SELECT src, true_lab, lab,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, lab) AS rn2
+    FROM votes
+  ) WHERE rn2 = 1
+)
+SELECT CAST(true_lab AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred_lab = true_lab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY true_lab"""
 
 
 # power-iteration gate: the distributed matvec must align with the
