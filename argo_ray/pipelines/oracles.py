@@ -1756,6 +1756,14 @@ SELECT n.node, md5(n.lab || '|' || string_agg(dn.lab, ',' ORDER BY dn.lab))
 FROM deg n JOIN e ON e.u = n.node JOIN deg dn ON dn.node = e.v
 GROUP BY n.node, n.lab"""
 
+# federation + numeric filter + GROUP BY: per-language counts of
+# docs whose endpoint token count exceeds 26
+ORACLES["sparql_service_agg_eval"] = """SELECT
+  '"' || lang || '"' AS l, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE len(string_split(text, ' ')) > 26
+GROUP BY lang"""
+
 # top-3 sites by doc count through the aggregate ORDER BY path
 ORACLES["sparql_orderby_agg_eval"] = """SELECT
   '<https://site' || s || '.example.org/>' AS site,

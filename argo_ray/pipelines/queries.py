@@ -2882,6 +2882,50 @@ def q_sparql_service_eval(sf_dir: str):
         unregister_service(svc)
 
 
+def q_sparql_service_agg_eval(sf_dir: str):
+    """Federation COMPOSED with aggregation: per language the count
+    of documents whose endpoint-reported token count clears 26 — the
+    SERVICE join, a numeric FILTER on the federated binding and a
+    GROUP BY all in one query."""
+    from ..sparql import evaluate_select
+    from ..sparql.engine import register_service, unregister_service
+    from ..io import read_table
+    from ..terms import IRI as _IRI, Literal, triples_to_table
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def to_tokens(b: pa.Table) -> pa.Table:
+        trips = [
+            (
+                _IRI(f"https://kg.example.org/doc/{did}"),
+                _IRI(EX_NS + "tokens"),
+                Literal(str(len(text.split(" "))), datatype=XSD_INT),
+            )
+            for did, text in zip(
+                b["doc_id"].to_pylist(), b["text"].to_pylist()
+            )
+        ]
+        return triples_to_table(trips, with_hash=False)
+
+    endpoint = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(to_tokens, batch_format="pyarrow")
+    svc = "https://svc.example.org/tokens-agg"
+    register_service(svc, endpoint)
+    try:
+        q = f"""PREFIX ex: <{EX_NS}>
+        PREFIX dc: <{DC_NS}>
+        SELECT ?l (COUNT(?doc) AS ?n) WHERE {{
+          ?doc dc:language ?l .
+          SERVICE <{svc}> {{ ?doc ex:tokens ?t }}
+          FILTER (?t > 26)
+        }}
+        GROUP BY ?l"""
+        return evaluate_select(_deduped(sf_dir).materialize(), q)
+    finally:
+        unregister_service(svc)
+
+
 def q_sparql_orderby_eval(sf_dir: str):
     """ORDER BY DESC over a NUMERIC literal + LIMIT (SPARQL 1.1
     §15.1/§15.5): ten longest documents by ``ex:chars``.  Exercises
@@ -5030,6 +5074,7 @@ KG_QUERIES = {
     "sparql_exists_eval": q_sparql_exists_eval,
     "sparql_service_eval": q_sparql_service_eval,
     "sparql_orderby_agg_eval": q_sparql_orderby_agg_eval,
+    "sparql_service_agg_eval": q_sparql_service_agg_eval,
     "sparql_graph_eval": q_sparql_graph_eval,
     "sparql_langmatches_eval": q_sparql_langmatches_eval,
     "sparql_or_filter_eval": q_sparql_or_filter_eval,
