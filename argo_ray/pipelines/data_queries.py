@@ -6865,6 +6865,61 @@ def q_embeddings_top_pc(sf_dir: str):
     )
 
 
+def q_docs_erasure_propagate(sf_dir: str):
+    """Right-to-be-forgotten ERASURE with duplicate propagation (the
+    GDPR deletion semantics a training corpus needs: removing the
+    requested doc but keeping its byte-identical mirror is not
+    erasure): deletion requests (every 100th doc id) expand to their
+    CONTENT fingerprints, the fingerprint set broadcasts, and every
+    copy anywhere in the planted-duplicate corpus drops.  Output =
+    the surviving corpus ids + fingerprints; one broadcast, zero
+    shuffles on the corpus side."""
+    import hashlib
+
+    import ray
+
+    corpus = _planted_docs(sf_dir)
+
+    def req_fps(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        texts = pc.cast(b["text"], pa.large_string()).to_pylist()
+        fps = [
+            hashlib.md5(t.encode()).hexdigest()
+            for i, t in zip(ids, texts)
+            if i % 100 == 0
+        ]
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    # deletion-request fingerprints: requests reference ORIGINAL ids
+    # (the planted copies carry shifted ids but identical content)
+    fps = set(
+        r["fp"]
+        for r in _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(req_fps, batch_format="pyarrow")
+        .take_all()
+    )
+    fp_ref = ray.put(fps)
+
+    def erase(b: pa.Table) -> pa.Table:
+        banned = ray.get(fp_ref)
+        ids = pc.cast(b["doc_id"], pa.int64()).to_pylist()
+        texts = pc.cast(b["text"], pa.large_string()).to_pylist()
+        keep_ids, keep_fps = [], []
+        for i, t in zip(ids, texts):
+            fp = hashlib.md5(t.encode()).hexdigest()
+            if fp not in banned:
+                keep_ids.append(i)
+                keep_fps.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "fp": pa.array(keep_fps, pa.string()),
+            }
+        )
+
+    return corpus.map_batches(erase, batch_format="pyarrow")
+
+
 def q_docs_corpus_drift(sf_dir: str):
     """Corpus DRIFT report between two crawl generations (dataset
     monitoring: is tomorrow's crawl still the distribution the model
@@ -7810,6 +7865,7 @@ DATA_QUERIES = {
     "events_stickiness": q_events_stickiness,
     "embeddings_top_pc": q_embeddings_top_pc,
     "embeddings_knn_accuracy": q_embeddings_knn_accuracy,
+    "docs_erasure_propagate": q_docs_erasure_propagate,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9781,6 +9837,14 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# erasure: banned content fingerprints remove every copy
+DATA_ORACLES["docs_erasure_propagate"] = _PLANTED_DOCS_CTE + """
+SELECT doc_id, md5(text) AS fp FROM corpus
+WHERE md5(text) NOT IN (
+  SELECT md5(text) FROM documents WHERE doc_id % 100 = 0
+)"""
 
 
 # per-label leave-one-out 10-NN accuracy counts
