@@ -6865,6 +6865,69 @@ def q_embeddings_top_pc(sf_dir: str):
     )
 
 
+def q_events_cep_match(sf_dir: str):
+    """COMPLEX EVENT PROCESSING — the ordered-sequence-within-window
+    pattern match (signup → click → purchase, all inside 72 hours — sized to the fixture's event sparsity):
+    users for whom the pattern fires, with the earliest anchoring
+    signup.  One user sort co-locates each user's events; the match
+    itself is a vectorized greedy scan (for the EXISTS semantics the
+    first click after each signup and the first purchase after that
+    click dominate every alternative) — numpy searchsorted per block,
+    no per-event Python."""
+    import numpy as np
+    import pandas as pd
+
+    def match_block(df: pd.DataFrame):
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("anchor_ts", pa.timestamp("us"))]
+        )
+        if len(df) == 0:
+            return schema.empty_table()
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        out_u, out_t = [], []
+        W = np.timedelta64(72 * 3600, "s")
+        for uid, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].to_numpy()
+            et = g["event_type"].to_numpy()
+            S = ts[et == "signup"]
+            C = ts[et == "click"]
+            P = ts[et == "purchase"]
+            if not (len(S) and len(C) and len(P)):
+                continue
+            ci = np.searchsorted(C, S, side="right")
+            ok = ci < len(C)
+            if not ok.any():
+                continue
+            pi = np.searchsorted(P, C[ci[ok]], side="right")
+            ok2 = pi < len(P)
+            if not ok2.any():
+                continue
+            s_ok = S[ok][ok2]
+            p_ok = P[pi[ok2]]
+            hits = s_ok[(p_ok - s_ok) <= W]
+            if len(hits):
+                out_u.append(int(uid))
+                out_t.append(hits.min())
+        if not out_u:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "anchor_ts": pa.array(
+                    np.array(out_t, dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_type"])
+        .sort("user_id")
+        .map_batches(match_block, batch_format="pandas", batch_size=None)
+    )
+
+
 def q_docs_erasure_propagate(sf_dir: str):
     """Right-to-be-forgotten ERASURE with duplicate propagation (the
     GDPR deletion semantics a training corpus needs: removing the
@@ -7866,6 +7929,7 @@ DATA_QUERIES = {
     "embeddings_top_pc": q_embeddings_top_pc,
     "embeddings_knn_accuracy": q_embeddings_knn_accuracy,
     "docs_erasure_propagate": q_docs_erasure_propagate,
+    "events_cep_match": q_events_cep_match,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9837,6 +9901,23 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# CEP: earliest signup anchoring signup->click->purchase within 1h
+DATA_ORACLES["events_cep_match"] = """WITH m AS (
+  SELECT a.user_id, a.ts AS anchor
+  FROM events a
+  WHERE a.event_type = 'signup'
+    AND EXISTS (
+      SELECT 1 FROM events b
+      JOIN events c
+        ON c.user_id = b.user_id AND c.event_type = 'purchase'
+       AND c.ts > b.ts
+      WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        AND b.ts > a.ts AND c.ts <= a.ts + INTERVAL 72 HOUR
+    )
+)
+SELECT user_id, MIN(anchor) AS anchor_ts FROM m GROUP BY user_id"""
 
 
 # erasure: banned content fingerprints remove every copy
