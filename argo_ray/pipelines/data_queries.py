@@ -6865,6 +6865,102 @@ def q_embeddings_top_pc(sf_dir: str):
     )
 
 
+def q_events_interarrival_median(sf_dir: str):
+    """INTER-ARRIVAL analysis — per event type the median whole-second
+    gap between a user's consecutive events of that type (the
+    frequency fingerprint rate-limiters and bot detectors threshold
+    on).  One (user) sort co-locates each user's stream; gaps compute
+    vectorized per block; medians come from per-type mergeable integer
+    histograms (same exact-quantile machinery as the value
+    quantiles)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def gaps_block(df: pd.DataFrame):
+        schema = pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("secs", pa.int64()),
+                ("part", pa.int64()),
+            ]
+        )
+        if len(df) == 0:
+            return schema.empty_table()
+        df = df.sort_values(["user_id", "event_type", "ts"], kind="mergesort")
+        same = df["user_id"].eq(df["user_id"].shift()) & df[
+            "event_type"
+        ].eq(df["event_type"].shift())
+        gaps = (
+            (df["ts"] - df["ts"].shift()).dt.total_seconds().astype("float64")
+        )
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"][same],
+                "secs": np.floor(gaps[same]).astype("int64"),
+            }
+        )
+        if len(g) == 0:
+            return schema.empty_table()
+        c = (
+            g.groupby(["event_type", "secs"], sort=False)
+            .size()
+            .rename("part")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    c["event_type"].to_numpy(dtype=object), pa.string()
+                ),
+                "secs": pa.array(c["secs"].to_numpy(dtype="int64"), pa.int64()),
+                "part": pa.array(c["part"].to_numpy(dtype="int64"), pa.int64()),
+            }
+        )
+
+    hist = (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_type"])
+        .sort("user_id")
+        .map_batches(gaps_block, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "secs"])
+        .aggregate(Sum("part", alias_name="n"))
+        .sort(["event_type", "secs"])
+        .take_all()
+    )
+    # driver finish over the bounded (type × distinct gap) histogram
+    from collections import defaultdict
+
+    per_type: dict = defaultdict(list)
+    for r in hist:
+        per_type[r["event_type"]].append((int(r["secs"]), int(r["n"])))
+    types, medians, counts = [], [], []
+    for t in sorted(per_type):
+        rows = per_type[t]
+        total = sum(n for _, n in rows)
+        rank = max(1, math.ceil(0.5 * total))
+        run = 0
+        med = rows[-1][0]
+        for secs, n in rows:
+            run += n
+            if run >= rank:
+                med = secs
+                break
+        types.append(t)
+        medians.append(med)
+        counts.append(total)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "median_gap_secs": pa.array(medians, pa.int64()),
+            "n_gaps": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 def q_events_cep_match(sf_dir: str):
     """COMPLEX EVENT PROCESSING — the ordered-sequence-within-window
     pattern match (signup → click → purchase, all inside 72 hours — sized to the fixture's event sparsity):
@@ -7930,6 +8026,7 @@ DATA_QUERIES = {
     "embeddings_knn_accuracy": q_embeddings_knn_accuracy,
     "docs_erasure_propagate": q_docs_erasure_propagate,
     "events_cep_match": q_events_cep_match,
+    "events_interarrival_median": q_events_interarrival_median,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9901,6 +9998,20 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# median whole-second gap between a user's consecutive same-type events
+DATA_ORACLES["events_interarrival_median"] = """WITH g AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts - LAG(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts
+         ))) AS BIGINT) AS secs
+  FROM events
+)
+SELECT event_type,
+       CAST(quantile_disc(secs, 0.5) AS BIGINT) AS median_gap_secs,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM g WHERE secs IS NOT NULL GROUP BY event_type"""
 
 
 # CEP: earliest signup anchoring signup->click->purchase within 1h
