@@ -6865,6 +6865,67 @@ def q_embeddings_top_pc(sf_dir: str):
     )
 
 
+def q_orders_aging_buckets(sf_dir: str):
+    """AGING report (the receivables/backlog view): open-or-not
+    orders bucketed by age at a fixed reference date (2001-09-01,
+    after every fixture order) into <1y / 1-2y / 2-4y / older, counts
+    and exact total-price cents per (status, bucket).  Pure integer
+    day arithmetic; per-batch partials + one tiny groupby."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..io import read_table
+
+    REF_US = 999_302_400_000_000  # 2001-09-01T00:00:00Z epoch micros
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        age = (REF_US - ts) // DAY_US
+        bucket = np.where(
+            age < 365, "lt_1y",
+            np.where(age < 730, "1_2y", np.where(age < 1460, "2_4y", "older")),
+        )
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderstatus": pc.cast(b["o_orderstatus"], pa.string()),
+                "bucket": pa.array(bucket.astype(object), pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+                "one": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderstatus", "bucket"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": pc.cast(g["o_orderstatus"], pa.string()),
+                "bucket": pc.cast(g["bucket"], pa.string()),
+                "c_part": pc.cast(g["cents_sum"], pa.int64()),
+                "n_part": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(
+            sf_dir, "orders",
+            columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "bucket"])
+        .aggregate(
+            Sum("c_part", alias_name="total_cents"),
+            Sum("n_part", alias_name="n_orders"),
+        )
+    )
+
+
 def q_events_interarrival_median(sf_dir: str):
     """INTER-ARRIVAL analysis — per event type the median whole-second
     gap between a user's consecutive events of that type (the
@@ -8027,6 +8088,7 @@ DATA_QUERIES = {
     "docs_erasure_propagate": q_docs_erasure_propagate,
     "events_cep_match": q_events_cep_match,
     "events_interarrival_median": q_events_interarrival_median,
+    "orders_aging_buckets": q_orders_aging_buckets,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -9998,6 +10060,22 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# aging buckets at the fixed 2001-09-01 reference
+DATA_ORACLES["orders_aging_buckets"] = """SELECT
+  o_orderstatus,
+  CASE WHEN age < 365 THEN 'lt_1y' WHEN age < 730 THEN '1_2y'
+       WHEN age < 1460 THEN '2_4y' ELSE 'older' END AS bucket,
+  CAST(SUM(cents) AS BIGINT) AS total_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT o_orderstatus,
+         (epoch_us(TIMESTAMP '2001-09-01') - epoch_us(o_orderdate))
+           // 86400000000 AS age,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+) GROUP BY 1, 2"""
 
 
 # median whole-second gap between a user's consecutive same-type events
