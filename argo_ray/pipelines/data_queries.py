@@ -6865,6 +6865,43 @@ def q_embeddings_top_pc(sf_dir: str):
     )
 
 
+def q_supplier_nation_coverage(sf_dir: str):
+    """Coverage report with ZEROS (the left-join shape naive groupbys
+    silently drop): supplier count per nation INCLUDING nations with
+    none — the dimension table drives the output, the fact side
+    merely annotates.  Dimension collected once (25 rows), fact side
+    one tiny groupby; zero-filled merge on the driver."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..io import read_table
+
+    nations = {
+        int(r["n_nationkey"]): str(r["n_name"])
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }
+    counts = {
+        int(r["s_nationkey"]): int(r["n"])
+        for r in read_table(sf_dir, "supplier", columns=["s_nationkey"])
+        .groupby("s_nationkey")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    keys = sorted(nations)
+    return pa.table(
+        {
+            "n_name": pa.array([nations[k] for k in keys], pa.string()),
+            "n_suppliers": pa.array(
+                [counts.get(k, 0) for k in keys], pa.int64()
+            ),
+            "covered": pa.array([k in counts for k in keys], pa.bool_()),
+        }
+    )
+
+
 def q_orders_aging_buckets(sf_dir: str):
     """AGING report (the receivables/backlog view): open-or-not
     orders bucketed by age at a fixed reference date (2001-09-01,
@@ -8089,6 +8126,7 @@ DATA_QUERIES = {
     "events_cep_match": q_events_cep_match,
     "events_interarrival_median": q_events_interarrival_median,
     "orders_aging_buckets": q_orders_aging_buckets,
+    "supplier_nation_coverage": q_supplier_nation_coverage,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -10060,6 +10098,17 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# coverage with zeros: every nation, suppliers or not
+DATA_ORACLES["supplier_nation_coverage"] = """SELECT
+  n.n_name,
+  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_suppliers,
+  s.n IS NOT NULL AS covered
+FROM nation n
+LEFT JOIN (
+  SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY s_nationkey
+) s ON s.s_nationkey = n.n_nationkey"""
 
 
 # aging buckets at the fixed 2001-09-01 reference
