@@ -2433,3 +2433,103 @@ def test_service_federation(ray_session):
             evaluate_select(local, q3).take_all()
     finally:
         unregister_service("http://svc.example.org/sparql")
+
+
+def test_numeric_orderby_mixed_column(ray_session):
+    """ORDER BY over a column mixing numeric literals and IRIs: §15.1
+    value order for the numerics, lexical order for the rest, DESC is
+    the exact reverse of ASC."""
+    import ray.data as rd
+
+    from argo_ray.sparql import evaluate_select
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    EX = "http://example.org/ns#"
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    trips = [
+        (IRI("http://d/1"), IRI(EX + "v"), Literal("9", datatype=XSD_INT)),
+        (IRI("http://d/2"), IRI(EX + "v"), Literal("100", datatype=XSD_INT)),
+        (IRI("http://d/3"), IRI(EX + "v"), Literal("21", datatype=XSD_INT)),
+        (IRI("http://d/4"), IRI(EX + "v"), IRI("http://z/iri")),
+    ]
+    ds = rd.from_arrow(triples_to_table(trips, with_hash=False))
+    q = f"PREFIX ex: <{EX}> SELECT ?s ?v WHERE {{ ?s ex:v ?v }} ORDER BY ?v"
+    asc = [r["s"] for r in evaluate_select(ds, q).take_all()]
+    # numerics by VALUE (9 < 21 < 100), then the IRI
+    assert asc == ["<http://d/1>", "<http://d/3>", "<http://d/2>", "<http://d/4>"]
+    q2 = q.replace("ORDER BY ?v", "ORDER BY DESC(?v)")
+    desc = [r["s"] for r in evaluate_select(ds, q2).take_all()]
+    assert desc == list(reversed(asc))
+
+
+def test_service_with_optional_outer(ray_session):
+    """SERVICE joined bindings still left-join an outer OPTIONAL."""
+    import ray.data as rd
+
+    from argo_ray.sparql import evaluate_select
+    from argo_ray.sparql.engine import register_service, unregister_service
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    EX = "http://example.org/ns#"
+    local = rd.from_arrow(
+        triples_to_table(
+            [
+                (IRI("http://d/1"), IRI(EX + "name"), Literal("a")),
+                (IRI("http://d/1"), IRI(EX + "note"), Literal("n1")),
+                (IRI("http://d/2"), IRI(EX + "name"), Literal("b")),
+            ],
+            with_hash=False,
+        )
+    )
+    remote = rd.from_arrow(
+        triples_to_table(
+            [
+                (IRI("http://d/1"), IRI(EX + "score"), Literal("9")),
+                (IRI("http://d/2"), IRI(EX + "score"), Literal("7")),
+            ],
+            with_hash=False,
+        )
+    )
+    register_service("http://svc2.example.org/", remote)
+    try:
+        q = f"""PREFIX ex: <{EX}>
+        SELECT ?d ?s ?note WHERE {{
+          ?d ex:name ?n .
+          SERVICE <http://svc2.example.org/> {{ ?d ex:score ?s }}
+          OPTIONAL {{ ?d ex:note ?note }}
+        }}"""
+        rows = sorted(
+            (r["d"], r["s"], r["note"])
+            for r in evaluate_select(local, q).take_all()
+        )
+        assert rows == [
+            ("<http://d/1>", '"9"', '"n1"'),
+            ("<http://d/2>", '"7"', ""),
+        ]
+    finally:
+        unregister_service("http://svc2.example.org/")
+
+
+def test_graph_mgmt_pname_and_prologue(tmp_path):
+    """Graph-management IRIs go through the normal term parser, so
+    prefixed names expand against the request prologue."""
+    from argo_ray.sinks.graphstore import FileGraphStore
+    from argo_ray.terms import IRI, Literal, triples_to_table
+
+    store = FileGraphStore(str(tmp_path / "gs"))
+    store.manage(
+        "PREFIX g: <http://graphs.example.org/> CREATE GRAPH g:pn"
+    )
+    assert store.head("http://graphs.example.org/pn")
+    store.put(
+        "http://graphs.example.org/pn",
+        triples_to_table(
+            [(IRI("http://s/1"), IRI("http://p/one"), Literal("v"))],
+            with_hash=False,
+        ),
+    )
+    store.manage(
+        "PREFIX g: <http://graphs.example.org/> MOVE g:pn TO g:pn2"
+    )
+    assert not store.head("http://graphs.example.org/pn")
+    assert store.get("http://graphs.example.org/pn2").num_rows == 1
