@@ -910,3 +910,19 @@ def test_wl_colors_distinguishes_structure(ray_session):
     assert got["x"] == got["y"] == got["z"]
     assert got["x"] == hashlib.md5(b"2|2,2").hexdigest()
     assert got["b"] != got["x"]
+
+
+def test_edge_triangle_support_gate(ray_session):
+    """Beyond the broadcast gate the operator refuses loudly instead
+    of silently collecting an oversized edge set."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from argo_ray.functions.graph import edge_triangle_support
+
+    edges = pa.table({"src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
+    with pytest.raises(ValueError, match="broadcast gate"):
+        edge_triangle_support(
+            rd.from_arrow(edges), broadcast_edge_limit=2
+        )

@@ -305,3 +305,30 @@ def test_extract_table_cells_poison_and_grid():
         {"url": ["x", "y"], "html": [b"\xff\xfe<td> junk", b"no table"]}
     )
     assert extract_table_cells_batch(pois).num_rows == 0
+
+
+def test_rank_chains_cycle_bounded(ray_session):
+    """A pure cycle has no tail: the fixed round cap bounds the loop
+    deterministically (documented contract) — no hang, deterministic
+    output, every node reported once."""
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import rank_chains
+
+    edges = pa.table(
+        {"src": ["a", "b", "c"], "dst": ["b", "c", "a"]}
+    )
+    out1 = sorted(
+        map(tuple, (
+            (r["url"], r["chain_root"], r["pos"], r["chain_len"])
+            for r in rank_chains(rd.from_arrow(edges), rounds=3).take_all()
+        ))
+    )
+    out2 = sorted(
+        map(tuple, (
+            (r["url"], r["chain_root"], r["pos"], r["chain_len"])
+            for r in rank_chains(rd.from_arrow(edges), rounds=3).take_all()
+        ))
+    )
+    assert out1 == out2
+    assert len({u for u, *_ in out1}) >= 3  # every cycle member reported
