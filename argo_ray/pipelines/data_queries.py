@@ -1924,6 +1924,75 @@ def q_docs_pack_sequences(sf_dir: str):
     )
 
 
+def q_docs_funnel_report(sf_dir: str):
+    """Pipeline-ATTRITION funnel — the observability row every corpus
+    run logs: document counts entering, surviving the quality gate,
+    surviving exact dedup on top, and per-split after the hash split
+    (train/val/test of the survivors).  The counts come from the same
+    streaming stages the clean pipeline composes (each count is one
+    aggregate consume; the stages themselves are checked in
+    isolation elsewhere)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from ..functions.sampling import hash_split
+    from ..functions.text import fingerprint_batch, quality_batch
+    from ..stages.grouping import grouped_map
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    n_in = docs.count()
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_words"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(q["n_stopwords"], pa.scalar(1, pa.int64())),
+        )
+        kept = b.filter(keep)
+        return fingerprint_batch(kept, hasher="md5").select(
+            ["doc_id", "fingerprint"]
+        )
+
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    n_gated = gated.count()
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("doc_id", kind="mergesort")
+            .drop_duplicates("fingerprint", keep="first")
+        )
+
+    deduped = grouped_map(gated, "fingerprint", keep_min).materialize()
+    n_dedup = deduped.count()
+
+    split_counts = {
+        r["split"]: int(r["n"])
+        for r in hash_split(
+            deduped,
+            "doc_id",
+            splits=[("train", "cd"), ("val", "e6"), ("test", "g")],
+            hasher="md5",
+        )
+        .groupby("split")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    stages = ["input", "quality_gate", "exact_dedup", "train", "val", "test"]
+    counts = [
+        n_in, n_gated, n_dedup,
+        split_counts.get("train", 0),
+        split_counts.get("val", 0),
+        split_counts.get("test", 0),
+    ]
+    return pa.table(
+        {
+            "stage": pa.array(stages, pa.string()),
+            "n_docs": pa.array([int(c) for c in counts], pa.int64()),
+        }
+    )
+
+
 def q_docs_clean_pipeline(sf_dir: str):
     """C4-style corpus cleaning as ONE streaming composition: quality
     gate (word count ≥ 20 AND ≥ 1 en stopword) → exact dedup keeping
@@ -8127,6 +8196,7 @@ DATA_QUERIES = {
     "events_interarrival_median": q_events_interarrival_median,
     "orders_aging_buckets": q_orders_aging_buckets,
     "supplier_nation_coverage": q_supplier_nation_coverage,
+    "docs_funnel_report": q_docs_funnel_report,
     "customer_returns_topk": q_customer_returns_topk,
     "lineitem_priority_classes": q_lineitem_priority_classes,
 }
@@ -10098,6 +10168,40 @@ FROM (
            AS purchased
   FROM events GROUP BY 1, 2
 ) GROUP BY arm"""
+
+
+# funnel: stage-by-stage attrition counts of the cleaning pipeline
+DATA_ORACLES["docs_funnel_report"] = """WITH gated AS (
+  SELECT doc_id, md5(lower(text)) AS fp FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_filter(string_split(text, ' '),
+        w -> w IN ('a', 'and', 'for', 'in', 'is', 'it', 'of', 'that',
+                   'the', 'to'))) >= 1
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+), split AS (
+  SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+              ELSE 'test' END AS s
+  FROM dedup
+)
+SELECT stage, n_docs FROM (
+  SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs, 0 AS o
+  FROM documents
+  UNION ALL
+  SELECT 'quality_gate', CAST(COUNT(*) AS BIGINT), 1 FROM gated
+  UNION ALL
+  SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT), 2 FROM dedup
+  UNION ALL
+  SELECT 'train', CAST(COUNT(*) FILTER (WHERE s = 'train') AS BIGINT), 3
+  FROM split
+  UNION ALL
+  SELECT 'val', CAST(COUNT(*) FILTER (WHERE s = 'val') AS BIGINT), 4
+  FROM split
+  UNION ALL
+  SELECT 'test', CAST(COUNT(*) FILTER (WHERE s = 'test') AS BIGINT), 5
+  FROM split
+) ORDER BY o"""
 
 
 # coverage with zeros: every nation, suppliers or not
