@@ -1740,6 +1740,26 @@ ORACLES["sparql_seq_path_eval"] = """SELECT
   '<https://site' || (doc_id % 5) || '.example.org/>' AS site
 FROM documents"""
 
+# Gini over undirected KG degrees — exact integer sums, shared finish
+ORACLES["kg_degree_gini"] = EXP_CTE + f""", d AS MATERIALIZED (
+  SELECT DISTINCT {TERM_COLS} FROM exp
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT subj_value AS src, obj_value AS dst
+  FROM d WHERE obj_kind <> 2
+), both_dir AS (
+  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM both_dir GROUP BY node
+), r AS (
+  SELECT degree, ROW_NUMBER() OVER (ORDER BY degree, node) AS rnk FROM deg
+)
+SELECT ROUND(2.0 * SUM(rnk * degree) / (COUNT(*) * SUM(degree))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(degree) AS BIGINT) AS n_degree_sum
+FROM r"""
+
 # 1-WL refinement: color = md5(deg || '|' || sorted neighbor degs)
 ORACLES["kg_wl_colors"] = EXP_CTE + f""", d AS MATERIALIZED (
   SELECT DISTINCT {TERM_COLS} FROM exp

@@ -869,6 +869,81 @@ def q_kg_scc(sf_dir: str):
     return scc_min_label(edges, iters=5)
 
 
+def q_kg_degree_gini(sf_dir: str):
+    """Hub-skew in ONE number: the Gini coefficient of undirected node
+    degrees over the KG link graph — the quantity every shuffle-skew
+    argument in this repo gestures at, computed exactly (integer
+    degree sums, ranks from one sort on a zero-padded (degree, node)
+    key + block-offset prefix sums, shared float finish)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.packing import running_total
+
+    edges = _kg_link_edges(sf_dir)
+    deg = (
+        edges.map_batches(
+            lambda b: pa.concat_tables(
+                [
+                    pa.table({"node": pc.cast(b["src"], pa.string())}),
+                    pa.table({"node": pc.cast(b["dst"], pa.string())}),
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="degree"))
+    )
+
+    def keyed_ones(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["degree"], pa.int64()).to_pylist()
+        nodes = b["node"].to_pylist()
+        return pa.table(
+            {
+                "order_key": pa.array(
+                    [f"{dd:010d}-{n}" for dd, n in zip(d, nodes)],
+                    pa.string(),
+                ),
+                "degree": pa.array(d, pa.int64()),
+                "one": pa.array([1] * len(d), pa.int64()),
+            }
+        )
+
+    ranked = running_total(
+        deg.map_batches(keyed_ones, batch_format="pyarrow"),
+        order_col="order_key",
+        value_col="one",
+        out_col="rank",
+    )
+
+    def sums(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s1": pa.array([int((r * x).sum())], pa.int64()),
+                "s": pa.array([int(x.sum())], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(sums, batch_format="pyarrow").aggregate(
+        Sum("s1", alias_name="s1"),
+        Sum("s", alias_name="s"),
+        Sum("n", alias_name="n"),
+    )
+    s1, s, n = int(agg["s1"]), int(agg["s"]), int(agg["n"])
+    gini = round(2.0 * s1 / (n * s) - (n + 1.0) / n, 6)
+    return pa.table(
+        {
+            "gini_degree": pa.array([gini], pa.float64()),
+            "n_nodes": pa.array([n], pa.int64()),
+            "n_degree_sum": pa.array([s], pa.int64()),
+        }
+    )
+
+
 def q_kg_wl_colors(sf_dir: str):
     """Weisfeiler-Lehman color refinement (round 1) over the KG link
     graph — the structural fingerprint graph-ML pipelines hash nodes
@@ -4980,6 +5055,7 @@ KG_QUERIES = {
     "kg_components": q_kg_components,
     "kg_scc": q_kg_scc,
     "kg_wl_colors": q_kg_wl_colors,
+    "kg_degree_gini": q_kg_degree_gini,
     "kg_component_sizes": q_kg_component_sizes,
     "kg_bowtie": q_kg_bowtie,
     "pages_redirect_resolve": q_pages_redirect_resolve,
