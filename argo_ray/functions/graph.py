@@ -1137,6 +1137,26 @@ def triangles(
         # topology thrashes ~10x (see cooccurrence_edges)
         return _count_corners(corner_rows.materialize())
 
+    return _count_corners(_distributed_wedge_closure(ec, emit_edges=False))
+
+
+def _distributed_wedge_closure(ec, emit_edges: bool):
+    """The all-distributed degree-ordered wedge-closure plan shared by
+    :func:`triangles` and :func:`edge_triangle_support` beyond the
+    broadcast gate.  ``ec`` is the materialized canonical edge set
+    (``u < v``, distinct, no self-loops).  Two sort-colocated
+    degree-attach passes orient every edge from its (degree,
+    name)-smaller endpoint, one apex sort emits the name-ordered
+    out-neighbor pairs, and one key sort colocates each wedge with its
+    closing edge marker.  With ``emit_edges=False`` each found
+    triangle credits its three CORNER nodes (``(node)`` rows →
+    :func:`_count_corners`); with ``emit_edges=True`` it emits its
+    three canonical EDGE keys ``min|max`` (``(key)`` rows → a key
+    count is the per-edge triangle support).  Nothing here collects on
+    the driver, so the plan survives edge sets far beyond the
+    broadcast gate."""
+    from ray.data.aggregate import Count
+
     deg = (
         ec.map_batches(
             lambda b: pa.concat_tables(
@@ -1314,7 +1334,8 @@ def triangles(
         batch_format="pyarrow",
     )
 
-    tri_schema = pa.schema([("node", pa.string())])
+    out_col = "key" if emit_edges else "node"
+    tri_schema = pa.schema([(out_col, pa.string())])
 
     def close_block(df):
         # sorted by key: wedge rows + at most one edge-marker per key
@@ -1329,22 +1350,35 @@ def triangles(
         if len(hit) == 0:
             return tri_schema.empty_table()
         parts = hit["key"].str.split(_SEP, n=1, expand=True)
-        nodes = np.concatenate(
-            [
-                hit["apex"].to_numpy(dtype=object),
-                parts[0].to_numpy(dtype=object),
-                parts[1].to_numpy(dtype=object),
-            ]
-        )
+        a = hit["apex"].to_numpy(dtype=object)
+        b = parts[0].to_numpy(dtype=object)
+        c = parts[1].to_numpy(dtype=object)
+        if emit_edges:
+            # b < c already (name-ordered wedge key); canonicalize the
+            # two apex pairs — object dtype so np.minimum dispatches to
+            # Python string comparison (see _BroadcastWedgeEdgeCloser)
+            keys = np.concatenate(
+                [
+                    np.char.add(
+                        np.char.add(lo.astype(str), _SEP), hi.astype(str)
+                    )
+                    for lo, hi in (
+                        (np.minimum(a, b), np.maximum(a, b)),
+                        (np.minimum(a, c), np.maximum(a, c)),
+                        (b, c),
+                    )
+                ]
+            )
+            return pa.table({"key": pa.array(keys, pa.string())})
+        nodes = np.concatenate([a, b, c])
         return pa.table({"node": pa.array(nodes, pa.string())})
 
-    corner_rows = (
+    return (
         wedge_rows.union(edge_marks)
         .sort("key")
         .map_batches(close_block, batch_format="pandas", batch_size=None)
-        .materialize()  # barrier before the corner groupby (see above)
+        .materialize()  # barrier before the downstream count exchange
     )
-    return _count_corners(corner_rows)
 
 
 class _BroadcastWedgeEdgeCloser(_BroadcastWedgeCloser):
@@ -1408,8 +1442,10 @@ def edge_triangle_support(
     ran 163 s vs 9 s on the sf0.1 co-purchase graph), with the closure
     emitting each found triangle's THREE canonical edges; ONE key
     groupby then counts per-edge support.  Gate-bounded broadcast
-    closure filter like ``triangles``; beyond the gate, graft the same
-    emission onto its distributed degree-attach plan.  Returns
+    closure filter like ``triangles``; beyond the gate it switches to
+    the shared all-distributed degree-attach plan
+    (:func:`_distributed_wedge_closure` with ``emit_edges=True``) —
+    both plans are differential-tested equal.  Returns
     ``(u, v, n_triangles)`` for edges in ≥1 triangle (u < v
     lexicographically)."""
     import ray
@@ -1434,12 +1470,13 @@ def edge_triangle_support(
         .materialize()
     )
     if ec.count() > broadcast_edge_limit:
-        raise ValueError(
-            "edge_triangle_support: edge set exceeds the broadcast gate "
-            f"({broadcast_edge_limit}); use triangles()'s distributed "
-            "degree-attach orientation with _BroadcastWedgeEdgeCloser's "
-            "emission"
-        )
+        # beyond the gate: the all-distributed degree-attach plan with
+        # the 3-canonical-edge emission — nothing collects on the
+        # driver, so a 100-TB co-occurrence graph runs the same shape
+        # as triangles()'s distributed branch (differential-tested
+        # equal to the broadcast plan on the same input)
+        keys = _distributed_wedge_closure(ec, emit_edges=True)
+        return _split_edge_support(keys)
 
     # broadcast closure filter + degree lookup (one driver pass — the
     # same gate-bounded preamble as triangles())
@@ -1493,6 +1530,14 @@ def edge_triangle_support(
         batch_format="pandas",
         batch_size=None,
     )
+
+    return _split_edge_support(keys)
+
+
+def _split_edge_support(keys):
+    """(key) triangle-edge rows → ``(u, v, n_triangles)``, shared by
+    both :func:`edge_triangle_support` plans."""
+    from ray.data.aggregate import Count
 
     def split(b: pa.Table) -> pa.Table:
         parts = pc.split_pattern(

@@ -913,16 +913,76 @@ def test_wl_colors_distinguishes_structure(ray_session):
 
 
 def test_edge_triangle_support_gate(ray_session):
-    """Beyond the broadcast gate the operator refuses loudly instead
-    of silently collecting an oversized edge set."""
+    """Beyond the broadcast gate the operator switches to the shared
+    all-distributed degree-attach plan — differential-pinned equal to
+    the broadcast plan on the same input (two triangles sharing edge
+    b-c, plus a dangling edge in no triangle)."""
     import pyarrow as pa
-    import pytest
     import ray.data as rd
 
     from argo_ray.functions.graph import edge_triangle_support
 
-    edges = pa.table({"src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
-    with pytest.raises(ValueError, match="broadcast gate"):
-        edge_triangle_support(
-            rd.from_arrow(edges), broadcast_edge_limit=2
+    edges = pa.table(
+        {
+            "src": ["a", "b", "c", "b", "d", "c", "x"],
+            "dst": ["b", "c", "a", "d", "c", "b", "y"],  # b-c twice
+        }
+    )
+
+    def rows(limit):
+        return sorted(
+            (r["u"], r["v"], r["n_triangles"])
+            for r in edge_triangle_support(
+                rd.from_arrow(edges), broadcast_edge_limit=limit
+            ).take_all()
         )
+
+    broadcast = rows(2_000_000)
+    distributed = rows(0)  # force the beyond-gate plan
+    assert broadcast == distributed
+    assert broadcast == [
+        ("a", "b", 1),
+        ("a", "c", 1),
+        ("b", "c", 2),  # shared edge: support 2
+        ("b", "d", 1),
+        ("c", "d", 1),
+    ]
+
+
+def test_edge_triangle_support_copurchase_differential(ray_session):
+    """Broadcast ≡ distributed on the REAL sf0.001 co-purchase graph
+    (the parts_truss_support input): every edge's support identical
+    across the two plans, so crossing the gate at scale cannot change
+    results."""
+    from ray.data.aggregate import Count
+
+    from argo_ray.functions.graph import (
+        cooccurrence_edges,
+        edge_triangle_support,
+    )
+    from argo_ray.io import read_table
+
+    from conftest import SF_DIR
+
+    li = read_table(SF_DIR, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey", "l_partkey"])
+    )
+    edges = cooccurrence_edges(
+        pairs, "l_orderkey", "l_partkey"
+    ).materialize()
+
+    def rows(limit):
+        return sorted(
+            (r["u"], r["v"], r["n_triangles"])
+            for r in edge_triangle_support(
+                edges, broadcast_edge_limit=limit
+            ).take_all()
+        )
+
+    broadcast = rows(2_000_000)
+    distributed = rows(0)
+    assert len(broadcast) > 100
+    assert broadcast == distributed
