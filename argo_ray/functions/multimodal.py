@@ -12,17 +12,22 @@ Decode support:
   — no codec library needed, header fields / row padding / bottom-up
   row order handled for real.  Resize is a real nearest-neighbor numpy
   kernel.
-- JPEG/PNG/video need codec libraries absent in this container, so
-  those kernels raise ``NotImplementedError``; a deterministic fake is
-  available for tests.  The Ray-side plumbing — schema, actor
-  signature, batch sizing, output layout — is real and tested either
-  way.
+- **PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)** is
+  decoded for real by :func:`decode_png` — stdlib ``zlib`` inflate +
+  all five scanline unfilters per the public PNG spec (RFC 2083);
+  interlaced / 16-bit / palette variants quarantine.
+- JPEG and compressed video need codec libraries absent in this
+  container, so those kernels raise ``NotImplementedError``; a
+  deterministic fake is available for tests.  The Ray-side plumbing —
+  schema, actor signature, batch sizing, output layout — is real and
+  tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -162,15 +167,175 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return height, width, channels, payload[pos : pos + n]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only; palette (3) needs a
+# PLTE indirection we deliberately quarantine rather than half-support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §6.6) over int32 arrays."""
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+
+
+def encode_png(
+    height: int,
+    width: int,
+    pixels: bytes,
+    channels: int = 1,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode a row-major 8-bit pixel buffer as a real non-interlaced
+    PNG (public spec, stdlib ``zlib`` only).  ``filter_type`` selects
+    the scanline filter (0–4) applied to EVERY row — the fixture
+    generator uses different values per item so the decoder's five
+    unfilter paths are all exercised by real files."""
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != height * width * channels:
+        raise ValueError("pixel buffer size != height*width*channels")
+    if filter_type not in range(5):
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, -1).astype(np.int32)
+    stride = width * channels
+    # forward filtering is recurrence-free (uses RAW neighbors), so the
+    # whole image filters as vectorized shifts
+    prev = np.vstack([np.zeros((1, stride), np.int32), img[:-1]])
+    left = np.zeros_like(img)
+    left[:, channels:] = img[:, :-channels]
+    upleft = np.zeros_like(img)
+    upleft[:, channels:] = prev[:, :-channels]
+    if filter_type == 0:
+        filt = img
+    elif filter_type == 1:
+        filt = img - left
+    elif filter_type == 2:
+        filt = img - prev
+    elif filter_type == 3:
+        filt = img - (left + prev) // 2
+    else:
+        filt = img - _paeth_vec(left, prev, upleft)
+    filt = (filt % 256).astype(np.uint8)
+    raw = b"".join(
+        bytes((filter_type,)) + filt[y].tobytes() for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real PNG decoder: stdlib ``zlib`` inflate + per-scanline
+    unfiltering (all five filter types) per the public spec →
+    ``(height, width, channels, row-major top-down bytes)``.  Supports
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced; 16-bit,
+    palette and Adam7-interlaced files raise ``ValueError`` into the
+    poison-image quarantine.  Sub unfilters as a per-channel ``cumsum``
+    and Up as one vectorized add; Average/Paeth walk pixel columns
+    (vectorized across channels) because their recurrence reads the
+    just-reconstructed left neighbor."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}); "
+            "only 8-bit gray/gray+alpha/RGB/RGBA here"
+        )
+    if comp != 0 or filt_m != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    lines = np.frombuffer(
+        raw, dtype=np.uint8, count=height * (stride + 1)
+    ).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: prefix sum per channel offset
+            rec = row.copy()
+            for k in range(channels):
+                rec[k::channels] = np.cumsum(row[k::channels]) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-recurrence per pixel
+            rpx = row.reshape(width, channels)
+            ppx = prev.reshape(width, channels)
+            rec_px = np.zeros_like(rpx)
+            left = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                if f == 3:
+                    pred = (left + ppx[x]) // 2
+                else:
+                    ul = ppx[x - 1] if x else np.zeros(channels, np.int32)
+                    pred = _paeth_vec(left, ppx[x], ul)
+                left = (rpx[x] + pred) % 256
+                rec_px[x] = left
+            rec = rec_px.reshape(-1)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return height, width, channels, out.astype(np.uint8).tobytes()
+
+
 def sniff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes: BMP / PPM / PGM are decoded for real;
-    other formats (JPEG/PNG/...) need absent codec libraries."""
+    """Dispatch on magic bytes: BMP / PPM / PGM / PNG are decoded for
+    real; other formats (JPEG/...) need absent codec libraries."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PGM decode in this environment (JPEG/PNG need "
+        "only BMP/PPM/PGM/PNG decode in this environment (JPEG needs "
         "codec libraries absent from the container)"
     )
 
@@ -650,6 +815,78 @@ def documents_as_bmp(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         adapt, batch_format="pyarrow"
     )
+
+
+def documents_as_png(sf_dir: str):
+    """Adapter: a REAL PNG corpus derived deterministically from the
+    documents table — each doc becomes an actual 8-bit grayscale PNG
+    whose 8×8 content is ``md5(text).digest() * 4``, encoded with
+    scanline filter ``doc_id % 5`` so the corpus exercises all five
+    unfilter paths of :func:`decode_png` with real files."""
+
+    def adapt(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        payloads = [
+            encode_png(
+                8, 8, hashlib.md5(t.encode()).digest() * 4,
+                channels=1, filter_type=int(i) % 5,
+            )
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "item_id": pc.cast(b["doc_id"], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["image/png"] * len(texts), pa.string()),
+                "meta": pa.array(['{"h":8,"w":8}'] * len(texts), pa.string()),
+            }
+        )
+
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+
+
+def image_png_decode(sf_dir: str):
+    """Real PNG decode pipeline: PNG corpus (five filter types across
+    the items) → actor-pool :class:`ImageDecoder` (stdlib-zlib
+    :func:`decode_png`) → ``(item_id, height, width, channels,
+    pixels_hex)``.  The decoded grayscale buffer is exactly
+    ``md5(text).digest() * 4`` whatever filter the file used, so the
+    DuckDB oracle is ``repeat(md5(text), 4)``."""
+    ds = documents_as_png(sf_dir)
+    decoded = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=128
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": b["item_id"],
+                "height": pc.cast(b["height"], pa.int32()),
+                "width": pc.cast(b["width"], pa.int32()),
+                "channels": pc.cast(b["channels"], pa.int32()),
+                "pixels_hex": pa.array(
+                    [p.hex() for p in b["pixels"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return decoded.map_batches(finish, batch_format="pyarrow")
+
+
+def image_png_oracle_sql() -> str:
+    """DuckDB reconstruction of :func:`image_png_decode`: the decoded
+    pixel buffer is ``md5(text).digest()`` tiled 4× regardless of the
+    per-item scanline filter."""
+    return """SELECT doc_id AS item_id,
+       CAST(8 AS INTEGER) AS height, CAST(8 AS INTEGER) AS width,
+       CAST(1 AS INTEGER) AS channels,
+       repeat(md5(text), 4) AS pixels_hex
+FROM documents"""
 
 
 def multimodal_decode(sf_dir: str, target: int = 4):

@@ -176,6 +176,58 @@ def test_image_decoder_real_and_fake():
     assert out["item_id"].to_pylist() == [1]
 
 
+def test_png_codec_roundtrip_all_filters_and_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from argo_ray.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+        sniff_decode,
+    )
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            h, w = 5, 7
+            px = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+            assert decode_png(encode_png(h, w, px, ch, ft)) == (h, w, ch, px)
+    # sniff dispatch sees the real signature
+    p = encode_png(2, 2, bytes(range(12)), channels=3, filter_type=4)
+    assert sniff_decode(p) == (2, 2, 3, bytes(range(12)))
+    # poison: truncated / corrupt-IDAT / headerless → ValueError (quarantine)
+    for bad in (p[:20], _PNG_SIG + b"garbagegarbage", _PNG_SIG):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+    # unsupported variants (16-bit, palette, Adam7) quarantine loudly
+    for depth, color, inter in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter)
+        v = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(v)
+    # ImageDecoder quarantines poison PNGs but keeps good ones
+    dec = ImageDecoder(on_error="skip")
+    out = dec(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2], pa.int64()),
+                "payload": [p, p[:20]],
+            }
+        )
+    )
+    assert out["item_id"].to_pylist() == [1]
+    assert out["channels"].to_pylist() == [3]
+
+
 # ---------------------------------------------------------------------------
 # Distributed checks (Ray session)
 # ---------------------------------------------------------------------------
