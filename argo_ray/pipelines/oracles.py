@@ -1674,6 +1674,17 @@ JOIN (SELECT DISTINCT subj_value, obj_value AS site FROM exp
   ON s.subj_value = l.subj_value
 GROUP BY l.lang"""
 
+# mixed alternative p|^q: each doc reaches its language literal
+# forward and its citing hub through the reverse member
+ORACLES["sparql_alt_rev_path_eval"] = """SELECT
+  '<https://kg.example.org/doc/' || doc_id || '>' AS d,
+  '"' || lang || '"' AS x
+FROM documents
+UNION ALL
+SELECT '<https://kg.example.org/doc/' || doc_id || '>',
+  '<https://hub.example.org/>'
+FROM documents"""
+
 # reverse-member negated set: each typed entity reaches its citing hub
 ORACLES["sparql_neg_rev_path_eval"] = """SELECT
   '<https://kg.example.org/doc/' || doc_id || '>' AS e,

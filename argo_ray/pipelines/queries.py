@@ -2802,6 +2802,24 @@ def q_sparql_neg_rev_path_eval(sf_dir: str):
     return evaluate_select(_deduped(sf_dir).materialize(), q)
 
 
+def q_sparql_alt_rev_path_eval(sf_dir: str):
+    """Alternative path with a ^ member (r4 verdict task #5, SPARQL
+    1.1 §18.4 PathAlternative over PathEltOrInverse): ``p|^q`` is the
+    bag union of forward ``p`` edges and INVERTED ``q`` edges — each
+    document reaches its language literal forward and its citing hub
+    through the reverse member in one predicate slot."""
+    from ..sparql import evaluate_select
+
+    q = f"""PREFIX ex: <{EX_NS}>
+    PREFIX dc: <{DC_NS}>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?d ?x WHERE {{
+      ?d rdf:type ex:Document .
+      ?d dc:language|^ex:cites ?x .
+    }}"""
+    return evaluate_select(_deduped(sf_dir).materialize(), q)
+
+
 def q_sparql_describe_eval(sf_dir: str):
     """DESCRIBE ?doc over the typed Documents (sparqlclient.go:246-256
     verb, evaluated engine-side): every distinct triple whose subject
@@ -5101,6 +5119,7 @@ KG_QUERIES = {
     "sparql_nested_optional_eval": q_sparql_nested_optional_eval,
     "sparql_count_distinct_star_eval": q_sparql_count_distinct_star_eval,
     "sparql_neg_rev_path_eval": q_sparql_neg_rev_path_eval,
+    "sparql_alt_rev_path_eval": q_sparql_alt_rev_path_eval,
     "kg_fill_rates": q_kg_fill_rates,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_rdfs_infer": q_kg_rdfs_infer,

@@ -121,6 +121,36 @@ def _pattern_bindings(ds, pattern, witness: str = "_match", graph_var=None):
     additionally binds ``?g`` as an IRI term per matching row."""
     from ..stages.filter import term_predicate
 
+    if isinstance(pattern[1], AltPath) and pattern[1].rev_preds:
+        # mixed forward/reverse alternative set (p|^q): union of one
+        # forward scan over the forward members and one scan with the
+        # pattern ends swapped over the ^-members — same bound columns
+        # either way, normalized before the union (bag semantics)
+        s, alt, o = pattern
+        parts = []
+        if alt.preds:
+            parts.append(
+                _pattern_bindings(
+                    ds, (s, AltPath(alt.preds), o),
+                    witness=witness, graph_var=graph_var,
+                )
+            )
+        parts.append(
+            _pattern_bindings(
+                ds, (o, AltPath(alt.rev_preds), s),
+                witness=witness, graph_var=graph_var,
+            )
+        )
+        if len(parts) == 1:
+            return parts[0]
+        (d1, v1), (d2, v2) = parts
+        return (
+            d1.map_batches(_norm_table, batch_format="pyarrow").union(
+                d2.map_batches(_norm_table, batch_format="pyarrow")
+            ),
+            v1 | v2,
+        )
+
     consts = [
         (pos, t) for pos, t in zip(_POS, pattern) if isinstance(t, Term)
     ]
@@ -1901,29 +1931,46 @@ def _distinct(ds, columns):
 
 
 # rendered numeric literal: "lexical"^^<xsd numeric type> — the forms
-# ORDER BY must compare by VALUE, not lexically (SPARQL 1.1 §15.1)
+# ORDER BY must compare by VALUE, not lexically (SPARQL 1.1 §15.1);
+# the alternation covers every XSD numeric type (incl. the negative /
+# non-positive / unsigned-small variants)
 _NUMERIC_LITERAL_RE = (
     r'^"(?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"'
     r"\^\^<http://www\.w3\.org/2001/XMLSchema#"
     r"(?:integer|decimal|double|float|int|long|short|byte|"
-    r"nonNegativeInteger|positiveInteger|unsignedInt|unsignedLong)>$"
+    r"nonNegativeInteger|nonPositiveInteger|negativeInteger|"
+    r"positiveInteger|unsignedInt|unsignedLong|unsignedShort|"
+    r"unsignedByte)>$"
 )
 
 
 def _append_order_keys(batch: pa.Table, order_by) -> pa.Table:
-    """Per order-var derived sort keys implementing the §15.1 value
-    order for numeric literals: ``_ordrank{i}`` (0 = numeric, 1 =
-    everything else) and ``_ordnum{i}`` (the parsed value, 0.0 when
-    non-numeric).  Sorting ``[rank, num, rendered]`` with one shared
-    descending flag yields numerics in value order before (asc) /
-    after (desc) the lexically-ordered remainder — DESC is the exact
-    reverse of ASC, as the spec requires."""
+    """Per order-var derived sort keys implementing the §15.1 order:
+    ``_ordrank{i}`` encodes the type tier — unbound(-1) < blank
+    node(0) < IRI(1) < numeric literal(2) < other literal(3), numerics
+    value-ordered within their tier via ``_ordnum{i}`` (the parsed
+    value, 0.0 elsewhere).  Sorting ``[rank, num, rendered]`` with one
+    shared descending flag yields the spec's ascending order and its
+    exact reverse for DESC."""
     for i, (v, _) in enumerate(order_by):
         s = pc.cast(batch[v], pa.large_string())
         ex = pc.extract_regex(s, _NUMERIC_LITERAL_RE)
         num = pc.cast(pc.struct_field(ex, "num"), pa.float64())
+        tier = pc.if_else(
+            pc.starts_with(s, "_:"),
+            pa.scalar(0, pa.int8()),
+            pc.if_else(
+                pc.starts_with(s, "<"),
+                pa.scalar(1, pa.int8()),
+                pc.if_else(
+                    pc.is_valid(num),
+                    pa.scalar(2, pa.int8()),
+                    pa.scalar(3, pa.int8()),
+                ),
+            ),
+        )
         batch = batch.append_column(
-            f"_ordrank{i}", pc.cast(pc.is_null(num), pa.int8())
+            f"_ordrank{i}", pc.fill_null(tier, pa.scalar(-1, pa.int8()))
         )
         batch = batch.append_column(f"_ordnum{i}", pc.fill_null(num, 0.0))
     return batch

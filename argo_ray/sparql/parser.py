@@ -218,10 +218,15 @@ class SubSelect(NamedTuple):
 
 class AltPath(NamedTuple):
     """``p1|p2|…`` in the predicate slot — one scan matching any of
-    the alternative IRIs (bag-union multiplicity comes free: each
-    matching triple is its own row)."""
+    the forward alternative IRIs (bag-union multiplicity comes free:
+    each matching triple is its own row).  ``^``-prefixed members
+    (SPARQL 1.1 §18.4 PathAlternative over PathEltOrInverse, e.g.
+    ``p|^q``) land in ``rev_preds`` and match INVERTED edges — the
+    engine evaluates a mixed set as the union of one forward and one
+    reverse scan."""
 
-    preds: list  # list[Term]
+    preds: list  # list[Term] — forward members
+    rev_preds: list = []  # list[Term] — ^-prefixed members
 
 
 class TransPath(NamedTuple):
@@ -599,20 +604,29 @@ class _Parser:
                         return (NegPath(fwd, bwd), False)
                     pred = self.parse_term(allow_var, verb=True)
                     if self.peek() == ("op", "|"):
-                        # alternatives: p1|p2|… (constant IRIs only)
-                        if inv:
-                            raise SparqlSyntaxError(
-                                "'^' with '|' alternatives not supported"
-                            )
-                        preds = [pred]
+                        # alternatives: p1|p2|… where each member may be
+                        # ^-prefixed (§18.4: '^' binds tighter than '|',
+                        # so a leading '^' applies to the FIRST member
+                        # only: ^p|q ≡ (^p)|q)
+                        members = [(inv, pred)]
                         while self.peek() == ("op", "|"):
                             self.next()
-                            preds.append(self.parse_term(allow_var, verb=True))
-                        if not all(isinstance(p, Term) for p in preds):
-                            raise SparqlSyntaxError(
-                                "path alternatives must be IRIs"
+                            rev = self.peek() == ("op", "^")
+                            if rev:
+                                self.next()
+                            members.append(
+                                (rev, self.parse_term(allow_var, verb=True))
                             )
-                        pred = AltPath(preds)
+                        if not all(isinstance(p, Term) for _, p in members):
+                            raise SparqlSyntaxError(
+                                "path alternatives must be IRIs "
+                                "(optionally ^-prefixed)"
+                            )
+                        pred = AltPath(
+                            [p for rev, p in members if not rev],
+                            [p for rev, p in members if rev],
+                        )
+                        inv = False  # absorbed into the member split
                     if self.peek() in (("op", "+"), ("op", "*"), ("op", "?")):
                         _, mark = self.next()
                         if inv or not isinstance(pred, Term):
@@ -1532,14 +1546,22 @@ def parse_update(text: str) -> list[UpdateOp | ModifyOp]:
 
 
 def _mgmt_graph_ref(p: _Parser, allow_scopes: bool = True) -> str:
-    """GRAPH <iri> | <iri> | DEFAULT (| NAMED | ALL for CLEAR/DROP)."""
+    """GRAPH <iri> | <iri> | DEFAULT (| NAMED | ALL for CLEAR/DROP).
+
+    Per the SPARQL 1.1 Update grammar the GRAPH keyword is REQUIRED in
+    the CLEAR/DROP IRI form (GraphRef) and optional only in
+    COPY/MOVE/ADD (GraphOrDefault) — ``allow_scopes`` marks which
+    production we are in."""
     if p.eat_word("default"):
         return "DEFAULT"
     if allow_scopes and p.eat_word("named"):
         return "NAMED"
     if allow_scopes and p.eat_word("all"):
         return "ALL"
-    p.eat_word("graph")  # optional in COPY/MOVE/ADD, required after CLEAR
+    if not p.eat_word("graph") and allow_scopes:
+        raise SparqlSyntaxError(
+            "CLEAR/DROP needs GRAPH <iri> (or DEFAULT/NAMED/ALL)"
+        )
     t = p.parse_term()
     if isinstance(t, Var) or t.kind != KIND_IRI:
         raise SparqlSyntaxError("graph management needs a graph IRI")

@@ -336,6 +336,48 @@ def test_alternative_path(ray_session):
     ]
 
 
+def test_alternative_path_with_reverse_members(ray_session):
+    """p|^q (§18.4 PathAlternative over PathEltOrInverse): bag union
+    of forward p edges and inverted q edges; a leading ^ binds to the
+    FIRST member only (^p|q ≡ (^p)|q)."""
+    import ray.data
+
+    trips = [
+        (IRI(EX + "doc"), IRI(EX + "lang"), Literal("en")),
+        (IRI(EX + "hub"), IRI(EX + "cites"), IRI(EX + "doc")),
+        (IRI(EX + "doc"), IRI(EX + "site"), IRI(EX + "s1")),
+    ]
+    ds = ray.data.from_arrow(triples_to_table(trips, with_hash=False))
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ex:doc ex:lang|^ex:cites ?x }} ORDER BY ?x""",
+    ).take_all()
+    # §15.1: IRIs order before literals
+    assert [r["x"] for r in out] == [f"<{EX}hub>", '"en"']
+    # leading ^ applies to the first member only: ^cites|site from doc
+    # matches nothing reversed-cites (doc cites nobody... hub→doc is
+    # forward, so ^cites from doc finds hub) plus forward site
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ex:doc ^ex:cites|ex:site ?x }} ORDER BY ?x""",
+    ).take_all()
+    assert [r["x"] for r in out] == [f"<{EX}hub>", f"<{EX}s1>"]
+    # all members reversed
+    out = evaluate_select(
+        ds,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ex:doc ^ex:cites|^ex:lang ?x }}""",
+    ).take_all()
+    assert [r["x"] for r in out] == [f"<{EX}hub>"]
+    # data blocks still reject paths
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(
+            f"PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:p|^ex:q ex:b }}"
+        )
+
+
 def _chain_ds():
     """a→b→c→d cites chain + d→e, plus an unrelated edge x→y."""
     import ray.data
@@ -1037,7 +1079,8 @@ def test_star_path_self_variable(ray_session):
         _star_chain_ds(),
         f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?x ex:p* ?x }} ORDER BY ?x",
     ).to_pandas()
-    assert out["x"].tolist() == ['"x"', f"<{EX}a>", f"<{EX}b>", f"<{EX}c>"]
+    # §15.1: IRIs order before literals
+    assert out["x"].tolist() == [f"<{EX}a>", f"<{EX}b>", f"<{EX}c>", '"x"']
 
 
 def test_star_path_ask_ground(ray_session):
@@ -1370,7 +1413,8 @@ def test_zero_or_one_path(ray_session):
         f"""PREFIX ex: <{EX}>
         SELECT ?v WHERE {{ ex:d1 ex:lang? ?v }} ORDER BY ?v""",
     ).take_all()
-    assert [r["v"] for r in out] == ['"en"', f"<{EX}d1>"]
+    # §15.1: IRIs order before literals
+    assert [r["v"] for r in out] == [f"<{EX}d1>", '"en"']
 
 
 def test_zero_or_one_path_both_vars(ray_session):
@@ -2436,9 +2480,10 @@ def test_service_federation(ray_session):
 
 
 def test_numeric_orderby_mixed_column(ray_session):
-    """ORDER BY over a column mixing numeric literals and IRIs: §15.1
-    value order for the numerics, lexical order for the rest, DESC is
-    the exact reverse of ASC."""
+    """ORDER BY over a column mixing numeric literals, IRIs and a
+    blank node: §15.1 type tiers (blank < IRI < literal) with numerics
+    value-ordered within the literal tier; DESC is the exact reverse
+    of ASC."""
     import ray.data as rd
 
     from argo_ray.sparql import evaluate_select
@@ -2451,12 +2496,15 @@ def test_numeric_orderby_mixed_column(ray_session):
         (IRI("http://d/2"), IRI(EX + "v"), Literal("100", datatype=XSD_INT)),
         (IRI("http://d/3"), IRI(EX + "v"), Literal("21", datatype=XSD_INT)),
         (IRI("http://d/4"), IRI(EX + "v"), IRI("http://z/iri")),
+        (IRI("http://d/5"), IRI(EX + "v"), Literal("apple")),
     ]
     ds = rd.from_arrow(triples_to_table(trips, with_hash=False))
     q = f"PREFIX ex: <{EX}> SELECT ?s ?v WHERE {{ ?s ex:v ?v }} ORDER BY ?v"
     asc = [r["s"] for r in evaluate_select(ds, q).take_all()]
-    # numerics by VALUE (9 < 21 < 100), then the IRI
-    assert asc == ["<http://d/1>", "<http://d/3>", "<http://d/2>", "<http://d/4>"]
+    # §15.1 tiers: IRI first, then numerics by VALUE (9 < 21 < 100),
+    # then the plain literal
+    assert asc == ["<http://d/4>", "<http://d/1>", "<http://d/3>",
+                   "<http://d/2>", "<http://d/5>"]
     q2 = q.replace("ORDER BY ?v", "ORDER BY DESC(?v)")
     desc = [r["s"] for r in evaluate_select(ds, q2).take_all()]
     assert desc == list(reversed(asc))
