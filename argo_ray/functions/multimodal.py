@@ -1266,19 +1266,24 @@ def image_norm_stats(sf_dir: str):
                     "s": pa.array([], pa.int64()),
                     "s2": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
+                    "npx": pa.array([], pa.int64()),
                 }
             )
-        h = int(b["height"][0].as_py())
-        w = int(b["width"][0].as_py())
-        px = np.frombuffer(
+        # per-image dims may vary: each RGB buffer's length is a
+        # multiple of 3, so channel-0 bytes sit at global indices
+        # ≡ 0 (mod 3) of the concatenation — no uniform-shape
+        # assumption, and the true pixel count rides along like the
+        # audio/video partials' n_tot
+        allb = np.frombuffer(
             b"".join(p.as_py() for p in b["pixels"]), dtype=np.uint8
-        ).reshape(n, h, w, 3)
-        gray = px[:, :, :, 0].astype(np.int64)
+        )
+        gray = allb[0::3].astype(np.int64)
         return pa.table(
             {
                 "s": pa.array([int(gray.sum())], pa.int64()),
                 "s2": pa.array([int((gray * gray).sum())], pa.int64()),
                 "n": pa.array([n], pa.int64()),
+                "npx": pa.array([len(gray)], pa.int64()),
             }
         )
 
@@ -1286,12 +1291,14 @@ def image_norm_stats(sf_dir: str):
         Sum("s", alias_name="s"),
         Sum("s2", alias_name="s2"),
         Sum("n", alias_name="n"),
+        Sum("npx", alias_name="npx"),
     )
     import math
 
     s, s2, n = int(agg["s"]), int(agg["s2"]), int(agg["n"])
-    mean = s / (64.0 * n)
-    std = math.sqrt(s2 / (64.0 * n) - mean * mean)
+    npx = float(int(agg["npx"]))
+    mean = s / npx
+    std = math.sqrt(s2 / npx - mean * mean)
     return pa.table(
         {
             "n_images": pa.array([n], pa.int64()),

@@ -282,12 +282,17 @@ def rank_chains(next_ds, rounds: int = 2):
     """Distributed LIST RANKING over a successor graph (Wyllie-style
     pointer doubling with distance accumulation): ``next_ds`` is the
     (src, dst) rel-next edge set — each node has at most one
-    successor, chains end at a node with none.  After ``rounds``
-    doubling rounds (chains of length ≤ 2^rounds + 1 fully collapse;
-    longer chains or cycles stop at the round cap, documented
-    partitioning assumption) every non-tail node knows its chain TAIL
-    and its hop distance to it; one tail-sorted pass then emits the
-    whole chain with ``(url, chain_root, pos, chain_len)``.
+    successor, chains end at a node with none.  Documented contracts:
+    (a) chains of length ≤ 2^rounds + 1 fully collapse; longer chains
+    or cycles stop at the round cap; (b) chains must be DISJOINT
+    (in-degree ≤ 1): at-most-one-successor permits two chains merging
+    into a shared tail, but per-chain root/position is then ambiguous
+    — the finish pass detects the collision (two distinct nodes at
+    the same distance from one tail) and raises rather than emitting
+    a silently-wrong root.  After ``rounds`` doubling rounds every
+    non-tail node knows its chain TAIL and its hop distance to it;
+    one tail-sorted pass then emits the whole chain with
+    ``(url, chain_root, pos, chain_len)``.
     Cost: log2(chain length) sort-colocated exchanges of the
     node-sized state + one tail sort — never a broadcast, never a
     driver collect, and every per-block kernel is ONE vectorized
@@ -442,6 +447,16 @@ def rank_chains(next_ds, rounds: int = 2):
         )
         if len(df) == 0 or "dst" not in df.columns:
             return schema.empty_table()
+        if df.duplicated(["dst", "d"]).any():
+            # two distinct nodes at the same distance from one tail ⇒
+            # merging chains (in-degree > 1) — root/pos would be
+            # silently wrong, so refuse (documented disjoint-chain
+            # contract)
+            raise ValueError(
+                "rank_chains: merging chains detected (two nodes at the "
+                "same distance from one tail); input must have "
+                "in-degree <= 1 per node"
+            )
         g = df.groupby("dst", sort=False)["d"]
         maxd = g.max().rename("maxd")
         roots = df.loc[g.idxmax(), ["dst", "src"]].rename(

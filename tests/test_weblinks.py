@@ -332,3 +332,19 @@ def test_rank_chains_cycle_bounded(ray_session):
     )
     assert out1 == out2
     assert len({u for u, *_ in out1}) >= 3  # every cycle member reported
+
+
+def test_rank_chains_merging_chains_refused(ray_session):
+    """Two chains merging into a shared tail (in-degree 2 at c) would
+    make per-chain root/pos ambiguous — the finish pass detects the
+    collision and raises instead of emitting a silently-wrong root
+    (documented disjoint-chain contract)."""
+    import pytest
+    import ray.data as rd
+
+    from argo_ray.functions.weblinks import rank_chains
+
+    # a→c←b: both a and b are at distance 1 from tail c
+    edges = pa.table({"src": ["a", "b"], "dst": ["c", "c"]})
+    with pytest.raises(Exception, match="merging chains"):
+        rank_chains(rd.from_arrow(edges), rounds=2).take_all()
