@@ -1484,6 +1484,8 @@ WHERE len(string_split(title, ' ')) >= n"""
 
 # S5: split-serialize-reread fan-in recovers the distinct extraction.
 ORACLES["multi_source_fanin"] = EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp"
+# S5+ URL-source fan-in recovers the same distinct set
+ORACLES["url_source_fanin"] = EXP_CTE + f"SELECT DISTINCT {TERM_COLS} FROM exp"
 
 # T1: warmed+persisted+reloaded prefix cache, broadcast into expansion.
 ORACLES["prefix_cache_expand"] = """SELECT lower(n_name) AS prefix,

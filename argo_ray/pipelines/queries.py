@@ -4538,6 +4538,47 @@ def q_multi_source_fanin(sf_dir: str, scratch_dir: str | None = None):
     return _finalize(dedup_exact(unioned))
 
 
+def q_url_source_fanin(sf_dir: str, scratch_dir: str | None = None):
+    """S5+: the opt-in URL source (``graph.go:313-335`` twin,
+    :func:`argo_ray.sources.url.read_urls`) driven the driver's way —
+    the deduped extraction split across an ``.nt`` and a ``.ttl``
+    scratch file, fetched back through ``file://`` URLs with the
+    format resolved per-URL by extension sniffing inside the fetch
+    actor, clean rows filtered on ``source_error IS NULL`` —
+    recovering exactly the original distinct set.  Same scratch-dir
+    reachability caveat as ``multi_source_fanin``."""
+    import os
+    import tempfile
+
+    from ..sinks.ntriples import serialize_ntriples
+    from ..sinks.turtle import serialize_turtle
+    from ..sources.url import read_urls
+
+    rows = _deduped(sf_dir).select_columns(TRIPLE_COLUMNS).take_all()
+    tbl = pa.Table.from_pylist(rows).select(TRIPLE_COLUMNS)
+    half_a = tbl.slice(0, tbl.num_rows // 2)
+    half_b = tbl.slice(tbl.num_rows // 2)
+    scratch = tempfile.mkdtemp(
+        prefix="urlfanin_",
+        dir=scratch_dir or os.environ.get("GRAFT_SCRATCH", "/tmp"),
+    )
+    with open(os.path.join(scratch, "a.nt"), "w", encoding="utf-8") as f:
+        f.write(serialize_ntriples(half_a))
+    with open(os.path.join(scratch, "b.ttl"), "w", encoding="utf-8") as f:
+        f.write(serialize_turtle(half_b, {}))
+
+    ds = read_urls(
+        [f"file://{scratch}/a.nt", f"file://{scratch}/b.ttl"]
+    )
+    clean = ds.map_batches(
+        lambda b: b.filter(pc.is_null(b["source_error"])).select(
+            TRIPLE_COLUMNS
+        ),
+        batch_format="pyarrow",
+    )
+    return _finalize(dedup_exact(clean))
+
+
 def q_prefix_cache_expand(sf_dir: str):
     """T1: the persisted prefix cache (``namespace.go:111-177``:
     prefix.cc lookup + gob save/load).  A driver-side resolver hook
@@ -5201,6 +5242,7 @@ KG_QUERIES = {
     "point_lookups": q_point_lookups,
     "list_walk_grouped": q_list_walk_grouped,
     "multi_source_fanin": q_multi_source_fanin,
+    "url_source_fanin": q_url_source_fanin,
     "prefix_cache_expand": q_prefix_cache_expand,
     "repl_prefix_trim": q_repl_prefix_trim,
 }

@@ -121,9 +121,88 @@ def _default_formats() -> dict[str, Format]:
 FORMATS: dict[str, Format] = _default_formats()
 
 
+@dataclass
+class ResultFormat:
+    """SPARQL SELECT results format (S6 twin of :class:`Format`):
+    ``parser(doc) -> (variables, rows)`` and ``serializer(variables,
+    rows) -> doc`` over the shared binding-row shape — so XML / JSON /
+    TSV results files ride the same extension/MIME sniffing the RDF
+    graph formats get."""
+
+    id: str
+    name: str
+    preferred_mime_type: str
+    preferred_extension: str
+    other_mime_types: tuple[str, ...] = ()
+    other_extensions: tuple[str, ...] = ()
+    parser: Callable | None = None
+    serializer: Callable | None = None
+
+
+def _default_result_formats() -> dict[str, ResultFormat]:
+    from ..sinks.sparql_results import (
+        serialize_select_results,
+        serialize_select_results_json,
+        serialize_select_results_tsv,
+    )
+    from ..sources.sparql_results import (
+        parse_select_results,
+        parse_select_results_json,
+        parse_select_results_tsv,
+    )
+
+    formats = [
+        ResultFormat(
+            "srx", "SPARQL Results XML",
+            "application/sparql-results+xml", ".srx",
+            parser=parse_select_results,
+            serializer=serialize_select_results,
+        ),
+        ResultFormat(
+            "srj", "SPARQL Results JSON",
+            "application/sparql-results+json", ".srj",
+            parser=parse_select_results_json,
+            serializer=serialize_select_results_json,
+        ),
+        ResultFormat(
+            "tsv", "SPARQL Results TSV",
+            "text/tab-separated-values", ".tsv",
+            parser=parse_select_results_tsv,
+            serializer=serialize_select_results_tsv,
+        ),
+    ]
+    return {f.id: f for f in formats}
+
+
+RESULT_FORMATS: dict[str, ResultFormat] = _default_result_formats()
+
+
 def register_format(fmt: Format) -> None:
     """User-extension hook (argo.go Formats insertion)."""
     FORMATS[fmt.id] = fmt
+
+
+def register_result_format(fmt: ResultFormat) -> None:
+    """User-extension hook for SELECT results formats."""
+    RESULT_FORMATS[fmt.id] = fmt
+
+
+def result_format_from_filename(path: str) -> ResultFormat | None:
+    """Extension sniffing over the results registry (.srx/.srj/.tsv)."""
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    for fmt in RESULT_FORMATS.values():
+        if ext == fmt.preferred_extension or ext in fmt.other_extensions:
+            return fmt
+    return None
+
+
+def result_format_from_mime_type(mime: str) -> ResultFormat | None:
+    for fmt in RESULT_FORMATS.values():
+        if mime == fmt.preferred_mime_type or mime in fmt.other_mime_types:
+            return fmt
+    return None
 
 
 def format_from_mime_type(mime: str) -> Format | None:

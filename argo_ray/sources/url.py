@@ -31,6 +31,15 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+# worker-side code (the _FetchParse actor) must reference MODULE
+# globals: a lazy relative import inside a function executed on a Ray
+# worker raises ModuleNotFoundError('argo_ray') whenever the driver
+# cwd is not the repo (workers receive this module by value and have
+# no importable argo_ray on sys.path) — the exact bug class the /tmp
+# driver-contract drive exists to catch
+from ..terms import append_subject_hash, triples_to_table
+from .registry import FORMATS, format_from_filename, format_from_mime_type
+
 
 def fetch_url(url: str, timeout: float = 30.0) -> tuple[str, str | None]:
     """→ (decoded text, Content-Type or None).  Stdlib urllib only —
@@ -50,8 +59,6 @@ def fetch_url(url: str, timeout: float = 30.0) -> tuple[str, str | None]:
 def resolve_format(url: str, content_type: str | None = None, override: str | None = None):
     """Reference resolution order (graph.go:318-326); raises
     ``ValueError`` when nothing matches."""
-    from .registry import FORMATS, format_from_filename, format_from_mime_type
-
     if override is not None:
         if override not in FORMATS:
             raise ValueError(f"unknown format id: {override!r}")
@@ -89,8 +96,6 @@ class _FetchParse:
         self.timeout = timeout
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..terms import append_subject_hash, triples_to_table
-
         triples = []
         row_urls: list[str] = []
         errors: list[tuple[str, str]] = []

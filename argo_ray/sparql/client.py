@@ -73,12 +73,16 @@ def run_session(
 ) -> None:
     """Drive one REPL session over iterable input ``lines`` (the
     reference's mainloop, sparqlclient.go:186-279)."""
-    from ..sources.registry import FORMATS
+    from ..sources.registry import FORMATS, RESULT_FORMATS
 
     out = out or sys.stdout
     err = err or sys.stderr
     prefixes: dict[str, str] = {}
     fmt = FORMATS["rdfxml"]
+    # SELECT rendering: ASCII table by default; ``FORMAT tsv|srx|srj``
+    # switches to the S6 results registry's serializer (``FORMAT
+    # table`` switches back)
+    results_fmt = None
 
     it = iter(lines)
     while True:
@@ -96,6 +100,24 @@ def run_session(
             if verb == "SELECT":
                 ds = query_service.select(_with_prefixes(line, prefixes))
                 header = list(ds.schema().names)
+                if results_fmt is not None:
+                    from ..sources.sparql_results import (
+                        parse_select_results_tsv,
+                    )
+
+                    # the engine's canonical rendering IS the TSV term
+                    # syntax — reuse its parser to reach the binding-row
+                    # shape every results serializer consumes
+                    from ..sinks.sparql_results import select_dataset_to_tsv
+
+                    doc = select_dataset_to_tsv(ds, header)
+                    if results_fmt.id == "tsv":
+                        out.write(doc)
+                    else:
+                        variables, rows = parse_select_results_tsv(doc)
+                        out.write(results_fmt.serializer(variables, rows))
+                        out.write("\n")
+                    continue
                 # aggregate results carry numeric cells — stringify all
                 rows = [[str(r[h]) for h in header] for r in ds.take_all()]
                 _print_table(header, rows, out)
@@ -119,6 +141,10 @@ def run_session(
                 name = line.split(" ", 1)[1].strip().lower() if " " in line else ""
                 if name in FORMATS:
                     fmt = FORMATS[name]
+                elif name in RESULT_FORMATS:
+                    results_fmt = RESULT_FORMATS[name]
+                elif name == "table":
+                    results_fmt = None
                 else:
                     err.write(f"Invalid format: {name}\n")
             else:

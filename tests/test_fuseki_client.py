@@ -117,3 +117,47 @@ def test_client_main_fuseki_mode(ray_session, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "OK\n" in out and "Result: true" in out
+
+
+def test_repl_select_results_formats(tmp_path, ray_session):
+    """FORMAT tsv/srj/srx route SELECT output through the S6 results
+    registry instead of the ASCII table; FORMAT table switches back
+    (r4 verdict task #8)."""
+    svc = FileFusekiService(str(tmp_path))
+    ds = svc.create("kb")
+    uri = "https://graphs.example.org/main"
+    ds.graph_store().put(uri, triples_to_table(TRIPLES, with_hash=False))
+    query = ds.query_service()
+    update = ds.update_service(uri)
+
+    out, err = io.StringIO(), io.StringIO()
+    run_session(
+        query,
+        update,
+        [
+            f"PREFIX ex: <{EX}> .\n",
+            "FORMAT tsv\n",
+            "SELECT ?s WHERE { ?s a ex:Doc } ORDER BY ?s\n",
+            "FORMAT srj\n",
+            "SELECT ?s WHERE { ?s a ex:Doc } ORDER BY ?s\n",
+            "FORMAT table\n",
+            "SELECT ?s WHERE { ?s a ex:Doc } ORDER BY ?s\n",
+        ],
+        out=out,
+        err=err,
+    )
+    text = out.getvalue()
+    assert err.getvalue() == ""
+    # TSV block: ?-prefixed header + full SPARQL term syntax cells
+    assert f"?s\n<{EX}d1>\n<{EX}d2>\n" in text
+    # JSON block parses back to the same bindings
+    import json
+
+    start = text.index('{"head"')
+    doc = json.loads(text[start : text.index("\n", start)])
+    assert doc["head"]["vars"] == ["s"]
+    assert [b["s"]["value"] for b in doc["results"]["bindings"]] == [
+        EX + "d1", EX + "d2",
+    ]
+    # and the ASCII table is back at the end
+    assert text.rstrip().endswith("+")
