@@ -967,7 +967,7 @@ class _BroadcastWedgeCloser:
         # hash64 is a module global: worker-side code must not execute
         # relative imports (workers receive this module by value and
         # have no importable argo_ray on sys.path)
-        tri_schema = pa.schema([("node", pa.string())])
+        tri_schema = pa.schema([("node", pa.string()), ("n", pa.int64())])
         if len(df) == 0 or "f" not in df.columns:
             return tri_schema.empty_table()
         out = []
@@ -1001,7 +1001,15 @@ class _BroadcastWedgeCloser:
             )
         if not out:
             return tri_schema.empty_table()
-        return pa.table({"node": pa.array(np.concatenate(out), pa.string())})
+        # map-side combiner: collapse per-block corner repeats before
+        # the count exchange (a node corners MANY triangles per block)
+        nodes, counts = np.unique(np.concatenate(out), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
 
 def triangles(
@@ -1335,7 +1343,7 @@ def _distributed_wedge_closure(ec, emit_edges: bool):
     )
 
     out_col = "key" if emit_edges else "node"
-    tri_schema = pa.schema([(out_col, pa.string())])
+    tri_schema = pa.schema([(out_col, pa.string()), ("n", pa.int64())])
 
     def close_block(df):
         # sorted by key: wedge rows + at most one edge-marker per key
@@ -1357,7 +1365,7 @@ def _distributed_wedge_closure(ec, emit_edges: bool):
             # b < c already (name-ordered wedge key); canonicalize the
             # two apex pairs — object dtype so np.minimum dispatches to
             # Python string comparison (see _BroadcastWedgeEdgeCloser)
-            keys = np.concatenate(
+            emitted = np.concatenate(
                 [
                     np.char.add(
                         np.char.add(lo.astype(str), _SEP), hi.astype(str)
@@ -1369,9 +1377,17 @@ def _distributed_wedge_closure(ec, emit_edges: bool):
                     )
                 ]
             )
-            return pa.table({"key": pa.array(keys, pa.string())})
-        nodes = np.concatenate([a, b, c])
-        return pa.table({"node": pa.array(nodes, pa.string())})
+        else:
+            emitted = np.concatenate([a, b, c])
+        # map-side combiner before the count exchange (same rationale
+        # as _BroadcastWedgeEdgeCloser)
+        uniq, counts = np.unique(emitted, return_counts=True)
+        return pa.table(
+            {
+                out_col: pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
     return (
         wedge_rows.union(edge_marks)
@@ -1389,7 +1405,7 @@ class _BroadcastWedgeEdgeCloser(_BroadcastWedgeCloser):
     per-edge triangle support."""
 
     def __call__(self, df):
-        key_schema = pa.schema([("key", pa.string())])
+        key_schema = pa.schema([("key", pa.string()), ("n", pa.int64())])
         if len(df) == 0 or "f" not in df.columns:
             return key_schema.empty_table()
         out = []
@@ -1428,11 +1444,23 @@ class _BroadcastWedgeEdgeCloser(_BroadcastWedgeCloser):
                 )
         if not out:
             return key_schema.empty_table()
-        return pa.table({"key": pa.array(np.concatenate(out), pa.string())})
+        # map-side combiner: an edge is closed once per triangle it is
+        # in, and one sorted block holds MANY apex groups — collapsing
+        # duplicates here shrinks the count exchange by the average
+        # per-block support (measured 44 s → see BASELINE.md r5)
+        keys, counts = np.unique(np.concatenate(out), return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
 
 def edge_triangle_support(
-    edges_ds, broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT
+    edges_ds,
+    broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT,
+    assume_canonical: bool = False,
 ):
     """Per-EDGE triangle support |N(u) ∩ N(v)| over the undirected
     simple graph — the k-truss building block (an edge is in a k-truss
@@ -1445,7 +1473,11 @@ def edge_triangle_support(
     closure filter like ``triangles``; beyond the gate it switches to
     the shared all-distributed degree-attach plan
     (:func:`_distributed_wedge_closure` with ``emit_edges=True``) —
-    both plans are differential-tested equal.  Returns
+    both plans are differential-tested equal.  Pass
+    ``assume_canonical=True`` when the input is already distinct with
+    ``src < dst`` and no self-loops (e.g. :func:`cooccurrence_edges`
+    output) to skip a redundant full-edge-set distinct exchange
+    (measured 5.2 s of the sf0.1 truss pipeline).  Returns
     ``(u, v, n_triangles)`` for edges in ≥1 triangle (u < v
     lexicographically)."""
     import ray
@@ -1462,13 +1494,24 @@ def edge_triangle_support(
             }
         ).filter(keep)
 
-    ec = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    if assume_canonical:
+        ec = edges_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": pc.cast(b["src"], pa.string()),
+                    "v": pc.cast(b["dst"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        ec = (
+            edges_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby(["u", "v"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["u", "v"])
+            .materialize()
+        )
     if ec.count() > broadcast_edge_limit:
         # beyond the gate: the all-distributed degree-attach plan with
         # the 3-canonical-edge emission — nothing collects on the
@@ -1534,10 +1577,37 @@ def edge_triangle_support(
     return _split_edge_support(keys)
 
 
+def _sum_partials(ds, key_col: str, out_col: str):
+    """(key, n) combined partials → (key, Σn) via ONE sort exchange +
+    in-block pandas sum — the pinned sort-colocation contract
+    (grouping.py: Ray 2.49 sort emits whole key runs per block).
+    Measured 15.0 s → 0.56 s vs ``groupby().aggregate(Sum)`` on the
+    sf0.1 truss exchange (2.9M partials / 1.19M groups)."""
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
+
+    def block_sum(df):
+        if len(df) == 0 or key_col not in df.columns:
+            return schema.empty_table()
+        g = df.groupby(key_col, sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col], pa.string()),
+                out_col: pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.sort(key_col).map_batches(
+        block_sum, batch_format="pandas", batch_size=None
+    )
+
+
 def _split_edge_support(keys):
-    """(key) triangle-edge rows → ``(u, v, n_triangles)``, shared by
-    both :func:`edge_triangle_support` plans."""
-    from ray.data.aggregate import Count
+    """(key, n) combined triangle-edge partials → ``(u, v,
+    n_triangles)``, shared by both :func:`edge_triangle_support`
+    plans (the closers pre-aggregate per block; this sums the
+    partials)."""
 
     def split(b: pa.Table) -> pa.Table:
         parts = pc.split_pattern(
@@ -1551,35 +1621,18 @@ def _split_edge_support(keys):
             }
         )
 
-    return (
-        keys.materialize()  # barrier before the count exchange
-        .groupby("key")
-        .aggregate(Count(alias_name="key_count"))
-        .map_batches(split, batch_format="pyarrow")
+    summed = _sum_partials(
+        keys.materialize(),  # barrier before the count exchange
+        "key", "key_count",
     )
+    return summed.map_batches(split, batch_format="pyarrow")
 
 
 def _count_corners(corner_rows):
-    """(node) corner rows → (node, n_triangles), shared by both closure
-    plans."""
-    from ray.data.aggregate import Count
-
-    out_schema = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
-    return (
-        corner_rows.groupby("node")
-        .aggregate(Count(alias_name="n_triangles"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node": pc.cast(b["node"], pa.string()),
-                    "n_triangles": pc.cast(b["n_triangles"], pa.int64()),
-                }
-            )
-            if b.num_rows
-            else out_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-    )
+    """(node, n) combined corner partials → (node, n_triangles),
+    shared by both closure plans (the closers pre-aggregate per
+    block; this sums the partials)."""
+    return _sum_partials(corner_rows, "node", "n_triangles")
 
 
 def _link_prediction_small(edges_ds, k: int, max_apex_degree: int | None):

@@ -16,11 +16,16 @@ Decode support:
   decoded for real by :func:`decode_png` — stdlib ``zlib`` inflate +
   all five scanline unfilters per the public PNG spec (RFC 2083);
   interlaced / 16-bit / palette variants quarantine.
-- JPEG and compressed video need codec libraries absent in this
-  container, so those kernels raise ``NotImplementedError``; a
-  deterministic fake is available for tests.  The Ray-side plumbing —
-  schema, actor signature, batch sizing, output layout — is real and
-  tested either way.
+- **Baseline JPEG (SOF0, 8-bit gray or YCbCr 4:4:4, restart
+  intervals)** is decoded for real by
+  :func:`argo_ray.functions.jpeg.decode_jpeg` — T.81 Huffman entropy
+  decode + vectorized dequant/IDCT, standard Annex K tables;
+  progressive / arithmetic / subsampled variants quarantine.
+- Compressed video needs codec libraries absent in this container, so
+  those kernels raise ``NotImplementedError``; a deterministic fake is
+  available for tests.  The Ray-side plumbing — schema, actor
+  signature, batch sizing, output layout — is real and tested either
+  way.
 """
 
 from __future__ import annotations
@@ -32,6 +37,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .jpeg import decode_jpeg, encode_jpeg_gray
 
 MULTIMODAL_SCHEMA = pa.schema(
     [
@@ -334,9 +341,11 @@ def sniff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PGM/PNG decode in this environment (JPEG needs "
-        "codec libraries absent from the container)"
+        "only BMP/PPM/PGM/PNG/baseline-JPEG decode in this environment "
+        "(video codecs need libraries absent from the container)"
     )
 
 
@@ -886,6 +895,94 @@ def image_png_oracle_sql() -> str:
        CAST(8 AS INTEGER) AS height, CAST(8 AS INTEGER) AS width,
        CAST(1 AS INTEGER) AS channels,
        repeat(md5(text), 4) AS pixels_hex
+FROM documents"""
+
+
+def documents_as_jpeg(sf_dir: str):
+    """Adapter: a REAL baseline-JPEG corpus derived deterministically
+    from the documents table — each doc becomes an actual 32×32
+    grayscale JPEG of sixteen constant 8×8 tiles, tile (tr, tc) =
+    ``md5(text).digest()[tr*4+tc]``.  Constant blocks with the
+    DC-quantizer-8 table round-trip BIT-EXACTLY through the lossy
+    pipeline (pure DC, exactly divisible), so DuckDB reconstructs
+    every decoded pixel; ``restart_interval = doc_id % 4`` exercises
+    the DRI/RSTn scan structure on real files."""
+
+    def adapt(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            d = hashlib.md5(t.encode()).digest()
+            tiles = np.zeros((32, 32), np.uint8)
+            for j, byte in enumerate(d):
+                tr, tc = divmod(j, 4)
+                tiles[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8] = byte
+            payloads.append(
+                encode_jpeg_gray(
+                    32, 32, tiles.tobytes(), restart_interval=int(i) % 4
+                )
+            )
+        return pa.table(
+            {
+                "item_id": pc.cast(b["doc_id"], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["image/jpeg"] * len(texts), pa.string()),
+                "meta": pa.array(['{"h":32,"w":32}'] * len(texts), pa.string()),
+            }
+        )
+
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+
+
+def image_jpeg_decode(sf_dir: str):
+    """Real baseline-JPEG decode pipeline: JPEG corpus (restart
+    intervals varying per item) → actor-pool :class:`ImageDecoder`
+    (T.81 Huffman + vectorized dequant/IDCT,
+    :func:`argo_ray.functions.jpeg.decode_jpeg`) → (item_id, height,
+    width, channels, pixels_hex), every pixel oracle-reconstructed
+    from ``md5(text)``."""
+    ds = documents_as_jpeg(sf_dir)
+    decoded = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=64
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": b["item_id"],
+                "height": pc.cast(b["height"], pa.int32()),
+                "width": pc.cast(b["width"], pa.int32()),
+                "channels": pc.cast(b["channels"], pa.int32()),
+                "pixels_hex": pa.array(
+                    [p.hex() for p in b["pixels"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return decoded.map_batches(finish, batch_format="pyarrow")
+
+
+def image_jpeg_oracle_sql() -> str:
+    """DuckDB reconstruction of :func:`image_jpeg_decode`: tile
+    (tr, tc) is digest byte ``tr*4+tc``; one pixel row of the image is
+    four 8-wide repeats, one tile-row is that row repeated 8 times."""
+    tile_rows = []
+    for tr in range(4):
+        row_hex = " || ".join(
+            f"repeat(substr(md5(text), {2 * (tr * 4 + tc) + 1}, 2), 8)"
+            for tc in range(4)
+        )
+        tile_rows.append(f"repeat({row_hex}, 8)")
+    expr = " || ".join(tile_rows)
+    return f"""SELECT doc_id AS item_id,
+       CAST(32 AS INTEGER) AS height, CAST(32 AS INTEGER) AS width,
+       CAST(1 AS INTEGER) AS channels,
+       {expr} AS pixels_hex
 FROM documents"""
 
 

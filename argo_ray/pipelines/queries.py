@@ -1965,7 +1965,7 @@ def q_kg_sssp(sf_dir: str):
     return sssp_weighted(edges, iters=4, seed="https://hub.example.org/")
 
 
-def q_kg_sameas_canon(sf_dir: str):
+def q_kg_sameas_canon(sf_dir: str, mode: str = "auto"):
     """KG entity fusion: a second source asserts the same facts under
     an alias namespace (kb.example.org); owl:sameAs links connect the
     two IRIs for every doc_id %% 4 == 0 entity; canonicalization
@@ -2003,7 +2003,7 @@ def q_kg_sameas_canon(sf_dir: str):
         return pa.table({"src": pc.cast(src, pa.string()), "dst": pc.cast(dst, pa.string())})
 
     edges = base.map_batches(sameas_edges, batch_format="pyarrow")
-    return _finalize(canonicalize_sameas(union, edges, iters=4))
+    return _finalize(canonicalize_sameas(union, edges, iters=4, mode=mode))
 
 
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"

@@ -133,6 +133,11 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         ("cc_ingest_pipeline", q_cc_ingest_pipeline),
         ("kg_pagerank", q_kg_pagerank),
         ("kg_sameas_canon", q_kg_sameas_canon),
+        # the no-broadcast sort-colocation join fallback at bench scale
+        # (r4 verdict task #7): same input, mode forced, so the >2M-
+        # mapping path's cost is a recorded number, not a pytest-only
+        # code path
+        ("kg_sameas_canon_join", lambda sf: q_kg_sameas_canon(sf, mode="join")),
         ("docs_dup_spans", q_docs_dup_spans),
         ("docs_dsir", q_docs_dsir),
         ("kg_delta", q_kg_delta),

@@ -228,6 +228,73 @@ def test_png_codec_roundtrip_all_filters_and_variants():
     assert out["channels"].to_pylist() == [3]
 
 
+def test_jpeg_codec_baseline():
+    import hashlib
+
+    import numpy as np
+
+    from argo_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+    from argo_ray.functions.multimodal import sniff_decode
+
+    # exact constant-block roundtrip (the oracle fixture contract):
+    # pure-DC blocks with the DC-quantizer-8 table are bit-exact
+    d = hashlib.md5(b"hello").digest()
+    tiles = np.zeros((32, 32), np.uint8)
+    for j, byte in enumerate(d):
+        tr, tc = divmod(j, 4)
+        tiles[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8] = byte
+    p = encode_jpeg_gray(32, 32, tiles.tobytes())
+    assert decode_jpeg(p) == (32, 32, 1, tiles.tobytes())
+    # restart intervals decode identically (DRI/RSTn path)
+    p_rst = encode_jpeg_gray(32, 32, tiles.tobytes(), restart_interval=3)
+    assert decode_jpeg(p_rst) == (32, 32, 1, tiles.tobytes())
+    # sniff dispatch on the SOI magic
+    assert sniff_decode(p)[3] == tiles.tobytes()
+
+    # general gray content: near-lossless with the default table,
+    # non-multiple-of-8 dims crop correctly
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(21, 19), dtype=np.uint8)
+    h, w, c, out = decode_jpeg(encode_jpeg_gray(21, 19, img.tobytes()))
+    assert (h, w, c) == (21, 19, 1)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int).reshape(21, 19)
+        - img.astype(int)
+    ).max()
+    assert err <= 2
+
+    # color (YCbCr 4:4:4) roundtrip within color-transform rounding
+    imgc = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    h, w, c, out = decode_jpeg(encode_jpeg_rgb(16, 24, imgc.tobytes()))
+    assert (h, w, c) == (16, 24, 3)
+    errc = np.abs(
+        np.frombuffer(out, np.uint8).astype(int).reshape(16, 24, 3)
+        - imgc.astype(int)
+    ).max()
+    assert errc <= 4
+
+    # poison / unsupported variants quarantine loudly
+    for bad in (b"\xff\xd8\xff\xda", b"junk", p[:40],
+                b"\xff\xd8" + b"\xff\xc2\x00\x05aaa"):  # SOF2 progressive
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # ImageDecoder quarantines the poison JPEG, keeps the good one
+    dec = ImageDecoder(on_error="skip")
+    out = dec(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2], pa.int64()),
+                "payload": [p, p[:40]],
+            }
+        )
+    )
+    assert out["item_id"].to_pylist() == [1]
+
+
 # ---------------------------------------------------------------------------
 # Distributed checks (Ray session)
 # ---------------------------------------------------------------------------
