@@ -1040,8 +1040,6 @@ def triangles(
     - each triangle is found exactly once (at its unique minimal apex)
       and credits all three corners via a final groupby-count.
     """
-    from ray.data.aggregate import Count
-
     edges_ds = edges_ds.materialize()
 
     def canon(b: pa.Table) -> pa.Table:
@@ -1066,13 +1064,9 @@ def triangles(
             batch_format="pyarrow",
         ).materialize()
     else:
-        ec = (
-            edges_ds.map_batches(canon, batch_format="pyarrow")
-            .groupby(["u", "v"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["u", "v"])
-            .materialize()
-        )
+        ec = _distinct_pairs(
+            edges_ds.map_batches(canon, batch_format="pyarrow"), "u", "v"
+        ).materialize()
 
     if ec.count() <= broadcast_edge_limit:
         # broadcast plan: ONE driver pass over the (gate-bounded)
@@ -1481,7 +1475,6 @@ def edge_triangle_support(
     ``(u, v, n_triangles)`` for edges in ≥1 triangle (u < v
     lexicographically)."""
     import ray
-    from ray.data.aggregate import Count
 
     def canon(b: pa.Table) -> pa.Table:
         s = pc.cast(b["src"], pa.large_string())
@@ -1505,13 +1498,9 @@ def edge_triangle_support(
             batch_format="pyarrow",
         ).materialize()
     else:
-        ec = (
-            edges_ds.map_batches(canon, batch_format="pyarrow")
-            .groupby(["u", "v"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["u", "v"])
-            .materialize()
-        )
+        ec = _distinct_pairs(
+            edges_ds.map_batches(canon, batch_format="pyarrow"), "u", "v"
+        ).materialize()
     if ec.count() > broadcast_edge_limit:
         # beyond the gate: the all-distributed degree-attach plan with
         # the 3-canonical-edge emission — nothing collects on the
@@ -1966,8 +1955,6 @@ def cooccurrence_edges(pairs_ds, group_col: str, item_col: str):
     distinct groupby.  Edge volume is Σ C(k,2) over group sizes —
     callers must ensure group fan-out is bounded (cap or drop hub
     groups), or a single hub becomes a clique."""
-    from ray.data.aggregate import Count
-
     from ..stages import grouping as _colocation_guard  # noqa: F401
 
     schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
@@ -2005,11 +1992,38 @@ def cooccurrence_edges(pairs_ds, group_col: str, item_col: str):
         .map_batches(pairs, batch_format="pandas", batch_size=None)
         .materialize()
     )
-    return (
-        raw_pairs.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
-    )
+    return _distinct_pairs(raw_pairs, "src", "dst")
+
+
+def _distinct_pairs(ds, a: str, b: str):
+    """Global distinct over a two-string-column dataset via
+    ``sorted_unique`` (hash-keyed sort + adjacent-row mask, exact
+    collision fallback) — the Aggregate-based distinct costs ~27× more
+    at millions-of-groups scale (see ``_sum_partials``)."""
+    from ..stages.grouping import sorted_unique
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = _mix_pair_hashes(
+            hash64(pc.cast(batch[a], pa.string()), seed=0).to_numpy(
+                zero_copy_only=False
+            ),
+            hash64(pc.cast(batch[b], pa.string()), seed=1).to_numpy(
+                zero_copy_only=False
+            ),
+        )
+        return pa.table(
+            {
+                a: pc.cast(batch[a], pa.string()),
+                b: pc.cast(batch[b], pa.string()),
+                "_pairkey": pa.array(h, pa.uint64()),
+            }
+        )
+
+    return sorted_unique(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        [a, b],
+        "_pairkey",
+    ).select_columns([a, b])
 
 
 _LP_SCHEMA = pa.schema(
