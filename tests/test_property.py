@@ -624,3 +624,50 @@ def test_span_corruption_reconstructs(text):
         else:
             rebuilt.append(t)
     assert rebuilt == toks
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 4),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, channels, filter_type, seed):
+    """Any 8-bit image round-trips bit-exactly through the PNG codec
+    under every scanline filter type."""
+    import numpy as np
+
+    from argo_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=h * w * channels, dtype=np.uint8).tobytes()
+    assert decode_png(encode_png(h, w, px, channels, filter_type)) == (
+        h, w, channels, px,
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 30),
+    st.integers(1, 30),
+    st.integers(0, 5),
+    st.integers(0, 2**31 - 1),
+)
+def test_jpeg_gray_roundtrip_property(h, w, restart, seed):
+    """Any grayscale image round-trips through the baseline JPEG
+    codec within the near-lossless table's quantization error (≤2),
+    at any restart interval."""
+    import numpy as np
+
+    from argo_ray.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    hh, ww, c, out = decode_jpeg(
+        encode_jpeg_gray(h, w, img.tobytes(), restart_interval=restart)
+    )
+    assert (hh, ww, c) == (h, w, 1)
+    got = np.frombuffer(out, np.uint8).astype(int).reshape(h, w)
+    assert np.abs(got - img.astype(int)).max() <= 2
