@@ -68,7 +68,6 @@ def exact_dedup_docs(ds, hasher: str = "fast"):
     + ``fingerprint2``); ``"md5"`` keys on the DuckDB-reproducible hex
     md5 (the oracle-check mode, per-row hashlib)."""
     import ray.data  # noqa: F401
-    from ray.data.aggregate import Count, Min, Sum
 
     if hasher == "fast":
         from ..terms import hash64
@@ -105,13 +104,29 @@ def exact_dedup_docs(ds, hasher: str = "fast"):
         ).reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    def merge_block(df):
+        # sorted by the first key: whole fingerprint runs per block
+        # (the pinned 2.49 sort-colocation contract — grouping.py);
+        # Ray's Aggregate on the same exchange measured 8.4 s vs 2.6 s
+        # at 800k distinct fingerprints (see BASELINE.md r5)
+        if len(df) == 0 or keys[0] not in df.columns:
+            fp_type = pa.uint64() if hasher == "fast" else pa.string()
+            cols = {k: pa.array([], fp_type) for k in keys}
+            cols["keep_doc_id"] = pa.array([], pa.int64())
+            cols["n_copies"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        agg = df.groupby(keys, sort=False).agg(
+            keep_doc_id=("partial_min", "min"), n_copies=("partial_n", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
     ds = ds.map_batches(fp, batch_format="pyarrow")
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    out = ds.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
-        Min("partial_min", alias_name="keep_doc_id"),
-        Sum("partial_n", alias_name="n_copies"),
+    return ds.sort(keys[0]).map_batches(
+        merge_block, batch_format="pandas", batch_size=None
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
