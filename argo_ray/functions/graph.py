@@ -212,6 +212,38 @@ def _scatter_contribs(edges_kv, values_ds, val_col: str, combine: str = "sum"):
     )
 
 
+def _sorted_group_agg(ds, key_col, val_col, how, out_key, out_val, val_type):
+    """(key, val) rows → (key, min/sum of val) via ONE sort + in-block
+    pandas agg under the pinned 2.49 sort-colocation contract
+    (grouping.py) — the finish of every propagation loop.  Ray Data's
+    ``groupby().aggregate(...)`` measured ~27× slower at
+    millions-of-groups scale (see :func:`_sum_partials`); at node-count
+    group cardinality that tax lands on EVERY iteration of the
+    pagerank/BFS/label loops."""
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    schema = pa.schema([(out_key, pa.string()), (out_val, val_type)])
+    is_str = val_type == pa.string()
+
+    def block(df):
+        if len(df) == 0 or key_col not in df.columns:
+            return schema.empty_table()
+        g = df.groupby(key_col, sort=False)[val_col].agg(how).reset_index()
+        vals = (
+            pa.array(g[val_col].astype(object), pa.string())
+            if is_str
+            else pc.cast(pa.array(g[val_col].to_numpy()), val_type)
+        )
+        return pa.table(
+            {out_key: pa.array(g[key_col].astype(object), pa.string()),
+             out_val: vals}
+        )
+
+    return ds.sort(key_col).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
 def _scatter_sum(edges_kv, values_ds, val_col: str, zero_rows):
     """sum over edges key→out of val(key)/w → Dataset (node, insum);
     every node present (zero floor).  The result is REPARTITIONED back
@@ -220,15 +252,11 @@ def _scatter_sum(edges_kv, values_ds, val_col: str, zero_rows):
     table's block count and per-iteration wall time climbs linearly
     (quadratic for the whole loop — measured 3.5 s → 33 s over 5
     iterations at sf0.001 before the fix)."""
-    from ray.data.aggregate import Sum
-
     contribs = _scatter_contribs(edges_kv, values_ds, val_col)
-    return (
-        contribs.union(zero_rows)
-        .groupby("node")
-        .aggregate(Sum("part", alias_name="insum"))
-        .repartition(max(1, zero_rows.num_blocks()))
-    )
+    return _sorted_group_agg(
+        contribs.union(zero_rows), "node", "part", "sum",
+        "node", "insum", pa.float64(),
+    ).repartition(max(1, zero_rows.num_blocks()))
 
 
 def _const_nodes(nodes, col: str, value: float):
@@ -701,9 +729,10 @@ def bfs_distances(
             batch_format="pyarrow",
         )
         dists = (
-            contribs.union(self_rows)
-            .groupby("node")
-            .aggregate(Min("part", alias_name="dist"))
+            _sorted_group_agg(
+                contribs.union(self_rows), "node", "part", "min",
+                "node", "dist", pa.float64(),
+            )
             .map_batches(
                 lambda b: pa.table(
                     {
@@ -886,9 +915,10 @@ def sssp_weighted(
             batch_format="pyarrow",
         )
         dists = (
-            contribs.union(self_rows)
-            .groupby("node")
-            .aggregate(Min("part", alias_name="dist"))
+            _sorted_group_agg(
+                contribs.union(self_rows), "node", "part", "min",
+                "node", "dist", pa.float64(),
+            )
             .map_batches(
                 lambda b: pa.table(
                     {
@@ -2147,17 +2177,9 @@ def label_propagation(
             batch_format="pyarrow",
         )
         labels = (
-            contribs.union(self_rows)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "node": pc.cast(b["node"], pa.string()),
-                        "label": pc.cast(b["label"], pa.string()),
-                    }
-                ),
-                batch_format="pyarrow",
+            _sorted_group_agg(
+                contribs.union(self_rows), "node", "cand", "min",
+                "node", "label", pa.string(),
             )
             .repartition(n_blocks)
             .materialize()
@@ -2238,17 +2260,9 @@ def directed_min_label(edges_ds, iters: int = 5, reverse: bool = False):
             batch_format="pyarrow",
         )
         labels = (
-            contribs.union(self_rows)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "node": pc.cast(b["node"], pa.string()),
-                        "label": pc.cast(b["label"], pa.string()),
-                    }
-                ),
-                batch_format="pyarrow",
+            _sorted_group_agg(
+                contribs.union(self_rows), "node", "cand", "min",
+                "node", "label", pa.string(),
             )
             .repartition(n_blocks)
             .materialize()
