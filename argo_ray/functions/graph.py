@@ -61,23 +61,38 @@ _PART_SCHEMA = pa.schema([("node", pa.string()), ("part", pa.float64())])
 
 
 def _distinct_nodes(edges_ds):
-    """src ∪ dst, distinct — one shuffle; reused as the per-iteration
-    zero-contribution floor so no left-outer join is ever needed."""
-    from ray.data.aggregate import Count
+    """src ∪ dst, distinct — one sorted exchange (per-block distinct
+    partials, then sort + adjacent-run dedup under the colocation
+    contract); reused as the per-iteration zero-contribution floor so
+    no left-outer join is ever needed."""
+    from ..stages import grouping as _colocation_guard  # noqa: F401
 
     def both_ends(b: pa.Table) -> pa.Table:
-        return pa.concat_tables(
+        t = pa.concat_tables(
             [
                 pa.table({"node": pc.cast(b["src"], pa.string())}),
                 pa.table({"node": pc.cast(b["dst"], pa.string())}),
             ]
         )
+        return t.group_by("node").aggregate([])  # in-block distinct
+
+    def dedup_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n <= 1:
+            return b
+        b = b.combine_chunks()
+        col = b.column("node").chunk(0)
+        same = pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~same
+        return b.filter(pa.array(keep))
 
     return (
         edges_ds.map_batches(both_ends, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="_n"))  # distinct via groupby
-        .select_columns(["node"])
+        .sort("node")
+        .map_batches(dedup_block, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
 
@@ -241,6 +256,76 @@ def _sorted_group_agg(ds, key_col, val_col, how, out_key, out_val, val_type):
 
     return ds.sort(key_col).map_batches(
         block, batch_format="pandas", batch_size=None
+    )
+
+
+def _sorted_multi_agg(ds, sort_key: str, key_cols, specs):
+    """General sorted-block group-aggregate: ``key_cols`` is a list of
+    ``(name, pa_type)`` (the first is the sort/colocation key —
+    sorting by it colocates every composite group that shares it);
+    ``specs`` is a list of ``(src_col, how, out_col, pa_type)``.
+    Same contract and rationale as :func:`_sorted_group_agg`."""
+    from ..stages import grouping as _colocation_guard  # noqa: F401
+
+    schema = pa.schema(
+        [(n, t) for n, t in key_cols] + [(o, t) for _, _, o, t in specs]
+    )
+    names = [n for n, _ in key_cols]
+
+    def block(df):
+        if len(df) == 0 or sort_key not in df.columns:
+            return schema.empty_table()
+        g = (
+            df.groupby(names, sort=False)
+            .agg(**{o: (s, h) for s, h, o, _ in specs})
+            .reset_index()
+        )
+        cols = {}
+        for n, t in key_cols:
+            cols[n] = (
+                pa.array(g[n].astype(object), pa.string())
+                if t == pa.string()
+                else pc.cast(pa.array(g[n].to_numpy()), t)
+            )
+        for _, _, o, t in specs:
+            cols[o] = (
+                pa.array(g[o].astype(object), pa.string())
+                if t == pa.string()
+                else pc.cast(pa.array(g[o].to_numpy()), t)
+            )
+        return pa.table(cols)
+
+    return ds.sort(sort_key).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
+def _sorted_count(ds, key_col: str, out_key: str, out_val: str):
+    """Row count per key via map-side per-block partials + ONE sorted
+    sum exchange (:func:`_sorted_group_agg`) — the degree/count twin
+    of the propagation finish, replacing ``groupby().aggregate(Count)``
+    at node-cardinality group counts."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [(key_col, pa.string()), ("part", pa.int64())]
+            ).empty_table()
+        g = (
+            pa.table({key_col: pc.cast(b[key_col], pa.string())})
+            .group_by(key_col)
+            .aggregate([(key_col, "count")])
+        )
+        return pa.table(
+            {
+                key_col: pc.cast(g[key_col], pa.string()),
+                "part": pc.cast(g[f"{key_col}_count"], pa.int64()),
+            }
+        )
+
+    return _sorted_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_col, "part", "sum", out_key, out_val, pa.int64(),
     )
 
 
@@ -612,11 +697,12 @@ def hits(edges_ds, iters: int = 5, small_graph_edges: int = SMALL_GRAPH_EDGES):
             batch_format="pyarrow",
         )
     )
-    from ray.data.aggregate import Max
-
-    return tagged.groupby("node").aggregate(
-        Max("hub", alias_name="hub", ignore_nulls=True),
-        Max("authority", alias_name="authority", ignore_nulls=True),
+    return _sorted_multi_agg(
+        tagged,
+        "node",
+        [("node", pa.string())],
+        [("hub", "max", "hub", pa.float64()),
+         ("authority", "max", "authority", pa.float64())],
     )
 
 
@@ -1189,17 +1275,15 @@ def _distributed_wedge_closure(ec, emit_edges: bool):
     broadcast gate."""
     from ray.data.aggregate import Count
 
-    deg = (
+    deg = _sorted_count(
         ec.map_batches(
             lambda b: pa.concat_tables(
                 [pa.table({"node": b["u"]}), pa.table({"node": b["v"]})]
             ),
             batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Count(alias_name="deg"))
-        .materialize()
-    )
+        ),
+        "node", "node", "deg",
+    ).materialize()
 
     # attach deg to each endpoint: two sort-colocated value passes
     attach_schema = pa.schema(
@@ -1784,14 +1868,10 @@ def link_prediction_jaccard(
         )
         return t.filter(pc.not_equal(t["a"], t["b"]))
 
-    eu = (
-        edges_ds.map_batches(both, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-        .materialize()
-    )
-    deg = eu.groupby("a").aggregate(Count(alias_name="degv")).materialize()
+    eu = _distinct_pairs(
+        edges_ds.map_batches(both, batch_format="pyarrow"), "a", "b"
+    ).materialize()
+    deg = _sorted_count(eu, "a", "a", "degv").materialize()
 
     ids = dense_rank_ids(
         deg.map_batches(
@@ -1886,16 +1966,14 @@ def link_prediction_jaccard(
     # barrier between the apex sort and the pair-count exchange
     # (chained all-to-alls thrash — see triangles); this groupby is the
     # ONE full-wedge-volume exchange of the plan (6 int64 columns)
-    counted = (
-        wedge_rows.union(edge_marks)
-        .materialize()
-        .groupby(["pa", "pb"])
-        .aggregate(
-            Sum("w", alias_name="common"),
-            Sum("m", alias_name="marked"),
-            Min("da", alias_name="da"),
-            Min("db", alias_name="db"),
-        )
+    counted = _sorted_multi_agg(
+        wedge_rows.union(edge_marks).materialize(),
+        "pa",
+        [("pa", pa.int64()), ("pb", pa.int64())],
+        [("w", "sum", "common", pa.int64()),
+         ("m", "sum", "marked", pa.int64()),
+         ("da", "min", "da", pa.int64()),
+         ("db", "min", "db", pa.int64())],
     )
 
     topk_schema = pa.schema(
@@ -2294,17 +2372,12 @@ def wl_colors(edges_ds, rounds: int = 1):
             [pa.table({"u": s, "v": d}), pa.table({"u": d, "v": s})]
         )
 
-    und = (
-        edges_ds.map_batches(symmetrize, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    und = _distinct_pairs(
+        edges_ds.map_batches(symmetrize, batch_format="pyarrow"), "u", "v"
+    ).materialize()
 
     labels = (
-        und.groupby("u")
-        .aggregate(Count(alias_name="deg"))
+        _sorted_count(und, "u", "u", "deg")
         .map_batches(
             lambda b: pa.table(
                 {
@@ -2551,10 +2624,9 @@ def kcore(
     cur = edges_ds.map_batches(normalize, batch_format="pyarrow")
     count = n_edges
     for _ in range(rounds):
-        degrees = (
-            cur.map_batches(degree_partials, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Sum("part", alias_name="deg"))
+        degrees = _sorted_group_agg(
+            cur.map_batches(degree_partials, batch_format="pyarrow"),
+            "node", "part", "sum", "node", "deg", pa.int64(),
         )
         def marker_rows(b: pa.Table) -> pa.Table:
             keep = pc.filter(
@@ -2633,9 +2705,10 @@ def kcore(
         count = new_count
 
     return (
-        cur.map_batches(degree_partials, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("part", alias_name="degree"))
+        _sorted_group_agg(
+            cur.map_batches(degree_partials, batch_format="pyarrow"),
+            "node", "part", "sum", "node", "degree", pa.int64(),
+        )
         .map_batches(
             lambda b: pa.table(
                 {
@@ -2765,10 +2838,11 @@ def khop_sample(edges_ds, seeds_ds, hops: int = 2, fanout: int = 3):
 
     from ray.data.aggregate import Min
 
-    return (
-        out.map_batches(min_partial, batch_format="pyarrow")
-        .groupby(["seed", "node"])
-        .aggregate(Min("hop_part", alias_name="hop"))
+    return _sorted_multi_agg(
+        out.map_batches(min_partial, batch_format="pyarrow"),
+        "seed",
+        [("seed", pa.string()), ("node", pa.string())],
+        [("hop_part", "min", "hop", pa.int64())],
     )
 
 
