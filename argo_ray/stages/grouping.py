@@ -241,3 +241,47 @@ def sorted_unique(ds, subset: list[str], key: str):
     return ds.sort(key).map_batches(
         dedup_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def sorted_multi_agg(ds, sort_key: str, key_cols, specs):
+    """General grouped aggregate as ONE sort + in-block pandas agg
+    (the sort-colocation contract above): ``key_cols`` is a list of
+    ``(name, pa_type)`` — the first shared key colocates every
+    composite group — and ``specs`` a list of ``(src_col, how,
+    out_col, pa_type)``.  Replaces ``groupby().aggregate(...)`` where
+    group cardinality is unbounded (nodes, subjects, fingerprints):
+    Ray Data's Aggregate measured ~27× slower at millions-of-groups
+    scale (BASELINE.md round 5)."""
+    import numpy as np  # noqa: F401
+
+    schema = pa.schema(
+        [(n, t) for n, t in key_cols] + [(o, t) for _, _, o, t in specs]
+    )
+    names = [n for n, _ in key_cols]
+
+    def block(df):
+        if len(df) == 0 or sort_key not in df.columns:
+            return schema.empty_table()
+        g = (
+            df.groupby(names, sort=False)
+            .agg(**{o: (s, h) for s, h, o, _ in specs})
+            .reset_index()
+        )
+        cols = {}
+        for n, t in key_cols:
+            cols[n] = (
+                pa.array(g[n].astype(object), pa.string())
+                if t == pa.string()
+                else pc.cast(pa.array(g[n].to_numpy()), t)
+            )
+        for _, _, o, t in specs:
+            cols[o] = (
+                pa.array(g[o].astype(object), pa.string())
+                if t == pa.string()
+                else pc.cast(pa.array(g[o].to_numpy()), t)
+            )
+        return pa.table(cols)
+
+    return ds.sort(sort_key).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

@@ -36,8 +36,6 @@ def validate_graph(
 
     One pass over the triples scatters per-shape candidate pairs; the
     per-shape verdicts are tiny groupbys over those pairs."""
-    from ray.data.aggregate import Max
-
     datatype_constraints = datatype_constraints or {}
     parts = []
 
@@ -77,12 +75,13 @@ def validate_graph(
                 }
             )
 
-        from ray.data.aggregate import Sum
+        from .grouping import sorted_multi_agg
 
-        counted = (
-            pairs.map_batches(count_partial, batch_format="pyarrow")
-            .groupby(["pred", "subj"])
-            .aggregate(Sum("n_part", alias_name="n_values"))
+        counted = sorted_multi_agg(
+            pairs.map_batches(count_partial, batch_format="pyarrow"),
+            "subj",
+            [("pred", pa.string()), ("subj", pa.string())],
+            [("n_part", "sum", "n_values", pa.int64())],
         )
 
         def func_verdict(b: pa.Table) -> pa.Table:
@@ -123,10 +122,13 @@ def validate_graph(
                 }
             )
 
-        typed = (
-            ds.map_batches(type_pairs, batch_format="pyarrow")
-            .groupby("subj")
-            .aggregate(Max("has_part", alias_name="has_type"))
+        from .grouping import sorted_multi_agg
+
+        typed = sorted_multi_agg(
+            ds.map_batches(type_pairs, batch_format="pyarrow"),
+            "subj",
+            [("subj", pa.string())],
+            [("has_part", "max", "has_type", pa.int64())],
         )
 
         def type_verdict(b: pa.Table) -> pa.Table:
