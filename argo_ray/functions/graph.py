@@ -260,44 +260,12 @@ def _sorted_group_agg(ds, key_col, val_col, how, out_key, out_val, val_type):
 
 
 def _sorted_multi_agg(ds, sort_key: str, key_cols, specs):
-    """General sorted-block group-aggregate: ``key_cols`` is a list of
-    ``(name, pa_type)`` (the first is the sort/colocation key —
-    sorting by it colocates every composite group that shares it);
-    ``specs`` is a list of ``(src_col, how, out_col, pa_type)``.
-    Same contract and rationale as :func:`_sorted_group_agg`."""
-    from ..stages import grouping as _colocation_guard  # noqa: F401
+    """Delegates to :func:`argo_ray.stages.grouping.sorted_multi_agg`
+    (the shared sorted-block group-aggregate — see there for the
+    contract and the Aggregate-vs-sort measurement)."""
+    from ..stages.grouping import sorted_multi_agg
 
-    schema = pa.schema(
-        [(n, t) for n, t in key_cols] + [(o, t) for _, _, o, t in specs]
-    )
-    names = [n for n, _ in key_cols]
-
-    def block(df):
-        if len(df) == 0 or sort_key not in df.columns:
-            return schema.empty_table()
-        g = (
-            df.groupby(names, sort=False)
-            .agg(**{o: (s, h) for s, h, o, _ in specs})
-            .reset_index()
-        )
-        cols = {}
-        for n, t in key_cols:
-            cols[n] = (
-                pa.array(g[n].astype(object), pa.string())
-                if t == pa.string()
-                else pc.cast(pa.array(g[n].to_numpy()), t)
-            )
-        for _, _, o, t in specs:
-            cols[o] = (
-                pa.array(g[o].astype(object), pa.string())
-                if t == pa.string()
-                else pc.cast(pa.array(g[o].to_numpy()), t)
-            )
-        return pa.table(cols)
-
-    return ds.sort(sort_key).map_batches(
-        block, batch_format="pandas", batch_size=None
-    )
+    return sorted_multi_agg(ds, sort_key, key_cols, specs)
 
 
 def _sorted_count(ds, key_col: str, out_key: str, out_val: str):
@@ -2518,12 +2486,12 @@ def scc_min_label(edges_ds, iters: int = 5):
             }
         )
 
-    return (
-        f_rows.union(b_rows)
-        .groupby("node")
-        .aggregate(Min("f", alias_name="f"), Min("b", alias_name="b"))
-        .map_batches(classify, batch_format="pyarrow")
-    )
+    return _sorted_multi_agg(
+        f_rows.union(b_rows),
+        "node",
+        [("node", pa.string())],
+        [("f", "min", "f", pa.string()), ("b", "min", "b", pa.string())],
+    ).map_batches(classify, batch_format="pyarrow")
 
 
 _KCORE_SCHEMA = pa.schema([("node", pa.string()), ("degree", pa.int64())])

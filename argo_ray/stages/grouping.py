@@ -262,22 +262,32 @@ def sorted_multi_agg(ds, sort_key: str, key_cols, specs):
     def block(df):
         if len(df) == 0 or sort_key not in df.columns:
             return schema.empty_table()
+        # min/max over object columns mixing None and str raise in
+        # pandas; StringDtype reduces with NA-skipping semantics
+        str_vals = {s for s, _, _, t in specs if t == pa.string()}
+        if str_vals:
+            df = df.copy()
+            for c in str_vals:
+                df[c] = df[c].astype("string")
         g = (
             df.groupby(names, sort=False)
             .agg(**{o: (s, h) for s, h, o, _ in specs})
             .reset_index()
         )
+        def as_str(col):
+            # NaN (an all-null group under a skipna agg) → Arrow null
+            col = col.astype(object)
+            return pa.array(col.where(col.notna(), None), pa.string())
+
         cols = {}
         for n, t in key_cols:
             cols[n] = (
-                pa.array(g[n].astype(object), pa.string())
-                if t == pa.string()
+                as_str(g[n]) if t == pa.string()
                 else pc.cast(pa.array(g[n].to_numpy()), t)
             )
         for _, _, o, t in specs:
             cols[o] = (
-                pa.array(g[o].astype(object), pa.string())
-                if t == pa.string()
+                as_str(g[o]) if t == pa.string()
                 else pc.cast(pa.array(g[o].to_numpy()), t)
             )
         return pa.table(cols)

@@ -37,9 +37,8 @@ def build_candidates(docs_ds, keep: str = "min"):
     derivation the page fixture uses); collisions resolve to the
     entity of the smallest doc_id (deterministic, oracle-reproducible).
     """
-    from ray.data.aggregate import Min
-
     from ..pages import entity_iri, title_of
+    from .grouping import sorted_multi_agg
 
     def derive(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
@@ -51,10 +50,11 @@ def build_candidates(docs_ds, keep: str = "min"):
             }
         )
 
-    agg = (
-        docs_ds.map_batches(derive, batch_format="pyarrow")
-        .groupby("surface_form")
-        .aggregate(Min("doc_id", alias_name="min_doc_id"))
+    agg = sorted_multi_agg(
+        docs_ds.map_batches(derive, batch_format="pyarrow"),
+        "surface_form",
+        [("surface_form", pa.string())],
+        [("doc_id", "min", "min_doc_id", pa.int64())],
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -83,10 +83,9 @@ def build_candidates_ranked(docs_ds, triples_ds):
     """
     import pandas as pd  # noqa: F401  (block fns receive pandas frames)
 
-    from ray.data.aggregate import Count
-
     from ..pages import entity_iri, title_of
     from ..stages import grouping as _colocation_guard  # noqa: F401
+    from .grouping import sorted_multi_agg
 
     def derive(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
@@ -104,10 +103,22 @@ def build_candidates_ranked(docs_ds, triples_ds):
         m = b.filter(pc.not_equal(pc.cast(b["obj_kind"], pa.int64()), KIND_LITERAL))
         return pa.table({"node": pc.cast(m["obj_value"], pa.string())})
 
-    indeg = (
-        triples_ds.map_batches(in_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="pop"))
+    def indeg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("node").aggregate([("node", "count")])
+        return pa.table(
+            {
+                "node": pc.cast(g["node"], pa.string()),
+                "part": pc.cast(g["node_count"], pa.int64()),
+            }
+        )
+
+    indeg = sorted_multi_agg(
+        triples_ds.map_batches(in_nodes, batch_format="pyarrow").map_batches(
+            indeg_partial, batch_format="pyarrow"
+        ),
+        "node",
+        [("node", pa.string())],
+        [("part", "sum", "pop", pa.int64())],
     )
 
     # LEFT-attach pop to candidates, colocated on the entity IRI
