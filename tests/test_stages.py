@@ -549,3 +549,61 @@ def test_blank_canonical_labels_differential(ray_session):
             assert got["b1"] != got["y1"]
     # chain positions must be distinguished
     assert got["b1"] != got["b2"]
+
+
+def test_sorted_multi_agg_contract(ray_session):
+    """The shared sorted-block group-aggregate (grouping.py): composite
+    keys colocated by the first key, mixed min/sum specs, NA-skipping
+    string min with all-null groups -> Arrow null, many input blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from argo_ray.stages.grouping import sorted_multi_agg
+
+    rng = np.random.RandomState(0)
+    n = 5000
+    ks = [f"k{int(i):03d}" for i in rng.randint(0, 300, n)]
+    sub = rng.randint(0, 3, n)
+    vals = rng.randint(0, 1000, n)
+    labels = [None if i % 4 == 0 else f"s{v:04d}" for i, v in enumerate(vals)]
+    tbl = pa.table(
+        {
+            "k": pa.array(ks, pa.string()),
+            "sub": pa.array(sub, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+            "lab": pa.array(labels, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(16)
+    out = sorted_multi_agg(
+        ds,
+        "k",
+        [("k", pa.string()), ("sub", pa.int64())],
+        [("v", "sum", "v_sum", pa.int64()),
+         ("v", "min", "v_min", pa.int64()),
+         ("lab", "min", "lab_min", pa.string())],
+    ).take_all()
+
+    # reference via plain pandas on the whole table
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df["lab"] = df["lab"].astype("string")
+    ref = (
+        df.groupby(["k", "sub"], sort=False)
+        .agg(v_sum=("v", "sum"), v_min=("v", "min"), lab_min=("lab", "min"))
+        .reset_index()
+    )
+    ref_rows = {
+        (r.k, int(r.sub)): (int(r.v_sum), int(r.v_min),
+                            None if pd.isna(r.lab_min) else r.lab_min)
+        for r in ref.itertuples()
+    }
+    got_rows = {
+        (r["k"], r["sub"]): (r["v_sum"], r["v_min"], r["lab_min"])
+        for r in out
+    }
+    assert got_rows == ref_rows
+    # every composite group appears exactly once (no split groups)
+    assert len(out) == len(ref_rows)
