@@ -810,12 +810,15 @@ def neardup_components(
             }
         )
 
-    from ray.data.aggregate import Min
+    from ..stages.grouping import sorted_multi_agg
 
     edges = pairs_ds.map_batches(edges_batch, batch_format="pyarrow").materialize()
     labels = (
-        edges.groupby("src")
-        .aggregate(Min("dst", alias_name="nbr_min"))
+        sorted_multi_agg(
+            edges, "src",
+            [("src", pa.int64())],
+            [("dst", "min", "nbr_min", pa.int64())],
+        )
         .map_batches(
             lambda b: pa.table(
                 {
@@ -852,16 +855,11 @@ def neardup_components(
             lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
             batch_format="pyarrow",
         )
-        new_labels = (
-            scattered.union(self_rows)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .map_batches(
-                lambda b: pa.table({"node": b["node"], "label": b["label"]}),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
+        new_labels = sorted_multi_agg(
+            scattered.union(self_rows), "node",
+            [("node", pa.int64())],
+            [("cand", "min", "label", pa.int64())],
+        ).materialize()
         # converged when the label sum is unchanged (labels monotone ↓)
         new_sum = label_sum(new_labels)
         labels = new_labels
@@ -1055,12 +1053,16 @@ def keep_best_per_component(docs_ds, comp_ds):
             }
         )
 
-    labeled = (
-        docs_ds.map_batches(docs_part, batch_format="pyarrow")
-        .union(comp_ds.map_batches(comp_part, batch_format="pyarrow"))
-        .groupby("doc_id")
-        .aggregate(Min("label", alias_name="component"),
-                   Max("chars", alias_name="n_chars"))
+    from ..stages.grouping import sorted_multi_agg
+
+    labeled = sorted_multi_agg(
+        docs_ds.map_batches(docs_part, batch_format="pyarrow").union(
+            comp_ds.map_batches(comp_part, batch_format="pyarrow")
+        ),
+        "doc_id",
+        [("doc_id", pa.int64())],
+        [("label", "min", "component", pa.int64()),
+         ("chars", "max", "n_chars", pa.int64())],
     )
 
     def argmax_partial(b: pa.Table) -> pa.Table:

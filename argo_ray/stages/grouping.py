@@ -281,14 +281,17 @@ def sorted_multi_agg(ds, sort_key: str, key_cols, specs):
 
         cols = {}
         for n, t in key_cols:
+            # Array.from_pandas maps NaN → Arrow null, so an all-null
+            # group under a skipna agg casts cleanly instead of
+            # failing the float→int cast
             cols[n] = (
                 as_str(g[n]) if t == pa.string()
-                else pc.cast(pa.array(g[n].to_numpy()), t)
+                else pc.cast(pa.Array.from_pandas(g[n]), t)
             )
         for _, _, o, t in specs:
             cols[o] = (
                 as_str(g[o]) if t == pa.string()
-                else pc.cast(pa.array(g[o].to_numpy()), t)
+                else pc.cast(pa.Array.from_pandas(g[o]), t)
             )
         return pa.table(cols)
 
