@@ -77,12 +77,13 @@ def keyword_topk(
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ..stages.grouping import sorted_multi_agg
 
-    scored = (
-        docs_ds.map_batches(score, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("score", alias_name="score"))
+    scored = sorted_multi_agg(
+        docs_ds.map_batches(score, batch_format="pyarrow"),
+        "doc_id",
+        [("doc_id", pa.int64())],
+        [("score", "sum", "score", pa.int64())],
     )
     return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)
 
