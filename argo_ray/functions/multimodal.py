@@ -175,9 +175,9 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type → samples per pixel (8-bit depth only; palette (3) needs a
-# PLTE indirection we deliberately quarantine rather than half-support)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type → samples per pixel (8-bit depth only); palette (3) is
+# one index sample per pixel, expanded through PLTE (+ tRNS → RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -249,6 +249,33 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    height: int,
+    width: int,
+    indices: bytes,
+    palette: bytes,
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode an 8-bit palettized PNG (color type 3): ``indices`` is
+    the row-major index buffer, ``palette`` the PLTE RGB triples,
+    ``trns`` optional per-entry alpha — the fixture generator for the
+    decoder's palette-expansion path."""
+    if len(indices) != height * width:
+        raise ValueError("index buffer size != height*width")
+    if not palette or len(palette) % 3 != 0:
+        raise ValueError("palette must be non-empty RGB triples")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width] for y in range(height)
+    )
+    parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr), _png_chunk(b"PLTE", palette)]
+    if trns is not None:
+        parts.append(_png_chunk(b"tRNS", trns))
+    parts.append(_png_chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(_png_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real PNG decoder: stdlib ``zlib`` inflate + per-scanline
     unfiltering (all five filter types) per the public spec →
@@ -262,6 +289,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, []
+    plte, trns = None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -270,6 +298,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -283,8 +315,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if depth != 8 or color_type not in _PNG_CHANNELS:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}); "
-            "only 8-bit gray/gray+alpha/RGB/RGBA here"
+            "only 8-bit gray/gray+alpha/palette/RGB/RGBA here"
         )
+    if color_type == 3 and (plte is None or len(plte) % 3 != 0 or not plte):
+        raise ValueError("palette PNG missing/invalid PLTE chunk")
     if comp != 0 or filt_m != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace method")
     channels = _PNG_CHANNELS[color_type]
@@ -329,7 +363,22 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec
         prev = rec
-    return height, width, channels, out.astype(np.uint8).tobytes()
+    pixels = out.astype(np.uint8)
+    if color_type == 3:
+        # palette expansion: index → PLTE RGB (+ tRNS alpha → RGBA)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = pixels.reshape(-1)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette PNG index out of PLTE range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, np.uint8)
+            t = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(t)] = t
+            rgba = np.concatenate([rgb, alpha[idx][:, None]], axis=1)
+            return height, width, 4, rgba.tobytes()
+        return height, width, 3, rgb.tobytes()
+    return height, width, channels, pixels.tobytes()
 
 
 def sniff_decode(payload: bytes) -> tuple[int, int, int, bytes]:

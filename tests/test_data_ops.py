@@ -203,8 +203,9 @@ def test_png_codec_roundtrip_all_filters_and_variants():
     for bad in (p[:20], _PNG_SIG + b"garbagegarbage", _PNG_SIG):
         with pytest.raises(ValueError):
             decode_png(bad)
-    # unsupported variants (16-bit, palette, Adam7) quarantine loudly
-    for depth, color, inter in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+    # unsupported variants (16-bit, bad color type, Adam7) quarantine
+    # loudly (palette (3) is now SUPPORTED — see test_png_palette_decode)
+    for depth, color, inter in ((16, 0, 0), (8, 7, 0), (8, 0, 1)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter)
         v = (
             _PNG_SIG
@@ -1881,3 +1882,49 @@ def test_partition_plan_matches_local_ranks(ray_session):
     n = len(keys)
     want = {i: keys[(i * n) // 8 - 1] for i in range(1, 8)}
     assert got == want
+
+
+def test_png_palette_decode():
+    """Palettized PNG (color type 3): PLTE expansion to RGB, tRNS to
+    RGBA, out-of-range index and missing PLTE quarantine."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from argo_ray.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=12, dtype=np.uint8).tobytes()  # 4 entries
+    idx = rng.randint(0, 4, size=6 * 5, dtype=np.uint8).tobytes()
+    palarr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    iarr = np.frombuffer(idx, np.uint8)
+
+    h, w, c, out = decode_png(encode_png_palette(6, 5, idx, pal))
+    assert (h, w, c) == (6, 5, 3)
+    assert out == palarr[iarr].tobytes()
+
+    alpha = bytes([255, 128, 0, 7])
+    h, w, c, out = decode_png(encode_png_palette(6, 5, idx, pal, trns=alpha))
+    assert (h, w, c) == (6, 5, 4)
+    aarr = np.frombuffer(alpha, np.uint8)[iarr]
+    assert out == np.concatenate(
+        [palarr[iarr], aarr[:, None]], axis=1
+    ).tobytes()
+
+    with pytest.raises(ValueError, match="PLTE range"):
+        decode_png(encode_png_palette(1, 1, bytes([3]), bytes([1, 2, 3])))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    no_plte = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02" * 4))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
