@@ -339,12 +339,17 @@ def encode_jpeg_rgb(
     rgb: bytes,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Row-major 8-bit RGB → baseline JPEG, YCbCr 4:4:4 (T.871
-    full-range BT.601 forward transform) — the color twin of
-    :func:`encode_jpeg_gray`."""
+    """Row-major 8-bit RGB → baseline JPEG, YCbCr (T.871 full-range
+    BT.601 forward transform) — the color twin of
+    :func:`encode_jpeg_gray`.  ``subsampling="420"`` writes the
+    dominant web layout (2×2 Y blocks + box-averaged Cb/Cr per MCU);
+    ``"444"`` keeps full-resolution chroma."""
     if len(rgb) != height * width * 3:
         raise ValueError("rgb buffer size != height*width*3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     q = (EXACT_DC_QUANT if quant is None else np.asarray(quant)).astype(np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant must be 64 zigzag-order values in 1..255")
@@ -356,7 +361,87 @@ def encode_jpeg_rgb(
     planes = [
         np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
     ]
-    return _encode_planes(height, width, planes, q, restart_interval)
+    if subsampling == "444":
+        return _encode_planes(height, width, planes, q, restart_interval)
+    return _encode_planes_420(height, width, planes, q, restart_interval)
+
+
+def _encode_planes_420(
+    height: int,
+    width: int,
+    planes: list[np.ndarray],
+    q: np.ndarray,
+    restart_interval: int,
+) -> bytes:
+    """YCbCr 4:2:0 writer: MCU = four Y blocks (2×2) + one Cb + one
+    Cr; chroma is the 2×2 box mean of the edge-padded full-res plane.
+    Same Annex K Huffman tables on every component."""
+    ph = -(-height // 16) * 16
+    pw = -(-width // 16) * 16
+    ypad = np.pad(
+        planes[0], ((0, ph - height), (0, pw - width)), mode="edge"
+    )
+    chroma = []
+    for p in planes[1:]:
+        pad = np.pad(
+            p.astype(np.float64),
+            ((0, ph - height), (0, pw - width)),
+            mode="edge",
+        )
+        down = pad.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        chroma.append(np.clip(np.round(down), 0, 255).astype(np.uint8))
+
+    y_q = _plane_qcoefs(ypad, q)          # (ph/8 × pw/8) raster blocks
+    c_q = [_plane_qcoefs(c, q) for c in chroma]  # (ph/16 × pw/16)
+    gx = pw // 8          # Y blocks per row
+    mcx, mcy = pw // 16, ph // 16
+
+    dc_codes = _build_code_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _build_code_table(_AC_LUM_BITS, _AC_LUM_VALS)
+    parts = []
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
+            parts.append(w.flush())
+            parts.append(bytes([0xFF, 0xD0 + ((m // restart_interval) - 1) % 8]))
+            w = _BitWriter()
+            preds = [0, 0, 0]
+        my, mx = divmod(m, mcx)
+        for by in range(2):
+            for bx in range(2):
+                blk = y_q[(2 * my + by) * gx + (2 * mx + bx)]
+                preds[0] = _write_block(w, blk, preds[0], dc_codes, ac_codes)
+        for ci in (0, 1):
+            blk = c_q[ci][my * mcx + mx]
+            preds[ci + 1] = _write_block(
+                w, blk, preds[ci + 1], dc_codes, ac_codes
+            )
+    parts.append(w.flush())
+    payload = b"".join(parts)
+
+    dqt = _seg(0xFFDB, bytes([0x00]) + bytes(int(x) for x in q))
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0])   # Y: 2×2
+        + bytes([2, 0x11, 0])   # Cb
+        + bytes([3, 0x11, 0]),  # Cr
+    )
+    dht = _seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = _seg(
+        0xFFDA, bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + payload + b"\xff\xd9"
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -407,13 +492,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(
-                        "unsupported JPEG chroma subsampling (only 4:4:4)"
+                        f"unsupported JPEG sampling factors {hs}x{vs} "
+                        "(1 or 2 per axis here)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
+            if nc == 1 and comps[0][1:3] != (1, 1):
+                raise ValueError("unsupported sampling on grayscale JPEG")
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -437,12 +526,27 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("JPEG missing SOS scan")
 
 
+def _idct_blocks(qz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficient rows → clipped uint8 8×8 blocks
+    (vectorized over ALL blocks)."""
+    deq = (qz * q)[:, _UNZIGZAG].reshape(-1, 8, 8)
+    pix = np.einsum("ux,nuv,vy->nxy", _DCT, deq.astype(np.float64), _DCT)
+    return np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+
+
 def _decode_scan(payload, pos, sof, scan, qtables, htables, restart_interval):
     h, w, comps = sof
     nc = len(comps)
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw
-    qcoefs = np.zeros((nc, n_mcu, 64), dtype=np.int64)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    n_mcu = mcx * mcy
+    # per component: block grid (mcy*vs, mcx*hs) of zigzag rows
+    qcoefs = [
+        np.zeros((mcy * vs, mcx * hs, 64), dtype=np.int64)
+        for _, hs, vs, _ in comps
+    ]
     comp_t = {cs: (td, ta) for cs, td, ta in scan}
     r = _BitReader(payload, pos)
     preds = [0] * nc
@@ -450,40 +554,51 @@ def _decode_scan(payload, pos, sof, scan, qtables, htables, restart_interval):
         if restart_interval and m and m % restart_interval == 0:
             r.align_past_rst()
             preds = [0] * nc
-        for ci, (cid, _tq) in enumerate(comps):
+        my, mx = divmod(m, mcx)
+        for ci, (cid, hs, vs, _tq) in enumerate(comps):
             td, ta = comp_t[cid]
             dc_t = htables.get((0, td))
             ac_t = htables.get((1, ta))
             if dc_t is None or ac_t is None:
                 raise ValueError("JPEG scan references missing Huffman table")
-            size = _decode_huff(r, dc_t)
-            preds[ci] += _extend(r.bits(size), size)
-            qcoefs[ci, m, 0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _decode_huff(r, ac_t)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient overflow")
-                qcoefs[ci, m, k] = _extend(r.bits(size), size)
-                k += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = qcoefs[ci][my * vs + by, mx * hs + bx]
+                    size = _decode_huff(r, dc_t)
+                    preds[ci] += _extend(r.bits(size), size)
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(r, ac_t)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient overflow")
+                        blk[k] = _extend(r.bits(size), size)
+                        k += 1
 
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("JPEG component references missing quant table")
-        deq = (qcoefs[ci] * qtables[tq])[:, _UNZIGZAG].reshape(-1, 8, 8)
-        pix = np.einsum("ux,nuv,vy->nxy", _DCT, deq.astype(np.float64), _DCT)
-        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        gy, gx = mcy * vs, mcx * hs
+        pix = _idct_blocks(qcoefs[ci].reshape(-1, 64), qtables[tq])
         plane = (
-            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
         )
+        # crop to the component's true dims, then upsample to full res
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        plane = plane[:ch, :cw]
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
         planes.append(plane[:h, :w])
     if nc == 1:
         return h, w, 1, planes[0].tobytes()

@@ -1928,3 +1928,46 @@ def test_png_palette_decode():
     )
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(no_plte)
+
+
+def test_jpeg_420_subsampling():
+    """Baseline JPEG 4:2:0 (the dominant web layout): MCU = 2x2 Y
+    blocks + box-averaged Cb/Cr; constant 16x16 tiles round-trip
+    within color-transform rounding, restart intervals decode
+    identically, and mismatched sampling factors quarantine."""
+    import numpy as np
+
+    from argo_ray.functions.jpeg import decode_jpeg, encode_jpeg_rgb
+
+    rng = np.random.RandomState(2)
+    tiles = np.zeros((32, 48, 3), np.uint8)
+    for ty in range(2):
+        for tx in range(3):
+            tiles[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16] = (
+                rng.randint(0, 256, 3)
+            )
+    p = encode_jpeg_rgb(32, 48, tiles.tobytes(), subsampling="420")
+    h, w, c, out = decode_jpeg(p)
+    assert (h, w, c) == (32, 48, 3)
+    got = np.frombuffer(out, np.uint8).reshape(32, 48, 3).astype(int)
+    assert np.abs(got - tiles.astype(int)).max() <= 3
+
+    # restart intervals on the interleaved 4:2:0 scan
+    p_rst = encode_jpeg_rgb(
+        32, 48, tiles.tobytes(), subsampling="420", restart_interval=2
+    )
+    assert decode_jpeg(p_rst)[3] == out
+
+    # non-multiple-of-16 dims crop correctly
+    img = rng.randint(0, 256, size=(30, 22, 3), dtype=np.uint8)
+    h, w, c, _ = decode_jpeg(
+        encode_jpeg_rgb(30, 22, img.tobytes(), subsampling="420")
+    )
+    assert (h, w, c) == (30, 22, 3)
+
+    # sampling factors beyond 2 quarantine
+    bad = bytearray(p)
+    sof_at = bad.find(b"\xff\xc0")
+    bad[sof_at + 11] = 0x33  # Y sampling 3x3 (FF C0 len2 prec h2 w2 nc cid -> samp)
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(bad))
