@@ -3,10 +3,11 @@
 Huffman tables).  No codec library.
 
 Decoder scope: baseline sequential DCT (SOF0), 8-bit, grayscale or
-3-component YCbCr without chroma subsampling (all sampling factors
-1×1, i.e. 4:4:4), optional restart intervals.  Progressive (SOF2),
-arithmetic coding, 12-bit precision and subsampled scans raise
-``ValueError`` into the poison-image quarantine — the honest refusal,
+3-component YCbCr with per-axis sampling factors 1 or 2 — 4:4:4,
+4:2:2 and the dominant web layout 4:2:0 all decode — plus optional
+restart intervals.  Progressive (SOF2), arithmetic coding, 12-bit
+precision and sampling factors beyond 2 raise ``ValueError`` into
+the poison-image quarantine — the honest refusal,
 same contract as :func:`argo_ray.functions.multimodal.decode_png`.
 
 Encoder scope: grayscale baseline with a caller-chosen quantization

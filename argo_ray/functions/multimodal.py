@@ -16,8 +16,8 @@ Decode support:
   decoded for real by :func:`decode_png` — stdlib ``zlib`` inflate +
   all five scanline unfilters per the public PNG spec (RFC 2083);
   interlaced / 16-bit / palette variants quarantine.
-- **Baseline JPEG (SOF0, 8-bit gray or YCbCr 4:4:4, restart
-  intervals)** is decoded for real by
+- **Baseline JPEG (SOF0, 8-bit gray or YCbCr 4:4:4/4:2:2/4:2:0,
+  restart intervals)** is decoded for real by
   :func:`argo_ray.functions.jpeg.decode_jpeg` — T.81 Huffman entropy
   decode + vectorized dequant/IDCT, standard Annex K tables;
   progressive / arithmetic / subsampled variants quarantine.
